@@ -1,38 +1,344 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry()      — flagship query (q1 pricing summary) on sf0.001.
+queries()    — every implemented operator from SURVEY.md §2.
+oracle_sql() — DuckDB-dialect equivalents for the correctness gate.
+
+Column names are aliased identically on both sides; money aggregates use
+decimal-exact math (see kafka_connect_storage_cloud_spark/functions/money.py)
+so Spark and DuckDB produce bit-identical doubles.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+# The driver loads this file by path; make the sibling package importable
+# regardless of the caller's cwd.
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from kafka_connect_storage_cloud_spark.plans import connector as C
+from kafka_connect_storage_cloud_spark.plans import events as E
+from kafka_connect_storage_cloud_spark.plans import tpch as T
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return T.q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # --- connector parity (SURVEY §2A) ---
+        "default_partitioner": C.default_partitioner_plan,
+        "field_partitioner": C.field_partitioner_plan,
+        "time_based_partitioner": C.time_based_partitioner_plan,
+        "daily_partitioner": C.daily_partitioner_plan,
+        "hourly_partitioner": C.hourly_partitioner_plan,
+        "field_time_partitioner": C.field_time_partitioner_plan,
+        "schema_partitioner": C.schema_partitioner_plan,
+        "timestamp_extractor_record_field": C.record_field_extractor_plan,
+        "rotation_flush_size": C.rotation_flush_size_plan,
+        "rotation_scheduled": C.rotation_scheduled_plan,
+        "rotation_interval": C.rotation_interval_plan,  # rows-only (sequential semantics)
+        "exactly_once_manifest": C.exactly_once_manifest_plan,
+        "tombstone_routing": C.tombstone_routing_plan,
+        "kv_header_views": C.kv_header_views_plan,
+        # --- analytics (SURVEY §2B) ---
+        "q1_pricing_summary": T.q1_pricing_summary,
+        "q3_shipping_priority": T.q3_shipping_priority,
+        "q5_local_supplier_volume": T.q5_local_supplier_volume,
+        "q6_revenue_change": T.q6_revenue_change,
+        "q10_returned_items": T.q10_returned_items,
+        "top_customers": T.top_customers,
+        "order_priority_count": T.order_priority_count,
+        "part_type_margin": T.part_type_margin,
+        "events_hourly_rollup": E.events_hourly_rollup,
+        "events_sessionize": E.events_sessionize,
+        "events_topk_users": E.events_topk_users,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# Oracle SQL (DuckDB dialect). The events-as-topic adapter is mirrored as a
+# CTE; money math mirrors functions/money.py decimal-exact expressions.
+# ---------------------------------------------------------------------------
+
+_RECORDS = """
+WITH records AS (
+  SELECT
+    'events' AS topic,
+    CAST(user_id % 8 AS INT) AS kafka_partition,
+    event_id AS "offset",
+    ts AS "timestamp",
+    CAST(user_id AS VARCHAR) AS "key",
+    props AS "value",
+    event_type,
+    user_id,
+    ts
+  FROM events
+)
+"""
+
+_SUMMARIZE = """
+SELECT encoded_partition,
+       COUNT(*) AS record_count,
+       MIN("offset") AS min_offset,
+       MAX("offset") AS max_offset,
+       COUNT(DISTINCT kafka_partition) AS n_kafka_partitions
+FROM enc GROUP BY encoded_partition ORDER BY encoded_partition
+"""
+
+_DISC_PRICE = (
+    "CAST(CAST(l_extendedprice AS DECIMAL(10,4)) * "
+    "(CAST(1 AS DECIMAL(10,4)) - CAST(l_discount AS DECIMAL(10,4))) AS DECIMAL(18,8))"
+)
+_CHARGE = f"{_DISC_PRICE} * (CAST(1 AS DECIMAL(10,4)) + CAST(l_tax AS DECIMAL(10,4)))"
+
+
+def _msum(inner: str, alias: str) -> str:
+    return f"CAST(ROUND(SUM({inner}), 4) AS DOUBLE) AS {alias}"
+
+
+def _mavg(inner: str, alias: str) -> str:
+    return f"ROUND(CAST(SUM({inner}) AS DOUBLE) / COUNT(*), 4) AS {alias}"
+
+
+def _enc_summary(enc_expr: str) -> str:
+    return f"{_RECORDS}, enc AS (SELECT *, {enc_expr} AS encoded_partition FROM records)\n{_SUMMARIZE}"
+
+
+def _manifest(enc_expr: str, file_seq_expr: str, records_cte: str = _RECORDS, ext: str = "parquet") -> str:
+    return f"""{records_cte},
+enc AS (SELECT *, {enc_expr} AS encoded_partition FROM records),
+seq AS (SELECT *, {file_seq_expr} AS file_seq FROM enc),
+files AS (SELECT *, MIN("offset") OVER (PARTITION BY kafka_partition, encoded_partition, file_seq)
+                    AS file_start_offset FROM seq)
+SELECT topic || '/' || encoded_partition || '/' || topic || '+' ||
+       CAST(kafka_partition AS VARCHAR) || '+' || printf('%010d', file_start_offset) || '.{ext}'
+         AS file_path,
+       COUNT(*) AS record_count,
+       MIN("offset") AS min_offset,
+       MAX("offset") AS max_offset
+FROM files GROUP BY 1 ORDER BY 1"""
+
+
+_FLUSH_SEQ = (
+    "CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY kafka_partition, encoded_partition "
+    'ORDER BY "offset") - 1) / 100.0) AS BIGINT)'
+)
+_SCHED_SEQ = f"CAST(FLOOR(epoch_ms(\"timestamp\") / {6 * 3600 * 1000}.0) AS BIGINT)"
+
+_REPLAYED_RECORDS = """
+WITH raw AS (
+  SELECT
+    'events' AS topic,
+    CAST(user_id % 8 AS INT) AS kafka_partition,
+    event_id AS "offset",
+    ts AS "timestamp",
+    CAST(user_id AS VARCHAR) AS "key",
+    props AS "value",
+    event_type,
+    user_id,
+    ts
+  FROM events
+  UNION ALL
+  SELECT
+    'events' AS topic,
+    CAST(user_id % 8 AS INT) AS kafka_partition,
+    event_id AS "offset",
+    ts AS "timestamp",
+    CAST(user_id AS VARCHAR) AS "key",
+    props AS "value",
+    event_type,
+    user_id,
+    ts
+  FROM events
+),
+records AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY kafka_partition, "offset") AS rn FROM raw
+  ) WHERE rn = 1
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    daily = "'year=' || strftime(\"timestamp\", '%Y') || '/month=' || strftime(\"timestamp\", '%m') || '/day=' || strftime(\"timestamp\", '%d')"
+    hourly = daily + " || '/hour=' || strftime(\"timestamp\", '%H')"
+    return {
+        # --- connector parity ---
+        "default_partitioner": _enc_summary("'partition=' || CAST(kafka_partition AS VARCHAR)"),
+        "field_partitioner": _enc_summary("'event_type=' || event_type"),
+        "time_based_partitioner": _enc_summary(hourly),
+        "daily_partitioner": _enc_summary(daily),
+        "hourly_partitioner": _enc_summary(hourly),
+        "field_time_partitioner": _enc_summary(f"'event_type=' || event_type || '/' || {daily}"),
+        "schema_partitioner": _enc_summary(f"'schema_name=' || event_type || '/' || {daily}"),
+        "timestamp_extractor_record_field": _enc_summary(
+            "'year=' || strftime(ts, '%Y') || '/month=' || strftime(ts, '%m') || '/day=' || strftime(ts, '%d')"
+        ),
+        "rotation_flush_size": _manifest(
+            "'partition=' || CAST(kafka_partition AS VARCHAR)", _FLUSH_SEQ
+        ),
+        "rotation_scheduled": _manifest("'event_type=' || event_type", _SCHED_SEQ),
+        # rotation_interval: omitted (sequential base-reset semantics; rows-only check)
+        "exactly_once_manifest": _manifest(
+            "'partition=' || CAST(kafka_partition AS VARCHAR)", _FLUSH_SEQ, _REPLAYED_RECORDS
+        ),
+        "tombstone_routing": f"""{_RECORDS},
+with_tombstones AS (
+  SELECT *, CASE WHEN "offset" % 50 = 0 THEN NULL ELSE "value" END AS value2 FROM records
+),
+enc AS (
+  SELECT *, CASE WHEN value2 IS NULL THEN 'tombstone' ELSE 'event_type=' || event_type END
+            AS encoded_partition
+  FROM with_tombstones
+)
+{_SUMMARIZE}""",
+        "kv_header_views": f"""{_RECORDS},
+enc AS (SELECT *, {daily} AS encoded_partition FROM records),
+views AS (
+  SELECT 'value' AS view, encoded_partition, "value" AS payload FROM enc
+  UNION ALL SELECT 'keys', encoded_partition, "key" FROM enc
+  UNION ALL SELECT 'headers', encoded_partition, event_type FROM enc
+)
+SELECT view, encoded_partition, COUNT(*) AS record_count,
+       COUNT(DISTINCT payload) AS distinct_payloads
+FROM views GROUP BY view, encoded_partition ORDER BY view, encoded_partition""",
+        # --- analytics ---
+        "q1_pricing_summary": f"""
+SELECT l_returnflag, l_linestatus,
+  {_msum('CAST(l_quantity AS DECIMAL(10,4))', 'sum_qty')},
+  {_msum('CAST(l_extendedprice AS DECIMAL(10,4))', 'sum_base_price')},
+  {_msum(_DISC_PRICE, 'sum_disc_price')},
+  {_msum(_CHARGE, 'sum_charge')},
+  {_mavg('CAST(l_quantity AS DECIMAL(10,4))', 'avg_qty')},
+  {_mavg('CAST(l_extendedprice AS DECIMAL(10,4))', 'avg_price')},
+  {_mavg('CAST(l_discount AS DECIMAL(10,4))', 'avg_disc')},
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus""",
+        "q3_shipping_priority": f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+  {_msum(_DISC_PRICE, 'revenue')}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10""",
+        "q5_local_supplier_volume": f"""
+SELECT n_name, {_msum(_DISC_PRICE, 'revenue')}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC""",
+        "q6_revenue_change": f"""
+SELECT {_msum('CAST(l_extendedprice AS DECIMAL(10,4)) * CAST(l_discount AS DECIMAL(10,4))', 'revenue')}
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24""",
+        "q10_returned_items": f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+  {_msum(_DISC_PRICE, 'revenue')}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20""",
+        "top_customers": f"""
+SELECT c_custkey, c_name, n_name, r_name,
+  {_msum(_DISC_PRICE, 'revenue')}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY c_custkey, c_name, n_name, r_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 15""",
+        "order_priority_count": """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority""",
+        "part_type_margin": f"""
+SELECT p_type, p_brand,
+  {_msum(_DISC_PRICE, 'net_revenue')},
+  {_msum('CAST(CAST(p_retailprice AS DECIMAL(10,4)) * CAST(l_quantity AS DECIMAL(10,4)) AS DECIMAL(18,8))', 'retail_value')},
+  COUNT(*) AS line_count
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_type, p_brand
+ORDER BY p_type, p_brand""",
+        "events_hourly_rollup": f"""
+SELECT date_trunc('hour', ts) AS bucket, event_type,
+  COUNT(*) AS n_events,
+  COUNT(DISTINCT user_id) AS n_users,
+  {_msum('CAST("value" AS DECIMAL(10,4))', 'sum_value')},
+  {_mavg('CAST("value" AS DECIMAL(10,4))', 'avg_value')},
+  ROUND(MAX("value"), 4) AS max_value
+FROM events
+GROUP BY 1, 2 ORDER BY 1, 2""",
+        "events_sessionize": f"""
+WITH with_gap AS (
+  SELECT user_id, ts, "value",
+    CASE WHEN COALESCE(epoch_ms(ts) - epoch_ms(LAG(ts) OVER w), {30*60*1000 + 1}) > {30*60*1000}
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+with_id AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM with_gap
+)
+SELECT user_id, session_seq,
+  MIN(ts) AS session_start,
+  MAX(ts) AS session_end,
+  COUNT(*) AS n_events,
+  {_msum('CAST("value" AS DECIMAL(10,4))', 'session_value')}
+FROM with_id GROUP BY user_id, session_seq ORDER BY user_id, session_seq""",
+        "events_topk_users": f"""
+WITH per_user AS (
+  SELECT event_type, user_id,
+    {_msum('CAST("value" AS DECIMAL(10,4))', 'total_value')},
+    COUNT(*) AS n_events
+  FROM events GROUP BY event_type, user_id
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY total_value DESC, user_id)
+       AS INT) AS rank
+  FROM per_user
+)
+SELECT * FROM ranked WHERE rank <= 5 ORDER BY event_type, rank""",
+    }

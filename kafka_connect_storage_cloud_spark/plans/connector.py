@@ -1,0 +1,174 @@
+"""Connector-parity plans: each reference behavior (partitioner, rotation
+policy, tombstone routing, record views, exactly-once naming) expressed as a
+deterministic query over the events-as-topic adapter, so the DuckDB oracle
+can verify the semantics row-for-row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import partitioners as P
+from ..operators import rotation as R
+from ..sources.topic import events_as_topic
+
+
+def _summarize(records: DataFrame) -> DataFrame:
+    """Per encoded-partition summary — the shape the reference's tests assert
+    (records per partition path, offset ranges)."""
+    return (
+        records.groupBy("encoded_partition")
+        .agg(
+            F.count(F.lit(1)).alias("record_count"),
+            F.min("offset").alias("min_offset"),
+            F.max("offset").alias("max_offset"),
+            F.countDistinct("kafka_partition").alias("n_kafka_partitions"),
+        )
+        .orderBy("encoded_partition")
+    )
+
+
+def default_partitioner_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rec = events_as_topic(spark, sf_dir)
+    return _summarize(
+        rec.withColumn("encoded_partition", P.default_partitioner(F.col("kafka_partition")))
+    )
+
+
+def field_partitioner_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rec = events_as_topic(spark, sf_dir)
+    return _summarize(rec.withColumn("encoded_partition", P.field_partitioner(["event_type"])))
+
+
+def time_based_partitioner_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rec = events_as_topic(spark, sf_dir)
+    return _summarize(
+        rec.withColumn(
+            "encoded_partition", P.time_based_partitioner(F.col("timestamp"), "year/month/day/hour")
+        )
+    )
+
+
+def daily_partitioner_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rec = events_as_topic(spark, sf_dir)
+    return _summarize(rec.withColumn("encoded_partition", P.daily_partitioner(F.col("timestamp"))))
+
+
+def hourly_partitioner_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rec = events_as_topic(spark, sf_dir)
+    return _summarize(rec.withColumn("encoded_partition", P.hourly_partitioner(F.col("timestamp"))))
+
+
+def field_time_partitioner_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DelegatingPartitioner-style composition: field partition, then daily."""
+    rec = events_as_topic(spark, sf_dir)
+    enc = F.concat(
+        P.field_partitioner(["event_type"]), F.lit("/"), P.daily_partitioner(F.col("timestamp"))
+    )
+    return _summarize(rec.withColumn("encoded_partition", enc))
+
+
+def schema_partitioner_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SchemaPartitioner analog: the record's 'schema name' is its header
+    event_type (stand-in for value schema name), wrapped around daily."""
+    rec = events_as_topic(spark, sf_dir)
+    enc = P.schema_partitioner(F.col("event_type"), P.daily_partitioner(F.col("timestamp")))
+    return _summarize(rec.withColumn("encoded_partition", enc))
+
+
+def record_field_extractor_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RecordField timestamp extractor: partition on the `ts` value field
+    (vs the Kafka record timestamp) — same data here, but the plan exercises
+    the extractor path."""
+    rec = events_as_topic(spark, sf_dir)
+    return _summarize(
+        rec.withColumn(
+            "encoded_partition",
+            P.time_based_partitioner(P.record_field_timestamp("ts"), "year/month/day"),
+        )
+    )
+
+
+def rotation_flush_size_plan(spark: SparkSession, sf_dir: str, flush_size: int = 100) -> DataFrame:
+    rec = events_as_topic(spark, sf_dir).withColumn(
+        "encoded_partition", P.default_partitioner(F.col("kafka_partition"))
+    )
+    return R.file_manifest(R.assign_files_flush_size(rec, flush_size)).orderBy("file_path")
+
+
+def rotation_scheduled_plan(
+    spark: SparkSession, sf_dir: str, interval_ms: int = 6 * 3600 * 1000
+) -> DataFrame:
+    rec = events_as_topic(spark, sf_dir).withColumn(
+        "encoded_partition", P.field_partitioner(["event_type"])
+    )
+    return R.file_manifest(R.assign_files_scheduled(rec, interval_ms)).orderBy("file_path")
+
+
+def rotation_interval_plan(
+    spark: SparkSession, sf_dir: str, rotate_interval_ms: int = 12 * 3600 * 1000
+) -> DataFrame:
+    rec = events_as_topic(spark, sf_dir).withColumn(
+        "encoded_partition", P.default_partitioner(F.col("kafka_partition"))
+    )
+    return R.file_manifest(R.assign_files_rotate_interval(rec, rotate_interval_ms)).orderBy(
+        "file_path"
+    )
+
+
+def exactly_once_manifest_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay invariance: process the input UNIONed with itself; after
+    de-duplicating on the connector's identity (kafka_partition, offset) the
+    manifest is identical to single-delivery — the exactly-once guarantee of
+    start-offset file naming (S3FileUtils.fileKeyToCommit)."""
+    rec = events_as_topic(spark, sf_dir)
+    replayed = rec.unionAll(rec).dropDuplicates(["kafka_partition", "offset"])
+    assigned = R.assign_files_flush_size(
+        replayed.withColumn("encoded_partition", P.default_partitioner(F.col("kafka_partition"))),
+        flush_size=100,
+    )
+    return R.file_manifest(assigned).orderBy("file_path")
+
+
+def tombstone_routing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """behavior.on.null.values=write: synthesize a deterministic tombstone
+    stream (every 50th offset has a null value) and route nulls to the
+    tombstone partition (TombstoneSupportedPartitioner semantics)."""
+    rec = events_as_topic(spark, sf_dir).withColumn(
+        "value", F.when(F.pmod(F.col("offset"), F.lit(50)) == 0, F.lit(None)).otherwise(F.col("value"))
+    )
+    enc = P.tombstone_supported_partitioner(
+        F.col("value"), P.field_partitioner(["event_type"]), "tombstone"
+    )
+    return _summarize(rec.withColumn("encoded_partition", enc))
+
+
+def kv_header_views_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RecordViews (format/RecordViews.java): the value / key / headers file
+    streams written side by side. One row per (view, encoded_partition) with
+    the per-view payload checksum (here: count + distinct payloads)."""
+    rec = events_as_topic(spark, sf_dir).withColumn(
+        "encoded_partition", P.daily_partitioner(F.col("timestamp"))
+    )
+    value_view = rec.select(
+        F.lit("value").alias("view"), "encoded_partition", F.col("value").alias("payload")
+    )
+    key_view = rec.select(
+        F.lit("keys").alias("view"), "encoded_partition", F.col("key").alias("payload")
+    )
+    header_view = rec.select(
+        F.lit("headers").alias("view"),
+        "encoded_partition",
+        F.col("headers")["event_type"].alias("payload"),
+    )
+    return (
+        value_view.unionAll(key_view)
+        .unionAll(header_view)
+        .groupBy("view", "encoded_partition")
+        .agg(
+            F.count(F.lit(1)).alias("record_count"),
+            F.countDistinct("payload").alias("distinct_payloads"),
+        )
+        .orderBy("view", "encoded_partition")
+    )

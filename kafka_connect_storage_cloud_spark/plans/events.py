@@ -1,0 +1,78 @@
+"""Event-stream analytics: the hypertable-rollup / sessionization / top-k
+plans a storage-sink user runs downstream of the connector's output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import money as M
+from ..session import read_events
+
+
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hourly rollup: time_bucket + groupBy. Single shuffle
+    on (bucket, event_type); partial aggregation is map-side."""
+    ev = read_events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            M.money_sum(M.dec("value"), "sum_value"),
+            M.money_avg(M.dec("value"), "avg_value"),
+            F.round(F.max("value"), 4).alias("max_value"),
+        )
+        .orderBy("bucket", "event_type")
+    )
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization: a new session starts when a user is idle
+    longer than the gap. One shuffle (partitionBy user), then pure window
+    functions — the classic scalable sessionization plan."""
+    ev = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_ms = gap_minutes * 60 * 1000
+    with_gap = ev.withColumn(
+        "new_session",
+        (
+            F.coalesce(
+                F.unix_millis(F.col("ts")) - F.unix_millis(F.lag("ts").over(w)),
+                F.lit(gap_ms + 1),
+            )
+            > gap_ms
+        ).cast("int"),
+    )
+    with_id = with_gap.withColumn(
+        "session_seq", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        with_id.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            M.money_sum(M.dec("value"), "session_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+def events_topk_users(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Top-k users by total value within each event_type: aggregate first
+    (shrinks to |users|×|types|), then rank — never a global sort."""
+    ev = read_events(spark, sf_dir)
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        M.money_sum(M.dec("value"), "total_value"), F.count(F.lit(1)).alias("n_events")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("total_value"), F.asc("user_id"))
+    return (
+        per_user.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("event_type", "rank")
+    )

@@ -1,0 +1,90 @@
+"""SparkSession factory tuned for the engine.
+
+Local testing runs on local[N]; the same settings are what we'd ship on a
+1000-executor cluster: AQE enabled (runtime re-plan, skew-join handling,
+coalesced shuffle partitions), Arrow for any pandas exchange, and a shuffle
+partition count that AQE can coalesce downward.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "kcsc-spark", shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if shuffle_partitions is None:
+        shuffle_partitions = 32 if cpus == "*" else max(int(cpus), 4)
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .getOrCreate()
+    )
+
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def ensure_utc(spark: SparkSession) -> None:
+    """Pin the session timezone to UTC. The testdata timestamps are naive
+    UTC instants and the DuckDB oracle is timezone-naive, so any
+    date_format/date_trunc/collect in a non-UTC session would diverge.
+    The driver owns the SparkSession — set this defensively at every read."""
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str):
+    """UTC-pinned parquet scan for a testdata table."""
+    ensure_utc(spark)
+    if name == "events":
+        return read_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def read_events(spark: SparkSession, sf_dir: str):
+    """events.parquet stores ts as TIMESTAMP(NANOS), which Spark's vectorized
+    parquet reader rejects. Read nanos as long and floor-convert to a
+    microsecond timestamp — the same truncation DuckDB applies, so the oracle
+    sees identical values."""
+    ensure_utc(spark)
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES):
+    """Load the testdata star schema as a dict of DataFrames (lazy scans —
+    column pruning / predicate pushdown reach the parquet reader)."""
+    return {name: read_table(spark, sf_dir, name) for name in names}
