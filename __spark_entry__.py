@@ -23,6 +23,10 @@ _REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
 
+from kafka_connect_storage_cloud_spark.llm import dedup as LD
+from kafka_connect_storage_cloud_spark.llm import multimodal as LM
+from kafka_connect_storage_cloud_spark.llm import quality as LQ
+from kafka_connect_storage_cloud_spark.llm import similarity as LS
 from kafka_connect_storage_cloud_spark.plans import connector as C
 from kafka_connect_storage_cloud_spark.plans import events as E
 from kafka_connect_storage_cloud_spark.plans import tpch as T
@@ -62,6 +66,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_rollup": E.events_hourly_rollup,
         "events_sessionize": E.events_sessionize,
         "events_topk_users": E.events_topk_users,
+        # --- LLM data pipeline (SURVEY §2C) ---
+        "dedup_exact": LD.dedup_exact,
+        "dedup_minhash_lsh": LD.dedup_minhash_lsh,
+        "dedup_simhash": LD.dedup_simhash,
+        "ngram_jaccard": LD.ngram_jaccard,
+        "embedding_cosine_dups": LS.embedding_cosine_dups,
+        "ann_topk_bruteforce": LS.ann_topk_bruteforce,
+        "ann_topk_lsh": LS.ann_topk_lsh,
+        "lang_id": LQ.lang_id,
+        "quality_score": LQ.quality_score,
+        "token_count": LQ.token_count,
+        "doc_fingerprint": LQ.doc_fingerprint,
+        "multimodal_pipeline": LM.multimodal_pipeline,
     }
 
 
@@ -341,4 +358,9 @@ ranked AS (
   FROM per_user
 )
 SELECT * FROM ranked WHERE rank <= 5 ORDER BY event_type, rank""",
+        # --- LLM data pipeline (oracles live next to the implementations) ---
+        **LD.ORACLES,
+        **LS.ORACLES,
+        **LQ.ORACLES,
+        **LM.ORACLES,
     }

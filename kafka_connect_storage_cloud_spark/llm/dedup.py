@@ -1,0 +1,270 @@
+"""Deduplication operators for training-data pipelines, each with a DuckDB
+oracle mirror (ORACLES dict).
+
+Scale design:
+- exact:   one groupBy on a 128-bit content hash — single shuffle, no skew
+           (hash keys are uniform).
+- minhash: shingle explode -> distinct (doc, h) -> one groupBy builds the
+           K-wide signature -> band buckets -> self-join per bucket. The
+           candidate join is on (band, band_hash), never all-pairs; bucket
+           sizes are the only quadratic term, and banding keeps them tiny.
+- simhash: 60-bit signature from token bit-votes; pigeonhole banding into
+           4x15-bit chunks bounds the join the same way (hamming<=3 pairs
+           must agree on >=1 chunk).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+from ..functions import text as T
+from ..session import read_table
+
+K_PERMS = 16
+N_BANDS = 8  # rows-per-band r = K/N = 2
+SHINGLE_N = 3
+SIM_BITS = 60
+SIM_CHUNKS = 4  # 15 bits each; hamming<=3 pairs share >=1 chunk
+HAMMING_MAX = 3
+
+
+def _normalized(text_col: str = "text") -> F.Column:
+    return F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized text: one row per distinct content hash with
+    group size and the kept (minimum) doc_id."""
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5(_normalized()).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .orderBy("content_hash")
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS content_hash,
+       COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = T.with_shingles(docs, SHINGLE_N).select(
+        "doc_id", H.h32(F.col("shingle")).alias("h")
+    ).distinct()
+    aggs = [F.min(H.minhash_col(F.col("h"), i)).alias(f"mh{i}") for i in range(K_PERMS)]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-perm minhash signature per document (exposed for reuse/tests)."""
+    return _signatures(spark, sf_dir).orderBy("doc_id")
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-duplicate pairs via banded minhash LSH."""
+    sig = _signatures(spark, sf_dir)
+    r = K_PERMS // N_BANDS
+    band_structs = []
+    for b in range(N_BANDS):
+        cols = [F.col(f"mh{b * r + j}").cast("string") for j in range(r)]
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(",", *cols)).alias("bval"))
+        )
+    bands = sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval")
+    )
+    a, b_ = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b_, (F.col("a.band") == F.col("b.band")) & (F.col("a.bval") == F.col("b.bval")))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _sql_signatures() -> str:
+    mins = ",\n    ".join(
+        f"MIN({H.sql_minhash('h', i)}) AS mh{i}" for i in range(K_PERMS)
+    )
+    return f"""
+shingles AS ({T.sql_shingles(SHINGLE_N)}),
+hs AS (SELECT DISTINCT doc_id, {H.sql_h32('shingle')} AS h FROM shingles),
+sig AS (SELECT doc_id, {mins} FROM hs GROUP BY doc_id)
+"""
+
+
+def _sql_bands() -> str:
+    r = K_PERMS // N_BANDS
+    selects = []
+    for b in range(N_BANDS):
+        concat = " || ',' || ".join(f"CAST(mh{b * r + j} AS VARCHAR)" for j in range(r))
+        selects.append(f"SELECT doc_id, {b} AS band, md5({concat}) AS bval FROM sig")
+    return "bands AS (" + "\nUNION ALL ".join(selects) + ")"
+
+
+SQL_DEDUP_MINHASH_LSH = f"""
+WITH {_sql_signatures()},
+{_sql_bands()}
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit simhash per document from unigram bit votes."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", F.explode(T.words()).alias("w")).where(F.col("w") != "")
+    toks = toks.select("doc_id", H.h60(F.col("w")).alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.expr(f"(shiftright(h, {j}) & 1) = 1"), F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"v{j}")
+        for j in range(SIM_BITS)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    sim = None
+    for j in range(SIM_BITS):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(2**j).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        sim = bit if sim is None else sim + bit
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs with simhash hamming distance <= HAMMING_MAX,
+    candidate-bounded by 15-bit chunk banding (pigeonhole)."""
+    sim = simhash_signatures(spark, sf_dir)
+    chunk_structs = [
+        F.struct(
+            F.lit(c).alias("chunk"),
+            F.expr(f"shiftright(simhash, {15 * c}) & 32767").alias("cval"),
+        )
+        for c in range(SIM_CHUNKS)
+    ]
+    chunks = sim.select(
+        "doc_id", "simhash", F.explode(F.array(*chunk_structs)).alias("cc")
+    ).select("doc_id", "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.cval").alias("cval"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(b, (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.cval") == F.col("b.cval")))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+        )
+        .where(F.col("hamming") <= HAMMING_MAX)
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _sql_simhash() -> str:
+    votes = ",\n    ".join(
+        f"SUM(CASE WHEN ((h >> {j}) & 1) = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(SIM_BITS)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END)" for j in range(SIM_BITS)
+    )
+    return f"""
+toks AS (
+  SELECT doc_id, {H.sql_h60('w')} AS h
+  FROM (SELECT doc_id, unnest({T.SQL_WORDS}) AS w FROM documents)
+  WHERE w <> ''
+),
+votes AS (SELECT doc_id, {votes} FROM toks GROUP BY doc_id),
+sim AS (SELECT doc_id, {bits} AS simhash FROM votes)
+"""
+
+
+SQL_DEDUP_SIMHASH = f"""
+WITH {_sql_simhash()},
+chunks AS (
+  SELECT doc_id, simhash, c.chunk, (simhash >> (15 * c.chunk)) & 32767 AS cval
+  FROM sim, (SELECT unnest(generate_series(0, {SIM_CHUNKS - 1})) AS chunk) c
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM chunks a JOIN chunks b ON a.chunk = b.chunk AND a.cval = b.cval AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+ORDER BY doc_a, doc_b
+"""
+
+
+def ngram_jaccard(spark: SparkSession, sf_dir: str, threshold: float = 0.05) -> DataFrame:
+    """Exact n-gram Jaccard similarity for doc pairs within the same source
+    (blocked join — the block key bounds the pair count at scale; swap in the
+    LSH candidates from dedup_minhash_lsh for unblocked corpora)."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    sh = (
+        T.with_shingles(docs, SHINGLE_N)
+        .select("doc_id", "source", H.h32(F.col("shingle")).alias("h"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH shingles AS (
+  SELECT d.doc_id, d.source, s.shingle
+  FROM documents d JOIN ({T.sql_shingles(SHINGLE_N)}) s ON d.doc_id = s.doc_id
+),
+hs AS (SELECT DISTINCT doc_id, source, {H.sql_h32('shingle')} AS h FROM shingles),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM hs GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM hs a JOIN hs b ON a.source = b.source AND a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.05
+ORDER BY doc_a, doc_b
+"""
+
+ORACLES = {
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
+    "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
+}

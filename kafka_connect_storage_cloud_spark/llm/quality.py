@@ -1,0 +1,216 @@
+"""Text-analysis operators: language ID, quality scoring, token counting,
+winnowing fingerprints. All JVM-side expressions (no Python UDFs) with DuckDB
+oracle mirrors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+from ..session import read_table
+
+# Small per-language stopword lists (public common words). The heuristic is
+# argmax of stopword hit-rate; deterministic alphabetic tiebreak.
+STOPWORDS = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "en": ("the", "a", "of", "and", "is", "to", "in", "that"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr": ("le", "la", "de", "et", "est", "un", "une", "que"),
+    "zh": ("de", "le", "shi", "bu", "zai", "you", "he", "wo"),
+}
+
+TOKEN_REGEX = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+FINGERPRINT_GRAM = 5
+FINGERPRINT_WINDOW = 8
+
+
+def _word_count() -> Column:
+    return F.size(F.split(F.lower(F.col("text")), r"\s+"))
+
+
+def _stop_hits(lang: str) -> Column:
+    """Count of tokens that are stopwords of `lang` (array_intersect-free:
+    size(filter(ws, w -> w IN (...))) keeps duplicates counted)."""
+    quoted = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return F.expr(f"size(filter(split(lower(text), '\\\\s+'), w -> w IN ({quoted})))")
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit-rate language ID with deterministic tiebreak. Pure
+    expression pipeline — one projection, no shuffle except the final sort."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = docs.select(
+        "doc_id",
+        *[
+            F.round(_stop_hits(lang) / F.greatest(_word_count(), F.lit(1)), 6).alias(f"score_{lang}")
+            for lang in sorted(STOPWORDS)
+        ],
+    )
+    # argmax with alphabetic tiebreak: best = max (score, reversed-lang) pair
+    best = F.greatest(
+        *[
+            F.struct(F.col(f"score_{lang}").alias("s"), F.lit(-i).alias("ord"), F.lit(lang).alias("lang"))
+            for i, lang in enumerate(sorted(STOPWORDS))
+        ]
+    )
+    return scored.withColumn("detected_lang", best["lang"]).orderBy("doc_id")
+
+
+def _sql_stop_hits(lang: str) -> str:
+    quoted = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter(string_split_regex(lower(text), '\\s+'), w -> w IN ({quoted})))"
+
+
+def _sql_lang_id() -> str:
+    score_cols = ",\n  ".join(
+        f"ROUND(CAST({_sql_stop_hits(lang)} AS DOUBLE) / GREATEST(len(string_split_regex(lower(text), '\\s+')), 1), 6) AS score_{lang}"
+        for lang in sorted(STOPWORDS)
+    )
+    # mirror Spark's greatest(struct(s, -i, lang)) argmax: max score wins,
+    # earliest-alphabetical lang wins ties
+    langs = sorted(STOPWORDS)
+    unpivot = "\nUNION ALL ".join(
+        f"SELECT doc_id, '{lang}' AS lang, score_{lang} AS s FROM scored" for lang in langs
+    )
+    return f"""
+WITH scored AS (SELECT doc_id, {score_cols} FROM documents),
+scores AS ({unpivot}),
+best AS (
+  SELECT doc_id, lang FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, lang) AS rn FROM scores
+  ) WHERE rn = 1
+)
+SELECT scored.*, best.lang AS detected_lang
+FROM scored JOIN best USING (doc_id) ORDER BY doc_id
+"""
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality in [0,1]: length saturation, English
+    stopword density, mean word length band, alpha ratio."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    wc = _word_count()
+    stop_ratio = _stop_hits("en") / F.greatest(wc, F.lit(1))
+    len_score = F.least(F.col("n_chars") / F.lit(500.0), F.lit(1.0))
+    mean_wlen = F.length(F.regexp_replace(F.lower(F.col("text")), r"\s+", "")) / F.greatest(wc, F.lit(1))
+    wlen_score = F.when((mean_wlen >= 3) & (mean_wlen <= 8), F.lit(1.0)).otherwise(F.lit(0.5))
+    alpha_ratio = (
+        F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", ""))
+        / F.greatest(F.length(F.col("text")), F.lit(1))
+    )
+    score = F.round(
+        0.3 * len_score + 0.3 * F.least(stop_ratio * 5, F.lit(1.0)) + 0.2 * wlen_score + 0.2 * alpha_ratio,
+        6,
+    )
+    return docs.select(
+        "doc_id",
+        F.round(len_score, 6).alias("len_score"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        score.alias("quality"),
+    ).orderBy("doc_id")
+
+
+_SQL_WC = "GREATEST(len(string_split_regex(lower(text), '\\s+')), 1)"
+
+SQL_QUALITY_SCORE = f"""
+SELECT doc_id,
+  ROUND(LEAST(n_chars / 500.0, 1.0), 6) AS len_score,
+  ROUND(CAST({_sql_stop_hits('en')} AS DOUBLE) / {_SQL_WC}, 6) AS stop_ratio,
+  ROUND(CAST(len(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+        / GREATEST(len(text), 1), 6) AS alpha_ratio,
+  ROUND(0.3 * LEAST(n_chars / 500.0, 1.0)
+      + 0.3 * LEAST(CAST({_sql_stop_hits('en')} AS DOUBLE) / {_SQL_WC} * 5, 1.0)
+      + 0.2 * (CASE WHEN CAST(len(regexp_replace(lower(text), '\\s+', '', 'g')) AS DOUBLE) / {_SQL_WC}
+                    BETWEEN 3 AND 8 THEN 1.0 ELSE 0.5 END)
+      + 0.2 * CAST(len(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+            / GREATEST(len(text), 1), 6) AS quality
+FROM documents ORDER BY doc_id
+"""
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokens + BPE-ish regex tokens (letter runs / digit runs /
+    single punctuation) per document."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.select(
+        "doc_id",
+        _word_count().alias("ws_tokens"),
+        F.size(F.expr(f"regexp_extract_all(lower(text), '{TOKEN_REGEX}', 0)")).alias("bpe_tokens"),
+        F.length("text").alias("n_chars_actual"),
+    ).orderBy("doc_id")
+
+
+SQL_TOKEN_COUNT = f"""
+SELECT doc_id,
+  len(string_split_regex(lower(text), '\\s+')) AS ws_tokens,
+  len(regexp_extract_all(lower(text), '{TOKEN_REGEX}')) AS bpe_tokens,
+  len(text) AS n_chars_actual
+FROM documents ORDER BY doc_id
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al.): hash every char
+    FINGERPRINT_GRAM-gram, take the min hash of each sliding window of
+    FINGERPRINT_WINDOW grams, dedupe. Output per doc: fingerprint count and
+    min/max for compactness. Explode is JVM-side; one window + one groupBy."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(length(text) - {FINGERPRINT_GRAM - 1}, 1)), "
+                f"i -> substring(lower(text), i, {FINGERPRINT_GRAM}))"
+            )
+        ).alias("pos", "gram"),
+    ).select("doc_id", "pos", H.h60(F.col("gram")).alias("gh"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(FINGERPRINT_WINDOW - 1), 0)
+    )
+    fps = (
+        grams.withColumn("win_min", F.min("gh").over(w))
+        .where(F.col("pos") >= FINGERPRINT_WINDOW - 1)
+        .select("doc_id", "win_min")
+        .distinct()
+    )
+    return (
+        fps.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fingerprints"),
+            F.min("win_min").alias("min_fp"),
+            F.max("win_min").alias("max_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_DOC_FINGERPRINT = f"""
+WITH grams AS (
+  SELECT doc_id, i - 1 AS pos, {H.sql_h60(f"substr(lower(text), i, {FINGERPRINT_GRAM})")} AS gh
+  FROM (
+    SELECT doc_id, text, unnest(generate_series(1, GREATEST(len(text) - {FINGERPRINT_GRAM - 1}, 1))) AS i
+    FROM documents
+  )
+),
+wins AS (
+  SELECT doc_id, pos,
+         MIN(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN {FINGERPRINT_WINDOW - 1} PRECEDING AND CURRENT ROW) AS win_min
+  FROM grams
+),
+fps AS (SELECT DISTINCT doc_id, win_min FROM wins WHERE pos >= {FINGERPRINT_WINDOW - 1})
+SELECT doc_id, COUNT(*) AS n_fingerprints, MIN(win_min) AS min_fp, MAX(win_min) AS max_fp
+FROM fps GROUP BY doc_id ORDER BY doc_id
+"""
+
+ORACLES = {
+    "lang_id": _sql_lang_id(),
+    "quality_score": SQL_QUALITY_SCORE,
+    "token_count": SQL_TOKEN_COUNT,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+}

@@ -46,6 +46,36 @@ TABLES = (
 )
 
 
+_SHIPPED_CONTEXTS: set[int] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers.
+
+    Functions passed to mapInPandas/applyInPandas may reference module-level
+    names from this package; cloudpickle serializes those by reference, and
+    the worker processes don't inherit the driver's sys.path. Shipping a zip
+    via addPyFile fixes that for any SparkSession, including the driver's."""
+    sc = spark.sparkContext
+    key = id(sc)
+    if key in _SHIPPED_CONTEXTS:
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    zip_path = os.path.join(tempfile.gettempdir(), "kcsc_spark_pkg.zip")
+    with zipfile.ZipFile(zip_path, "w") as z:
+        for dirpath, _dirs, files in os.walk(pkg_dir):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    z.write(full, os.path.relpath(full, root))
+    sc.addPyFile(zip_path)
+    _SHIPPED_CONTEXTS.add(key)
+
+
 def ensure_utc(spark: SparkSession) -> None:
     """Pin the session timezone to UTC. The testdata timestamps are naive
     UTC instants and the DuckDB oracle is timezone-naive, so any
