@@ -1,0 +1,120 @@
+"""Partitioned file sinks: the Spark-first counterpart of the connector's
+Format/RecordWriter stack (reference format/{avro,json,parquet,bytearray}/,
+storage/CompressionType.java, TopicPartitionWriter commit logic).
+
+Mapping of connector semantics -> Spark writer:
+  partitioner                  -> partitionBy on the encoded partition cols
+  flush.size                   -> spark.sql.files.maxRecordsPerFile
+  s3.compression.type          -> option("compression", ...)
+  format.class                 -> .format("parquet"|"json"|"csv"|"avro")
+  exactly-once (start-offset
+  file keys + idempotent puts) -> deterministic dynamic-partition overwrite
+                                  (partitionOverwriteMode=dynamic): replaying
+                                  a batch rewrites the same partitions with
+                                  identical content instead of duplicating
+
+S3 notes (not exercisable offline, but the design point): writes go through
+the Hadoop S3A committer ("magic" or directory committer) — multipart upload
++ atomic completion replaces the connector's own multipart machinery
+(storage/S3OutputStream.java). Local tests write file:// paths; the code is
+path-scheme agnostic.
+
+Avro is gated: vanilla PySpark lacks spark-avro; writers raise a clear error
+telling the user to add the package.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+VALID_FORMATS = ("parquet", "json", "csv", "avro")
+
+# connector compression names -> per-format Spark codec names
+_COMPRESSION = {
+    ("parquet", "none"): "none",
+    ("parquet", "gzip"): "gzip",
+    ("parquet", "snappy"): "snappy",
+    ("parquet", "zstd"): "zstd",
+    ("json", "none"): "none",
+    ("json", "gzip"): "gzip",
+    ("csv", "none"): "none",
+    ("csv", "gzip"): "gzip",
+    ("avro", "none"): "uncompressed",
+    ("avro", "gzip"): "deflate",
+    ("avro", "snappy"): "snappy",
+}
+
+
+@dataclass
+class SinkConfig:
+    """Subset of S3SinkConnectorConfig the sink honors offline."""
+
+    format: str = "parquet"
+    compression: str = "none"  # s3.compression.type
+    flush_size: int | None = None  # records per file cap
+    partition_cols: tuple[str, ...] = field(default=("encoded_partition",))
+    mode: str = "overwrite_partitions"  # or "append" / "overwrite"
+
+    def codec(self) -> str:
+        key = (self.format, self.compression)
+        if key not in _COMPRESSION:
+            raise ValueError(f"unsupported compression {self.compression} for {self.format}")
+        return _COMPRESSION[key]
+
+
+def write_partitioned(df: DataFrame, path: str, cfg: SinkConfig) -> None:
+    """Write records under path/<col>=<val>/... with connector semantics."""
+    if cfg.format not in VALID_FORMATS:
+        raise ValueError(f"format must be one of {VALID_FORMATS}, got {cfg.format}")
+    spark = df.sparkSession
+    if cfg.flush_size:
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", str(cfg.flush_size))
+    if cfg.mode == "overwrite_partitions":
+        # exactly-once analog: replaying the same input overwrites the same
+        # partition dirs (no duplicate accumulation), others untouched
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        mode = "overwrite"
+    else:
+        mode = cfg.mode
+
+    writer = df.write.mode(mode).option("compression", cfg.codec())
+    if cfg.partition_cols:
+        writer = writer.partitionBy(*cfg.partition_cols)
+    if cfg.format == "avro":
+        try:
+            writer.format("avro").save(path)
+        except Exception as exc:
+            raise NotImplementedError(
+                "avro output needs the spark-avro package "
+                "(--packages org.apache.spark:spark-avro_2.13:<spark-version>)"
+            ) from exc
+    else:
+        writer.format(cfg.format).save(path)
+
+
+def write_kv_header_views(
+    records: DataFrame,
+    base_path: str,
+    cfg: SinkConfig,
+    value_cols: tuple[str, ...] = ("offset", "value"),
+    key_cols: tuple[str, ...] = ("offset", "key"),
+    header_cols: tuple[str, ...] = ("offset", "headers"),
+) -> None:
+    """store.kafka.keys / store.kafka.headers: write the key and header
+    streams as sibling datasets of the value stream, same partitioning
+    (reference format/KeyValueHeaderRecordWriterProvider.java)."""
+    part = list(cfg.partition_cols)
+    write_partitioned(records.select(*part, *value_cols), f"{base_path}/values", cfg)
+    write_partitioned(records.select(*part, *key_cols), f"{base_path}/keys", cfg)
+    headers_flat = records.select(*part, *header_cols)
+    # maps don't round-trip through csv/json cleanly; headers sink always parquet
+    hdr_cfg = SinkConfig(
+        format="parquet",
+        compression="none" if cfg.format != "parquet" else cfg.compression,
+        flush_size=cfg.flush_size,
+        partition_cols=cfg.partition_cols,
+        mode=cfg.mode,
+    )
+    write_partitioned(headers_flat, f"{base_path}/headers", hdr_cfg)

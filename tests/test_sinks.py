@@ -1,0 +1,129 @@
+"""Sink tests modeled on the reference's DataWriter*Test / TopicPartitionWriterTest:
+expected partition layout, record roundtrip per format, flush.size file caps,
+exactly-once replay idempotence."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_storage_cloud_spark.operators import partitioners as P
+from kafka_connect_storage_cloud_spark.sinks.writers import (
+    SinkConfig,
+    write_kv_header_views,
+    write_partitioned,
+)
+from kafka_connect_storage_cloud_spark.sources.topic import events_as_topic
+
+
+@pytest.fixture()
+def records(spark, sf_small):
+    return events_as_topic(spark, sf_small).withColumn(
+        "encoded_partition", P.field_partitioner(["event_type"])
+    )
+
+
+def _data_files(path, ext):
+    return [
+        f
+        for f in glob.glob(f"{path}/**/*", recursive=True)
+        if os.path.isfile(f) and ext in f and not f.endswith(".crc") and "_SUCCESS" not in f
+    ]
+
+
+def test_parquet_partition_layout_and_roundtrip(spark, records, tmp_path):
+    out = str(tmp_path / "out")
+    write_partitioned(records.select("offset", "value", "encoded_partition"), out, SinkConfig())
+    dirs = {os.path.basename(d) for d in glob.glob(f"{out}/*") if os.path.isdir(d)}
+    types = {r[0] for r in records.select("event_type").distinct().collect()}
+    assert dirs == {f"encoded_partition=event_type%3D{t}" for t in types}
+    back = spark.read.parquet(out)
+    assert back.count() == records.count()
+    orig = {(r["offset"], r["value"]) for r in records.select("offset", "value").collect()}
+    got = {(r["offset"], r["value"]) for r in back.select("offset", "value").collect()}
+    assert got == orig
+
+
+def test_flush_size_caps_files(spark, records, tmp_path):
+    out = str(tmp_path / "flush")
+    n = records.count()
+    write_partitioned(
+        records.select("offset", "encoded_partition"), out, SinkConfig(flush_size=50)
+    )
+    files = _data_files(out, ".parquet")
+    # every data file holds <= 50 records
+    for f in files:
+        assert spark.read.parquet(f).count() <= 50
+    assert spark.read.parquet(out).count() == n
+
+
+def test_json_gzip_roundtrip(spark, records, tmp_path):
+    out = str(tmp_path / "json")
+    write_partitioned(
+        records.select("offset", "value", "encoded_partition"),
+        out,
+        SinkConfig(format="json", compression="gzip"),
+    )
+    assert _data_files(out, ".json.gz"), "expected gzipped json parts"
+    back = spark.read.json(out)
+    assert back.count() == records.count()
+
+
+def test_csv_roundtrip(spark, records, tmp_path):
+    out = str(tmp_path / "csv")
+    write_partitioned(
+        records.select("offset", "key", "encoded_partition"),
+        out,
+        SinkConfig(format="csv"),
+    )
+    back = spark.read.option("inferSchema", "true").csv(out)
+    assert back.count() == records.count()
+
+
+def test_avro_gated(records, tmp_path):
+    with pytest.raises((NotImplementedError, Exception)):
+        write_partitioned(
+            records.select("offset", "encoded_partition"),
+            str(tmp_path / "avro"),
+            SinkConfig(format="avro"),
+        )
+
+
+def test_exactly_once_replay_idempotent(spark, records, tmp_path):
+    """Writing the same batch twice must not duplicate data — the connector's
+    replay guarantee (start-offset file keys overwrite)."""
+    out = str(tmp_path / "replay")
+    sel = records.select("offset", "value", "encoded_partition")
+    write_partitioned(sel, out, SinkConfig())
+    first = spark.read.parquet(out).count()
+    write_partitioned(sel, out, SinkConfig())  # replay
+    assert spark.read.parquet(out).count() == first
+
+
+def test_kv_header_views_sibling_datasets(spark, records, tmp_path):
+    base = str(tmp_path / "views")
+    write_kv_header_views(records, base, SinkConfig())
+    n = records.count()
+    assert spark.read.parquet(f"{base}/values").count() == n
+    assert spark.read.parquet(f"{base}/keys").count() == n
+    hdr = spark.read.parquet(f"{base}/headers")
+    assert hdr.count() == n
+    assert set(hdr.columns) == {"encoded_partition", "offset", "headers"}
+
+
+def test_tombstone_partition_layout(spark, sf_small, tmp_path):
+    rec = events_as_topic(spark, sf_small).withColumn(
+        "value",
+        F.when(F.pmod(F.col("offset"), F.lit(50)) == 0, F.lit(None)).otherwise(F.col("value")),
+    )
+    rec = rec.withColumn(
+        "encoded_partition",
+        P.tombstone_supported_partitioner(F.col("value"), P.field_partitioner(["event_type"])),
+    )
+    out = str(tmp_path / "tomb")
+    write_partitioned(rec.select("offset", "value", "encoded_partition"), out, SinkConfig())
+    dirs = {os.path.basename(d) for d in glob.glob(f"{out}/*") if os.path.isdir(d)}
+    assert "encoded_partition=tombstone" in dirs
+    tomb = spark.read.parquet(out).where(F.col("encoded_partition") == "tombstone")
+    assert tomb.where(F.col("value").isNotNull()).count() == 0
