@@ -27,9 +27,11 @@ from kafka_connect_storage_cloud_spark.llm import dedup as LD
 from kafka_connect_storage_cloud_spark.llm import multimodal as LM
 from kafka_connect_storage_cloud_spark.llm import quality as LQ
 from kafka_connect_storage_cloud_spark.llm import similarity as LS
+from kafka_connect_storage_cloud_spark.operators import schema_evolution as SE
 from kafka_connect_storage_cloud_spark.plans import connector as C
 from kafka_connect_storage_cloud_spark.plans import events as E
 from kafka_connect_storage_cloud_spark.plans import tpch as T
+from kafka_connect_storage_cloud_spark.plans import tpch_ext as TX
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -54,6 +56,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exactly_once_manifest": C.exactly_once_manifest_plan,
         "tombstone_routing": C.tombstone_routing_plan,
         "kv_header_views": C.kv_header_views_plan,
+        "schema_evolution": SE.schema_evolution_plan,
         # --- analytics (SURVEY §2B) ---
         "q1_pricing_summary": T.q1_pricing_summary,
         "q3_shipping_priority": T.q3_shipping_priority,
@@ -63,6 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": T.top_customers,
         "order_priority_count": T.order_priority_count,
         "part_type_margin": T.part_type_margin,
+        **TX.QUERIES,
         "events_hourly_rollup": E.events_hourly_rollup,
         "events_sessionize": E.events_sessionize,
         "events_topk_users": E.events_topk_users,
@@ -358,7 +362,9 @@ ranked AS (
   FROM per_user
 )
 SELECT * FROM ranked WHERE rank <= 5 ORDER BY event_type, rank""",
-        # --- LLM data pipeline (oracles live next to the implementations) ---
+        # --- extended TPC-H + LLM (oracles live next to the implementations) ---
+        **TX.ORACLES,
+        **SE.ORACLES,
         **LD.ORACLES,
         **LS.ORACLES,
         **LQ.ORACLES,
