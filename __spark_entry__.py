@@ -50,6 +50,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "field_time_partitioner": C.field_time_partitioner_plan,
         "schema_partitioner": C.schema_partitioner_plan,
         "timestamp_extractor_record_field": C.record_field_extractor_plan,
+        "tz_partitioner": C.tz_partitioner_plan,
+        "rotation_stats": C.rotation_stats_plan,
         "rotation_flush_size": C.rotation_flush_size_plan,
         "rotation_scheduled": C.rotation_scheduled_plan,
         "rotation_interval": C.rotation_interval_plan,  # rows-only (sequential semantics)
@@ -205,6 +207,30 @@ def oracle_sql() -> dict[str, str]:
         "timestamp_extractor_record_field": _enc_summary(
             "'year=' || strftime(ts, '%Y') || '/month=' || strftime(ts, '%m') || '/day=' || strftime(ts, '%d')"
         ),
+        "tz_partitioner": _enc_summary(
+            "'year=' || strftime(\"timestamp\" AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York', '%Y')"
+            " || '/month=' || strftime(\"timestamp\" AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York', '%m')"
+            " || '/day=' || strftime(\"timestamp\" AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York', '%d')"
+        ),
+        "rotation_stats": f"""{_RECORDS},
+enc AS (SELECT *, 'event_type=' || event_type AS encoded_partition FROM records),
+seq AS (SELECT *, {_FLUSH_SEQ} AS file_seq FROM enc),
+per_file AS (
+  SELECT kafka_partition, encoded_partition, file_seq, COUNT(*) AS records_in_file
+  FROM seq GROUP BY 1, 2, 3
+),
+max_seq AS (
+  SELECT kafka_partition, encoded_partition, MAX(file_seq) AS last_seq
+  FROM per_file GROUP BY 1, 2
+)
+SELECT p.kafka_partition, p.encoded_partition,
+       COUNT(*) AS n_files,
+       SUM(CASE WHEN p.file_seq < m.last_seq THEN 1 ELSE 0 END) AS rotations_by_capacity,
+       MIN(p.records_in_file) AS min_file_records,
+       MAX(p.records_in_file) AS max_file_records
+FROM per_file p JOIN max_seq m
+  ON p.kafka_partition = m.kafka_partition AND p.encoded_partition = m.encoded_partition
+GROUP BY 1, 2 ORDER BY 1, 2""",
         "rotation_flush_size": _manifest(
             "'partition=' || CAST(kafka_partition AS VARCHAR)", _FLUSH_SEQ
         ),

@@ -1,0 +1,124 @@
+"""Connector configuration surface: a typed mirror of the reference's
+S3SinkConnectorConfig (S3SinkConnectorConfig.java) with the same keys,
+defaults, and validation rules, mapped onto the Spark-first engine.
+
+Only behavior-bearing keys are modeled; pure transport settings (AWS auth,
+proxy, SSE, retry backoff) are accepted and carried through as opaque
+`extra` entries so existing connector property files parse unchanged.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+VALID_BEHAVIOR_ON_NULL = ("ignore", "fail", "write")
+VALID_COMPRESSION = ("none", "gzip", "snappy", "zstd")
+VALID_FORMATS = {
+    "io.confluent.connect.s3.format.parquet.ParquetFormat": "parquet",
+    "io.confluent.connect.s3.format.json.JsonFormat": "json",
+    "io.confluent.connect.s3.format.avro.AvroFormat": "avro",
+    "io.confluent.connect.s3.format.bytearray.ByteArrayFormat": "csv",  # closest offline analog
+    "parquet": "parquet",
+    "json": "json",
+    "avro": "avro",
+    "csv": "csv",
+}
+VALID_PARTITIONERS = (
+    "default",
+    "field",
+    "time_based",
+    "daily",
+    "hourly",
+    "schema",
+)
+VALID_TS_EXTRACTORS = ("Wallclock", "Record", "RecordField")
+VALID_COMPATIBILITY = ("NONE", "BACKWARD", "FORWARD", "FULL")
+
+
+@dataclass
+class ConnectorConfig:
+    """Parsed + validated connector properties."""
+
+    topics: tuple[str, ...] = ("events",)
+    format_class: str = "parquet"
+    flush_size: int = 1000
+    rotate_interval_ms: int = -1
+    rotate_schedule_interval_ms: int = -1
+    partitioner_class: str = "default"
+    partition_field_name: tuple[str, ...] = ()
+    path_format: str = "year/month/day/hour"
+    timestamp_extractor: str = "Record"
+    timestamp_field: str = "ts"
+    timezone: str = "UTC"
+    compression_type: str = "none"
+    behavior_on_null_values: str = "fail"
+    store_kafka_keys: bool = False
+    store_kafka_headers: bool = False
+    schema_compatibility: str = "NONE"
+    rotate_file_on_partition_change: bool = True
+    extra: dict[str, Any] = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        if self.format_class not in VALID_FORMATS:
+            raise ValueError(f"format.class {self.format_class!r} not supported")
+        if self.flush_size < 1:
+            raise ValueError("flush.size must be >= 1")
+        if self.partitioner_class not in VALID_PARTITIONERS:
+            raise ValueError(f"partitioner.class {self.partitioner_class!r} not supported")
+        if self.partitioner_class == "field" and not self.partition_field_name:
+            raise ValueError("partition.field.name required for the field partitioner")
+        if self.timestamp_extractor not in VALID_TS_EXTRACTORS:
+            raise ValueError(f"timestamp.extractor {self.timestamp_extractor!r} invalid")
+        if self.timestamp_extractor == "RecordField" and not self.timestamp_field:
+            raise ValueError("timestamp.field required for RecordField extractor")
+        if self.compression_type not in VALID_COMPRESSION:
+            raise ValueError(f"s3.compression.type {self.compression_type!r} invalid")
+        if self.behavior_on_null_values not in VALID_BEHAVIOR_ON_NULL:
+            raise ValueError(
+                f"behavior.on.null.values {self.behavior_on_null_values!r} invalid"
+            )
+        if self.schema_compatibility not in VALID_COMPATIBILITY:
+            raise ValueError(f"schema.compatibility {self.schema_compatibility!r} invalid")
+
+    @property
+    def spark_format(self) -> str:
+        return VALID_FORMATS[self.format_class]
+
+
+_KEY_MAP = {
+    "topics": ("topics", lambda v: tuple(s.strip() for s in v.split(","))),
+    "format.class": ("format_class", str),
+    "flush.size": ("flush_size", int),
+    "rotate.interval.ms": ("rotate_interval_ms", int),
+    "rotate.schedule.interval.ms": ("rotate_schedule_interval_ms", int),
+    "partitioner.class": ("partitioner_class", lambda v: v.rsplit(".", 1)[-1]
+        .removesuffix("Partitioner").lower().replace("timebased", "time_based") or "default"),
+    "partition.field.name": ("partition_field_name", lambda v: tuple(s.strip() for s in v.split(","))),
+    "path.format": ("path_format", str),
+    "timestamp.extractor": ("timestamp_extractor", str),
+    "timestamp.field": ("timestamp_field", str),
+    "timezone": ("timezone", str),
+    "s3.compression.type": ("compression_type", str),
+    "behavior.on.null.values": ("behavior_on_null_values", str),
+    "store.kafka.keys": ("store_kafka_keys", lambda v: str(v).lower() == "true"),
+    "store.kafka.headers": ("store_kafka_headers", lambda v: str(v).lower() == "true"),
+    "schema.compatibility": ("schema_compatibility", str),
+    "rotate.file.on.partition.change": (
+        "rotate_file_on_partition_change",
+        lambda v: str(v).lower() == "true",
+    ),
+}
+
+
+def parse_properties(props: dict[str, str]) -> ConnectorConfig:
+    """Parse a Kafka Connect property map (connector JSON / .properties)."""
+    kwargs: dict[str, Any] = {}
+    extra: dict[str, Any] = {}
+    for key, value in props.items():
+        if key in _KEY_MAP:
+            attr, conv = _KEY_MAP[key]
+            kwargs[attr] = conv(value)
+        else:
+            extra[key] = value
+    return ConnectorConfig(extra=extra, **kwargs)

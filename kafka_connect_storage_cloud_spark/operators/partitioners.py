@@ -92,6 +92,15 @@ def time_based_partitioner(ts: Column, path_format: str = "year/month/day/hour")
     return F.concat(*parts)
 
 
+def time_based_partitioner_tz(
+    ts: Column, timezone: str, path_format: str = "year/month/day/hour"
+) -> Column:
+    """TimeBasedPartitioner with the connector's `timezone` config: the
+    record timestamp (a UTC instant) is rendered in the partition timezone
+    (reference: partitioner timezone handling in S3SinkConnectorConfig)."""
+    return time_based_partitioner(F.from_utc_timestamp(ts, timezone), path_format)
+
+
 def daily_partitioner(ts: Column) -> Column:
     """DailyPartitioner: 'year'=YYYY/'month'=MM/'day'=dd."""
     return time_based_partitioner(ts, "year/month/day")

@@ -137,6 +137,30 @@ def assign_files_rotate_interval(
     )
 
 
+def rotation_stats(assigned: DataFrame) -> DataFrame:
+    """FileRotationTracker analog (util/FileRotationTracker.java): per
+    encoded partition, how many files were opened and why they closed —
+    capacity (hit flush.size / interval) vs tail (last open file)."""
+    keys = ["kafka_partition", "encoded_partition"]
+    per_file = assigned.groupBy(*keys, "file_seq").agg(
+        F.count(F.lit(1)).alias("records_in_file")
+    )
+    max_seq = per_file.groupBy(*keys).agg(F.max("file_seq").alias("last_seq"))
+    return (
+        per_file.join(max_seq, keys)
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(F.when(F.col("file_seq") < F.col("last_seq"), 1).otherwise(0)).alias(
+                "rotations_by_capacity"
+            ),
+            F.min("records_in_file").alias("min_file_records"),
+            F.max("records_in_file").alias("max_file_records"),
+        )
+        .orderBy(*keys)
+    )
+
+
 def file_manifest(assigned: DataFrame) -> DataFrame:
     """Collapse a file assignment into the commit manifest: one row per output
     file with record count and offset range. Replaying the same input yields

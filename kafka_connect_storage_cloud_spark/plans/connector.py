@@ -90,6 +90,27 @@ def record_field_extractor_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tz_partitioner_plan(
+    spark: SparkSession, sf_dir: str, tz: str = "America/New_York"
+) -> DataFrame:
+    """TimeBasedPartitioner with a non-UTC partition timezone."""
+    rec = events_as_topic(spark, sf_dir)
+    return _summarize(
+        rec.withColumn(
+            "encoded_partition",
+            P.time_based_partitioner_tz(F.col("timestamp"), tz, "year/month/day"),
+        )
+    )
+
+
+def rotation_stats_plan(spark: SparkSession, sf_dir: str, flush_size: int = 100) -> DataFrame:
+    """FileRotationTracker stats over the flush.size assignment."""
+    rec = events_as_topic(spark, sf_dir).withColumn(
+        "encoded_partition", P.field_partitioner(["event_type"])
+    )
+    return R.rotation_stats(R.assign_files_flush_size(rec, flush_size))
+
+
 def rotation_flush_size_plan(spark: SparkSession, sf_dir: str, flush_size: int = 100) -> DataFrame:
     rec = events_as_topic(spark, sf_dir).withColumn(
         "encoded_partition", P.default_partitioner(F.col("kafka_partition"))
