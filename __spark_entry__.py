@@ -29,7 +29,9 @@ from kafka_connect_storage_cloud_spark.llm import quality as LQ
 from kafka_connect_storage_cloud_spark.llm import similarity as LS
 from kafka_connect_storage_cloud_spark.operators import schema_evolution as SE
 from kafka_connect_storage_cloud_spark.plans import connector as C
+from kafka_connect_storage_cloud_spark.llm import clustering as LC
 from kafka_connect_storage_cloud_spark.plans import events as E
+from kafka_connect_storage_cloud_spark.plans import events_ext as EX
 from kafka_connect_storage_cloud_spark.plans import tpch as T
 from kafka_connect_storage_cloud_spark.plans import tpch_ext as TX
 
@@ -72,7 +74,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_rollup": E.events_hourly_rollup,
         "events_sessionize": E.events_sessionize,
         "events_topk_users": E.events_topk_users,
+        **EX.QUERIES,
         # --- LLM data pipeline (SURVEY §2C) ---
+        "dedup_clusters": LC.dedup_clusters,
         "dedup_exact": LD.dedup_exact,
         "dedup_minhash_lsh": LD.dedup_minhash_lsh,
         "dedup_simhash": LD.dedup_simhash,
@@ -391,6 +395,8 @@ SELECT * FROM ranked WHERE rank <= 5 ORDER BY event_type, rank""",
         # --- extended TPC-H + LLM (oracles live next to the implementations) ---
         **TX.ORACLES,
         **SE.ORACLES,
+        **EX.ORACLES,
+        **LC.ORACLES,
         **LD.ORACLES,
         **LS.ORACLES,
         **LQ.ORACLES,

@@ -1,0 +1,100 @@
+"""Near-duplicate clustering: connected components over the MinHash-LSH
+candidate graph, giving each document a canonical cluster id (the min doc_id
+reachable through near-dup edges) — the step after pair generation in a
+production dedup pipeline (keep one representative per cluster).
+
+Spark-first: iterative min-label propagation over the edge list. Each
+iteration is one shuffle join; the loop runs until fixpoint (bounded by graph
+diameter, which for dedup graphs is tiny). This is the standard scalable
+connected-components-on-DataFrames pattern — no driver-side graph, works at
+any |V| because state lives in a DataFrame.
+
+Oracle: DuckDB recursive CTE computes the transitive closure and takes the
+min reachable id — different algorithm, same fixpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import read_table
+from .dedup import dedup_minhash_lsh
+
+MAX_ITERS = 20
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id, cluster_size) for every document; cluster_id is
+    the min doc_id in the near-dup component (singletons cluster alone)."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    # undirected edge list
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = docs.select(F.col("doc_id"), F.col("doc_id").alias("lab"))
+    for _ in range(MAX_ITERS):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("lab").alias("nlab"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))).alias("lab"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.lab") != F.col("o.lab"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.cache()
+        if changed == 0:
+            break
+    sizes = labels.groupBy("lab").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        labels.join(sizes, "lab")
+        .select("doc_id", F.col("lab").alias("cluster_id"), "cluster_size")
+        .orderBy("doc_id")
+    )
+
+
+def _sql_clusters() -> str:
+    from .dedup import _sql_bands, _sql_signatures
+
+    return f"""
+WITH RECURSIVE {_sql_signatures().strip()},
+{_sql_bands()},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach AS (
+  SELECT doc_id AS node, doc_id AS lab FROM documents
+  UNION
+  SELECT e.src AS node, r.lab
+  FROM reach r JOIN edges e ON e.dst = r.node
+),
+final AS (SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node),
+sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM final GROUP BY cluster_id)
+SELECT f.doc_id, f.cluster_id, s.cluster_size
+FROM final f JOIN sizes s USING (cluster_id)
+ORDER BY f.doc_id
+"""
+
+
+ORACLES = {"dedup_clusters": _sql_clusters()}

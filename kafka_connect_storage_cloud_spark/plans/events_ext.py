@@ -1,0 +1,89 @@
+"""Extended event analytics: funnel conversion and cohort retention — the
+downstream analyses a storage-sink user runs over landed event data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import read_events
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-step funnel (view -> click -> purchase, strictly increasing event
+    time per user). One groupBy builds per-user first-touch times; conversion
+    counts are conditional aggregates — two shuffles total, no self-joins."""
+    ev = read_events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == s, F.col("ts"))).alias(f"t_{s}")
+            for s in FUNNEL_STEPS
+        ]
+    )
+    step1 = F.col("t_view").isNotNull()
+    step2 = step1 & F.col("t_click").isNotNull() & (F.col("t_click") > F.col("t_view"))
+    step3 = step2 & F.col("t_purchase").isNotNull() & (F.col("t_purchase") > F.col("t_click"))
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(step1.cast("long")).alias("reached_view"),
+        F.sum(step2.cast("long")).alias("reached_click"),
+        F.sum(step3.cast("long")).alias("reached_purchase"),
+    )
+
+
+SQL_EVENTS_FUNNEL = """
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users,
+       SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS reached_view,
+       SUM(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL AND t_click > t_view
+                THEN 1 ELSE 0 END) AS reached_click,
+       SUM(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL AND t_click > t_view
+                 AND t_purchase IS NOT NULL AND t_purchase > t_click
+                THEN 1 ELSE 0 END) AS reached_purchase
+FROM per_user
+"""
+
+
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week; for
+    each later week, how many came back. Two aggregations + one broadcast
+    join of the (tiny) cohort table — no per-user state on the driver."""
+    ev = read_events(spark, sf_dir)
+    week = (F.datediff(F.col("ts"), F.lit("2024-01-01").cast("timestamp")) / 7).cast("int")
+    activity = ev.select("user_id", week.alias("week")).distinct()
+    cohorts = activity.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        activity.join(F.broadcast(cohorts), "user_id")
+        .groupBy("cohort_week", F.col("week"))
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .withColumn("weeks_since", F.col("week") - F.col("cohort_week"))
+        .select("cohort_week", "weeks_since", "active_users")
+        .orderBy("cohort_week", "weeks_since")
+    )
+
+
+SQL_EVENTS_RETENTION = """
+WITH activity AS (
+  SELECT DISTINCT user_id,
+         CAST(datediff('day', TIMESTAMP '2024-01-01', ts) // 7 AS INT) AS week
+  FROM events
+),
+cohorts AS (SELECT user_id, MIN(week) AS cohort_week FROM activity GROUP BY user_id)
+SELECT cohort_week, week - cohort_week AS weeks_since,
+       COUNT(DISTINCT a.user_id) AS active_users
+FROM activity a JOIN cohorts c USING (user_id)
+GROUP BY cohort_week, week - cohort_week
+ORDER BY cohort_week, weeks_since
+"""
+
+QUERIES = {"events_funnel": events_funnel, "events_retention": events_retention}
+ORACLES = {"events_funnel": SQL_EVENTS_FUNNEL, "events_retention": SQL_EVENTS_RETENTION}
