@@ -34,6 +34,7 @@ from kafka_connect_storage_cloud_spark.plans import events as E
 from kafka_connect_storage_cloud_spark.plans import events_ext as EX
 from kafka_connect_storage_cloud_spark.plans import tpch as T
 from kafka_connect_storage_cloud_spark.plans import tpch_ext as TX
+from kafka_connect_storage_cloud_spark.plans import tpch_ext2 as TX2
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -71,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority_count": T.order_priority_count,
         "part_type_margin": T.part_type_margin,
         **TX.QUERIES,
+        **TX2.QUERIES,
         "events_hourly_rollup": E.events_hourly_rollup,
         "events_sessionize": E.events_sessionize,
         "events_topk_users": E.events_topk_users,
@@ -394,6 +396,7 @@ ranked AS (
 SELECT * FROM ranked WHERE rank <= 5 ORDER BY event_type, rank""",
         # --- extended TPC-H + LLM (oracles live next to the implementations) ---
         **TX.ORACLES,
+        **TX2.ORACLES,
         **SE.ORACLES,
         **EX.ORACLES,
         **LC.ORACLES,
