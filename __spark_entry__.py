@@ -25,6 +25,7 @@ if _REPO_ROOT not in sys.path:
 
 from kafka_connect_storage_cloud_spark.llm import dedup as LD
 from kafka_connect_storage_cloud_spark.llm import multimodal as LM
+from kafka_connect_storage_cloud_spark.llm import pipeline as LP
 from kafka_connect_storage_cloud_spark.llm import quality as LQ
 from kafka_connect_storage_cloud_spark.llm import similarity as LS
 from kafka_connect_storage_cloud_spark.operators import schema_evolution as SE
@@ -91,6 +92,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": LQ.token_count,
         "doc_fingerprint": LQ.doc_fingerprint,
         "multimodal_pipeline": LM.multimodal_pipeline,
+        **LP.QUERIES,
     }
 
 
@@ -404,4 +406,5 @@ SELECT * FROM ranked WHERE rank <= 5 ORDER BY event_type, rank""",
         **LS.ORACLES,
         **LQ.ORACLES,
         **LM.ORACLES,
+        **LP.ORACLES,
     }

@@ -4,8 +4,10 @@ oracle mirror (ORACLES dict).
 Scale design:
 - exact:   one groupBy on a 128-bit content hash — single shuffle, no skew
            (hash keys are uniform).
-- minhash: shingle explode -> distinct (doc, h) -> one groupBy builds the
-           K-wide signature -> band buckets -> self-join per bucket. The
+- minhash: shingle explode -> one groupBy builds the K-wide signature
+           (MIN is duplicate-insensitive, so no distinct pre-shuffle; the
+           map-side combine collapses shingles to ~1 row/doc)
+           -> band buckets -> self-join per bucket. The
            candidate join is on (band, band_hash), never all-pairs; bucket
            sizes are the only quadratic term, and banding keeps them tiny.
 - simhash: 60-bit signature from token bit-votes; pigeonhole banding into
@@ -54,10 +56,13 @@ FROM documents GROUP BY 1 ORDER BY 1
 
 
 def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # No distinct on (doc_id, h): MIN is duplicate-insensitive, and a doc's
+    # shingles are co-located with the doc row, so the map-side partial agg
+    # collapses the exploded table to ~1 row/doc before the only shuffle.
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     sh = T.with_shingles(docs, SHINGLE_N).select(
         "doc_id", H.h32(F.col("shingle")).alias("h")
-    ).distinct()
+    )
     aggs = [F.min(H.minhash_col(F.col("h"), i)).alias(f"mh{i}") for i in range(K_PERMS)]
     return sh.groupBy("doc_id").agg(*aggs)
 

@@ -1,0 +1,227 @@
+"""Corpus-preparation operators a training-data pipeline needs beyond dedup:
+deterministic stratified sampling, benchmark-contamination checking, and an
+IVF-style cell-restricted ANN. Every operator has an exact DuckDB oracle.
+
+Scale design:
+- stratified_sample: pure narrow map + filter on a portable hash — zero
+  shuffles, trivially streamable at any corpus size, and replay-stable
+  (the same doc is kept or dropped on every run / every engine).
+- contamination_check: the benchmark n-gram set is tiny next to the corpus,
+  so it broadcasts; the corpus streams through one stage and the per-doc
+  aggregation collapses map-side (grams of a doc are co-located with it).
+- ann_topk_ivf: centroid table broadcasts (C << corpus); cell assignment is
+  one map-side-combined groupBy; search joins only within a cell, so the
+  candidate set per query is corpus/C on average rather than the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+from ..functions import text as T
+from ..session import read_table
+from .similarity import _dot, _with_dec_and_norm
+
+GRAM_N = 3
+BENCH_SOURCE = "src0"  # stand-in held-out eval set
+CONTAM_FLAG = 0.1
+IVF_CENTROID_MOD = 50  # vec_id % MOD == 1 -> centroid (deterministic "training")
+IVF_QUERY_MOD = 50  # vec_id % MOD == 0 -> query vector (same as similarity.py)
+IVF_TOP_K = 10
+
+# Per-language keep rates out of 100 — downsample the dominant language,
+# keep the long tail (the usual rebalancing move on web-scale corpora).
+SAMPLE_RATES = {"en": 40}
+SAMPLE_DEFAULT_RATE = 80
+SAMPLE_SALT = "sample:"
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language stratified sample: keep doc iff
+    h32('sample:'||doc_id) % 100 < rate(lang). Hash-based (not rand()) so
+    the sample is identical across runs, engines, and replays."""
+    docs = read_table(spark, sf_dir, "documents")
+    bucket = H.h32(F.concat(F.lit(SAMPLE_SALT), F.col("doc_id").cast("string"))) % 100
+    rate = F.lit(SAMPLE_DEFAULT_RATE)
+    for lang, r in SAMPLE_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    return (
+        docs.withColumn("bucket", bucket)
+        .where(F.col("bucket") < rate)
+        .select("doc_id", "source", "lang", "bucket")
+        .orderBy("doc_id")
+    )
+
+
+def _sql_rate() -> str:
+    whens = " ".join(f"WHEN lang = '{k}' THEN {v}" for k, v in SAMPLE_RATES.items())
+    return f"CASE {whens} ELSE {SAMPLE_DEFAULT_RATE} END"
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, source, lang,
+       {H.sql_h32(f"'{SAMPLE_SALT}' || CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+FROM documents
+WHERE {H.sql_h32(f"'{SAMPLE_SALT}' || CAST(doc_id AS VARCHAR)")} % 100 < {_sql_rate()}
+ORDER BY doc_id
+"""
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document benchmark contamination: the fraction of a training doc's
+    distinct n-grams that appear anywhere in the held-out benchmark split
+    (source == BENCH_SOURCE). Returns every non-benchmark doc with its gram
+    counts, contamination rate, and a flag at CONTAM_FLAG."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    grams = (
+        T.with_shingles(docs, GRAM_N)
+        .select("doc_id", "source", H.h32(F.col("shingle")).alias("h"))
+        .distinct()
+    )
+    bench = (
+        grams.where(F.col("source") == BENCH_SOURCE).select("h").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train = grams.where(F.col("source") != BENCH_SOURCE)
+    return (
+        train.join(F.broadcast(bench), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.coalesce(F.sum("hit"), F.lit(0)).alias("n_hit"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_grams"), 6).alias("contamination"),
+            (F.col("n_hit") >= F.col("n_grams") * F.lit(CONTAM_FLAG)).alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_CONTAMINATION_CHECK = f"""
+WITH shingles AS ({T.sql_shingles(GRAM_N)}),
+grams AS (
+  SELECT DISTINCT s.doc_id, d.source, {H.sql_h32('s.shingle')} AS h
+  FROM shingles s JOIN documents d ON s.doc_id = d.doc_id
+),
+bench AS (SELECT DISTINCT h FROM grams WHERE source = '{BENCH_SOURCE}'),
+stats AS (
+  SELECT g.doc_id, COUNT(*) AS n_grams,
+         SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+  FROM grams g LEFT JOIN bench b ON g.h = b.h
+  WHERE g.source <> '{BENCH_SOURCE}'
+  GROUP BY g.doc_id
+)
+SELECT doc_id, n_grams, n_hit,
+       ROUND(CAST(n_hit AS DOUBLE) / n_grams, 6) AS contamination,
+       n_hit >= n_grams * {CONTAM_FLAG} AS flagged
+FROM stats ORDER BY doc_id
+"""
+
+
+def _assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every vector with its IVF cell: argmin over broadcast centroids of
+    (-cosine, centroid_id) — exact because cosine is the shared rounded
+    double and the argmin is a lexicographic struct-min, identical in both
+    engines. One map-side-combined shuffle (C rows/vec collapse to 1)."""
+    emb = _with_dec_and_norm(read_table(spark, sf_dir, "embeddings"))
+    cents = emb.where(F.pmod(F.col("vec_id"), F.lit(IVF_CENTROID_MOD)) == 1).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).withColumn(
+        "neg_cos", -F.round(_dot("v", "cv") / (F.col("nrm") * F.col("cn")), 6)
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            F.min(F.struct(F.col("neg_cos"), F.col("centroid_id"))).alias("best"),
+            F.first("v").alias("v"),  # constant within the group
+            F.first("nrm").alias("nrm"),
+        )
+        .select("vec_id", F.col("best.centroid_id").alias("cell"), "v", "nrm")
+    )
+
+
+def ann_topk_ivf(spark: SparkSession, sf_dir: str, k: int = IVF_TOP_K) -> DataFrame:
+    """IVF-style approximate top-k: assign all vectors to their nearest
+    centroid's cell, then rerank exactly within the query's cell only."""
+    assigned = _assigned(spark, sf_dir)
+    queries = assigned.where(F.pmod(F.col("vec_id"), F.lit(IVF_QUERY_MOD)) == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("cell"),
+        F.col("v").alias("qv"), F.col("nrm").alias("qn"),
+    )
+    cands = assigned.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("cell"),
+        F.col("v").alias("cv"), F.col("nrm").alias("cn"),
+    )
+    scored = (
+        cands.join(F.broadcast(queries), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(_dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("cell").alias("cell"), "neighbor_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+_SQL_DOT = (
+    "CAST(list_sum(list_transform(list_zip({a}, {b}), "
+    "s -> CAST(s[1] * s[2] AS DECIMAL(32,18)))) AS DOUBLE)"
+)
+
+_SQL_EMB = """
+emb AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(12,9))) AS v
+        FROM embeddings),
+emb_n AS (SELECT vec_id, label, v,
+                 sqrt({dot_vv}) AS nrm FROM emb)
+""".format(dot_vv=_SQL_DOT.format(a="v", b="v"))
+
+SQL_ANN_TOPK_IVF = f"""
+WITH {_SQL_EMB},
+cents AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM emb_n
+          WHERE vec_id % {IVF_CENTROID_MOD} = 1),
+assigned AS (
+  SELECT e.vec_id,
+         (min(struct_pack(neg_cos := -ROUND({_SQL_DOT.format(a='e.v', b='c.cv')} / (e.nrm * c.cn), 6),
+                          centroid_id := c.centroid_id))).centroid_id AS cell
+  FROM emb_n e CROSS JOIN cents c
+  GROUP BY e.vec_id
+),
+av AS (SELECT a.vec_id, a.cell, e.v, e.nrm FROM assigned a JOIN emb_n e ON a.vec_id = e.vec_id),
+scored AS (
+  SELECT q.vec_id AS query_id, q.cell AS cell, c.vec_id AS neighbor_id,
+         ROUND({_SQL_DOT.format(a='q.v', b='c.v')} / (q.nrm * c.nrm), 6) AS cosine
+  FROM av q JOIN av c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+  WHERE q.vec_id % {IVF_QUERY_MOD} = 0
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+       AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, cell, neighbor_id, cosine, rank FROM ranked
+WHERE rank <= {IVF_TOP_K} ORDER BY query_id, rank
+"""
+
+QUERIES = {
+    "stratified_sample": stratified_sample,
+    "contamination_check": contamination_check,
+    "ann_topk_ivf": ann_topk_ivf,
+}
+
+ORACLES = {
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "contamination_check": SQL_CONTAMINATION_CHECK,
+    "ann_topk_ivf": SQL_ANN_TOPK_IVF,
+}
