@@ -51,6 +51,73 @@ def test_stream_restart_is_idempotent(spark, sf_small, batch_events, tmp_path):
     assert spark.read.parquet(out).count() == n1
 
 
+def test_stateful_rotation_matches_batch(spark, sf_small, tmp_path):
+    """rotate.interval.ms across micro-batches: the stateful streaming
+    assignment must reproduce the batch manifest exactly, including files
+    whose records span micro-batch boundaries (state carries the base ts)."""
+    import os
+
+    from kafka_connect_storage_cloud_spark.operators.rotation import (
+        assign_files_rotate_interval,
+        file_manifest,
+    )
+    from kafka_connect_storage_cloud_spark.sources.topic import events_as_topic
+    from kafka_connect_storage_cloud_spark.streaming.stateful import rotate_interval_stateful
+
+    interval_ms = 3600 * 1000
+    records = events_as_topic(spark, sf_small).withColumn(
+        "encoded_partition", F.concat(F.lit("event_type="), F.col("event_type"))
+    )
+    cols = ["topic", "kafka_partition", "offset", "timestamp", "encoded_partition"]
+    expected = {
+        r["file_path"]: (r["record_count"], r["min_offset"], r["max_offset"])
+        for r in file_manifest(
+            assign_files_rotate_interval(records.select(*cols), interval_ms)
+        ).collect()
+    }
+
+    # stage three offset-ordered chunks with increasing mtimes so
+    # maxFilesPerTrigger=1 yields three ordered micro-batches
+    src = tmp_path / "chunks"
+    src.mkdir()
+    pdf = records.select(*cols).orderBy("offset").toPandas()
+    pdf["timestamp"] = pdf["timestamp"].astype("datetime64[us]")
+    n = len(pdf)
+    cuts = (pdf.iloc[: n // 3], pdf.iloc[n // 3 : 2 * n // 3], pdf.iloc[2 * n // 3 :])
+    for i, chunk in enumerate(cuts):
+        p = str(src / f"chunk{i}.parquet")
+        chunk.to_parquet(p, index=False)
+        os.utime(p, (1_000_000_000 + i * 100, 1_000_000_000 + i * 100))
+
+    stream = (
+        spark.readStream.schema(records.select(*cols).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        rotate_interval_stateful(stream, interval_ms)
+        .writeStream.format("memory")
+        .queryName("rot_stateful")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_rot"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["file_path"]: (r["record_count"], r["min_offset"], r["max_offset"])
+        for r in spark.table("rot_stateful")
+        .groupBy("file_path")
+        .agg(
+            F.count(F.lit(1)).alias("record_count"),
+            F.min("offset").alias("min_offset"),
+            F.max("offset").alias("max_offset"),
+        )
+        .collect()
+    }
+    assert got == expected
+
+
 def test_windowed_rollup_matches_batch(spark, sf_small, batch_events, tmp_path):
     ckpt = str(tmp_path / "ckpt_roll")
     rolled = windowed_rollup_stream(stream_events_source(spark, sf_small))
