@@ -351,8 +351,10 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suppliers that were the ONLY late shipper on a multi-supplier order
     (late = shipdate > orderdate + 60 days). q21's EXISTS/NOT-EXISTS pair
     over other lineitems collapses into one per-(order,supplier) aggregate
-    plus one per-order aggregate — two shuffles on the same key prefix,
-    instead of two extra self-joins of lineitem."""
+    followed by a window over l_orderkey for the per-order totals — the
+    window reuses the aggregate's shuffle key prefix, so there is no second
+    aggregation and no per_os-to-per_o join (two shuffles total, versus two
+    extra self-joins of lineitem in the literal formulation)."""
     t = load_tables(spark, sf_dir, ("supplier", "lineitem", "orders", "nation"))
     li = (
         t["lineitem"].select("l_orderkey", "l_suppkey", "l_shipdate")
@@ -363,12 +365,11 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     per_os = li.groupBy("l_orderkey", "l_suppkey").agg(F.max("late").alias("supp_late"))
-    per_o = per_os.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"), F.sum("supp_late").alias("n_late")
-    )
+    wo = Window.partitionBy("l_orderkey")
     blamed = (
-        per_os.where(F.col("supp_late") == 1)
-        .join(per_o.where((F.col("n_supp") > 1) & (F.col("n_late") == 1)), "l_orderkey")
+        per_os.withColumn("n_supp", F.count(F.lit(1)).over(wo))
+        .withColumn("n_late", F.sum("supp_late").over(wo))
+        .where((F.col("supp_late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
     )
     return (
         blamed.join(
