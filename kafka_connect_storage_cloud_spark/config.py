@@ -18,11 +18,12 @@ VALID_FORMATS = {
     "io.confluent.connect.s3.format.parquet.ParquetFormat": "parquet",
     "io.confluent.connect.s3.format.json.JsonFormat": "json",
     "io.confluent.connect.s3.format.avro.AvroFormat": "avro",
-    "io.confluent.connect.s3.format.bytearray.ByteArrayFormat": "csv",  # closest offline analog
+    "io.confluent.connect.s3.format.bytearray.ByteArrayFormat": "bytearray",
     "parquet": "parquet",
     "json": "json",
     "avro": "avro",
     "csv": "csv",
+    "bytearray": "bytearray",
 }
 VALID_PARTITIONERS = (
     "default",

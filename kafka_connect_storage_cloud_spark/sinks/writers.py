@@ -29,10 +29,12 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 
-VALID_FORMATS = ("parquet", "json", "csv", "avro")
+VALID_FORMATS = ("parquet", "json", "csv", "avro", "bytearray")
 
 # connector compression names -> per-format Spark codec names
 _COMPRESSION = {
+    ("bytearray", "none"): "none",
+    ("bytearray", "gzip"): "gzip",
     ("parquet", "none"): "none",
     ("parquet", "gzip"): "gzip",
     ("parquet", "snappy"): "snappy",
@@ -79,10 +81,28 @@ def write_partitioned(df: DataFrame, path: str, cfg: SinkConfig) -> None:
     else:
         mode = cfg.mode
 
+    if cfg.format == "bytearray":
+        # ByteArrayFormat (reference format/bytearray/ByteArrayFormat.java):
+        # raw record values written back to back, one per line separator.
+        # Spark's text writer is exactly that — one payload column, newline
+        # separated, gzip-able.
+        from pyspark.sql import functions as F
+
+        payload = [c for c in df.columns if c not in cfg.partition_cols]
+        if len(payload) != 1:
+            raise ValueError(
+                f"bytearray format needs exactly one payload column, got {payload}"
+            )
+        df = df.select(
+            *cfg.partition_cols, F.col(payload[0]).cast("string").alias("value")
+        )
+
     writer = df.write.mode(mode).option("compression", cfg.codec())
     if cfg.partition_cols:
         writer = writer.partitionBy(*cfg.partition_cols)
-    if cfg.format == "avro":
+    if cfg.format == "bytearray":
+        writer.format("text").save(path)
+    elif cfg.format == "avro":
         try:
             writer.format("avro").save(path)
         except Exception as exc:

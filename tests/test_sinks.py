@@ -81,6 +81,25 @@ def test_csv_roundtrip(spark, records, tmp_path):
     assert back.count() == records.count()
 
 
+def test_bytearray_roundtrip(spark, records, tmp_path):
+    """ByteArrayFormat analog: raw values, newline separated, partition
+    layout preserved; non-null payloads survive the roundtrip verbatim."""
+    out = str(tmp_path / "ba")
+    src = records.where(F.col("value").isNotNull()).select("value", "encoded_partition")
+    write_partitioned(src, out, SinkConfig(format="bytearray"))
+    back = spark.read.text(out)
+    assert back.count() == src.count()
+    assert {r[0] for r in back.collect()} == {r[0] for r in src.select("value").collect()}
+
+
+def test_bytearray_gzip_produces_gz_files(spark, records, tmp_path):
+    out = str(tmp_path / "ba_gz")
+    src = records.where(F.col("value").isNotNull()).select("value", "encoded_partition")
+    write_partitioned(src, out, SinkConfig(format="bytearray", compression="gzip"))
+    assert _data_files(out, ".gz"), "expected gzip text files"
+    assert spark.read.text(out).count() == src.count()
+
+
 def test_avro_gated(records, tmp_path):
     with pytest.raises((NotImplementedError, Exception)):
         write_partitioned(
