@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": LC.dedup_clusters,
         "dedup_exact": LD.dedup_exact,
         "dedup_minhash_lsh": LD.dedup_minhash_lsh,
+        "minhash_jaccard_est": LD.minhash_jaccard_est,
         "dedup_simhash": LD.dedup_simhash,
         "ngram_jaccard": LD.ngram_jaccard,
         "embedding_cosine_dups": LS.embedding_cosine_dups,

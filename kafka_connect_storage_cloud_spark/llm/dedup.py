@@ -72,9 +72,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _signatures(spark, sf_dir).orderBy("doc_id")
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidate near-duplicate pairs via banded minhash LSH."""
-    sig = _signatures(spark, sf_dir)
+def _band_table(sig: DataFrame) -> DataFrame:
     r = K_PERMS // N_BANDS
     band_structs = []
     for b in range(N_BANDS):
@@ -82,17 +80,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         band_structs.append(
             F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(",", *cols)).alias("bval"))
         )
-    bands = sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bb")).select(
+    return sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval")
     )
+
+
+def _candidate_pairs(sig: DataFrame) -> DataFrame:
+    bands = _band_table(sig)
     a, b_ = bands.alias("a"), bands.alias("b")
     return (
         a.join(b_, (F.col("a.band") == F.col("b.band")) & (F.col("a.bval") == F.col("b.bval")))
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
-        .orderBy("doc_a", "doc_b")
     )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-duplicate pairs via banded minhash LSH."""
+    return _candidate_pairs(_signatures(spark, sf_dir)).orderBy("doc_a", "doc_b")
 
 
 def _sql_signatures() -> str:
@@ -121,6 +127,90 @@ WITH {_sql_signatures()},
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
 ORDER BY doc_a, doc_b
+"""
+
+
+def minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality audit: for every LSH candidate pair, the minhash
+    Jaccard estimate (fraction of agreeing permutations) next to the exact
+    shingle Jaccard and the absolute error — the measurement that justifies
+    K_PERMS/N_BANDS choices before scaling a dedup run. Signatures join the
+    (small) pair table; the exact side touches only candidate docs' grams."""
+    sig = _signatures(spark, sf_dir)
+    pairs = _candidate_pairs(sig)
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(K_PERMS)]
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(K_PERMS)]
+    )
+    agree = sum((F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(K_PERMS))
+    est = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(agree.cast("double") / K_PERMS, 6).alias("est_jaccard"))
+    )
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    hs = T.with_shingles(docs, SHINGLE_N).select("doc_id", H.h32(F.col("shingle")).alias("h")).distinct()
+    sizes = hs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    ha, hb = hs.alias("ha"), hs.alias("hb")
+    inter = (
+        ha.join(hb, (F.col("ha.h") == F.col("hb.h")) & (F.col("ha.doc_id") < F.col("hb.doc_id")))
+        .groupBy(F.col("ha.doc_id").alias("doc_a"), F.col("hb.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    exact = (
+        est.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        .withColumn("ni", F.coalesce(F.col("n_inter"), F.lit(0)))
+        .withColumn(
+            "exact_jaccard",
+            F.round(F.col("ni").cast("double") / (F.col("na") + F.col("nb") - F.col("ni")), 6),
+        )
+    )
+    return exact.select(
+        "doc_a",
+        "doc_b",
+        "est_jaccard",
+        "exact_jaccard",
+        F.round(F.abs(F.col("est_jaccard") - F.col("exact_jaccard")), 6).alias("abs_err"),
+    ).orderBy("doc_a", "doc_b")
+
+
+def _sql_est_agree() -> str:
+    terms = " + ".join(f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)" for i in range(K_PERMS))
+    return f"ROUND(CAST({terms} AS DOUBLE) / {K_PERMS}, 6)"
+
+
+SQL_MINHASH_JACCARD_EST = f"""
+WITH {_sql_signatures()},
+{_sql_bands()},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT p.doc_a, p.doc_b, {_sql_est_agree()} AS est_jaccard
+  FROM pairs p JOIN sig a ON a.doc_id = p.doc_a JOIN sig b ON b.doc_id = p.doc_b
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM hs GROUP BY doc_id),
+inter AS (
+  SELECT ha.doc_id AS doc_a, hb.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM hs ha JOIN hs hb ON ha.h = hb.h AND ha.doc_id < hb.doc_id
+  GROUP BY 1, 2
+)
+SELECT e.doc_a, e.doc_b, e.est_jaccard,
+       ROUND(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+             / (sa.n_sh + sb.n_sh - COALESCE(i.n_inter, 0)), 6) AS exact_jaccard,
+       ROUND(ABS(e.est_jaccard -
+             ROUND(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+                   / (sa.n_sh + sb.n_sh - COALESCE(i.n_inter, 0)), 6)), 6) AS abs_err
+FROM est e
+LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+JOIN sizes sa ON sa.doc_id = e.doc_a
+JOIN sizes sb ON sb.doc_id = e.doc_b
+ORDER BY e.doc_a, e.doc_b
 """
 
 
@@ -270,6 +360,7 @@ ORDER BY doc_a, doc_b
 ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
+    "minhash_jaccard_est": SQL_MINHASH_JACCARD_EST,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
 }

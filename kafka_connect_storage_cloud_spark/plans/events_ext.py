@@ -85,5 +85,64 @@ GROUP BY cohort_week, week - cohort_week
 ORDER BY cohort_week, weeks_since
 """
 
-QUERIES = {"events_funnel": events_funnel, "events_retention": events_retention}
-ORACLES = {"events_funnel": SQL_EVENTS_FUNNEL, "events_retention": SQL_EVENTS_RETENTION}
+Z_THRESHOLD = 3.0
+
+
+def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outliers: |value - mean| >= Z_THRESHOLD * sd.
+    The moments come from exact decimal sums (n, sum, sum of squares) so both
+    engines derive bit-identical doubles; the per-type stats table is tiny and
+    broadcasts, so the corpus streams through one shuffle-free pass after a
+    single map-side-combined aggregation."""
+    ev = read_events(spark, sf_dir).select("event_id", "event_type", "value")
+    v = F.col("value").cast("decimal(10,4)")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("s"),
+        F.sum((v * v).cast("decimal(20,8)")).alias("q"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = (F.col("q").cast("double") - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    stats = stats.select("event_type", mean.alias("mean"), F.sqrt(var).alias("sd"))
+    z = (F.col("value") - F.col("mean")) / F.col("sd")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn("z", F.round(z, 6))
+        .where(F.abs(F.col("z")) >= Z_THRESHOLD)
+        .select("event_id", "event_type", F.round("value", 4).alias("value_r"), "z")
+        .orderBy("event_id")
+    )
+
+
+SQL_EVENTS_ANOMALY = f"""
+WITH stats AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(CAST("value" AS DECIMAL(10,4))) AS s,
+         SUM(CAST(CAST("value" AS DECIMAL(10,4)) * CAST("value" AS DECIMAL(10,4))
+                  AS DECIMAL(20,8))) AS q
+  FROM events GROUP BY event_type
+),
+ms AS (
+  SELECT event_type, CAST(s AS DOUBLE) / n AS mean,
+         sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1)) AS sd
+  FROM stats
+)
+SELECT event_id, e.event_type, ROUND("value", 4) AS value_r,
+       ROUND(("value" - mean) / sd, 6) AS z
+FROM events e JOIN ms ON e.event_type = ms.event_type
+WHERE abs(ROUND(("value" - mean) / sd, 6)) >= {Z_THRESHOLD}
+ORDER BY event_id
+"""
+
+QUERIES = {
+    "events_funnel": events_funnel,
+    "events_retention": events_retention,
+    "events_anomaly": events_anomaly,
+}
+ORACLES = {
+    "events_funnel": SQL_EVENTS_FUNNEL,
+    "events_retention": SQL_EVENTS_RETENTION,
+    "events_anomaly": SQL_EVENTS_ANOMALY,
+}
