@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rotation_flush_size": C.rotation_flush_size_plan,
         "rotation_scheduled": C.rotation_scheduled_plan,
         "rotation_interval": C.rotation_interval_plan,  # rows-only (sequential semantics)
+        "rotation_partition_change": C.rotation_partition_change_plan,
         "exactly_once_manifest": C.exactly_once_manifest_plan,
         "tombstone_routing": C.tombstone_routing_plan,
         "kv_header_views": C.kv_header_views_plan,
@@ -245,6 +246,13 @@ GROUP BY 1, 2 ORDER BY 1, 2""",
         ),
         "rotation_scheduled": _manifest("'event_type=' || event_type", _SCHED_SEQ),
         # rotation_interval: omitted (sequential base-reset semantics; rows-only check)
+        # gaps-and-islands: the run id of consecutive same-encoded-partition
+        # offsets is the difference of the two row_numbers
+        "rotation_partition_change": _manifest(
+            "'event_type=' || event_type",
+            'ROW_NUMBER() OVER (PARTITION BY kafka_partition ORDER BY "offset") - '
+            'ROW_NUMBER() OVER (PARTITION BY kafka_partition, encoded_partition ORDER BY "offset")',
+        ),
         "exactly_once_manifest": _manifest(
             "'partition=' || CAST(kafka_partition AS VARCHAR)", _FLUSH_SEQ, _REPLAYED_RECORDS
         ),

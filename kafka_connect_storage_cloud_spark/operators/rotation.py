@@ -137,6 +137,29 @@ def assign_files_rotate_interval(
     )
 
 
+def assign_files_partition_change(records: DataFrame, ext: str = "parquet") -> DataFrame:
+    """rotate.file.on.partition.change: a file holds a maximal run of
+    CONSECUTIVE offsets sharing one encoded partition; when the stream
+    returns to an earlier encoded partition a NEW file starts, because a
+    file's offsets must be contiguous for exactly-once replay (reference
+    TopicPartitionWriter.java:630-657, shouldRotateOnPartitionChange).
+
+    One window key (kafka_partition, ordered by offset) serves both the
+    change detection (lag) and the run id (running sum) — a single shuffle.
+    """
+    wk = Window.partitionBy("kafka_partition").orderBy("offset")
+    prev = F.lag("encoded_partition").over(wk)
+    flag = F.when(prev.isNull() | (F.col("encoded_partition") != prev), 1).otherwise(0)
+    run = F.sum(flag).over(wk.rowsBetween(Window.unboundedPreceding, 0)) - F.lit(1)
+    out = records.withColumn("file_seq", run.cast("bigint"))
+    wf = Window.partitionBy("kafka_partition", "file_seq")
+    out = out.withColumn("file_start_offset", F.min("offset").over(wf))
+    return out.withColumn(
+        "file_path",
+        F.concat(F.col("topic"), F.lit("/"), F.col("encoded_partition"), F.lit("/"), _file_name(ext)),
+    )
+
+
 def rotation_stats(assigned: DataFrame) -> DataFrame:
     """FileRotationTracker analog (util/FileRotationTracker.java): per
     encoded partition, how many files were opened and why they closed —

@@ -138,6 +138,15 @@ def rotation_interval_plan(
     )
 
 
+def rotation_partition_change_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Files as maximal contiguous runs of one encoded partition per kafka
+    partition (rotate.file.on.partition.change=true)."""
+    rec = events_as_topic(spark, sf_dir).withColumn(
+        "encoded_partition", P.field_partitioner(["event_type"])
+    )
+    return R.file_manifest(R.assign_files_partition_change(rec)).orderBy("file_path")
+
+
 def exactly_once_manifest_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay invariance: process the input UNIONed with itself; after
     de-duplicating on the connector's identity (kafka_partition, offset) the

@@ -93,3 +93,38 @@ def test_partition_change_isolation(spark):
     out = R.assign_files_flush_size(df, flush_size=100)
     per_file = out.groupBy("file_path").agg(F.countDistinct("encoded_partition").alias("n"))
     assert all(r["n"] == 1 for r in per_file.collect())
+
+
+def test_partition_change_rotates_and_restarts_files(spark):
+    """TopicPartitionWriter.java:630-657: returning to a previously seen
+    encoded partition starts a NEW file — offsets within a file must be one
+    contiguous run."""
+    rows = [("t", 0, i, TS0) for i in range(6)]
+    df = spark.createDataFrame(
+        rows, "topic string, kafka_partition int, offset long, timestamp timestamp"
+    ).withColumn(
+        "encoded_partition",
+        F.when(F.col("offset").isin(0, 1, 4, 5), "a").otherwise("b"),
+    )
+    out = R.assign_files_partition_change(df)
+    by_file = {}
+    for r in out.collect():
+        by_file.setdefault(r["file_path"], []).append(r["offset"])
+    # runs: a=[0,1], b=[2,3], a=[4,5] -> three files, two under partition a
+    assert {p: sorted(o) for p, o in by_file.items()} == {
+        "t/a/t+0+0000000000.parquet": [0, 1],
+        "t/b/t+0+0000000002.parquet": [2, 3],
+        "t/a/t+0+0000000004.parquet": [4, 5],
+    }
+
+
+def test_kafka_source_is_gated():
+    from pyspark.sql import SparkSession
+
+    from kafka_connect_storage_cloud_spark.sources.topic import kafka_source
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.master(
+        "local[2]"
+    ).getOrCreate()
+    with pytest.raises(NotImplementedError, match="Kafka source requires"):
+        kafka_source(spark, "localhost:9092", "events")
