@@ -7,12 +7,14 @@ Scale design:
 - minhash: shingle explode -> one groupBy builds the K-wide signature
            (MIN is duplicate-insensitive, so no distinct pre-shuffle; the
            map-side combine collapses shingles to ~1 row/doc)
-           -> band buckets -> self-join per bucket. The
-           candidate join is on (band, band_hash), never all-pairs; bucket
-           sizes are the only quadratic term, and banding keeps them tiny.
+           -> band buckets -> single-pass pair expansion per bucket
+           (collect_set + array transform, NOT a self-join: Spark doesn't
+           reuse exchanges across self-join sides here, so a join would
+           recompute the whole signature pipeline per side). Work is
+           Σ bucket² either way; banding keeps buckets tiny.
 - simhash: 60-bit signature from token bit-votes; pigeonhole banding into
-           4x15-bit chunks bounds the join the same way (hamming<=3 pairs
-           must agree on >=1 chunk).
+           4x15-bit chunks bounds the pair expansion the same way
+           (hamming<=3 pairs must agree on >=1 chunk).
 """
 
 from __future__ import annotations
@@ -85,15 +87,31 @@ def _band_table(sig: DataFrame) -> DataFrame:
     )
 
 
-def _candidate_pairs(sig: DataFrame) -> DataFrame:
-    bands = _band_table(sig)
-    a, b_ = bands.alias("a"), bands.alias("b")
+def _pairs_from_groups(grouped: DataFrame, ids_col: str = "ids") -> DataFrame:
+    """All unordered id pairs within each bucket, as a JVM array expression.
+    Equivalent to the bucket self-join but evaluates the upstream pipeline
+    ONCE (Spark does not reuse exchanges across self-join sides here, so the
+    join form recomputes scans/shuffles per side — 2x at any scale). Work is
+    Σ bucket² either way; banding keeps buckets tiny."""
     return (
-        a.join(b_, (F.col("a.band") == F.col("b.band")) & (F.col("a.bval") == F.col("b.bval")))
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        grouped.where(F.size(ids_col) >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    f"filter(flatten(transform({ids_col}, "
+                    f"x -> transform({ids_col}, y -> struct(x AS doc_a, y AS doc_b)))), "
+                    f"s -> s.doc_a < s.doc_b)"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
+
+
+def _candidate_pairs(sig: DataFrame) -> DataFrame:
+    buckets = _band_table(sig).groupBy("band", "bval").agg(F.collect_set("doc_id").alias("ids"))
+    return _pairs_from_groups(buckets)
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -153,10 +171,20 @@ def minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     hs = T.with_shingles(docs, SHINGLE_N).select("doc_id", H.h32(F.col("shingle")).alias("h")).distinct()
     sizes = hs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    ha, hb = hs.alias("ha"), hs.alias("hb")
     inter = (
-        ha.join(hb, (F.col("ha.h") == F.col("hb.h")) & (F.col("ha.doc_id") < F.col("hb.doc_id")))
-        .groupBy(F.col("ha.doc_id").alias("doc_a"), F.col("hb.doc_id").alias("doc_b"))
+        hs.groupBy("h")
+        .agg(F.collect_set("doc_id").alias("ids"))
+        .where(F.size("ids") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "filter(flatten(transform(ids, x -> transform(ids, "
+                    "y -> struct(x AS doc_a, y AS doc_b)))), s -> s.doc_a < s.doc_b)"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     exact = (
@@ -247,15 +275,24 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = sim.select(
         "doc_id", "simhash", F.explode(F.array(*chunk_structs)).alias("cc")
     ).select("doc_id", "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.cval").alias("cval"))
-    a, b = chunks.alias("a"), chunks.alias("b")
+    # bucket members carry their signature so the hamming filter runs inside
+    # the single-pass pair expansion (no self-join, no pipeline recompute)
+    buckets = chunks.groupBy("chunk", "cval").agg(
+        F.collect_set(F.struct("doc_id", "simhash")).alias("ms")
+    )
     return (
-        a.join(b, (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.cval") == F.col("b.cval")))
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        buckets.where(F.size("ms") >= 2)
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+            F.explode(
+                F.expr(
+                    "filter(flatten(transform(ms, x -> transform(ms, y -> "
+                    "struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
+                    "bit_count(x.simhash ^ y.simhash) AS hamming)))), "
+                    "s -> s.doc_a < s.doc_b)"
+                )
+            ).alias("p")
         )
+        .select("p.doc_a", "p.doc_b", "p.hamming")
         .where(F.col("hamming") <= HAMMING_MAX)
         .distinct()
         .orderBy("doc_a", "doc_b")
@@ -306,15 +343,20 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str, threshold: float = 0.05) -> 
         .distinct()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
     inter = (
-        a.join(
-            b,
-            (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        sh.groupBy("source", "h")
+        .agg(F.collect_set("doc_id").alias("ids"))
+        .where(F.size("ids") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "filter(flatten(transform(ids, x -> transform(ids, "
+                    "y -> struct(x AS doc_a, y AS doc_b)))), s -> s.doc_a < s.doc_b)"
+                )
+            ).alias("p")
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select("p.doc_a", "p.doc_b")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
