@@ -36,30 +36,30 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .cache()
     )
-    labels = docs.select(F.col("doc_id"), F.col("doc_id").alias("lab"))
+    # localCheckpoint truncates the per-iteration lineage (no replanning of
+    # the whole history each round); labels only ever decrease, so the label
+    # sum is a monotone fixpoint detector — one cheap agg per iteration
+    # instead of a full old-vs-new join.
+    labels = docs.select(F.col("doc_id"), F.col("doc_id").alias("lab")).localCheckpoint()
+    cur_sum = labels.agg(F.sum("lab")).collect()[0][0]
     for _ in range(MAX_ITERS):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy("src")
             .agg(F.min("lab").alias("nlab"))
         )
-        new_labels = (
+        labels = (
             labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
             .select(
                 "doc_id",
                 F.least(F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))).alias("lab"),
             )
+            .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.lab") != F.col("o.lab"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels.cache()
-        if changed == 0:
+        new_sum = labels.agg(F.sum("lab")).collect()[0][0]
+        if new_sum == cur_sum:
             break
+        cur_sum = new_sum
     sizes = labels.groupBy("lab").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
         labels.join(sizes, "lab")
