@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "default_partitioner": C.default_partitioner_plan,
         "field_partitioner": C.field_partitioner_plan,
         "time_based_partitioner": C.time_based_partitioner_plan,
+        "path_format_partitioner": C.path_format_partitioner_plan,
         "daily_partitioner": C.daily_partitioner_plan,
         "hourly_partitioner": C.hourly_partitioner_plan,
         "field_time_partitioner": C.field_time_partitioner_plan,
@@ -210,6 +211,9 @@ def oracle_sql() -> dict[str, str]:
         "default_partitioner": _enc_summary("'partition=' || CAST(kafka_partition AS VARCHAR)"),
         "field_partitioner": _enc_summary("'event_type=' || event_type"),
         "time_based_partitioner": _enc_summary(hourly),
+        "path_format_partitioner": _enc_summary(
+            "strftime(\"timestamp\", 'dt=%Y-%m-%d/hr=%H')"
+        ),
         "daily_partitioner": _enc_summary(daily),
         "hourly_partitioner": _enc_summary(hourly),
         "field_time_partitioner": _enc_summary(f"'event_type=' || event_type || '/' || {daily}"),

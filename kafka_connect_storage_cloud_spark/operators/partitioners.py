@@ -92,6 +92,44 @@ def time_based_partitioner(ts: Column, path_format: str = "year/month/day/hour")
     return F.concat(*parts)
 
 
+def _joda_to_java(pattern: str) -> str:
+    """Translate the connector's Joda-style path.format pattern to a Java
+    DateTimeFormatter pattern (what Spark's date_format takes). Quoted
+    literals pass through (both languages quote with single quotes); Joda's
+    year-of-era Y becomes Java's y; the shared field letters (M d H m s S)
+    and punctuation are identical."""
+    out: list[str] = []
+    i = 0
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "'":
+            j = pattern.find("'", i + 1)
+            if j == -1:
+                raise ValueError(f"unterminated quote in path.format: {pattern!r}")
+            out.append(pattern[i : j + 1])
+            i = j + 1
+        elif c == "Y":
+            j = i
+            while j < len(pattern) and pattern[j] == "Y":
+                j += 1
+            out.append("y" * (j - i))
+            i = j
+        elif c.isalpha() and c not in "yMdHmsS":
+            raise ValueError(f"unsupported path.format field {c!r} in {pattern!r}")
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def path_format_partitioner(ts: Column, pattern: str) -> Column:
+    """TimeBasedPartitioner with the connector's raw `path.format` string,
+    e.g. "'year'=YYYY/'month'=MM/'day'=dd/'hour'=HH" (S3SinkConnectorConfig
+    path.format). Compiles to ONE date_format expression — still a pure
+    projection, zero shuffle."""
+    return F.date_format(ts, _joda_to_java(pattern))
+
+
 def time_based_partitioner_tz(
     ts: Column, timezone: str, path_format: str = "year/month/day/hour"
 ) -> Column:
@@ -129,3 +167,54 @@ def generate_partitioned_path(topic: str, encoded_partition: Column, prefix: str
     """Partitioner.generatePartitionedPath: '<prefix><topic>/<encodedPartition>'."""
     head = f"{prefix}{topic}/" if topic else prefix
     return F.concat(F.lit(head), encoded_partition)
+
+
+# ---------------------------------------------------------------------------
+# Config -> expression glue: give a parsed connector property file the same
+# effect it has on the reference (S3SinkConnectorConfig -> Partitioner).
+# ---------------------------------------------------------------------------
+
+_GRANULARITIES = {"year", "month", "day", "hour", "minute"}
+
+
+def timestamp_extractor_expr(cfg) -> Column:
+    """partitioner timestamp.extractor -> Column (Wallclock | Record |
+    RecordField, reference storage-common TimestampExtractor)."""
+    if cfg.timestamp_extractor == "Record":
+        return F.col("timestamp")
+    if cfg.timestamp_extractor == "RecordField":
+        return F.col(cfg.timestamp_field)
+    return wallclock_timestamp()
+
+
+def partitioner_expr(cfg) -> Column:
+    """Build the encoded_partition expression a ConnectorConfig asks for —
+    the Spark counterpart of the reference's partitioner.class instantiation.
+    Expects records in the SinkRecord shape (sources.topic.events_as_topic).
+    """
+    ts = timestamp_extractor_expr(cfg)
+    if cfg.timezone and cfg.timezone != "UTC":
+        ts = F.from_utc_timestamp(ts, cfg.timezone)
+    k = cfg.partitioner_class
+    if k == "default":
+        inner = default_partitioner(F.col("kafka_partition"))
+    elif k == "field":
+        inner = field_partitioner(cfg.partition_field_name)
+    elif k == "daily":
+        inner = time_based_partitioner(ts, "year/month/day")
+    elif k == "hourly":
+        inner = time_based_partitioner(ts, "year/month/day/hour")
+    elif k == "time_based":
+        pf = cfg.path_format
+        if all(seg in _GRANULARITIES for seg in pf.split("/")):
+            inner = time_based_partitioner(ts, pf)
+        else:
+            inner = path_format_partitioner(ts, pf)
+    elif k == "schema":
+        # schema name stand-in: the header/schema discriminator column
+        inner = schema_partitioner(F.col("event_type"), time_based_partitioner(ts, "year/month/day"))
+    else:  # pragma: no cover - ConnectorConfig validates partitioner_class
+        raise ValueError(f"unknown partitioner.class {k!r}")
+    if cfg.behavior_on_null_values == "write":
+        inner = tombstone_supported_partitioner(F.col("value"), inner)
+    return inner

@@ -103,6 +103,20 @@ def tz_partitioner_plan(
     )
 
 
+def path_format_partitioner_plan(
+    spark: SparkSession, sf_dir: str, pattern: str = "'dt'=YYYY-MM-dd/'hr'=HH"
+) -> DataFrame:
+    """TimeBasedPartitioner driven by a raw connector path.format pattern
+    (quoted literals + Joda field letters), exercising the pattern compiler
+    rather than the fixed granularity form."""
+    rec = events_as_topic(spark, sf_dir)
+    return _summarize(
+        rec.withColumn(
+            "encoded_partition", P.path_format_partitioner(F.col("timestamp"), pattern)
+        )
+    )
+
+
 def rotation_stats_plan(spark: SparkSession, sf_dir: str, flush_size: int = 100) -> DataFrame:
     """FileRotationTracker stats over the flush.size assignment."""
     rec = events_as_topic(spark, sf_dir).withColumn(

@@ -66,3 +66,55 @@ def test_field_partitioner_class_parse():
 def test_validation_rejects(props):
     with pytest.raises(ValueError):
         parse_properties(props)
+
+
+def test_properties_drive_partitioner_expression(spark, sf_small):
+    """A user's connector property file, parsed verbatim, produces the same
+    encoded partitions the reference would."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_storage_cloud_spark.operators.partitioners import partitioner_expr
+    from kafka_connect_storage_cloud_spark.sources.topic import events_as_topic
+
+    props = {
+        "topics": "events",
+        "format.class": "io.confluent.connect.s3.format.parquet.ParquetFormat",
+        "partitioner.class": "io.confluent.connect.storage.partitioner.TimeBasedPartitioner",
+        "path.format": "'dt'=YYYY-MM-dd/'hr'=HH",
+        "timestamp.extractor": "Record",
+        "flush.size": "100",
+    }
+    cfg = parse_properties(props)
+    rec = events_as_topic(spark, sf_small).withColumn(
+        "encoded_partition", partitioner_expr(cfg)
+    )
+    sample = rec.select("timestamp", "encoded_partition").first()
+    assert sample["encoded_partition"] == sample["timestamp"].strftime("dt=%Y-%m-%d/hr=%H")
+
+
+def test_properties_tombstone_write_routes_nulls(spark, sf_small):
+    from pyspark.sql import functions as F
+
+    from kafka_connect_storage_cloud_spark.operators.partitioners import partitioner_expr
+    from kafka_connect_storage_cloud_spark.sources.topic import events_as_topic
+
+    cfg = parse_properties(
+        {
+            "partitioner.class": "io.confluent.connect.storage.partitioner.DailyPartitioner",
+            "behavior.on.null.values": "write",
+        }
+    )
+    rec = events_as_topic(spark, sf_small).withColumn(
+        "encoded_partition", partitioner_expr(cfg)
+    )
+    nulls = rec.where(F.col("value").isNull())
+    if nulls.count():
+        assert (
+            nulls.select("encoded_partition").distinct().collect()[0][0] == "tombstone"
+        )
+    assert (
+        rec.where(F.col("value").isNotNull())
+        .where(F.col("encoded_partition") == "tombstone")
+        .count()
+        == 0
+    )
