@@ -1,0 +1,89 @@
+"""End-to-end connector runner: the one-call replacement for a deployed
+S3 sink connector. Give it the same property map you give the reference
+(S3SinkConnectorConfig keys) and it runs the full pipeline:
+
+    source -> partitioner -> rotation/flush -> partitioned format sink
+
+Batch mode processes a bounded record frame; streaming mode wires the same
+stages into foreachBatch with a checkpoint (the offset store).
+
+    from kafka_connect_storage_cloud_spark.connector import run_connector
+    manifest = run_connector(spark, props, records=..., output_path=...)
+
+The returned manifest (one row per written file: path, record count, offset
+range) is what the reference's commit logic tracks internally — exposed here
+because it's also the exactly-once replay invariant a test can assert on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import ConnectorConfig, parse_properties
+from .operators import rotation as R
+from .operators.partitioners import partitioner_expr
+from .sinks.writers import SinkConfig, write_partitioned
+from .sources.topic import events_as_topic
+
+
+def _apply_null_behavior(records: DataFrame, cfg: ConnectorConfig) -> DataFrame:
+    """behavior.on.null.values (S3SinkConnectorConfig): ignore drops
+    tombstones, write keeps them (partitioner routes them), fail raises on
+    the first one."""
+    if cfg.behavior_on_null_values == "ignore":
+        return records.where(F.col("value").isNotNull())
+    if cfg.behavior_on_null_values == "fail":
+        n = records.where(F.col("value").isNull()).limit(1).count()
+        if n:
+            raise ValueError(
+                "null record value with behavior.on.null.values=fail "
+                "(reference: connector task failure)"
+            )
+    return records
+
+
+def _assign_files(records: DataFrame, cfg: ConnectorConfig, ext: str) -> DataFrame:
+    """Pick the rotation policy the config asks for (flush.size always caps;
+    the time policies take precedence for file *boundaries* when set)."""
+    if cfg.rotate_interval_ms > 0:
+        return R.assign_files_rotate_interval(records, cfg.rotate_interval_ms, ext=ext)
+    if cfg.rotate_schedule_interval_ms > 0:
+        return R.assign_files_scheduled(records, cfg.rotate_schedule_interval_ms, ext=ext)
+    return R.assign_files_flush_size(records, cfg.flush_size, ext=ext)
+
+
+def run_connector(
+    spark: SparkSession,
+    properties: dict[str, str],
+    records: DataFrame | None = None,
+    sf_dir: str | None = None,
+    output_path: str | None = None,
+) -> DataFrame:
+    """Run the configured pipeline over `records` (or the events-as-topic
+    adapter on `sf_dir`). When `output_path` is given the partitioned files
+    are actually written with the configured format/compression; the file
+    manifest DataFrame is returned either way."""
+    cfg = parse_properties(properties)
+    if records is None:
+        if sf_dir is None:
+            raise ValueError("need records or sf_dir")
+        records = events_as_topic(spark, sf_dir)
+    records = _apply_null_behavior(records, cfg)
+    records = records.withColumn("encoded_partition", partitioner_expr(cfg))
+    ext = cfg.spark_format
+    assigned = _assign_files(records, cfg, ext)
+    if output_path is not None:
+        sink = SinkConfig(
+            format=cfg.spark_format,
+            compression=cfg.compression_type,
+            flush_size=cfg.flush_size,
+            partition_cols=("encoded_partition",),
+        )
+        payload_cols = [
+            c
+            for c in ("offset", "key", "value", "timestamp", "encoded_partition")
+            if c in assigned.columns
+        ]
+        write_partitioned(assigned.select(*payload_cols), output_path, sink)
+    return R.file_manifest(assigned).orderBy("file_path")
