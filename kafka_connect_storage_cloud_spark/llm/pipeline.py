@@ -152,7 +152,10 @@ def _assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_topk_ivf(spark: SparkSession, sf_dir: str, k: int = IVF_TOP_K) -> DataFrame:
     """IVF-style approximate top-k: assign all vectors to their nearest
     centroid's cell, then rerank exactly within the query's cell only."""
-    assigned = _assigned(spark, sf_dir)
+    # materialize the assignment once: it feeds both the query and candidate
+    # sides of the cell join, and Spark would otherwise recompute the whole
+    # centroid-scoring pipeline per side (no exchange reuse across sides)
+    assigned = _assigned(spark, sf_dir).localCheckpoint()
     queries = assigned.where(F.pmod(F.col("vec_id"), F.lit(IVF_QUERY_MOD)) == 0).select(
         F.col("vec_id").alias("query_id"), F.col("cell"),
         F.col("v").alias("qv"), F.col("nrm").alias("qn"),

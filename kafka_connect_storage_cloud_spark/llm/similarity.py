@@ -155,8 +155,13 @@ def _lsh_signature() -> Column:
 def ann_topk_lsh(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH buckets, exact rerank within
     bucket. The scale path — candidate set is the bucket, not the corpus."""
-    emb = _with_dec_and_norm(read_table(spark, sf_dir, "embeddings")).withColumn(
-        "bucket", _lsh_signature()
+    # the bucket signature (8 md5-seeded projections) is the expensive part
+    # and feeds both join sides — materialize it once (no exchange reuse
+    # across the sides of the bucket join otherwise)
+    emb = (
+        _with_dec_and_norm(read_table(spark, sf_dir, "embeddings"))
+        .withColumn("bucket", _lsh_signature())
+        .localCheckpoint()
     )
     queries = emb.where(F.pmod(F.col("vec_id"), F.lit(QUERY_MOD)) == 0).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
