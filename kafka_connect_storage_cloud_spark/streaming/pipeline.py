@@ -95,6 +95,30 @@ def partitioned_event_stream(events: DataFrame) -> DataFrame:
     return events.withColumn("encoded_partition", P.daily_partitioner(F.col("ts")))
 
 
+def sessionize_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming gap sessionization with the native session_window state
+    operator — the Structured Streaming twin of plans.events.events_sessionize
+    (same 30-minute-gap semantics, but sessions merge incrementally across
+    micro-batches and close when the watermark passes their end)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("session_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
 def windowed_rollup_stream(
     events: DataFrame, watermark: str = "1 hour", window: str = "1 hour"
 ) -> DataFrame:

@@ -11,6 +11,7 @@ from kafka_connect_storage_cloud_spark.sinks.writers import SinkConfig
 from kafka_connect_storage_cloud_spark.streaming.pipeline import (
     connector_sink_stream,
     partitioned_event_stream,
+    sessionize_stream,
     stream_events_source,
     windowed_rollup_stream,
 )
@@ -49,6 +50,34 @@ def test_stream_restart_is_idempotent(spark, sf_small, batch_events, tmp_path):
     stream2 = partitioned_event_stream(stream_events_source(spark, sf_small))
     connector_sink_stream(stream2, out, ckpt, SinkConfig()).awaitTermination(120)
     assert spark.read.parquet(out).count() == n1
+
+
+def test_session_window_matches_batch_sessions(spark, sf_small, batch_events, tmp_path):
+    """Every session the stream closes must be one of the batch lag-based
+    sessions: same user, same start, same event count (session_window and
+    the 30-min-gap window formulation define identical groupings)."""
+    ckpt = str(tmp_path / "ckpt_sess")
+    q = (
+        sessionize_stream(stream_events_source(spark, sf_small))
+        .writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("sess_test").collect()
+    assert got, "no sessions emitted"
+    from kafka_connect_storage_cloud_spark.plans.events import events_sessionize
+
+    exp = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in events_sessionize(spark, sf_small).collect()
+    }
+    for r in got:
+        key = (r["user_id"], r["session_start"])
+        assert exp.get(key) == r["n_events"], f"session {key} mismatch"
 
 
 def test_stateful_rotation_matches_batch(spark, sf_small, tmp_path):
