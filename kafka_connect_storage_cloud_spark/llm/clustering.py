@@ -28,7 +28,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, cluster_id, cluster_size) for every document; cluster_id is
     the min doc_id in the near-dup component (singletons cluster alone)."""
     docs = read_table(spark, sf_dir, "documents").select("doc_id")
-    pairs = dedup_minhash_lsh(spark, sf_dir)
+    # materialize pairs once — the undirected union references them twice
+    pairs = dedup_minhash_lsh(spark, sf_dir).localCheckpoint()
     # undirected edge list
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))

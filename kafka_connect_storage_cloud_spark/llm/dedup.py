@@ -154,7 +154,9 @@ def minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle Jaccard and the absolute error — the measurement that justifies
     K_PERMS/N_BANDS choices before scaling a dedup run. Signatures join the
     (small) pair table; the exact side touches only candidate docs' grams."""
-    sig = _signatures(spark, sf_dir)
+    # sig feeds the band buckets AND both sides of the estimate join, and hs
+    # feeds sizes and the intersection buckets — materialize each once
+    sig = _signatures(spark, sf_dir).localCheckpoint()
     pairs = _candidate_pairs(sig)
     sa = sig.select(
         F.col("doc_id").alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(K_PERMS)]
@@ -169,7 +171,12 @@ def minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", F.round(agree.cast("double") / K_PERMS, 6).alias("est_jaccard"))
     )
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    hs = T.with_shingles(docs, SHINGLE_N).select("doc_id", H.h32(F.col("shingle")).alias("h")).distinct()
+    hs = (
+        T.with_shingles(docs, SHINGLE_N)
+        .select("doc_id", H.h32(F.col("shingle")).alias("h"))
+        .distinct()
+        .localCheckpoint()
+    )
     sizes = hs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         hs.groupBy("h")
