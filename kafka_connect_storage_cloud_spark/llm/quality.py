@@ -208,9 +208,71 @@ SELECT doc_id, COUNT(*) AS n_fingerprints, MIN(win_min) AS min_fp, MAX(win_min) 
 FROM fps GROUP BY doc_id ORDER BY doc_id
 """
 
+REP_N = 2
+REP_FLAG = 0.2
+
+
+def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition filter: the fraction of word
+    n-grams that are duplicates of an earlier occurrence, plus the share of
+    the single most frequent n-gram. One explode + one groupBy per doc (the
+    grams of a doc are co-located, so the shuffle carries 1 row/doc)."""
+    from ..functions import text as T
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    grams = T.with_shingles(docs, REP_N).select("doc_id", "shingle")
+    per_doc = grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.countDistinct("shingle").alias("d_grams"),
+    )
+    top_share = (
+        grams.groupBy("doc_id", "shingle")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"))
+    )
+    rep = F.round(1 - F.col("d_grams") / F.col("n_grams"), 6)
+    return (
+        per_doc.join(top_share, "doc_id")
+        .select(
+            "doc_id",
+            "n_grams",
+            "d_grams",
+            rep.alias("dup_fraction"),
+            F.round(F.col("top_c") / F.col("n_grams"), 6).alias("top_gram_share"),
+            (1 - F.col("d_grams") / F.col("n_grams") > REP_FLAG).alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sql_repetition() -> str:
+    from ..functions import text as T
+
+    return f"""
+WITH grams AS ({T.sql_shingles(REP_N)}),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_grams, COUNT(DISTINCT shingle) AS d_grams
+  FROM grams GROUP BY doc_id
+),
+tops AS (
+  SELECT doc_id, MAX(c) AS top_c FROM (
+    SELECT doc_id, shingle, COUNT(*) AS c FROM grams GROUP BY doc_id, shingle
+  ) GROUP BY doc_id
+)
+SELECT p.doc_id, p.n_grams, p.d_grams,
+       ROUND(1 - CAST(d_grams AS DOUBLE) / n_grams, 6) AS dup_fraction,
+       ROUND(CAST(top_c AS DOUBLE) / n_grams, 6) AS top_gram_share,
+       (1 - CAST(d_grams AS DOUBLE) / n_grams) > {REP_FLAG} AS flagged
+FROM per_doc p JOIN tops t ON p.doc_id = t.doc_id
+ORDER BY p.doc_id
+"""
+
+
 ORACLES = {
     "lang_id": _sql_lang_id(),
     "quality_score": SQL_QUALITY_SCORE,
     "token_count": SQL_TOKEN_COUNT,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "repetition_score": _sql_repetition(),
 }
