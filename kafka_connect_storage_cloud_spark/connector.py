@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from .config import ConnectorConfig, parse_properties
 from .operators import rotation as R
 from .operators.partitioners import partitioner_expr
-from .sinks.writers import SinkConfig, write_partitioned
+from .sinks.writers import SinkConfig, write_kv_header_views, write_partitioned
 from .sources.topic import events_as_topic
 
 
@@ -80,10 +80,15 @@ def run_connector(
             flush_size=cfg.flush_size,
             partition_cols=("encoded_partition",),
         )
-        payload_cols = [
-            c
-            for c in ("offset", "key", "value", "timestamp", "encoded_partition")
-            if c in assigned.columns
-        ]
-        write_partitioned(assigned.select(*payload_cols), output_path, sink)
+        if cfg.store_kafka_keys or cfg.store_kafka_headers:
+            # keys/headers ride as sibling datasets of the value stream
+            # (reference KeyValueHeaderRecordWriterProvider)
+            write_kv_header_views(assigned, output_path, sink)
+        else:
+            payload_cols = [
+                c
+                for c in ("offset", "key", "value", "timestamp", "encoded_partition")
+                if c in assigned.columns
+            ]
+            write_partitioned(assigned.select(*payload_cols), output_path, sink)
     return R.file_manifest(assigned).orderBy("file_path")

@@ -65,3 +65,12 @@ def test_run_connector_rotate_interval_policy(spark, sf_small):
     assert rows
     # interval rotation, not flush-size: some file may exceed flush.size
     assert all(r["min_offset"] <= r["max_offset"] for r in rows)
+
+
+def test_run_connector_kv_header_sidecars(spark, sf_small, tmp_path):
+    out = str(tmp_path / "kv")
+    props = dict(PROPS, **{"store.kafka.keys": "true", "store.kafka.headers": "true"})
+    run_connector(spark, props, sf_dir=sf_small, output_path=out)
+    n_values = spark.read.parquet(f"{out}/values").count()
+    assert spark.read.parquet(f"{out}/keys").count() == n_values
+    assert spark.read.parquet(f"{out}/headers").count() == n_values
