@@ -41,8 +41,13 @@ def main() -> None:
         if opt in qs:
             headline.append(opt)
 
-    # warm the JVM + parquet footers so we measure plans, not startup
+    # warm the JVM + parquet footers of every fact table so we measure
+    # plans, not first-touch I/O / codegen compilation
+    from kafka_connect_storage_cloud_spark.session import read_table
+
     qs["q6_revenue_change"](spark, sf_dir).collect()
+    for t in ("events", "documents", "embeddings"):
+        read_table(spark, sf_dir, t).count()
 
     timings: dict[str, float] = {}
     for name in headline:
