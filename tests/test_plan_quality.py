@@ -1,0 +1,68 @@
+"""Physical-plan regression gate: the properties that make these plans
+survive 100x scale, asserted on the explain output so a future edit can't
+silently trade them away.
+
+- filters reach the parquet scan (PushedFilters)
+- projections prune the scan (ReadSchema)
+- dimension joins broadcast
+- analytics plans stay pure JVM (no Python eval nodes)
+"""
+
+import pytest
+
+from kafka_connect_storage_cloud_spark.plans import events as E
+from kafka_connect_storage_cloud_spark.plans import events_ext as EX
+from kafka_connect_storage_cloud_spark.plans import tpch as T
+from kafka_connect_storage_cloud_spark.plans import tpch_ext as TX
+from kafka_connect_storage_cloud_spark.plans import tpch_ext2 as TX2
+
+
+def _plan(spark, df) -> str:
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_q6_filters_push_down(spark, sf_dir):
+    plan = _plan(spark, T.q6_revenue_change(spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    # the selective predicates must reach the scan, not sit in a Filter above it
+    assert "IsNotNull(l_shipdate)" in plan
+    assert "GreaterThanOrEqual(l_discount" in plan
+
+
+def test_q1_scan_prunes_columns(spark, sf_dir):
+    plan = _plan(spark, T.q1_pricing_summary(spark, sf_dir))
+    scan = plan[plan.index("ReadSchema") :].splitlines()[0]
+    # q1 needs 7 lineitem columns; joining keys it never touches must be pruned
+    assert "l_partkey" not in scan and "l_suppkey" not in scan and "l_orderkey" not in scan
+
+
+def test_q5_broadcasts_dimensions(spark, sf_dir):
+    plan = _plan(spark, T.q5_local_supplier_volume(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3  # region, nation, supplier at least
+
+
+ALL_ANALYTICS = {
+    **{k: v for k, v in TX.QUERIES.items()},
+    **{k: v for k, v in TX2.QUERIES.items()},
+    **{k: v for k, v in EX.QUERIES.items()},
+    "q1": T.q1_pricing_summary,
+    "q3": T.q3_shipping_priority,
+    "q5": T.q5_local_supplier_volume,
+    "q6": T.q6_revenue_change,
+    "q10": T.q10_returned_items,
+    "top_customers": T.top_customers,
+    "events_hourly_rollup": E.events_hourly_rollup,
+    "events_sessionize": E.events_sessionize,
+    "events_topk_users": E.events_topk_users,
+}
+
+
+@pytest.mark.parametrize("name", sorted(ALL_ANALYTICS))
+def test_analytics_plans_are_pure_jvm(spark, sf_dir, name):
+    """No Python evaluation nodes in any analytics plan — everything stays
+    inside codegen / Tungsten (Python is reserved for the genuinely
+    sequential operators like rotate-interval)."""
+    plan = _plan(spark, ALL_ANALYTICS[name](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
