@@ -59,7 +59,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rotation_stats": C.rotation_stats_plan,
         "rotation_flush_size": C.rotation_flush_size_plan,
         "rotation_scheduled": C.rotation_scheduled_plan,
-        "rotation_interval": C.rotation_interval_plan,  # rows-only (sequential semantics)
+        "rotation_interval": C.rotation_interval_plan,  # oracle: recursive CTE
         "rotation_partition_change": C.rotation_partition_change_plan,
         "exactly_once_manifest": C.exactly_once_manifest_plan,
         "tombstone_routing": C.tombstone_routing_plan,
@@ -250,7 +250,33 @@ GROUP BY 1, 2 ORDER BY 1, 2""",
             "'partition=' || CAST(kafka_partition AS VARCHAR)", _FLUSH_SEQ
         ),
         "rotation_scheduled": _manifest("'event_type=' || event_type", _SCHED_SEQ),
-        # rotation_interval: omitted (sequential base-reset semantics; rows-only check)
+        # rotation_interval: the base-reset walk is inherently sequential per
+        # group; the oracle replays it with a recursive CTE stepping one row
+        # per group per iteration (exact mirror of rotateOnTime semantics)
+        "rotation_interval": f"""
+WITH RECURSIVE records AS (
+  SELECT CAST(user_id % 8 AS INT) AS kafka_partition,
+         event_id AS "offset", ts AS "timestamp"
+  FROM events
+),
+enc AS (SELECT *, 'partition=' || CAST(kafka_partition AS VARCHAR) AS encoded_partition FROM records),
+seq AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY kafka_partition, encoded_partition ORDER BY "offset") AS rn,
+               epoch_ms("timestamp") AS ts_ms FROM enc),
+walk AS (
+  SELECT kafka_partition, encoded_partition, rn, "offset", ts_ms,
+         ts_ms AS base_ts, "offset" AS file_start
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.kafka_partition, s.encoded_partition, s.rn, s."offset", s.ts_ms,
+         CASE WHEN s.ts_ms - w.base_ts >= {12 * 3600 * 1000} THEN s.ts_ms ELSE w.base_ts END,
+         CASE WHEN s.ts_ms - w.base_ts >= {12 * 3600 * 1000} THEN s."offset" ELSE w.file_start END
+  FROM seq s JOIN walk w ON s.kafka_partition = w.kafka_partition
+        AND s.encoded_partition = w.encoded_partition AND s.rn = w.rn + 1
+)
+SELECT 'events/' || encoded_partition || '/events+' || CAST(kafka_partition AS VARCHAR)
+       || '+' || printf('%010d', file_start) || '.parquet' AS file_path,
+       COUNT(*) AS record_count, MIN("offset") AS min_offset, MAX("offset") AS max_offset
+FROM walk GROUP BY 1 ORDER BY 1""",
         # gaps-and-islands: the run id of consecutive same-encoded-partition
         # offsets is the difference of the two row_numbers
         "rotation_partition_change": _manifest(
