@@ -146,3 +146,16 @@ def test_tombstone_partition_layout(spark, sf_small, tmp_path):
     assert "encoded_partition=tombstone" in dirs
     tomb = spark.read.parquet(out).where(F.col("encoded_partition") == "tombstone")
     assert tomb.where(F.col("value").isNotNull()).count() == 0
+
+
+@pytest.mark.parametrize("codec", ["snappy", "zstd", "gzip"])
+def test_parquet_compression_codecs_roundtrip(spark, records, tmp_path, codec):
+    """s3.compression.type analog for parquet: each codec writes readable
+    files with the codec visible in the file name."""
+    out = str(tmp_path / f"pq_{codec}")
+    src = records.select("offset", "value", "encoded_partition")
+    write_partitioned(src, out, SinkConfig(format="parquet", compression=codec))
+    files = _data_files(out, ".parquet")
+    token = {"snappy": ".snappy.", "zstd": ".zstd.", "gzip": ".gz."}[codec]
+    assert files and all(token in os.path.basename(f) for f in files)
+    assert spark.read.parquet(out).count() == src.count()
