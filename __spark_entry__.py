@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EX.QUERIES,
         # --- LLM data pipeline (SURVEY §2C) ---
         "dedup_clusters": LC.dedup_clusters,
+        "dedup_keep_best": LC.dedup_keep_best,
         "dedup_exact": LD.dedup_exact,
         "dedup_minhash_lsh": LD.dedup_minhash_lsh,
         "minhash_jaccard_est": LD.minhash_jaccard_est,

@@ -69,11 +69,37 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_clusters() -> str:
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's shipping decision: within every near-dup cluster
+    keep the highest-quality member (quality_score ranking, doc_id
+    tiebreak), drop the rest. Composes clustering with quality scoring —
+    clusters are tiny relative to the corpus, so the rank window's shuffle
+    carries |docs| rows once."""
+    from .quality import quality_score
+
+    from pyspark.sql import Window
+
+    clusters = dedup_clusters(spark, sf_dir)
+    quality = quality_score(spark, sf_dir).select("doc_id", "quality")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        clusters.join(quality, "doc_id")
+        .withColumn("rnk", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            "quality",
+            (F.col("rnk") == 1).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sql_cluster_ctes() -> str:
     from .dedup import _sql_bands, _sql_signatures
 
-    return f"""
-WITH RECURSIVE {_sql_signatures().strip()},
+    return f"""{_sql_signatures().strip()},
 {_sql_bands()},
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -91,11 +117,35 @@ reach AS (
   FROM reach r JOIN edges e ON e.dst = r.node
 ),
 final AS (SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node),
-sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM final GROUP BY cluster_id)
+sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM final GROUP BY cluster_id)"""
+
+
+def _sql_clusters() -> str:
+    return f"""
+WITH RECURSIVE {_sql_cluster_ctes()}
 SELECT f.doc_id, f.cluster_id, s.cluster_size
 FROM final f JOIN sizes s USING (cluster_id)
 ORDER BY f.doc_id
 """
 
 
-ORACLES = {"dedup_clusters": _sql_clusters()}
+def _sql_keep_best() -> str:
+    from .quality import SQL_QUALITY_SCORE
+
+    return f"""
+WITH RECURSIVE {_sql_cluster_ctes()},
+clusters AS (SELECT f.doc_id, f.cluster_id, s.cluster_size
+             FROM final f JOIN sizes s USING (cluster_id)),
+quality AS ({SQL_QUALITY_SCORE}),
+ranked AS (
+  SELECT c.doc_id, c.cluster_id, c.cluster_size, q.quality,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                            ORDER BY q.quality DESC, c.doc_id) AS rnk
+  FROM clusters c JOIN quality q ON c.doc_id = q.doc_id
+)
+SELECT doc_id, cluster_id, cluster_size, quality, rnk = 1 AS keep
+FROM ranked ORDER BY doc_id
+"""
+
+
+ORACLES = {"dedup_clusters": _sql_clusters(), "dedup_keep_best": _sql_keep_best()}
