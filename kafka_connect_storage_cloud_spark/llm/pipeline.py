@@ -178,6 +178,54 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str, k: int = IVF_TOP_K) -> DataFr
     )
 
 
+IVF_PROBES = 2
+
+
+def ann_topk_ivf_multiprobe(
+    spark: SparkSession, sf_dir: str, k: int = IVF_TOP_K, probes: int = IVF_PROBES
+) -> DataFrame:
+    """IVF with multi-probe: each query searches its `probes` nearest cells
+    instead of one — the standard recall/latency knob. Same plan shape as
+    single-probe (centroids broadcast, join keyed on cell); candidates are
+    probes x |corpus|/C per query. A candidate belongs to exactly one cell,
+    so probing never duplicates pairs."""
+    emb = _with_dec_and_norm(read_table(spark, sf_dir, "embeddings"))
+    cents = emb.where(F.pmod(F.col("vec_id"), F.lit(IVF_CENTROID_MOD)) == 1).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    assigned = _assigned(spark, sf_dir).localCheckpoint()
+    cands = assigned.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("cell"),
+        F.col("v").alias("cv2"), F.col("nrm").alias("cn2"),
+    )
+    q_emb = emb.where(F.pmod(F.col("vec_id"), F.lit(IVF_QUERY_MOD)) == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    q_scored = q_emb.crossJoin(F.broadcast(cents)).withColumn(
+        "ccos", F.round(_dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6)
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("centroid_id"))
+    q_cells = (
+        q_scored.withColumn("crank", F.row_number().over(wq))
+        .where(F.col("crank") <= probes)
+        .select("query_id", F.col("centroid_id").alias("cell"), "qv", "qn")
+    )
+    scored = (
+        cands.join(F.broadcast(q_cells), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(_dot("qv", "cv2") / (F.col("qn") * F.col("cn2")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
 _SQL_DOT = (
     "CAST(list_sum(list_transform(list_zip({a}, {b}), "
     "s -> CAST(s[1] * s[2] AS DECIMAL(32,18)))) AS DOUBLE)"
@@ -217,14 +265,52 @@ SELECT query_id, cell, neighbor_id, cosine, rank FROM ranked
 WHERE rank <= {IVF_TOP_K} ORDER BY query_id, rank
 """
 
+SQL_ANN_TOPK_IVF_MULTIPROBE = f"""
+WITH {_SQL_EMB},
+cents AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM emb_n
+          WHERE vec_id % {IVF_CENTROID_MOD} = 1),
+assigned AS (
+  SELECT e.vec_id,
+         (min(struct_pack(neg_cos := -ROUND({_SQL_DOT.format(a='e.v', b='c.cv')} / (e.nrm * c.cn), 6),
+                          centroid_id := c.centroid_id))).centroid_id AS cell
+  FROM emb_n e CROSS JOIN cents c
+  GROUP BY e.vec_id
+),
+av AS (SELECT a.vec_id, a.cell, e.v, e.nrm FROM assigned a JOIN emb_n e ON a.vec_id = e.vec_id),
+q_cells AS (
+  SELECT * FROM (
+    SELECT q.vec_id AS query_id, c.centroid_id AS cell, q.v AS qv, q.nrm AS qn,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY ROUND({_SQL_DOT.format(a='q.v', b='c.cv')} / (q.nrm * c.cn), 6) DESC,
+                      c.centroid_id) AS crank
+    FROM emb_n q CROSS JOIN cents c
+    WHERE q.vec_id % {IVF_QUERY_MOD} = 0
+  ) WHERE crank <= {IVF_PROBES}
+),
+scored AS (
+  SELECT qc.query_id, c.vec_id AS neighbor_id,
+         ROUND({_SQL_DOT.format(a='qc.qv', b='c.v')} / (qc.qn * c.nrm), 6) AS cosine
+  FROM q_cells qc JOIN av c ON qc.cell = c.cell AND qc.query_id <> c.vec_id
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+       AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked
+WHERE rank <= {IVF_TOP_K} ORDER BY query_id, rank
+"""
+
 QUERIES = {
     "stratified_sample": stratified_sample,
     "contamination_check": contamination_check,
     "ann_topk_ivf": ann_topk_ivf,
+    "ann_topk_ivf_multiprobe": ann_topk_ivf_multiprobe,
 }
 
 ORACLES = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "contamination_check": SQL_CONTAMINATION_CHECK,
     "ann_topk_ivf": SQL_ANN_TOPK_IVF,
+    "ann_topk_ivf_multiprobe": SQL_ANN_TOPK_IVF_MULTIPROBE,
 }
