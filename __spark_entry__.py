@@ -23,6 +23,7 @@ _REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
 
+from kafka_connect_storage_cloud_spark.llm import corpus as LCO
 from kafka_connect_storage_cloud_spark.llm import dedup as LD
 from kafka_connect_storage_cloud_spark.llm import multimodal as LM
 from kafka_connect_storage_cloud_spark.llm import pipeline as LP
@@ -98,6 +99,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": LQ.doc_fingerprint,
         "multimodal_pipeline": LM.multimodal_pipeline,
         **LP.QUERIES,
+        **LCO.QUERIES,
     }
 
 
@@ -448,4 +450,5 @@ SELECT * FROM ranked WHERE rank <= 5 ORDER BY event_type, rank""",
         **LQ.ORACLES,
         **LM.ORACLES,
         **LP.ORACLES,
+        **LCO.ORACLES,
     }

@@ -1,0 +1,218 @@
+"""Corpus-level preparation operators: summary statistics, cross-document
+chunk-level dedup (CC-Net-style paragraph dedup adapted to whitespace corpora),
+and token-budget shard packing for training-data output.
+
+All three are oracle-checked against DuckDB (see ORACLES).
+
+Scale design:
+- corpus_stats: one map-side-combined groupBy over (lang, source) — the
+  group count is tiny (languages × sources), so the shuffle carries a few
+  hundred partial-aggregate rows regardless of corpus size. Exact
+  percentiles use interpolation factors 0.25/0.5/0.75, which are exact in
+  binary floating point, so Spark and DuckDB agree bit-for-bit.
+- dedup_chunks: documents explode into non-overlapping CHUNK_W-word chunks
+  hashed with the portable md5-based h60. Chunk frequency and the
+  chunk→doc join both shuffle on the chunk hash (co-partitioned, one
+  exchange reused), then one groupBy brings results back to 1 row/doc.
+  At 100 TB the chunk table is ~corpus_size/CHUNK_W rows of (hash, doc_id)
+  — the same shape production paragraph-dedup pipelines shuffle.
+- token_shard_pack: the writer-side analog of the connector's flush.size
+  rotation (reference: TopicPartitionWriter.java:659, rotation on record
+  count) applied to token budgets. Docs are hash-assigned to W independent
+  writer partitions (pure map, no shuffle), then one window per partition
+  computes the running token total and the shard index. Each partition
+  packs sequentially and independently — exactly how a 1000-executor
+  writer stage would parallelize.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+from ..session import read_table
+
+CHUNK_W = 8  # words per chunk
+CHUNK_DUP_FLAG = 0.6  # flag docs with > this fraction of cross-doc dup chunks
+SHARD_WORKERS = 8
+SHARD_TOKEN_BUDGET = 2000
+SHARD_SALT = "shard:"
+
+def _ws_tokens() -> F.Column:
+    return F.size(F.split(F.lower(F.col("text")), r"\s+"))
+
+
+_SQL_WS_TOKENS = "len(string_split_regex(lower(text), '\\s+'))"
+
+
+# ---------------------------------------------------------------------------
+# corpus_stats
+# ---------------------------------------------------------------------------
+
+def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (lang, source) corpus summary: doc count, char/token totals and
+    means, and exact interpolated quartiles of document length."""
+    docs = read_table(spark, sf_dir, "documents").select("lang", "source", "n_chars", "text")
+    return (
+        docs.withColumn("ws_tokens", _ws_tokens())
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("ws_tokens").alias("total_tokens"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.expr("percentile(n_chars, 0.25)").alias("p25_chars"),
+            F.expr("percentile(n_chars, 0.5)").alias("median_chars"),
+            F.expr("percentile(n_chars, 0.75)").alias("p75_chars"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+SQL_CORPUS_STATS = f"""
+SELECT lang, source,
+  COUNT(*) AS n_docs,
+  SUM(n_chars) AS total_chars,
+  SUM({_SQL_WS_TOKENS}) AS total_tokens,
+  ROUND(AVG(n_chars), 6) AS avg_chars,
+  quantile_cont(n_chars, 0.25) AS p25_chars,
+  quantile_cont(n_chars, 0.5) AS median_chars,
+  quantile_cont(n_chars, 0.75) AS p75_chars
+FROM documents GROUP BY lang, source ORDER BY lang, source
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_chunks
+# ---------------------------------------------------------------------------
+
+def _chunks_expr() -> F.Column:
+    """Non-overlapping CHUNK_W-word chunks of the lowercased text (the last
+    chunk may be short). Always at least one chunk."""
+    return F.expr(
+        "transform("
+        f"  sequence(0, greatest(cast(ceil(size(split(lower(text), '\\\\s+')) / {CHUNK_W}.0) as int), 1) - 1),"
+        f"  i -> array_join(slice(split(lower(text), '\\\\s+'), i * {CHUNK_W} + 1, {CHUNK_W}), ' '))"
+    )
+
+
+def dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document chunk dedup: fraction of a doc's CHUNK_W-word chunks
+    that also appear (hash-identical) in at least one OTHER document."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = docs.select(
+        "doc_id", F.explode(_chunks_expr()).alias("chunk")
+    ).select("doc_id", H.h60(F.col("chunk")).alias("ch"))
+    freq = chunks.groupBy("ch").agg(F.countDistinct("doc_id").alias("nd"))
+    per_doc = (
+        chunks.join(freq, "ch")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("nd") > 1).cast("long")).alias("dup_chunks"),
+        )
+    )
+    dup_frac = F.round(F.col("dup_chunks") / F.col("n_chunks"), 6)
+    return per_doc.select(
+        "doc_id",
+        "n_chunks",
+        "dup_chunks",
+        dup_frac.alias("dup_fraction"),
+        (F.col("dup_chunks") / F.col("n_chunks") > CHUNK_DUP_FLAG).alias("flagged"),
+    ).orderBy("doc_id")
+
+
+_SQL_CHUNKS = f"""
+  SELECT doc_id, {H.sql_h60("chunk")} AS ch FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(0, GREATEST(CAST(ceil(len(ws) / {CHUNK_W}.0) AS BIGINT), 1) - 1),
+             i -> array_to_string(list_slice(ws, i * {CHUNK_W} + 1, i * {CHUNK_W} + {CHUNK_W}), ' '))) AS chunk
+    FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws FROM documents)
+  )
+"""
+
+SQL_DEDUP_CHUNKS = f"""
+WITH chunks AS ({_SQL_CHUNKS}),
+freq AS (SELECT ch, COUNT(DISTINCT doc_id) AS nd FROM chunks GROUP BY ch),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_chunks,
+         SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS dup_chunks
+  FROM chunks JOIN freq USING (ch) GROUP BY doc_id
+)
+SELECT doc_id, n_chunks, dup_chunks,
+       ROUND(CAST(dup_chunks AS DOUBLE) / n_chunks, 6) AS dup_fraction,
+       (CAST(dup_chunks AS DOUBLE) / n_chunks) > {CHUNK_DUP_FLAG} AS flagged
+FROM per_doc ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# token_shard_pack
+# ---------------------------------------------------------------------------
+
+def token_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into training shards of ~SHARD_TOKEN_BUDGET tokens.
+    Docs hash to one of SHARD_WORKERS writer partitions; within a partition
+    (ordered by doc_id) a doc opens shard k when the tokens written before it
+    reach k * budget — the flush.size rotation rule applied to token counts.
+    Returns the shard manifest (deterministic and replay-stable, like the
+    connector's exactly-once file naming, S3FileUtils.java analog)."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    worker = (H.h32(F.concat(F.lit(SHARD_SALT), F.col("doc_id").cast("string"))) % SHARD_WORKERS).alias(
+        "worker"
+    )
+    toks = docs.select("doc_id", worker, _ws_tokens().alias("tokens"))
+    w = Window.partitionBy("worker").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    assigned = toks.withColumn(
+        "shard", F.floor((F.sum("tokens").over(w) - F.col("tokens")) / SHARD_TOKEN_BUDGET)
+    )
+    return (
+        assigned.groupBy("worker", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tokens").alias("shard_tokens"),
+            F.min("doc_id").alias("start_doc"),
+            F.max("doc_id").alias("end_doc"),
+        )
+        .withColumn(
+            "shard_path",
+            F.format_string("worker=%d/shard-%05d-%d.jsonl", "worker", "shard", "start_doc"),
+        )
+        .orderBy("worker", "shard")
+    )
+
+
+SQL_TOKEN_SHARD_PACK = f"""
+WITH toks AS (
+  SELECT doc_id,
+         {H.sql_h32(f"'{SHARD_SALT}' || CAST(doc_id AS VARCHAR)")} % {SHARD_WORKERS} AS worker,
+         {_SQL_WS_TOKENS} AS tokens
+  FROM documents
+),
+assigned AS (
+  SELECT doc_id, worker, tokens,
+         CAST(floor((SUM(tokens) OVER (PARTITION BY worker ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tokens)
+                    / {SHARD_TOKEN_BUDGET}) AS BIGINT) AS shard
+  FROM toks
+)
+SELECT worker, shard, COUNT(*) AS n_docs, SUM(tokens) AS shard_tokens,
+       MIN(doc_id) AS start_doc, MAX(doc_id) AS end_doc,
+       printf('worker=%d/shard-%05d-%d.jsonl', worker, shard, MIN(doc_id)) AS shard_path
+FROM assigned GROUP BY worker, shard ORDER BY worker, shard
+"""
+
+
+QUERIES = {
+    "corpus_stats": corpus_stats,
+    "dedup_chunks": dedup_chunks,
+    "token_shard_pack": token_shard_pack,
+}
+
+ORACLES = {
+    "corpus_stats": SQL_CORPUS_STATS,
+    "dedup_chunks": SQL_DEDUP_CHUNKS,
+    "token_shard_pack": SQL_TOKEN_SHARD_PACK,
+}
