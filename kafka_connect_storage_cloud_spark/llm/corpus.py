@@ -104,9 +104,13 @@ def dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = docs.select(
         "doc_id", F.explode(_chunks_expr()).alias("chunk")
     ).select("doc_id", H.h60(F.col("chunk")).alias("ch"))
-    freq = chunks.groupBy("ch").agg(F.countDistinct("doc_id").alias("nd"))
+    # distinct-doc count per chunk as a window over ch: one shuffle on the
+    # chunk hash and a single scan, instead of a groupBy + self-join that
+    # reads the corpus twice. The set is bounded by docs-per-chunk (the
+    # duplication factor), not corpus size.
+    nd = F.size(F.collect_set("doc_id").over(Window.partitionBy("ch")))
     per_doc = (
-        chunks.join(freq, "ch")
+        chunks.withColumn("nd", nd)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),

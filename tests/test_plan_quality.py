@@ -66,3 +66,25 @@ def test_analytics_plans_are_pure_jvm(spark, sf_dir, name):
     sequential operators like rotate-interval)."""
     plan = _plan(spark, ALL_ANALYTICS[name](spark, sf_dir))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dedup_chunks_single_pass(spark, sf_dir):
+    """Chunk frequency comes from a window over the chunk hash, not a
+    groupBy + self-join — no join operator and no second corpus scan."""
+    from kafka_connect_storage_cloud_spark.llm import corpus as LCO
+
+    plan = _plan(spark, LCO.dedup_chunks(spark, sf_dir))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_token_shard_pack_one_shuffle_then_local_agg(spark, sf_dir):
+    """The shard manifest aggregates on (worker, shard) — a refinement of the
+    window's worker partitioning — so no exchange between window and agg."""
+    from kafka_connect_storage_cloud_spark.llm import corpus as LCO
+
+    plan = _plan(spark, LCO.token_shard_pack(spark, sf_dir))
+    assert "Join" not in plan
+    body = plan[: plan.index("(1) Scan")]
+    # exactly two exchanges: the worker hash partition + the final orderBy
+    assert body.count("Exchange") == 2, body
