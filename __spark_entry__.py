@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_partitioner": C.hourly_partitioner_plan,
         "field_time_partitioner": C.field_time_partitioner_plan,
         "schema_partitioner": C.schema_partitioner_plan,
+        "schema_partitioner_suffix": C.schema_suffix_partitioner_plan,
         "timestamp_extractor_record_field": C.record_field_extractor_plan,
         "tz_partitioner": C.tz_partitioner_plan,
         "rotation_stats": C.rotation_stats_plan,
@@ -222,6 +223,7 @@ def oracle_sql() -> dict[str, str]:
         "hourly_partitioner": _enc_summary(hourly),
         "field_time_partitioner": _enc_summary(f"'event_type=' || event_type || '/' || {daily}"),
         "schema_partitioner": _enc_summary(f"'schema_name=' || event_type || '/' || {daily}"),
+        "schema_partitioner_suffix": _enc_summary(f"{daily} || '/schema_name=' || event_type"),
         "timestamp_extractor_record_field": _enc_summary(
             "'year=' || strftime(ts, '%Y') || '/month=' || strftime(ts, '%m') || '/day=' || strftime(ts, '%d')"
         ),

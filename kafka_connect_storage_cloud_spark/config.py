@@ -35,6 +35,7 @@ VALID_PARTITIONERS = (
 )
 VALID_TS_EXTRACTORS = ("Wallclock", "Record", "RecordField")
 VALID_COMPATIBILITY = ("NONE", "BACKWARD", "FORWARD", "FULL")
+VALID_AFFIX_TYPES = ("NONE", "PREFIX", "SUFFIX")
 
 
 @dataclass
@@ -58,6 +59,11 @@ class ConnectorConfig:
     store_kafka_headers: bool = False
     schema_compatibility: str = "NONE"
     rotate_file_on_partition_change: bool = True
+    schema_affix_type: str = "NONE"
+    tombstone_encoded_partition: str = "tombstone"
+    compression_level: int = -1  # Deflater.DEFAULT_COMPRESSION
+    bytearray_extension: str = ".bin"
+    bytearray_separator: str = "\n"
     extra: dict[str, Any] = field(default_factory=dict)
 
     def __post_init__(self) -> None:
@@ -81,6 +87,13 @@ class ConnectorConfig:
             )
         if self.schema_compatibility not in VALID_COMPATIBILITY:
             raise ValueError(f"schema.compatibility {self.schema_compatibility!r} invalid")
+        if self.schema_affix_type not in VALID_AFFIX_TYPES:
+            raise ValueError(
+                f"s3.schema.partition.affix.type {self.schema_affix_type!r} invalid"
+            )
+        if not -1 <= self.compression_level <= 9:
+            # reference CompressionLevelValidator: Deflater levels -1..9
+            raise ValueError(f"s3.compression.level {self.compression_level} out of range")
 
     @property
     def spark_format(self) -> str:
@@ -109,6 +122,11 @@ _KEY_MAP = {
         "rotate_file_on_partition_change",
         lambda v: str(v).lower() == "true",
     ),
+    "s3.schema.partition.affix.type": ("schema_affix_type", lambda v: str(v).upper()),
+    "tombstone.encoded.partition": ("tombstone_encoded_partition", str),
+    "s3.compression.level": ("compression_level", int),
+    "format.bytearray.extension": ("bytearray_extension", str),
+    "format.bytearray.separator": ("bytearray_separator", str),
 }
 
 

@@ -149,10 +149,18 @@ def hourly_partitioner(ts: Column) -> Column:
     return time_based_partitioner(ts, "year/month/day/hour")
 
 
-def schema_partitioner(schema_name: Column, inner: Column) -> Column:
-    """SchemaPartitioner (util/SchemaPartitioner.java): prepend
-    'schema_name=<name>/' to the delegate partitioner's encoding."""
-    return F.concat(F.lit("schema_name="), F.coalesce(schema_name, F.lit("null")), F.lit("/"), inner)
+def schema_partitioner(schema_name: Column, inner: Column, affix: str = "PREFIX") -> Column:
+    """SchemaPartitioner (util/SchemaPartitioner.java:61-68) with
+    s3.schema.partition.affix.type semantics: PREFIX prepends
+    'schema_name=<name>/', SUFFIX appends '/schema_name=<name>', NONE leaves
+    the delegate unchanged. A null schema name renders as 'null' (Java
+    string concatenation in generateSchemaBasedPath)."""
+    if affix == "NONE":
+        return inner
+    name = F.coalesce(schema_name, F.lit("null"))
+    if affix == "SUFFIX":
+        return F.concat(inner, F.lit("/schema_name="), name)
+    return F.concat(F.lit("schema_name="), name, F.lit("/"), inner)
 
 
 def tombstone_supported_partitioner(
@@ -215,6 +223,13 @@ def partitioner_expr(cfg) -> Column:
         inner = schema_partitioner(F.col("event_type"), time_based_partitioner(ts, "year/month/day"))
     else:  # pragma: no cover - ConnectorConfig validates partitioner_class
         raise ValueError(f"unknown partitioner.class {k!r}")
+    # wrapping order mirrors S3SinkTask.newPartitioner (S3SinkTask.java:216-222):
+    # schema affix wraps the delegate, tombstone routing wraps outermost so a
+    # null value always lands in the tombstone partition.
+    if cfg.schema_affix_type != "NONE" and k != "schema":
+        inner = schema_partitioner(F.col("event_type"), inner, cfg.schema_affix_type)
     if cfg.behavior_on_null_values == "write":
-        inner = tombstone_supported_partitioner(F.col("value"), inner)
+        inner = tombstone_supported_partitioner(
+            F.col("value"), inner, cfg.tombstone_encoded_partition
+        )
     return inner

@@ -77,6 +77,17 @@ def schema_partitioner_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _summarize(rec.withColumn("encoded_partition", enc))
 
 
+def schema_suffix_partitioner_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s3.schema.partition.affix.type=SUFFIX: delegate encoding first, then
+    '/schema_name=<name>' (SchemaPartitioner.java generateSchemaBasedPath
+    else-branch)."""
+    rec = events_as_topic(spark, sf_dir)
+    enc = P.schema_partitioner(
+        F.col("event_type"), P.daily_partitioner(F.col("timestamp")), affix="SUFFIX"
+    )
+    return _summarize(rec.withColumn("encoded_partition", enc))
+
+
 def record_field_extractor_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RecordField timestamp extractor: partition on the `ts` value field
     (vs the Kafka record timestamp) — same data here, but the plan exercises

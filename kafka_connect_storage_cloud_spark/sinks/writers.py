@@ -58,6 +58,8 @@ class SinkConfig:
     flush_size: int | None = None  # records per file cap
     partition_cols: tuple[str, ...] = field(default=("encoded_partition",))
     mode: str = "overwrite_partitions"  # or "append" / "overwrite"
+    compression_level: int = -1  # s3.compression.level (gzip: Deflater -1..9)
+    bytearray_separator: str = "\n"  # format.bytearray.separator
 
     def codec(self) -> str:
         key = (self.format, self.compression)
@@ -73,6 +75,19 @@ def write_partitioned(df: DataFrame, path: str, cfg: SinkConfig) -> None:
     spark = df.sparkSession
     if cfg.flush_size:
         spark.conf.set("spark.sql.files.maxRecordsPerFile", str(cfg.flush_size))
+    if cfg.compression == "gzip" and cfg.format in ("json", "csv", "bytearray"):
+        # s3.compression.level (reference S3SinkConnectorConfig.java:150, a
+        # Deflater level -1..9 handed to the gzip stream). Hadoop's GzipCodec
+        # reads zlib.compress.level from the job conf; map the Deflater int
+        # onto its enum. Applies to text-based codecs only (parquet manages
+        # its own codec levels internally).
+        level = {
+            -1: "DEFAULT_COMPRESSION",
+            0: "NO_COMPRESSION",
+            1: "BEST_SPEED",
+            9: "BEST_COMPRESSION",
+        }.get(cfg.compression_level, "DEFAULT_COMPRESSION")
+        spark.sparkContext._jsc.hadoopConfiguration().set("zlib.compress.level", level)
     if cfg.mode == "overwrite_partitions":
         # exactly-once analog: replaying the same input overwrites the same
         # partition dirs (no duplicate accumulation), others untouched
@@ -101,6 +116,9 @@ def write_partitioned(df: DataFrame, path: str, cfg: SinkConfig) -> None:
     if cfg.partition_cols:
         writer = writer.partitionBy(*cfg.partition_cols)
     if cfg.format == "bytearray":
+        # format.bytearray.separator (ByteArrayFormat's line.separator analog)
+        if cfg.bytearray_separator != "\n":
+            writer = writer.option("lineSep", cfg.bytearray_separator)
         writer.format("text").save(path)
     elif cfg.format == "avro":
         try:

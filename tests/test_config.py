@@ -118,3 +118,29 @@ def test_properties_tombstone_write_routes_nulls(spark, sf_small):
         .count()
         == 0
     )
+
+
+def test_properties_affix_and_tombstone_partition(spark, sf_small):
+    """S3SinkTask.newPartitioner wrapping order: schema affix wraps the
+    delegate, tombstone routing wraps outermost with its configured name."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_storage_cloud_spark.operators.partitioners import partitioner_expr
+    from kafka_connect_storage_cloud_spark.sources.topic import events_as_topic
+
+    cfg = parse_properties(
+        {
+            "partitioner.class": "io.confluent.connect.storage.partitioner.DailyPartitioner",
+            "s3.schema.partition.affix.type": "SUFFIX",
+            "behavior.on.null.values": "write",
+            "tombstone.encoded.partition": "null-records",
+        }
+    )
+    rec = events_as_topic(spark, sf_small).withColumn(
+        "encoded_partition", partitioner_expr(cfg)
+    )
+    non_null = rec.where(F.col("value").isNotNull()).select("encoded_partition").first()[0]
+    assert "/schema_name=" in non_null and non_null.startswith("year=")
+    nulls = rec.where(F.col("value").isNull())
+    if nulls.count():
+        assert nulls.select("encoded_partition").distinct().first()[0] == "null-records"

@@ -159,3 +159,53 @@ def test_parquet_compression_codecs_roundtrip(spark, records, tmp_path, codec):
     token = {"snappy": ".snappy.", "zstd": ".zstd.", "gzip": ".gz."}[codec]
     assert files and all(token in os.path.basename(f) for f in files)
     assert spark.read.parquet(out).count() == src.count()
+
+
+def test_gzip_compression_level_honored(spark, tmp_path):
+    """s3.compression.level: BEST_COMPRESSION output is no larger than
+    BEST_SPEED on compressible data, and both roundtrip identically."""
+    df = spark.range(2000).select(
+        F.lit("grp").alias("encoded_partition"),
+        F.concat(F.lit("payload-" * 30), (F.col("id") % 7).cast("string")).alias("value"),
+    )
+    sizes = {}
+    for level in (1, 9):
+        out = str(tmp_path / f"lvl{level}")
+        cfg = SinkConfig(format="json", compression="gzip", compression_level=level)
+        write_partitioned(df, out, cfg)
+        files = _data_files(out, ".gz")
+        assert files
+        sizes[level] = sum(os.path.getsize(f) for f in files)
+        back = spark.read.json(out)
+        assert back.count() == 2000
+    assert sizes[9] <= sizes[1]
+
+
+def test_bytearray_separator_roundtrip(spark, records, tmp_path):
+    """format.bytearray.separator: custom record separator is honored and
+    round-trips through the matching read-side lineSep."""
+    out = str(tmp_path / "sep")
+    cfg = SinkConfig(format="bytearray", bytearray_separator="|#|")
+    write_partitioned(records.select("encoded_partition", "value"), out, cfg)
+    back = spark.read.option("lineSep", "|#|").text(out)
+    n_values = records.where(F.col("value").isNotNull()).count()
+    assert back.where(F.length("value") > 0).count() == n_values
+
+
+def test_compression_level_validation():
+    from kafka_connect_storage_cloud_spark.config import parse_properties
+
+    with pytest.raises(ValueError):
+        parse_properties({"s3.compression.level": "10"})
+    cfg = parse_properties(
+        {
+            "s3.compression.level": "9",
+            "s3.schema.partition.affix.type": "suffix",
+            "tombstone.encoded.partition": "null-records",
+            "format.bytearray.separator": ";",
+        }
+    )
+    assert cfg.compression_level == 9
+    assert cfg.schema_affix_type == "SUFFIX"
+    assert cfg.tombstone_encoded_partition == "null-records"
+    assert cfg.bytearray_separator == ";"
