@@ -139,3 +139,14 @@ def windowed_rollup_stream(
             "sum_value",
         )
     )
+
+
+def dedup_stream(events: DataFrame, keys: tuple[str, ...] = ("event_id",),
+                 watermark: str = "1 hour") -> DataFrame:
+    """Streaming exactly-once dedup: drop records whose key was already seen
+    within the event-time watermark (dropDuplicatesWithinWatermark). This is
+    the stream-side analog of the connector's replay-overwrite guarantee —
+    a re-delivered Kafka record commits no second copy. State is bounded by
+    the watermark horizon, so it holds at any throughput: keys older than
+    the horizon are evicted instead of accumulating forever."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(list(keys))

@@ -173,3 +173,32 @@ def test_windowed_rollup_matches_batch(spark, sf_small, batch_events, tmp_path):
     assert emitted, "stream emitted nothing"
     for k, v in emitted.items():
         assert exp.get(k) == v, f"window {k}: stream={v} batch={exp.get(k)}"
+
+
+def test_stream_dedup_drops_redelivered_records(spark, sf_small, batch_events, tmp_path):
+    """dropDuplicatesWithinWatermark: a re-delivered record (same event_id)
+    commits no second copy — the stream-side exactly-once guarantee."""
+    from kafka_connect_storage_cloud_spark.streaming.pipeline import dedup_stream
+
+    src_dir = str(tmp_path / "dup_src")
+    events = batch_events.limit(200)
+    # two files, overlapping halves -> redelivery across micro-batches
+    events.write.mode("overwrite").parquet(src_dir)
+    events.limit(120).write.mode("append").parquet(src_dir)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    out = str(tmp_path / "dedup_out")
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == got.select("event_id").distinct().count() == 200
