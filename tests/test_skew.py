@@ -1,0 +1,50 @@
+"""Skew helpers: salted transforms must be EXACTLY equivalent to their
+unsalted forms (they change the physical distribution, never the result)."""
+
+from pyspark.sql import functions as F
+
+from kafka_connect_storage_cloud_spark.operators.skew import (
+    salted_count_distinct,
+    salted_join,
+)
+from kafka_connect_storage_cloud_spark.session import read_events, read_table
+
+
+def test_salted_join_matches_plain_join(spark, sf_small):
+    events = read_events(spark, sf_small).select("event_id", "user_id", "event_type")
+    dim = (
+        events.select("event_type").distinct()
+        .withColumn("type_tag", F.upper("event_type"))
+    )
+    plain = events.join(dim, ["event_type"]).select("event_id", "type_tag")
+    salted = salted_join(events, dim, ["event_type"]).select("event_id", "type_tag")
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+
+
+def test_salted_count_distinct_is_exact(spark, sf_small):
+    events = read_events(spark, sf_small)
+    expected = {
+        (r["event_type"],): r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    got = {
+        (r["event_type"],): r["distinct_user_id"]
+        for r in salted_count_distinct(events, ["event_type"], "user_id").collect()
+    }
+    assert got == expected
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """A 100%-skewed key (every row identical) must land in multiple salt
+    groups — the property that breaks the single-task bottleneck."""
+    hot = spark.range(10000).select(F.lit("hot").alias("k"), F.col("id"))
+    n_groups = (
+        hot.withColumn("s", F.pmod(F.xxhash64("k", "id"), F.lit(16)))
+        .select("s")
+        .distinct()
+        .count()
+    )
+    assert n_groups == 16
