@@ -136,13 +136,56 @@ WHERE abs(ROUND(("value" - mean) / sd, 6)) >= {Z_THRESHOLD}
 ORDER BY event_id
 """
 
+def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload processing: parse the props JSON value with a
+    declared schema (from_json — typed, codegen'd, null-safe on tombstones)
+    and aggregate the extracted field per event_type. The parse is a pure
+    projection; the shuffle carries |event_type| partial-agg rows only."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    ev = read_events(spark, sf_dir).select("event_type", "props")
+    k = F.from_json(F.col("props"), StructType([StructField("k", LongType())]))["k"]
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.sum(F.col("props").isNull().cast("long")).alias("n_tombstones"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.countDistinct("k").alias("distinct_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_EVENTS_PROPS_EXTRACT = """
+WITH parsed AS (
+  SELECT event_type, props, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n_records,
+       SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS n_tombstones,
+       COUNT(k) AS n_with_k,
+       SUM(k) AS sum_k,
+       MIN(k) AS min_k,
+       MAX(k) AS max_k,
+       COUNT(DISTINCT k) AS distinct_k
+FROM parsed GROUP BY event_type ORDER BY event_type
+"""
+
 QUERIES = {
     "events_funnel": events_funnel,
     "events_retention": events_retention,
     "events_anomaly": events_anomaly,
+    "events_props_extract": events_props_extract,
 }
 ORACLES = {
     "events_funnel": SQL_EVENTS_FUNNEL,
     "events_retention": SQL_EVENTS_RETENTION,
     "events_anomaly": SQL_EVENTS_ANOMALY,
+    "events_props_extract": SQL_EVENTS_PROPS_EXTRACT,
 }
