@@ -227,12 +227,12 @@ def ann_topk_ivf_multiprobe(
 
 
 _SQL_DOT = (
-    "CAST(list_sum(list_transform(list_zip({a}, {b}), "
-    "s -> CAST(s[1] * s[2] AS DECIMAL(32,18)))) AS DOUBLE)"
+    "(CAST(list_sum(list_transform(list_zip({a}, {b}), "
+    "s -> s[1] * s[2])) AS DOUBLE) / 1e16)"
 )
 
 _SQL_EMB = """
-emb AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(12,9))) AS v
+emb AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 100000000, 0) AS BIGINT)) AS v
         FROM embeddings),
 emb_n AS (SELECT vec_id, label, v,
                  sqrt({dot_vv}) AS nrm FROM emb)

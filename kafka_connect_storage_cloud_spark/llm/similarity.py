@@ -1,9 +1,17 @@
 """Similarity search over the embeddings table (array<float>, 64-dim).
 
 Determinism contract: float dot products depend on accumulation order, so
-both engines cast components float -> DOUBLE -> DECIMAL(12,9) (the double hop
-matters: DuckDB's direct float->decimal rounds differently) and sum exactly
-in decimal; the final cosine division happens on identical doubles.
+both engines quantize components to scaled int64 (round(x * 1e8)) and sum
+products exactly in integer arithmetic — JVM long / DuckDB hugeint, an
+order-free exact sum — then convert once to double. Integer-to-double
+conversion, sqrt, division, and round(_, 6) are all IEEE-deterministic, so
+Spark and DuckDB produce bit-identical cosines. Long arithmetic in the
+interpreted higher-order-function hot loop is ~5-10x cheaper per pair than
+the BigDecimal path it replaces.
+
+Overflow bound: |x| <= sqrt(2^63 / (dim * 1e16)) — 3.8 for dim 64, 1.2 for
+dim 1024. Unit-normalized embeddings are far inside it; assert at ingest
+for exotic scales.
 
 Scale design:
 - brute force: queries are broadcast, so the big side streams once with no
@@ -21,21 +29,23 @@ from pyspark.sql import functions as F
 from ..functions import hashing as H
 from ..session import read_table
 
-DEC = "decimal(12,9)"
+SCALE = 10**8  # component quantization; dot products carry SCALE**2
 QUERY_MOD = 50  # vec_id % QUERY_MOD == 0 -> query vector
 TOP_K = 10
 LSH_BITS = 8
 
 
 def _dec_vec(col: str) -> Column:
-    return F.expr(f"transform({col}, x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(12,9)))")
+    """Quantize a float vector to scaled int64 components."""
+    return F.expr(f"transform({col}, x -> CAST(round(CAST(x AS DOUBLE) * {SCALE}, 0) AS BIGINT))")
 
 
 def _dot(a: str, b: str) -> Column:
-    """Exact decimal dot product, emitted as double."""
+    """Exact scaled-integer dot product, emitted as a double in the
+    original (unscaled) units."""
     return F.expr(
         f"CAST(aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
-        f"CAST(0 AS DECIMAL(32,18)), (acc, v) -> CAST(acc + v AS DECIMAL(32,18))) AS DOUBLE)"
+        f"CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE) / {float(SCALE * SCALE)}"
     )
 
 
@@ -51,28 +61,51 @@ def _with_dec_and_norm(df: DataFrame) -> DataFrame:
 def embedding_cosine_dups(spark: SparkSession, sf_dir: str, threshold: float = 0.9) -> DataFrame:
     """Near-duplicate embedding pairs with cosine >= threshold, blocked by
     label (cluster id) — the blocking key that bounds the pair count; swap in
-    LSH buckets for unlabeled corpora."""
-    emb = _with_dec_and_norm(read_table(spark, sf_dir, "embeddings"))
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("label"), F.col("v").alias("va"), F.col("nrm").alias("na")
-    )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("label"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    LSH buckets for unlabeled corpora.
+
+    Each block's pair matrix is one exact int64 Gram matmul inside
+    applyInPandas (vectorized, order-free — bit-identical to the scalar
+    fold; see ann_topk_bruteforce). Only pairs near the threshold leave the
+    UDF, so the shuffle back carries |near-dups|, not |block|²."""
+    import numpy as np
+    import pandas as pd
+
+    def block(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        c_mat = np.stack(pdf["v"].to_numpy()).astype(np.int64)
+        norm = np.sqrt(np.einsum("ij,ij->i", c_mat, c_mat).astype(np.float64) / 1e16)
+        cos = ((c_mat @ c_mat.T).astype(np.float64) / 1e16) / (norm[:, None] * norm[None, :])
+        ia, ib = np.triu_indices(len(ids), k=1)
+        raw = cos[ia, ib]
+        # conservative prefilter; the exact >= test happens after round(,6)
+        keep = raw >= threshold - 1e-6
+        return pd.DataFrame(
+            {
+                "vec_a": ids[ia[keep]],
+                "vec_b": ids[ib[keep]],
+                "label": pdf["label"].iloc[0],
+                "cosine_raw": raw[keep],
+            }
+        )
+
+    emb = _with_dec_and_norm(read_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "label", "v"
     )
     return (
-        a.join(b, "label")
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cosine", F.round(_dot("va", "vb") / (F.col("na") * F.col("nb")), 6))
+        emb.groupBy("label")
+        .applyInPandas(block, "vec_a long, vec_b long, label int, cosine_raw double")
+        .withColumn("cosine", F.round(F.col("cosine_raw"), 6))
         .where(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "label", "cosine")
         .orderBy("vec_a", "vec_b")
     )
 
 
-_SQL_DEC_VEC = "list_transform({col}, x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(12,9)))"
+_SQL_DEC_VEC = "list_transform({col}, x -> CAST(round(CAST(x AS DOUBLE) * 100000000, 0) AS BIGINT))"
 _SQL_DOT = (
-    "CAST(list_sum(list_transform(list_zip({a}, {b}), "
-    "s -> CAST(s[1] * s[2] AS DECIMAL(32,18)))) AS DOUBLE)"
+    "(CAST(list_sum(list_transform(list_zip({a}, {b}), "
+    "s -> s[1] * s[2])) AS DOUBLE) / 1e16)"
 )
 
 
@@ -96,18 +129,51 @@ ORDER BY vec_a, vec_b
 
 
 def ann_topk_bruteforce(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
-    """Exact cosine top-k per query vector. The query set is broadcast; the
-    corpus streams through one stage, then a per-query window ranks."""
+    """Exact cosine top-k per query vector, scored by a vectorized Arrow
+    batch matmul.
+
+    The query matrix (tiny by definition) ships to every task in the UDF
+    closure — the broadcast side of a broadcast join, without the join. The
+    corpus streams through mapInPandas ONCE; each Arrow batch computes all
+    query dots in one int64 matrix product. Because components are
+    quantized to int64 (see module docstring), numpy's integer matmul is
+    EXACT and order-free — bit-identical to the JVM fold and the DuckDB
+    oracle — while running vectorized instead of one interpreted lambda per
+    element. The final double ops (int->double, /1e16, norm divide, round)
+    replicate the scalar expression's operation order, so parity survives."""
+    import numpy as np
+    import pandas as pd
+
     emb = _with_dec_and_norm(read_table(spark, sf_dir, "embeddings"))
-    queries = emb.where(F.pmod(F.col("vec_id"), F.lit(QUERY_MOD)) == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    qrows = (
+        emb.where(F.pmod(F.col("vec_id"), F.lit(QUERY_MOD)) == 0)
+        .select("vec_id", "v")
+        .collect()
     )
-    cands = emb.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
-    )
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    q_mat = np.array([r["v"] for r in qrows], dtype=np.int64)  # m x dim
+    q_norm = np.sqrt(np.einsum("ij,ij->i", q_mat, q_mat).astype(np.float64) / 1e16)
+
+    def score(batches):
+        for pdf in batches:
+            c_mat = np.stack(pdf["v"].to_numpy()).astype(np.int64)  # n x dim
+            c_norm = np.sqrt(np.einsum("ij,ij->i", c_mat, c_mat).astype(np.float64) / 1e16)
+            dots = c_mat @ q_mat.T  # n x m, exact int64
+            cos = (dots.astype(np.float64) / 1e16) / (c_norm[:, None] * q_norm[None, :])
+            n, m = cos.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.tile(q_ids, n),
+                    "neighbor_id": np.repeat(pdf["vec_id"].to_numpy(), m),
+                    "cosine_raw": cos.ravel(),
+                }
+            )
+
     scored = (
-        cands.join(F.broadcast(queries), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.round(_dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6))
+        emb.select("vec_id", "v")
+        .mapInPandas(score, "query_id long, neighbor_id long, cosine_raw double")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(F.col("cosine_raw"), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -146,7 +212,7 @@ def _lsh_signature() -> Column:
             f"aggregate(zip_with(v, sequence(0, size(v) - 1), "
             f"(x, i) -> CASE WHEN (CAST(conv(substring(md5(concat('{j}', ':', CAST(i AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2) = 0 "
             f"THEN x ELSE -x END), "
-            f"CAST(0 AS DECIMAL(32,18)), (acc, x) -> CAST(acc + x AS DECIMAL(32,18)))"
+            f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
         )
         bit_exprs.append(f"(CASE WHEN {proj} > 0 THEN {2**j} ELSE 0 END)")
     return F.expr(" + ".join(bit_exprs)).cast("int")
@@ -191,7 +257,7 @@ def _sql_lsh_signature() -> str:
         proj = (
             f"list_sum(list_transform(list_zip(v, generate_series(0, len(v) - 1)), "
             f"s -> CASE WHEN (CAST(('0x' || substr(md5('{j}' || ':' || CAST(s[2] AS VARCHAR)), 1, 8)) AS BIGINT) % 2) = 0 "
-            f"THEN CAST(s[1] AS DECIMAL(32,18)) ELSE CAST(-s[1] AS DECIMAL(32,18)) END))"
+            f"THEN s[1] ELSE -s[1] END))"
         )
         bits.append(f"(CASE WHEN {proj} > 0 THEN {2**j} ELSE 0 END)")
     return "CAST(" + " + ".join(bits) + " AS INT)"
