@@ -125,27 +125,52 @@ FROM stats ORDER BY doc_id
 
 
 def _assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Every vector with its IVF cell: argmin over broadcast centroids of
-    (-cosine, centroid_id) — exact because cosine is the shared rounded
-    double and the argmin is a lexicographic struct-min, identical in both
-    engines. One map-side-combined shuffle (C rows/vec collapse to 1)."""
+    """Every vector with its IVF cell: argmin over the centroid set of
+    (-cosine, centroid_id), computed as one exact int64 matmul per Arrow
+    batch with the (small) centroid matrix in the task closure.
+
+    Versus the crossJoin + struct-min formulation this removes both the C×
+    row blowup AND its groupBy shuffle — the corpus streams through one
+    narrow stage, which is the property that matters when corpus × C is the
+    dominant term. The argmin decision replicates the engines' semantics
+    exactly: cosines from exact integer dot products, rounded to 6 decimals
+    half-away-from-zero (what Spark's HALF_UP and DuckDB's round do), ties
+    broken by the smallest centroid_id (argmin first-hit over id-sorted
+    columns = lexicographic struct-min)."""
+    import numpy as np
+    import pandas as pd
+
     emb = _with_dec_and_norm(read_table(spark, sf_dir, "embeddings"))
-    cents = emb.where(F.pmod(F.col("vec_id"), F.lit(IVF_CENTROID_MOD)) == 1).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("v").alias("cv"),
-        F.col("nrm").alias("cn"),
+    crows = (
+        emb.where(F.pmod(F.col("vec_id"), F.lit(IVF_CENTROID_MOD)) == 1)
+        .select("vec_id", "v")
+        .collect()
     )
-    scored = emb.crossJoin(F.broadcast(cents)).withColumn(
-        "neg_cos", -F.round(_dot("v", "cv") / (F.col("nrm") * F.col("cn")), 6)
-    )
-    return (
-        scored.groupBy("vec_id")
-        .agg(
-            F.min(F.struct(F.col("neg_cos"), F.col("centroid_id"))).alias("best"),
-            F.first("v").alias("v"),  # constant within the group
-            F.first("nrm").alias("nrm"),
-        )
-        .select("vec_id", F.col("best.centroid_id").alias("cell"), "v", "nrm")
+    crows.sort(key=lambda r: r["vec_id"])
+    c_ids = np.array([r["vec_id"] for r in crows], dtype=np.int64)
+    c_mat = np.array([r["v"] for r in crows], dtype=np.int64)  # C x dim
+    c_norm = np.sqrt(np.einsum("ij,ij->i", c_mat, c_mat).astype(np.float64) / 1e16)
+
+    def assign(batches):
+        for pdf in batches:
+            v_mat = np.stack(pdf["v"].to_numpy()).astype(np.int64)
+            nrm = np.sqrt(np.einsum("ij,ij->i", v_mat, v_mat).astype(np.float64) / 1e16)
+            cos = ((v_mat @ c_mat.T).astype(np.float64) / 1e16) / (
+                nrm[:, None] * c_norm[None, :]
+            )
+            r6 = np.floor(np.abs(cos) * 1e6 + 0.5) * np.sign(cos) / 1e6
+            best = np.argmin(-r6, axis=1)  # first hit = smallest centroid_id
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cell": c_ids[best],
+                    "v": pdf["v"],
+                    "nrm": nrm,
+                }
+            )
+
+    return emb.select("vec_id", "v").mapInPandas(
+        assign, "vec_id long, cell long, v array<bigint>, nrm double"
     )
 
 
