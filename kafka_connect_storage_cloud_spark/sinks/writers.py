@@ -60,6 +60,7 @@ class SinkConfig:
     mode: str = "overwrite_partitions"  # or "append" / "overwrite"
     compression_level: int = -1  # s3.compression.level (gzip: Deflater -1..9)
     bytearray_separator: str = "\n"  # format.bytearray.separator
+    max_open_files: int | None = None  # partitioner.max.open.files (-1 = unbounded)
 
     def codec(self) -> str:
         key = (self.format, self.compression)
@@ -75,6 +76,13 @@ def write_partitioned(df: DataFrame, path: str, cfg: SinkConfig) -> None:
     spark = df.sparkSession
     if cfg.flush_size:
         spark.conf.set("spark.sql.files.maxRecordsPerFile", str(cfg.flush_size))
+    if cfg.max_open_files and cfg.max_open_files > 0:
+        # partitioner.max.open.files analog: cap concurrent writers per task;
+        # beyond the cap Spark sorts the remaining rows by partition key and
+        # streams them writer-by-writer (bounded memory, same files)
+        spark.conf.set(
+            "spark.sql.maxConcurrentOutputFileWriters", str(cfg.max_open_files)
+        )
     if cfg.compression == "gzip" and cfg.format in ("json", "csv", "bytearray"):
         # s3.compression.level (reference S3SinkConnectorConfig.java:150, a
         # Deflater level -1..9 handed to the gzip stream). Hadoop's GzipCodec

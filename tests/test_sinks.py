@@ -209,3 +209,38 @@ def test_compression_level_validation():
     assert cfg.schema_affix_type == "SUFFIX"
     assert cfg.tombstone_encoded_partition == "null-records"
     assert cfg.bytearray_separator == ";"
+
+
+def test_readback_prunes_partitions(spark, records, tmp_path):
+    """The consumer side of the connector layout: a filter on the encoded
+    partition column must prune directories at planning time (PartitionFilters
+    on the scan), not read-and-filter — the property that makes reading one
+    hour out of a year of S3 layout cheap."""
+    out = str(tmp_path / "pruned")
+    write_partitioned(records, out, SinkConfig())
+    one_part = spark.read.parquet(out).where(
+        F.col("encoded_partition") == "event_type=click"
+    )
+    plan = one_part._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters: [" in plan
+    assert "event_type=click" in plan
+    # and the filter is partition-level: no row-level Filter over the payload
+    got = {r[0] for r in one_part.select("encoded_partition").distinct().collect()}
+    assert got == {"event_type=click"}
+
+
+def test_max_open_files_cap_still_writes_all_partitions(spark, records, tmp_path):
+    """partitioner.max.open.files -> maxConcurrentOutputFileWriters: with a
+    cap of 1 concurrent writer the layout and content are unchanged (Spark
+    falls back to sort-then-stream per partition)."""
+    out = str(tmp_path / "capped")
+    try:
+        write_partitioned(records, out, SinkConfig(max_open_files=1))
+        back = spark.read.parquet(out)
+        assert back.count() == records.count()
+        n_parts = records.select("encoded_partition").distinct().count()
+        assert back.select("encoded_partition").distinct().count() == n_parts
+    finally:
+        spark.conf.unset("spark.sql.maxConcurrentOutputFileWriters")
