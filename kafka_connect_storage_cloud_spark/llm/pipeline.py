@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from ..functions import hashing as H
 from ..functions import text as T
 from ..session import read_table
-from .similarity import _dot, _with_dec_and_norm
+from .similarity import _dot, _norm, _with_dec_and_norm
 
 GRAM_N = 3
 BENCH_SOURCE = "src0"  # stand-in held-out eval set
@@ -251,6 +251,49 @@ def ann_topk_ivf_multiprobe(
     )
 
 
+def ivf_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd (k-means) refinement step over the IVF centroids: assign
+    every vector to its nearest centroid, recompute each cell's centroid as
+    the element-wise member mean, and report per-cell membership plus the
+    drift cosine between old and new centroid (the convergence metric; loop
+    this step to train).
+
+    Everything stays in the exact-integer domain: means are re-quantized to
+    the int64 component scale (round(avg)), so the refined centroids feed
+    the same exact dot-product machinery and the whole step is value-checked
+    against DuckDB. Scale shape: assignment is the vectorized one-pass map
+    (see _assigned); the mean is one (cell, pos) groupBy whose shuffle
+    carries C × dim partial aggregates — centroid-table-sized, not
+    corpus-sized."""
+    assigned = _assigned(spark, sf_dir).localCheckpoint()
+    emb = _with_dec_and_norm(read_table(spark, sf_dir, "embeddings"))
+    cents = emb.where(F.pmod(F.col("vec_id"), F.lit(IVF_CENTROID_MOD)) == 1).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    memb = assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+    means = memb.groupBy("cell", "pos").agg(
+        F.round(F.avg("x"), 0).cast("bigint").alias("q")
+    )
+    newc = means.groupBy("cell").agg(
+        F.expr("transform(array_sort(collect_list(struct(pos, q))), s -> s.q)").alias("nv")
+    )
+    counts = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        newc.join(counts, "cell")
+        .join(F.broadcast(cents), "cell")
+        .withColumn("new_norm", _norm("nv"))
+        .select(
+            "cell",
+            "n_members",
+            F.round("new_norm", 6).alias("centroid_norm"),
+            F.round(_dot("nv", "cv") / (F.col("new_norm") * F.col("cn")), 6).alias(
+                "drift_cos"
+            ),
+        )
+        .orderBy("cell")
+    )
+
+
 _SQL_DOT = (
     "(CAST(list_sum(list_transform(list_zip({a}, {b}), "
     "s -> s[1] * s[2])) AS DOUBLE) / 1e16)"
@@ -326,11 +369,41 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked
 WHERE rank <= {IVF_TOP_K} ORDER BY query_id, rank
 """
 
+SQL_IVF_KMEANS_REFINE = f"""
+WITH {_SQL_EMB},
+cents AS (SELECT vec_id AS cell, v AS cv, nrm AS cn FROM emb_n
+          WHERE vec_id % {IVF_CENTROID_MOD} = 1),
+assigned AS (
+  SELECT e.vec_id,
+         (min(struct_pack(neg_cos := -ROUND({_SQL_DOT.format(a='e.v', b='c.cv')} / (e.nrm * c.cn), 6),
+                          centroid_id := c.cell))).centroid_id AS cell
+  FROM emb_n e CROSS JOIN cents c
+  GROUP BY e.vec_id
+),
+av AS (SELECT a.cell, e.v FROM assigned a JOIN emb_n e ON a.vec_id = e.vec_id),
+memb AS (
+  SELECT cell, unnest(generate_series(0, len(v) - 1)) AS pos, unnest(v) AS x FROM av
+),
+means AS (
+  SELECT cell, pos, CAST(round(avg(x), 0) AS BIGINT) AS q
+  FROM memb GROUP BY cell, pos
+),
+newc AS (SELECT cell, list(q ORDER BY pos) AS nv FROM means GROUP BY cell),
+counts AS (SELECT cell, COUNT(*) AS n_members FROM assigned GROUP BY cell)
+SELECT n.cell, counts.n_members,
+       ROUND(sqrt({_SQL_DOT.format(a='n.nv', b='n.nv')}), 6) AS centroid_norm,
+       ROUND({_SQL_DOT.format(a='n.nv', b='cents.cv')}
+             / (sqrt({_SQL_DOT.format(a='n.nv', b='n.nv')}) * cents.cn), 6) AS drift_cos
+FROM newc n JOIN counts USING (cell) JOIN cents USING (cell)
+ORDER BY cell
+"""
+
 QUERIES = {
     "stratified_sample": stratified_sample,
     "contamination_check": contamination_check,
     "ann_topk_ivf": ann_topk_ivf,
     "ann_topk_ivf_multiprobe": ann_topk_ivf_multiprobe,
+    "ivf_kmeans_refine": ivf_kmeans_refine,
 }
 
 ORACLES = {
@@ -338,4 +411,5 @@ ORACLES = {
     "contamination_check": SQL_CONTAMINATION_CHECK,
     "ann_topk_ivf": SQL_ANN_TOPK_IVF,
     "ann_topk_ivf_multiprobe": SQL_ANN_TOPK_IVF_MULTIPROBE,
+    "ivf_kmeans_refine": SQL_IVF_KMEANS_REFINE,
 }
