@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": LS.ann_topk_lsh,
         "lang_id": LQ.lang_id,
         "quality_score": LQ.quality_score,
+        "quality_filter": LQ.quality_filter,
         "repetition_score": LQ.repetition_score,
         "token_count": LQ.token_count,
         "doc_fingerprint": LQ.doc_fingerprint,

@@ -269,10 +269,69 @@ ORDER BY p.doc_id
 """
 
 
+QUALITY_MIN = 0.5
+
+
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual keep/drop decision of a corpus-prep pipeline: compose
+    quality scoring, repetition flagging, and language-ID agreement into one
+    verdict per document with machine-readable reasons. All three inputs
+    are single-pass operators over the same corpus scan; the joins are
+    doc_id-keyed and co-partitioned after their aggregations."""
+    q = quality_score(spark, sf_dir).select("doc_id", "quality")
+    r = repetition_score(spark, sf_dir).select("doc_id", F.col("flagged").alias("rep_flagged"))
+    lid = lang_id(spark, sf_dir).select("doc_id", "detected_lang")
+    declared = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    reasons = F.concat(
+        F.when(F.col("quality") < QUALITY_MIN, F.lit("low_quality;")).otherwise(F.lit("")),
+        F.when(F.col("rep_flagged"), F.lit("repetitive;")).otherwise(F.lit("")),
+        F.when(F.col("detected_lang") != F.col("lang"), F.lit("lang_mismatch;")).otherwise(
+            F.lit("")
+        ),
+    )
+    return (
+        q.join(r, "doc_id")
+        .join(lid, "doc_id")
+        .join(declared, "doc_id")
+        .withColumn("reasons", reasons)
+        .select(
+            "doc_id",
+            "quality",
+            "rep_flagged",
+            "detected_lang",
+            "lang",
+            (F.col("reasons") == "").alias("keep"),
+            "reasons",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sql_quality_filter() -> str:
+    return f"""
+WITH q AS (SELECT doc_id, quality FROM ({SQL_QUALITY_SCORE})),
+r AS (SELECT doc_id, flagged AS rep_flagged FROM ({_sql_repetition()})),
+lid AS (SELECT doc_id, detected_lang FROM ({_sql_lang_id()})),
+verdict AS (
+  SELECT q.doc_id, q.quality, r.rep_flagged, lid.detected_lang, d.lang,
+         (CASE WHEN q.quality < {QUALITY_MIN} THEN 'low_quality;' ELSE '' END ||
+          CASE WHEN r.rep_flagged THEN 'repetitive;' ELSE '' END ||
+          CASE WHEN lid.detected_lang <> d.lang THEN 'lang_mismatch;' ELSE '' END) AS reasons
+  FROM q JOIN r ON q.doc_id = r.doc_id
+         JOIN lid ON q.doc_id = lid.doc_id
+         JOIN documents d ON q.doc_id = d.doc_id
+)
+SELECT doc_id, quality, rep_flagged, detected_lang, lang,
+       reasons = '' AS keep, reasons
+FROM verdict ORDER BY doc_id
+"""
+
+
 ORACLES = {
     "lang_id": _sql_lang_id(),
     "quality_score": SQL_QUALITY_SCORE,
     "token_count": SQL_TOKEN_COUNT,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "repetition_score": _sql_repetition(),
+    "quality_filter": _sql_quality_filter(),
 }

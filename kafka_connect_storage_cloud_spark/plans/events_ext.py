@@ -177,15 +177,47 @@ SELECT event_type,
 FROM parsed GROUP BY event_type ORDER BY event_type
 """
 
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day × event-type activity matrix via DataFrame pivot with an
+    explicit value list (fixed schema, no extra values-discovery job). The
+    pivot is one groupBy whose shuffle carries 24 x |types| partial counts."""
+    ev = read_events(spark, sf_dir).select(
+        F.hour("ts").alias("hour"), "event_type"
+    )
+    pivoted = (
+        ev.groupBy("hour")
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+    )
+    return pivoted.select(
+        "hour",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}")
+            for t in EVENT_TYPES
+        ],
+    ).orderBy("hour")
+
+
+SQL_EVENTS_TYPE_PIVOT = f"""
+SELECT EXTRACT(hour FROM ts) AS hour,
+       {", ".join(f"COUNT(*) FILTER (event_type = '{t}') AS n_{t}" for t in EVENT_TYPES)}
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
 QUERIES = {
     "events_funnel": events_funnel,
     "events_retention": events_retention,
     "events_anomaly": events_anomaly,
     "events_props_extract": events_props_extract,
+    "events_type_pivot": events_type_pivot,
 }
 ORACLES = {
     "events_funnel": SQL_EVENTS_FUNNEL,
     "events_retention": SQL_EVENTS_RETENTION,
     "events_anomaly": SQL_EVENTS_ANOMALY,
     "events_props_extract": SQL_EVENTS_PROPS_EXTRACT,
+    "events_type_pivot": SQL_EVENTS_TYPE_PIVOT,
 }

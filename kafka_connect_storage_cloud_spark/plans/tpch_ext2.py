@@ -415,7 +415,43 @@ ORDER BY numwait DESC, s_name
 LIMIT 100
 """
 
+def q1_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q1 with ROLLUP grouping sets: per (returnflag, linestatus), per
+    returnflag subtotals, and the grand total in ONE pass — Spark expands
+    the grouping sets inside the same partial aggregation, so the scan and
+    shuffle cost match plain q1 (rows x grouping-set-count partials, still
+    collapsing map-side). GROUPING() flags disambiguate subtotal rows."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            M.money_sum(M.dec("l_quantity"), "sum_qty"),
+            M.money_sum(M.disc_price(), "sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("g_flag", "g_status", "l_returnflag", "l_linestatus")
+    )
+
+
+SQL_Q1_ROLLUP = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+       {M.sql_money_sum(M.sql_dec('l_quantity'), 'sum_qty')},
+       {M.sql_money_sum(M.SQL_DISC_PRICE, 'sum_disc_price')},
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+ORDER BY g_flag, g_status, l_returnflag, l_linestatus
+"""
+
+
 QUERIES = {
+    "q1_rollup": q1_rollup,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q4_order_priority": q4_order_priority,
     "q9_product_type_profit": q9_product_type_profit,
@@ -435,4 +471,5 @@ ORACLES = {
     "q13_customer_distribution": SQL_Q13,
     "q20_dominant_suppliers": SQL_Q20,
     "q21_waiting_suppliers": SQL_Q21,
+    "q1_rollup": SQL_Q1_ROLLUP,
 }
