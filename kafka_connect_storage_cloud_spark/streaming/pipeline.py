@@ -150,3 +150,37 @@ def dedup_stream(events: DataFrame, keys: tuple[str, ...] = ("event_id",),
     the watermark horizon, so it holds at any throughput: keys older than
     the horizon are evicted instead of accumulating forever."""
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(list(keys))
+
+
+def attribution_stream(events: DataFrame, horizon: str = "2 hours") -> DataFrame:
+    """Stream-stream join: attribute each purchase to every click by the
+    same user within the preceding `horizon` (time-bounded inner join).
+    Both sides carry event-time watermarks and the join condition bounds
+    purchase_ts to [click_ts, click_ts + horizon], so Spark can evict
+    matched/expired rows — state is bounded by horizon x arrival rate, the
+    property that keeps a month-long run at a constant memory footprint.
+    The connector analog: joining two landed topics at read time; here it
+    happens in flight."""
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", horizon)
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", horizon)
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+        "inner",
+    ).select(
+        F.col("c_user").alias("user_id"), "click_ts", "purchase_ts", "purchase_value"
+    )

@@ -202,3 +202,28 @@ def test_stream_dedup_drops_redelivered_records(spark, sf_small, batch_events, t
     q.awaitTermination(120)
     got = spark.read.parquet(out)
     assert got.count() == got.select("event_id").distinct().count() == 200
+
+
+def test_stream_stream_attribution_matches_batch(spark, sf_small, batch_events, tmp_path):
+    """Time-bounded stream-stream join produces exactly the batch join's
+    result set once all data is processed."""
+    from kafka_connect_storage_cloud_spark.streaming.pipeline import (
+        attribution_stream,
+        stream_events_source,
+    )
+
+    out = str(tmp_path / "attr_out")
+    q = (
+        attribution_stream(stream_events_source(spark, sf_small))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(out)
+    expected = attribution_stream(batch_events)
+    assert got.count() == expected.count() > 0
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
