@@ -91,4 +91,49 @@ def run_connector(
                 if c in assigned.columns
             ]
             write_partitioned(assigned.select(*payload_cols), output_path, sink)
-    return R.file_manifest(assigned).orderBy("file_path")
+    manifest = R.file_manifest(assigned).orderBy("file_path")
+    if output_path is not None:
+        # persist the commit record next to the data — the queryable analog
+        # of the reference's committed-file-name state (what
+        # TopicPartitionWriter.findNextAvailableFile scans on restart)
+        manifest.coalesce(1).write.mode("overwrite").json(f"{output_path}/_manifest")
+    return manifest
+
+
+RESUME_NAME_RE = r"([^/]+)\+(\d+)\+(\d+)\.[a-z]+$"
+
+
+def recover_resume_offsets(spark: SparkSession, output_path: str) -> DataFrame:
+    """Restart-path recovery (TopicPartitionWriter.java:1023-1050 analog):
+    parse the committed manifest's deterministic file names
+    (<topic>+<kafkaPartition>+<startOffset>.<ext>) and return, per
+    (topic, kafka_partition), the next offset to consume from — the start
+    offset of the latest committed file plus its record count. Replaying
+    from these offsets rewrites nothing and loses nothing, which is the
+    exactly-once resume guarantee. Scales as the manifest (one row per
+    file), never the data."""
+    m = spark.read.json(f"{output_path}/_manifest")
+    parsed = m.select(
+        F.regexp_extract("file_path", RESUME_NAME_RE, 1).alias("topic"),
+        F.regexp_extract("file_path", RESUME_NAME_RE, 2).cast("int").alias("kafka_partition"),
+        F.regexp_extract("file_path", RESUME_NAME_RE, 3).cast("long").alias("start_offset"),
+        "record_count",
+        "max_offset",
+    )
+    return (
+        parsed.groupBy("topic", "kafka_partition")
+        .agg(
+            # offsets interleave across encoded partitions, so the resume
+            # point is the max committed END offset over all of a kafka
+            # partition's files (not the latest-starting file's end)
+            F.max("max_offset").alias("last_committed"),
+            F.count(F.lit(1)).alias("n_files"),
+        )
+        .select(
+            "topic",
+            "kafka_partition",
+            "n_files",
+            (F.col("last_committed") + 1).alias("resume_offset"),
+        )
+        .orderBy("topic", "kafka_partition")
+    )

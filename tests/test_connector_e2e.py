@@ -25,7 +25,11 @@ def test_run_connector_writes_partitioned_files(spark, sf_small, tmp_path):
     rows = manifest.collect()
     assert rows and all(r["record_count"] <= 100 for r in rows)
     # written layout matches the partitioner
-    dirs = {os.path.basename(d) for d in glob.glob(f"{out}/*") if os.path.isdir(d)}
+    dirs = {
+        os.path.basename(d)
+        for d in glob.glob(f"{out}/*")
+        if os.path.isdir(d) and not os.path.basename(d).startswith("_")
+    }
     assert dirs and all(d.startswith("encoded_partition=event_type%3D") for d in dirs)
     back = spark.read.parquet(out)
     total = sum(r["record_count"] for r in rows)
@@ -74,3 +78,30 @@ def test_run_connector_kv_header_sidecars(spark, sf_small, tmp_path):
     n_values = spark.read.parquet(f"{out}/values").count()
     assert spark.read.parquet(f"{out}/keys").count() == n_values
     assert spark.read.parquet(f"{out}/headers").count() == n_values
+
+
+def test_recover_resume_offsets_round_trip(spark, sf_small, tmp_path):
+    """Restart recovery: resume offsets parsed from the committed manifest
+    equal max(offset)+1 per kafka partition, and a resumed run (records
+    filtered to >= resume) finds nothing left to write."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_storage_cloud_spark.connector import recover_resume_offsets
+    from kafka_connect_storage_cloud_spark.sources.topic import events_as_topic
+
+    out = str(tmp_path / "resume")
+    run_connector(spark, PROPS, sf_dir=sf_small, output_path=out)
+    resume = recover_resume_offsets(spark, out)
+    rows = {r["kafka_partition"]: r["resume_offset"] for r in resume.collect()}
+    rec = events_as_topic(spark, sf_small)
+    expected = {
+        r["kafka_partition"]: r["mx"] + 1
+        for r in rec.groupBy("kafka_partition").agg(F.max("offset").alias("mx")).collect()
+    }
+    assert rows == expected
+    # nothing beyond the resume point: a restarted source has no new records
+    resume_map = F.create_map(
+        *[x for kp, off in rows.items() for x in (F.lit(kp), F.lit(off))]
+    )
+    remaining = rec.where(F.col("offset") >= resume_map[F.col("kafka_partition")])
+    assert remaining.count() == 0
