@@ -37,7 +37,16 @@ def main() -> None:
         "exactly_once_manifest",
     ]
     # optional heavy ops appended as they land
-    for opt in ("dedup_minhash_lsh", "ann_topk_bruteforce", "dedup_exact", "quality_score"):
+    for opt in (
+        "dedup_minhash_lsh",
+        "ann_topk_bruteforce",
+        "ann_topk_ivf",
+        "dedup_exact",
+        "dedup_chunks",
+        "quality_score",
+        "quality_filter",
+        "token_shard_pack",
+    ):
         if opt in qs:
             headline.append(opt)
 
