@@ -60,6 +60,7 @@ class ConnectorConfig:
     schema_compatibility: str = "NONE"
     rotate_file_on_partition_change: bool = True
     schema_affix_type: str = "NONE"
+    report_null_to_dlq: bool = True  # report.null.values.to.dlq
     tombstone_encoded_partition: str = "tombstone"
     compression_level: int = -1  # Deflater.DEFAULT_COMPRESSION
     bytearray_extension: str = ".bin"
@@ -123,6 +124,7 @@ _KEY_MAP = {
         lambda v: str(v).lower() == "true",
     ),
     "s3.schema.partition.affix.type": ("schema_affix_type", lambda v: str(v).upper()),
+    "report.null.values.to.dlq": ("report_null_to_dlq", lambda v: str(v).lower() == "true"),
     "tombstone.encoded.partition": ("tombstone_encoded_partition", str),
     "s3.compression.level": ("compression_level", int),
     "format.bytearray.extension": ("bytearray_extension", str),

@@ -27,11 +27,23 @@ from .sinks.writers import SinkConfig, write_kv_header_views, write_partitioned
 from .sources.topic import events_as_topic
 
 
-def _apply_null_behavior(records: DataFrame, cfg: ConnectorConfig) -> DataFrame:
+def _apply_null_behavior(
+    records: DataFrame, cfg: ConnectorConfig, dlq_path: str | None = None
+) -> DataFrame:
     """behavior.on.null.values (S3SinkConnectorConfig): ignore drops
     tombstones, write keeps them (partitioner routes them), fail raises on
-    the first one."""
+    the first one. With report.null.values.to.dlq (default true) and a
+    dlq_path, ignored nulls are written to the dead-letter dataset with an
+    error tag instead of vanishing (reference: Connect's errant-record
+    reporter, TopicPartitionWriter.java:921)."""
     if cfg.behavior_on_null_values == "ignore":
+        if dlq_path is not None and cfg.report_null_to_dlq:
+            (
+                records.where(F.col("value").isNull())
+                .withColumn("dlq_error", F.lit("null record value"))
+                .write.mode("overwrite")
+                .json(dlq_path)
+            )
         return records.where(F.col("value").isNotNull())
     if cfg.behavior_on_null_values == "fail":
         n = records.where(F.col("value").isNull()).limit(1).count()
@@ -59,6 +71,7 @@ def run_connector(
     records: DataFrame | None = None,
     sf_dir: str | None = None,
     output_path: str | None = None,
+    dlq_path: str | None = None,
 ) -> DataFrame:
     """Run the configured pipeline over `records` (or the events-as-topic
     adapter on `sf_dir`). When `output_path` is given the partitioned files
@@ -69,7 +82,7 @@ def run_connector(
         if sf_dir is None:
             raise ValueError("need records or sf_dir")
         records = events_as_topic(spark, sf_dir)
-    records = _apply_null_behavior(records, cfg)
+    records = _apply_null_behavior(records, cfg, dlq_path)
     records = records.withColumn("encoded_partition", partitioner_expr(cfg))
     ext = cfg.spark_format
     assigned = _assign_files(records, cfg, ext)

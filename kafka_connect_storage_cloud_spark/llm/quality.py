@@ -278,10 +278,37 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdict per document with machine-readable reasons. All three inputs
     are single-pass operators over the same corpus scan; the joins are
     doc_id-keyed and co-partitioned after their aggregations."""
-    q = quality_score(spark, sf_dir).select("doc_id", "quality")
+    # quality + language-ID are pure per-doc projections: fuse them into ONE
+    # corpus scan (same expressions as quality_score / lang_id, so the
+    # composed oracle still matches value-for-value). Only the repetition
+    # input needs its own pass (gram explode + aggregate).
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars", "lang")
+    wc = _word_count()
+    stop_ratio = _stop_hits("en") / F.greatest(wc, F.lit(1))
+    len_score = F.least(F.col("n_chars") / F.lit(500.0), F.lit(1.0))
+    mean_wlen = F.length(F.regexp_replace(F.lower(F.col("text")), r"\s+", "")) / F.greatest(
+        wc, F.lit(1)
+    )
+    wlen_score = F.when((mean_wlen >= 3) & (mean_wlen <= 8), F.lit(1.0)).otherwise(F.lit(0.5))
+    alpha_ratio = F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", "")) / F.greatest(
+        F.length(F.col("text")), F.lit(1)
+    )
+    quality = F.round(
+        0.3 * len_score + 0.3 * F.least(stop_ratio * 5, F.lit(1.0)) + 0.2 * wlen_score + 0.2 * alpha_ratio,
+        6,
+    )
+    best = F.greatest(
+        *[
+            F.struct(
+                F.round(_stop_hits(lang) / F.greatest(_word_count(), F.lit(1)), 6).alias("s"),
+                F.lit(-i).alias("ord"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, lang in enumerate(sorted(STOPWORDS))
+        ]
+    )
+    q = docs.select("doc_id", "lang", quality.alias("quality"), best["lang"].alias("detected_lang"))
     r = repetition_score(spark, sf_dir).select("doc_id", F.col("flagged").alias("rep_flagged"))
-    lid = lang_id(spark, sf_dir).select("doc_id", "detected_lang")
-    declared = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
     reasons = F.concat(
         F.when(F.col("quality") < QUALITY_MIN, F.lit("low_quality;")).otherwise(F.lit("")),
         F.when(F.col("rep_flagged"), F.lit("repetitive;")).otherwise(F.lit("")),
@@ -291,8 +318,6 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         q.join(r, "doc_id")
-        .join(lid, "doc_id")
-        .join(declared, "doc_id")
         .withColumn("reasons", reasons)
         .select(
             "doc_id",

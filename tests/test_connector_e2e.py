@@ -105,3 +105,29 @@ def test_recover_resume_offsets_round_trip(spark, sf_small, tmp_path):
     )
     remaining = rec.where(F.col("offset") >= resume_map[F.col("kafka_partition")])
     assert remaining.count() == 0
+
+
+def test_null_records_to_dlq(spark, sf_small, tmp_path):
+    """behavior.on.null.values=ignore + report.null.values.to.dlq: dropped
+    tombstones land in the dead-letter dataset, tagged; main output has none;
+    DLQ + main = input."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_storage_cloud_spark.sources.topic import events_as_topic
+
+    props = dict(PROPS)
+    props["behavior.on.null.values"] = "ignore"
+    out = str(tmp_path / "main")
+    dlq = str(tmp_path / "dlq")
+    rec = events_as_topic(spark, sf_small).withColumn(
+        "value", F.when(F.col("offset") % 50 == 0, None).otherwise(F.col("value"))
+    )
+    manifest = run_connector(spark, props, records=rec, output_path=out, dlq_path=dlq)
+    n_null = rec.where(F.col("value").isNull()).count()
+    n_all = rec.count()
+    assert n_null > 0
+    dead = spark.read.json(dlq)
+    assert dead.count() == n_null
+    assert dead.select("dlq_error").distinct().first()[0] == "null record value"
+    written = sum(r["record_count"] for r in manifest.collect())
+    assert written == n_all - n_null
