@@ -30,7 +30,12 @@ def events_as_topic(
     spark: SparkSession, sf_dir: str, n_partitions: int = DEFAULT_N_PARTITIONS
 ) -> DataFrame:
     """Read the events table as a stream of SinkRecord-shaped rows."""
-    ev = read_events(spark, sf_dir)
+    return as_topic_records(read_events(spark, sf_dir), n_partitions)
+
+
+def as_topic_records(ev: DataFrame, n_partitions: int = DEFAULT_N_PARTITIONS) -> DataFrame:
+    """The SinkRecord projection, applicable to a batch OR streaming events
+    frame (pure expressions — no shuffle, streaming-safe)."""
     return ev.select(
         F.lit(TOPIC_NAME).alias("topic"),
         F.pmod(F.col("user_id"), F.lit(n_partitions)).cast("int").alias("kafka_partition"),

@@ -184,3 +184,44 @@ def attribution_stream(events: DataFrame, horizon: str = "2 hours") -> DataFrame
     ).select(
         F.col("c_user").alias("user_id"), "click_ts", "purchase_ts", "purchase_value"
     )
+
+
+def run_connector_stream(
+    spark: SparkSession,
+    properties: dict,
+    sf_dir: str,
+    output_path: str,
+    checkpoint: str,
+) -> StreamingQuery:
+    """Streaming twin of connector.run_connector: the SAME reference
+    property file drives readStream -> SinkRecord projection -> configured
+    partitioner -> idempotent partitioned sink, with the checkpoint as the
+    offset store. Restarts resume from the checkpoint and rewrite nothing
+    (foreachBatch reuses the batch sink's dynamic-partition overwrite).
+    behavior.on.null.values: ignore/write apply per micro-batch; 'fail' is a
+    batch-mode concept (the reference kills the task at runtime) and raises
+    up front here."""
+    from ..config import parse_properties
+    from ..operators.partitioners import partitioner_expr
+    from ..sources.topic import as_topic_records
+
+    cfg = parse_properties(properties)
+    if cfg.behavior_on_null_values == "fail":
+        raise ValueError("behavior.on.null.values=fail is not streamable; use ignore|write")
+    rec = as_topic_records(stream_events_source(spark, sf_dir))
+    if cfg.behavior_on_null_values == "ignore":
+        rec = rec.where(F.col("value").isNotNull())
+    rec = rec.withColumn("encoded_partition", partitioner_expr(cfg))
+    sink = SinkConfig(
+        format=cfg.spark_format,
+        compression=cfg.compression_type,
+        flush_size=cfg.flush_size,
+        partition_cols=("encoded_partition",),
+        compression_level=cfg.compression_level,
+    )
+    payload = [
+        c
+        for c in ("offset", "key", "value", "timestamp", "encoded_partition")
+        if c in rec.columns
+    ]
+    return connector_sink_stream(rec.select(*payload), output_path, checkpoint, sink)

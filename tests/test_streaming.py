@@ -227,3 +227,29 @@ def test_stream_stream_attribution_matches_batch(spark, sf_small, batch_events, 
     assert got.count() == expected.count() > 0
     assert got.exceptAll(expected).count() == 0
     assert expected.exceptAll(got).count() == 0
+
+
+def test_run_connector_stream_matches_batch(spark, sf_small, tmp_path):
+    """The same property file produces the identical dataset via the batch
+    runner and the streaming runner (layout and content)."""
+    from kafka_connect_storage_cloud_spark.connector import run_connector
+    from kafka_connect_storage_cloud_spark.streaming.pipeline import run_connector_stream
+
+    props = {
+        "topics": "events",
+        "format.class": "parquet",
+        "partitioner.class": "io.confluent.connect.storage.partitioner.FieldPartitioner",
+        "partition.field.name": "event_type",
+        "flush.size": "100",
+        "behavior.on.null.values": "ignore",
+    }
+    batch_out = str(tmp_path / "batch")
+    run_connector(spark, props, sf_dir=sf_small, output_path=batch_out)
+    stream_out = str(tmp_path / "stream")
+    q = run_connector_stream(
+        spark, props, sf_small, stream_out, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+    b = spark.read.parquet(batch_out).select("offset", "value", "encoded_partition")
+    s = spark.read.parquet(stream_out).select("offset", "value", "encoded_partition")
+    assert b.exceptAll(s).count() == 0 and s.exceptAll(b).count() == 0
