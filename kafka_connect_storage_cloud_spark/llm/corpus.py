@@ -164,10 +164,16 @@ def token_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returns the shard manifest (deterministic and replay-stable, like the
     connector's exactly-once file naming, S3FileUtils.java analog)."""
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", _ws_tokens().alias("tokens"))
+    return pack_manifest(toks)
+
+
+def pack_manifest(toks: DataFrame) -> DataFrame:
+    """Shard-pack a (doc_id, tokens) frame (exposed for property tests)."""
     worker = (H.h32(F.concat(F.lit(SHARD_SALT), F.col("doc_id").cast("string"))) % SHARD_WORKERS).alias(
         "worker"
     )
-    toks = docs.select("doc_id", worker, _ws_tokens().alias("tokens"))
+    toks = toks.select("doc_id", worker, "tokens")
     w = Window.partitionBy("worker").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
     assigned = toks.withColumn(
         "shard", F.floor((F.sum("tokens").over(w) - F.col("tokens")) / SHARD_TOKEN_BUDGET)

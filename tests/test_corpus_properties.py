@@ -1,0 +1,88 @@
+"""Property-based invariants for the corpus-prep operators (hypothesis):
+
+token_shard_pack, for arbitrary (doc_id, tokens) corpora:
+  (a) every document lands in exactly one shard (doc conservation),
+  (b) shard_tokens sums to the corpus total (token conservation),
+  (c) within a worker, shard indices are the floor(prev_cum/budget) walk —
+      starting at 0, strictly increasing (over-budget docs may skip),
+  (d) a shard exceeds the budget only via its final document (greedy rule).
+
+A pure-python model checks (a)-(d) across the drawn space; drawn samples
+also cross-check the Spark implementation against the model.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from kafka_connect_storage_cloud_spark.llm.corpus import (
+    SHARD_SALT,
+    SHARD_TOKEN_BUDGET,
+    SHARD_WORKERS,
+    pack_manifest,
+)
+
+_corpus = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=10_000), st.integers(min_value=1, max_value=5_000)),
+    min_size=1,
+    max_size=60,
+    unique_by=lambda t: t[0],
+)
+
+
+def _worker(doc_id: int) -> int:
+    h = int(hashlib.md5(f"{SHARD_SALT}{doc_id}".encode()).hexdigest()[:8], 16)
+    return h % SHARD_WORKERS
+
+
+def _model(corpus, budget=SHARD_TOKEN_BUDGET):
+    """Pure-python shard packing: the floor(prev_cum/budget) walk."""
+    shards = {}
+    per_worker = {}
+    for doc_id, tokens in sorted(corpus):
+        w = _worker(doc_id)
+        cum = per_worker.get(w, 0)
+        k = cum // budget
+        per_worker[w] = cum + tokens
+        shards.setdefault((w, k), []).append((doc_id, tokens))
+    return shards
+
+
+@given(_corpus)
+@settings(max_examples=200, deadline=None)
+def test_model_invariants(corpus):
+    shards = _model(corpus)
+    packed = [d for docs in shards.values() for d in docs]
+    assert sorted(packed) == sorted(corpus)  # (a) + (b)
+    by_worker = {}
+    for (w, k), docs in shards.items():
+        by_worker.setdefault(w, []).append(k)
+    for w, ks in by_worker.items():
+        # (c) the walk starts at shard 0 and only moves forward (an
+        # over-budget doc may skip indices, so density is NOT guaranteed)
+        assert min(ks) == 0 and len(set(ks)) == len(ks)
+    for (w, k), docs in shards.items():
+        total = sum(t for _, t in docs)
+        before_last = total - docs[-1][1]
+        assert before_last < SHARD_TOKEN_BUDGET  # (d) only last doc overflows
+
+
+@given(_corpus)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_spark_matches_model(spark, corpus):
+    toks = spark.createDataFrame(list(sorted(corpus)), "doc_id long, tokens long")
+    got = {
+        (r["worker"], r["shard"]): (r["n_docs"], r["shard_tokens"])
+        for r in pack_manifest(toks).collect()
+    }
+    model = {
+        k: (len(docs), sum(t for _, t in docs)) for k, docs in _model(corpus).items()
+    }
+    assert got == model
