@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": LC.dedup_keep_best,
         "dedup_exact": LD.dedup_exact,
         "dedup_minhash_lsh": LD.dedup_minhash_lsh,
+        "dedup_incremental": LD.dedup_incremental,
         "minhash_jaccard_est": LD.minhash_jaccard_est,
         "dedup_simhash": LD.dedup_simhash,
         "ngram_jaccard": LD.ngram_jaccard,

@@ -406,10 +406,45 @@ WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.05
 ORDER BY doc_a, doc_b
 """
 
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: match a NEW batch of documents (odd doc_ids as the
+    stand-in increment) against the EXISTING corpus index (even doc_ids)
+    through the minhash band buckets — the production shape for daily
+    increments, where the historical index is precomputed and only the
+    increment's signatures are built per run. The bucket join keys on
+    (band, bval), so per-new-doc work is bucket-sized, independent of
+    history length; nothing ever compares new-vs-new or old-vs-old."""
+    sig = _signatures(spark, sf_dir).localCheckpoint()
+    bands = _band_table(sig)
+    index = bands.where(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("index_doc"), "band", "bval"
+    )
+    incoming = bands.where(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("new_doc"), "band", "bval"
+    )
+    return (
+        incoming.join(index, ["band", "bval"])
+        .select("new_doc", "index_doc")
+        .distinct()
+        .orderBy("new_doc", "index_doc")
+    )
+
+
+SQL_DEDUP_INCREMENTAL = f"""
+WITH {_sql_signatures()},
+{_sql_bands()}
+SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS index_doc
+FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval
+WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+ORDER BY new_doc, index_doc
+"""
+
+
 ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
     "minhash_jaccard_est": SQL_MINHASH_JACCARD_EST,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "dedup_incremental": SQL_DEDUP_INCREMENTAL,
 }
