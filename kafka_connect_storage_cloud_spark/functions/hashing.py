@@ -33,6 +33,22 @@ def sql_h60(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
+def round6(col: Column) -> Column:
+    """Portable 6-dp rounding for NON-NEGATIVE doubles: floor(x*1e6+0.5)/1e6
+    evaluated in pure IEEE double ops, so both engines round the identical
+    binary value identically. Spark's round() (BigDecimal over the shortest
+    decimal repr) and DuckDB's round() (C round on the binary value) disagree
+    when a rational lands exactly on a .5 tie at the 7th digit — e.g.
+    0.3*0.75 + 0.3*0.234375 + 0.2 + 0.2*0.832 = 0.6617125, observed at
+    sf0.1. Ratios of small integers hit such ties; use this for every
+    rounded rational ratio. (Half-up = half-away only for x >= 0.)"""
+    return F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+
+def sql_round6(expr: str) -> str:
+    return f"(floor(({expr}) * 1000000.0 + 0.5) / 1000000.0)"
+
+
 def minhash_perm(i: int) -> tuple[int, int]:
     """Deterministic permutation coefficients for minhash: h -> (a*h + b) % P31.
     a is odd and nonzero; constants from Knuth's multiplicative hashing."""

@@ -44,7 +44,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = docs.select(
         "doc_id",
         *[
-            F.round(_stop_hits(lang) / F.greatest(_word_count(), F.lit(1)), 6).alias(f"score_{lang}")
+            H.round6(_stop_hits(lang) / F.greatest(_word_count(), F.lit(1))).alias(f"score_{lang}")
             for lang in sorted(STOPWORDS)
         ],
     )
@@ -65,7 +65,7 @@ def _sql_stop_hits(lang: str) -> str:
 
 def _sql_lang_id() -> str:
     score_cols = ",\n  ".join(
-        f"ROUND(CAST({_sql_stop_hits(lang)} AS DOUBLE) / GREATEST(len(string_split_regex(lower(text), '\\s+')), 1), 6) AS score_{lang}"
+        f"(floor(CAST({_sql_stop_hits(lang)} AS DOUBLE) / GREATEST(len(string_split_regex(lower(text), '\\s+')), 1) * 1000000.0 + 0.5) / 1000000.0) AS score_{lang}"
         for lang in sorted(STOPWORDS)
     )
     # mirror Spark's greatest(struct(s, -i, lang)) argmax: max score wins,
@@ -100,33 +100,35 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", ""))
         / F.greatest(F.length(F.col("text")), F.lit(1))
     )
-    score = F.round(
-        0.3 * len_score + 0.3 * F.least(stop_ratio * 5, F.lit(1.0)) + 0.2 * wlen_score + 0.2 * alpha_ratio,
-        6,
+    score = H.round6(
+        0.3 * len_score + 0.3 * F.least(stop_ratio * 5, F.lit(1.0)) + 0.2 * wlen_score + 0.2 * alpha_ratio
     )
     return docs.select(
         "doc_id",
-        F.round(len_score, 6).alias("len_score"),
-        F.round(stop_ratio, 6).alias("stop_ratio"),
-        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        H.round6(len_score).alias("len_score"),
+        H.round6(stop_ratio).alias("stop_ratio"),
+        H.round6(alpha_ratio).alias("alpha_ratio"),
         score.alias("quality"),
     ).orderBy("doc_id")
 
 
 _SQL_WC = "GREATEST(len(string_split_regex(lower(text), '\\s+')), 1)"
 
+_SQL_QUALITY_EXPR = (
+    "0.3 * LEAST(n_chars / 500.0, 1.0)"
+    f" + 0.3 * LEAST(CAST({_sql_stop_hits('en')} AS DOUBLE) / {_SQL_WC} * 5, 1.0)"
+    " + 0.2 * (CASE WHEN CAST(len(regexp_replace(lower(text), '\\s+', '', 'g')) AS DOUBLE) / "
+    f"{_SQL_WC} BETWEEN 3 AND 8 THEN 1.0 ELSE 0.5 END)"
+    " + 0.2 * CAST(len(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)"
+    " / GREATEST(len(text), 1)"
+)
+
 SQL_QUALITY_SCORE = f"""
 SELECT doc_id,
-  ROUND(LEAST(n_chars / 500.0, 1.0), 6) AS len_score,
-  ROUND(CAST({_sql_stop_hits('en')} AS DOUBLE) / {_SQL_WC}, 6) AS stop_ratio,
-  ROUND(CAST(len(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
-        / GREATEST(len(text), 1), 6) AS alpha_ratio,
-  ROUND(0.3 * LEAST(n_chars / 500.0, 1.0)
-      + 0.3 * LEAST(CAST({_sql_stop_hits('en')} AS DOUBLE) / {_SQL_WC} * 5, 1.0)
-      + 0.2 * (CASE WHEN CAST(len(regexp_replace(lower(text), '\\s+', '', 'g')) AS DOUBLE) / {_SQL_WC}
-                    BETWEEN 3 AND 8 THEN 1.0 ELSE 0.5 END)
-      + 0.2 * CAST(len(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
-            / GREATEST(len(text), 1), 6) AS quality
+  {H.sql_round6("LEAST(n_chars / 500.0, 1.0)")} AS len_score,
+  {H.sql_round6(f"CAST({_sql_stop_hits('en')} AS DOUBLE) / {_SQL_WC}")} AS stop_ratio,
+  {H.sql_round6("CAST(len(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / GREATEST(len(text), 1)")} AS alpha_ratio,
+  {H.sql_round6(_SQL_QUALITY_EXPR)} AS quality
 FROM documents ORDER BY doc_id
 """
 
@@ -231,7 +233,7 @@ def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.max("c").alias("top_c"))
     )
-    rep = F.round(1 - F.col("d_grams") / F.col("n_grams"), 6)
+    rep = H.round6(1 - F.col("d_grams") / F.col("n_grams"))
     return (
         per_doc.join(top_share, "doc_id")
         .select(
@@ -239,7 +241,7 @@ def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_grams",
             "d_grams",
             rep.alias("dup_fraction"),
-            F.round(F.col("top_c") / F.col("n_grams"), 6).alias("top_gram_share"),
+            H.round6(F.col("top_c") / F.col("n_grams")).alias("top_gram_share"),
             (1 - F.col("d_grams") / F.col("n_grams") > REP_FLAG).alias("flagged"),
         )
         .orderBy("doc_id")
@@ -261,8 +263,8 @@ tops AS (
   ) GROUP BY doc_id
 )
 SELECT p.doc_id, p.n_grams, p.d_grams,
-       ROUND(1 - CAST(d_grams AS DOUBLE) / n_grams, 6) AS dup_fraction,
-       ROUND(CAST(top_c AS DOUBLE) / n_grams, 6) AS top_gram_share,
+       (floor((1 - CAST(d_grams AS DOUBLE) / n_grams) * 1000000.0 + 0.5) / 1000000.0) AS dup_fraction,
+       (floor(CAST(top_c AS DOUBLE) / n_grams * 1000000.0 + 0.5) / 1000000.0) AS top_gram_share,
        (1 - CAST(d_grams AS DOUBLE) / n_grams) > {REP_FLAG} AS flagged
 FROM per_doc p JOIN tops t ON p.doc_id = t.doc_id
 ORDER BY p.doc_id
@@ -293,14 +295,13 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     alpha_ratio = F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", "")) / F.greatest(
         F.length(F.col("text")), F.lit(1)
     )
-    quality = F.round(
-        0.3 * len_score + 0.3 * F.least(stop_ratio * 5, F.lit(1.0)) + 0.2 * wlen_score + 0.2 * alpha_ratio,
-        6,
+    quality = H.round6(
+        0.3 * len_score + 0.3 * F.least(stop_ratio * 5, F.lit(1.0)) + 0.2 * wlen_score + 0.2 * alpha_ratio
     )
     best = F.greatest(
         *[
             F.struct(
-                F.round(_stop_hits(lang) / F.greatest(_word_count(), F.lit(1)), 6).alias("s"),
+                H.round6(_stop_hits(lang) / F.greatest(_word_count(), F.lit(1))).alias("s"),
                 F.lit(-i).alias("ord"),
                 F.lit(lang).alias("lang"),
             )

@@ -244,3 +244,43 @@ def test_max_open_files_cap_still_writes_all_partitions(spark, records, tmp_path
         assert back.select("encoded_partition").distinct().count() == n_parts
     finally:
         spark.conf.unset("spark.sql.maxConcurrentOutputFileWriters")
+
+
+def test_readback_merges_evolved_schemas(spark, records, tmp_path):
+    """BACKWARD schema evolution across connector runs: a later run adds a
+    column; read-back surfaces it as NULL for the earlier run's files."""
+    from kafka_connect_storage_cloud_spark.sources.readback import (
+        read_connector_output,
+        read_manifest,
+    )
+
+    out = str(tmp_path / "evolved")
+    v1 = records.select("encoded_partition", "offset", "value")
+    v2 = records.select(
+        "encoded_partition", "offset", "value", F.lit("hdr").alias("new_header")
+    ).withColumn("offset", F.col("offset") + 1_000_000)
+    write_partitioned(v1, out, SinkConfig(mode="append"))
+    write_partitioned(v2, out, SinkConfig(mode="append"))
+    back = read_connector_output(spark, out)
+    assert "new_header" in back.columns
+    assert back.count() == v1.count() + v2.count()
+    assert back.where(F.col("new_header").isNull()).count() == v1.count()
+    assert "encoded_partition" in back.columns
+
+
+def test_read_manifest_sidecar(spark, records, tmp_path):
+    from kafka_connect_storage_cloud_spark.connector import run_connector
+    from kafka_connect_storage_cloud_spark.sources.readback import read_manifest
+
+    props = {
+        "topics": "events",
+        "format.class": "parquet",
+        "partitioner.class": "io.confluent.connect.storage.partitioner.FieldPartitioner",
+        "partition.field.name": "event_type",
+        "flush.size": "100",
+        "behavior.on.null.values": "ignore",
+    }
+    out = str(tmp_path / "mf")
+    manifest = run_connector(spark, props, sf_dir="/root/testdata/sf0.001", output_path=out)
+    back = read_manifest(spark, out)
+    assert back.count() == manifest.count()
