@@ -65,7 +65,6 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         labels.join(sizes, "lab")
         .select("doc_id", F.col("lab").alias("cluster_id"), "cluster_size")
-        .orderBy("doc_id")
     )
 
 
@@ -92,7 +91,6 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quality",
             (F.col("rnk") == 1).alias("keep"),
         )
-        .orderBy("doc_id")
     )
 
 

@@ -66,7 +66,6 @@ def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("percentile(n_chars, 0.5)").alias("median_chars"),
             F.expr("percentile(n_chars, 0.75)").alias("p75_chars"),
         )
-        .orderBy("lang", "source")
     )
 
 
@@ -124,7 +123,7 @@ def dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_chunks",
         dup_frac.alias("dup_fraction"),
         (F.col("dup_chunks") / F.col("n_chunks") > CHUNK_DUP_FLAG).alias("flagged"),
-    ).orderBy("doc_id")
+    )
 
 
 _SQL_CHUNKS = f"""
@@ -190,7 +189,6 @@ def pack_manifest(toks: DataFrame) -> DataFrame:
             "shard_path",
             F.format_string("worker=%d/shard-%05d-%d.jsonl", "worker", "shard", "start_doc"),
         )
-        .orderBy("worker", "shard")
     )
 
 

@@ -46,7 +46,6 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.md5(_normalized()).alias("content_hash"), "doc_id")
         .groupBy("content_hash")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
-        .orderBy("content_hash")
     )
 
 
@@ -116,7 +115,7 @@ def _candidate_pairs(sig: DataFrame) -> DataFrame:
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate near-duplicate pairs via banded minhash LSH."""
-    return _candidate_pairs(_signatures(spark, sf_dir)).orderBy("doc_a", "doc_b")
+    return _candidate_pairs(_signatures(spark, sf_dir))
 
 
 def _sql_signatures() -> str:
@@ -210,7 +209,7 @@ def minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est_jaccard",
         "exact_jaccard",
         F.round(F.abs(F.col("est_jaccard") - F.col("exact_jaccard")), 6).alias("abs_err"),
-    ).orderBy("doc_a", "doc_b")
+    )
 
 
 def _sql_est_agree() -> str:
@@ -302,7 +301,6 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.doc_a", "p.doc_b", "p.hamming")
         .where(F.col("hamming") <= HAMMING_MAX)
         .distinct()
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -381,7 +379,6 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str, threshold: float = 0.05) -> 
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -426,7 +423,6 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         incoming.join(index, ["band", "bval"])
         .select("new_doc", "index_doc")
         .distinct()
-        .orderBy("new_doc", "index_doc")
     )
 
 

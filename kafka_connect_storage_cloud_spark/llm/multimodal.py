@@ -115,7 +115,6 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_bytes",
             F.round(F.element_at("feature", 4).cast("double"), 1).alias("checksum_feature"),
         )
-        .orderBy("media_id")
     )
 
 

@@ -51,7 +51,6 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.withColumn("bucket", bucket)
         .where(F.col("bucket") < rate)
         .select("doc_id", "source", "lang", "bucket")
-        .orderBy("doc_id")
     )
 
 
@@ -99,7 +98,6 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_hit") / F.col("n_grams"), 6).alias("contamination"),
             (F.col("n_hit") >= F.col("n_grams") * F.lit(CONTAM_FLAG)).alias("flagged"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -199,7 +197,6 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str, k: int = IVF_TOP_K) -> DataFr
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", F.col("cell").alias("cell"), "neighbor_id", "cosine", "rank")
-        .orderBy("query_id", "rank")
     )
 
 
@@ -247,7 +244,6 @@ def ann_topk_ivf_multiprobe(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
-        .orderBy("query_id", "rank")
     )
 
 
@@ -290,7 +286,6 @@ def ivf_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "drift_cos"
             ),
         )
-        .orderBy("cell")
     )
 
 

@@ -37,16 +37,26 @@ def _stop_hits(lang: str) -> Column:
     return F.expr(f"size(filter(split(lower(text), '\\\\s+'), w -> w IN ({quoted})))")
 
 
+def _ws_stop_hits(lang: str) -> Column:
+    """_stop_hits over a pre-split `ws` array column. Splitting once and
+    referencing the column keeps the analyzed tree small: embedding
+    split(lower(text)) inside every per-language expression made Catalyst
+    analysis (driver-side) dominate wall time on small inputs."""
+    quoted = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return F.expr(f"size(filter(ws, w -> w IN ({quoted})))")
+
+
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-hit-rate language ID with deterministic tiebreak. Pure
-    expression pipeline — one projection, no shuffle except the final sort."""
+    expression pipeline — two stacked projections, zero shuffle (no output
+    sort: at corpus scale a global sort of per-doc scores is wasted work,
+    and the oracle compare is order-insensitive)."""
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    scored = docs.select(
+    ws = docs.select("doc_id", F.split(F.lower("text"), r"\s+").alias("ws"))
+    wc = F.greatest(F.size("ws"), F.lit(1))
+    scored = ws.select(
         "doc_id",
-        *[
-            H.round6(_stop_hits(lang) / F.greatest(_word_count(), F.lit(1))).alias(f"score_{lang}")
-            for lang in sorted(STOPWORDS)
-        ],
+        *[H.round6(_ws_stop_hits(lang) / wc).alias(f"score_{lang}") for lang in sorted(STOPWORDS)],
     )
     # argmax with alphabetic tiebreak: best = max (score, reversed-lang) pair
     best = F.greatest(
@@ -55,7 +65,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, lang in enumerate(sorted(STOPWORDS))
         ]
     )
-    return scored.withColumn("detected_lang", best["lang"]).orderBy("doc_id")
+    return scored.withColumn("detected_lang", best["lang"])
 
 
 def _sql_stop_hits(lang: str) -> str:
@@ -91,25 +101,32 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic document quality in [0,1]: length saturation, English
     stopword density, mean word length band, alpha ratio."""
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
-    wc = _word_count()
-    stop_ratio = _stop_hits("en") / F.greatest(wc, F.lit(1))
-    len_score = F.least(F.col("n_chars") / F.lit(500.0), F.lit(1.0))
-    mean_wlen = F.length(F.regexp_replace(F.lower(F.col("text")), r"\s+", "")) / F.greatest(wc, F.lit(1))
-    wlen_score = F.when((mean_wlen >= 3) & (mean_wlen <= 8), F.lit(1.0)).otherwise(F.lit(0.5))
-    alpha_ratio = (
-        F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", ""))
-        / F.greatest(F.length(F.col("text")), F.lit(1))
+    # one projection computes lower(text)/split once; the scoring projection
+    # references the small columns — same values, far smaller analyzed tree
+    base = docs.select(
+        "doc_id",
+        "n_chars",
+        F.split(F.lower("text"), r"\s+").alias("ws"),
+        F.length(F.regexp_replace(F.lower(F.col("text")), r"\s+", "")).alias("n_nonspace"),
+        F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", "")).alias("n_alpha"),
+        F.length("text").alias("n_text"),
     )
+    wc = F.greatest(F.size("ws"), F.lit(1))
+    stop_ratio = _ws_stop_hits("en") / wc
+    len_score = F.least(F.col("n_chars") / F.lit(500.0), F.lit(1.0))
+    mean_wlen = F.col("n_nonspace") / wc
+    wlen_score = F.when((mean_wlen >= 3) & (mean_wlen <= 8), F.lit(1.0)).otherwise(F.lit(0.5))
+    alpha_ratio = F.col("n_alpha") / F.greatest(F.col("n_text"), F.lit(1))
     score = H.round6(
         0.3 * len_score + 0.3 * F.least(stop_ratio * 5, F.lit(1.0)) + 0.2 * wlen_score + 0.2 * alpha_ratio
     )
-    return docs.select(
+    return base.select(
         "doc_id",
         H.round6(len_score).alias("len_score"),
         H.round6(stop_ratio).alias("stop_ratio"),
         H.round6(alpha_ratio).alias("alpha_ratio"),
         score.alias("quality"),
-    ).orderBy("doc_id")
+    )
 
 
 _SQL_WC = "GREATEST(len(string_split_regex(lower(text), '\\s+')), 1)"
@@ -142,7 +159,7 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         _word_count().alias("ws_tokens"),
         F.size(F.expr(f"regexp_extract_all(lower(text), '{TOKEN_REGEX}', 0)")).alias("bpe_tokens"),
         F.length("text").alias("n_chars_actual"),
-    ).orderBy("doc_id")
+    )
 
 
 SQL_TOKEN_COUNT = f"""
@@ -187,7 +204,6 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("win_min").alias("min_fp"),
             F.max("win_min").alias("max_fp"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -244,7 +260,6 @@ def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             H.round6(F.col("top_c") / F.col("n_grams")).alias("top_gram_share"),
             (1 - F.col("d_grams") / F.col("n_grams") > REP_FLAG).alias("flagged"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -285,30 +300,35 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # composed oracle still matches value-for-value). Only the repetition
     # input needs its own pass (gram explode + aggregate).
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars", "lang")
-    wc = _word_count()
-    stop_ratio = _stop_hits("en") / F.greatest(wc, F.lit(1))
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.split(F.lower("text"), r"\s+").alias("ws"),
+        F.length(F.regexp_replace(F.lower(F.col("text")), r"\s+", "")).alias("n_nonspace"),
+        F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", "")).alias("n_alpha"),
+        F.length("text").alias("n_text"),
+    )
+    wc = F.greatest(F.size("ws"), F.lit(1))
+    stop_ratio = _ws_stop_hits("en") / wc
     len_score = F.least(F.col("n_chars") / F.lit(500.0), F.lit(1.0))
-    mean_wlen = F.length(F.regexp_replace(F.lower(F.col("text")), r"\s+", "")) / F.greatest(
-        wc, F.lit(1)
-    )
+    mean_wlen = F.col("n_nonspace") / wc
     wlen_score = F.when((mean_wlen >= 3) & (mean_wlen <= 8), F.lit(1.0)).otherwise(F.lit(0.5))
-    alpha_ratio = F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", "")) / F.greatest(
-        F.length(F.col("text")), F.lit(1)
-    )
+    alpha_ratio = F.col("n_alpha") / F.greatest(F.col("n_text"), F.lit(1))
     quality = H.round6(
         0.3 * len_score + 0.3 * F.least(stop_ratio * 5, F.lit(1.0)) + 0.2 * wlen_score + 0.2 * alpha_ratio
     )
     best = F.greatest(
         *[
             F.struct(
-                H.round6(_stop_hits(lang) / F.greatest(_word_count(), F.lit(1))).alias("s"),
+                H.round6(_ws_stop_hits(lang) / wc).alias("s"),
                 F.lit(-i).alias("ord"),
                 F.lit(lang).alias("lang"),
             )
             for i, lang in enumerate(sorted(STOPWORDS))
         ]
     )
-    q = docs.select("doc_id", "lang", quality.alias("quality"), best["lang"].alias("detected_lang"))
+    q = base.select("doc_id", "lang", quality.alias("quality"), best["lang"].alias("detected_lang"))
     r = repetition_score(spark, sf_dir).select("doc_id", F.col("flagged").alias("rep_flagged"))
     reasons = F.concat(
         F.when(F.col("quality") < QUALITY_MIN, F.lit("low_quality;")).otherwise(F.lit("")),
@@ -329,7 +349,6 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("reasons") == "").alias("keep"),
             "reasons",
         )
-        .orderBy("doc_id")
     )
 
 

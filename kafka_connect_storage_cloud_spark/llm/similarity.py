@@ -98,7 +98,6 @@ def embedding_cosine_dups(spark: SparkSession, sf_dir: str, threshold: float = 0
         .withColumn("cosine", F.round(F.col("cosine_raw"), 6))
         .where(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "label", "cosine")
-        .orderBy("vec_a", "vec_b")
     )
 
 
@@ -180,7 +179,6 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> Dat
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
-        .orderBy("query_id", "rank")
     )
 
 
@@ -247,7 +245,6 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
-        .orderBy("query_id", "rank")
     )
 
 

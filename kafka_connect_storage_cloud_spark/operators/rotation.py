@@ -180,7 +180,6 @@ def rotation_stats(assigned: DataFrame) -> DataFrame:
             F.min("records_in_file").alias("min_file_records"),
             F.max("records_in_file").alias("max_file_records"),
         )
-        .orderBy(*keys)
     )
 
 

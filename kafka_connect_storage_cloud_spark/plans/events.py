@@ -27,7 +27,6 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             M.money_avg(M.dec("value"), "avg_value"),
             F.round(F.max("value"), 4).alias("max_value"),
         )
-        .orderBy("bucket", "event_type")
     )
 
 
@@ -59,7 +58,6 @@ def events_sessionize(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -
             F.count(F.lit(1)).alias("n_events"),
             M.money_sum(M.dec("value"), "session_value"),
         )
-        .orderBy("user_id", "session_seq")
     )
 
 
@@ -74,5 +72,4 @@ def events_topk_users(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame
     return (
         per_user.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .orderBy("event_type", "rank")
     )
