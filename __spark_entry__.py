@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_dups": LS.embedding_cosine_dups,
         "ann_topk_bruteforce": LS.ann_topk_bruteforce,
         "ann_topk_lsh": LS.ann_topk_lsh,
+        "ann_recall_audit": LS.ann_recall_audit,
         "lang_id": LQ.lang_id,
         "quality_score": LQ.quality_score,
         "quality_filter": LQ.quality_filter,

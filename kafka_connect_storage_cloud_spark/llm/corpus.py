@@ -213,14 +213,156 @@ FROM assigned GROUP BY worker, shard ORDER BY worker, shard
 """
 
 
+# ---------------------------------------------------------------------------
+# idf_topterms — per-source characteristic vocabulary
+# ---------------------------------------------------------------------------
+
+IDF_TOP_K = 5
+
+def idf_topterms(spark: SparkSession, sf_dir: str, k: int = IDF_TOP_K) -> DataFrame:
+    """Top-k characteristic terms per source by tf-rarity weight.
+
+    tf = term occurrences within the source; rarity = (N_docs + 1)/(df + 1)
+    with df = number of distinct docs containing the term. The weight is the
+    tf-idf shape with the log dropped: log is monotone, so the RANKING is
+    identical, and the rational form is computed in identical IEEE double
+    ops on both engines (ln() differs in last-ULP between libm builds,
+    which would break the value oracle).
+
+    Scale: the exploded term table shuffles once on the term for df, once on
+    (source, term) for tf — both map-side combined, so the shuffle carries
+    |vocabulary| rows, not |tokens|. The window ranks within each source's
+    vocabulary only."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    terms = docs.select(
+        "doc_id", "source", F.explode(F.split(F.lower("text"), r"\s+")).alias("term")
+    ).where(F.col("term") != "")
+    n_docs = docs.count()  # driver-side scalar: one count over the dimension scan
+    df_tbl = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    tf_tbl = terms.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    weight = F.col("tf") * (F.lit(float(n_docs + 1)) / (F.col("df") + F.lit(1)).cast("double"))
+    scored = tf_tbl.join(F.broadcast(df_tbl), "term").withColumn(
+        "weight", H.round6(weight)
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("weight"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("source", "term", "tf", "df", "weight", "rank")
+    )
+
+
+def _sql_idf_topterms() -> str:
+    return f"""
+WITH terms AS (
+  SELECT doc_id, source, unnest(string_split_regex(lower(text), '\\s+')) AS term
+  FROM documents
+),
+terms_ne AS (SELECT * FROM terms WHERE term <> ''),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+df_tbl AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms_ne GROUP BY term),
+tf_tbl AS (SELECT source, term, COUNT(*) AS tf FROM terms_ne GROUP BY source, term),
+scored AS (
+  SELECT t.source, t.term, t.tf, d.df,
+         {H.sql_round6("t.tf * (CAST(n.n_docs + 1 AS DOUBLE) / CAST(d.df + 1 AS DOUBLE))")} AS weight
+  FROM tf_tbl t JOIN df_tbl d ON t.term = d.term CROSS JOIN n
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY weight DESC, term) AS INT) AS rank
+  FROM scored
+)
+SELECT source, term, tf, df, weight, rank FROM ranked WHERE rank <= {IDF_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# corpus_mixture — rebalance the corpus toward a target language mix
+# ---------------------------------------------------------------------------
+
+MIX_TARGET = {"en": 0.4, "de": 0.15, "fr": 0.15, "es": 0.15, "zh": 0.15}
+MIX_DEFAULT = 0.05
+MIX_SALT = "mix:"
+
+def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus rebalancing: compute per-language keep
+    probabilities that move the corpus toward MIX_TARGET by downsampling
+    overrepresented languages (weight = min(1, target_share * N / n_lang)),
+    then apply them with the portable doc_id hash — replay-stable, no
+    rand(). Output is the audit table: per-language before/after counts and
+    the applied weight.
+
+    Scale: per-lang counts aggregate map-side to a handful of rows; the
+    keep decision is a pure projection joined against the broadcast weight
+    table — one corpus scan, no data-size-dependent shuffle."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    total = docs.count()
+    target = F.lit(MIX_DEFAULT)
+    for lang, share in MIX_TARGET.items():
+        target = F.when(F.col("lang") == lang, F.lit(share)).otherwise(target)
+    weights = counts.select(
+        "lang",
+        "n_docs",
+        F.least(
+            F.lit(1.0), target * F.lit(float(total)) / F.col("n_docs").cast("double")
+        ).alias("weight"),
+    )
+    bucket = H.h32(F.concat(F.lit(MIX_SALT), F.col("doc_id").cast("string"))) % 1000000
+    kept = (
+        docs.withColumn("bucket", bucket)
+        .join(F.broadcast(weights.select("lang", "weight")), "lang")
+        .where(F.col("bucket") < F.floor(F.col("weight") * 1000000).cast("bigint"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        weights.join(kept, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            H.round6(F.col("weight")).alias("weight"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        )
+    )
+
+
+def _sql_corpus_mixture() -> str:
+    target = "CASE " + " ".join(
+        f"WHEN lang = '{lang}' THEN {share}" for lang, share in MIX_TARGET.items()
+    ) + f" ELSE {MIX_DEFAULT} END"
+    bucket = H.sql_h32(f"'{MIX_SALT}' || CAST(doc_id AS VARCHAR)") + " % 1000000"
+    return f"""
+WITH counts AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+total AS (SELECT COUNT(*) AS n FROM documents),
+weights AS (
+  SELECT lang, n_docs,
+         LEAST(1.0, ({target}) * CAST(total.n AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS weight
+  FROM counts CROSS JOIN total
+),
+kept AS (
+  SELECT d.lang, COUNT(*) AS n_kept
+  FROM documents d JOIN weights w ON d.lang = w.lang
+  WHERE {bucket} < CAST(floor(w.weight * 1000000) AS BIGINT)
+  GROUP BY d.lang
+)
+SELECT w.lang, w.n_docs, {H.sql_round6("w.weight")} AS weight,
+       COALESCE(k.n_kept, 0) AS n_kept
+FROM weights w LEFT JOIN kept k ON w.lang = k.lang
+"""
+
+
 QUERIES = {
     "corpus_stats": corpus_stats,
     "dedup_chunks": dedup_chunks,
     "token_shard_pack": token_shard_pack,
+    "idf_topterms": idf_topterms,
+    "corpus_mixture": corpus_mixture,
 }
 
 ORACLES = {
     "corpus_stats": SQL_CORPUS_STATS,
     "dedup_chunks": SQL_DEDUP_CHUNKS,
     "token_shard_pack": SQL_TOKEN_SHARD_PACK,
+    "idf_topterms": _sql_idf_topterms(),
+    "corpus_mixture": _sql_corpus_mixture(),
 }

@@ -279,8 +279,61 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked
 WHERE rank <= {TOP_K} ORDER BY query_id, rank
 """
 
+def ann_recall_audit(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    """Recall@k of the LSH scale path against the exact brute-force top-k —
+    the audit that tells you whether the recall/latency trade is acceptable
+    before switching a corpus to the bucketed path (same role
+    minhash_jaccard_est plays for the minhash sketch).
+
+    Per query: |exact ∩ approx| / k. Both inputs are the already-verified
+    operators; the audit is two tiny per-query aggregations and a join on
+    (query_id, neighbor_id) — the joined sets are k rows per query, so cost
+    is O(|queries| · k) regardless of corpus size."""
+    exact = ann_topk_bruteforce(spark, sf_dir, k).select("query_id", "neighbor_id")
+    approx = ann_topk_lsh(spark, sf_dir, k).select("query_id", "neighbor_id")
+    n_exact = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    n_approx = approx.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_approx"))
+    n_hits = (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        n_exact.join(n_approx, "query_id", "left")
+        .join(n_hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce(F.col("n_approx"), F.lit(0)).alias("n_approx"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            H.round6(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_exact").cast("double")
+            ).alias("recall"),
+        )
+    )
+
+
+SQL_ANN_RECALL_AUDIT = f"""
+WITH exact AS ({SQL_ANN_TOPK_BRUTEFORCE}),
+approx AS ({SQL_ANN_TOPK_LSH}),
+e AS (SELECT query_id, COUNT(*) AS n_exact FROM exact GROUP BY query_id),
+a AS (SELECT query_id, COUNT(*) AS n_approx FROM approx GROUP BY query_id),
+h AS (
+  SELECT x.query_id, COUNT(*) AS n_hits
+  FROM exact x JOIN approx p ON x.query_id = p.query_id AND x.neighbor_id = p.neighbor_id
+  GROUP BY x.query_id
+)
+SELECT e.query_id, e.n_exact,
+       COALESCE(a.n_approx, 0) AS n_approx,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       {H.sql_round6("COALESCE(h.n_hits, 0) / CAST(e.n_exact AS DOUBLE)")} AS recall
+FROM e LEFT JOIN a ON e.query_id = a.query_id
+       LEFT JOIN h ON e.query_id = h.query_id
+"""
+
 ORACLES = {
     "embedding_cosine_dups": SQL_EMBEDDING_COSINE_DUPS,
     "ann_topk_bruteforce": SQL_ANN_TOPK_BRUTEFORCE,
     "ann_topk_lsh": SQL_ANN_TOPK_LSH,
+    "ann_recall_audit": SQL_ANN_RECALL_AUDIT,
 }
