@@ -351,12 +351,107 @@ FROM weights w LEFT JOIN kept k ON w.lang = k.lang
 """
 
 
+# ---------------------------------------------------------------------------
+# corpus_prep_pipeline — the whole corpus-prep flow as one composed plan
+# ---------------------------------------------------------------------------
+
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus preparation: quality filter → near-dup
+    keep-best → language-mix rebalance → token shard packing, composed from
+    the individually-verified operators into one plan whose output is the
+    final shard manifest a training job would consume.
+
+    Scale: the three filters are doc_id-keyed joins against outputs that are
+    each one scan + small aggregations; survivors are localCheckpoint'ed
+    because both the mixture weights and the packing pass read them (Spark
+    does not reuse exchanges across those subtrees). Packing inherits
+    token_shard_pack's shape: W independent writer partitions, one window
+    each."""
+    from .clustering import dedup_keep_best
+    from .quality import quality_filter
+
+    qf = quality_filter(spark, sf_dir).where(F.col("keep")).select("doc_id")
+    kb = dedup_keep_best(spark, sf_dir).where(F.col("keep")).select("doc_id")
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    survivors = docs.join(qf, "doc_id").join(kb, "doc_id").localCheckpoint()
+    counts = survivors.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    total = counts.agg(F.sum("n_docs").alias("n"))
+    target = F.lit(MIX_DEFAULT)
+    for lang, share in MIX_TARGET.items():
+        target = F.when(F.col("lang") == lang, F.lit(share)).otherwise(target)
+    weights = counts.crossJoin(total).select(
+        "lang",
+        F.least(
+            F.lit(1.0),
+            target * F.col("n").cast("double") / F.col("n_docs").cast("double"),
+        ).alias("weight"),
+    )
+    bucket = H.h32(F.concat(F.lit(MIX_SALT), F.col("doc_id").cast("string"))) % 1000000
+    kept = (
+        survivors.withColumn("bucket", bucket)
+        .join(F.broadcast(weights), "lang")
+        .where(F.col("bucket") < F.floor(F.col("weight") * 1000000).cast("bigint"))
+    )
+    toks = kept.select("doc_id", _ws_tokens().alias("tokens"))
+    return pack_manifest(toks)
+
+
+def _sql_corpus_prep_pipeline() -> str:
+    from .clustering import _sql_keep_best
+    from .quality import _sql_quality_filter
+
+    target = "CASE " + " ".join(
+        f"WHEN c.lang = '{lang}' THEN {share}" for lang, share in MIX_TARGET.items()
+    ) + f" ELSE {MIX_DEFAULT} END"
+    bucket = H.sql_h32(f"'{MIX_SALT}' || CAST(s.doc_id AS VARCHAR)") + " % 1000000"
+    return f"""
+WITH qf AS ({_sql_quality_filter()}),
+kb AS ({_sql_keep_best()}),
+survivors AS (
+  SELECT d.doc_id, d.lang, d.text
+  FROM documents d
+  JOIN qf ON d.doc_id = qf.doc_id AND qf.keep
+  JOIN kb ON d.doc_id = kb.doc_id AND kb.keep
+),
+counts AS (SELECT lang, COUNT(*) AS n_docs FROM survivors GROUP BY lang),
+total AS (SELECT SUM(n_docs) AS n FROM counts),
+weights AS (
+  SELECT c.lang,
+         LEAST(1.0, ({target}) * CAST(t.n AS DOUBLE) / CAST(c.n_docs AS DOUBLE)) AS weight
+  FROM counts c CROSS JOIN total t
+),
+kept AS (
+  SELECT s.doc_id, s.text
+  FROM survivors s JOIN weights w ON s.lang = w.lang
+  WHERE {bucket} < CAST(floor(w.weight * 1000000) AS BIGINT)
+),
+toks AS (
+  SELECT doc_id,
+         {H.sql_h32(f"'{SHARD_SALT}' || CAST(doc_id AS VARCHAR)")} % {SHARD_WORKERS} AS worker,
+         {_SQL_WS_TOKENS} AS tokens
+  FROM kept
+),
+assigned AS (
+  SELECT doc_id, worker, tokens,
+         CAST(floor((SUM(tokens) OVER (PARTITION BY worker ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tokens)
+                    / {SHARD_TOKEN_BUDGET}) AS BIGINT) AS shard
+  FROM toks
+)
+SELECT worker, shard, COUNT(*) AS n_docs, SUM(tokens) AS shard_tokens,
+       MIN(doc_id) AS start_doc, MAX(doc_id) AS end_doc,
+       printf('worker=%d/shard-%05d-%d.jsonl', worker, shard, MIN(doc_id)) AS shard_path
+FROM assigned GROUP BY worker, shard
+"""
+
+
 QUERIES = {
     "corpus_stats": corpus_stats,
     "dedup_chunks": dedup_chunks,
     "token_shard_pack": token_shard_pack,
     "idf_topterms": idf_topterms,
     "corpus_mixture": corpus_mixture,
+    "corpus_prep_pipeline": corpus_prep_pipeline,
 }
 
 ORACLES = {
@@ -365,4 +460,5 @@ ORACLES = {
     "token_shard_pack": SQL_TOKEN_SHARD_PACK,
     "idf_topterms": _sql_idf_topterms(),
     "corpus_mixture": _sql_corpus_mixture(),
+    "corpus_prep_pipeline": _sql_corpus_prep_pipeline(),
 }
