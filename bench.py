@@ -67,6 +67,33 @@ def main() -> None:
         qs[name](spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # sink throughput: the full connector path (partition -> rotate ->
+    # partitioned parquet write + manifest), the reference's headline metric
+    import shutil
+    import tempfile
+
+    from kafka_connect_storage_cloud_spark.connector import run_connector
+
+    props = {
+        "topics": "events",
+        "format.class": "parquet",
+        "partitioner.class": "io.confluent.connect.storage.partitioner.FieldPartitioner",
+        "partition.field.name": "event_type",
+        "flush.size": "5000",
+        "behavior.on.null.values": "ignore",
+    }
+    n_records = read_table(spark, sf_dir, "events").count()
+    out = tempfile.mkdtemp(prefix="bench_sink_")
+    try:
+        run_connector(spark, props, sf_dir=sf_dir, output_path=out).collect()  # warm
+        shutil.rmtree(out)
+        t0 = time.perf_counter()
+        run_connector(spark, props, sf_dir=sf_dir, output_path=out).collect()
+        sink_sec = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    timings["sink_connector_parquet"] = sink_sec
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -76,6 +103,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                "sink_records": n_records,
+                "sink_records_per_sec": round(n_records / sink_sec),
             }
         )
     )

@@ -78,6 +78,27 @@ def test_dedup_chunks_single_pass(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_idf_topterms_broadcasts_df_table(spark, sf_dir):
+    """The document-frequency table is |vocabulary|-sized — it must broadcast
+    into the tf join, and the whole plan stays JVM-side."""
+    from kafka_connect_storage_cloud_spark.llm import corpus as LCO
+
+    plan = _plan(spark, LCO.idf_topterms(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_corpus_mixture_broadcasts_weights(spark, sf_dir):
+    """The per-language weight table (|languages| rows) broadcasts into the
+    keep-decision scan — the corpus never shuffles for the sample."""
+    from kafka_connect_storage_cloud_spark.llm import corpus as LCO
+
+    plan = _plan(spark, LCO.corpus_mixture(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_token_shard_pack_one_shuffle_then_local_agg(spark, sf_dir):
     """The shard manifest aggregates on (worker, shard) — a refinement of the
     window's worker partitioning — so no exchange between window and agg."""
