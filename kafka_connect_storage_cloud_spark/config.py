@@ -65,6 +65,20 @@ class ConnectorConfig:
     compression_level: int = -1  # Deflater.DEFAULT_COMPRESSION
     bytearray_extension: str = ".bin"
     bytearray_separator: str = "\n"
+    # keys.format.class / headers.format.class: reference defaults both to
+    # AvroFormat (S3SinkConnectorConfig.java:223-226); here "" = inherit the
+    # value format, because spark-avro is an optional jar in this build and
+    # an unloadable default would fail every store.kafka.keys run.
+    keys_format_class: str = ""
+    headers_format_class: str = ""
+    # max.files.scan.limit: bound on the restart-recovery file scan
+    # (TopicPartitionWriter.java:376,1025); reference default 100.
+    max_files_scan_limit: int = 100
+    # max.write.duration.ms: advisory bound on one commit pass (reference
+    # default Long.MAX_VALUE = unbounded; -1 here). Spark's unit of commit is
+    # the micro-batch/job, so this is parsed+validated and surfaced for the
+    # caller's trigger configuration rather than enforced mid-job.
+    max_write_duration_ms: int = -1
     extra: dict[str, Any] = field(default_factory=dict)
 
     def __post_init__(self) -> None:
@@ -95,10 +109,28 @@ class ConnectorConfig:
         if not -1 <= self.compression_level <= 9:
             # reference CompressionLevelValidator: Deflater levels -1..9
             raise ValueError(f"s3.compression.level {self.compression_level} out of range")
+        for attr in ("keys_format_class", "headers_format_class"):
+            v = getattr(self, attr)
+            if v and v not in VALID_FORMATS:
+                raise ValueError(f"{attr.replace('_', '.')} {v!r} not supported")
+        if self.max_files_scan_limit < 1:
+            raise ValueError("max.files.scan.limit must be >= 1")
 
     @property
     def spark_format(self) -> str:
         return VALID_FORMATS[self.format_class]
+
+    @property
+    def keys_spark_format(self) -> str:
+        return VALID_FORMATS[self.keys_format_class] if self.keys_format_class else self.spark_format
+
+    @property
+    def headers_spark_format(self) -> str:
+        return (
+            VALID_FORMATS[self.headers_format_class]
+            if self.headers_format_class
+            else self.spark_format
+        )
 
 
 _KEY_MAP = {
@@ -129,6 +161,10 @@ _KEY_MAP = {
     "s3.compression.level": ("compression_level", int),
     "format.bytearray.extension": ("bytearray_extension", str),
     "format.bytearray.separator": ("bytearray_separator", str),
+    "keys.format.class": ("keys_format_class", str),
+    "headers.format.class": ("headers_format_class", str),
+    "max.files.scan.limit": ("max_files_scan_limit", int),
+    "max.write.duration.ms": ("max_write_duration_ms", int),
 }
 
 

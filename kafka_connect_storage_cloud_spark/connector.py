@@ -96,7 +96,15 @@ def run_connector(
         if cfg.store_kafka_keys or cfg.store_kafka_headers:
             # keys/headers ride as sibling datasets of the value stream
             # (reference KeyValueHeaderRecordWriterProvider)
-            write_kv_header_views(assigned, output_path, sink)
+            write_kv_header_views(
+                assigned,
+                output_path,
+                sink,
+                keys_format=cfg.keys_spark_format,
+                headers_format=(
+                    cfg.headers_spark_format if cfg.headers_format_class else None
+                ),
+            )
         else:
             payload_cols = [
                 c
@@ -116,7 +124,9 @@ def run_connector(
 RESUME_NAME_RE = r"([^/]+)\+(\d+)\+(\d+)\.[a-z]+$"
 
 
-def recover_resume_offsets(spark: SparkSession, output_path: str) -> DataFrame:
+def recover_resume_offsets(
+    spark: SparkSession, output_path: str, scan_limit: int | None = None
+) -> DataFrame:
     """Restart-path recovery (TopicPartitionWriter.java:1023-1050 analog):
     parse the committed manifest's deterministic file names
     (<topic>+<kafkaPartition>+<startOffset>.<ext>) and return, per
@@ -124,7 +134,15 @@ def recover_resume_offsets(spark: SparkSession, output_path: str) -> DataFrame:
     offset of the latest committed file plus its record count. Replaying
     from these offsets rewrites nothing and loses nothing, which is the
     exactly-once resume guarantee. Scales as the manifest (one row per
-    file), never the data."""
+    file), never the data.
+
+    scan_limit mirrors max.files.scan.limit (TopicPartitionWriter.java:376):
+    only the scan_limit most recently-committed files per kafka partition
+    (by end offset — offsets interleave across encoded partitions, so
+    file-start order is NOT commit order) are examined. The max end offset
+    is in that set for any limit >= 1, so bounding the lookback never
+    changes the answer — it bounds restart cost on layouts with millions of
+    files (pass cfg.max_files_scan_limit; reference default 100)."""
     m = spark.read.json(f"{output_path}/_manifest")
     parsed = m.select(
         F.regexp_extract("file_path", RESUME_NAME_RE, 1).alias("topic"),
@@ -133,6 +151,15 @@ def recover_resume_offsets(spark: SparkSession, output_path: str) -> DataFrame:
         "record_count",
         "max_offset",
     )
+    if scan_limit is not None and scan_limit > 0:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("topic", "kafka_partition").orderBy(
+            F.desc("max_offset"), F.desc("start_offset")
+        )
+        parsed = parsed.withColumn("scan_rank", F.row_number().over(w)).where(
+            F.col("scan_rank") <= scan_limit
+        )
     return (
         parsed.groupBy("topic", "kafka_partition")
         .agg(

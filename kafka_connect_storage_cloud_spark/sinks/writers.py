@@ -147,20 +147,34 @@ def write_kv_header_views(
     value_cols: tuple[str, ...] = ("offset", "value"),
     key_cols: tuple[str, ...] = ("offset", "key"),
     header_cols: tuple[str, ...] = ("offset", "headers"),
+    keys_format: str | None = None,
+    headers_format: str | None = None,
 ) -> None:
     """store.kafka.keys / store.kafka.headers: write the key and header
     streams as sibling datasets of the value stream, same partitioning
-    (reference format/KeyValueHeaderRecordWriterProvider.java)."""
+    (reference format/KeyValueHeaderRecordWriterProvider.java). The sidecar
+    formats are independently configurable (keys.format.class /
+    headers.format.class, S3SinkConnectorConfig.java:223-226); default is
+    the value format."""
+    from dataclasses import replace
+
     part = list(cfg.partition_cols)
     write_partitioned(records.select(*part, *value_cols), f"{base_path}/values", cfg)
-    write_partitioned(records.select(*part, *key_cols), f"{base_path}/keys", cfg)
+    key_cfg = cfg if keys_format in (None, cfg.format) else replace(
+        cfg, format=keys_format, compression=_compat_compression(keys_format, cfg.compression)
+    )
+    write_partitioned(records.select(*part, *key_cols), f"{base_path}/keys", key_cfg)
     headers_flat = records.select(*part, *header_cols)
-    # maps don't round-trip through csv/json cleanly; headers sink always parquet
-    hdr_cfg = SinkConfig(
-        format="parquet",
-        compression="none" if cfg.format != "parquet" else cfg.compression,
-        flush_size=cfg.flush_size,
-        partition_cols=cfg.partition_cols,
-        mode=cfg.mode,
+    # maps don't round-trip through csv/json cleanly; headers fall back to
+    # parquet unless an explicit headers.format.class says otherwise
+    hdr_fmt = headers_format or "parquet"
+    hdr_cfg = replace(
+        cfg, format=hdr_fmt, compression=_compat_compression(hdr_fmt, cfg.compression)
     )
     write_partitioned(headers_flat, f"{base_path}/headers", hdr_cfg)
+
+
+def _compat_compression(fmt: str, compression: str) -> str:
+    """Carry the configured compression to a sidecar format when that
+    format supports it; otherwise drop to none."""
+    return compression if (fmt, compression) in _COMPRESSION else "none"

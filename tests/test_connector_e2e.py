@@ -131,3 +131,61 @@ def test_null_records_to_dlq(spark, sf_small, tmp_path):
     assert dead.select("dlq_error").distinct().first()[0] == "null record value"
     written = sum(r["record_count"] for r in manifest.collect())
     assert written == n_all - n_null
+
+
+def test_keys_format_class_overrides_sidecar_format(spark, sf_small, tmp_path):
+    """keys.format.class (S3SinkConnectorConfig.java:223): the key sidecar
+    can use a different format than the value stream."""
+    out = str(tmp_path / "kvfmt")
+    props = dict(
+        PROPS,
+        **{
+            "store.kafka.keys": "true",
+            "keys.format.class": "io.confluent.connect.s3.format.json.JsonFormat",
+        },
+    )
+    run_connector(spark, props, sf_dir=sf_small, output_path=out)
+    n_values = spark.read.parquet(f"{out}/values").count()
+    key_files = glob.glob(f"{out}/keys/*/*.json")
+    assert key_files, "keys sidecar should be JSON files"
+    assert spark.read.json(f"{out}/keys").count() == n_values
+
+
+def test_recover_resume_offsets_scan_limit(spark, sf_small, tmp_path):
+    """max.files.scan.limit: bounding the lookback to the most recently
+    committed files (by end offset) per partition yields the same resume
+    offsets, including limit=1."""
+    from kafka_connect_storage_cloud_spark.connector import recover_resume_offsets
+
+    out = str(tmp_path / "scanlim")
+    run_connector(spark, PROPS, sf_dir=sf_small, output_path=out)
+    full = {
+        r["kafka_partition"]: r["resume_offset"]
+        for r in recover_resume_offsets(spark, out).collect()
+    }
+    for limit in (1, 100):
+        bounded = {
+            r["kafka_partition"]: r["resume_offset"]
+            for r in recover_resume_offsets(spark, out, scan_limit=limit).collect()
+        }
+        assert bounded == full
+
+
+def test_new_config_keys_parse_and_validate():
+    from kafka_connect_storage_cloud_spark.config import parse_properties
+
+    cfg = parse_properties(
+        {
+            "keys.format.class": "io.confluent.connect.s3.format.json.JsonFormat",
+            "max.files.scan.limit": "25",
+            "max.write.duration.ms": "60000",
+        }
+    )
+    assert cfg.keys_spark_format == "json"
+    assert cfg.headers_spark_format == cfg.spark_format  # inherit
+    assert cfg.max_files_scan_limit == 25
+    assert cfg.max_write_duration_ms == 60000
+    with pytest.raises(ValueError):
+        parse_properties({"max.files.scan.limit": "0"})
+    with pytest.raises(ValueError):
+        parse_properties({"keys.format.class": "orc"})
