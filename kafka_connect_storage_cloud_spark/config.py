@@ -79,6 +79,14 @@ class ConnectorConfig:
     # the micro-batch/job, so this is parsed+validated and surfaced for the
     # caller's trigger configuration rather than enforced mid-job.
     max_write_duration_ms: int = -1
+    # enable.conditional.writes (S3SinkConnectorConfig.java:109, default
+    # true): the reference's If-None-Match guard against zombie tasks
+    # double-completing a multipart upload (S3OutputStream.java:364). In
+    # this engine replays land on IDENTICAL deterministic file keys with
+    # dynamic partition overwrite, so a duplicate commit converges instead
+    # of corrupting; parsed for property-file compatibility, and the S3A
+    # committer supplies the equivalent atomic-complete on real S3.
+    enable_conditional_writes: bool = True
     extra: dict[str, Any] = field(default_factory=dict)
 
     def __post_init__(self) -> None:
@@ -165,6 +173,10 @@ _KEY_MAP = {
     "headers.format.class": ("headers_format_class", str),
     "max.files.scan.limit": ("max_files_scan_limit", int),
     "max.write.duration.ms": ("max_write_duration_ms", int),
+    "enable.conditional.writes": (
+        "enable_conditional_writes",
+        lambda v: str(v).lower() == "true",
+    ),
 }
 
 
