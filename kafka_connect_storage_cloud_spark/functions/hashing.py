@@ -25,6 +25,16 @@ def sql_h32(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
 
 
+def spark_sql_h32(expr: str) -> str:
+    """h32 as a Spark-SQL string, for use inside higher-order-function
+    lambdas (transform/filter) where Column-API composition can't reach."""
+    return f"CAST(conv(substring(md5({expr}), 1, 8), 16, 10) AS BIGINT)"
+
+
+def spark_sql_h60(expr: str) -> str:
+    return f"CAST(conv(substring(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
+
+
 def h60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 

@@ -18,18 +18,25 @@ def words(text_col: str = "text") -> Column:
 SQL_WORDS = "string_split_regex(lower(text), '\\s+')"
 
 
-def with_shingles(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
-    """Explode each document into its word n-gram shingles (JVM-side
-    transform/sequence/slice — no Python in the loop). Documents shorter
-    than n words contribute one whole-text shingle."""
-    df = df.withColumn("ws", words(text_col))
-    shingle_arr = F.when(
+def shingles_from_ws(n: int = 3) -> Column:
+    """The word n-gram shingle array of a pre-split `ws` column. Documents
+    shorter than n words contribute one whole-text shingle. Exposed as an
+    array (not exploded) so per-doc reductions over shingles — minhash,
+    signature mins — stay zero-shuffle projections."""
+    return F.when(
         F.size("ws") >= n,
         F.expr(
             f"transform(sequence(0, size(ws) - {n}), i -> concat_ws(' ', slice(ws, i + 1, {n})))"
         ),
     ).otherwise(F.array(F.concat_ws(" ", F.col("ws"))))
-    return df.withColumn("shingle", F.explode(shingle_arr)).drop("ws")
+
+
+def with_shingles(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """Explode each document into its word n-gram shingles (JVM-side
+    transform/sequence/slice — no Python in the loop). For cross-doc
+    grouping only; per-doc reductions should use shingles_from_ws."""
+    df = df.withColumn("ws", words(text_col))
+    return df.withColumn("shingle", F.explode(shingles_from_ws(n))).drop("ws")
 
 
 def sql_shingles(n: int = 3) -> str:

@@ -57,15 +57,23 @@ FROM documents GROUP BY 1 ORDER BY 1
 
 
 def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # No distinct on (doc_id, h): MIN is duplicate-insensitive, and a doc's
-    # shingles are co-located with the doc row, so the map-side partial agg
-    # collapses the exploded table to ~1 row/doc before the only shuffle.
+    # ZERO-shuffle: a doc's minhash is a reduction over its own shingles, so
+    # compute it as array_min over the per-row shingle-hash array instead of
+    # explode + groupBy — no 16-agg hash aggregate, no exchange, and at
+    # corpus scale no |shingles|-row intermediate at all. MIN over the array
+    # (with duplicates) equals MIN over the distinct shingle set, so values
+    # are identical to the DISTINCT-based oracle.
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sh = T.with_shingles(docs, SHINGLE_N).select(
-        "doc_id", H.h32(F.col("shingle")).alias("h")
+    hs = (
+        docs.withColumn("ws", T.words())
+        .withColumn("sharr", T.shingles_from_ws(SHINGLE_N))
+        .select("doc_id", F.expr(f"transform(sharr, s -> {H.spark_sql_h32('s')})").alias("hs"))
     )
-    aggs = [F.min(H.minhash_col(F.col("h"), i)).alias(f"mh{i}") for i in range(K_PERMS)]
-    return sh.groupBy("doc_id").agg(*aggs)
+    mins = [
+        F.expr(f"array_min(transform(hs, h -> ({a} * h + {b}) % {H.P31}))").alias(f"mh{i}")
+        for i, (a, b) in ((i, H.minhash_perm(i)) for i in range(K_PERMS))
+    ]
+    return hs.select("doc_id", *mins)
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -24,6 +24,11 @@ STOPWORDS = {
 TOKEN_REGEX = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 FINGERPRINT_GRAM = 5
 FINGERPRINT_WINDOW = 8
+# Karp-Rabin gram hash: Σ code(c_j)·FP_BASE^(G-1-j) mod FP_MOD. Identical
+# integer arithmetic in Spark (ascii) and DuckDB (unicode); max term
+# 257^4 · 0x10FFFF ≈ 4.9e15, sum of 5 well inside int64.
+FP_BASE = 257
+FP_MOD = 2147483647
 
 
 def _word_count() -> Column:
@@ -175,55 +180,83 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (Schleimer et al.): hash every char
     FINGERPRINT_GRAM-gram, take the min hash of each sliding window of
     FINGERPRINT_WINDOW grams, dedupe. Output per doc: fingerprint count and
-    min/max for compactness. Explode is JVM-side; one window + one groupBy."""
+    min/max for compactness.
+
+    A document's fingerprints depend only on its own text, so the whole op
+    is ONE narrow projection over per-row arrays (transform + element_at +
+    array_distinct) — no gram explode, no per-doc sort window, no shuffle.
+    The exploded form sorted |corpus|·|chars| rows; this form is why the op
+    stays linear at 100 TB. Gram hashes are a Karp-Rabin polynomial over
+    char codes (the winnowing paper's rolling hash) — pure integer math,
+    ~10x cheaper than a cryptographic hash per gram and portable to the
+    oracle via identical arithmetic (char codes from ascii()/unicode()).
+    Docs with fewer than FINGERPRINT_WINDOW grams have no full window and
+    drop out (same as the windowed form's pos >= W-1 filter and the
+    oracle's GROUP BY)."""
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    grams = docs.select(
+    # char-code array of lower(text), then g_p = Σ cs[p+j]·B^(G-1-j) mod M
+    cs = "transform(sequence(1, greatest(length(text), 1)), i -> ascii(substring(lower(text), i, 1)))"
+    poly = " + ".join(
+        f"element_at(cs, p + {j}) * {FP_BASE ** (FINGERPRINT_GRAM - 1 - j)}"
+        for j in range(FINGERPRINT_GRAM)
+    )
+    ghs = (
+        f"transform(sequence(1, greatest(size(cs) - {FINGERPRINT_GRAM - 1}, 1)), "
+        f"p -> CAST(({poly}) % {FP_MOD} AS BIGINT))"
+    )
+    base = (
+        docs.select("doc_id", F.expr(cs).alias("cs"))
+        .where(F.size("cs") >= FINGERPRINT_GRAM + FINGERPRINT_WINDOW - 1)
+        .select("doc_id", F.expr(ghs).alias("ghs"))
+    )
+    w = FINGERPRINT_WINDOW
+    # least(element_at...) instead of array_min(slice(...)): no per-window
+    # array allocation in the lambda, ~2x on the gram-bound constant
+    window_min = "least(" + ", ".join(
+        f"element_at(ghs, p - {j})" for j in range(w - 1, -1, -1)
+    ) + ")"
+    fps = f"array_distinct(transform(sequence({w}, size(ghs)), p -> {window_min}))"
+    return base.select("doc_id", F.expr(fps).alias("fps")).select(
         "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(1, greatest(length(text) - {FINGERPRINT_GRAM - 1}, 1)), "
-                f"i -> substring(lower(text), i, {FINGERPRINT_GRAM}))"
-            )
-        ).alias("pos", "gram"),
-    ).select("doc_id", "pos", H.h60(F.col("gram")).alias("gh"))
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(-(FINGERPRINT_WINDOW - 1), 0)
-    )
-    fps = (
-        grams.withColumn("win_min", F.min("gh").over(w))
-        .where(F.col("pos") >= FINGERPRINT_WINDOW - 1)
-        .select("doc_id", "win_min")
-        .distinct()
-    )
-    return (
-        fps.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_fingerprints"),
-            F.min("win_min").alias("min_fp"),
-            F.max("win_min").alias("max_fp"),
-        )
+        F.size("fps").cast("long").alias("n_fingerprints"),
+        F.array_min("fps").alias("min_fp"),
+        F.array_max("fps").alias("max_fp"),
     )
 
+
+_SQL_FP_POLY = " + ".join(
+    f"cs[p + {j}] * {FP_BASE ** (FINGERPRINT_GRAM - 1 - j)}" for j in range(FINGERPRINT_GRAM)
+)
+_SQL_FP_WINMIN = "least(" + ", ".join(
+    f"ghs[p - {j}]" for j in range(FINGERPRINT_WINDOW - 1, -1, -1)
+) + ")"
 
 SQL_DOC_FINGERPRINT = f"""
-WITH grams AS (
-  SELECT doc_id, i - 1 AS pos, {H.sql_h60(f"substr(lower(text), i, {FINGERPRINT_GRAM})")} AS gh
-  FROM (
-    SELECT doc_id, text, unnest(generate_series(1, GREATEST(len(text) - {FINGERPRINT_GRAM - 1}, 1))) AS i
-    FROM documents
-  )
+WITH base AS (
+  SELECT doc_id,
+         [unicode(substr(lower(text), CAST(i AS INT), 1))
+          for i in generate_series(1, GREATEST(len(text), 1))] AS cs
+  FROM documents
 ),
-wins AS (
-  SELECT doc_id, pos,
-         MIN(gh) OVER (PARTITION BY doc_id ORDER BY pos
-                       ROWS BETWEEN {FINGERPRINT_WINDOW - 1} PRECEDING AND CURRENT ROW) AS win_min
-  FROM grams
+eligible AS (
+  SELECT * FROM base
+  WHERE len(cs) >= {FINGERPRINT_GRAM + FINGERPRINT_WINDOW - 1}
 ),
-fps AS (SELECT DISTINCT doc_id, win_min FROM wins WHERE pos >= {FINGERPRINT_WINDOW - 1})
-SELECT doc_id, COUNT(*) AS n_fingerprints, MIN(win_min) AS min_fp, MAX(win_min) AS max_fp
-FROM fps GROUP BY doc_id ORDER BY doc_id
+ghs_t AS (
+  SELECT doc_id,
+         [CAST(({_SQL_FP_POLY}) % {FP_MOD} AS BIGINT)
+          for p in generate_series(1, len(cs) - {FINGERPRINT_GRAM - 1})] AS ghs
+  FROM eligible
+),
+fps_t AS (
+  SELECT doc_id,
+         list_distinct([{_SQL_FP_WINMIN}
+                        for p in generate_series({FINGERPRINT_WINDOW}, len(ghs))]) AS fps
+  FROM ghs_t
+)
+SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fingerprints,
+       list_min(fps) AS min_fp, list_max(fps) AS max_fp
+FROM fps_t
 """
 
 REP_N = 2
