@@ -102,6 +102,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": LQ.token_count,
         "doc_fingerprint": LQ.doc_fingerprint,
         "multimodal_pipeline": LM.multimodal_pipeline,
+        "multimodal_resize": LM.multimodal_resize,
+        "multimodal_frame_sample": LM.multimodal_frame_sample,
         **LP.QUERIES,
         **LCO.QUERIES,
     }

@@ -118,6 +118,108 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESIZE_W = 16
+RESIZE_H = 16
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("out_w", LongType()),
+        StructField("out_h", LongType()),
+        StructField("out_bytes", LongType()),
+        StructField("checksum", LongType()),
+    ]
+)
+
+
+def resize_stub(payload: bytes, w: int, h: int) -> bytes:
+    """STUB resize — replace with PIL `Image.resize` in production.
+    Deterministic fake: nearest-neighbor 1-D resample of the byte stream to
+    w*h samples (idx(i) = floor(i*n/m)), which is exactly what NN resize
+    does per raster row."""
+    n = len(payload)
+    m = w * h
+    if n == 0:
+        return b""
+    return bytes(payload[(i * n) // m] for i in range(m))
+
+
+def resize_media(media: DataFrame, w: int = RESIZE_W, h: int = RESIZE_H) -> DataFrame:
+    """Arrow-batched resize over the binary column. The resized payload
+    stays binary end-to-end; the query surface exposes its checksum so the
+    byte-level result is value-checked without shipping blobs to the driver."""
+    from ..session import ship_package
+
+    ship_package(media.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [resize_stub(p, w, h) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "out_w": w,
+                    "out_h": h,
+                    "out_bytes": [len(r) for r in resized],
+                    "checksum": [sum(r) % 997 for r in resized],
+                }
+            )
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-path rows only (mime filter is a plain column predicate that
+    reaches the scan), resized to RESIZE_W x RESIZE_H via the stub."""
+    media = synth_media(spark, sf_dir).where(
+        (F.col("mime") == "image/png") & (F.col("n_bytes") > 0)
+    )
+    return resize_media(media)
+
+
+FRAME_BYTES = 32
+FRAME_STRIDE = 4
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_checksum", LongType()),
+    ]
+)
+
+
+def frame_sample(media: DataFrame, frame_bytes: int = FRAME_BYTES, stride: int = FRAME_STRIDE) -> DataFrame:
+    """STUB video/audio frame sampler — replace the chunking with ffmpeg
+    keyframe extraction in production. Deterministic fake: the payload is a
+    sequence of `frame_bytes`-sized frames; every `stride`-th frame is
+    emitted as its own row. Row-multiplying mapInPandas: one input row
+    yields ceil(n_frames/stride) output rows, streamed per Arrow batch so
+    peak memory is one batch of frames, never a whole video."""
+    from ..session import ship_package
+
+    ship_package(media.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sums = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                n_frames = len(p) // frame_bytes
+                for f in range(0, n_frames, stride):
+                    ids.append(mid)
+                    idxs.append(f)
+                    sums.append(sum(p[f * frame_bytes : (f + 1) * frame_bytes]) % 997)
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame_checksum": sums})
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio/video-path rows only; every FRAME_STRIDE-th FRAME_BYTES frame."""
+    media = synth_media(spark, sf_dir).where(F.col("mime") == "audio/wav")
+    return frame_sample(media)
+
+
 # Oracle: the stub's 4th feature = sum(first 64 bytes) % 997 on utf-8 text
 # (ASCII here, so ord == byte value).
 SQL_MULTIMODAL = """
@@ -132,4 +234,33 @@ WHERE len(text) > 0
 ORDER BY media_id
 """
 
-ORACLES = {"multimodal_pipeline": SQL_MULTIMODAL}
+# Same nearest-neighbor index arithmetic ((i*n)//m, 0-based) over the utf-8
+# text bytes; DuckDB // is integer division on BIGINTs.
+SQL_MULTIMODAL_RESIZE = f"""
+SELECT doc_id AS media_id,
+       CAST({RESIZE_W} AS BIGINT) AS out_w,
+       CAST({RESIZE_H} AS BIGINT) AS out_h,
+       CAST({RESIZE_W * RESIZE_H} AS BIGINT) AS out_bytes,
+       CAST(list_sum([ascii(substr(text, CAST((i * len(text)) // {RESIZE_W * RESIZE_H} AS INT) + 1, 1))
+                      for i in generate_series(0, {RESIZE_W * RESIZE_H - 1})]) % 997 AS BIGINT) AS checksum
+FROM documents
+WHERE doc_id % 2 = 0 AND len(text) > 0
+ORDER BY media_id
+"""
+
+SQL_MULTIMODAL_FRAMES = f"""
+SELECT doc_id AS media_id,
+       f AS frame_idx,
+       CAST(list_sum([ascii(substr(text, CAST(f * {FRAME_BYTES} + i AS INT), 1))
+                      for i in generate_series(1, {FRAME_BYTES})]) % 997 AS BIGINT) AS frame_checksum
+FROM documents,
+     LATERAL (SELECT unnest(generate_series(0, len(text) // {FRAME_BYTES} - 1)) AS f)
+WHERE doc_id % 2 = 1 AND f % {FRAME_STRIDE} = 0
+ORDER BY media_id, frame_idx
+"""
+
+ORACLES = {
+    "multimodal_pipeline": SQL_MULTIMODAL,
+    "multimodal_resize": SQL_MULTIMODAL_RESIZE,
+    "multimodal_frame_sample": SQL_MULTIMODAL_FRAMES,
+}
