@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- LLM data pipeline (SURVEY §2C) ---
         "dedup_clusters": LC.dedup_clusters,
         "dedup_keep_best": LC.dedup_keep_best,
+        "dedup_semantic": LC.dedup_semantic,
         "dedup_exact": LD.dedup_exact,
         "dedup_minhash_lsh": LD.dedup_minhash_lsh,
         "dedup_incremental": LD.dedup_incremental,

@@ -24,16 +24,17 @@ from .dedup import dedup_minhash_lsh
 MAX_ITERS = 20
 
 
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, cluster_id, cluster_size) for every document; cluster_id is
-    the min doc_id in the near-dup component (singletons cluster alone)."""
-    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+def min_label_components(nodes: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+    """Min-label propagation to fixpoint: (id_col, cluster_id, cluster_size)
+    where cluster_id = min id reachable through the pair edges.
+
+    `nodes` has column id_col; `pairs` has columns (src, dst) with one row
+    per undirected pair (either orientation)."""
     # materialize pairs once — the undirected union references them twice
-    pairs = dedup_minhash_lsh(spark, sf_dir).localCheckpoint()
-    # undirected edge list
+    pairs = pairs.localCheckpoint()
     edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        pairs.select("src", "dst")
+        .unionAll(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
         .cache()
     )
@@ -41,18 +42,18 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the whole history each round); labels only ever decrease, so the label
     # sum is a monotone fixpoint detector — one cheap agg per iteration
     # instead of a full old-vs-new join.
-    labels = docs.select(F.col("doc_id"), F.col("doc_id").alias("lab")).localCheckpoint()
+    labels = nodes.select(F.col(id_col), F.col(id_col).alias("lab")).localCheckpoint()
     cur_sum = labels.agg(F.sum("lab")).collect()[0][0]
     for _ in range(MAX_ITERS):
         neighbor_min = (
-            edges.join(labels, edges.dst == labels.doc_id)
+            edges.join(labels, edges.dst == labels[id_col])
             .groupBy("src")
             .agg(F.min("lab").alias("nlab"))
         )
         labels = (
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            labels.join(neighbor_min, labels[id_col] == neighbor_min.src, "left")
             .select(
-                "doc_id",
+                id_col,
                 F.least(F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))).alias("lab"),
             )
             .localCheckpoint()
@@ -64,7 +65,36 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = labels.groupBy("lab").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
         labels.join(sizes, "lab")
-        .select("doc_id", F.col("lab").alias("cluster_id"), "cluster_size")
+        .select(id_col, F.col("lab").alias("cluster_id"), "cluster_size")
+    )
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id, cluster_size) for every document; cluster_id is
+    the min doc_id in the near-dup component (singletons cluster alone)."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    return min_label_components(docs, pairs, "doc_id")
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) dedup: connected components over the
+    cosine>=τ near-dup graph, keep the min-vec_id representative per
+    component. Same min-label propagation as the MinHash path — the edge
+    generator is the only difference, so the CC machinery is shared and
+    scale behavior (one shuffle join per iteration, diameter-bounded loop)
+    is identical."""
+    from .similarity import embedding_cosine_dups
+
+    vecs = read_table(spark, sf_dir, "embeddings").select("vec_id")
+    pairs = embedding_cosine_dups(spark, sf_dir).select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    )
+    comp = min_label_components(vecs, pairs, "vec_id")
+    return comp.select(
+        "vec_id", "cluster_id", "cluster_size", (F.col("vec_id") == F.col("cluster_id")).alias("keep")
     )
 
 
@@ -146,4 +176,32 @@ FROM ranked ORDER BY doc_id
 """
 
 
-ORACLES = {"dedup_clusters": _sql_clusters(), "dedup_keep_best": _sql_keep_best()}
+def _sql_semantic() -> str:
+    from .similarity import _SQL_DOT, _sql_emb
+
+    cos = f"ROUND({_SQL_DOT.format(a='a.v', b='b.v')} / (a.nrm * b.nrm), 6)"
+    return f"""
+WITH RECURSIVE {_sql_emb().strip()},
+pairs AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM emb_n a JOIN emb_n b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE {cos} >= 0.9
+),
+edges AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+reach AS (
+  SELECT vec_id AS node, vec_id AS lab FROM embeddings
+  UNION
+  SELECT e.src AS node, r.lab FROM reach r JOIN edges e ON e.dst = r.node
+),
+final AS (SELECT node AS vec_id, MIN(lab) AS cluster_id FROM reach GROUP BY node),
+sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM final GROUP BY cluster_id)
+SELECT f.vec_id, f.cluster_id, s.cluster_size, f.vec_id = f.cluster_id AS keep
+FROM final f JOIN sizes s USING (cluster_id) ORDER BY f.vec_id
+"""
+
+
+ORACLES = {
+    "dedup_clusters": _sql_clusters(),
+    "dedup_keep_best": _sql_keep_best(),
+    "dedup_semantic": _sql_semantic(),
+}

@@ -445,8 +445,133 @@ FROM assigned GROUP BY worker, shard
 """
 
 
+# ---------------------------------------------------------------------------
+# lm_rarity_score — unigram-LM perplexity proxy (CC-Net-style quality signal)
+# ---------------------------------------------------------------------------
+
+RARITY_SCALE = 1_000_000
+
+
+def lm_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc unigram language-model score: train per-language token
+    frequencies over the corpus itself, then score each document by the
+    mean rarity of its tokens — the perplexity-proxy CC-Net uses to bucket
+    corpus quality (head/middle/tail), with the log dropped for the same
+    reason as idf_topterms: rarity N_lang/cnt is a monotone transform of
+    -log p(token), so bucket ORDER is identical, and the integer form
+    rarity_micro = N_lang * SCALE // cnt is exact on both engines.
+
+    Scale: the per-language vocabulary is Zipf-small -> broadcast join
+    against the exploded token stream; a doc's tokens are co-located with
+    its row, so the per-doc SUM partially aggregates map-side and the only
+    full shuffle carries ~1 row/doc. Overflow bound: SUM(rarity_micro) <=
+    n_doc_tokens * N_lang * SCALE; at a 1e12-token corpus drop SCALE to
+    1e3 to stay inside int64."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    ).where(F.col("tok") != "")
+    vocab = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    n_lang = toks.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    vocab = vocab.join(F.broadcast(n_lang), "lang").select(
+        "lang",
+        "tok",
+        F.expr(f"n_lang * {RARITY_SCALE} div cnt").alias("rarity_micro"),
+    )
+    scored = toks.join(F.broadcast(vocab), ["lang", "tok"])
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("rarity_micro").alias("rarity_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr("rarity_sum div n_tokens").alias("mean_rarity_micro"),
+        )
+    )
+
+
+SQL_LM_RARITY = f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+  FROM documents
+),
+toks_ne AS (SELECT * FROM toks WHERE tok <> ''),
+vocab AS (
+  SELECT lang, tok, COUNT(*) AS cnt FROM toks_ne GROUP BY lang, tok
+),
+n_lang_t AS (SELECT lang, COUNT(*) AS n_lang FROM toks_ne GROUP BY lang),
+rarity AS (
+  SELECT v.lang, v.tok,
+         CAST(n.n_lang * {RARITY_SCALE} // v.cnt AS BIGINT) AS rarity_micro
+  FROM vocab v JOIN n_lang_t n ON v.lang = n.lang
+),
+scored AS (
+  SELECT t.doc_id, r.rarity_micro
+  FROM toks_ne t JOIN rarity r ON t.lang = r.lang AND t.tok = r.tok
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(rarity_micro) // COUNT(*) AS BIGINT) AS mean_rarity_micro
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# bpe_pair_stats — one BPE merge round: corpus-wide adjacent-pair counts
+# ---------------------------------------------------------------------------
+
+BPE_TOP_K = 20
+
+
+def bpe_pair_stats(spark: SparkSession, sf_dir: str, k: int = BPE_TOP_K) -> DataFrame:
+    """The counting step of one BPE tokenizer-training round: frequency of
+    every adjacent character pair within words, top-k by count (the pair a
+    BPE trainer would merge next). Per-word pair extraction is a JVM-side
+    flatten(transform(...)) projection; the single shuffle is the pair
+    groupBy, map-side combined down to |alphabet|^2 rows regardless of
+    corpus size — the canonical 'train a tokenizer on 100 TB' shape.
+    Ranking |alphabet|^2 rows is a driver-scale sort (top-k over a
+    broadcastable aggregate), not a corpus-scale window."""
+    docs = read_table(spark, sf_dir, "documents").select("text")
+    pairs = docs.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(filter(split(lower(text), '\\\\s+'), w -> length(w) >= 2), "
+                "w -> transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))))"
+            )
+        ).alias("pair")
+    )
+    counted = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("pair"))
+    return (
+        counted.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("rank", "pair", "cnt")
+    )
+
+
+SQL_BPE_PAIRS = f"""
+WITH words_t AS (
+  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w FROM documents
+),
+pairs AS (
+  SELECT unnest([substr(w, CAST(i AS INT), 2) for i in generate_series(1, len(w) - 1)]) AS pair
+  FROM words_t WHERE len(w) >= 2
+),
+counted AS (SELECT pair, COUNT(*) AS cnt FROM pairs GROUP BY pair),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS INT) AS rank FROM counted
+)
+SELECT rank, pair, cnt FROM ranked WHERE rank <= {BPE_TOP_K} ORDER BY rank
+"""
+
+
 QUERIES = {
     "corpus_stats": corpus_stats,
+    "lm_rarity_score": lm_rarity_score,
+    "bpe_pair_stats": bpe_pair_stats,
     "dedup_chunks": dedup_chunks,
     "token_shard_pack": token_shard_pack,
     "idf_topterms": idf_topterms,
@@ -456,6 +581,8 @@ QUERIES = {
 
 ORACLES = {
     "corpus_stats": SQL_CORPUS_STATS,
+    "lm_rarity_score": SQL_LM_RARITY,
+    "bpe_pair_stats": SQL_BPE_PAIRS,
     "dedup_chunks": SQL_DEDUP_CHUNKS,
     "token_shard_pack": SQL_TOKEN_SHARD_PACK,
     "idf_topterms": _sql_idf_topterms(),
