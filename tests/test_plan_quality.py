@@ -110,3 +110,50 @@ def test_token_shard_pack_one_shuffle_then_local_agg(spark, sf_dir):
     # exactly one exchange: the worker hash partition (no output sort — the
     # manifest is unordered; consumers filter by worker/shard)
     assert body.count("Exchange") == 1, body
+
+
+def test_lm_rarity_broadcasts_vocab(spark, sf_dir):
+    """Both the per-language total and the vocab rarity table broadcast into
+    the token stream; nothing corpus-sized goes through a SortMergeJoin and
+    the whole op stays JVM-side."""
+    from kafka_connect_storage_cloud_spark.llm import corpus as LCO
+
+    plan = _plan(spark, LCO.lm_rarity_score(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bpe_pairs_single_shuffle(spark, sf_dir):
+    """Pair extraction is a projection; the only corpus-sized exchange is the
+    map-side-combined pair groupBy (the top-k window ranks |alphabet|^2
+    aggregated rows, a second tiny exchange)."""
+    from kafka_connect_storage_cloud_spark.llm import corpus as LCO
+
+    plan = _plan(spark, LCO.bpe_pair_stats(spark, sf_dir))
+    assert "Join" not in plan
+    assert "partial_count" in plan  # map-side combine before the shuffle
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_minhash_signatures_zero_shuffle(spark, sf_dir):
+    """A doc's minhash signature is a per-row array reduction — the
+    signature computation itself must plan as a scan + project with no
+    exchange, no aggregate, no explode."""
+    from kafka_connect_storage_cloud_spark.llm import dedup as LD
+
+    plan = _plan(spark, LD.minhash_signatures(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Generate" not in plan  # no explode
+    assert "HashAggregate" not in plan
+
+
+def test_doc_fingerprint_zero_shuffle(spark, sf_dir):
+    """Winnowing fingerprints are per-doc array math: scan + project only —
+    no gram explode, no per-doc sort window, no exchange."""
+    from kafka_connect_storage_cloud_spark.llm import quality as LQ
+
+    plan = _plan(spark, LQ.doc_fingerprint(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Generate" not in plan
+    assert "Window" not in plan
