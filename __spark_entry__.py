@@ -26,6 +26,8 @@ if _REPO_ROOT not in sys.path:
 from kafka_connect_storage_cloud_spark.llm import corpus as LCO
 from kafka_connect_storage_cloud_spark.llm import dedup as LD
 from kafka_connect_storage_cloud_spark.llm import multimodal as LM
+from kafka_connect_storage_cloud_spark.llm import pii as LPI
+from kafka_connect_storage_cloud_spark.llm import pq as LPQ
 from kafka_connect_storage_cloud_spark.llm import pipeline as LP
 from kafka_connect_storage_cloud_spark.llm import quality as LQ
 from kafka_connect_storage_cloud_spark.llm import similarity as LS
@@ -107,6 +109,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_sample": LM.multimodal_frame_sample,
         **LP.QUERIES,
         **LCO.QUERIES,
+        **LPI.QUERIES,
+        **LPQ.QUERIES,
     }
 
 
@@ -459,4 +463,6 @@ SELECT * FROM ranked WHERE rank <= 5 ORDER BY event_type, rank""",
         **LM.ORACLES,
         **LP.ORACLES,
         **LCO.ORACLES,
+        **LPI.ORACLES,
+        **LPQ.ORACLES,
     }

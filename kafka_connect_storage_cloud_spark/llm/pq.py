@@ -1,0 +1,367 @@
+"""Product quantization (PQ) over the embeddings table.
+
+The compression path for 100 TB-scale vector search (Jégou et al., "Product
+Quantization for Nearest Neighbor Search"): split each vector into PQ_M
+subspaces, quantize each subvector to its nearest codebook centroid, and
+answer top-k queries from the codes alone via asymmetric distance
+computation (ADC) — a per-query lookup table of query-to-centroid
+distances, so scoring a candidate is PQ_M table lookups instead of a
+64-dim dot product, and the candidate set is PQ_M bytes per vector
+instead of 256.
+
+Determinism contract (same as similarity.py): components quantize to
+scaled int64 (round(x * 1e8)); every distance is an EXACT integer
+Σ(a-b)² — no float enters until presentation — so argmin/rank decisions
+are bit-identical between numpy int64 (Spark side) and DuckDB hugeint
+sums, with ties broken by smallest centroid/neighbor id.
+
+Codebook: training-free deterministic sample — vectors with
+vec_id % PQ_CENTROID_MOD == PQ_CENTROID_RES serve as centroids (the same
+device the IVF path uses; swap in ivf_kmeans_refine-style Lloyd rounds to
+train). The codebook is tiny and rides in the task closure; the corpus
+streams through one narrow Arrow stage with zero shuffle for encode.
+
+Scale shape:
+- encode: one mapInPandas pass, centroid matrices in closure — no join,
+  no shuffle, output is PQ_M small ints + one error column per vector.
+- ADC top-k: queries' LUTs in closure; candidates stream once; per-batch
+  top-k then one tiny global window over |queries| x k x partitions rows.
+
+No reference analog (the connector does no vector math) — part of the
+beyond-reference LLM-pipeline surface (SURVEY §2C).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..session import read_table, ship_package
+from .similarity import SCALE, _dec_vec
+
+PQ_M = 8  # subspaces
+PQ_SUBDIM = 8  # dims per subspace (64-dim embeddings)
+PQ_CENTROID_MOD = 11  # vec_id % MOD == RES -> codebook member
+PQ_CENTROID_RES = 3
+PQ_QUERY_MOD = 50  # vec_id % QUERY_MOD == 0 -> query vector
+PQ_TOP_K = 10
+
+
+def _codebook(spark: SparkSession, sf_dir: str):
+    """Collect the (tiny) codebook driver-side: (ids, C x 64 int64 matrix),
+    rows sorted by centroid id so numpy argmin's first-hit tiebreak equals
+    smallest-centroid-id."""
+    import numpy as np
+
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", _dec_vec("embedding").alias("v"))
+    crows = emb.where(F.pmod(F.col("vec_id"), F.lit(PQ_CENTROID_MOD)) == PQ_CENTROID_RES).collect()
+    crows.sort(key=lambda r: r["vec_id"])
+    c_ids = np.array([r["vec_id"] for r in crows], dtype=np.int64)
+    c_mat = np.array([r["v"] for r in crows], dtype=np.int64)  # C x 64
+    return c_ids, c_mat
+
+
+def _sub(mat, m):
+    return mat[:, m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+
+
+def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-encode every vector: per subspace the id of its nearest centroid
+    (exact int64 L2², ties to smallest id) plus the exact total squared
+    reconstruction error in scaled units."""
+    import numpy as np
+    import pandas as pd
+
+    ship_package(spark)
+    c_ids, c_mat = _codebook(spark, sf_dir)
+    c2 = [np.einsum("ij,ij->i", _sub(c_mat, m), _sub(c_mat, m)) for m in range(PQ_M)]
+
+    def encode(batches):
+        for pdf in batches:
+            v_mat = np.stack(pdf["v"].to_numpy()).astype(np.int64)  # n x 64
+            out = {"vec_id": pdf["vec_id"]}
+            err = np.zeros(len(pdf), dtype=np.int64)
+            for m in range(PQ_M):
+                vm = _sub(v_mat, m)
+                # exact int64: ||v||² + ||c||² - 2 v·c  (all terms < 2^63)
+                d2 = (
+                    np.einsum("ij,ij->i", vm, vm)[:, None]
+                    + c2[m][None, :]
+                    - 2 * (vm @ _sub(c_mat, m).T)
+                )
+                best = np.argmin(d2, axis=1)  # first hit = smallest cid
+                out[f"code_{m}"] = c_ids[best]
+                err += d2[np.arange(len(pdf)), best]
+            out["recon_err_sq"] = err
+            yield pd.DataFrame(out)
+
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", _dec_vec("embedding").alias("v"))
+    schema = "vec_id long, " + ", ".join(f"code_{m} long" for m in range(PQ_M)) + ", recon_err_sq long"
+    return emb.mapInPandas(encode, schema)
+
+
+def _sql_emb() -> str:
+    return (
+        "SELECT vec_id, [CAST(round(CAST(x AS DOUBLE) * "
+        f"{SCALE}, 0) AS BIGINT) for x in embedding] AS v FROM embeddings"
+    )
+
+
+def _sql_subd2(av: str, bv: str, m: int) -> str:
+    """Exact integer Σ(a-b)² over subspace m (1-based list indexing)."""
+    return (
+        f"CAST(list_sum([({av}[{m * PQ_SUBDIM} + j] - {bv}[{m * PQ_SUBDIM} + j])"
+        f" * ({av}[{m * PQ_SUBDIM} + j] - {bv}[{m * PQ_SUBDIM} + j])"
+        f" for j in generate_series(1, {PQ_SUBDIM})]) AS BIGINT)"
+    )
+
+
+def _sql_codes() -> str:
+    """CTE body producing (vec_id, m, cid, d2): each vector's chosen
+    centroid per subspace."""
+    sub_union = "\n  UNION ALL ".join(
+        f"SELECT e.vec_id, {m} AS m, c.cid, {_sql_subd2('e.v', 'c.cv', m)} AS d2"
+        " FROM emb e CROSS JOIN cents c"
+        for m in range(PQ_M)
+    )
+    return f"""
+sub AS (
+  {sub_union}
+),
+codes AS (
+  SELECT vec_id, m, cid, d2 FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn FROM sub
+  ) WHERE rn = 1
+)"""
+
+
+_SQL_PREFIX = f"""
+WITH emb AS ({{emb}}),
+cents AS (
+  SELECT vec_id AS cid, v AS cv FROM emb
+  WHERE vec_id % {PQ_CENTROID_MOD} = {PQ_CENTROID_RES}
+),
+{{codes}}"""
+
+
+def _sql_prefix() -> str:
+    return _SQL_PREFIX.format(emb=_sql_emb(), codes=_sql_codes().lstrip())
+
+
+SQL_EMBEDDING_PQ = (
+    _sql_prefix()
+    + "\nSELECT vec_id,\n  "
+    + ",\n  ".join(f"MAX(CASE WHEN m = {m} THEN cid END) AS code_{m}" for m in range(PQ_M))
+    + ",\n  CAST(SUM(d2) AS BIGINT) AS recon_err_sq\nFROM codes GROUP BY vec_id"
+)
+
+
+def pq_adc_topk(spark: SparkSession, sf_dir: str, k: int = PQ_TOP_K) -> DataFrame:
+    """Approximate top-k by asymmetric distance: candidates are represented
+    ONLY by their PQ codes; each query precomputes a (PQ_M x C) distance
+    LUT to the codebook, and a candidate's distance is the sum of PQ_M
+    lookups. Ranking: (adc_d2 asc, neighbor_id asc), self-pairs excluded."""
+    import numpy as np
+    import pandas as pd
+
+    ship_package(spark)
+    c_ids, c_mat = _codebook(spark, sf_dir)
+    cid_to_idx = {int(c): i for i, c in enumerate(c_ids)}
+
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", _dec_vec("embedding").alias("v"))
+    qrows = emb.where(F.pmod(F.col("vec_id"), F.lit(PQ_QUERY_MOD)) == 0).collect()
+    qrows.sort(key=lambda r: r["vec_id"])
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    q_mat = np.array([r["v"] for r in qrows], dtype=np.int64)  # Q x 64
+    # LUT[q, m, c] = exact ||q_m - C_c,m||²
+    lut = np.stack(
+        [
+            np.einsum("ij,ij->i", _sub(q_mat, m), _sub(q_mat, m))[:, None]
+            + np.einsum("ij,ij->i", _sub(c_mat, m), _sub(c_mat, m))[None, :]
+            - 2 * (_sub(q_mat, m) @ _sub(c_mat, m).T)
+            for m in range(PQ_M)
+        ],
+        axis=1,
+    )  # Q x M x C
+
+    def score(batches):
+        for pdf in batches:
+            n_ids = pdf["vec_id"].to_numpy()
+            code_idx = np.stack(
+                [np.vectorize(cid_to_idx.__getitem__)(pdf[f"code_{m}"].to_numpy()) for m in range(PQ_M)],
+                axis=1,
+            )  # n x M
+            # d2[n, q] = Σ_m LUT[q, m, code_idx[n, m]]
+            d2 = np.zeros((len(pdf), len(q_ids)), dtype=np.int64)
+            for m in range(PQ_M):
+                d2 += lut[:, m, code_idx[:, m]].T
+            parts = []
+            for qi, qid in enumerate(q_ids):
+                mask = n_ids != qid
+                ids_q, d_q = n_ids[mask], d2[mask, qi]
+                order = np.lexsort((ids_q, d_q))[:k]  # per-batch top-k
+                parts.append(
+                    pd.DataFrame(
+                        {"query_id": qid, "neighbor_id": ids_q[order], "adc_d2": d_q[order]}
+                    )
+                )
+            yield pd.concat(parts) if parts else pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "adc_d2": []}
+            )
+
+    codes = embedding_pq(spark, sf_dir).drop("recon_err_sq")
+    scored = codes.mapInPandas(score, "query_id long, neighbor_id long, adc_d2 long")
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_d2", "rank")
+    )
+
+
+def _sql_adc_topk() -> str:
+    adc_union = "\n  UNION ALL ".join(
+        f"SELECT q.query_id, cd.vec_id AS neighbor_id, {_sql_subd2('q.qv', 'c.cv', m)} AS d2"
+        f" FROM queries q CROSS JOIN (SELECT vec_id, cid FROM codes WHERE m = {m}) cd"
+        " JOIN cents c ON cd.cid = c.cid"
+        for m in range(PQ_M)
+    )
+    return f"""{_sql_prefix()},
+queries AS (
+  SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id % {PQ_QUERY_MOD} = 0
+),
+adc_sub AS (
+  {adc_union}
+),
+adc AS (
+  SELECT query_id, neighbor_id, CAST(SUM(d2) AS BIGINT) AS adc_d2
+  FROM adc_sub WHERE query_id <> neighbor_id
+  GROUP BY query_id, neighbor_id
+)
+SELECT query_id, neighbor_id, adc_d2, CAST(rank AS INT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS rank
+  FROM adc
+) WHERE rank <= {PQ_TOP_K}
+"""
+
+
+def pq_recall_audit(spark: SparkSession, sf_dir: str, k: int = PQ_TOP_K) -> DataFrame:
+    """Recall@k of the PQ/ADC path against the EXACT L2 top-k over full
+    vectors — isolates pure quantization loss (the embeddings are unit
+    vectors, so L2 ordering equals cosine ordering up to quantization).
+    Same audit shape as ann_recall_audit / minhash_jaccard_est: the gate
+    you check before switching a corpus to the compressed path."""
+    import numpy as np
+    import pandas as pd
+
+    ship_package(spark)
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", _dec_vec("embedding").alias("v"))
+    qrows = emb.where(F.pmod(F.col("vec_id"), F.lit(PQ_QUERY_MOD)) == 0).collect()
+    qrows.sort(key=lambda r: r["vec_id"])
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    q_mat = np.array([r["v"] for r in qrows], dtype=np.int64)
+    q2 = np.einsum("ij,ij->i", q_mat, q_mat)
+
+    def exact_score(batches):
+        for pdf in batches:
+            n_ids = pdf["vec_id"].to_numpy()
+            v_mat = np.stack(pdf["v"].to_numpy()).astype(np.int64)
+            d2 = (
+                np.einsum("ij,ij->i", v_mat, v_mat)[:, None]
+                + q2[None, :]
+                - 2 * (v_mat @ q_mat.T)
+            )  # n x Q exact
+            parts = []
+            for qi, qid in enumerate(q_ids):
+                mask = n_ids != qid
+                ids_q, d_q = n_ids[mask], d2[mask, qi]
+                order = np.lexsort((ids_q, d_q))[:k]
+                parts.append(pd.DataFrame({"query_id": qid, "neighbor_id": ids_q[order], "d2": d_q[order]}))
+            yield pd.concat(parts) if parts else pd.DataFrame({"query_id": [], "neighbor_id": [], "d2": []})
+
+    scored = emb.mapInPandas(exact_score, "query_id long, neighbor_id long, d2 long")
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("neighbor_id"))
+    exact = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id")
+    )
+    approx = pq_adc_topk(spark, sf_dir, k).select("query_id", "neighbor_id")
+    n_exact = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    n_hits = (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    recall = F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_exact").cast("double")
+    return n_exact.join(n_hits, "query_id", "left").select(
+        "query_id",
+        "n_exact",
+        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        F.expr(
+            "CAST(floor(COALESCE(n_hits, 0) / CAST(n_exact AS DOUBLE) * 1000000.0 + 0.5)"
+            " / 1000000.0 AS DOUBLE)"
+        ).alias("recall"),
+    )
+
+
+def _sql_recall_audit() -> str:
+    dims = " + ".join(
+        f"(q.qv[{j}] - e.v[{j}]) * (q.qv[{j}] - e.v[{j}])" for j in range(1, PQ_M * PQ_SUBDIM + 1)
+    )
+    return f"""{_sql_prefix()},
+queries AS (
+  SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id % {PQ_QUERY_MOD} = 0
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY CAST({dims} AS BIGINT), e.vec_id
+           ) AS rank
+    FROM queries q CROSS JOIN emb e WHERE q.query_id <> e.vec_id
+  ) WHERE rank <= {PQ_TOP_K}
+),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT a.query_id, a.neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY a.query_id ORDER BY a.adc_d2, a.neighbor_id) AS rank
+    FROM (
+      SELECT s.query_id, s.neighbor_id, CAST(SUM(s.d2) AS BIGINT) AS adc_d2
+      FROM ({{adc_sub}}) s WHERE s.query_id <> s.neighbor_id
+      GROUP BY s.query_id, s.neighbor_id
+    ) a
+  ) WHERE rank <= {PQ_TOP_K}
+),
+e_cnt AS (SELECT query_id, COUNT(*) AS n_exact FROM exact GROUP BY query_id),
+h_cnt AS (
+  SELECT x.query_id, COUNT(*) AS n_hits
+  FROM exact x JOIN approx p ON x.query_id = p.query_id AND x.neighbor_id = p.neighbor_id
+  GROUP BY x.query_id
+)
+SELECT e.query_id, e.n_exact, COALESCE(h.n_hits, 0) AS n_hits,
+       CAST(floor(COALESCE(h.n_hits, 0) / CAST(e.n_exact AS DOUBLE) * 1000000.0 + 0.5)
+            / 1000000.0 AS DOUBLE) AS recall
+FROM e_cnt e LEFT JOIN h_cnt h ON e.query_id = h.query_id
+""".format(
+        adc_sub="\n      UNION ALL ".join(
+            f"SELECT q.query_id, cd.vec_id AS neighbor_id, {_sql_subd2('q.qv', 'c.cv', m)} AS d2"
+            f" FROM queries q CROSS JOIN (SELECT vec_id, cid FROM codes WHERE m = {m}) cd"
+            " JOIN cents c ON cd.cid = c.cid"
+            for m in range(PQ_M)
+        )
+    )
+
+
+QUERIES = {
+    "embedding_pq": embedding_pq,
+    "pq_adc_topk": pq_adc_topk,
+    "pq_recall_audit": pq_recall_audit,
+}
+
+ORACLES = {
+    "embedding_pq": SQL_EMBEDDING_PQ,
+    "pq_adc_topk": _sql_adc_topk(),
+    "pq_recall_audit": _sql_recall_audit(),
+}

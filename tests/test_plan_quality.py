@@ -148,6 +148,42 @@ def test_minhash_signatures_zero_shuffle(spark, sf_dir):
     assert "HashAggregate" not in plan
 
 
+def test_pii_scan_zero_shuffle(spark, sf_dir):
+    """PII scan/redact is a per-row regex projection: scan + project only —
+    no exchange, no Python eval, and only doc_id/text read off the scan."""
+    from kafka_connect_storage_cloud_spark.llm import pii as LPI
+
+    plan = _plan(spark, LPI.pii_scan(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_embedding_pq_encode_zero_shuffle(spark, sf_dir):
+    """PQ encode is one streaming Arrow stage with the codebook in the task
+    closure: no exchange, no join — the corpus is read exactly once."""
+    from kafka_connect_storage_cloud_spark.llm import pq as LPQ
+
+    plan = _plan(spark, LPQ.embedding_pq(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert plan.count("ArrowEvalPython") <= 1  # mapInPandas shows as one Arrow stage
+
+
+def test_pq_adc_single_small_shuffle(spark, sf_dir):
+    """ADC scoring streams the code table once (encode + score fuse into
+    consecutive Arrow stages, zero exchange between them); the only shuffle
+    carries per-batch top-k rows — |queries| x k x partitions, not the
+    corpus."""
+    from kafka_connect_storage_cloud_spark.llm import pq as LPQ
+
+    import re
+
+    plan = _plan(spark, LPQ.pq_adc_topk(spark, sf_dir))
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
 def test_doc_fingerprint_zero_shuffle(spark, sf_dir):
     """Winnowing fingerprints are per-doc array math: scan + project only —
     no gram explode, no per-doc sort window, no exchange."""
