@@ -38,6 +38,7 @@ from kafka_connect_storage_cloud_spark.plans import events as E
 from kafka_connect_storage_cloud_spark.plans import events_ext as EX
 from kafka_connect_storage_cloud_spark.plans import tpch as T
 from kafka_connect_storage_cloud_spark.plans import tpch_ext as TX
+from kafka_connect_storage_cloud_spark.plans import temporal as TP
 from kafka_connect_storage_cloud_spark.plans import tpch_ext2 as TX2
 
 
@@ -84,6 +85,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": E.events_sessionize,
         "events_topk_users": E.events_topk_users,
         **EX.QUERIES,
+        **TP.QUERIES,
         # --- LLM data pipeline (SURVEY §2C) ---
         "dedup_clusters": LC.dedup_clusters,
         "dedup_keep_best": LC.dedup_keep_best,
@@ -456,6 +458,7 @@ SELECT * FROM ranked WHERE rank <= 5 ORDER BY event_type, rank""",
         **TX2.ORACLES,
         **SE.ORACLES,
         **EX.ORACLES,
+        **TP.ORACLES,
         **LC.ORACLES,
         **LD.ORACLES,
         **LS.ORACLES,

@@ -1,0 +1,339 @@
+"""Temporal operators Spark lacks as built-ins, composed from DataFrame ops:
+
+- log_compaction        : Kafka compacted-topic semantics (keep latest per key,
+                          tombstone deletes) — the read-side dual of the sink's
+                          tombstone handling (reference: behavior.on.null.values,
+                          kafka-connect-s3 S3SinkConnectorConfig.java).
+- events_asof_join      : as-of join (latest prior event of another type) via
+                          the union+window decomposition — no join at all, one
+                          shuffle on the partition key.
+- events_range_join     : time-range self-join via bucketed equi-join — the
+                          O(n) decomposition of an inequality join that a naive
+                          planner would run as a cross product.
+- events_gapfill_locf   : hypertable-style gap-fill: dense hour spine per
+                          series, missing buckets carried forward (LOCF).
+- events_time_weighted_avg : trapezoidal time-weighted average per series —
+                          the irregular-sampling aggregate time-series stores
+                          ship natively.
+
+All five are exact under the DuckDB oracle: counts/offsets are integers,
+value math stays in decimal until a single final double division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..session import read_events
+from ..sources.topic import events_as_topic
+
+# --- log compaction ---------------------------------------------------------
+
+TOMBSTONE_EVERY = 50  # same synthesized-tombstone convention as tombstone_routing
+
+
+def log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compact the topic: latest record per key wins; a tombstone (null value)
+    as the latest record deletes the key. One groupBy with a struct-max
+    aggregate — map-side combinable, shuffle carries |keys| rows, no window
+    over the raw stream. Offsets are unique, so max(struct(offset, value))
+    IS the latest record."""
+    rec = events_as_topic(spark, sf_dir).select("key", "offset", "value")
+    rec = rec.withColumn(
+        "value2",
+        F.when(F.col("offset") % TOMBSTONE_EVERY == 0, F.lit(None).cast("string")).otherwise(
+            F.col("value")
+        ),
+    )
+    latest = rec.groupBy("key").agg(
+        F.max(F.struct(F.col("offset"), F.col("value2"))).alias("last"),
+        F.count(F.lit(1)).alias("n_versions"),
+        F.sum(F.col("value2").isNull().cast("long")).alias("n_tombstones"),
+    )
+    return (
+        latest.where(F.col("last.value2").isNotNull())
+        .select(
+            "key",
+            F.col("last.offset").alias("last_offset"),
+            F.col("last.value2").alias("last_value"),
+            "n_versions",
+            "n_tombstones",
+        )
+        .orderBy("key")
+    )
+
+
+SQL_LOG_COMPACTION = f"""
+WITH records AS (
+  SELECT CAST(user_id AS VARCHAR) AS key, event_id AS "offset",
+         CASE WHEN event_id % {TOMBSTONE_EVERY} = 0 THEN NULL ELSE props END AS value2
+  FROM events
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY key ORDER BY "offset" DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY key) AS n_versions,
+         SUM(CASE WHEN value2 IS NULL THEN 1 ELSE 0 END) OVER (PARTITION BY key) AS n_tombstones
+  FROM records
+)
+SELECT key, "offset" AS last_offset, value2 AS last_value, n_versions, n_tombstones
+FROM ranked WHERE rn = 1 AND value2 IS NOT NULL
+ORDER BY key
+"""
+
+# --- as-of join -------------------------------------------------------------
+
+
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest view at or
+    before the purchase time. Implemented as union + running last_value
+    (ignore-nulls) over (user_id, ts) — the scalable decomposition: zero
+    joins, one shuffle, state bounded by one row per partition. Equal
+    timestamps order views before purchases (<= semantics); among equal-ts
+    views the highest event_id wins."""
+    ev = (
+        read_events(spark, sf_dir)
+        .where(F.col("event_type").isin("view", "purchase"))
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            (F.col("event_type") == "purchase").cast("int").alias("is_purchase"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_purchase", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    view_id = F.last(F.when(F.col("is_purchase") == 0, F.col("event_id")), ignorenulls=True)
+    view_ts = F.last(F.when(F.col("is_purchase") == 0, F.col("ts")), ignorenulls=True)
+    return (
+        ev.withColumn("view_event_id", view_id.over(w))
+        .withColumn("view_ts", view_ts.over(w))
+        .where(F.col("is_purchase") == 1)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "view_event_id",
+            "view_ts",
+            (F.unix_millis("ts") - F.unix_millis("view_ts")).alias("gap_ms"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+SQL_EVENTS_ASOF_JOIN = """
+WITH ev AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_purchase
+  FROM events WHERE event_type IN ('view', 'purchase')
+),
+w AS (
+  SELECT *,
+    LAST_VALUE(CASE WHEN is_purchase = 0 THEN event_id END IGNORE NULLS) OVER w_asof AS view_event_id,
+    LAST_VALUE(CASE WHEN is_purchase = 0 THEN ts END IGNORE NULLS) OVER w_asof AS view_ts
+  FROM ev
+  WINDOW w_asof AS (PARTITION BY user_id ORDER BY ts, is_purchase, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id AS purchase_id, user_id, ts AS purchase_ts, view_event_id, view_ts,
+       epoch_ms(ts) - epoch_ms(view_ts) AS gap_ms
+FROM w WHERE is_purchase = 1 ORDER BY purchase_id
+"""
+
+# --- range join -------------------------------------------------------------
+
+RANGE_MS = 10 * 60 * 1000  # look-back window
+
+
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range join: for each error event, count + value-sum of the same
+    user's events in the strict 10 minutes before it. Decomposed into an
+    equi-join on (user_id, time bucket): each build row lands in exactly one
+    bucket, each probe explodes into the two buckets its window can touch, so
+    the planner gets a hash join with bounded fan-out instead of the
+    BroadcastNestedLoopJoin a raw inequality predicate produces."""
+    ev = read_events(spark, sf_dir).select("event_id", "user_id", "ts", "value")
+    bucket = lambda c: F.floor(F.unix_millis(c) / F.lit(RANGE_MS))  # noqa: E731
+    build = ev.select(
+        F.col("event_id").alias("b_id"),
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("b_ts"),
+        F.col("value").cast("decimal(10,4)").alias("b_value"),
+        bucket(F.col("ts")).alias("b_bucket"),
+    )
+    probe = (
+        read_events(spark, sf_dir)
+        .where(F.col("event_type") == "error")
+        .select(F.col("event_id").alias("error_event_id"), "user_id", F.col("ts").alias("error_ts"))
+        .withColumn("jb", F.explode(F.array(bucket(F.col("error_ts")) - 1, bucket(F.col("error_ts")))))
+    )
+    joined = probe.join(
+        build,
+        (probe.user_id == build.b_user)
+        & (probe.jb == build.b_bucket)
+        & (build.b_ts < probe.error_ts)
+        & (build.b_ts >= probe.error_ts - F.expr("INTERVAL 10 MINUTES")),
+        "left",
+    )
+    return (
+        joined.groupBy("error_event_id", "user_id", "error_ts")
+        .agg(
+            F.count("b_id").alias("n_preceding"),
+            F.round(F.sum("b_value"), 4).cast("double").alias("sum_preceding_value"),
+        )
+        .orderBy("error_event_id")
+    )
+
+
+SQL_EVENTS_RANGE_JOIN = """
+WITH probe AS (
+  SELECT event_id AS error_event_id, user_id, ts AS error_ts
+  FROM events WHERE event_type = 'error'
+)
+SELECT p.error_event_id, p.user_id, p.error_ts,
+       COUNT(b.event_id) AS n_preceding,
+       CAST(ROUND(SUM(CAST(b."value" AS DECIMAL(10,4))), 4) AS DOUBLE) AS sum_preceding_value
+FROM probe p LEFT JOIN events b
+  ON p.user_id = b.user_id AND b.ts < p.error_ts AND b.ts >= p.error_ts - INTERVAL 10 MINUTE
+GROUP BY 1, 2, 3 ORDER BY 1
+"""
+
+# --- gap-fill + LOCF --------------------------------------------------------
+
+
+def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap-fill: dense hourly spine per event_type over the
+    observed range; empty buckets get n_events=0 and the last observed hourly
+    average carried forward. The spine is |hours| x |types| rows built from a
+    one-row bounds aggregate — never materialized against the fact table; the
+    fact side contributes only its (type, hour) partial aggregates."""
+    ev = read_events(spark, sf_dir).select(
+        "event_type", F.date_trunc("hour", "ts").alias("hour"), "value"
+    )
+    v = F.col("value").cast("decimal(10,4)")
+    agg = ev.groupBy("event_type", "hour").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(v).alias("sum_dec"),
+    )
+    agg = agg.select(
+        "event_type",
+        "hour",
+        "n_events",
+        F.round(F.col("sum_dec"), 4).cast("double").alias("sum_value"),
+        (F.col("sum_dec").cast("double") / F.col("n_events")).alias("avg_value"),
+    )
+    bounds = ev.agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+    spine = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    grid = ev.select("event_type").distinct().crossJoin(spine)
+    filled = grid.join(agg, ["event_type", "hour"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        filled.select(
+            "event_type",
+            "hour",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+            F.last("avg_value", ignorenulls=True).over(w).alias("avg_value_locf"),
+            (F.col("n_events").isNull()).cast("int").alias("gap_filled"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+SQL_EVENTS_GAPFILL_LOCF = """
+WITH ev AS (SELECT event_type, date_trunc('hour', ts) AS hour, "value" FROM events),
+agg AS (
+  SELECT event_type, hour, COUNT(*) AS n_events,
+         CAST(ROUND(SUM(CAST("value" AS DECIMAL(10,4))), 4) AS DOUBLE) AS sum_value,
+         CAST(SUM(CAST("value" AS DECIMAL(10,4))) AS DOUBLE) / COUNT(*) AS avg_value
+  FROM ev GROUP BY 1, 2
+),
+bounds AS (SELECT MIN(hour) AS h0, MAX(hour) AS h1 FROM ev),
+spine AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM bounds),
+grid AS (SELECT t.event_type, s.hour FROM (SELECT DISTINCT event_type FROM ev) t CROSS JOIN spine s),
+filled AS (
+  SELECT g.event_type, g.hour, a.n_events, a.sum_value, a.avg_value
+  FROM grid g LEFT JOIN agg a ON g.event_type = a.event_type AND g.hour = a.hour
+)
+SELECT event_type, hour,
+       COALESCE(n_events, 0) AS n_events,
+       COALESCE(sum_value, 0.0) AS sum_value,
+       LAST_VALUE(avg_value IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY hour
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_value_locf,
+       CASE WHEN n_events IS NULL THEN 1 ELSE 0 END AS gap_filled
+FROM filled ORDER BY event_type, hour
+"""
+
+# --- time-weighted average --------------------------------------------------
+
+
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trapezoidal time-weighted average of value per event_type: each
+    consecutive pair contributes (v_i + v_{i+1}) * dt_ms; TWA is the sum over
+    2 * total span. Weights stay decimal x integer-ms (exact); the only
+    floating op is the final division, identical IEEE in both engines. One
+    window (lead) + one aggregation, both keyed on event_type."""
+    ev = read_events(spark, sf_dir).select(
+        "event_type",
+        "event_id",
+        F.unix_millis("ts").alias("tms"),
+        F.col("value").cast("decimal(10,4)").alias("v"),
+    )
+    w = Window.partitionBy("event_type").orderBy("tms", "event_id")
+    seg = (F.col("v") + F.lead("v").over(w)) * (F.lead("tms").over(w) - F.col("tms"))
+    return (
+        ev.withColumn("seg", seg)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max("tms") - F.min("tms")).alias("span_ms"),
+            (
+                F.sum("seg").cast("double")
+                / (F.lit(2.0) * (F.max("tms") - F.min("tms")))
+            ).alias("twa_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_EVENTS_TIME_WEIGHTED_AVG = """
+WITH ev AS (
+  SELECT event_type, event_id, epoch_ms(ts) AS tms, CAST("value" AS DECIMAL(10,4)) AS v
+  FROM events
+),
+segs AS (
+  SELECT event_type, tms, v,
+         (v + LEAD(v) OVER w) * (LEAD(tms) OVER w - tms) AS seg
+  FROM ev
+  WINDOW w AS (PARTITION BY event_type ORDER BY tms, event_id)
+)
+SELECT event_type, COUNT(*) AS n_events,
+       MAX(tms) - MIN(tms) AS span_ms,
+       CAST(SUM(seg) AS DOUBLE) / (2.0 * (MAX(tms) - MIN(tms))) AS twa_value
+FROM segs GROUP BY event_type ORDER BY event_type
+"""
+
+QUERIES = {
+    "log_compaction": log_compaction,
+    "events_asof_join": events_asof_join,
+    "events_range_join": events_range_join,
+    "events_gapfill_locf": events_gapfill_locf,
+    "events_time_weighted_avg": events_time_weighted_avg,
+}
+ORACLES = {
+    "log_compaction": SQL_LOG_COMPACTION,
+    "events_asof_join": SQL_EVENTS_ASOF_JOIN,
+    "events_range_join": SQL_EVENTS_RANGE_JOIN,
+    "events_gapfill_locf": SQL_EVENTS_GAPFILL_LOCF,
+    "events_time_weighted_avg": SQL_EVENTS_TIME_WEIGHTED_AVG,
+}

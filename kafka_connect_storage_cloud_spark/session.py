@@ -87,12 +87,27 @@ def ensure_utc(spark: SparkSession) -> None:
         pass
 
 
+def normalize_ntz(df):
+    """Cast any TIMESTAMP_NTZ column to TIMESTAMP. Parquet columns with
+    isAdjustedToUTC=false surface as NTZ on newer Spark; the session timezone
+    is pinned to UTC, so this cast is value-preserving and keeps downstream
+    code (unix_millis, from_utc_timestamp, window functions) on the single
+    timestamp type the engine and the DuckDB oracle agree on."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampNTZType
+
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    if ntz:
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
+    return df
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str):
     """UTC-pinned parquet scan for a testdata table."""
     ensure_utc(spark)
     if name == "events":
         return read_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return normalize_ntz(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
 def read_events(spark: SparkSession, sf_dir: str):
@@ -111,7 +126,7 @@ def read_events(spark: SparkSession, sf_dir: str):
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return normalize_ntz(df)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES):

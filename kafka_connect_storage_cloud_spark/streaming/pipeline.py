@@ -36,7 +36,7 @@ def stream_events_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     Applies the same nanos-timestamp handling as the batch reader."""
     from pyspark.sql.types import LongType
 
-    from ..session import ensure_utc
+    from ..session import ensure_utc, normalize_ntz
 
     ensure_utc(spark)
     try:
@@ -64,7 +64,7 @@ def stream_events_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if isinstance(raw_schema["ts"].dataType, LongType):
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    return normalize_ntz(stream)
 
 
 def connector_sink_stream(
