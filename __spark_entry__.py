@@ -30,6 +30,7 @@ from kafka_connect_storage_cloud_spark.llm import pii as LPI
 from kafka_connect_storage_cloud_spark.llm import pq as LPQ
 from kafka_connect_storage_cloud_spark.llm import pipeline as LP
 from kafka_connect_storage_cloud_spark.llm import quality as LQ
+from kafka_connect_storage_cloud_spark.llm import substring as LSU
 from kafka_connect_storage_cloud_spark.llm import similarity as LS
 from kafka_connect_storage_cloud_spark.operators import schema_evolution as SE
 from kafka_connect_storage_cloud_spark.plans import connector as C
@@ -96,6 +97,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_jaccard_est": LD.minhash_jaccard_est,
         "dedup_simhash": LD.dedup_simhash,
         "ngram_jaccard": LD.ngram_jaccard,
+        **LSU.QUERIES,
         "embedding_cosine_dups": LS.embedding_cosine_dups,
         "ann_topk_bruteforce": LS.ann_topk_bruteforce,
         "ann_topk_lsh": LS.ann_topk_lsh,
@@ -461,6 +463,7 @@ SELECT * FROM ranked WHERE rank <= 5 ORDER BY event_type, rank""",
         **TP.ORACLES,
         **LC.ORACLES,
         **LD.ORACLES,
+        **LSU.ORACLES,
         **LS.ORACLES,
         **LQ.ORACLES,
         **LM.ORACLES,
