@@ -193,3 +193,77 @@ def test_doc_fingerprint_zero_shuffle(spark, sf_dir):
     assert "Exchange" not in plan
     assert "Generate" not in plan
     assert "Window" not in plan
+
+
+def test_asof_join_is_zero_join(spark, sf_dir):
+    """The as-of join decomposes to union + running last_value: no join
+    operator at all; the only exchange is the user_id window partition."""
+    from kafka_connect_storage_cloud_spark.plans import temporal as TP
+
+    plan = _plan(spark, TP.events_asof_join(spark, sf_dir))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_range_join_avoids_nested_loop(spark, sf_dir):
+    """The bucketed decomposition must plan as a hash join on
+    (user_id, bucket) — never the BroadcastNestedLoopJoin/CartesianProduct a
+    raw inequality join degenerates to."""
+    from kafka_connect_storage_cloud_spark.plans import temporal as TP
+
+    plan = _plan(spark, TP.events_range_join(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan
+
+
+def test_log_compaction_is_one_agg_no_window(spark, sf_dir):
+    """Compaction is a struct-max groupBy — map-side combinable (partial
+    aggregate before the exchange), no window over the raw stream."""
+    from kafka_connect_storage_cloud_spark.plans import temporal as TP
+
+    plan = _plan(spark, TP.log_compaction(spark, sf_dir))
+    assert "Window" not in plan
+    assert "partial_" in plan  # map-side combine
+    assert "Join" not in plan
+
+
+def test_gapfill_aggregates_before_spine_join(spark, sf_dir):
+    """The fact table reduces to (type, hour) partials before it meets the
+    spine grid; the corpus never multiplies against the spine."""
+    from kafka_connect_storage_cloud_spark.plans import temporal as TP
+
+    plan = _plan(spark, TP.events_gapfill_locf(spark, sf_dir))
+    assert "partial_count" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_twa_single_window_no_join(spark, sf_dir):
+    from kafka_connect_storage_cloud_spark.plans import temporal as TP
+
+    import re
+
+    plan = _plan(spark, TP.events_time_weighted_avg(spark, sf_dir))
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+
+
+def test_dedup_substring_stays_jvm_no_cartesian(spark, sf_dir):
+    """Window-hash dedup joins only on uniform md5 keys: hash joins, no
+    nested loop, and the whole pass stays inside codegen."""
+    from kafka_connect_storage_cloud_spark.llm import substring as LSU
+
+    plan = _plan(spark, LSU.dedup_substring(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dedup_bloom_broadcasts_bits(spark, sf_dir):
+    """The bit set and the exact-text index are prefilter-sized: both joins
+    broadcast; the new batch never goes through a SortMergeJoin."""
+    from kafka_connect_storage_cloud_spark.llm import substring as LSU
+
+    plan = _plan(spark, LSU.dedup_bloom(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
