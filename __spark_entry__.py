@@ -33,6 +33,7 @@ from kafka_connect_storage_cloud_spark.llm import quality as LQ
 from kafka_connect_storage_cloud_spark.llm import substring as LSU
 from kafka_connect_storage_cloud_spark.llm import similarity as LS
 from kafka_connect_storage_cloud_spark.operators import schema_evolution as SE
+from kafka_connect_storage_cloud_spark.operators import smt as SMT
 from kafka_connect_storage_cloud_spark.plans import connector as C
 from kafka_connect_storage_cloud_spark.llm import clustering as LC
 from kafka_connect_storage_cloud_spark.plans import events as E
@@ -71,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tombstone_routing": C.tombstone_routing_plan,
         "kv_header_views": C.kv_header_views_plan,
         "schema_evolution": SE.schema_evolution_plan,
+        **SMT.QUERIES,
         # --- analytics (SURVEY §2B) ---
         "q1_pricing_summary": T.q1_pricing_summary,
         "q3_shipping_priority": T.q3_shipping_priority,
@@ -102,6 +104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_bruteforce": LS.ann_topk_bruteforce,
         "ann_topk_lsh": LS.ann_topk_lsh,
         "ann_recall_audit": LS.ann_recall_audit,
+        "knn_graph_mutual": LS.knn_graph_mutual,
         "lang_id": LQ.lang_id,
         "quality_score": LQ.quality_score,
         "quality_filter": LQ.quality_filter,
@@ -459,6 +462,7 @@ SELECT * FROM ranked WHERE rank <= 5 ORDER BY event_type, rank""",
         **TX.ORACLES,
         **TX2.ORACLES,
         **SE.ORACLES,
+        **SMT.ORACLES,
         **EX.ORACLES,
         **TP.ORACLES,
         **LC.ORACLES,

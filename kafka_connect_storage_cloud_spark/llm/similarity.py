@@ -331,8 +331,90 @@ FROM e LEFT JOIN a ON e.query_id = a.query_id
        LEFT JOIN h ON e.query_id = h.query_id
 """
 
+KNN_K = 5
+
+
+def knn_graph_mutual(spark: SparkSession, sf_dir: str, k: int = KNN_K) -> DataFrame:
+    """Mutual-kNN graph over the whole corpus: an edge (a,b) exists iff b is
+    in a's exact cosine top-k AND a is in b's — the symmetric graph semantic
+    clustering / graph-dedup pipelines build on.
+
+    Same exact int64 batch-matmul as ann_topk_bruteforce, but every vector is
+    a query: the corpus streams once against the in-closure matrix (at real
+    scale the closure matrix becomes block-partitioned — the streaming side
+    and plan shape are unchanged). Directed top-k edges are n·k rows; the
+    mutualization self-join runs on that edge list, never on the corpus."""
+    import numpy as np
+    import pandas as pd
+
+    emb = _with_dec_and_norm(read_table(spark, sf_dir, "embeddings"))
+    arows = emb.select("vec_id", "v").collect()
+    a_ids = np.array([r["vec_id"] for r in arows], dtype=np.int64)
+    a_mat = np.array([r["v"] for r in arows], dtype=np.int64)
+    a_norm = np.sqrt(np.einsum("ij,ij->i", a_mat, a_mat).astype(np.float64) / 1e16)
+
+    def score(batches):
+        for pdf in batches:
+            c_mat = np.stack(pdf["v"].to_numpy()).astype(np.int64)
+            c_norm = np.sqrt(np.einsum("ij,ij->i", c_mat, c_mat).astype(np.float64) / 1e16)
+            dots = c_mat @ a_mat.T
+            cos = (dots.astype(np.float64) / 1e16) / (c_norm[:, None] * a_norm[None, :])
+            n, m = cos.shape
+            yield pd.DataFrame(
+                {
+                    "src": np.repeat(pdf["vec_id"].to_numpy(), m),
+                    "dst": np.tile(a_ids, n),
+                    "cosine_raw": cos.ravel(),
+                }
+            )
+
+    scored = (
+        emb.select("vec_id", "v")
+        .mapInPandas(score, "src long, dst long, cosine_raw double")
+        .where(F.col("src") != F.col("dst"))
+        .withColumn("cosine", F.round(F.col("cosine_raw"), 6))
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    topk = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("src", "dst", "cosine", "rank")
+    )
+    fwd = topk.where(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("vec_a"), F.col("dst").alias("vec_b"),
+        "cosine", F.col("rank").alias("rank_ab"),
+    )
+    rev = topk.where(F.col("src") > F.col("dst")).select(
+        F.col("dst").alias("vec_a"), F.col("src").alias("vec_b"),
+        F.col("rank").alias("rank_ba"),
+    )
+    return fwd.join(rev, ["vec_a", "vec_b"]).orderBy("vec_a", "vec_b")
+
+
+SQL_KNN_GRAPH_MUTUAL = f"""
+WITH {_sql_emb()},
+scored AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         ROUND({_SQL_DOT.format(a='a.v', b='b.v')} / (a.nrm * b.nrm), 6) AS cosine
+  FROM emb_n a JOIN emb_n b ON a.vec_id <> b.vec_id
+),
+topk AS (
+  SELECT * FROM (
+    SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS INT) AS rank
+    FROM scored
+  ) WHERE rank <= {KNN_K}
+),
+fwd AS (SELECT src AS vec_a, dst AS vec_b, cosine, rank AS rank_ab FROM topk WHERE src < dst),
+rev AS (SELECT dst AS vec_a, src AS vec_b, rank AS rank_ba FROM topk WHERE src > dst)
+SELECT f.vec_a, f.vec_b, f.cosine, f.rank_ab, r.rank_ba
+FROM fwd f JOIN rev r ON f.vec_a = r.vec_a AND f.vec_b = r.vec_b
+ORDER BY f.vec_a, f.vec_b
+"""
+
+
 ORACLES = {
     "embedding_cosine_dups": SQL_EMBEDDING_COSINE_DUPS,
+    "knn_graph_mutual": SQL_KNN_GRAPH_MUTUAL,
     "ann_topk_bruteforce": SQL_ANN_TOPK_BRUTEFORCE,
     "ann_topk_lsh": SQL_ANN_TOPK_LSH,
     "ann_recall_audit": SQL_ANN_RECALL_AUDIT,

@@ -207,8 +207,42 @@ SELECT EXTRACT(hour FROM ts) AS hour,
 FROM events GROUP BY 1 ORDER BY 1
 """
 
+def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (hour-of-day, event_type): all four grouping-set layers in
+    one pass with GROUPING() flags — the multi-subtotal companion of
+    q1_rollup. The cube's shuffle carries |hours| x |types| partials per
+    layer, never raw rows."""
+    ev = read_events(spark, sf_dir).select(
+        F.hour("ts").alias("hour"), "event_type", "value"
+    )
+    v = F.col("value").cast("decimal(10,4)")
+    return (
+        ev.cube("hour", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(v), 4).cast("double").alias("sum_value"),
+            F.grouping("hour").cast("int").alias("g_hour"),
+            F.grouping("event_type").cast("int").alias("g_type"),
+        )
+        .orderBy("g_hour", "g_type", "hour", "event_type")
+    )
+
+
+SQL_EVENTS_CUBE = """
+SELECT EXTRACT(hour FROM ts) AS hour, event_type,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST("value" AS DECIMAL(10,4))), 4) AS DOUBLE) AS sum_value,
+       CAST(GROUPING(EXTRACT(hour FROM ts)) AS INT) AS g_hour,
+       CAST(GROUPING(event_type) AS INT) AS g_type
+FROM events
+GROUP BY CUBE (EXTRACT(hour FROM ts), event_type)
+ORDER BY g_hour, g_type, hour, event_type
+"""
+
+
 QUERIES = {
     "events_funnel": events_funnel,
+    "events_cube": events_cube,
     "events_retention": events_retention,
     "events_anomaly": events_anomaly,
     "events_props_extract": events_props_extract,
@@ -216,6 +250,7 @@ QUERIES = {
 }
 ORACLES = {
     "events_funnel": SQL_EVENTS_FUNNEL,
+    "events_cube": SQL_EVENTS_CUBE,
     "events_retention": SQL_EVENTS_RETENTION,
     "events_anomaly": SQL_EVENTS_ANOMALY,
     "events_props_extract": SQL_EVENTS_PROPS_EXTRACT,
