@@ -87,6 +87,10 @@ class ConnectorConfig:
     # of corrupting; parsed for property-file compatibility, and the S3A
     # committer supplies the equivalent atomic-complete on real S3.
     enable_conditional_writes: bool = True
+    # json.decimal.format (S3SinkConnectorConfig.java; Connect JsonConverter
+    # semantics): BASE64 (default) serializes decimals as base64 of the
+    # unscaled two's-complement bytes; NUMERIC writes plain numbers.
+    json_decimal_format: str = "BASE64"
     extra: dict[str, Any] = field(default_factory=dict)
 
     def __post_init__(self) -> None:
@@ -96,6 +100,10 @@ class ConnectorConfig:
             raise ValueError("flush.size must be >= 1")
         if self.partitioner_class not in VALID_PARTITIONERS:
             raise ValueError(f"partitioner.class {self.partitioner_class!r} not supported")
+        if self.json_decimal_format not in ("BASE64", "NUMERIC"):
+            raise ValueError(
+                f"json.decimal.format {self.json_decimal_format!r} not supported"
+            )
         if self.partitioner_class == "field" and not self.partition_field_name:
             raise ValueError("partition.field.name required for the field partitioner")
         if self.timestamp_extractor not in VALID_TS_EXTRACTORS:
@@ -177,6 +185,7 @@ _KEY_MAP = {
         "enable_conditional_writes",
         lambda v: str(v).lower() == "true",
     ),
+    "json.decimal.format": ("json_decimal_format", lambda v: str(v).upper()),
 }
 
 

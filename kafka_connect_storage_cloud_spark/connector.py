@@ -82,6 +82,12 @@ def run_connector(
         if sf_dir is None:
             raise ValueError("need records or sf_dir")
         records = events_as_topic(spark, sf_dir)
+    if properties.get("transforms"):
+        # the Connect runtime applies the SMT chain before the sink task
+        # sees records (Connect WorkerSinkTask.convertMessages order)
+        from .operators.smt import apply_smt_chain
+
+        records = apply_smt_chain(records, properties)
     records = _apply_null_behavior(records, cfg, dlq_path)
     records = records.withColumn("encoded_partition", partitioner_expr(cfg))
     ext = cfg.spark_format
@@ -92,6 +98,7 @@ def run_connector(
             compression=cfg.compression_type,
             flush_size=cfg.flush_size,
             partition_cols=("encoded_partition",),
+            json_decimal_format=cfg.json_decimal_format,
         )
         if cfg.store_kafka_keys or cfg.store_kafka_headers:
             # keys/headers ride as sibling datasets of the value stream

@@ -61,6 +61,7 @@ class SinkConfig:
     compression_level: int = -1  # s3.compression.level (gzip: Deflater -1..9)
     bytearray_separator: str = "\n"  # format.bytearray.separator
     max_open_files: int | None = None  # partitioner.max.open.files (-1 = unbounded)
+    json_decimal_format: str = "BASE64"  # json.decimal.format (BASE64 | NUMERIC)
 
     def codec(self) -> str:
         key = (self.format, self.compression)
@@ -96,6 +97,23 @@ def write_partitioned(df: DataFrame, path: str, cfg: SinkConfig) -> None:
             9: "BEST_COMPRESSION",
         }.get(cfg.compression_level, "DEFAULT_COMPRESSION")
         spark.sparkContext._jsc.hadoopConfiguration().set("zlib.compress.level", level)
+    if cfg.format == "json" and cfg.json_decimal_format == "BASE64":
+        # json.decimal.format=BASE64 (Connect JsonConverter default): decimal
+        # fields serialize as base64 of BigDecimal.unscaledValue().toByteArray()
+        # (minimal-length two's complement). Not a hot analytics path — the
+        # encode is an Arrow-batched UDF applied only to decimal columns at
+        # the sink boundary.
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import DecimalType
+
+        from .json_decimal import make_b64_encoder
+
+        dec_fields = [f for f in df.schema.fields if isinstance(f.dataType, DecimalType)]
+        for fld in dec_fields:
+            df = df.withColumn(
+                fld.name, make_b64_encoder(fld.dataType.scale)(F.col(fld.name))
+            )
+
     if cfg.mode == "overwrite_partitions":
         # exactly-once analog: replaying the same input overwrites the same
         # partition dirs (no duplicate accumulation), others untouched

@@ -189,3 +189,67 @@ def test_new_config_keys_parse_and_validate():
         parse_properties({"max.files.scan.limit": "0"})
     with pytest.raises(ValueError):
         parse_properties({"keys.format.class": "orc"})
+
+
+def test_run_connector_applies_smt_chain(spark, sf_small, tmp_path):
+    """transforms= in the property file routes through the SMT chain before
+    the sink: TimestampRouter rewrites the topic (and therefore every file
+    key), MaskField redacts keys, Filter drops tombstones."""
+    props = {
+        "topics": "events",
+        "format.class": "parquet",
+        "partitioner.class": "io.confluent.connect.storage.partitioner.DefaultPartitioner",
+        "flush.size": "1000",
+        "behavior.on.null.values": "ignore",
+        "transforms": "mask,route,drop",
+        "transforms.mask.type": "org.apache.kafka.connect.transforms.MaskField$Key",
+        "transforms.route.type": "org.apache.kafka.connect.transforms.TimestampRouter",
+        "transforms.route.topic.format": "${topic}-${timestamp}",
+        "transforms.route.timestamp.format": "yyyyMMdd",
+        "transforms.drop.type": "org.apache.kafka.connect.transforms.Filter",
+    }
+    out = tmp_path / "smt_out"
+    manifest = run_connector(spark, props, sf_dir=sf_small, output_path=str(out))
+    paths = [r["file_path"] for r in manifest.collect()]
+    assert paths and all(p.startswith("events-20") for p in paths), paths[:3]
+    written = spark.read.parquet(f"{out}/encoded_partition=*")
+    keys = [r["key"] for r in written.select("key").distinct().collect()]
+    assert keys == ["****"]
+
+
+def test_json_decimal_format_base64_and_numeric(spark, tmp_path):
+    """json.decimal.format: BASE64 writes base64(unscaled two's-complement
+    bytes) — Connect JsonConverter's default wire form; NUMERIC writes plain
+    numbers. 12.34 scale 2 -> unscaled 1234 -> bytes 04 D2 -> 'BNI='."""
+    import json as jsonlib
+
+    from kafka_connect_storage_cloud_spark.sinks.writers import (
+        SinkConfig,
+        write_partitioned,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "12.34"), ("a", "-0.01"), ("b", None)], "part string, amount string"
+    ).selectExpr("part", "CAST(amount AS DECIMAL(10,2)) AS amount")
+
+    def read_rows(path):
+        rows = []
+        for fp in glob.glob(f"{path}/part=*/*.json"):
+            with open(fp) as fh:
+                rows += [jsonlib.loads(line) for line in fh if line.strip()]
+        return rows
+
+    b64 = tmp_path / "b64"
+    write_partitioned(df, str(b64), SinkConfig(format="json", partition_cols=("part",)))
+    vals = {r.get("amount") for r in read_rows(b64)}
+    assert "BNI=" in vals  # 1234 -> 0x04D2
+    assert "/w==" in vals  # -1 -> 0xFF
+
+    num = tmp_path / "num"
+    write_partitioned(
+        df,
+        str(num),
+        SinkConfig(format="json", partition_cols=("part",), json_decimal_format="NUMERIC"),
+    )
+    vals = {r.get("amount") for r in read_rows(num)}
+    assert 12.34 in vals and -0.01 in vals
