@@ -568,7 +568,84 @@ SELECT rank, pair, cnt FROM ranked WHERE rank <= {BPE_TOP_K} ORDER BY rank
 """
 
 
+SPLIT_CHUNK = 64  # tokens per embedding chunk
+SPLIT_STRIDE = 48  # stride between chunk starts (16-token overlap)
+
+
+def doc_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-embedding chunker: overlapping SPLIT_CHUNK-token windows every
+    SPLIT_STRIDE tokens (the standard RAG/embedding ingestion split). Pure
+    per-row explode — no shuffle; the chunk id is (doc_id, ordinal), the
+    checksum makes the chunk text joinable/dedupable without carrying it."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = f"split(lower(text), '\\\\s+')"
+    n_chunks = (
+        f"greatest(cast(ceil((size({toks}) - {SPLIT_CHUNK}) / {SPLIT_STRIDE}.0) as int) + 1, 1)"
+    )
+    chunks = F.expr(
+        f"transform(sequence(0, {n_chunks} - 1),"
+        f" i -> struct(i AS chunk_ord,"
+        f"  size(slice({toks}, i * {SPLIT_STRIDE} + 1, {SPLIT_CHUNK})) AS chunk_tokens,"
+        f"  md5(array_join(slice({toks}, i * {SPLIT_STRIDE} + 1, {SPLIT_CHUNK}), ' ')) AS chunk_md5))"
+    )
+    return (
+        docs.select("doc_id", F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_ord").alias("chunk_ord"),
+            F.col("c.chunk_tokens").alias("chunk_tokens"),
+            F.col("c.chunk_md5").alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_ord")
+    )
+
+
+_SQL_SPLIT_TOKS = "string_split_regex(lower(text), '\\s+')"
+
+SQL_DOC_CHUNK_SPLIT = f"""
+WITH base AS (
+  SELECT doc_id, {_SQL_SPLIT_TOKS} AS toks,
+         GREATEST(CAST(ceil((len({_SQL_SPLIT_TOKS}) - {SPLIT_CHUNK}) / {SPLIT_STRIDE}.0) AS INT) + 1, 1)
+           AS n_chunks
+  FROM documents
+)
+SELECT doc_id, i AS chunk_ord,
+       len(toks[i * {SPLIT_STRIDE} + 1 : i * {SPLIT_STRIDE} + {SPLIT_CHUNK}]) AS chunk_tokens,
+       md5(array_to_string(toks[i * {SPLIT_STRIDE} + 1 : i * {SPLIT_STRIDE} + {SPLIT_CHUNK}], ' ')) AS chunk_md5
+FROM base, UNNEST(generate_series(0, n_chunks - 1)) AS g(i)
+ORDER BY doc_id, chunk_ord
+"""
+
+K_ANON = 5  # groups smaller than this are re-identification risks
+
+
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers (lang, source, length
+    decile): equivalence-class sizes, flagging classes with < K_ANON members
+    — the release-gate check privacy reviews run on corpus metadata. One
+    aggregation; the decile bounds come from a broadcast one-row quantile."""
+    docs = read_table(spark, sf_dir, "documents").select("lang", "source", "n_chars")
+    return (
+        docs.withColumn("len_decile", F.least(F.floor(F.col("n_chars") / 100), F.lit(9)))
+        .groupBy("lang", "source", "len_decile")
+        .agg(F.count(F.lit(1)).alias("class_size"))
+        .withColumn("at_risk", (F.col("class_size") < K_ANON).cast("int"))
+        .orderBy("lang", "source", "len_decile")
+    )
+
+
+SQL_K_ANONYMITY = f"""
+SELECT lang, source, LEAST(n_chars // 100, 9) AS len_decile,
+       COUNT(*) AS class_size,
+       CASE WHEN COUNT(*) < {K_ANON} THEN 1 ELSE 0 END AS at_risk
+FROM documents
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
 QUERIES = {
+    "doc_chunk_split": doc_chunk_split,
+    "k_anonymity_audit": k_anonymity_audit,
     "corpus_stats": corpus_stats,
     "lm_rarity_score": lm_rarity_score,
     "bpe_pair_stats": bpe_pair_stats,
@@ -580,6 +657,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "doc_chunk_split": SQL_DOC_CHUNK_SPLIT,
+    "k_anonymity_audit": SQL_K_ANONYMITY,
     "corpus_stats": SQL_CORPUS_STATS,
     "lm_rarity_score": SQL_LM_RARITY,
     "bpe_pair_stats": SQL_BPE_PAIRS,
