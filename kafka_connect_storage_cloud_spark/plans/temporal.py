@@ -323,8 +323,208 @@ SELECT event_type, COUNT(*) AS n_events,
 FROM segs GROUP BY event_type ORDER BY event_type
 """
 
+ROLLING_MS = 24 * 3600 * 1000  # trailing-24h frame
+
+
+def events_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h per-user running aggregates via a RANGE frame over event
+    time (the window surface RANGE BETWEEN exposes and ROWS can't: frames
+    sized by time, not row count). One shuffle on user_id; frame state per
+    partition is bounded by the densest 24h of one user, independent of
+    history length."""
+    ev = read_events(spark, sf_dir).select(
+        "event_id", "user_id", "ts", F.unix_millis("ts").alias("tms"),
+        F.col("value").cast("decimal(10,4)").alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tms")
+        .rangeBetween(-(ROLLING_MS - 1), Window.currentRow)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.count(F.lit(1)).over(w).alias("n_24h"),
+            F.round(F.sum("v").over(w), 4).cast("double").alias("sum_24h"),
+        )
+        .orderBy("event_id")
+    )
+
+
+SQL_EVENTS_ROLLING_WINDOW = f"""
+WITH ev AS (
+  SELECT event_id, user_id, ts, epoch_ms(ts) AS tms, CAST("value" AS DECIMAL(10,4)) AS v
+  FROM events
+)
+SELECT event_id, user_id, ts,
+       COUNT(*) OVER w AS n_24h,
+       CAST(ROUND(SUM(v) OVER w, 4) AS DOUBLE) AS sum_24h
+FROM ev
+WINDOW w AS (PARTITION BY user_id ORDER BY tms
+             RANGE BETWEEN {ROLLING_MS - 1} PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+COMPACT_TARGET = 400  # records per compacted file
+
+
+def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner — the maintenance pass every S3 sink
+    needs (many encoded partitions => many sub-flush-size files). Input is
+    the committed manifest; output assigns each file to a compaction group
+    packing ~COMPACT_TARGET records of offset-adjacent files per
+    (encoded_partition, kafka stream). The plan is manifest-sized (files,
+    not records): a running-sum window per partition directory, the same
+    shape as token_shard_pack — no fact data moves until the rewrite job."""
+    from ..operators import rotation as R
+    from ..operators.partitioners import field_partitioner
+
+    rec = events_as_topic(spark, sf_dir).withColumn(
+        "encoded_partition", field_partitioner(("event_type",))
+    )
+    manifest = (
+        R.assign_files_flush_size(rec, 100)
+        .groupBy("encoded_partition", "file_path")
+        .agg(
+            F.count(F.lit(1)).alias("record_count"),
+            F.min("offset").alias("min_offset"),
+            F.max("offset").alias("max_offset"),
+        )
+    )
+    w = Window.partitionBy("encoded_partition").orderBy("min_offset")
+    cume = F.sum("record_count").over(w)
+    planned = manifest.withColumn(
+        "compact_group", F.ceil(cume / F.lit(COMPACT_TARGET)).cast("bigint")
+    )
+    return (
+        planned.groupBy("encoded_partition", "compact_group")
+        .agg(
+            F.count(F.lit(1)).alias("n_input_files"),
+            F.sum("record_count").alias("group_records"),
+            F.min("min_offset").alias("min_offset"),
+            F.max("max_offset").alias("max_offset"),
+            F.min("file_path").alias("first_file"),
+        )
+        .orderBy("encoded_partition", "compact_group")
+    )
+
+
+def _sql_compact(manifest_cte: str) -> str:
+    return f"""{manifest_cte},
+planned AS (
+  SELECT *, CAST(ceil(SUM(record_count) OVER (PARTITION BY encoded_partition
+            ORDER BY min_offset) / {COMPACT_TARGET}.0) AS BIGINT) AS compact_group
+  FROM manifest
+)
+SELECT encoded_partition, compact_group,
+       COUNT(*) AS n_input_files,
+       SUM(record_count) AS group_records,
+       MIN(min_offset) AS min_offset,
+       MAX(max_offset) AS max_offset,
+       MIN(file_path) AS first_file
+FROM planned GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+SQL_COMPACT_SMALL_FILES = _sql_compact(f"""
+WITH records AS (
+  SELECT 'events' AS topic, CAST(user_id % 8 AS INT) AS kafka_partition,
+         event_id AS "offset", ts AS "timestamp", event_type
+  FROM events
+),
+enc AS (SELECT *, 'event_type=' || event_type AS encoded_partition FROM records),
+seq AS (SELECT *, CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY kafka_partition, encoded_partition
+        ORDER BY "offset") - 1) / 100.0) AS BIGINT) AS file_seq FROM enc),
+files AS (SELECT *, MIN("offset") OVER (PARTITION BY kafka_partition, encoded_partition, file_seq)
+          AS file_start_offset FROM seq),
+manifest AS (
+  SELECT topic || '/' || encoded_partition || '/' || topic || '+' ||
+         CAST(kafka_partition AS VARCHAR) || '+' || printf('%010d', file_start_offset) || '.parquet'
+           AS file_path,
+         encoded_partition,
+         COUNT(*) AS record_count,
+         MIN("offset") AS min_offset, MAX("offset") AS max_offset
+  FROM files GROUP BY 1, 2
+)""")
+
+
+def offset_continuity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once monitoring: verify committed files cover each kafka
+    partition's offset space with no gaps and no overlaps. Per partition:
+    expected span vs records actually covered, plus the count of
+    discontinuities between consecutive files (lag window over the
+    manifest — file-count-sized work)."""
+    from ..operators import rotation as R
+    from ..operators.partitioners import default_partitioner
+
+    rec = events_as_topic(spark, sf_dir).withColumn(
+        "encoded_partition", default_partitioner(F.col("kafka_partition"))
+    )
+    manifest = R.file_manifest(R.assign_files_flush_size(rec, 100)).withColumn(
+        "kafka_partition",
+        F.regexp_extract("file_path", r"\+(\d+)\+\d+\.", 1).cast("int"),
+    )
+    w = Window.partitionBy("kafka_partition").orderBy("min_offset")
+    gap = F.col("min_offset") - F.lag("max_offset").over(w) - 1
+    return (
+        manifest.withColumn("gap_before", gap)
+        .groupBy("kafka_partition")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("record_count").alias("n_records"),
+            F.min("min_offset").alias("first_offset"),
+            F.max("max_offset").alias("last_offset"),
+            F.sum(F.when(F.col("gap_before") > 0, 1).otherwise(0)).alias("n_gaps"),
+            F.sum(F.when(F.col("gap_before") < 0, 1).otherwise(0)).alias("n_overlaps"),
+        )
+        .withColumn(
+            "contiguous",
+            (
+                (F.col("n_gaps") == 0)
+                & (F.col("n_overlaps") == 0)
+            ).cast("int"),
+        )
+        .orderBy("kafka_partition")
+    )
+
+
+SQL_OFFSET_CONTINUITY_AUDIT = """
+WITH records AS (
+  SELECT CAST(user_id % 8 AS INT) AS kafka_partition, event_id AS "offset"
+  FROM events
+),
+seq AS (SELECT *, CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY kafka_partition
+        ORDER BY "offset") - 1) / 100.0) AS BIGINT) AS file_seq FROM records),
+manifest AS (
+  SELECT kafka_partition, file_seq, COUNT(*) AS record_count,
+         MIN("offset") AS min_offset, MAX("offset") AS max_offset
+  FROM seq GROUP BY 1, 2
+),
+gapped AS (
+  SELECT *, min_offset - LAG(max_offset) OVER (PARTITION BY kafka_partition
+            ORDER BY min_offset) - 1 AS gap_before
+  FROM manifest
+)
+SELECT kafka_partition,
+       COUNT(*) AS n_files,
+       SUM(record_count) AS n_records,
+       MIN(min_offset) AS first_offset,
+       MAX(max_offset) AS last_offset,
+       SUM(CASE WHEN gap_before > 0 THEN 1 ELSE 0 END) AS n_gaps,
+       SUM(CASE WHEN gap_before < 0 THEN 1 ELSE 0 END) AS n_overlaps,
+       CASE WHEN SUM(CASE WHEN gap_before > 0 THEN 1 ELSE 0 END) = 0
+             AND SUM(CASE WHEN gap_before < 0 THEN 1 ELSE 0 END) = 0
+            THEN 1 ELSE 0 END AS contiguous
+FROM gapped GROUP BY kafka_partition ORDER BY kafka_partition
+"""
+
+
 QUERIES = {
     "log_compaction": log_compaction,
+    "events_rolling_window": events_rolling_window,
+    "compact_small_files": compact_small_files,
+    "offset_continuity_audit": offset_continuity_audit,
     "events_asof_join": events_asof_join,
     "events_range_join": events_range_join,
     "events_gapfill_locf": events_gapfill_locf,
@@ -332,6 +532,9 @@ QUERIES = {
 }
 ORACLES = {
     "log_compaction": SQL_LOG_COMPACTION,
+    "events_rolling_window": SQL_EVENTS_ROLLING_WINDOW,
+    "compact_small_files": SQL_COMPACT_SMALL_FILES,
+    "offset_continuity_audit": SQL_OFFSET_CONTINUITY_AUDIT,
     "events_asof_join": SQL_EVENTS_ASOF_JOIN,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
     "events_gapfill_locf": SQL_EVENTS_GAPFILL_LOCF,
