@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": LS.ann_topk_lsh,
         "ann_recall_audit": LS.ann_recall_audit,
         "knn_graph_mutual": LS.knn_graph_mutual,
+        "knn_pagerank_step": LS.knn_pagerank_step,
         "lang_id": LQ.lang_id,
         "quality_score": LQ.quality_score,
         "quality_filter": LQ.quality_filter,

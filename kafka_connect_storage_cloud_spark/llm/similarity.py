@@ -334,16 +334,10 @@ FROM e LEFT JOIN a ON e.query_id = a.query_id
 KNN_K = 5
 
 
-def knn_graph_mutual(spark: SparkSession, sf_dir: str, k: int = KNN_K) -> DataFrame:
-    """Mutual-kNN graph over the whole corpus: an edge (a,b) exists iff b is
-    in a's exact cosine top-k AND a is in b's — the symmetric graph semantic
-    clustering / graph-dedup pipelines build on.
-
-    Same exact int64 batch-matmul as ann_topk_bruteforce, but every vector is
-    a query: the corpus streams once against the in-closure matrix (at real
-    scale the closure matrix becomes block-partitioned — the streaming side
-    and plan shape are unchanged). Directed top-k edges are n·k rows; the
-    mutualization self-join runs on that edge list, never on the corpus."""
+def _knn_topk_edges(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """Directed exact top-k cosine edges for EVERY vector (src, dst, cosine,
+    rank). Same int64 batch-matmul as ann_topk_bruteforce with the whole
+    corpus as the query set — the shared edge builder for graph ops."""
     import numpy as np
     import pandas as pd
 
@@ -375,11 +369,24 @@ def knn_graph_mutual(spark: SparkSession, sf_dir: str, k: int = KNN_K) -> DataFr
         .withColumn("cosine", F.round(F.col("cosine_raw"), 6))
     )
     w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
-    topk = (
+    return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("src", "dst", "cosine", "rank")
     )
+
+
+def knn_graph_mutual(spark: SparkSession, sf_dir: str, k: int = KNN_K) -> DataFrame:
+    """Mutual-kNN graph over the whole corpus: an edge (a,b) exists iff b is
+    in a's exact cosine top-k AND a is in b's — the symmetric graph semantic
+    clustering / graph-dedup pipelines build on.
+
+    Same exact int64 batch-matmul as ann_topk_bruteforce, but every vector is
+    a query: the corpus streams once against the in-closure matrix (at real
+    scale the closure matrix becomes block-partitioned — the streaming side
+    and plan shape are unchanged). Directed top-k edges are n·k rows; the
+    mutualization self-join runs on that edge list, never on the corpus."""
+    topk = _knn_topk_edges(spark, sf_dir, k)
     fwd = topk.where(F.col("src") < F.col("dst")).select(
         F.col("src").alias("vec_a"), F.col("dst").alias("vec_b"),
         "cosine", F.col("rank").alias("rank_ab"),
@@ -391,8 +398,7 @@ def knn_graph_mutual(spark: SparkSession, sf_dir: str, k: int = KNN_K) -> DataFr
     return fwd.join(rev, ["vec_a", "vec_b"]).orderBy("vec_a", "vec_b")
 
 
-SQL_KNN_GRAPH_MUTUAL = f"""
-WITH {_sql_emb()},
+_SQL_KNN_TOPK_CTES = f"""{_sql_emb()},
 scored AS (
   SELECT a.vec_id AS src, b.vec_id AS dst,
          ROUND({_SQL_DOT.format(a='a.v', b='b.v')} / (a.nrm * b.nrm), 6) AS cosine
@@ -403,7 +409,10 @@ topk AS (
     SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS INT) AS rank
     FROM scored
   ) WHERE rank <= {KNN_K}
-),
+)"""
+
+SQL_KNN_GRAPH_MUTUAL = f"""
+WITH {_SQL_KNN_TOPK_CTES},
 fwd AS (SELECT src AS vec_a, dst AS vec_b, cosine, rank AS rank_ab FROM topk WHERE src < dst),
 rev AS (SELECT dst AS vec_a, src AS vec_b, rank AS rank_ba FROM topk WHERE src > dst)
 SELECT f.vec_a, f.vec_b, f.cosine, f.rank_ab, r.rank_ba
@@ -411,10 +420,71 @@ FROM fwd f JOIN rev r ON f.vec_a = r.vec_a AND f.vec_b = r.vec_b
 ORDER BY f.vec_a, f.vec_b
 """
 
+PR_SCALE = 1_000_000  # fixed-point PageRank unit (integer-exact in both engines)
+
+
+def knn_pagerank_step(spark: SparkSession, sf_dir: str, k: int = KNN_K) -> DataFrame:
+    """One damped PageRank power-iteration step over the directed kNN graph,
+    in fixed-point integer arithmetic so the result is exact (no float
+    accumulation-order dependence): start mass PR_SCALE per node; each node
+    sends floor(PR_SCALE / out_degree) along each out-edge; new rank is
+    0.15·PR_SCALE + floor(0.85 · inbound). Iterating this is centrality for
+    corpus-curation graphs; one step is the verifiable unit (same pattern as
+    ivf_kmeans_refine for Lloyd iterations).
+
+    Scale: edge list is n·k rows; both aggregations are map-side combinable
+    on uniform keys — the known GraphX/Pregel shuffle shape, without the
+    corpus ever re-materializing."""
+    edges = _knn_topk_edges(spark, sf_dir, k).select("src", "dst")
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
+    contrib = edges.join(outdeg, "src").select(
+        "dst", F.expr(f"{PR_SCALE} div out_degree").alias("c")
+    )
+    inbound = contrib.groupBy("dst").agg(
+        F.sum("c").alias("in_contrib"), F.count(F.lit(1)).alias("in_degree")
+    )
+    nodes = read_table(spark, sf_dir, "embeddings").select("vec_id")
+    base = PR_SCALE - (PR_SCALE * 85) // 100  # 0.15 in fixed point
+    return (
+        nodes.join(outdeg, nodes.vec_id == outdeg.src, "left")
+        .join(inbound, nodes.vec_id == inbound.dst, "left")
+        .select(
+            "vec_id",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+            (
+                F.lit(base)
+                + F.expr("85 * coalesce(in_contrib, 0) div 100")
+            ).alias("pr_scaled"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+SQL_KNN_PAGERANK_STEP = f"""
+WITH {_SQL_KNN_TOPK_CTES},
+edges AS (SELECT src, dst FROM topk),
+outdeg AS (SELECT src, COUNT(*) AS out_degree FROM edges GROUP BY src),
+contrib AS (
+  SELECT e.dst, {PR_SCALE} // o.out_degree AS c
+  FROM edges e JOIN outdeg o ON e.src = o.src
+),
+inbound AS (SELECT dst, SUM(c) AS in_contrib, COUNT(*) AS in_degree FROM contrib GROUP BY dst)
+SELECT n.vec_id,
+       COALESCE(o.out_degree, 0) AS out_degree,
+       COALESCE(i.in_degree, 0) AS in_degree,
+       {PR_SCALE - (PR_SCALE * 85) // 100} + (85 * COALESCE(i.in_contrib, 0)) // 100 AS pr_scaled
+FROM embeddings n
+LEFT JOIN outdeg o ON n.vec_id = o.src
+LEFT JOIN inbound i ON n.vec_id = i.dst
+ORDER BY n.vec_id
+"""
+
 
 ORACLES = {
     "embedding_cosine_dups": SQL_EMBEDDING_COSINE_DUPS,
     "knn_graph_mutual": SQL_KNN_GRAPH_MUTUAL,
+    "knn_pagerank_step": SQL_KNN_PAGERANK_STEP,
     "ann_topk_bruteforce": SQL_ANN_TOPK_BRUTEFORCE,
     "ann_topk_lsh": SQL_ANN_TOPK_LSH,
     "ann_recall_audit": SQL_ANN_RECALL_AUDIT,
