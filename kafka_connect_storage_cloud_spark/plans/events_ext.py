@@ -240,9 +240,61 @@ ORDER BY g_hour, g_type, hour, event_type
 """
 
 
+MERGE_SPLIT = "2024-01-15"
+
+
+def rollup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-rollup maintenance: the historical rollup
+    (events before MERGE_SPLIT) merges with the new day's delta rollup via
+    the aggregate's combine step — count/sum/min/max are decomposable, so
+    merge(partials) == recompute(full), the invariant the oracle checks by
+    recomputing from scratch. Each side shuffles only its own partials;
+    the merge is |groups|-sized. This is the batch twin of the streaming
+    watermark rollup (same combinators Spark uses map-side)."""
+    ev = read_events(spark, sf_dir).select("event_type", "ts", "value")
+    split = F.lit(MERGE_SPLIT).cast("timestamp")
+    v = F.col("value").cast("decimal(10,4)")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.to_date("ts").alias("day"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(v).alias("sum_dec"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+
+    base = partial(ev.where(F.col("ts") < split))
+    delta = partial(ev.where(F.col("ts") >= split))
+    return (
+        base.unionByName(delta)
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("sum_dec"), 4).cast("double").alias("sum_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+SQL_ROLLUP_INCREMENTAL_MERGE = """
+SELECT CAST(ts AS DATE) AS day, event_type,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST("value" AS DECIMAL(10,4))), 4) AS DOUBLE) AS sum_value,
+       MIN("value") AS min_value,
+       MAX("value") AS max_value
+FROM events
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "events_funnel": events_funnel,
     "events_cube": events_cube,
+    "rollup_incremental_merge": rollup_incremental_merge,
     "events_retention": events_retention,
     "events_anomaly": events_anomaly,
     "events_props_extract": events_props_extract,
@@ -251,6 +303,7 @@ QUERIES = {
 ORACLES = {
     "events_funnel": SQL_EVENTS_FUNNEL,
     "events_cube": SQL_EVENTS_CUBE,
+    "rollup_incremental_merge": SQL_ROLLUP_INCREMENTAL_MERGE,
     "events_retention": SQL_EVENTS_RETENTION,
     "events_anomaly": SQL_EVENTS_ANOMALY,
     "events_props_extract": SQL_EVENTS_PROPS_EXTRACT,

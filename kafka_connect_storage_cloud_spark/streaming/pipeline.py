@@ -209,6 +209,13 @@ def run_connector_stream(
     if cfg.behavior_on_null_values == "fail":
         raise ValueError("behavior.on.null.values=fail is not streamable; use ignore|write")
     rec = as_topic_records(stream_events_source(spark, sf_dir))
+    if properties.get("transforms"):
+        # SMTs are pure projections, so the chain is streaming-safe as-is —
+        # the same apply order as the batch runner (Connect applies SMTs
+        # before the sink task in both modes)
+        from ..operators.smt import apply_smt_chain
+
+        rec = apply_smt_chain(rec, properties)
     if cfg.behavior_on_null_values == "ignore":
         rec = rec.where(F.col("value").isNotNull())
     rec = rec.withColumn("encoded_partition", partitioner_expr(cfg))

@@ -253,3 +253,35 @@ def test_run_connector_stream_matches_batch(spark, sf_small, tmp_path):
     b = spark.read.parquet(batch_out).select("offset", "value", "encoded_partition")
     s = spark.read.parquet(stream_out).select("offset", "value", "encoded_partition")
     assert b.exceptAll(s).count() == 0 and s.exceptAll(b).count() == 0
+
+
+def test_run_connector_stream_applies_smt(spark, sf_small, tmp_path):
+    """transforms= behaves identically in the streaming and batch runners:
+    the TimestampRouter-routed topics and masked keys land the same."""
+    from kafka_connect_storage_cloud_spark.connector import run_connector
+    from kafka_connect_storage_cloud_spark.streaming.pipeline import run_connector_stream
+
+    props = {
+        "topics": "events",
+        "format.class": "parquet",
+        "partitioner.class": "io.confluent.connect.storage.partitioner.DefaultPartitioner",
+        "flush.size": "100",
+        "behavior.on.null.values": "ignore",
+        "transforms": "mask,route",
+        "transforms.mask.type": "org.apache.kafka.connect.transforms.MaskField$Key",
+        "transforms.route.type": "org.apache.kafka.connect.transforms.TimestampRouter",
+        "transforms.route.topic.format": "${topic}-${timestamp}",
+        "transforms.route.timestamp.format": "yyyyMMdd",
+    }
+    batch_out = str(tmp_path / "batch")
+    manifest = run_connector(spark, props, sf_dir=sf_small, output_path=batch_out)
+    assert all(
+        r["file_path"].startswith("events-20") for r in manifest.collect()
+    )
+    stream_out = str(tmp_path / "stream")
+    q = run_connector_stream(spark, props, sf_small, stream_out, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+    b = spark.read.parquet(batch_out).select("offset", "key", "encoded_partition")
+    s = spark.read.parquet(stream_out).select("offset", "key", "encoded_partition")
+    assert b.exceptAll(s).count() == 0 and s.exceptAll(b).count() == 0
+    assert set(r["key"] for r in s.select("key").distinct().collect()) == {"****"}
