@@ -267,3 +267,49 @@ def test_dedup_bloom_broadcasts_bits(spark, sf_dir):
     plan = _plan(spark, LSU.dedup_bloom(spark, sf_dir))
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_rolling_window_single_range_frame(spark, sf_dir):
+    """The trailing-24h aggregate is ONE window over user_id — no self-join
+    expansion of the time range."""
+    import re
+
+    from kafka_connect_storage_cloud_spark.plans import temporal as TP
+
+    plan = _plan(spark, TP.events_rolling_window(spark, sf_dir))
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+
+
+def test_compact_planner_is_manifest_sized(spark, sf_dir):
+    """Compaction planning aggregates the record stream down to the manifest
+    before any window runs: the cumulative-sum window input is files, not
+    records (partial aggregate precedes the window exchange)."""
+    from kafka_connect_storage_cloud_spark.plans import temporal as TP
+
+    plan = _plan(spark, TP.compact_small_files(spark, sf_dir))
+    assert "partial_count" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_chunk_split_zero_shuffle(spark, sf_dir):
+    """The chunker is scan + explode only — no exchange, no aggregate, and
+    only doc_id/text read off the scan."""
+    from kafka_connect_storage_cloud_spark.llm import corpus as LCO
+
+    plan = _plan(spark, LCO.doc_chunk_split(spark, sf_dir))
+    body = plan[: plan.index("(1) Scan")] if "(1) Scan" in plan else plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "HashAggregate" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_pagerank_step_joins_only_edge_lists(spark, sf_dir):
+    """Every join input in the PageRank step is edge-list- or node-id-sized;
+    the embedding payload never reaches a join (scan of vec_id only on the
+    nodes side) and no nested-loop appears."""
+    from kafka_connect_storage_cloud_spark.llm import similarity as LS
+
+    plan = _plan(spark, LS.knn_pagerank_step(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
