@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph_mutual": LS.knn_graph_mutual,
         "knn_pagerank_step": LS.knn_pagerank_step,
         "lang_id": LQ.lang_id,
+        "lang_id_confusion": LQ.lang_id_confusion,
         "quality_score": LQ.quality_score,
         "quality_filter": LQ.quality_filter,
         "repetition_score": LQ.repetition_score,

@@ -102,6 +102,45 @@ FROM scored JOIN best USING (doc_id) ORDER BY doc_id
 """
 
 
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-eval audit: confusion matrix of detected language vs the
+    labeled `lang` column, with each cell's share of its label row. The
+    detector output joins labels on doc_id (co-partitioned corpus join);
+    the matrix itself is |langs|² rows and the per-label totals broadcast."""
+    detected = lang_id(spark, sf_dir).select("doc_id", "detected_lang")
+    labels = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    joined = labels.join(detected, "doc_id")
+    cells = joined.groupBy("lang", "detected_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    totals = joined.groupBy("lang").agg(F.count(F.lit(1)).alias("label_total"))
+    return (
+        cells.join(F.broadcast(totals), "lang")
+        .select(
+            "lang",
+            "detected_lang",
+            "n_docs",
+            H.round6(F.col("n_docs") / F.col("label_total")).alias("share_of_label"),
+        )
+        .orderBy("lang", "detected_lang")
+    )
+
+
+def _sql_lang_id_confusion() -> str:
+    return f"""
+WITH det AS ({_sql_lang_id().replace('ORDER BY doc_id', '')}),
+joined AS (
+  SELECT d.lang, det.detected_lang FROM documents d JOIN det ON d.doc_id = det.doc_id
+),
+cells AS (SELECT lang, detected_lang, COUNT(*) AS n_docs FROM joined GROUP BY 1, 2),
+totals AS (SELECT lang, COUNT(*) AS label_total FROM joined GROUP BY 1)
+SELECT c.lang, c.detected_lang, c.n_docs,
+       {H.sql_round6("c.n_docs / CAST(t.label_total AS DOUBLE)")} AS share_of_label
+FROM cells c JOIN totals t ON c.lang = t.lang
+ORDER BY c.lang, c.detected_lang
+"""
+
+
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic document quality in [0,1]: length saturation, English
     stopword density, mean word length band, alpha ratio."""
@@ -407,6 +446,7 @@ FROM verdict ORDER BY doc_id
 
 ORACLES = {
     "lang_id": _sql_lang_id(),
+    "lang_id_confusion": _sql_lang_id_confusion(),
     "quality_score": SQL_QUALITY_SCORE,
     "token_count": SQL_TOKEN_COUNT,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
