@@ -55,6 +55,45 @@ def _apply_null_behavior(
     return records
 
 
+def _apply_errors_tolerance(
+    records: DataFrame, properties: dict, dlq_path: str | None
+) -> DataFrame:
+    """Connect runtime error handling (public ConnectorConfig keys
+    errors.tolerance / errors.deadletterqueue.*): a record whose non-null
+    value fails JSON conversion is a conversion error. tolerance=none kills
+    the task (the runtime default); tolerance=all skips the record, landing
+    it in the DLQ dataset when errors.deadletterqueue is enabled. The check
+    is a pure projection (get_json_object returns null on malformed input),
+    so the valid stream costs one codegen'd predicate."""
+    tolerance = properties.get("errors.tolerance")
+    if not tolerance:
+        return records
+    malformed = F.col("value").isNotNull() & F.get_json_object(
+        F.col("value"), "$"
+    ).isNull()
+    if tolerance == "none":
+        n = records.where(malformed).limit(1).count()
+        if n:
+            raise ValueError(
+                "malformed record value with errors.tolerance=none "
+                "(reference: Connect runtime task failure)"
+            )
+        return records
+    if tolerance != "all":
+        raise ValueError(f"errors.tolerance must be none|all, got {tolerance!r}")
+    use_dlq = properties.get(
+        "errors.deadletterqueue.topic.name"
+    ) or properties.get("errors.deadletterqueue.enable")
+    if dlq_path is not None and use_dlq:
+        (
+            records.where(malformed)
+            .withColumn("dlq_error", F.lit("value conversion failed"))
+            .write.mode("overwrite")
+            .json(f"{dlq_path}_errors")
+        )
+    return records.where(~malformed)
+
+
 def _assign_files(records: DataFrame, cfg: ConnectorConfig, ext: str) -> DataFrame:
     """Pick the rotation policy the config asks for (flush.size always caps;
     the time policies take precedence for file *boundaries* when set)."""
@@ -88,6 +127,7 @@ def run_connector(
         from .operators.smt import apply_smt_chain
 
         records = apply_smt_chain(records, properties)
+    records = _apply_errors_tolerance(records, properties, dlq_path)
     records = _apply_null_behavior(records, cfg, dlq_path)
     records = records.withColumn("encoded_partition", partitioner_expr(cfg))
     ext = cfg.spark_format

@@ -253,3 +253,53 @@ def test_json_decimal_format_base64_and_numeric(spark, tmp_path):
     )
     vals = {r.get("amount") for r in read_rows(num)}
     assert 12.34 in vals and -0.01 in vals
+
+
+def test_errors_tolerance_all_routes_malformed_to_dlq(spark, sf_small, tmp_path):
+    """errors.tolerance=all: records whose value fails JSON conversion are
+    skipped and land in the errors DLQ; main output + both DLQs partition
+    the input exactly (Connect runtime error-handling semantics)."""
+    from kafka_connect_storage_cloud_spark.sources.topic import events_as_topic
+
+    rec = events_as_topic(spark, sf_small)
+    broken = rec.withColumn(
+        "value",
+        F.when(F.col("offset") % 97 == 0, F.lit("{not json")).otherwise(F.col("value")),
+    )
+    props = {
+        "topics": "events",
+        "format.class": "parquet",
+        "partitioner.class": "io.confluent.connect.storage.partitioner.DefaultPartitioner",
+        "flush.size": "1000",
+        "behavior.on.null.values": "ignore",
+        "errors.tolerance": "all",
+        "errors.deadletterqueue.topic.name": "dlq-events",
+    }
+    out, dlq = str(tmp_path / "out"), str(tmp_path / "dlq")
+    manifest = run_connector(
+        spark, props, records=broken, output_path=out, dlq_path=dlq
+    )
+    n_total = broken.count()
+    n_written = sum(r["record_count"] for r in manifest.collect())
+    n_err = spark.read.json(f"{dlq}_errors").count()
+    n_null = spark.read.json(dlq).count()
+    assert n_err > 0 and n_written + n_err + n_null == n_total
+
+
+def test_errors_tolerance_none_fails_fast(spark, sf_small):
+    from kafka_connect_storage_cloud_spark.sources.topic import events_as_topic
+
+    rec = events_as_topic(spark, sf_small).withColumn(
+        "value",
+        F.when(F.col("offset") == 3, F.lit("{not json")).otherwise(F.col("value")),
+    )
+    props = {
+        "topics": "events",
+        "format.class": "parquet",
+        "partitioner.class": "io.confluent.connect.storage.partitioner.DefaultPartitioner",
+        "flush.size": "1000",
+        "behavior.on.null.values": "ignore",
+        "errors.tolerance": "none",
+    }
+    with pytest.raises(ValueError, match="errors.tolerance=none"):
+        run_connector(spark, props, records=rec)
