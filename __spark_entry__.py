@@ -33,6 +33,7 @@ from kafka_connect_storage_cloud_spark.llm import quality as LQ
 from kafka_connect_storage_cloud_spark.llm import substring as LSU
 from kafka_connect_storage_cloud_spark.llm import similarity as LS
 from kafka_connect_storage_cloud_spark.operators import schema_evolution as SE
+from kafka_connect_storage_cloud_spark.operators import layout as LAY
 from kafka_connect_storage_cloud_spark.operators import smt as SMT
 from kafka_connect_storage_cloud_spark.plans import connector as C
 from kafka_connect_storage_cloud_spark.llm import clustering as LC
@@ -73,6 +74,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kv_header_views": C.kv_header_views_plan,
         "schema_evolution": SE.schema_evolution_plan,
         **SMT.QUERIES,
+        **LAY.QUERIES,
         # --- analytics (SURVEY §2B) ---
         "q1_pricing_summary": T.q1_pricing_summary,
         "q3_shipping_priority": T.q3_shipping_priority,
@@ -465,6 +467,7 @@ SELECT * FROM ranked WHERE rank <= 5 ORDER BY event_type, rank""",
         **TX2.ORACLES,
         **SE.ORACLES,
         **SMT.ORACLES,
+        **LAY.ORACLES,
         **EX.ORACLES,
         **TP.ORACLES,
         **LC.ORACLES,
