@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **TX2.QUERIES,
         "events_hourly_rollup": E.events_hourly_rollup,
         "events_sessionize": E.events_sessionize,
+        "events_session_window_native": E.events_session_window_native,
         "events_topk_users": E.events_topk_users,
         **EX.QUERIES,
         **TP.QUERIES,
@@ -463,6 +464,7 @@ ranked AS (
 )
 SELECT * FROM ranked WHERE rank <= 5 ORDER BY event_type, rank""",
         # --- extended TPC-H + LLM (oracles live next to the implementations) ---
+        "events_session_window_native": E.SQL_EVENTS_SESSION_WINDOW_NATIVE,
         **TX.ORACLES,
         **TX2.ORACLES,
         **SE.ORACLES,

@@ -73,3 +73,53 @@ def events_topk_users(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame
         per_user.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+SESSION_GAP_MIN = 30
+
+
+def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization through Spark's NATIVE session_window operator (the
+    same merging-session machinery Structured Streaming uses for stateful
+    gap sessions, here in batch). Proven against the portable lag-based
+    formulation in the oracle: session_window merges an event into the
+    session while its gap to the previous event is < gap, so the oracle
+    cuts on diff >= gap.
+
+    The plan is one shuffle on (user_id) + Spark's session-merge aggregate;
+    at scale it's the same topology as the window formulation but with the
+    merge done by the purpose-built operator (no per-row running sum)."""
+    ev = read_events(spark, sf_dir).select("user_id", "ts")
+    return (
+        ev.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+        .orderBy("user_id", "session_start")
+    )
+
+
+SQL_EVENTS_SESSION_WINDOW_NATIVE = f"""
+WITH with_gap AS (
+  SELECT user_id, ts,
+    CASE WHEN COALESCE(epoch_ms(ts) - epoch_ms(LAG(ts) OVER w), {SESSION_GAP_MIN * 60 * 1000})
+              >= {SESSION_GAP_MIN * 60 * 1000}
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+with_id AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM with_gap
+)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events
+FROM with_id GROUP BY user_id, session_seq
+ORDER BY user_id, session_start
+"""
