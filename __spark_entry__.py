@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_pipeline": LM.multimodal_pipeline,
         "multimodal_resize": LM.multimodal_resize,
         "multimodal_frame_sample": LM.multimodal_frame_sample,
+        "multimodal_audio_resample": LM.multimodal_audio_resample,
         **LP.QUERIES,
         **LCO.QUERIES,
         **LPI.QUERIES,

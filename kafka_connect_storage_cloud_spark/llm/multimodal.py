@@ -220,6 +220,81 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(media)
 
 
+SAMPLE_BYTES = 2  # 16-bit PCM
+RESAMPLE_R = 2  # 16 kHz -> 8 kHz decimation
+OUT_RATE = 8000
+
+RESAMPLED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("in_samples", LongType()),
+        StructField("out_samples", LongType()),
+        StructField("out_rate", LongType()),
+        StructField("checksum", LongType()),
+    ]
+)
+
+
+def resample_stub(payload: bytes, r: int = RESAMPLE_R) -> bytes:
+    """STUB audio resample — replace with scipy/soxr in production.
+    Deterministic fake: decimate the 16-bit PCM stream by r (keep every
+    r-th 2-byte sample), the zero-order-hold downsample."""
+    n_samples = len(payload) // SAMPLE_BYTES
+    out = bytearray()
+    for j in range(n_samples // r):
+        s = j * r * SAMPLE_BYTES
+        out += payload[s : s + SAMPLE_BYTES]
+    return bytes(out)
+
+
+def resample_media(media: DataFrame, r: int = RESAMPLE_R) -> DataFrame:
+    """Arrow-batched PCM decimation over the binary column; emits sample
+    counts + checksum so the byte-level result is value-checked."""
+    from ..session import ship_package
+
+    ship_package(media.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = [resample_stub(p, r) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "in_samples": [len(p) // SAMPLE_BYTES for p in pdf["payload"]],
+                    "out_samples": [len(o) // SAMPLE_BYTES for o in outs],
+                    "out_rate": OUT_RATE,
+                    "checksum": [sum(o) % 997 for o in outs],
+                }
+            )
+
+    return media.mapInPandas(run, schema=RESAMPLED_SCHEMA)
+
+
+def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio rows only (mime predicate reaches the scan); 2x PCM decimation
+    via the stub — the audio twin of multimodal_resize."""
+    media = synth_media(spark, sf_dir).where(
+        (F.col("mime") == "audio/wav") & (F.col("n_bytes") >= SAMPLE_BYTES * RESAMPLE_R)
+    )
+    return resample_media(media)
+
+
+# Decimation keeps bytes [j*r*2+1, j*r*2+2] (1-based) for j in 0..n//2//r-1.
+SQL_MULTIMODAL_AUDIO_RESAMPLE = f"""
+SELECT doc_id AS media_id,
+       len(text) // {SAMPLE_BYTES} AS in_samples,
+       (len(text) // {SAMPLE_BYTES}) // {RESAMPLE_R} AS out_samples,
+       CAST({OUT_RATE} AS BIGINT) AS out_rate,
+       CAST(list_sum([ascii(substr(text,
+                        CAST((k // {SAMPLE_BYTES}) * {RESAMPLE_R * SAMPLE_BYTES}
+                             + (k % {SAMPLE_BYTES}) + 1 AS INT), 1))
+                      for k in generate_series(0, (len(text) // {SAMPLE_BYTES}) // {RESAMPLE_R} * {SAMPLE_BYTES} - 1)])
+            % 997 AS BIGINT) AS checksum
+FROM documents
+WHERE doc_id % 2 = 1 AND len(text) >= {SAMPLE_BYTES * RESAMPLE_R}
+ORDER BY media_id
+"""
+
 # Oracle: the stub's 4th feature = sum(first 64 bytes) % 997 on utf-8 text
 # (ASCII here, so ord == byte value).
 SQL_MULTIMODAL = """
@@ -263,4 +338,5 @@ ORACLES = {
     "multimodal_pipeline": SQL_MULTIMODAL,
     "multimodal_resize": SQL_MULTIMODAL_RESIZE,
     "multimodal_frame_sample": SQL_MULTIMODAL_FRAMES,
+    "multimodal_audio_resample": SQL_MULTIMODAL_AUDIO_RESAMPLE,
 }
