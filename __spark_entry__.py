@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_rollup": E.events_hourly_rollup,
         "events_sessionize": E.events_sessionize,
         "events_session_window_native": E.events_session_window_native,
+        "events_sliding_window": E.events_sliding_window,
         "events_topk_users": E.events_topk_users,
         **EX.QUERIES,
         **TP.QUERIES,
@@ -466,6 +467,7 @@ ranked AS (
 SELECT * FROM ranked WHERE rank <= 5 ORDER BY event_type, rank""",
         # --- extended TPC-H + LLM (oracles live next to the implementations) ---
         "events_session_window_native": E.SQL_EVENTS_SESSION_WINDOW_NATIVE,
+        "events_sliding_window": E.SQL_EVENTS_SLIDING_WINDOW,
         **TX.ORACLES,
         **TX2.ORACLES,
         **SE.ORACLES,

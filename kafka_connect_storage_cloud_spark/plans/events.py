@@ -123,3 +123,53 @@ SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
 FROM with_id GROUP BY user_id, session_seq
 ORDER BY user_id, session_start
 """
+
+
+SLIDE_WIN_MIN = 60
+SLIDE_STEP_MIN = 30
+
+
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregate through Spark's NATIVE window(ts, 1h, 30m)
+    generator: each event contributes to the 2 overlapping hourly windows
+    that contain it (window start = ts floored to each 30-min slide). The
+    oracle reproduces the window-assignment arithmetic with an explicit
+    2-element unnest. One explode (x2 rows) + one map-side-combined
+    aggregation; the shuffle carries |windows| x |types| partials."""
+    ev = read_events(spark, sf_dir).select("event_type", "ts", "value")
+    v = F.col("value").cast("decimal(10,4)")
+    return (
+        ev.groupBy(
+            F.window("ts", f"{SLIDE_WIN_MIN} minutes", f"{SLIDE_STEP_MIN} minutes"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(v), 4).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("win_start", "event_type")
+    )
+
+
+SQL_EVENTS_SLIDING_WINDOW = f"""
+WITH assigned AS (
+  SELECT event_type, "value",
+         make_timestamp(((epoch_ms(ts) // 1000 // {SLIDE_STEP_MIN * 60} - k) * {SLIDE_STEP_MIN * 60}) * 1000000)
+           AS win_start,
+         epoch_ms(ts) AS tms
+  FROM events, UNNEST(generate_series(0, {SLIDE_WIN_MIN // SLIDE_STEP_MIN - 1})) AS g(k)
+),
+valid AS (
+  SELECT * FROM assigned
+  WHERE tms >= epoch_ms(win_start) AND tms < epoch_ms(win_start) + {SLIDE_WIN_MIN * 60 * 1000}
+)
+SELECT win_start, event_type, COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST("value" AS DECIMAL(10,4))), 4) AS DOUBLE) AS sum_value
+FROM valid GROUP BY 1, 2 ORDER BY 1, 2
+"""
