@@ -313,3 +313,43 @@ def test_pagerank_step_joins_only_edge_lists(spark, sf_dir):
     plan = _plan(spark, LS.knn_pagerank_step(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# Plans allowed to contain a nested-loop join — every one has a side that is
+# tiny BY CONSTRUCTION (scalar subquery, spine, zone maps, centroids), so the
+# nested loop touches O(small) rows regardless of corpus size.
+_NESTED_LOOP_OK = {
+    "q11_important_stock",        # scalar threshold subquery (1 row)
+    "q22_global_sales_opportunity",  # scalar avg-acctbal subquery (1 row)
+    "events_gapfill_locf",        # hour-spine grid (|hours| x |types|)
+    "zorder_file_skipping",       # zone-map range probe (|users| x |files|)
+    "ann_topk_ivf_multiprobe",    # q nearest-cells probe (|queries| x |cells|)
+    "corpus_prep_pipeline",       # language-mix weight table (|langs| rows)
+}
+
+
+def test_no_accidental_nested_loops_anywhere(spark, sf_dir):
+    """Global plan lint over EVERY queries() entry: a CartesianProduct or
+    BroadcastNestedLoopJoin outside the documented allowlist means an
+    equi-join decomposition silently regressed — the single most expensive
+    class of plan bug at 100 TB."""
+    import importlib.util
+    import os
+    import sys
+
+    entry_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "__spark_entry__.py"
+    )
+    spec = importlib.util.spec_from_file_location("spark_entry_lint", entry_path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["spark_entry_lint"] = mod
+    spec.loader.exec_module(mod)
+    offenders = {}
+    for name, fn in sorted(mod.queries().items()):
+        if name in _NESTED_LOOP_OK:
+            continue
+        plan = _plan(spark, fn(spark, sf_dir))
+        hits = [k for k in ("CartesianProduct", "BroadcastNestedLoopJoin") if k in plan]
+        if hits:
+            offenders[name] = hits
+    assert not offenders, offenders
