@@ -177,6 +177,48 @@ SELECT event_type,
 FROM parsed GROUP BY event_type ORDER BY event_type
 """
 
+def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured processing through Spark 4's VARIANT type:
+    parse_json once, typed variant_get extraction — the shred-on-read path
+    for payloads whose schema isn't declared up front (vs the schema'd
+    from_json in events_props_extract; both must agree with the JSON
+    oracle). Still a pure projection into one map-side-combined aggregate."""
+    ev = read_events(spark, sf_dir).select("event_type", "props")
+    parsed = ev.withColumn("v", F.try_parse_json(F.col("props")))
+    k = F.try_variant_get("v", "$.k", "bigint")
+    return (
+        parsed.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.count("v").alias("n_json"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_EVENTS_PROPS_VARIANT = """
+WITH parsed AS (
+  SELECT event_type, props,
+         CASE WHEN json_valid(props) THEN props END AS v,
+         CASE WHEN json_valid(props) THEN CAST(json_extract(props, '$.k') AS BIGINT) END AS k
+  FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n_records,
+       COUNT(v) AS n_json,
+       COUNT(k) AS n_with_k,
+       SUM(k) AS sum_k,
+       MIN(k) AS min_k,
+       MAX(k) AS max_k
+FROM parsed GROUP BY event_type ORDER BY event_type
+"""
+
+
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
@@ -298,6 +340,7 @@ QUERIES = {
     "events_retention": events_retention,
     "events_anomaly": events_anomaly,
     "events_props_extract": events_props_extract,
+    "events_props_variant": events_props_variant,
     "events_type_pivot": events_type_pivot,
 }
 ORACLES = {
@@ -307,5 +350,6 @@ ORACLES = {
     "events_retention": SQL_EVENTS_RETENTION,
     "events_anomaly": SQL_EVENTS_ANOMALY,
     "events_props_extract": SQL_EVENTS_PROPS_EXTRACT,
+    "events_props_variant": SQL_EVENTS_PROPS_VARIANT,
     "events_type_pivot": SQL_EVENTS_TYPE_PIVOT,
 }
