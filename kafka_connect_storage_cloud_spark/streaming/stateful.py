@@ -129,3 +129,114 @@ def rotate_interval_stateful(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def make_rotate_processor(rotate_interval_ms: int, ts_col: str, ext: str):
+    """transformWithStateInPandas processor (Spark 4's arbitrary-stateful
+    API — the successor to applyInPandasWithState, with explicit typed state
+    handles, timers, and multi-state support). Same rotate.interval.ms
+    semantics and state as rotate_interval_stateful.
+
+    Fully self-contained (locals + in-method imports only): the TWS state
+    -schema driver worker unpickles the processor in a bare Python process
+    where this package is not importable, so the class must not reference
+    module-level names.
+
+    GATED in this container: the TWS state server protocol needs
+    google.protobuf, which isn't installed here (pytest importorskips); on a
+    real cluster (protobuf ships with Spark distributions' Python deps) this
+    path runs as-is with the RocksDB state store provider."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _Processor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            from pyspark.sql.types import LongType, StructField, StructType
+
+            self._state = handle.getValueState(
+                "open_file",
+                StructType(
+                    [
+                        StructField("base_ts_ms", LongType()),
+                        StructField("file_seq", LongType()),
+                        StructField("file_start_offset", LongType()),
+                    ]
+                ),
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as _pd
+
+            kafka_partition, encoded_partition = key
+            prior = self._state.get() if self._state.exists() else None
+            base_ts, seq, start = prior if prior is not None else (None, -1, None)
+            chunks = [p for p in rows if len(p)]
+            if not chunks:
+                return
+            pdf = _pd.concat(chunks).sort_values("offset").reset_index(drop=True)
+            col = pdf[ts_col]
+            if _pd.api.types.is_datetime64_any_dtype(col):
+                ts_ms = col.values.astype("datetime64[ms]").astype("int64")
+            else:
+                ts_ms = col.astype("int64") // 1_000_000
+            seqs, starts = [], []
+            for off, t in zip(pdf["offset"].tolist(), list(ts_ms)):
+                if base_ts is None or t - base_ts >= rotate_interval_ms:
+                    seq += 1
+                    base_ts = t
+                    start = off
+                seqs.append(seq)
+                starts.append(start)
+            self._state.update((int(base_ts), int(seq), int(start)))
+            topic = pdf["topic"].iloc[0]
+            out = _pd.DataFrame(
+                {
+                    "topic": pdf["topic"],
+                    "kafka_partition": pdf["kafka_partition"].astype("int32"),
+                    "encoded_partition": encoded_partition,
+                    "offset": pdf["offset"].astype("int64"),
+                    "ts_ms": _pd.Series(ts_ms, dtype="int64"),
+                    "file_seq": _pd.Series(seqs, dtype="int64"),
+                    "file_start_offset": _pd.Series(starts, dtype="int64"),
+                }
+            )
+            out["file_path"] = (
+                topic
+                + "/"
+                + out["encoded_partition"]
+                + "/"
+                + topic
+                + "+"
+                + out["kafka_partition"].astype(str)
+                + "+"
+                + out["file_start_offset"].map(lambda o: f"{o:010d}")
+                + f".{ext}"
+            )
+            yield out
+
+        def close(self) -> None:
+            pass
+
+    return _Processor()
+
+
+def rotate_interval_tws(
+    records: DataFrame,
+    rotate_interval_ms: int,
+    ts_col: str = "timestamp",
+    ext: str = "parquet",
+) -> DataFrame:
+    """rotate.interval.ms via transformWithStateInPandas. Identical output
+    contract to rotate_interval_stateful; the session must run the RocksDB
+    state store provider (spark.sql.streaming.stateStore.providerClass)."""
+    from ..session import ship_package
+
+    ship_package(records.sparkSession)
+    return records.groupBy("kafka_partition", "encoded_partition").transformWithStateInPandas(
+        statefulProcessor=make_rotate_processor(rotate_interval_ms, ts_col, ext),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )

@@ -285,3 +285,83 @@ def test_run_connector_stream_applies_smt(spark, sf_small, tmp_path):
     s = spark.read.parquet(stream_out).select("offset", "key", "encoded_partition")
     assert b.exceptAll(s).count() == 0 and s.exceptAll(b).count() == 0
     assert set(r["key"] for r in s.select("key").distinct().collect()) == {"****"}
+
+
+def test_rotate_interval_transform_with_state_matches_batch(spark, sf_small, tmp_path):
+    """Same rotate.interval manifest through Spark 4's
+    transformWithStateInPandas (RocksDB state store) as the batch operator —
+    the new arbitrary-stateful API carrying the open-file state across
+    micro-batches. Gated: the TWS state server speaks protobuf, absent in
+    this container (no installs) — the applyInPandasWithState twin above
+    covers the semantics here."""
+    pytest.importorskip("google.protobuf")
+    import os
+
+    from kafka_connect_storage_cloud_spark.operators.rotation import (
+        assign_files_rotate_interval,
+        file_manifest,
+    )
+    from kafka_connect_storage_cloud_spark.sources.topic import events_as_topic
+    from kafka_connect_storage_cloud_spark.streaming.stateful import rotate_interval_tws
+
+    interval_ms = 3600 * 1000
+    records = events_as_topic(spark, sf_small).withColumn(
+        "encoded_partition", F.concat(F.lit("event_type="), F.col("event_type"))
+    )
+    cols = ["topic", "kafka_partition", "offset", "timestamp", "encoded_partition"]
+    expected = {
+        r["file_path"]: (r["record_count"], r["min_offset"], r["max_offset"])
+        for r in file_manifest(
+            assign_files_rotate_interval(records.select(*cols), interval_ms)
+        ).collect()
+    }
+
+    src = tmp_path / "tws_chunks"
+    src.mkdir()
+    pdf = records.select(*cols).orderBy("offset").toPandas()
+    pdf["timestamp"] = pdf["timestamp"].astype("datetime64[us]")
+    n = len(pdf)
+    cuts = (pdf.iloc[: n // 3], pdf.iloc[n // 3 : 2 * n // 3], pdf.iloc[2 * n // 3 :])
+    for i, chunk in enumerate(cuts):
+        p = str(src / f"chunk{i}.parquet")
+        chunk.to_parquet(p, index=False)
+        os.utime(p, (1_000_000_000 + i * 100, 1_000_000_000 + i * 100))
+
+    prior = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(records.select(*cols).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            rotate_interval_tws(stream, interval_ms)
+            .writeStream.format("memory")
+            .queryName("rot_tws")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prior)
+    got = {
+        r["file_path"]: (r["record_count"], r["min_offset"], r["max_offset"])
+        for r in spark.table("rot_tws")
+        .groupBy("file_path")
+        .agg(
+            F.count(F.lit(1)).alias("record_count"),
+            F.min("offset").alias("min_offset"),
+            F.max("offset").alias("max_offset"),
+        )
+        .collect()
+    }
+    assert got == expected
