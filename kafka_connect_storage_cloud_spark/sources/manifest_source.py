@@ -1,0 +1,100 @@
+"""Custom Python Data Source (Spark 4 pyspark.sql.datasource API) exposing a
+landed connector dataset's COMMIT MANIFEST as a first-class readable format:
+
+    spark.read.format("connector_manifest").load(output_path)
+
+Rows are the committed files (file_path, encoded_partition, record_count,
+min_offset, max_offset, kafka_partition) parsed from the `_manifest` sidecar
+`run_connector` persists — the same metadata the reference tracks internally
+(`util/FileRotationTracker.java`, committed-file scanning in
+TopicPartitionWriter.findNextAvailableFile). Downstream consumers use it to
+tail new files, verify exactly-once invariants, or plan compactions without
+listing the object store.
+
+Scale/shape: one InputPartition per manifest shard file — the source reads
+manifest-sized data (thousands of rows for millions of records), never the
+record payloads. Implemented with the stock API so it runs on any Spark 4
+cluster with no JVM code.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import json as _json
+import os
+import re
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MANIFEST_SCHEMA = StructType(
+    [
+        StructField("file_path", StringType()),
+        StructField("encoded_partition", StringType()),
+        StructField("kafka_partition", IntegerType()),
+        StructField("record_count", LongType()),
+        StructField("min_offset", LongType()),
+        StructField("max_offset", LongType()),
+    ]
+)
+
+_FILE_KEY_RE = re.compile(r"^(?P<topic>[^/]+)/(?P<enc>.+)/[^/]+\+(?P<part>\d+)\+\d+\.\w+$")
+
+
+class _ManifestPartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class ManifestReader(DataSourceReader):
+    def __init__(self, options):
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError("connector_manifest requires a load(path)")
+
+    def partitions(self):
+        shards = sorted(_glob.glob(os.path.join(self.root, "_manifest", "*.json")))
+        if not shards:
+            raise FileNotFoundError(f"no _manifest sidecar under {self.root}")
+        return [_ManifestPartition(p) for p in shards]
+
+    def read(self, partition):
+        with open(partition.path) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                row = _json.loads(line)
+                m = _FILE_KEY_RE.match(row["file_path"])
+                enc = m.group("enc") if m else None
+                part = int(m.group("part")) if m else None
+                yield (
+                    row["file_path"],
+                    enc,
+                    part,
+                    int(row["record_count"]),
+                    int(row["min_offset"]),
+                    int(row["max_offset"]),
+                )
+
+
+class ManifestDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "connector_manifest"
+
+    def schema(self) -> StructType:
+        return MANIFEST_SCHEMA
+
+    def reader(self, schema) -> ManifestReader:
+        return ManifestReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotently register the format with a session."""
+    spark.dataSource.register(ManifestDataSource)

@@ -303,3 +303,38 @@ def test_errors_tolerance_none_fails_fast(spark, sf_small):
     }
     with pytest.raises(ValueError, match="errors.tolerance=none"):
         run_connector(spark, props, records=rec)
+
+
+def test_manifest_python_datasource(spark, sf_small, tmp_path):
+    """The commit manifest reads back as a first-class format through the
+    Spark 4 Python Data Source API, and its totals reconcile with the
+    returned manifest DataFrame (one InputPartition per manifest shard)."""
+    from kafka_connect_storage_cloud_spark.sources.manifest_source import register
+
+    props = {
+        "topics": "events",
+        "format.class": "parquet",
+        "partitioner.class": "io.confluent.connect.storage.partitioner.FieldPartitioner",
+        "partition.field.name": "event_type",
+        "flush.size": "500",
+        "behavior.on.null.values": "ignore",
+    }
+    out = str(tmp_path / "landed")
+    manifest = run_connector(spark, props, sf_dir=sf_small, output_path=out)
+    expected = {
+        r["file_path"]: (r["record_count"], r["min_offset"], r["max_offset"])
+        for r in manifest.collect()
+    }
+    register(spark)
+    got_df = spark.read.format("connector_manifest").load(out)
+    got = {
+        r["file_path"]: (r["record_count"], r["min_offset"], r["max_offset"])
+        for r in got_df.collect()
+    }
+    assert got == expected
+    # parsed columns: every row carries its encoded partition + kafka partition
+    parsed = got_df.where(
+        F.col("encoded_partition").startswith("event_type=")
+        & F.col("kafka_partition").isNotNull()
+    ).count()
+    assert parsed == len(expected)
