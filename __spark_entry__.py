@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_partitioner_suffix": C.schema_suffix_partitioner_plan,
         "timestamp_extractor_record_field": C.record_field_extractor_plan,
         "tz_partitioner": C.tz_partitioner_plan,
+        "duration_partitioner": C.duration_partitioner_plan,
         "rotation_stats": C.rotation_stats_plan,
         "rotation_flush_size": C.rotation_flush_size_plan,
         "rotation_scheduled": C.rotation_scheduled_plan,
@@ -250,6 +251,11 @@ def oracle_sql() -> dict[str, str]:
         "schema_partitioner_suffix": _enc_summary(f"{daily} || '/schema_name=' || event_type"),
         "timestamp_extractor_record_field": _enc_summary(
             "'year=' || strftime(ts, '%Y') || '/month=' || strftime(ts, '%m') || '/day=' || strftime(ts, '%d')"
+        ),
+        "duration_partitioner": _enc_summary(
+            "'year=' || strftime(bts, '%Y') || '/month=' || strftime(bts, '%m')"
+            " || '/day=' || strftime(bts, '%d') || '/hour=' || strftime(bts, '%H')"
+            .replace("bts", "make_timestamp((epoch_ms(\"timestamp\") // 21600000) * 21600000 * 1000)")
         ),
         "tz_partitioner": _enc_summary(
             "'year=' || strftime(\"timestamp\" AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York', '%Y')"

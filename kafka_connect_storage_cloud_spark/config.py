@@ -91,6 +91,9 @@ class ConnectorConfig:
     # semantics): BASE64 (default) serializes decimals as base64 of the
     # unscaled two's-complement bytes; NUMERIC writes plain numbers.
     json_decimal_format: str = "BASE64"
+    # partition.duration.ms (storage-common TimeBasedPartitioner): floor the
+    # extracted timestamp to this bucket before path.format renders it.
+    partition_duration_ms: int = -1
     extra: dict[str, Any] = field(default_factory=dict)
 
     def __post_init__(self) -> None:
@@ -186,6 +189,7 @@ _KEY_MAP = {
         lambda v: str(v).lower() == "true",
     ),
     "json.decimal.format": ("json_decimal_format", lambda v: str(v).upper()),
+    "partition.duration.ms": ("partition_duration_ms", int),
 }
 
 

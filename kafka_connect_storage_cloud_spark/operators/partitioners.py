@@ -203,6 +203,12 @@ def partitioner_expr(cfg) -> Column:
     ts = timestamp_extractor_expr(cfg)
     if cfg.timezone and cfg.timezone != "UTC":
         ts = F.from_utc_timestamp(ts, cfg.timezone)
+    if getattr(cfg, "partition_duration_ms", -1) and cfg.partition_duration_ms > 0:
+        # partition.duration.ms (storage-common TimeBasedPartitioner
+        # advanceIncrement): floor the timestamp to the bucket start so a
+        # coarse duration can ride a fine path.format
+        dur = cfg.partition_duration_ms
+        ts = F.timestamp_millis((F.floor(F.unix_millis(ts) / F.lit(dur)) * F.lit(dur)).cast("bigint"))
     k = cfg.partitioner_class
     if k == "default":
         inner = default_partitioner(F.col("kafka_partition"))

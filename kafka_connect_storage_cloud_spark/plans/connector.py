@@ -227,3 +227,24 @@ def kv_header_views_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("view", "encoded_partition")
     )
+
+
+def duration_partitioner_plan(
+    spark: SparkSession, sf_dir: str, duration_ms: int = 6 * 3600 * 1000
+) -> DataFrame:
+    """TimeBasedPartitioner with partition.duration.ms (storage-common):
+    the timestamp floors to the 6h bucket start before the hourly
+    path.format renders it — the whole config path through
+    partitioner_expr, exactly as a property file drives it."""
+    from ..config import parse_properties
+
+    cfg = parse_properties(
+        {
+            "partitioner.class": "io.confluent.connect.storage.partitioner.TimeBasedPartitioner",
+            "path.format": "year/month/day/hour",
+            "partition.duration.ms": str(duration_ms),
+            "behavior.on.null.values": "ignore",
+        }
+    )
+    rec = events_as_topic(spark, sf_dir)
+    return _summarize(rec.withColumn("encoded_partition", P.partitioner_expr(cfg)))
