@@ -520,8 +520,69 @@ FROM gapped GROUP BY kafka_partition ORDER BY kafka_partition
 """
 
 
+CDC_SPLIT_FRAC = 2  # first 1/2 of offsets = base snapshot, rest = change batch
+
+
+def _compact(rec: DataFrame) -> DataFrame:
+    latest = rec.groupBy("key").agg(
+        F.max(F.struct(F.col("offset"), F.col("value2"))).alias("last"),
+        F.count(F.lit(1)).alias("n_versions"),
+        F.sum(F.col("value2").isNull().cast("long")).alias("n_tombstones"),
+    )
+    return latest.select(
+        "key",
+        F.col("last.offset").alias("last_offset"),
+        F.col("last.value2").alias("last_value"),
+        "n_versions",
+        "n_tombstones",
+    )
+
+
+def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE: apply a change batch (later offsets) onto a compacted base
+    snapshot — newer key versions upsert, tombstones delete, untouched keys
+    carry over. The invariant the oracle checks: merge(compact(base),
+    compact(delta)) == compact(whole log), i.e. compaction is a monoid over
+    offset-split log segments. Plan: two snapshot-sized aggregations + one
+    full-outer merge on key — the change batch never re-reads the base log
+    (the Delta/Iceberg MERGE access pattern on a storage sink's output)."""
+    rec = events_as_topic(spark, sf_dir).select("key", "offset", "value")
+    rec = rec.withColumn(
+        "value2",
+        F.when(F.col("offset") % TOMBSTONE_EVERY == 0, F.lit(None).cast("string")).otherwise(
+            F.col("value")
+        ),
+    )
+    max_off = rec.agg(F.max("offset")).collect()[0][0]
+    split = (max_off + 1) // CDC_SPLIT_FRAC
+    base = _compact(rec.where(F.col("offset") < split))
+    delta = _compact(rec.where(F.col("offset") >= split))
+    b = base.select(*[F.col(c).alias(f"b_{c}") for c in base.columns])
+    d = delta.select(*[F.col(c).alias(f"d_{c}") for c in delta.columns])
+    merged = b.join(d, b.b_key == d.d_key, "full_outer").select(
+        F.coalesce("b_key", "d_key").alias("key"),
+        # delta wins when present (its offsets are strictly newer)
+        F.coalesce("d_last_offset", "b_last_offset").alias("last_offset"),
+        F.when(F.col("d_key").isNotNull(), F.col("d_last_value"))
+        .otherwise(F.col("b_last_value"))
+        .alias("last_value"),
+        (F.coalesce("b_n_versions", F.lit(0)) + F.coalesce("d_n_versions", F.lit(0))).alias(
+            "n_versions"
+        ),
+        (
+            F.coalesce("b_n_tombstones", F.lit(0)) + F.coalesce("d_n_tombstones", F.lit(0))
+        ).alias("n_tombstones"),
+    )
+    return merged.where(F.col("last_value").isNotNull()).orderBy("key")
+
+
+# oracle: recompute compaction over the WHOLE log — merge must equal it
+SQL_CDC_MERGE_APPLY = SQL_LOG_COMPACTION
+
+
 QUERIES = {
     "log_compaction": log_compaction,
+    "cdc_merge_apply": cdc_merge_apply,
     "events_rolling_window": events_rolling_window,
     "compact_small_files": compact_small_files,
     "offset_continuity_audit": offset_continuity_audit,
@@ -532,6 +593,7 @@ QUERIES = {
 }
 ORACLES = {
     "log_compaction": SQL_LOG_COMPACTION,
+    "cdc_merge_apply": SQL_CDC_MERGE_APPLY,
     "events_rolling_window": SQL_EVENTS_ROLLING_WINDOW,
     "compact_small_files": SQL_COMPACT_SMALL_FILES,
     "offset_continuity_audit": SQL_OFFSET_CONTINUITY_AUDIT,
