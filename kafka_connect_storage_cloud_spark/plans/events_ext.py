@@ -4,7 +4,7 @@ downstream analyses a storage-sink user runs over landed event data.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..session import read_events
@@ -353,3 +353,88 @@ ORACLES = {
     "events_props_variant": SQL_EVENTS_PROPS_VARIANT,
     "events_type_pivot": SQL_EVENTS_TYPE_PIVOT,
 }
+
+
+HIST_BUCKETS = 10
+HIST_LO, HIST_HI = 0.0, 10.0  # events.value domain for equi-width bucketing
+
+
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of value per event_type: HIST_BUCKETS buckets
+    over [HIST_LO, HIST_HI), overflow clamped into the edge buckets — the
+    width_bucket/histogram surface. One map-side-combined aggregation; the
+    shuffle carries |types| x |buckets| partials."""
+    ev = read_events(spark, sf_dir).select("event_type", "value")
+    width = (HIST_HI - HIST_LO) / HIST_BUCKETS
+    bucket = F.least(
+        F.greatest(F.floor((F.col("value") - HIST_LO) / F.lit(width)), F.lit(0)),
+        F.lit(HIST_BUCKETS - 1),
+    ).cast("int")
+    return (
+        ev.withColumn("bucket", bucket)
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .withColumn(
+            "bucket_lo", F.round(F.lit(HIST_LO) + F.col("bucket") * F.lit(width), 4)
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+SQL_EVENTS_VALUE_HISTOGRAM = f"""
+WITH b AS (
+  SELECT event_type,
+         CAST(LEAST(GREATEST(floor(("value" - {HIST_LO}) / {(HIST_HI - HIST_LO) / HIST_BUCKETS}), 0),
+                    {HIST_BUCKETS - 1}) AS INT) AS bucket
+  FROM events
+)
+SELECT event_type, bucket, COUNT(*) AS n_events,
+       CAST(ROUND(CAST({HIST_LO} + bucket * {(HIST_HI - HIST_LO) / HIST_BUCKETS} AS DOUBLE), 4) AS DOUBLE) AS bucket_lo
+FROM b GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE(10) decile assignment per event_type with a fully deterministic
+    order (value, event_id), summarized per decile: count + exact decimal
+    value range. The rank window is the one shuffle; the summary rides the
+    same partitioning."""
+    ev = read_events(spark, sf_dir).select("event_id", "event_type", "value")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.min("value"), 4).alias("lo_value"),
+            F.round(F.max("value"), 4).alias("hi_value"),
+        )
+        .orderBy("event_type", "decile")
+    )
+
+
+SQL_EVENTS_VALUE_DECILES = """
+WITH d AS (
+  SELECT event_type, "value",
+         NTILE(10) OVER (PARTITION BY event_type ORDER BY "value", event_id) AS decile
+  FROM events
+)
+SELECT event_type, decile, COUNT(*) AS n_events,
+       ROUND(MIN("value"), 4) AS lo_value,
+       ROUND(MAX("value"), 4) AS hi_value
+FROM d GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+QUERIES.update(
+    {
+        "events_value_histogram": events_value_histogram,
+        "events_value_deciles": events_value_deciles,
+    }
+)
+ORACLES.update(
+    {
+        "events_value_histogram": SQL_EVENTS_VALUE_HISTOGRAM,
+        "events_value_deciles": SQL_EVENTS_VALUE_DECILES,
+    }
+)
