@@ -580,9 +580,88 @@ def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CDC_MERGE_APPLY = SQL_LOG_COMPACTION
 
 
+def landed_files_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental consumption of landed data: diff the commit manifest
+    between two checkpoints (first-half offsets vs the whole log). A file is
+    NEW if its path appears only in the later manifest, GROWN if the same
+    path gained records (the open tail file of each partition re-committed
+    with more rows), UNCHANGED otherwise — exactly what a downstream tailer
+    must re-read. Manifest-sized full-outer join on the deterministic file
+    key (the exactly-once naming is what makes the diff well-defined)."""
+    rec = events_as_topic(spark, sf_dir).select("topic", "kafka_partition", "offset")
+    from ..operators import rotation as R
+    from ..operators.partitioners import default_partitioner
+
+    rec = rec.withColumn("encoded_partition", default_partitioner(F.col("kafka_partition")))
+    max_off = rec.agg(F.max("offset")).collect()[0][0]
+    split = (max_off + 1) // 2
+
+    def manifest(df: DataFrame) -> DataFrame:
+        return R.file_manifest(R.assign_files_flush_size(df, 100))
+
+    old = manifest(rec.where(F.col("offset") < split)).select(
+        "file_path", F.col("record_count").alias("old_count")
+    )
+    new = manifest(rec).select("file_path", F.col("record_count").alias("new_count"))
+    return (
+        new.join(old, "file_path", "left")
+        .select(
+            "file_path",
+            F.coalesce("old_count", F.lit(0)).alias("old_count"),
+            "new_count",
+            F.when(F.col("old_count").isNull(), F.lit("new"))
+            .when(F.col("new_count") > F.col("old_count"), F.lit("grown"))
+            .otherwise(F.lit("unchanged"))
+            .alias("status"),
+        )
+        .orderBy("file_path")
+    )
+
+
+SQL_LANDED_FILES_DIFF = """
+WITH records AS (
+  SELECT CAST(user_id % 8 AS INT) AS kafka_partition, event_id AS "offset",
+         'partition=' || CAST(user_id % 8 AS INT) AS encoded_partition
+  FROM events
+),
+split AS (SELECT (MAX("offset") + 1) // 2 AS s FROM records),
+mk AS (
+  SELECT r.*, CASE WHEN r."offset" < (SELECT s FROM split) THEN 1 ELSE 0 END AS in_old
+  FROM records r
+),
+old_files AS (
+  SELECT 'events/' || encoded_partition || '/events+' || CAST(kafka_partition AS VARCHAR)
+         || '+' || printf('%010d', MIN("offset") OVER w) || '.parquet' AS file_path
+       , "offset"
+  FROM (SELECT *, CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY kafka_partition, encoded_partition
+            ORDER BY "offset") - 1) / 100.0) AS BIGINT) AS file_seq FROM mk WHERE in_old = 1)
+  WINDOW w AS (PARTITION BY kafka_partition, encoded_partition, file_seq)
+),
+old_manifest AS (SELECT file_path, COUNT(*) AS old_count FROM old_files GROUP BY 1),
+new_files AS (
+  SELECT 'events/' || encoded_partition || '/events+' || CAST(kafka_partition AS VARCHAR)
+         || '+' || printf('%010d', MIN("offset") OVER w) || '.parquet' AS file_path
+       , "offset"
+  FROM (SELECT *, CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY kafka_partition, encoded_partition
+            ORDER BY "offset") - 1) / 100.0) AS BIGINT) AS file_seq FROM mk)
+  WINDOW w AS (PARTITION BY kafka_partition, encoded_partition, file_seq)
+),
+new_manifest AS (SELECT file_path, COUNT(*) AS new_count FROM new_files GROUP BY 1)
+SELECT n.file_path,
+       COALESCE(o.old_count, 0) AS old_count,
+       n.new_count,
+       CASE WHEN o.old_count IS NULL THEN 'new'
+            WHEN n.new_count > o.old_count THEN 'grown'
+            ELSE 'unchanged' END AS status
+FROM new_manifest n LEFT JOIN old_manifest o ON n.file_path = o.file_path
+ORDER BY n.file_path
+"""
+
+
 QUERIES = {
     "log_compaction": log_compaction,
     "cdc_merge_apply": cdc_merge_apply,
+    "landed_files_diff": landed_files_diff,
     "events_rolling_window": events_rolling_window,
     "compact_small_files": compact_small_files,
     "offset_continuity_audit": offset_continuity_audit,
@@ -594,6 +673,7 @@ QUERIES = {
 ORACLES = {
     "log_compaction": SQL_LOG_COMPACTION,
     "cdc_merge_apply": SQL_CDC_MERGE_APPLY,
+    "landed_files_diff": SQL_LANDED_FILES_DIFF,
     "events_rolling_window": SQL_EVENTS_ROLLING_WINDOW,
     "compact_small_files": SQL_COMPACT_SMALL_FILES,
     "offset_continuity_audit": SQL_OFFSET_CONTINUITY_AUDIT,
