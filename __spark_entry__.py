@@ -171,7 +171,11 @@ def _msum(inner: str, alias: str) -> str:
 
 
 def _mavg(inner: str, alias: str) -> str:
-    return f"ROUND(CAST(SUM({inner}) AS DOUBLE) / COUNT(*), 4) AS {alias}"
+    # portable 4-dp rounding: see functions/money.py money_avg (tie-stable)
+    return (
+        f"(floor((CAST(SUM({inner}) AS DOUBLE) / COUNT(*)) * 10000.0 + 0.5)"
+        f" / 10000.0) AS {alias}"
+    )
 
 
 def _enc_summary(enc_expr: str) -> str:

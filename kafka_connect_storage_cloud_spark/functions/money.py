@@ -45,11 +45,16 @@ def money_sum(expr: Column, alias: str) -> Column:
 
 
 def money_avg(expr: Column, alias: str) -> Column:
-    """sum(decimal)/count as double, rounded to 4 dp — identical across
-    engines because both divide the same exact decimal by the same count."""
-    return F.round(
-        F.sum(expr).cast("double") / F.count(F.lit(1)), 4
-    ).alias(alias)
+    """sum(decimal)/count as double, rounded to 4 dp with the PORTABLE
+    floor(x*1e4+0.5)/1e4 form (non-negative x): both engines divide the same
+    exact decimal by the same count (bit-identical quotient), but their
+    native round() half-tie rules differ — Spark rounds the shortest decimal
+    repr half-up, DuckDB rounds the binary value — and quotients like
+    1512.12/32 = 47.25375 land exactly on the 4-dp tie (observed at sf0.1).
+    The pure-IEEE floor form is tie-stable because it only touches the
+    identical binary value."""
+    x = F.sum(expr).cast("double") / F.count(F.lit(1))
+    return (F.floor(x * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)).alias(alias)
 
 
 # --- SQL-side mirrors (DuckDB dialect) --------------------------------------
@@ -68,7 +73,10 @@ def sql_money_sum(inner: str, alias: str) -> str:
 
 
 def sql_money_avg(inner: str, alias: str) -> str:
-    return f"ROUND(CAST(SUM({inner}) AS DOUBLE) / COUNT(*), 4) AS {alias}"
+    return (
+        f"(floor((CAST(SUM({inner}) AS DOUBLE) / COUNT(*)) * 10000.0 + 0.5)"
+        f" / 10000.0) AS {alias}"
+    )
 
 
 def sql_dec(col: str) -> str:

@@ -179,7 +179,10 @@ FROM ranked ORDER BY doc_id
 def _sql_semantic() -> str:
     from .similarity import _SQL_DOT, _sql_emb
 
-    cos = f"ROUND({_SQL_DOT.format(a='a.v', b='b.v')} / (a.nrm * b.nrm), 6)"
+    cos = (
+        f"(floor(({_SQL_DOT.format(a='a.v', b='b.v')} / (a.nrm * b.nrm))"
+        f" * 1000000.0 + 0.5) / 1000000.0)"
+    )
     return f"""
 WITH RECURSIVE {_sql_emb().strip()},
 pairs AS (

@@ -61,7 +61,7 @@ def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").alias("total_chars"),
             F.sum("ws_tokens").alias("total_tokens"),
-            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            (F.floor((F.avg("n_chars")) * 1000000.0 + F.lit(0.5)) / 1000000.0).alias("avg_chars"),
             F.expr("percentile(n_chars, 0.25)").alias("p25_chars"),
             F.expr("percentile(n_chars, 0.5)").alias("median_chars"),
             F.expr("percentile(n_chars, 0.75)").alias("p75_chars"),
@@ -74,7 +74,7 @@ SELECT lang, source,
   COUNT(*) AS n_docs,
   SUM(n_chars) AS total_chars,
   SUM({_SQL_WS_TOKENS}) AS total_tokens,
-  ROUND(AVG(n_chars), 6) AS avg_chars,
+  (floor((AVG(n_chars)) * 1000000.0 + 0.5) / 1000000.0) AS avg_chars,
   quantile_cont(n_chars, 0.25) AS p25_chars,
   quantile_cont(n_chars, 0.5) AS median_chars,
   quantile_cont(n_chars, 0.75) AS p75_chars
@@ -116,7 +116,7 @@ def dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("nd") > 1).cast("long")).alias("dup_chunks"),
         )
     )
-    dup_frac = F.round(F.col("dup_chunks") / F.col("n_chunks"), 6)
+    dup_frac = (F.floor((F.col("dup_chunks") / F.col("n_chunks")) * 1000000.0 + F.lit(0.5)) / 1000000.0)
     return per_doc.select(
         "doc_id",
         "n_chunks",
@@ -145,7 +145,7 @@ per_doc AS (
   FROM chunks JOIN freq USING (ch) GROUP BY doc_id
 )
 SELECT doc_id, n_chunks, dup_chunks,
-       ROUND(CAST(dup_chunks AS DOUBLE) / n_chunks, 6) AS dup_fraction,
+       (floor((CAST(dup_chunks AS DOUBLE) / n_chunks) * 1000000.0 + 0.5) / 1000000.0) AS dup_fraction,
        (CAST(dup_chunks AS DOUBLE) / n_chunks) > {CHUNK_DUP_FLAG} AS flagged
 FROM per_doc ORDER BY doc_id
 """

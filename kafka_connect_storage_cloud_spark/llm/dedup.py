@@ -177,7 +177,7 @@ def minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = (
         pairs.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .select("doc_a", "doc_b", F.round(agree.cast("double") / K_PERMS, 6).alias("est_jaccard"))
+        .select("doc_a", "doc_b", H.round6(agree.cast("double") / K_PERMS).alias("est_jaccard"))
     )
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     hs = (
@@ -210,7 +210,7 @@ def minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("ni", F.coalesce(F.col("n_inter"), F.lit(0)))
         .withColumn(
             "exact_jaccard",
-            F.round(F.col("ni").cast("double") / (F.col("na") + F.col("nb") - F.col("ni")), 6),
+            H.round6(F.col("ni").cast("double") / (F.col("na") + F.col("nb") - F.col("ni"))),
         )
     )
     return exact.select(
@@ -218,13 +218,13 @@ def minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_b",
         "est_jaccard",
         "exact_jaccard",
-        F.round(F.abs(F.col("est_jaccard") - F.col("exact_jaccard")), 6).alias("abs_err"),
+        H.round6(F.abs(F.col("est_jaccard") - F.col("exact_jaccard"))).alias("abs_err"),
     )
 
 
 def _sql_est_agree() -> str:
     terms = " + ".join(f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)" for i in range(K_PERMS))
-    return f"ROUND(CAST({terms} AS DOUBLE) / {K_PERMS}, 6)"
+    return f"(floor((CAST({terms} AS DOUBLE) / {K_PERMS}) * 1000000.0 + 0.5) / 1000000.0)"
 
 
 SQL_MINHASH_JACCARD_EST = f"""
@@ -245,11 +245,11 @@ inter AS (
   GROUP BY 1, 2
 )
 SELECT e.doc_a, e.doc_b, e.est_jaccard,
-       ROUND(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
-             / (sa.n_sh + sb.n_sh - COALESCE(i.n_inter, 0)), 6) AS exact_jaccard,
-       ROUND(ABS(e.est_jaccard -
-             ROUND(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
-                   / (sa.n_sh + sb.n_sh - COALESCE(i.n_inter, 0)), 6)), 6) AS abs_err
+       (floor((CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+             / (sa.n_sh + sb.n_sh - COALESCE(i.n_inter, 0))) * 1000000.0 + 0.5) / 1000000.0) AS exact_jaccard,
+       (floor(ABS(e.est_jaccard -
+             (floor((CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+                   / (sa.n_sh + sb.n_sh - COALESCE(i.n_inter, 0))) * 1000000.0 + 0.5) / 1000000.0)) * 1000000.0 + 0.5) / 1000000.0) AS abs_err
 FROM est e
 LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
 JOIN sizes sa ON sa.doc_id = e.doc_a
@@ -382,10 +382,9 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str, threshold: float = 0.05) -> 
         .select(
             "doc_a",
             "doc_b",
-            F.round(
+            H.round6(
                 F.col("n_inter").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("n_inter")),
-                6,
+                / (F.col("na") + F.col("nb") - F.col("n_inter"))
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
@@ -405,11 +404,11 @@ inter AS (
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
-       ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+       (floor((CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)) * 1000000.0 + 0.5) / 1000000.0) AS jaccard
 FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.05
+WHERE (floor((CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)) * 1000000.0 + 0.5) / 1000000.0) >= 0.05
 ORDER BY doc_a, doc_b
 """
 

@@ -95,7 +95,7 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_grams",
             "n_hit",
-            F.round(F.col("n_hit") / F.col("n_grams"), 6).alias("contamination"),
+            (F.floor((F.col("n_hit") / F.col("n_grams")) * 1000000.0 + F.lit(0.5)) / 1000000.0).alias("contamination"),
             (F.col("n_hit") >= F.col("n_grams") * F.lit(CONTAM_FLAG)).alias("flagged"),
         )
     )
@@ -116,7 +116,7 @@ stats AS (
   GROUP BY g.doc_id
 )
 SELECT doc_id, n_grams, n_hit,
-       ROUND(CAST(n_hit AS DOUBLE) / n_grams, 6) AS contamination,
+       (floor((CAST(n_hit AS DOUBLE) / n_grams) * 1000000.0 + 0.5) / 1000000.0) AS contamination,
        n_hit >= n_grams * {CONTAM_FLAG} AS flagged
 FROM stats ORDER BY doc_id
 """
@@ -190,7 +190,7 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str, k: int = IVF_TOP_K) -> DataFr
     scored = (
         cands.join(F.broadcast(queries), "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.round(_dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6))
+        .withColumn("cosine", (F.floor((_dot("qv", "cv") / (F.col("qn") * F.col("cn"))) * 1000000.0 + F.lit(0.5)) / 1000000.0))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -226,7 +226,7 @@ def ann_topk_ivf_multiprobe(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )
     q_scored = q_emb.crossJoin(F.broadcast(cents)).withColumn(
-        "ccos", F.round(_dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6)
+        "ccos", (F.floor((_dot("qv", "cv") / (F.col("qn") * F.col("cn"))) * 1000000.0 + F.lit(0.5)) / 1000000.0)
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("centroid_id"))
     q_cells = (
@@ -237,7 +237,7 @@ def ann_topk_ivf_multiprobe(
     scored = (
         cands.join(F.broadcast(q_cells), "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.round(_dot("qv", "cv2") / (F.col("qn") * F.col("cn2")), 6))
+        .withColumn("cosine", (F.floor((_dot("qv", "cv2") / (F.col("qn") * F.col("cn2"))) * 1000000.0 + F.lit(0.5)) / 1000000.0))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -281,8 +281,8 @@ def ivf_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "cell",
             "n_members",
-            F.round("new_norm", 6).alias("centroid_norm"),
-            F.round(_dot("nv", "cv") / (F.col("new_norm") * F.col("cn")), 6).alias(
+            (F.floor(F.col("new_norm") * 1000000.0 + F.lit(0.5)) / 1000000.0).alias("centroid_norm"),
+            (F.floor((_dot("nv", "cv") / (F.col("new_norm") * F.col("cn"))) * 1000000.0 + F.lit(0.5)) / 1000000.0).alias(
                 "drift_cos"
             ),
         )
@@ -307,7 +307,7 @@ cents AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM emb_n
           WHERE vec_id % {IVF_CENTROID_MOD} = 1),
 assigned AS (
   SELECT e.vec_id,
-         (min(struct_pack(neg_cos := -ROUND({_SQL_DOT.format(a='e.v', b='c.cv')} / (e.nrm * c.cn), 6),
+         (min(struct_pack(neg_cos := -(floor(({_SQL_DOT.format(a='e.v', b='c.cv')} / (e.nrm * c.cn)) * 1000000.0 + 0.5) / 1000000.0),
                           centroid_id := c.centroid_id))).centroid_id AS cell
   FROM emb_n e CROSS JOIN cents c
   GROUP BY e.vec_id
@@ -315,7 +315,7 @@ assigned AS (
 av AS (SELECT a.vec_id, a.cell, e.v, e.nrm FROM assigned a JOIN emb_n e ON a.vec_id = e.vec_id),
 scored AS (
   SELECT q.vec_id AS query_id, q.cell AS cell, c.vec_id AS neighbor_id,
-         ROUND({_SQL_DOT.format(a='q.v', b='c.v')} / (q.nrm * c.nrm), 6) AS cosine
+         (floor(({_SQL_DOT.format(a='q.v', b='c.v')} / (q.nrm * c.nrm)) * 1000000.0 + 0.5) / 1000000.0) AS cosine
   FROM av q JOIN av c ON q.cell = c.cell AND q.vec_id <> c.vec_id
   WHERE q.vec_id % {IVF_QUERY_MOD} = 0
 ),
@@ -334,7 +334,7 @@ cents AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM emb_n
           WHERE vec_id % {IVF_CENTROID_MOD} = 1),
 assigned AS (
   SELECT e.vec_id,
-         (min(struct_pack(neg_cos := -ROUND({_SQL_DOT.format(a='e.v', b='c.cv')} / (e.nrm * c.cn), 6),
+         (min(struct_pack(neg_cos := -(floor(({_SQL_DOT.format(a='e.v', b='c.cv')} / (e.nrm * c.cn)) * 1000000.0 + 0.5) / 1000000.0),
                           centroid_id := c.centroid_id))).centroid_id AS cell
   FROM emb_n e CROSS JOIN cents c
   GROUP BY e.vec_id
@@ -344,7 +344,7 @@ q_cells AS (
   SELECT * FROM (
     SELECT q.vec_id AS query_id, c.centroid_id AS cell, q.v AS qv, q.nrm AS qn,
            ROW_NUMBER() OVER (PARTITION BY q.vec_id
-             ORDER BY ROUND({_SQL_DOT.format(a='q.v', b='c.cv')} / (q.nrm * c.cn), 6) DESC,
+             ORDER BY (floor(({_SQL_DOT.format(a='q.v', b='c.cv')} / (q.nrm * c.cn)) * 1000000.0 + 0.5) / 1000000.0) DESC,
                       c.centroid_id) AS crank
     FROM emb_n q CROSS JOIN cents c
     WHERE q.vec_id % {IVF_QUERY_MOD} = 0
@@ -352,7 +352,7 @@ q_cells AS (
 ),
 scored AS (
   SELECT qc.query_id, c.vec_id AS neighbor_id,
-         ROUND({_SQL_DOT.format(a='qc.qv', b='c.v')} / (qc.qn * c.nrm), 6) AS cosine
+         (floor(({_SQL_DOT.format(a='qc.qv', b='c.v')} / (qc.qn * c.nrm)) * 1000000.0 + 0.5) / 1000000.0) AS cosine
   FROM q_cells qc JOIN av c ON qc.cell = c.cell AND qc.query_id <> c.vec_id
 ),
 ranked AS (
@@ -370,7 +370,7 @@ cents AS (SELECT vec_id AS cell, v AS cv, nrm AS cn FROM emb_n
           WHERE vec_id % {IVF_CENTROID_MOD} = 1),
 assigned AS (
   SELECT e.vec_id,
-         (min(struct_pack(neg_cos := -ROUND({_SQL_DOT.format(a='e.v', b='c.cv')} / (e.nrm * c.cn), 6),
+         (min(struct_pack(neg_cos := -(floor(({_SQL_DOT.format(a='e.v', b='c.cv')} / (e.nrm * c.cn)) * 1000000.0 + 0.5) / 1000000.0),
                           centroid_id := c.cell))).centroid_id AS cell
   FROM emb_n e CROSS JOIN cents c
   GROUP BY e.vec_id
@@ -386,9 +386,9 @@ means AS (
 newc AS (SELECT cell, list(q ORDER BY pos) AS nv FROM means GROUP BY cell),
 counts AS (SELECT cell, COUNT(*) AS n_members FROM assigned GROUP BY cell)
 SELECT n.cell, counts.n_members,
-       ROUND(sqrt({_SQL_DOT.format(a='n.nv', b='n.nv')}), 6) AS centroid_norm,
-       ROUND({_SQL_DOT.format(a='n.nv', b='cents.cv')}
-             / (sqrt({_SQL_DOT.format(a='n.nv', b='n.nv')}) * cents.cn), 6) AS drift_cos
+       (floor((sqrt({_SQL_DOT.format(a='n.nv', b='n.nv')})) * 1000000.0 + 0.5) / 1000000.0) AS centroid_norm,
+       (floor(({_SQL_DOT.format(a='n.nv', b='cents.cv')}
+             / (sqrt({_SQL_DOT.format(a='n.nv', b='n.nv')}) * cents.cn)) * 1000000.0 + 0.5) / 1000000.0) AS drift_cos
 FROM newc n JOIN counts USING (cell) JOIN cents USING (cell)
 ORDER BY cell
 """

@@ -180,8 +180,11 @@ _SQL_QUALITY_EXPR = (
     f" + 0.3 * LEAST(CAST({_sql_stop_hits('en')} AS DOUBLE) / {_SQL_WC} * 5, 1.0)"
     " + 0.2 * (CASE WHEN CAST(len(regexp_replace(lower(text), '\\s+', '', 'g')) AS DOUBLE) / "
     f"{_SQL_WC} BETWEEN 3 AND 8 THEN 1.0 ELSE 0.5 END)"
-    " + 0.2 * CAST(len(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)"
-    " / GREATEST(len(text), 1)"
+    # parenthesized (ratio first, then * 0.2) to mirror the Column expr's
+    # op order exactly — (0.2*a)/b vs 0.2*(a/b) differ by 1 ULP, observed
+    # as a round6 tie flip at sf0.1 (doc 3440)
+    " + 0.2 * (CAST(len(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)"
+    " / GREATEST(len(text), 1))"
 )
 
 SQL_QUALITY_SCORE = f"""

@@ -95,7 +95,7 @@ def embedding_cosine_dups(spark: SparkSession, sf_dir: str, threshold: float = 0
     return (
         emb.groupBy("label")
         .applyInPandas(block, "vec_a long, vec_b long, label int, cosine_raw double")
-        .withColumn("cosine", F.round(F.col("cosine_raw"), 6))
+        .withColumn("cosine", (F.floor((F.col("cosine_raw")) * 1000000.0 + F.lit(0.5)) / 1000000.0))
         .where(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "label", "cosine")
     )
@@ -120,9 +120,9 @@ emb_n AS (SELECT vec_id, label, v, sqrt({dot_vv}) AS nrm FROM emb)
 SQL_EMBEDDING_COSINE_DUPS = f"""
 WITH {_sql_emb()}
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
-       ROUND({_SQL_DOT.format(a='a.v', b='b.v')} / (a.nrm * b.nrm), 6) AS cosine
+       (floor(({_SQL_DOT.format(a='a.v', b='b.v')} / (a.nrm * b.nrm)) * 1000000.0 + 0.5) / 1000000.0) AS cosine
 FROM emb_n a JOIN emb_n b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE ROUND({_SQL_DOT.format(a='a.v', b='b.v')} / (a.nrm * b.nrm), 6) >= 0.9
+WHERE (floor(({_SQL_DOT.format(a='a.v', b='b.v')} / (a.nrm * b.nrm)) * 1000000.0 + 0.5) / 1000000.0) >= 0.9
 ORDER BY vec_a, vec_b
 """
 
@@ -172,7 +172,7 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> Dat
         emb.select("vec_id", "v")
         .mapInPandas(score, "query_id long, neighbor_id long, cosine_raw double")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.round(F.col("cosine_raw"), 6))
+        .withColumn("cosine", (F.floor((F.col("cosine_raw")) * 1000000.0 + F.lit(0.5)) / 1000000.0))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -187,7 +187,7 @@ WITH {_sql_emb()},
 queries AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM emb_n WHERE vec_id % {QUERY_MOD} = 0),
 scored AS (
   SELECT q.query_id, c.vec_id AS neighbor_id,
-         ROUND({_SQL_DOT.format(a='q.qv', b='c.v')} / (q.qn * c.nrm), 6) AS cosine
+         (floor(({_SQL_DOT.format(a='q.qv', b='c.v')} / (q.qn * c.nrm)) * 1000000.0 + 0.5) / 1000000.0) AS cosine
   FROM queries q JOIN emb_n c ON q.query_id <> c.vec_id
 ),
 ranked AS (
@@ -238,7 +238,7 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
     scored = (
         cands.join(F.broadcast(queries), "bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.round(_dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6))
+        .withColumn("cosine", (F.floor((_dot("qv", "cv") / (F.col("qn") * F.col("cn"))) * 1000000.0 + F.lit(0.5)) / 1000000.0))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -267,7 +267,7 @@ queries AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket
             FROM embb WHERE vec_id % {QUERY_MOD} = 0),
 scored AS (
   SELECT q.query_id, c.vec_id AS neighbor_id,
-         ROUND({_SQL_DOT.format(a='q.qv', b='c.v')} / (q.qn * c.nrm), 6) AS cosine
+         (floor(({_SQL_DOT.format(a='q.qv', b='c.v')} / (q.qn * c.nrm)) * 1000000.0 + 0.5) / 1000000.0) AS cosine
   FROM queries q JOIN embb c ON q.bucket = c.bucket AND q.query_id <> c.vec_id
 ),
 ranked AS (
@@ -366,7 +366,7 @@ def _knn_topk_edges(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
         emb.select("vec_id", "v")
         .mapInPandas(score, "src long, dst long, cosine_raw double")
         .where(F.col("src") != F.col("dst"))
-        .withColumn("cosine", F.round(F.col("cosine_raw"), 6))
+        .withColumn("cosine", (F.floor((F.col("cosine_raw")) * 1000000.0 + F.lit(0.5)) / 1000000.0))
     )
     w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
     return (
@@ -401,7 +401,7 @@ def knn_graph_mutual(spark: SparkSession, sf_dir: str, k: int = KNN_K) -> DataFr
 _SQL_KNN_TOPK_CTES = f"""{_sql_emb()},
 scored AS (
   SELECT a.vec_id AS src, b.vec_id AS dst,
-         ROUND({_SQL_DOT.format(a='a.v', b='b.v')} / (a.nrm * b.nrm), 6) AS cosine
+         (floor(({_SQL_DOT.format(a='a.v', b='b.v')} / (a.nrm * b.nrm)) * 1000000.0 + 0.5) / 1000000.0) AS cosine
   FROM emb_n a JOIN emb_n b ON a.vec_id <> b.vec_id
 ),
 topk AS (

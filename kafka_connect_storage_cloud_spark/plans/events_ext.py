@@ -109,7 +109,7 @@ def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = (F.col("value") - F.col("mean")) / F.col("sd")
     return (
         ev.join(F.broadcast(stats), "event_type")
-        .withColumn("z", F.round(z, 6))
+        .withColumn("z", F.floor(z * 1000000.0 + F.lit(0.5)) / 1000000.0)
         .where(F.abs(F.col("z")) >= Z_THRESHOLD)
         .select("event_id", "event_type", F.round("value", 4).alias("value_r"), "z")
         .orderBy("event_id")
@@ -130,9 +130,9 @@ ms AS (
   FROM stats
 )
 SELECT event_id, e.event_type, ROUND("value", 4) AS value_r,
-       ROUND(("value" - mean) / sd, 6) AS z
+       (floor((("value" - mean) / sd) * 1000000.0 + 0.5) / 1000000.0) AS z
 FROM events e JOIN ms ON e.event_type = ms.event_type
-WHERE abs(ROUND(("value" - mean) / sd, 6)) >= {Z_THRESHOLD}
+WHERE abs(floor((("value" - mean) / sd) * 1000000.0 + 0.5) / 1000000.0) >= {Z_THRESHOLD}
 ORDER BY event_id
 """
 

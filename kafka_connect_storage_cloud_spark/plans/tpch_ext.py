@@ -98,7 +98,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
-            F.round(F.sum(brazil_vol).cast("double") / F.sum(vol).cast("double"), 6).alias("mkt_share"),
+            (F.floor((F.sum(brazil_vol).cast("double") / F.sum(vol).cast("double")) * 1000000.0 + F.lit(0.5)) / 1000000.0).alias("mkt_share"),
             M.money_sum(vol, "total_volume"),
         )
         .orderBy("o_year")
@@ -107,9 +107,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_Q8 = f"""
 SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
-       ROUND(CAST(SUM(CASE WHEN n1.n_name = 'BRAZIL' THEN {M.SQL_DISC_PRICE}
+       (floor((CAST(SUM(CASE WHEN n1.n_name = 'BRAZIL' THEN {M.SQL_DISC_PRICE}
                            ELSE CAST(0 AS DECIMAL(18,8)) END) AS DOUBLE)
-             / CAST(SUM({M.SQL_DISC_PRICE}) AS DOUBLE), 6) AS mkt_share,
+             / CAST(SUM({M.SQL_DISC_PRICE}) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0) AS mkt_share,
        {M.sql_money_sum(M.SQL_DISC_PRICE, 'total_volume')}
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
@@ -138,17 +138,22 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(t["part"].select("p_partkey", "p_type")), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
-            F.round(
-                F.lit(100.0) * F.sum(promo).cast("double") / F.sum(vol).cast("double"), 6
+            (
+                F.floor(
+                    (F.lit(100.0) * F.sum(promo).cast("double") / F.sum(vol).cast("double"))
+                    * 1000000.0
+                    + F.lit(0.5)
+                )
+                / 1000000.0
             ).alias("promo_revenue_pct")
         )
     )
 
 
 SQL_Q14 = f"""
-SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {M.SQL_DISC_PRICE}
+SELECT (floor((100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {M.SQL_DISC_PRICE}
                                    ELSE CAST(0 AS DECIMAL(18,8)) END) AS DOUBLE)
-             / CAST(SUM({M.SQL_DISC_PRICE}) AS DOUBLE), 6) AS promo_revenue_pct
+             / CAST(SUM({M.SQL_DISC_PRICE}) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0) AS promo_revenue_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'
 """
@@ -232,7 +237,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(per_part, F.col("l_partkey") == F.col("agg_pk"))
         .where(M.dec("l_quantity") * F.col("n_li") * 5 < F.col("sum_qty"))
         .agg(
-            F.round(F.sum(M.dec("l_extendedprice")).cast("double") / 7.0, 6).alias("avg_yearly")
+            (F.floor((F.sum(M.dec("l_extendedprice")).cast("double") / 7.0) * 1000000.0 + F.lit(0.5)) / 1000000.0).alias("avg_yearly")
         )
     )
 
@@ -243,7 +248,7 @@ WITH per_part AS (
          COUNT(*) AS n_li
   FROM lineitem GROUP BY l_partkey
 )
-SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,4))) AS DOUBLE) / 7.0, 6) AS avg_yearly
+SELECT (floor((CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,4))) AS DOUBLE) / 7.0) * 1000000.0 + 0.5) / 1000000.0) AS avg_yearly
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN per_part ON l_partkey = agg_pk
