@@ -1,0 +1,40 @@
+"""Cross-SF oracle spot checks: the rounding-tie class of bug (engine-native
+round() half-tie divergence) only manifests when some ratio lands exactly on
+a rounding boundary — which depends on the data, i.e., on the scale factor.
+The main gate runs at sf0.01; these re-check the historically tie-prone ops
+at sf0.1 so the portable-floor rounding can't silently regress.
+"""
+
+import importlib.util
+import os
+import sys
+
+import pytest
+
+_ENTRY_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "__spark_entry__.py"
+)
+_spec = importlib.util.spec_from_file_location("spark_entry_xsf", _ENTRY_PATH)
+entry_mod = importlib.util.module_from_spec(_spec)
+sys.modules["spark_entry_xsf"] = entry_mod
+_spec.loader.exec_module(entry_mod)
+
+from oracle_utils import compare  # noqa: E402
+
+SF01 = "/root/testdata/sf0.1"
+
+# the ops that failed (or share the failing expression class) before the
+# floor-form conversion
+TIE_PRONE = [
+    "events_hourly_rollup",   # money_avg 4-dp tie (1512.12/32 = 47.25375)
+    "quality_score",          # composite ULP + round6 tie (doc 3440)
+    "q1_pricing_summary",     # same money_avg class
+    "minhash_jaccard_est",    # jaccard ratio rounds
+]
+
+
+@pytest.mark.parametrize("name", TIE_PRONE)
+def test_tie_prone_ops_match_at_sf01(spark, name):
+    qs, os_ = entry_mod.queries(), entry_mod.oracle_sql()
+    problems = compare(qs[name](spark, SF01), os_[name], SF01)
+    assert not problems, f"{name}@sf0.1: " + "; ".join(problems)
