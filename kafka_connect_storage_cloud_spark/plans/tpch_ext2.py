@@ -473,3 +473,49 @@ ORACLES = {
     "q21_waiting_suppliers": SQL_Q21,
     "q1_rollup": SQL_Q1_ROLLUP,
 }
+
+
+def order_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order→ship lead-time distribution per order priority: the
+    date-arithmetic surface (datediff in days) with exact integer stats and
+    a portable mean. One co-partitioned orders⋈lineitem join (the fact join
+    every TPC-H plan already pays) collapsing into |priorities| rows."""
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    joined = t["lineitem"].select("l_orderkey", "l_shipdate").join(
+        t["orders"].select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    lead = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        joined.select("o_orderpriority", lead.alias("lead_days"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.min("lead_days").alias("min_days"),
+            F.max("lead_days").alias("max_days"),
+            F.sum("lead_days").alias("total_days"),
+            (
+                F.floor(
+                    (F.sum("lead_days") / F.count(F.lit(1))) * 1000000.0 + F.lit(0.5)
+                )
+                / 1000000.0
+            ).alias("avg_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_ORDER_LEAD_TIME = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_lines,
+       MIN(datediff('day', o_orderdate, l_shipdate)) AS min_days,
+       MAX(datediff('day', o_orderdate, l_shipdate)) AS max_days,
+       SUM(datediff('day', o_orderdate, l_shipdate)) AS total_days,
+       (floor((CAST(SUM(datediff('day', o_orderdate, l_shipdate)) AS DOUBLE) / COUNT(*))
+              * 1000000.0 + 0.5) / 1000000.0) AS avg_days
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+QUERIES["order_lead_time"] = order_lead_time
+ORACLES["order_lead_time"] = SQL_ORDER_LEAD_TIME
