@@ -438,3 +438,36 @@ ORACLES.update(
         "events_value_deciles": SQL_EVENTS_VALUE_DECILES,
     }
 )
+
+
+def events_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality profile: activity by (day-of-week, hour). The
+    dow numbering differs across engines (Spark dayofweek: 1=Sunday;
+    DuckDB dow: 0=Sunday) — normalized here to 0=Sunday explicitly, the
+    kind of calendar-semantics mismatch that silently corrupts cross-system
+    reports. One map-side-combined aggregate, 7x24 output rows."""
+    ev = read_events(spark, sf_dir).select(
+        (F.dayofweek("ts") - 1).alias("dow"),  # -> 0=Sunday
+        F.hour("ts").alias("hour"),
+        F.col("value").cast("decimal(10,4)").alias("v"),
+    )
+    return (
+        ev.groupBy("dow", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("v"), 4).cast("double").alias("sum_value"),
+        )
+        .orderBy("dow", "hour")
+    )
+
+
+SQL_EVENTS_DOW_PROFILE = """
+SELECT CAST(EXTRACT(dow FROM ts) AS INT) AS dow,
+       EXTRACT(hour FROM ts) AS hour,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST("value" AS DECIMAL(10,4))), 4) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["events_dow_profile"] = events_dow_profile
+ORACLES["events_dow_profile"] = SQL_EVENTS_DOW_PROFILE
