@@ -471,3 +471,53 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 
 QUERIES["events_dow_profile"] = events_dow_profile
 ORACLES["events_dow_profile"] = SQL_EVENTS_DOW_PROFILE
+
+
+def events_dod_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day growth per event_type: lag over the daily rollup — the
+    period-over-period reporting shape (window over an AGGREGATE, so the
+    lag sees |days| x |types| rows, never raw events). Growth is a
+    floor-rounded ratio of exact decimal sums; first day has NULL growth."""
+    ev = read_events(spark, sf_dir).select(
+        "event_type", F.to_date("ts").alias("day"),
+        F.col("value").cast("decimal(10,4)").alias("v"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("v").alias("sum_dec")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    prev = F.lag("sum_dec").over(w)
+    growth = (F.col("sum_dec").cast("double") - prev.cast("double")) / prev.cast("double")
+    return (
+        daily.withColumn(
+            "dod_growth", F.floor(growth * 1000000.0 + F.lit(0.5)) / 1000000.0
+        )
+        .select(
+            "event_type",
+            "day",
+            "n_events",
+            F.round("sum_dec", 4).cast("double").alias("sum_value"),
+            "dod_growth",
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+SQL_EVENTS_DOD_GROWTH = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+         SUM(CAST("value" AS DECIMAL(10,4))) AS sum_dec
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day, n_events,
+       CAST(ROUND(sum_dec, 4) AS DOUBLE) AS sum_value,
+       floor(((CAST(sum_dec AS DOUBLE) - CAST(LAG(sum_dec) OVER w AS DOUBLE))
+              / CAST(LAG(sum_dec) OVER w AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+         AS dod_growth
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day)
+ORDER BY event_type, day
+"""
+
+QUERIES["events_dod_growth"] = events_dod_growth
+ORACLES["events_dod_growth"] = SQL_EVENTS_DOD_GROWTH
