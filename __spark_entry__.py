@@ -32,6 +32,7 @@ from kafka_connect_storage_cloud_spark.llm import pipeline as LP
 from kafka_connect_storage_cloud_spark.llm import quality as LQ
 from kafka_connect_storage_cloud_spark.llm import substring as LSU
 from kafka_connect_storage_cloud_spark.llm import similarity as LS
+from kafka_connect_storage_cloud_spark.llm import sketches as SK
 from kafka_connect_storage_cloud_spark.operators import schema_evolution as SE
 from kafka_connect_storage_cloud_spark.operators import layout as LAY
 from kafka_connect_storage_cloud_spark.operators import smt as SMT
@@ -126,6 +127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **LCO.QUERIES,
         **LPI.QUERIES,
         **LPQ.QUERIES,
+        **SK.QUERIES,
     }
 
 
@@ -495,4 +497,5 @@ SELECT * FROM ranked WHERE rank <= 5 ORDER BY event_type, rank""",
         **LCO.ORACLES,
         **LPI.ORACLES,
         **LPQ.ORACLES,
+        **SK.ORACLES,
     }

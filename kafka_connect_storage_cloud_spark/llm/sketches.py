@@ -1,0 +1,333 @@
+"""Portable cardinality / frequency sketches, oracle-checked bit-for-bit.
+
+At 100 TB you cannot afford exact COUNT(DISTINCT) or full-frequency tables
+for monitoring; sketches bound the state per group to O(k) regardless of
+input size. Spark's built-in approx_count_distinct (HLL++) is not
+reproducible against another engine, so these operators rebuild the three
+classic sketches from the portable md5 hash (functions/hashing.py) — every
+intermediate is either an int64 or a fixed-order IEEE double, so Spark and
+DuckDB agree exactly and the estimate itself is oracle-checkable:
+
+- kmv_distinct        K-minimum-values distinct-count estimate per group.
+- hll_distinct        HyperLogLog (m=64 registers) with an EXACT integer
+                      harmonic denominator: each register term 2^(-reg) is
+                      scaled by 2^55 -> int64, so the sum is exact and the
+                      single final division is deterministic. (No ln-based
+                      small-range correction: ln() is libm-dependent.)
+- cms_heavy_hitters   count-min sketch (d=4 rows x w=256 buckets) point
+                      estimates vs true counts for the top tokens.
+
+Each op also computes the exact answer next to the sketch estimate — the
+audit a pipeline runs at small SF to pick k/m/w before trusting the sketch
+at full scale (same switch-to-scale-path gate as ann_recall_audit).
+
+Scale design: kmv keeps K rows/group past the first distinct-shuffle;
+hll's register table is at most m rows/group built by a two-level
+map-side-combined groupBy; cms materializes d*w = 1024 cells total.
+Reference tie-in: the connector's per-partition record counts
+(TopicPartitionWriter.java recordCount) are the exact-counting analog;
+these are the bounded-state versions a monitoring rollup would use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+from ..session import read_table
+
+KMV_K = 64
+HLL_M = 64  # 2^6 buckets
+HLL_ALPHA = 0.709  # standard alpha for m=64
+POW2_60 = float(1 << 60)
+POW2_55_INT = 1 << 55
+CMS_ROWS = 4
+CMS_WIDTH = 256
+CMS_TOP = 20
+
+
+def _user_hash(salt: str) -> F.Column:
+    return H.h60(F.concat(F.lit(salt), F.col("user_id").cast("string")))
+
+
+def _sql_user_hash(salt: str) -> str:
+    return H.sql_h60(f"'{salt}' || CAST(user_id AS VARCHAR)")
+
+
+def _exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_exact"))
+    )
+
+
+_SQL_EXACT = "SELECT event_type, COUNT(DISTINCT user_id) AS n_exact FROM events GROUP BY 1"
+
+
+# ---------------------------------------------------------------------------
+# kmv_distinct
+# ---------------------------------------------------------------------------
+
+def kmv_distinct(spark: SparkSession, sf_dir: str, k: int = KMV_K) -> DataFrame:
+    """K-minimum-values estimate of distinct users per event_type.
+
+    est = (k-1) * 2^60 / h_(k) where h_(k) is the k-th smallest distinct
+    hash; if a group has fewer than k distinct hashes the estimate is the
+    exact kept count. One distinct-shuffle on (event_type, h), then the
+    row_number window reuses that partitioning; only k rows per group
+    survive to the final agg.
+    """
+    hashes = (
+        read_table(spark, sf_dir, "events")
+        .select("event_type", _user_hash("kmv:").alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    kept = hashes.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    agg = kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max(F.when(F.col("rn") == k, F.col("h"))).alias("kth_hash"),
+    )
+    est = F.when(F.col("n_kept") < k, F.col("n_kept").cast("double")).otherwise(
+        (F.lit(float(k - 1)) * F.lit(POW2_60)) / F.col("kth_hash").cast("double")
+    )
+    out = agg.join(_exact_distinct(spark, sf_dir), "event_type").select(
+        "event_type",
+        "n_exact",
+        F.floor(est + F.lit(0.5)).cast("bigint").alias("kmv_est"),
+        H.round6(
+            F.abs(F.floor(est + F.lit(0.5)) - F.col("n_exact")) / F.col("n_exact")
+        ).alias("rel_err"),
+    )
+    return out
+
+
+SQL_KMV_DISTINCT = f"""
+WITH hashes AS (
+  SELECT DISTINCT event_type, {_sql_user_hash('kmv:')} AS h FROM events
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM hashes
+),
+kept AS (
+  SELECT event_type, COUNT(*) AS n_kept,
+         MAX(CASE WHEN rn = {KMV_K} THEN h END) AS kth_hash
+  FROM ranked WHERE rn <= {KMV_K} GROUP BY 1
+),
+exact AS ({_SQL_EXACT}),
+est AS (
+  SELECT k.event_type, e.n_exact,
+         CASE WHEN k.n_kept < {KMV_K} THEN CAST(k.n_kept AS DOUBLE)
+              ELSE ({float(KMV_K - 1)} * {POW2_60}) / CAST(k.kth_hash AS DOUBLE)
+         END AS est
+  FROM kept k JOIN exact e USING (event_type)
+)
+SELECT event_type, n_exact,
+       CAST(FLOOR(est + 0.5) AS BIGINT) AS kmv_est,
+       {H.sql_round6('ABS(FLOOR(est + 0.5) - n_exact) / n_exact')} AS rel_err
+FROM est ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# hll_distinct
+# ---------------------------------------------------------------------------
+
+def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimate per event_type, m=64 registers.
+
+    bucket = h % 64; rho = 1 + leading-zeros of the remaining 54-bit word
+    (via the length of its binary representation — portable to DuckDB).
+    The harmonic denominator sums 2^(55-reg) as exact int64 (empty buckets
+    contribute 2^55), so the only floating step is the final constant/int
+    division. Two-level groupBy: (type, bucket) max-rho then per-type sum —
+    both map-side combined, state bounded by m rows per group.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", _user_hash("hll:").alias("h")
+    )
+    ev = ev.select(
+        "event_type",
+        (F.col("h") % HLL_M).alias("bucket"),
+        F.expr(f"h div {HLL_M}").alias("rem"),
+    ).withColumn(
+        "rho",
+        F.when(F.col("rem") == 0, F.lit(55)).otherwise(
+            F.lit(55) - F.length(F.bin(F.col("rem")))
+        ),
+    )
+    regs = ev.groupBy("event_type", "bucket").agg(F.max("rho").alias("reg"))
+    per_type = regs.groupBy("event_type").agg(
+        F.sum(F.expr("shiftleft(cast(1 as bigint), 55 - reg)")).alias("present_sum"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    denom = (
+        F.col("present_sum")
+        + (F.lit(HLL_M) - F.col("n_present")) * F.lit(POW2_55_INT)
+    ).cast("double")
+    est = (F.lit(HLL_ALPHA) * F.lit(float(HLL_M * HLL_M)) * F.lit(float(POW2_55_INT))) / denom
+    out = per_type.join(_exact_distinct(spark, sf_dir), "event_type").select(
+        "event_type",
+        "n_exact",
+        F.floor(est + F.lit(0.5)).cast("bigint").alias("hll_est"),
+        (F.lit(HLL_M) - F.col("n_present")).cast("int").alias("n_empty_buckets"),
+        H.round6(
+            F.abs(F.floor(est + F.lit(0.5)) - F.col("n_exact")) / F.col("n_exact")
+        ).alias("rel_err"),
+    )
+    return out
+
+
+SQL_HLL_DISTINCT = f"""
+WITH hashed AS (
+  SELECT event_type,
+         {_sql_user_hash('hll:')} % {HLL_M} AS bucket,
+         {_sql_user_hash('hll:')} // {HLL_M} AS rem
+  FROM events
+),
+rho AS (
+  SELECT event_type, bucket,
+         CASE WHEN rem = 0 THEN 55 ELSE 55 - LENGTH(bin(rem)) END AS rho
+  FROM hashed
+),
+regs AS (
+  SELECT event_type, bucket, MAX(rho) AS reg FROM rho GROUP BY 1, 2
+),
+per_type AS (
+  SELECT event_type,
+         SUM(CAST(1 AS BIGINT) << (55 - reg)) AS present_sum,
+         COUNT(*) AS n_present
+  FROM regs GROUP BY 1
+),
+exact AS ({_SQL_EXACT}),
+est AS (
+  SELECT p.event_type, e.n_exact, p.n_present,
+         (({HLL_ALPHA} * {float(HLL_M * HLL_M)}) * {float(POW2_55_INT)}) /
+           CAST(p.present_sum + ({HLL_M} - p.n_present) * {POW2_55_INT} AS DOUBLE) AS est
+  FROM per_type p JOIN exact e USING (event_type)
+)
+SELECT event_type, n_exact,
+       CAST(FLOOR(est + 0.5) AS BIGINT) AS hll_est,
+       CAST({HLL_M} - n_present AS INT) AS n_empty_buckets,
+       {H.sql_round6('ABS(FLOOR(est + 0.5) - n_exact) / n_exact')} AS rel_err
+FROM est ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# cms_heavy_hitters
+# ---------------------------------------------------------------------------
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+
+
+_SQL_TOKENS = (
+    "SELECT unnest(string_split_regex(lower(text), '\\s+')) AS token FROM documents"
+)
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point estimates for the corpus's top tokens.
+
+    Sketch: d=4 rows x w=256 buckets — each token occurrence increments one
+    cell per row (cell = h32('cms{i}:'||token) % w). The sketch is one
+    groupBy producing at most 1024 cells regardless of corpus size; the
+    estimate for a token is the MIN over its d cells (always >= true
+    count; `inflation` shows the collision overshoot). Probes are the top
+    CMS_TOP tokens by exact count (the audit set), exploded to their d
+    cells and equi-joined against the sketch — no cross join.
+    """
+    toks = _tokens(spark, sf_dir)
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                (H.h32(F.concat(F.lit(f"cms{i}:"), F.col("token"))) % CMS_WIDTH).alias(
+                    "bucket"
+                ),
+            )
+            for i in range(CMS_ROWS)
+        ]
+    )
+    sketch = (
+        toks.select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cell_count"))
+    )
+    true_counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("true_count"))
+    w = Window.orderBy(F.col("true_count").desc(), F.col("token"))
+    top = true_counts.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= CMS_TOP
+    )
+    probes = top.select(
+        "token", "true_count", "rk", F.explode(cells).alias("c")
+    ).select("token", "true_count", "rk", "c.row", "c.bucket")
+    est = (
+        probes.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy("token", "true_count", "rk")
+        .agg(F.min("cell_count").alias("cms_est"))
+    )
+    return est.select(
+        "token",
+        "true_count",
+        "cms_est",
+        (F.col("cms_est") - F.col("true_count")).alias("inflation"),
+    )
+
+
+def _sql_cms_cells(src: str) -> str:
+    parts = []
+    for i in range(CMS_ROWS):
+        h = H.sql_h32(f"'cms{i}:' || token")
+        parts.append(
+            f"SELECT token, {i} AS row, {h} % {CMS_WIDTH} AS bucket FROM {src}"
+        )
+    return " UNION ALL ".join(parts)
+
+
+SQL_CMS_HEAVY_HITTERS = f"""
+WITH toks AS (
+  SELECT token FROM ({_SQL_TOKENS}) WHERE token <> ''
+),
+cells AS ({_sql_cms_cells('toks')}),
+sketch AS (
+  SELECT row, bucket, COUNT(*) AS cell_count FROM cells GROUP BY 1, 2
+),
+true_counts AS (
+  SELECT token, COUNT(*) AS true_count FROM toks GROUP BY 1
+),
+top AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY true_count DESC, token) AS rk
+  FROM true_counts QUALIFY rk <= {CMS_TOP}
+),
+probes AS ({_sql_cms_cells('top')}),
+est AS (
+  SELECT p.token, MIN(s.cell_count) AS cms_est
+  FROM probes p JOIN sketch s USING (row, bucket)
+  GROUP BY 1
+)
+SELECT t.token, t.true_count, e.cms_est,
+       e.cms_est - t.true_count AS inflation
+FROM top t JOIN est e USING (token)
+ORDER BY t.true_count DESC, t.token
+"""
+
+
+QUERIES = {
+    "kmv_distinct": kmv_distinct,
+    "hll_distinct": hll_distinct,
+    "cms_heavy_hitters": cms_heavy_hitters,
+}
+
+ORACLES = {
+    "kmv_distinct": SQL_KMV_DISTINCT,
+    "hll_distinct": SQL_HLL_DISTINCT,
+    "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
+}
