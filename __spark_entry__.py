@@ -36,6 +36,7 @@ from kafka_connect_storage_cloud_spark.llm import sketches as SK
 from kafka_connect_storage_cloud_spark.operators import schema_evolution as SE
 from kafka_connect_storage_cloud_spark.operators import layout as LAY
 from kafka_connect_storage_cloud_spark.operators import smt as SMT
+from kafka_connect_storage_cloud_spark.plans import cdc as CD
 from kafka_connect_storage_cloud_spark.plans import connector as C
 from kafka_connect_storage_cloud_spark.llm import clustering as LC
 from kafka_connect_storage_cloud_spark.plans import events as E
@@ -95,6 +96,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_topk_users": E.events_topk_users,
         **EX.QUERIES,
         **TP.QUERIES,
+        **CD.QUERIES,
         # --- LLM data pipeline (SURVEY §2C) ---
         "dedup_clusters": LC.dedup_clusters,
         "dedup_keep_best": LC.dedup_keep_best,
@@ -487,6 +489,7 @@ SELECT * FROM ranked WHERE rank <= 5 ORDER BY event_type, rank""",
         **LAY.ORACLES,
         **EX.ORACLES,
         **TP.ORACLES,
+        **CD.ORACLES,
         **LC.ORACLES,
         **LD.ORACLES,
         **LSU.ORACLES,
