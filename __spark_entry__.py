@@ -33,6 +33,7 @@ from kafka_connect_storage_cloud_spark.llm import quality as LQ
 from kafka_connect_storage_cloud_spark.llm import substring as LSU
 from kafka_connect_storage_cloud_spark.llm import similarity as LS
 from kafka_connect_storage_cloud_spark.llm import sketches as SK
+from kafka_connect_storage_cloud_spark.llm import text_stats as TS
 from kafka_connect_storage_cloud_spark.operators import schema_evolution as SE
 from kafka_connect_storage_cloud_spark.operators import layout as LAY
 from kafka_connect_storage_cloud_spark.operators import smt as SMT
@@ -113,6 +114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": LS.ann_topk_lsh,
         "ann_recall_audit": LS.ann_recall_audit,
         "knn_graph_mutual": LS.knn_graph_mutual,
+        "knn_triangle_count": LS.knn_triangle_count,
         "knn_pagerank_step": LS.knn_pagerank_step,
         "lang_id": LQ.lang_id,
         "lang_id_confusion": LQ.lang_id_confusion,
@@ -130,6 +132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **LPI.QUERIES,
         **LPQ.QUERIES,
         **SK.QUERIES,
+        **TS.QUERIES,
     }
 
 
@@ -501,4 +504,5 @@ SELECT * FROM ranked WHERE rank <= 5 ORDER BY event_type, rank""",
         **LPI.ORACLES,
         **LPQ.ORACLES,
         **SK.ORACLES,
+        **TS.ORACLES,
     }

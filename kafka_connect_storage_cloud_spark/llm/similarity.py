@@ -481,8 +481,96 @@ ORDER BY n.vec_id
 """
 
 
+def knn_triangle_count(spark: SparkSession, sf_dir: str, k: int = KNN_K) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient over the
+    mutual-kNN graph — the community-structure audit for corpus-curation
+    graphs (dense triangle neighborhoods = semantic clusters; coefficient
+    near 0 = hub/noise vectors).
+
+    The two triangle joins run on the mutualized edge list (≤ n·k/2 rows,
+    already a<b canonical), never on the corpus: wedge join on the shared
+    middle vertex, then a closing equi-join on (low, high) — the standard
+    distributed triangle enumeration, all equi-joins. Degrees come from one
+    explode over the same edge list. Coefficient = 2T / (d·(d-1)) as a
+    single fixed-order double division (portable)."""
+    edges = (
+        knn_graph_mutual(spark, sf_dir, k)
+        .select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b"))
+    )
+    e1 = edges.select(F.col("a").alias("ta"), F.col("b").alias("tb"))
+    e2 = edges.select(F.col("a").alias("tb"), F.col("b").alias("tc"))
+    e3 = edges.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
+    tri = e1.join(e2, "tb").join(e3, ["ta", "tc"])  # ta < tb < tc by construction
+    per_node = (
+        tri.select(F.explode(F.array("ta", "tb", "tc")).alias("vec_id"))
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = (
+        edges.select(F.explode(F.array("a", "b")).alias("vec_id"))
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    nt = F.coalesce(F.col("n_triangles"), F.lit(0))
+    coeff = F.when(
+        F.col("degree") >= 2,
+        (F.floor(
+            (
+                (F.lit(2.0) * nt.cast("double"))
+                / (F.col("degree").cast("double") * (F.col("degree") - F.lit(1)).cast("double"))
+            )
+            * 1000000.0
+            + F.lit(0.5)
+        ) / 1000000.0),
+    ).otherwise(F.lit(0.0))
+    return (
+        deg.join(per_node, "vec_id", "left")
+        .select(
+            "vec_id",
+            "degree",
+            nt.alias("n_triangles"),
+            coeff.alias("clustering_coeff"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+SQL_KNN_TRIANGLE_COUNT = f"""
+WITH {_SQL_KNN_TOPK_CTES},
+fwd AS (SELECT src AS a, dst AS b FROM topk WHERE src < dst),
+rev AS (SELECT dst AS a, src AS b FROM topk WHERE src > dst),
+edges AS (SELECT f.a, f.b FROM fwd f JOIN rev r ON f.a = r.a AND f.b = r.b),
+tri AS (
+  SELECT e1.a AS ta, e1.b AS tb, e2.b AS tc
+  FROM edges e1
+  JOIN edges e2 ON e1.b = e2.a
+  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+per_node AS (
+  SELECT vec_id, COUNT(*) AS n_triangles FROM (
+    SELECT ta AS vec_id FROM tri UNION ALL SELECT tb FROM tri UNION ALL SELECT tc FROM tri
+  ) GROUP BY 1
+),
+deg AS (
+  SELECT vec_id, COUNT(*) AS degree FROM (
+    SELECT a AS vec_id FROM edges UNION ALL SELECT b FROM edges
+  ) GROUP BY 1
+)
+SELECT d.vec_id, d.degree,
+       COALESCE(p.n_triangles, 0) AS n_triangles,
+       CASE WHEN d.degree >= 2 THEN
+         (floor(((2.0 * CAST(COALESCE(p.n_triangles, 0) AS DOUBLE)) /
+                 (CAST(d.degree AS DOUBLE) * CAST(d.degree - 1 AS DOUBLE))) * 1000000.0 + 0.5)
+          / 1000000.0)
+       ELSE 0.0 END AS clustering_coeff
+FROM deg d LEFT JOIN per_node p USING (vec_id)
+ORDER BY d.vec_id
+"""
+
+
 ORACLES = {
     "embedding_cosine_dups": SQL_EMBEDDING_COSINE_DUPS,
+    "knn_triangle_count": SQL_KNN_TRIANGLE_COUNT,
     "knn_graph_mutual": SQL_KNN_GRAPH_MUTUAL,
     "knn_pagerank_step": SQL_KNN_PAGERANK_STEP,
     "ann_topk_bruteforce": SQL_ANN_TOPK_BRUTEFORCE,

@@ -1,0 +1,266 @@
+"""Corpus vocabulary statistics: OOV coverage, bigram association, Zipf
+profile. The tokenizer-adjacent audits a training-data pipeline runs before
+committing to a vocabulary or a mixing recipe (complements lm_rarity_score
+and bpe_pair_stats in corpus/pipeline.py).
+
+- vocab_coverage : per-document coverage against the corpus's top-V
+                   vocabulary — the OOV-rate audit that sizes a tokenizer
+                   vocab. Vocab is a top-V aggregate (tiny) broadcast
+                   against the token stream; per-doc rollup is one
+                   map-side-combined groupBy on doc_id.
+- bigram_lift    : adjacent-pair association strength as the exact ratio
+                   P(ab)/(P(a)P(b)) (the exp of PMI — no libm log, so the
+                   value is portable). Bigrams are built inside the token
+                   array (zero extra shuffle); only the top-B pairs by
+                   count are scored, and the two unigram joins run on that
+                   B-row table against the broadcast unigram counts.
+- zipf_profile   : rank-frequency table of the top tokens with cumulative
+                   share — running sums stay on exact int64 counts, the
+                   only double is one final division per row.
+
+All three oracle-exact against DuckDB. At 100 TB the token stream never
+materializes to the driver; the only global coordination is the top-V/B
+aggregate (bounded rows) and two scalar totals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+from ..session import read_table
+
+VOCAB_V = 256
+BIGRAM_TOP = 40
+BIGRAM_MIN = 3
+ZIPF_TOP = 100
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token")
+        )
+        .filter(F.col("token") != "")
+    )
+
+
+_SQL_DOC_TOKENS = (
+    "SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS token "
+    "FROM documents"
+)
+
+
+# ---------------------------------------------------------------------------
+# vocab_coverage
+# ---------------------------------------------------------------------------
+
+def vocab_coverage(spark: SparkSession, sf_dir: str, v: int = VOCAB_V) -> DataFrame:
+    """Per-document token coverage against the corpus top-v vocabulary.
+    coverage = in-vocab occurrences / total occurrences."""
+    toks = _doc_tokens(spark, sf_dir)
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token"))
+    vocab = (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= v)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    per_doc = (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        H.round6(
+            (F.col("n_tokens") - F.col("n_oov")).cast("double") / F.col("n_tokens")
+        ).alias("coverage"),
+    )
+
+
+SQL_VOCAB_COVERAGE = f"""
+WITH toks AS (
+  SELECT doc_id, token FROM ({_SQL_DOC_TOKENS}) WHERE token <> ''
+),
+counts AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY 1),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rk FROM counts
+  ) WHERE rk <= {VOCAB_V}
+),
+per_doc AS (
+  SELECT t.doc_id,
+         COUNT(*) AS n_tokens,
+         SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov
+  FROM toks t LEFT JOIN vocab v ON t.token = v.token
+  GROUP BY 1
+)
+SELECT doc_id, n_tokens, n_oov,
+       {H.sql_round6('CAST(n_tokens - n_oov AS DOUBLE) / n_tokens')} AS coverage
+FROM per_doc ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# bigram_lift
+# ---------------------------------------------------------------------------
+
+def bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association strength of the top adjacent token pairs:
+    lift = (c_ab / N_bigrams) / ((c_a / N_tokens) * (c_b / N_tokens)),
+    each division/multiplication in fixed IEEE order on both engines.
+    Bigrams are formed inside the per-document token array (no join);
+    the global token/bigram totals are two scalar aggregates (the same
+    driver-side closure pattern as the ANN matmul matrix)."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        F.split(F.lower(F.col("text")), r"\s+").alias("toks")
+    )
+    bigrams = docs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(toks) - 1, 0)),"
+                " i -> struct(toks[i-1] AS t1, toks[i] AS t2))"
+            )
+        ).alias("bg")
+    ).select(F.col("bg.t1").alias("t1"), F.col("bg.t2").alias("t2")).filter(
+        (F.col("t1") != "") & (F.col("t2") != "")
+    )
+    toks = _doc_tokens(spark, sf_dir)
+    n_tok = toks.count()
+    n_big = bigrams.count()
+    uni = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    bg_counts = bigrams.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("c_ab"))
+    w = Window.orderBy(F.col("c_ab").desc(), F.col("t1"), F.col("t2"))
+    top = (
+        bg_counts.filter(F.col("c_ab") >= BIGRAM_MIN)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= BIGRAM_TOP)
+    )
+    uni_a = uni.select(F.col("token").alias("tk1"), F.col("cnt").alias("c_a"))
+    uni_b = uni.select(F.col("token").alias("tk2"), F.col("cnt").alias("c_b"))
+    joined = (
+        top.join(F.broadcast(uni_a), F.col("t1") == F.col("tk1"))
+        .join(F.broadcast(uni_b), F.col("t2") == F.col("tk2"))
+        .drop("tk1", "tk2")
+    )
+    lift = (
+        (F.col("c_ab").cast("double") / F.lit(float(n_big)))
+        / (
+            (F.col("c_a").cast("double") / F.lit(float(n_tok)))
+            * (F.col("c_b").cast("double") / F.lit(float(n_tok)))
+        )
+    )
+    return joined.select(
+        "t1",
+        "t2",
+        "c_ab",
+        "c_a",
+        "c_b",
+        H.round6(lift).alias("lift"),
+    ).orderBy(F.col("c_ab").desc(), "t1", "t2")
+
+
+SQL_BIGRAM_LIFT = f"""
+WITH docs AS (
+  SELECT string_split_regex(lower(text), '\\s+') AS toks FROM documents
+),
+bigrams AS (
+  SELECT toks[i] AS t1, toks[i+1] AS t2
+  FROM docs, UNNEST(range(1, greatest(len(toks), 1))) AS r(i)
+  WHERE toks[i] <> '' AND toks[i+1] <> ''
+),
+toks AS (SELECT token FROM ({_SQL_DOC_TOKENS}) WHERE token <> ''),
+totals AS (
+  SELECT (SELECT COUNT(*) FROM toks) AS n_tok,
+         (SELECT COUNT(*) FROM bigrams) AS n_big
+),
+uni AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY 1),
+bg AS (SELECT t1, t2, COUNT(*) AS c_ab FROM bigrams GROUP BY 1, 2),
+top AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY c_ab DESC, t1, t2) AS rk
+    FROM bg WHERE c_ab >= {BIGRAM_MIN}
+  ) WHERE rk <= {BIGRAM_TOP}
+)
+SELECT t.t1, t.t2, t.c_ab, a.cnt AS c_a, b.cnt AS c_b,
+       {H.sql_round6(
+           '(CAST(t.c_ab AS DOUBLE) / CAST(tt.n_big AS DOUBLE)) / '
+           '((CAST(a.cnt AS DOUBLE) / CAST(tt.n_tok AS DOUBLE)) * '
+           '(CAST(b.cnt AS DOUBLE) / CAST(tt.n_tok AS DOUBLE)))'
+       )} AS lift
+FROM top t
+JOIN uni a ON t.t1 = a.token
+JOIN uni b ON t.t2 = b.token
+CROSS JOIN totals tt
+ORDER BY t.c_ab DESC, t.t1, t.t2
+"""
+
+
+# ---------------------------------------------------------------------------
+# zipf_profile
+# ---------------------------------------------------------------------------
+
+def zipf_profile(spark: SparkSession, sf_dir: str, top: int = ZIPF_TOP) -> DataFrame:
+    """Rank-frequency profile of the top tokens. Cumulative share runs on
+    exact integer counts (running int sum, then one division per row) —
+    no float accumulation order anywhere."""
+    toks = _doc_tokens(spark, sf_dir)
+    n_tok = toks.count()
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token"))
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .withColumn("cum_cnt", F.sum("cnt").over(wcum))
+        .filter(F.col("rank") <= top)
+        .select(
+            "rank",
+            "token",
+            "cnt",
+            H.round6(F.col("cnt").cast("double") / F.lit(float(n_tok))).alias("share"),
+            H.round6(F.col("cum_cnt").cast("double") / F.lit(float(n_tok))).alias(
+                "cum_share"
+            ),
+        )
+    )
+
+
+SQL_ZIPF_PROFILE = f"""
+WITH toks AS (SELECT token FROM ({_SQL_DOC_TOKENS}) WHERE token <> ''),
+counts AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY 1),
+ranked AS (
+  SELECT token, cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rank,
+         SUM(cnt) OVER (ORDER BY cnt DESC, token
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cnt
+  FROM counts
+),
+total AS (SELECT COUNT(*) AS n_tok FROM toks)
+SELECT rank, token, cnt,
+       {H.sql_round6('CAST(cnt AS DOUBLE) / CAST(t.n_tok AS DOUBLE)')} AS share,
+       {H.sql_round6('CAST(cum_cnt AS DOUBLE) / CAST(t.n_tok AS DOUBLE)')} AS cum_share
+FROM ranked CROSS JOIN total t
+WHERE rank <= {ZIPF_TOP}
+ORDER BY rank
+"""
+
+
+QUERIES = {
+    "vocab_coverage": vocab_coverage,
+    "bigram_lift": bigram_lift,
+    "zipf_profile": zipf_profile,
+}
+
+ORACLES = {
+    "vocab_coverage": SQL_VOCAB_COVERAGE,
+    "bigram_lift": SQL_BIGRAM_LIFT,
+    "zipf_profile": SQL_ZIPF_PROFILE,
+}
