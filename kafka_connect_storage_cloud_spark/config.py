@@ -94,6 +94,15 @@ class ConnectorConfig:
     # partition.duration.ms (storage-common TimeBasedPartitioner): floor the
     # extracted timestamp to this bucket before path.format renders it.
     partition_duration_ms: int = -1
+    # s3.object.tagging (+ .key.value.pairs, s3.object.behavior.on.tagging.
+    # error): reference tags every committed object with startOffset /
+    # endOffset / recordCount plus extra "k:v" pairs
+    # (TopicPartitionWriter.java:1055 tagFile, :261 getS3Tag). Here the tags
+    # surface as a map column on the commit manifest (the queryable analog
+    # of S3 object tags); malformed extra pairs follow the ignore/fail knob.
+    object_tagging: bool = False
+    object_tagging_extra: tuple[str, ...] = ()
+    behavior_on_tagging_error: str = "ignore"
     extra: dict[str, Any] = field(default_factory=dict)
 
     def __post_init__(self) -> None:
@@ -134,6 +143,25 @@ class ConnectorConfig:
                 raise ValueError(f"{attr.replace('_', '.')} {v!r} not supported")
         if self.max_files_scan_limit < 1:
             raise ValueError("max.files.scan.limit must be >= 1")
+        if self.behavior_on_tagging_error not in ("ignore", "fail"):
+            raise ValueError(
+                f"s3.object.behavior.on.tagging.error {self.behavior_on_tagging_error!r}"
+                " invalid (ignore|fail)"
+            )
+
+    def parsed_extra_tags(self) -> dict[str, str]:
+        """Parse s3.object.tagging.key.value.pairs ("k1:v1,k2:v2" list form,
+        reference getS3Tag split-on-colon). A malformed pair fails or is
+        skipped per s3.object.behavior.on.tagging.error."""
+        tags: dict[str, str] = {}
+        for pair in self.object_tagging_extra:
+            kv = pair.split(":")
+            if len(kv) != 2 or not kv[0]:
+                if self.behavior_on_tagging_error == "fail":
+                    raise ValueError(f"malformed s3 object tag pair {pair!r}")
+                continue
+            tags[kv[0]] = kv[1]
+        return tags
 
     @property
     def spark_format(self) -> str:
@@ -190,6 +218,15 @@ _KEY_MAP = {
     ),
     "json.decimal.format": ("json_decimal_format", lambda v: str(v).upper()),
     "partition.duration.ms": ("partition_duration_ms", int),
+    "s3.object.tagging": ("object_tagging", lambda v: str(v).lower() == "true"),
+    "s3.object.tagging.key.value.pairs": (
+        "object_tagging_extra",
+        lambda v: tuple(s.strip() for s in str(v).split(",") if s.strip()),
+    ),
+    "s3.object.behavior.on.tagging.error": (
+        "behavior_on_tagging_error",
+        lambda v: str(v).lower(),
+    ),
 }
 
 

@@ -160,6 +160,19 @@ def run_connector(
             ]
             write_partitioned(assigned.select(*payload_cols), output_path, sink)
     manifest = R.file_manifest(assigned).orderBy("file_path")
+    if cfg.object_tagging:
+        # reference tagFile (TopicPartitionWriter.java:1055): every committed
+        # object is tagged startOffset/endOffset/recordCount + extra pairs.
+        # The manifest map column is the queryable analog of S3 object tags.
+        extra = cfg.parsed_extra_tags()
+        tag_items = [
+            (F.lit("startOffset"), F.col("min_offset").cast("string")),
+            (F.lit("endOffset"), F.col("max_offset").cast("string")),
+            (F.lit("recordCount"), F.col("record_count").cast("string")),
+        ] + [(F.lit(k), F.lit(v)) for k, v in extra.items()]
+        manifest = manifest.withColumn(
+            "tags", F.create_map(*[c for kv in tag_items for c in kv])
+        )
     if output_path is not None:
         # persist the commit record next to the data — the queryable analog
         # of the reference's committed-file-name state (what

@@ -338,3 +338,43 @@ def test_manifest_python_datasource(spark, sf_small, tmp_path):
         & F.col("kafka_partition").isNotNull()
     ).count()
     assert parsed == len(expected)
+
+
+def test_object_tagging_manifest(spark, sf_small):
+    """s3.object.tagging: the manifest gains startOffset/endOffset/
+    recordCount tags plus parsed extra pairs (reference tagFile,
+    TopicPartitionWriter.java:1055)."""
+    props = dict(
+        PROPS,
+        **{
+            "s3.object.tagging": "true",
+            "s3.object.tagging.key.value.pairs": "team:data, env:prod",
+        },
+    )
+    rows = run_connector(spark, props, sf_dir=sf_small).collect()
+    assert rows
+    for r in rows:
+        t = r["tags"]
+        assert t["startOffset"] == str(r["min_offset"])
+        assert t["endOffset"] == str(r["max_offset"])
+        assert t["recordCount"] == str(r["record_count"])
+        assert t["team"] == "data" and t["env"] == "prod"
+
+
+def test_object_tagging_error_behavior(spark, sf_small):
+    """Malformed extra tag pair: default 'ignore' skips it; 'fail' raises
+    (s3.object.behavior.on.tagging.error, reference IgnoreOrFailBehavior)."""
+    bad = {"s3.object.tagging": "true", "s3.object.tagging.key.value.pairs": "oops"}
+    rows = run_connector(spark, dict(PROPS, **bad), sf_dir=sf_small).collect()
+    assert all("oops" not in r["tags"] for r in rows)
+    with pytest.raises(ValueError, match="malformed"):
+        run_connector(
+            spark,
+            dict(PROPS, **bad, **{"s3.object.behavior.on.tagging.error": "fail"}),
+            sf_dir=sf_small,
+        )
+
+
+def test_untagged_manifest_has_no_tags_column(spark, sf_small):
+    manifest = run_connector(spark, PROPS, sf_dir=sf_small)
+    assert "tags" not in manifest.columns
