@@ -33,6 +33,7 @@ from kafka_connect_storage_cloud_spark.llm import quality as LQ
 from kafka_connect_storage_cloud_spark.llm import substring as LSU
 from kafka_connect_storage_cloud_spark.llm import similarity as LS
 from kafka_connect_storage_cloud_spark.llm import sketches as SK
+from kafka_connect_storage_cloud_spark.llm import sampling as SA
 from kafka_connect_storage_cloud_spark.llm import text_stats as TS
 from kafka_connect_storage_cloud_spark.operators import schema_evolution as SE
 from kafka_connect_storage_cloud_spark.operators import layout as LAY
@@ -133,6 +134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **LPQ.QUERIES,
         **SK.QUERIES,
         **TS.QUERIES,
+        **SA.QUERIES,
     }
 
 
@@ -505,4 +507,5 @@ SELECT * FROM ranked WHERE rank <= 5 ORDER BY event_type, rank""",
         **LPQ.ORACLES,
         **SK.ORACLES,
         **TS.ORACLES,
+        **SA.ORACLES,
     }

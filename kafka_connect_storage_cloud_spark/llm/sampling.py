@@ -1,0 +1,141 @@
+"""Deterministic sampling / splitting operators (replay-stable, engine-
+portable — hash-ranked, never rand()):
+
+- reservoir_sample : fixed-size uniform sample per group (the k docs with
+                     the smallest salted hash per (lang) — equivalent in
+                     distribution to reservoir sampling, but deterministic
+                     and mergeable: the min-k of a union is the min-k of
+                     the per-partition min-k's, so executors keep k rows
+                     each and the driver never sees the corpus).
+- train_test_split : hash-bucket assignment to train/val/test with a
+                     leakage audit — per-split counts plus the count of
+                     NORMALIZED-TEXT collisions that cross splits (near-dup
+                     leakage is the thing a split audit actually checks).
+
+Complements stratified_sample (rate-based thinning) in pipeline.py: the
+reservoir keeps an exact per-group SIZE, the split partitions the corpus
+exhaustively.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+from ..session import read_table
+
+RESERVOIR_K = 25
+RESERVOIR_SALT = "reservoir:"
+SPLIT_SALT = "split:"
+SPLIT_TRAIN, SPLIT_VAL = 80, 90  # bucket < 80 train, < 90 val, else test
+
+
+def reservoir_sample(spark: SparkSession, sf_dir: str, k: int = RESERVOIR_K) -> DataFrame:
+    """Exactly k docs per language (fewer only if the stratum is smaller),
+    chosen as the k smallest salted hashes — uniform over the stratum,
+    identical on every run/engine/partitioning."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    h = H.h32(F.concat(F.lit(RESERVOIR_SALT), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        docs.withColumn("h", h)
+        .withColumn("draw_rank", F.row_number().over(w))
+        .filter(F.col("draw_rank") <= k)
+        .select("lang", "draw_rank", "doc_id", "source")
+    )
+
+
+SQL_RESERVOIR_SAMPLE = f"""
+WITH hashed AS (
+  SELECT doc_id, lang, source,
+         {H.sql_h32(f"'{RESERVOIR_SALT}' || CAST(doc_id AS VARCHAR)")} AS h
+  FROM documents
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS draw_rank
+  FROM hashed
+)
+SELECT lang, draw_rank, doc_id, source
+FROM ranked WHERE draw_rank <= {RESERVOIR_K}
+ORDER BY lang, draw_rank
+"""
+
+
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split + leakage audit. A doc's split comes
+    from its salted id hash; leakage counts distinct normalized texts that
+    appear in more than one split (exact-dup leakage across the boundary
+    — what contamination screens must catch before training).
+
+    Scale: split assignment is a pure projection; the audit is one
+    groupBy on the text hash (same shuffle key as dedup_exact) carrying
+    (distinct-splits, doc-count) partial aggregates."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bucket = H.h32(F.concat(F.lit(SPLIT_SALT), F.col("doc_id").cast("string"))) % 100
+    split = (
+        F.when(bucket < SPLIT_TRAIN, "train")
+        .when(bucket < SPLIT_VAL, "val")
+        .otherwise("test")
+    )
+    norm = H.h60(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    assigned = docs.select(split.alias("split"), norm.alias("th"))
+    cross = (
+        assigned.groupBy("th")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .agg(F.count(F.lit(1)).alias("leaked"))
+    )
+    per_split = assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("th").alias("n_distinct_texts"),
+    )
+    # attach the 1-row audit scalar via an equi-join on a literal key
+    # (BroadcastHashJoin, not a nested-loop cross join)
+    return (
+        per_split.withColumn("jk", F.lit(1))
+        .join(F.broadcast(cross.withColumn("jk", F.lit(1))), "jk")
+        .select(
+            "split",
+            "n_docs",
+            "n_distinct_texts",
+            F.col("leaked").alias("cross_split_dup_texts"),
+        )
+    )
+
+
+_SPLIT_HASH = H.sql_h32(f"'{SPLIT_SALT}' || CAST(doc_id AS VARCHAR)")
+_SQL_SPLIT = (
+    f"CASE WHEN {_SPLIT_HASH} % 100 < {SPLIT_TRAIN} THEN 'train' "
+    f"WHEN {_SPLIT_HASH} % 100 < {SPLIT_VAL} THEN 'val' "
+    "ELSE 'test' END"
+)
+
+_SQL_TEXT_HASH = H.sql_h60("regexp_replace(lower(text), '\\s+', ' ', 'g')")
+
+SQL_TRAIN_TEST_SPLIT = f"""
+WITH assigned AS (
+  SELECT {_SQL_SPLIT} AS split,
+         {_SQL_TEXT_HASH} AS th
+  FROM documents
+),
+cross_split AS (
+  SELECT COUNT(*) AS leaked FROM (
+    SELECT th FROM assigned GROUP BY th HAVING COUNT(DISTINCT split) > 1
+  )
+)
+SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT th) AS n_distinct_texts,
+       (SELECT leaked FROM cross_split) AS cross_split_dup_texts
+FROM assigned GROUP BY split ORDER BY split
+"""
+
+
+QUERIES = {
+    "reservoir_sample": reservoir_sample,
+    "train_test_split": train_test_split,
+}
+
+ORACLES = {
+    "reservoir_sample": SQL_RESERVOIR_SAMPLE,
+    "train_test_split": SQL_TRAIN_TEST_SPLIT,
+}

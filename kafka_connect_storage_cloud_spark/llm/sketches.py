@@ -320,14 +320,92 @@ ORDER BY t.true_count DESC, t.token
 """
 
 
+# ---------------------------------------------------------------------------
+# hll_merge_invariant
+# ---------------------------------------------------------------------------
+
+def hll_merge_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeability proof for the HLL registers — the property that makes
+    the sketch valid on a 1000-executor cluster: registers built on two
+    disjoint halves of the stream (offset parity) and merged with MAX must
+    equal the registers built in one pass, bucket for bucket, and so must
+    the estimates. Mirrors rollup_incremental_merge's merge==recompute
+    invariant for the sketch domain."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", _user_hash("hll:").alias("h")
+    )
+    rho = ev.select(
+        "event_type",
+        (F.col("event_id") % 2).alias("half"),
+        (F.col("h") % HLL_M).alias("bucket"),
+        F.expr(f"h div {HLL_M}").alias("rem"),
+    ).withColumn(
+        "rho",
+        F.when(F.col("rem") == 0, F.lit(55)).otherwise(
+            F.lit(55) - F.length(F.bin(F.col("rem")))
+        ),
+    )
+    direct = rho.groupBy("event_type", "bucket").agg(F.max("rho").alias("reg_direct"))
+    halves = rho.groupBy("event_type", "half", "bucket").agg(F.max("rho").alias("reg"))
+    merged = halves.groupBy("event_type", "bucket").agg(F.max("reg").alias("reg_merged"))
+    cmp = direct.join(merged, ["event_type", "bucket"])
+    return (
+        cmp.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum((F.col("reg_direct") != F.col("reg_merged")).cast("long")).alias(
+                "n_register_diffs"
+            ),
+        )
+        .select(
+            "event_type",
+            "n_buckets",
+            "n_register_diffs",
+            (F.col("n_register_diffs") == 0).alias("merge_ok"),
+        )
+    )
+
+
+SQL_HLL_MERGE_INVARIANT = f"""
+WITH hashed AS (
+  SELECT event_type, event_id % 2 AS half,
+         {_sql_user_hash('hll:')} % {HLL_M} AS bucket,
+         {_sql_user_hash('hll:')} // {HLL_M} AS rem
+  FROM events
+),
+rho AS (
+  SELECT event_type, half, bucket,
+         CASE WHEN rem = 0 THEN 55 ELSE 55 - LENGTH(bin(rem)) END AS rho
+  FROM hashed
+),
+direct AS (
+  SELECT event_type, bucket, MAX(rho) AS reg_direct FROM rho GROUP BY 1, 2
+),
+halves AS (
+  SELECT event_type, half, bucket, MAX(rho) AS reg FROM rho GROUP BY 1, 2, 3
+),
+merged AS (
+  SELECT event_type, bucket, MAX(reg) AS reg_merged FROM halves GROUP BY 1, 2
+)
+SELECT d.event_type,
+       COUNT(*) AS n_buckets,
+       SUM(CASE WHEN d.reg_direct <> m.reg_merged THEN 1 ELSE 0 END) AS n_register_diffs,
+       SUM(CASE WHEN d.reg_direct <> m.reg_merged THEN 1 ELSE 0 END) = 0 AS merge_ok
+FROM direct d JOIN merged m ON d.event_type = m.event_type AND d.bucket = m.bucket
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "kmv_distinct": kmv_distinct,
     "hll_distinct": hll_distinct,
     "cms_heavy_hitters": cms_heavy_hitters,
+    "hll_merge_invariant": hll_merge_invariant,
 }
 
 ORACLES = {
     "kmv_distinct": SQL_KMV_DISTINCT,
     "hll_distinct": SQL_HLL_DISTINCT,
     "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
+    "hll_merge_invariant": SQL_HLL_MERGE_INVARIANT,
 }
