@@ -80,27 +80,19 @@ def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     norm = H.h60(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     assigned = docs.select(split.alias("split"), norm.alias("th"))
-    cross = (
-        assigned.groupBy("th")
-        .agg(F.countDistinct("split").alias("n_splits"))
-        .filter(F.col("n_splits") > 1)
-        .agg(F.count(F.lit(1)).alias("leaked"))
-    )
-    per_split = assigned.groupBy("split").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.countDistinct("th").alias("n_distinct_texts"),
-    )
-    # attach the 1-row audit scalar via an equi-join on a literal key
-    # (BroadcastHashJoin, not a nested-loop cross join)
+    # one shuffle on th: per-text distinct-split count, joined back to the
+    # per-(split, text) pairs on the same key (co-partitioned equi-join)
+    th_splits = assigned.groupBy("th").agg(F.countDistinct("split").alias("n_splits"))
+    pairs = assigned.groupBy("split", "th").agg(F.count(F.lit(1)).alias("n_docs_text"))
+    audited = pairs.join(th_splits, "th")
     return (
-        per_split.withColumn("jk", F.lit(1))
-        .join(F.broadcast(cross.withColumn("jk", F.lit(1))), "jk")
-        .select(
-            "split",
-            "n_docs",
-            "n_distinct_texts",
-            F.col("leaked").alias("cross_split_dup_texts"),
+        audited.groupBy("split")
+        .agg(
+            F.sum("n_docs_text").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_distinct_texts"),
+            F.sum((F.col("n_splits") > 1).cast("long")).alias("leaked_texts"),
         )
+        .select("split", "n_docs", "n_distinct_texts", "leaked_texts")
     )
 
 
@@ -119,14 +111,18 @@ WITH assigned AS (
          {_SQL_TEXT_HASH} AS th
   FROM documents
 ),
-cross_split AS (
-  SELECT COUNT(*) AS leaked FROM (
-    SELECT th FROM assigned GROUP BY th HAVING COUNT(DISTINCT split) > 1
-  )
+th_splits AS (
+  SELECT th, COUNT(DISTINCT split) AS n_splits FROM assigned GROUP BY th
+),
+pairs AS (
+  SELECT split, th, COUNT(*) AS n_docs_text FROM assigned GROUP BY 1, 2
 )
-SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT th) AS n_distinct_texts,
-       (SELECT leaked FROM cross_split) AS cross_split_dup_texts
-FROM assigned GROUP BY split ORDER BY split
+SELECT p.split,
+       SUM(p.n_docs_text) AS n_docs,
+       COUNT(*) AS n_distinct_texts,
+       SUM(CASE WHEN s.n_splits > 1 THEN 1 ELSE 0 END) AS leaked_texts
+FROM pairs p JOIN th_splits s USING (th)
+GROUP BY 1 ORDER BY 1
 """
 
 
