@@ -365,3 +365,46 @@ def test_rotate_interval_transform_with_state_matches_batch(spark, sf_small, tmp
         .collect()
     }
     assert got == expected
+
+
+def test_hll_register_store_matches_batch(spark, sf_small, tmp_path):
+    """Streaming HLL maintenance: registers MAX-merged across three
+    micro-batches equal the one-pass batch registers exactly (mergeability
+    exploited live — the sketch analog of rollup_incremental_merge)."""
+    import os
+
+    from kafka_connect_storage_cloud_spark.session import read_events
+    from kafka_connect_storage_cloud_spark.streaming.sketch import (
+        hll_partial_registers,
+        hll_register_store_stream,
+    )
+
+    ev = read_events(spark, sf_small).select("event_id", "user_id", "event_type")
+    expected = {
+        (r["event_type"], r["bucket"]): r["reg"]
+        for r in hll_partial_registers(ev).collect()
+    }
+
+    src = tmp_path / "sketch_chunks"
+    src.mkdir()
+    pdf = ev.orderBy("event_id").toPandas()
+    n = len(pdf)
+    cuts = (pdf.iloc[: n // 3], pdf.iloc[n // 3 : 2 * n // 3], pdf.iloc[2 * n // 3 :])
+    for i, chunk in enumerate(cuts):
+        p = str(src / f"chunk{i}.parquet")
+        chunk.to_parquet(p, index=False)
+        os.utime(p, (1_000_000_000 + i * 100, 1_000_000_000 + i * 100))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    store = str(tmp_path / "hll_store")
+    q = hll_register_store_stream(stream, store, str(tmp_path / "ckpt_hll"))
+    q.awaitTermination(180)
+    got = {
+        (r["event_type"], r["bucket"]): r["reg"]
+        for r in spark.read.parquet(store).collect()
+    }
+    assert got == expected
