@@ -568,9 +568,103 @@ ORDER BY d.vec_id
 """
 
 
+CSCALE = 10**4  # centroid-op quantization: keeps dot(v, sum_vec) and
+# dot(sum_vec, sum_vec) inside int64 even with |label| ~ 1e4 members
+# (1.2e4 comps -> sum 1.2e8; products 1.5e12 * 64 dims ~ 1e14). At larger
+# label cardinalities switch the accumulator to decimal128 — the plan
+# shape is unchanged.
+OUTLIER_BOTTOM_K = 5
+
+
+def embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality audit: cosine of every vector to its own label's
+    centroid; the bottom-k per label are mislabeling / noise candidates
+    (the screen run before trusting labels for supervised filtering).
+
+    cosine(v, centroid) == cosine(v, component-sum) — the 1/n cancels — so
+    the centroid never needs a division: component sums stay exact int64.
+    One posexplode shuffle on (label, dim) builds the |labels| x dim sum
+    table (tiny), broadcast back against the corpus; the bottom-k window
+    runs per label on |label| rows."""
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr(
+            f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {CSCALE}, 0) AS BIGINT))"
+        ).alias("v"),
+    )
+    comp = emb.select("label", F.posexplode("v").alias("dim", "val"))
+    sums = comp.groupBy("label", "dim").agg(F.sum("val").alias("s"))
+    svec = sums.groupBy("label").agg(
+        F.expr("transform(array_sort(collect_list(struct(dim, s))), p -> p.s)").alias(
+            "sv"
+        ),
+        F.count(F.lit(1)).alias("_dims"),
+    )
+    dot_vs = (
+        "CAST(aggregate(zip_with(v, sv, (x, y) -> x * y), CAST(0 AS BIGINT),"
+        " (acc, p) -> acc + p) AS DOUBLE)"
+    )
+    dot_ss = (
+        "CAST(aggregate(zip_with(sv, sv, (x, y) -> x * y), CAST(0 AS BIGINT),"
+        " (acc, p) -> acc + p) AS DOUBLE)"
+    )
+    dot_vv = (
+        "CAST(aggregate(zip_with(v, v, (x, y) -> x * y), CAST(0 AS BIGINT),"
+        " (acc, p) -> acc + p) AS DOUBLE)"
+    )
+    scored = emb.join(F.broadcast(svec.select("label", "sv")), "label").withColumn(
+        "cos_centroid",
+        F.floor(
+            (F.expr(dot_vs) / (F.sqrt(F.expr(dot_vv)) * F.sqrt(F.expr(dot_ss))))
+            * 1000000.0
+            + F.lit(0.5)
+        )
+        / 1000000.0,
+    )
+    w = Window.partitionBy("label").orderBy(F.asc("cos_centroid"), F.asc("vec_id"))
+    return (
+        scored.withColumn("outlier_rank", F.row_number().over(w))
+        .filter(F.col("outlier_rank") <= OUTLIER_BOTTOM_K)
+        .select("label", "outlier_rank", "vec_id", "cos_centroid")
+        .orderBy("label", "outlier_rank")
+    )
+
+
+_SQL_CDOT = "CAST(list_sum(list_transform(list_zip({a}, {b}), s -> s[1] * s[2])) AS DOUBLE)"
+
+SQL_EMBEDDING_CENTROID_OUTLIERS = f"""
+WITH emb AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {CSCALE}, 0) AS BIGINT)) AS v
+  FROM embeddings
+),
+comp AS (
+  SELECT label, vec_id, UNNEST(v) AS val, generate_subscripts(v, 1) AS dim FROM emb
+),
+sums AS (SELECT label, dim, SUM(val) AS s FROM comp GROUP BY 1, 2),
+svec AS (SELECT label, list(s ORDER BY dim) AS sv FROM sums GROUP BY 1),
+scored AS (
+  SELECT e.vec_id, e.label,
+         floor(({_SQL_CDOT.format(a='e.v', b='c.sv')} /
+                (sqrt({_SQL_CDOT.format(a='e.v', b='e.v')}) * sqrt({_SQL_CDOT.format(a='c.sv', b='c.sv')})))
+               * 1000000.0 + 0.5) / 1000000.0 AS cos_centroid
+  FROM emb e JOIN svec c USING (label)
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY label ORDER BY cos_centroid, vec_id) AS outlier_rank
+  FROM scored
+)
+SELECT label, outlier_rank, vec_id, cos_centroid
+FROM ranked WHERE outlier_rank <= {OUTLIER_BOTTOM_K}
+ORDER BY label, outlier_rank
+"""
+
+
 ORACLES = {
     "embedding_cosine_dups": SQL_EMBEDDING_COSINE_DUPS,
     "knn_triangle_count": SQL_KNN_TRIANGLE_COUNT,
+    "embedding_centroid_outliers": SQL_EMBEDDING_CENTROID_OUTLIERS,
     "knn_graph_mutual": SQL_KNN_GRAPH_MUTUAL,
     "knn_pagerank_step": SQL_KNN_PAGERANK_STEP,
     "ann_topk_bruteforce": SQL_ANN_TOPK_BRUTEFORCE,
