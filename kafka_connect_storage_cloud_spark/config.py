@@ -143,6 +143,14 @@ class ConnectorConfig:
                 raise ValueError(f"{attr.replace('_', '.')} {v!r} not supported")
         if self.max_files_scan_limit < 1:
             raise ValueError("max.files.scan.limit must be >= 1")
+        if self.behavior_on_null_values == "write" and not self.store_kafka_keys:
+            # reference S3SinkConnectorValidator.validateTombstoneWriter:
+            # a tombstone has no value, so the record key MUST be stored or
+            # the written file carries no information
+            raise ValueError(
+                "store.kafka.keys=true is mandatory when "
+                "behavior.on.null.values=write (tombstone writing)"
+            )
         if self.behavior_on_tagging_error not in ("ignore", "fail"):
             raise ValueError(
                 f"s3.object.behavior.on.tagging.error {self.behavior_on_tagging_error!r}"

@@ -102,6 +102,7 @@ def test_properties_tombstone_write_routes_nulls(spark, sf_small):
         {
             "partitioner.class": "io.confluent.connect.storage.partitioner.DailyPartitioner",
             "behavior.on.null.values": "write",
+            "store.kafka.keys": "true",
         }
     )
     rec = events_as_topic(spark, sf_small).withColumn(
@@ -133,6 +134,7 @@ def test_properties_affix_and_tombstone_partition(spark, sf_small):
             "partitioner.class": "io.confluent.connect.storage.partitioner.DailyPartitioner",
             "s3.schema.partition.affix.type": "SUFFIX",
             "behavior.on.null.values": "write",
+            "store.kafka.keys": "true",
             "tombstone.encoded.partition": "null-records",
         }
     )
@@ -144,3 +146,16 @@ def test_properties_affix_and_tombstone_partition(spark, sf_small):
     nulls = rec.where(F.col("value").isNull())
     if nulls.count():
         assert nulls.select("encoded_partition").distinct().first()[0] == "null-records"
+
+
+def test_tombstone_write_requires_stored_keys():
+    """S3SinkConnectorValidator.validateTombstoneWriter: tombstone writing
+    without stored keys is a config error."""
+    import pytest
+
+    with pytest.raises(ValueError, match="store.kafka.keys"):
+        parse_properties({"behavior.on.null.values": "write"})
+    cfg = parse_properties(
+        {"behavior.on.null.values": "write", "store.kafka.keys": "true"}
+    )
+    assert cfg.behavior_on_null_values == "write"
