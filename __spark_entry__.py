@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": LC.dedup_keep_best,
         "dedup_semantic": LC.dedup_semantic,
         "dedup_exact": LD.dedup_exact,
+        "dup_source_matrix": LD.dup_source_matrix,
         "dedup_minhash_lsh": LD.dedup_minhash_lsh,
         "dedup_incremental": LD.dedup_incremental,
         "minhash_jaccard_est": LD.minhash_jaccard_est,

@@ -445,8 +445,51 @@ ORDER BY new_doc, index_doc
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# dup_source_matrix — cross-source duplication forensics
+# ---------------------------------------------------------------------------
+
+def dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources copy from each other: for every source pair (a < b),
+    the number of distinct normalized texts present in BOTH — the corpus
+    forensics that decides which feed to drop when two scrapes overlap.
+
+    One shuffle on the content hash (the same key dedup_exact clusters on);
+    the self-join runs on the distinct (hash, source) table — bounded by
+    |texts| x sources-per-text, never |docs|² — and the pair rollup output
+    is |sources|² rows at most."""
+    docs = read_table(spark, sf_dir, "documents")
+    hs = docs.select(
+        F.md5(_normalized()).alias("content_hash"), "source"
+    ).distinct()
+    a = hs.select(F.col("content_hash"), F.col("source").alias("source_a"))
+    b = hs.select(F.col("content_hash"), F.col("source").alias("source_b"))
+    return (
+        a.join(b, "content_hash")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_texts"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+SQL_DUP_SOURCE_MATRIX = """
+WITH hs AS (
+  SELECT DISTINCT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS content_hash,
+         source
+  FROM documents
+)
+SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared_texts
+FROM hs a JOIN hs b ON a.content_hash = b.content_hash AND a.source < b.source
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
+    "dup_source_matrix": SQL_DUP_SOURCE_MATRIX,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
     "minhash_jaccard_est": SQL_MINHASH_JACCARD_EST,
     "dedup_simhash": SQL_DEDUP_SIMHASH,

@@ -521,3 +521,111 @@ ORDER BY event_type, day
 
 QUERIES["events_dod_growth"] = events_dod_growth
 ORACLES["events_dod_growth"] = SQL_EVENTS_DOD_GROWTH
+
+
+# ---------------------------------------------------------------------------
+# events_anomaly_mad — robust (median/MAD) outliers, zero floating point
+# ---------------------------------------------------------------------------
+
+MAD_K = 5  # |v - median| >= MAD_K * MAD flags an outlier
+
+
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outliers via median absolute deviation — the screen
+    that survives the heavy-tailed value distributions that wreck z-scores
+    (events_anomaly's mean/sd are dragged by the outliers themselves).
+
+    Exactness: values quantize to scaled int64 (decimal 1e4); the median is
+    carried as lo+hi of the two middle ranks (2x median, exact int) and the
+    MAD as lo+hi of the deviation median (4x MAD, exact int), so the outlier
+    test 2*dev2 >= K * mad4 is pure integer comparison — NO floating point
+    anywhere in the decision. Two per-type sorted windows (the same
+    shuffle+sort class as sessionize); the middle-rank picks are one
+    conditional aggregation each.
+    """
+    ev = read_events(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        (F.col("value").cast("decimal(10,4)") * 10000).cast("bigint").alias("v"),
+    )
+    wv = Window.partitionBy("event_type").orderBy("v", "event_id")
+    ranked = ev.withColumn("rn", F.row_number().over(wv)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    )
+    med = ranked.groupBy("event_type").agg(
+        (
+            F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("v")))
+            + F.max(F.when(F.col("rn") == F.expr("(n + 2) div 2"), F.col("v")))
+        ).alias("med2")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "dev2", F.abs(F.lit(2) * F.col("v") - F.col("med2"))
+    )
+    wd = Window.partitionBy("event_type").orderBy("dev2", "event_id")
+    dranked = dev.withColumn("rn", F.row_number().over(wd)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    )
+    mad = dranked.groupBy("event_type").agg(
+        (
+            F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("dev2")))
+            + F.max(F.when(F.col("rn") == F.expr("(n + 2) div 2"), F.col("dev2")))
+        ).alias("mad4")
+    )
+    out = (
+        dev.join(F.broadcast(mad), "event_type")
+        .where(F.lit(2) * F.col("dev2") >= F.lit(MAD_K) * F.col("mad4"))
+        .select(
+            "event_id",
+            "event_type",
+            (F.col("v").cast("double") / 10000.0).alias("value_r"),
+            (F.col("med2").cast("double") / 20000.0).alias("median"),
+            (F.col("mad4").cast("double") / 40000.0).alias("mad"),
+        )
+        .orderBy("event_id")
+    )
+    return out
+
+
+SQL_EVENTS_ANOMALY_MAD = f"""
+WITH ev AS (
+  SELECT event_id, event_type,
+         CAST(CAST("value" AS DECIMAL(10,4)) * 10000 AS BIGINT) AS v
+  FROM events
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM ev
+),
+med AS (
+  SELECT event_type,
+         MAX(CASE WHEN rn = (n + 1) // 2 THEN v END)
+         + MAX(CASE WHEN rn = (n + 2) // 2 THEN v END) AS med2
+  FROM ranked GROUP BY 1
+),
+dev AS (
+  SELECT e.*, ABS(2 * e.v - m.med2) AS dev2, m.med2
+  FROM ev e JOIN med m USING (event_type)
+),
+dranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev2, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM dev
+),
+mad AS (
+  SELECT event_type,
+         MAX(CASE WHEN rn = (n + 1) // 2 THEN dev2 END)
+         + MAX(CASE WHEN rn = (n + 2) // 2 THEN dev2 END) AS mad4
+  FROM dranked GROUP BY 1
+)
+SELECT d.event_id, d.event_type,
+       CAST(d.v AS DOUBLE) / 10000.0 AS value_r,
+       CAST(d.med2 AS DOUBLE) / 20000.0 AS median,
+       CAST(a.mad4 AS DOUBLE) / 40000.0 AS mad
+FROM dev d JOIN mad a USING (event_type)
+WHERE 2 * d.dev2 >= {MAD_K} * a.mad4
+ORDER BY d.event_id
+"""
+
+QUERIES["events_anomaly_mad"] = events_anomaly_mad
+ORACLES["events_anomaly_mad"] = SQL_EVENTS_ANOMALY_MAD
