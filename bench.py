@@ -90,9 +90,12 @@ def main() -> None:
     try:
         run_connector(spark, props, sf_dir=sf_dir, output_path=out).collect()  # warm
         shutil.rmtree(out)
-        t0 = time.perf_counter()
-        run_connector(spark, props, sf_dir=sf_dir, output_path=out).collect()
-        sink_sec = round(time.perf_counter() - t0, 3)
+        sink_sec = float("inf")
+        for _ in range(2):  # same min-of-2 steady-state convention as queries
+            t0 = time.perf_counter()
+            run_connector(spark, props, sf_dir=sf_dir, output_path=out).collect()
+            sink_sec = min(sink_sec, round(time.perf_counter() - t0, 3))
+            shutil.rmtree(out)
     finally:
         shutil.rmtree(out, ignore_errors=True)
     timings["sink_connector_parquet"] = sink_sec
