@@ -629,3 +629,55 @@ ORDER BY d.event_id
 
 QUERIES["events_anomaly_mad"] = events_anomaly_mad
 ORACLES["events_anomaly_mad"] = SQL_EVENTS_ANOMALY_MAD
+
+
+# ---------------------------------------------------------------------------
+# events_dau_mau — active-user stickiness
+# ---------------------------------------------------------------------------
+
+def events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users joined to the month's exact MAU plus the
+    stickiness ratio (dau/mau) — the product-analytics rollup every event
+    stream feeds.
+
+    Exact distincts at two granularities: per-day and per-month, each one
+    map-side-partial-aggregated shuffle keyed by (period, user). At 100 TB
+    the month-level exact distinct is the expensive leg — swap in the
+    mergeable HLL registers (llm/sketches.py) for the dashboard variant and
+    keep this exact op as its small-SF audit."""
+    ev = read_events(spark, sf_dir).select(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+        F.to_date(F.date_trunc("month", F.col("ts"))).alias("month"),
+        "user_id",
+    )
+    dau = ev.groupBy("month", "day").agg(F.countDistinct("user_id").alias("dau"))
+    mau = ev.groupBy("month").agg(F.countDistinct("user_id").alias("mau"))
+    return (
+        dau.join(F.broadcast(mau), "month")
+        .select(
+            "day",
+            "dau",
+            "mau",
+            (F.floor((F.col("dau").cast("double") / F.col("mau").cast("double"))
+                     * 1000000.0 + F.lit(0.5)) / 1000000.0).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
+SQL_EVENTS_DAU_MAU = """
+WITH ev AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(date_trunc('month', ts) AS DATE) AS month, user_id
+  FROM events
+),
+dau AS (SELECT month, day, COUNT(DISTINCT user_id) AS dau FROM ev GROUP BY 1, 2),
+mau AS (SELECT month, COUNT(DISTINCT user_id) AS mau FROM ev GROUP BY 1)
+SELECT d.day, d.dau, m.mau,
+       (floor((CAST(d.dau AS DOUBLE) / CAST(m.mau AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0) AS stickiness
+FROM dau d JOIN mau m USING (month)
+ORDER BY d.day
+"""
+
+QUERIES["events_dau_mau"] = events_dau_mau
+ORACLES["events_dau_mau"] = SQL_EVENTS_DAU_MAU
