@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rotation_scheduled": C.rotation_scheduled_plan,
         "rotation_interval": C.rotation_interval_plan,  # oracle: recursive CTE
         "rotation_partition_change": C.rotation_partition_change_plan,
+        "rotation_schema_change": C.rotation_schema_change_plan,
         "exactly_once_manifest": C.exactly_once_manifest_plan,
         "tombstone_routing": C.tombstone_routing_plan,
         "kv_header_views": C.kv_header_views_plan,
@@ -337,6 +338,35 @@ FROM walk GROUP BY 1 ORDER BY 1""",
         "exactly_once_manifest": _manifest(
             "'partition=' || CAST(kafka_partition AS VARCHAR)", _FLUSH_SEQ, _REPLAYED_RECORDS
         ),
+        # schema-change rotation: islands of constant (enc, version) per
+        # kafka partition; grouping by (enc, version, island) makes each
+        # island one file with a unique start offset
+        "rotation_schema_change": f"""{_RECORDS},
+enc AS (
+  SELECT *, 'event_type=' || event_type AS encoded_partition,
+         1 + ("offset" // 256) % 2 AS schema_version
+  FROM records
+),
+seq AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY kafka_partition ORDER BY "offset")
+         - ROW_NUMBER() OVER (PARTITION BY kafka_partition, encoded_partition, schema_version
+                              ORDER BY "offset") AS isl
+  FROM enc
+),
+files AS (
+  SELECT *, MIN("offset") OVER (PARTITION BY kafka_partition, encoded_partition, schema_version, isl)
+            AS file_start_offset
+  FROM seq
+)
+SELECT topic || '/' || encoded_partition || '/' || topic || '+' ||
+       CAST(kafka_partition AS VARCHAR) || '+' || printf('%010d', file_start_offset) || '.parquet'
+         AS file_path,
+       CAST(schema_version AS INT) AS schema_version,
+       COUNT(*) AS record_count,
+       MIN("offset") AS min_offset,
+       MAX("offset") AS max_offset
+FROM files GROUP BY 1, 2 ORDER BY 1""",
         "tombstone_routing": f"""{_RECORDS},
 with_tombstones AS (
   SELECT *, CASE WHEN "offset" % 50 = 0 THEN NULL ELSE "value" END AS value2 FROM records

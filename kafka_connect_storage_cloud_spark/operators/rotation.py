@@ -193,3 +193,28 @@ def file_manifest(assigned: DataFrame) -> DataFrame:
         F.min("offset").alias("min_offset"),
         F.max("offset").alias("max_offset"),
     )
+
+
+def assign_files_run_change(
+    records: DataFrame, run_cols: list[str], ext: str = "parquet"
+) -> DataFrame:
+    """Generalized run-boundary rotation: a file holds a maximal run of
+    consecutive offsets over which ALL run_cols stay constant. With
+    run_cols=[encoded_partition] this is partition-change rotation; adding
+    schema_version mirrors the reference's rotate-on-schema-change
+    (TopicPartitionWriter.java:473 shouldChangeSchema — a file never mixes
+    record schemas, so a version flip closes the file exactly like an
+    encoded-partition change). Same single-shuffle lag + running-sum shape
+    as assign_files_partition_change."""
+    wk = Window.partitionBy("kafka_partition").orderBy("offset")
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in run_cols])
+    prev = F.lag(key).over(wk)
+    flag = F.when(prev.isNull() | (key != prev), 1).otherwise(0)
+    run = F.sum(flag).over(wk.rowsBetween(Window.unboundedPreceding, 0)) - F.lit(1)
+    out = records.withColumn("file_seq", run.cast("bigint"))
+    wf = Window.partitionBy("kafka_partition", "file_seq")
+    out = out.withColumn("file_start_offset", F.min("offset").over(wf))
+    return out.withColumn(
+        "file_path",
+        F.concat(F.col("topic"), F.lit("/"), F.col("encoded_partition"), F.lit("/"), _file_name(ext)),
+    )

@@ -248,3 +248,31 @@ def duration_partitioner_plan(
     )
     rec = events_as_topic(spark, sf_dir)
     return _summarize(rec.withColumn("encoded_partition", P.partitioner_expr(cfg)))
+
+
+def rotation_schema_change_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rotate on schema change (TopicPartitionWriter.java:473
+    shouldChangeSchema): a file never mixes record schema versions. The
+    synthetic deployment flips versions in offset bursts (div 256), so
+    files are maximal runs of constant (encoded_partition, schema_version)
+    per kafka partition; the manifest carries the version each file holds."""
+    rec = (
+        events_as_topic(spark, sf_dir)
+        .withColumn("encoded_partition", P.field_partitioner(["event_type"]))
+        .withColumn(
+            "schema_version",
+            (F.lit(1) + F.pmod(F.floor(F.col("offset") / 256), F.lit(2))).cast("int"),
+        )
+    )
+    assigned = R.assign_files_run_change(
+        rec, ["encoded_partition", "schema_version"]
+    )
+    return (
+        assigned.groupBy("file_path", "schema_version")
+        .agg(
+            F.count(F.lit(1)).alias("record_count"),
+            F.min("offset").alias("min_offset"),
+            F.max("offset").alias("max_offset"),
+        )
+        .orderBy("file_path")
+    )
