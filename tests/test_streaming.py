@@ -408,3 +408,35 @@ def test_hll_register_store_matches_batch(spark, sf_small, tmp_path):
         for r in spark.read.parquet(store).collect()
     }
     assert got == expected
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_small, batch_events, tmp_path):
+    """Stream-static broadcast join: per-record dimension enrichment in
+    micro-batches equals the batch join exactly (no dropped/duplicated
+    rows, same attribute values)."""
+    from kafka_connect_storage_cloud_spark.session import read_table
+    from kafka_connect_storage_cloud_spark.streaming.pipeline import (
+        enrich_stream,
+        stream_events_source,
+    )
+
+    dim = read_table(spark, sf_small, "customer")
+    expected = {
+        (r["event_id"], r["c_mktsegment"], r["c_nationkey"])
+        for r in enrich_stream(batch_events, dim).collect()
+    }
+    q = (
+        enrich_stream(stream_events_source(spark, sf_small), dim)
+        .writeStream.format("memory")
+        .queryName("enrich_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_enrich"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["event_id"], r["c_mktsegment"], r["c_nationkey"])
+        for r in spark.table("enrich_test").collect()
+    }
+    assert got == expected
