@@ -681,3 +681,120 @@ ORDER BY d.day
 
 QUERIES["events_dau_mau"] = events_dau_mau
 ORACLES["events_dau_mau"] = SQL_EVENTS_DAU_MAU
+
+
+# ---------------------------------------------------------------------------
+# events_markov_transitions — event-type transition matrix
+# ---------------------------------------------------------------------------
+
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event-type
+    sequence: counts and row-normalized probabilities for every observed
+    (from_type -> to_type) pair — the sequence model behind funnel design
+    and next-action prediction baselines.
+
+    One shuffle on user_id for the lag; the transition rollup then
+    aggregates |types|² rows map-side. The probability is one fixed-order
+    double division against the broadcast per-from totals."""
+    ev = read_events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("from_type", F.lag("event_type").over(w))
+        .where(F.col("from_type").isNotNull())
+        .select("from_type", F.col("event_type").alias("to_type"))
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    totals = counts.groupBy("from_type").agg(F.sum("n_transitions").alias("n_from"))
+    return (
+        counts.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            "n_from",
+            (F.floor((F.col("n_transitions").cast("double") / F.col("n_from").cast("double"))
+                     * 1000000.0 + F.lit(0.5)) / 1000000.0).alias("p_transition"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+SQL_EVENTS_MARKOV_TRANSITIONS = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+  FROM events
+),
+counts AS (
+  SELECT from_type, event_type AS to_type, COUNT(*) AS n_transitions
+  FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2
+),
+totals AS (SELECT from_type, SUM(n_transitions) AS n_from FROM counts GROUP BY 1)
+SELECT c.from_type, c.to_type, c.n_transitions, t.n_from,
+       (floor((CAST(c.n_transitions AS DOUBLE) / CAST(t.n_from AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0)
+         AS p_transition
+FROM counts c JOIN totals t USING (from_type)
+ORDER BY c.from_type, c.to_type
+"""
+
+QUERIES["events_markov_transitions"] = events_markov_transitions
+ORACLES["events_markov_transitions"] = SQL_EVENTS_MARKOV_TRANSITIONS
+
+
+# ---------------------------------------------------------------------------
+# events_inter_arrival — per-type inter-arrival gap distribution
+# ---------------------------------------------------------------------------
+
+def events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type inter-arrival gaps within each user's stream:
+    count/mean/quartiles of the gap in milliseconds — the cadence profile
+    that feeds session-gap and watermark tuning. Quartile interpolation
+    factors (0.25/0.5/0.75) are exact in binary floating point over
+    integer millisecond gaps, so both engines agree bit-for-bit."""
+    ev = read_events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = (
+        ev.withColumn("prev_ms", F.unix_millis(F.lag("ts").over(w)))
+        .where(F.col("prev_ms").isNotNull())
+        .select(
+            "event_type", (F.unix_millis("ts") - F.col("prev_ms")).alias("gap_ms")
+        )
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            (F.floor((F.sum("gap_ms").cast("double") / F.count(F.lit(1)))
+                     * 1000000.0 + F.lit(0.5)) / 1000000.0).alias("mean_gap_ms"),
+            F.expr("percentile(gap_ms, 0.25)").alias("p25_gap_ms"),
+            F.expr("percentile(gap_ms, 0.5)").alias("median_gap_ms"),
+            F.expr("percentile(gap_ms, 0.75)").alias("p75_gap_ms"),
+            F.max("gap_ms").alias("max_gap_ms"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_EVENTS_INTER_ARRIVAL = """
+WITH seq AS (
+  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms,
+         LAG(epoch_ms(ts)) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev_ms
+  FROM events
+),
+gaps AS (
+  SELECT event_type, ts_ms - prev_ms AS gap_ms FROM seq WHERE prev_ms IS NOT NULL
+)
+SELECT event_type,
+       COUNT(*) AS n_gaps,
+       (floor((CAST(SUM(gap_ms) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0) AS mean_gap_ms,
+       quantile_cont(gap_ms, 0.25) AS p25_gap_ms,
+       quantile_cont(gap_ms, 0.5) AS median_gap_ms,
+       quantile_cont(gap_ms, 0.75) AS p75_gap_ms,
+       MAX(gap_ms) AS max_gap_ms
+FROM gaps GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["events_inter_arrival"] = events_inter_arrival
+ORACLES["events_inter_arrival"] = SQL_EVENTS_INTER_ARRIVAL
