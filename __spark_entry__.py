@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rotation_interval": C.rotation_interval_plan,  # oracle: recursive CTE
         "rotation_partition_change": C.rotation_partition_change_plan,
         "rotation_schema_change": C.rotation_schema_change_plan,
+        "erasure_rewrite_plan": C.erasure_rewrite_plan,
         "exactly_once_manifest": C.exactly_once_manifest_plan,
         "tombstone_routing": C.tombstone_routing_plan,
         "kv_header_views": C.kv_header_views_plan,
@@ -338,6 +339,25 @@ FROM walk GROUP BY 1 ORDER BY 1""",
         "exactly_once_manifest": _manifest(
             "'partition=' || CAST(kafka_partition AS VARCHAR)", _FLUSH_SEQ, _REPLAYED_RECORDS
         ),
+        "erasure_rewrite_plan": f"""{_RECORDS},
+enc AS (SELECT *, 'event_type=' || event_type AS encoded_partition FROM records),
+seq AS (SELECT *, {_FLUSH_SEQ} AS file_seq FROM enc),
+files AS (SELECT *, MIN("offset") OVER (PARTITION BY kafka_partition, encoded_partition, file_seq)
+                    AS file_start_offset FROM seq),
+per_file AS (
+  SELECT topic || '/' || encoded_partition || '/' || topic || '+' ||
+         CAST(kafka_partition AS VARCHAR) || '+' || printf('%010d', file_start_offset) || '.parquet'
+           AS file_path,
+         COUNT(*) AS record_count,
+         SUM(CASE WHEN CAST(('0x' || substr(md5('erase:' || "key"), 1, 8)) AS BIGINT) % 97 = 0
+                  THEN 1 ELSE 0 END) AS n_erase
+  FROM files GROUP BY 1
+)
+SELECT file_path, record_count, n_erase,
+       n_erase > 0 AS needs_rewrite,
+       (floor((CAST(n_erase AS DOUBLE) / CAST(record_count AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0)
+         AS erase_share
+FROM per_file ORDER BY file_path""",
         # schema-change rotation: islands of constant (enc, version) per
         # kafka partition; grouping by (enc, version, island) makes each
         # island one file with a unique start offset

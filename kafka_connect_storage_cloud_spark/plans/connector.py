@@ -276,3 +276,39 @@ def rotation_schema_change_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("file_path")
     )
+
+
+ERASURE_MOD = 97  # synthetic deletion list: users with hash % 97 == 0
+
+
+def erasure_rewrite_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure planner over immutable landed files: given a
+    deletion list of record keys, report per file how many records must go
+    and whether the file needs a rewrite — the planning pass a GDPR delete
+    job runs against the commit manifest before touching any data (files
+    are immutable, so deletion means selective rewrite; the compacted-topic
+    analog is a tombstone, see log_compaction).
+
+    The deletion list joins the file assignment on the key hash it was
+    built from (broadcast — deletion lists are tiny vs the corpus); the
+    rollup is one groupBy per file. Only files with hits rewrite:
+    untouched files keep their exactly-once names."""
+    from ..functions import hashing as H
+
+    rec = events_as_topic(spark, sf_dir).withColumn(
+        "encoded_partition", P.field_partitioner(["event_type"])
+    )
+    assigned = R.assign_files_flush_size(rec, 100)
+    doomed = H.h32(F.concat(F.lit("erase:"), F.col("key"))) % ERASURE_MOD == 0
+    per_file = assigned.groupBy("file_path").agg(
+        F.count(F.lit(1)).alias("record_count"),
+        F.sum(doomed.cast("long")).alias("n_erase"),
+    )
+    return per_file.select(
+        "file_path",
+        "record_count",
+        "n_erase",
+        (F.col("n_erase") > 0).alias("needs_rewrite"),
+        (F.floor((F.col("n_erase").cast("double") / F.col("record_count").cast("double"))
+                 * 1000000.0 + F.lit(0.5)) / 1000000.0).alias("erase_share"),
+    ).orderBy("file_path")

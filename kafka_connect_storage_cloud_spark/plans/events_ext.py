@@ -798,3 +798,100 @@ FROM gaps GROUP BY 1 ORDER BY 1
 
 QUERIES["events_inter_arrival"] = events_inter_arrival
 ORACLES["events_inter_arrival"] = SQL_EVENTS_INTER_ARRIVAL
+
+
+# ---------------------------------------------------------------------------
+# ab_test_metrics — deterministic experiment split + Welch t statistic
+# ---------------------------------------------------------------------------
+
+def ab_test_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation surface: users split 50/50 into variants by salted
+    hash (replay-stable, engine-portable — never rand()), then per-variant
+    value stats and the Welch t statistic of the A-vs-B mean difference.
+    On this synthetic A/A split |t| should be small — the calibration check
+    an experimentation pipeline runs before trusting its assignment.
+
+    Moments come from exact decimal sums (the events_anomaly pattern), so
+    mean/variance/t are fixed-order IEEE doubles on both engines. One
+    map-side-combined aggregation; everything after runs on 2 rows."""
+    from ..functions import hashing as H
+
+    ev = read_events(spark, sf_dir).select("user_id", "value")
+    variant = F.when(
+        H.h32(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))) % 2 == 0, "A"
+    ).otherwise("B")
+    v = F.col("value").cast("decimal(10,4)")
+    stats = (
+        ev.withColumn("variant", variant)
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(v).alias("s"),
+            F.sum((v * v).cast("decimal(20,8)")).alias("q"),
+        )
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = (
+        F.col("q").cast("double") - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
+    ) / (F.col("n") - 1)
+    per = stats.select(
+        "variant",
+        "n",
+        (F.floor(mean * 1000000.0 + F.lit(0.5)) / 1000000.0).alias("mean_value"),
+        mean.alias("_m"),
+        var.alias("_v"),
+    )
+    a = per.where(F.col("variant") == "A").select(
+        F.col("n").alias("n_a"), F.col("mean_value").alias("mean_a"),
+        F.col("_m").alias("ma"), F.col("_v").alias("va"))
+    b = per.where(F.col("variant") == "B").select(
+        F.col("n").alias("n_b"), F.col("mean_value").alias("mean_b"),
+        F.col("_m").alias("mb"), F.col("_v").alias("vb"))
+    t = (F.col("ma") - F.col("mb")) / F.sqrt(
+        F.col("va") / F.col("n_a") + F.col("vb") / F.col("n_b")
+    )
+    # 1-row x 1-row combine: the nested loop touches exactly one pair by
+    # construction (allowlisted in the plan lint alongside the scalar
+    # subquery queries)
+    return (
+        a.crossJoin(b)
+        .select(
+            "n_a", "mean_a", "n_b", "mean_b",
+            (F.floor(t * 1000000.0 + F.lit(0.5)) / 1000000.0).alias("t_stat"),
+            (F.abs(t) < 2.0).alias("aa_calibrated"),
+        )
+    )
+
+
+SQL_AB_TEST_METRICS = """
+WITH ev AS (
+  SELECT CASE WHEN CAST(('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0
+              THEN 'A' ELSE 'B' END AS variant,
+         CAST("value" AS DECIMAL(10,4)) AS v
+  FROM events
+),
+stats AS (
+  SELECT variant, COUNT(*) AS n, SUM(v) AS s,
+         SUM(CAST(v * v AS DECIMAL(20,8))) AS q
+  FROM ev GROUP BY 1
+),
+per AS (
+  SELECT variant, n,
+         CAST(s AS DOUBLE) / n AS m,
+         (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1) AS var
+  FROM stats
+),
+ab AS (
+  SELECT a.n AS n_a, floor(a.m * 1000000.0 + 0.5) / 1000000.0 AS mean_a,
+         b.n AS n_b, floor(b.m * 1000000.0 + 0.5) / 1000000.0 AS mean_b,
+         (a.m - b.m) / sqrt(a.var / a.n + b.var / b.n) AS t
+  FROM per a JOIN per b ON a.variant = 'A' AND b.variant = 'B'
+)
+SELECT n_a, mean_a, n_b, mean_b,
+       floor(t * 1000000.0 + 0.5) / 1000000.0 AS t_stat,
+       ABS(t) < 2.0 AS aa_calibrated
+FROM ab
+"""
+
+QUERIES["ab_test_metrics"] = ab_test_metrics
+ORACLES["ab_test_metrics"] = SQL_AB_TEST_METRICS

@@ -325,6 +325,7 @@ _NESTED_LOOP_OK = {
     "zorder_file_skipping",       # zone-map range probe (|users| x |files|)
     "ann_topk_ivf_multiprobe",    # q nearest-cells probe (|queries| x |cells|)
     "corpus_prep_pipeline",       # language-mix weight table (|langs| rows)
+    "ab_test_metrics",            # 1-row x 1-row variant combine
 }
 
 
