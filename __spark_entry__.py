@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_jaccard_est": LD.minhash_jaccard_est,
         "dedup_simhash": LD.dedup_simhash,
         "ngram_jaccard": LD.ngram_jaccard,
+        "dedup_modality_agreement": LD.dedup_modality_agreement,
         **LSU.QUERIES,
         "embedding_cosine_dups": LS.embedding_cosine_dups,
         "ann_topk_bruteforce": LS.ann_topk_bruteforce,
@@ -539,6 +540,22 @@ SELECT * FROM ranked WHERE rank <= 5 ORDER BY event_type, rank""",
         # --- extended TPC-H + LLM (oracles live next to the implementations) ---
         "events_session_window_native": E.SQL_EVENTS_SESSION_WINDOW_NATIVE,
         "events_sliding_window": E.SQL_EVENTS_SLIDING_WINDOW,
+        # lexical vs semantic near-dup agreement: composes the two module
+        # oracles as subqueries over the aligned doc_id/vec_id key space
+        "dedup_modality_agreement": f"""
+SELECT n_text_pairs, n_emb_pairs, n_both,
+       n_text_pairs - n_both AS n_text_only,
+       n_emb_pairs - n_both AS n_emb_only,
+       (floor((CAST(n_both AS DOUBLE) / (n_text_pairs + n_emb_pairs - n_both)) * 1000000.0 + 0.5) / 1000000.0)
+         AS pair_set_jaccard
+FROM (
+  SELECT SUM(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS n_text_pairs,
+         SUM(CASE WHEN e.vec_a IS NOT NULL THEN 1 ELSE 0 END) AS n_emb_pairs,
+         SUM(CASE WHEN t.doc_a IS NOT NULL AND e.vec_a IS NOT NULL THEN 1 ELSE 0 END) AS n_both
+  FROM ({{ngram}}) t FULL JOIN ({{cos}}) e
+    ON t.doc_a = e.vec_a AND t.doc_b = e.vec_b
+)
+""".format(ngram=LD.SQL_NGRAM_JACCARD, cos=LS.SQL_EMBEDDING_COSINE_DUPS),
         **TX.ORACLES,
         **TX2.ORACLES,
         **SE.ORACLES,

@@ -487,6 +487,49 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# dedup_modality_agreement — lexical vs semantic near-dup cross-check
+# ---------------------------------------------------------------------------
+
+def dedup_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do the lexical and semantic dup detectors agree? Counts the near-dup
+    pairs flagged by the n-gram Jaccard path, by the embedding-cosine path,
+    and by both (documents and embeddings are doc_id-aligned), plus the
+    overlap Jaccard of the two pair sets. Divergence tells a curation
+    pipeline which detector to trust where: text-only hits are shared
+    boilerplate, embedding-only hits are paraphrases.
+
+    Runs entirely on the two (already bounded) candidate-pair outputs —
+    one full outer join on the pair key, then a single-row aggregate."""
+    from .similarity import embedding_cosine_dups  # local: avoid cycle
+
+    tp = ngram_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b"), F.lit(1).alias("is_text")
+    )
+    ep = embedding_cosine_dups(spark, sf_dir).select(
+        F.col("vec_a").alias("a"), F.col("vec_b").alias("b"), F.lit(1).alias("is_emb")
+    )
+    j = tp.join(ep, ["a", "b"], "full")
+    agg = j.agg(
+        F.sum(F.coalesce(F.col("is_text"), F.lit(0))).alias("n_text_pairs"),
+        F.sum(F.coalesce(F.col("is_emb"), F.lit(0))).alias("n_emb_pairs"),
+        F.sum((F.col("is_text").isNotNull() & F.col("is_emb").isNotNull()).cast("long")).alias("n_both"),
+    )
+    return agg.select(
+        "n_text_pairs",
+        "n_emb_pairs",
+        "n_both",
+        (F.col("n_text_pairs") - F.col("n_both")).alias("n_text_only"),
+        (F.col("n_emb_pairs") - F.col("n_both")).alias("n_emb_only"),
+        H.round6(
+            F.col("n_both").cast("double")
+            / (F.col("n_text_pairs") + F.col("n_emb_pairs") - F.col("n_both"))
+        ).alias("pair_set_jaccard"),
+    )
+
+
 ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dup_source_matrix": SQL_DUP_SOURCE_MATRIX,
