@@ -24,7 +24,12 @@ import json as _json
 import os
 import re
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import (
     IntegerType,
     LongType,
@@ -83,6 +88,70 @@ class ManifestReader(DataSourceReader):
                 )
 
 
+def _load_manifest_rows(root: str) -> dict:
+    """Current manifest as {file_path: full row tuple} (parsed fields
+    included). Missing sidecar -> empty (a tailer may start before the
+    first commit)."""
+    rows = {}
+    for shard in sorted(_glob.glob(os.path.join(root, "_manifest", "*.json"))):
+        with open(shard) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                row = _json.loads(line)
+                m = _FILE_KEY_RE.match(row["file_path"])
+                rows[row["file_path"]] = (
+                    row["file_path"],
+                    m.group("enc") if m else None,
+                    int(m.group("part")) if m else None,
+                    int(row["record_count"]),
+                    int(row["min_offset"]),
+                    int(row["max_offset"]),
+                )
+    return rows
+
+
+class ManifestStreamReader(SimpleDataSourceStreamReader):
+    """Streaming tailer over the commit manifest: each micro-batch emits the
+    files that are NEW or have GROWN (higher max_offset) since the last
+    checkpointed offset — landed_files_diff as a live source. The offset is
+    the {file_path: max_offset} watermark map (manifest-sized, never record
+    -sized); replays of an offset range re-emit identical rows, so the
+    downstream checkpointed query stays exactly-once."""
+
+    def __init__(self, options):
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError("connector_manifest requires a load(path)")
+
+    def initialOffset(self) -> dict:
+        return {"seen": "{}"}
+
+    def read(self, start: dict):
+        seen = _json.loads(start.get("seen", "{}"))
+        rows = _load_manifest_rows(self.root)
+        fresh = [
+            r
+            for path, r in sorted(rows.items())
+            if path not in seen or r[5] > seen[path]
+        ]
+        end = {"seen": _json.dumps({p: r[5] for p, r in sorted(rows.items())})}
+        return iter(fresh), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        seen = _json.loads(start.get("seen", "{}"))
+        target = _json.loads(end.get("seen", "{}"))
+        rows = _load_manifest_rows(self.root)
+        return iter(
+            r
+            for path, r in sorted(rows.items())
+            if path in target and (path not in seen or r[5] > seen[path])
+        )
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class ManifestDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -93,6 +162,9 @@ class ManifestDataSource(DataSource):
 
     def reader(self, schema) -> ManifestReader:
         return ManifestReader(self.options)
+
+    def simpleStreamReader(self, schema) -> ManifestStreamReader:
+        return ManifestStreamReader(self.options)
 
 
 def register(spark) -> None:
