@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph_mutual": LS.knn_graph_mutual,
         "knn_triangle_count": LS.knn_triangle_count,
         "embedding_centroid_outliers": LS.embedding_centroid_outliers,
+        "embedding_dim_stats": LS.embedding_dim_stats,
         "knn_pagerank_step": LS.knn_pagerank_step,
         "lang_id": LQ.lang_id,
         "lang_id_confusion": LQ.lang_id_confusion,

@@ -671,3 +671,53 @@ ORACLES = {
     "ann_topk_lsh": SQL_ANN_TOPK_LSH,
     "ann_recall_audit": SQL_ANN_RECALL_AUDIT,
 }
+
+
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension feature statistics (min/max/mean) — the normalization
+    table a feature-scaling step (standardize / min-max) fits before
+    training. Components quantize to scaled int64 (CSCALE), so the sums
+    are exact and the mean's single division is the only floating step.
+
+    One posexplode into (dim, val) pairs, one map-side-combined groupBy on
+    64 keys — the corpus streams once; output is |dims| rows."""
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        F.expr(
+            f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {CSCALE}, 0) AS BIGINT))"
+        ).alias("v")
+    )
+    comp = emb.select(F.posexplode("v").alias("dim", "val"))
+    return (
+        comp.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.min("val").cast("double") / CSCALE).alias("min_val"),
+            (F.max("val").cast("double") / CSCALE).alias("max_val"),
+            (
+                F.floor(
+                    (F.sum("val").cast("double") / (F.count(F.lit(1)) * F.lit(float(CSCALE))))
+                    * 1000000.0
+                    + F.lit(0.5)
+                )
+                / 1000000.0
+            ).alias("mean_val"),
+        )
+        .orderBy("dim")
+    )
+
+
+SQL_EMBEDDING_DIM_STATS = f"""
+WITH comp AS (
+  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(round(CAST(UNNEST(embedding) AS DOUBLE) * {CSCALE}, 0) AS BIGINT) AS val
+  FROM embeddings
+)
+SELECT dim, COUNT(*) AS n,
+       CAST(MIN(val) AS DOUBLE) / {CSCALE} AS min_val,
+       CAST(MAX(val) AS DOUBLE) / {CSCALE} AS max_val,
+       floor((CAST(SUM(val) AS DOUBLE) / (COUNT(*) * {float(CSCALE)})) * 1000000.0 + 0.5) / 1000000.0
+         AS mean_val
+FROM comp GROUP BY 1 ORDER BY 1
+"""
+
+ORACLES["embedding_dim_stats"] = SQL_EMBEDDING_DIM_STATS

@@ -79,3 +79,68 @@ def hll_register_store_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def cms_partial_cells(docs: DataFrame) -> DataFrame:
+    """One slice's count-min cell increments over the documents' token
+    stream (same d x w cell addressing as llm/sketches.cms_heavy_hitters)."""
+    from ..llm.sketches import CMS_ROWS, CMS_WIDTH
+    from ..functions import hashing as H
+
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                (H.h32(F.concat(F.lit(f"cms{i}:"), F.col("token"))) % CMS_WIDTH).alias(
+                    "bucket"
+                ),
+            )
+            for i in range(CMS_ROWS)
+        ]
+    )
+    return (
+        toks.select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cell_count"))
+    )
+
+
+def cms_cell_store_stream(
+    stream_docs: DataFrame, store_path: str, checkpoint: str
+) -> StreamingQuery:
+    """Maintain a live count-min sketch over a document stream. Unlike the
+    HLL store's MAX (idempotent), CMS cells ADD — so each micro-batch's
+    partial lands under its batch_id partition (dynamic overwrite): a
+    replayed batch overwrites its own rows instead of double-counting,
+    keeping the store exactly-once. Query-side state is the partial-cell
+    table: batches x d x w rows, compacted on read by one tiny groupBy."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            cms_partial_cells(batch_df)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(store_path)
+        )
+
+    return (
+        stream_docs.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def cms_store_totals(spark: SparkSession, store_path: str) -> DataFrame:
+    """Compact the partial-cell store to the live sketch (d x w rows)."""
+    return (
+        spark.read.parquet(store_path)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cell_count").alias("cell_count"))
+    )

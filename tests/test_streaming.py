@@ -506,3 +506,47 @@ def test_manifest_stream_source_tails_new_and_grown_files(spark, sf_small, tmp_p
     assert expected_diff, "growth scenario produced no diff — test is vacuous"
     expected_multiset = sorted(list(m1.items()) + list(expected_diff.items()))
     assert cumulative == expected_multiset
+
+
+def test_cms_cell_store_matches_batch(spark, sf_small, tmp_path):
+    """Streaming CMS maintenance: per-batch partial cells (idempotent via
+    batch_id partitions) summed over the store equal the one-pass batch
+    sketch exactly."""
+    import os
+
+    from kafka_connect_storage_cloud_spark.session import read_table
+    from kafka_connect_storage_cloud_spark.streaming.sketch import (
+        cms_cell_store_stream,
+        cms_partial_cells,
+        cms_store_totals,
+    )
+
+    docs = read_table(spark, sf_small, "documents").select("doc_id", "text")
+    expected = {
+        (r["row"], r["bucket"]): r["cell_count"]
+        for r in cms_partial_cells(docs).collect()
+    }
+
+    src = tmp_path / "cms_chunks"
+    src.mkdir()
+    pdf = docs.orderBy("doc_id").toPandas()
+    n = len(pdf)
+    cuts = (pdf.iloc[: n // 3], pdf.iloc[n // 3 : 2 * n // 3], pdf.iloc[2 * n // 3 :])
+    for i, chunk in enumerate(cuts):
+        p = str(src / f"chunk{i}.parquet")
+        chunk.to_parquet(p, index=False)
+        os.utime(p, (1_000_000_000 + i * 100, 1_000_000_000 + i * 100))
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    store = str(tmp_path / "cms_store")
+    q = cms_cell_store_stream(stream, store, str(tmp_path / "ckpt_cms"))
+    q.awaitTermination(180)
+    got = {
+        (r["row"], r["bucket"]): r["cell_count"]
+        for r in cms_store_totals(spark, store).collect()
+    }
+    assert got == expected
