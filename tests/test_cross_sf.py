@@ -30,6 +30,17 @@ TIE_PRONE = [
     "quality_score",          # composite ULP + round6 tie (doc 3440)
     "q1_pricing_summary",     # same money_avg class
     "minhash_jaccard_est",    # jaccard ratio rounds
+    # newer ratio-bearing ops — same floor-round6 expression class
+    "vocab_coverage",         # coverage = in-vocab / total
+    "train_test_split",       # (unratioed counts, but shares the hash split)
+    "kmv_distinct",           # rel_err ratio + estimate division
+    "hll_distinct",           # rel_err ratio + alpha division
+    "knn_triangle_count",     # clustering coefficient 2T/(d(d-1))
+    "events_dau_mau",         # stickiness = dau/mau
+    "events_markov_transitions",  # row-normalized probability
+    "events_inter_arrival",   # mean gap + interpolated quartiles
+    "ab_test_metrics",        # Welch t (variance ratios)
+    "embedding_centroid_outliers",  # cosine-to-sum division chain
 ]
 
 
