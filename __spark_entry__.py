@@ -47,6 +47,7 @@ from kafka_connect_storage_cloud_spark.plans import tpch as T
 from kafka_connect_storage_cloud_spark.plans import tpch_ext as TX
 from kafka_connect_storage_cloud_spark.plans import temporal as TP
 from kafka_connect_storage_cloud_spark.plans import tpch_ext2 as TX2
+from kafka_connect_storage_cloud_spark.plans import warehouse as WH
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -101,6 +102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EX.QUERIES,
         **TP.QUERIES,
         **CD.QUERIES,
+        **WH.QUERIES,
         # --- LLM data pipeline (SURVEY §2C) ---
         "dedup_clusters": LC.dedup_clusters,
         "dedup_keep_best": LC.dedup_keep_best,
@@ -565,6 +567,7 @@ FROM (
         **EX.ORACLES,
         **TP.ORACLES,
         **CD.ORACLES,
+        **WH.ORACLES,
         **LC.ORACLES,
         **LD.ORACLES,
         **LSU.ORACLES,
