@@ -89,3 +89,149 @@ FROM scored ORDER BY o_custkey
 
 QUERIES = {"rfm_segmentation": rfm_segmentation}
 ORACLES = {"rfm_segmentation": SQL_RFM_SEGMENTATION}
+
+
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime value: customers grouped by first-order month, with
+    cumulative revenue per month-age — the LTV curve matrix (the money
+    twin of events_retention). Revenue stays decimal until one rounded
+    cast; the cumulative sum runs over the (cohort, month_age) aggregate
+    (|cohorts| x |ages| rows), never over orders."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date(F.date_trunc("month", F.col("o_orderdate"))).alias("om"),
+        F.col("o_totalprice").cast("decimal(12,4)").alias("price"),
+    )
+    first = orders.groupBy("o_custkey").agg(F.min("om").alias("cohort_month"))
+    aged = orders.join(first, "o_custkey").withColumn(
+        "month_age",
+        (F.months_between(F.col("om"), F.col("cohort_month"))).cast("int"),
+    )
+    cell = aged.groupBy("cohort_month", "month_age").agg(
+        F.countDistinct("o_custkey").alias("active_customers"),
+        F.sum("price").alias("rev_dec"),
+    )
+    wcum = (
+        Window.partitionBy("cohort_month")
+        .orderBy("month_age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cell.withColumn("cum_rev_dec", F.sum("rev_dec").over(wcum))
+        .select(
+            "cohort_month",
+            "month_age",
+            "active_customers",
+            F.round(F.col("rev_dec"), 4).cast("double").alias("month_revenue"),
+            F.round(F.col("cum_rev_dec"), 4).cast("double").alias("cumulative_revenue"),
+        )
+        .orderBy("cohort_month", "month_age")
+    )
+
+
+SQL_ORDERS_COHORT_LTV = """
+WITH orders_m AS (
+  SELECT o_custkey,
+         CAST(date_trunc('month', o_orderdate) AS DATE) AS om,
+         CAST(o_totalprice AS DECIMAL(12,4)) AS price
+  FROM orders
+),
+first_m AS (
+  SELECT o_custkey, MIN(om) AS cohort_month FROM orders_m GROUP BY 1
+),
+aged AS (
+  SELECT o.*, f.cohort_month,
+         CAST(datediff('month', f.cohort_month, o.om) AS INT) AS month_age
+  FROM orders_m o JOIN first_m f USING (o_custkey)
+),
+cell AS (
+  SELECT cohort_month, month_age,
+         COUNT(DISTINCT o_custkey) AS active_customers,
+         SUM(price) AS rev_dec
+  FROM aged GROUP BY 1, 2
+)
+SELECT cohort_month, month_age, active_customers,
+       CAST(ROUND(rev_dec, 4) AS DOUBLE) AS month_revenue,
+       CAST(ROUND(SUM(rev_dec) OVER (PARTITION BY cohort_month ORDER BY month_age
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS DOUBLE) AS cumulative_revenue
+FROM cell ORDER BY cohort_month, month_age
+"""
+
+
+def revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/20 audit: cumulative revenue share of customers ranked by spend,
+    reported at decile cut points — how concentrated the revenue base is.
+    Cumulative sums stay decimal (exact); the two share divisions are the
+    only floating steps. Windows run over the |customers| aggregate."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_totalprice").cast("decimal(12,4)").alias("price")
+    )
+    per_cust = orders.groupBy("o_custkey").agg(F.sum("price").alias("spend"))
+    w = Window.orderBy(F.desc("spend"), F.asc("o_custkey"))
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    n = per_cust.count()
+    total = per_cust.agg(F.sum("spend")).collect()[0][0]  # exact Decimal
+    ranked = (
+        per_cust.withColumn("rk", F.row_number().over(w))
+        .withColumn("cum_spend", F.sum("spend").over(wcum))
+        .withColumn("decile", F.ntile(10).over(w))
+    )
+    # cum_spend is monotone along the rank order (spend > 0), so the
+    # decile-end cumulative is simply MAX(cum_spend)
+    top_of_decile = ranked.groupBy("decile").agg(
+        F.max("rk").alias("n_customers"),
+        F.max("cum_spend").alias("cum_end"),
+    )
+    cum = F.col("cum_end")
+    return top_of_decile.select(
+        "decile",
+        "n_customers",
+        (
+            F.floor(
+                (F.col("n_customers").cast("double") / F.lit(float(n))) * 1000000.0
+                + F.lit(0.5)
+            )
+            / 1000000.0
+        ).alias("customer_share"),
+        (
+            F.floor(
+                (cum.cast("double") / F.lit(float(total))) * 1000000.0 + F.lit(0.5)
+            )
+            / 1000000.0
+        ).alias("revenue_share"),
+    ).orderBy("decile")
+
+
+SQL_REVENUE_PARETO = """
+WITH per_cust AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS spend
+  FROM orders GROUP BY 1
+),
+tot AS (SELECT COUNT(*) AS n, SUM(spend) AS total FROM per_cust),
+ranked AS (
+  SELECT o_custkey, spend,
+         ROW_NUMBER() OVER (ORDER BY spend DESC, o_custkey) AS rk,
+         SUM(spend) OVER (ORDER BY spend DESC, o_custkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_spend,
+         NTILE(10) OVER (ORDER BY spend DESC, o_custkey) AS decile
+  FROM per_cust
+),
+top_of_decile AS (
+  SELECT decile, MAX(rk) AS n_customers,
+         MAX(cum_spend) AS cum_end
+  FROM ranked GROUP BY 1
+)
+SELECT d.decile, d.n_customers,
+       (floor((CAST(d.n_customers AS DOUBLE) / CAST(t.n AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0)
+         AS customer_share,
+       (floor((CAST(d.cum_end AS DOUBLE) / CAST(t.total AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0)
+         AS revenue_share
+FROM top_of_decile d CROSS JOIN tot t
+ORDER BY d.decile
+"""
+
+
+QUERIES["orders_cohort_ltv"] = orders_cohort_ltv
+QUERIES["revenue_pareto"] = revenue_pareto
+ORACLES["orders_cohort_ltv"] = SQL_ORDERS_COHORT_LTV
+ORACLES["revenue_pareto"] = SQL_REVENUE_PARETO
