@@ -235,3 +235,95 @@ QUERIES["orders_cohort_ltv"] = orders_cohort_ltv
 QUERIES["revenue_pareto"] = revenue_pareto
 ORACLES["orders_cohort_ltv"] = SQL_ORDERS_COHORT_LTV
 ORACLES["revenue_pareto"] = SQL_REVENUE_PARETO
+
+
+def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier operational KPIs: line volume, decimal-exact revenue,
+    return rate, average order-to-ship lead time, and part breadth. The
+    lineitem⋈orders equi-join is the one scale-bound shuffle (orderkey
+    co-partitioned, AQE-coalesced); supplier is broadcast; every KPI is a
+    map-side-combinable aggregate over the joined fact."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        "l_partkey",
+        "l_returnflag",
+        "l_shipdate",
+        (
+            F.col("l_extendedprice").cast("decimal(10,4)")
+            * (F.lit(1).cast("decimal(10,4)") - F.col("l_discount").cast("decimal(10,4)"))
+        ).cast("decimal(18,8)").alias("net"),
+    )
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    sup = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).withColumn(
+        "lead_days", F.datediff("l_shipdate", "o_orderdate")
+    )
+    per_sup = joined.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum("net"), 4).cast("double").alias("revenue"),
+        F.sum((F.col("l_returnflag") == "R").cast("long")).alias("n_returns"),
+        F.sum("lead_days").alias("lead_sum"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+    return (
+        per_sup.join(F.broadcast(sup), per_sup.l_suppkey == sup.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            "s_nationkey",
+            "n_lines",
+            "revenue",
+            (
+                F.floor(
+                    (F.col("n_returns").cast("double") / F.col("n_lines").cast("double"))
+                    * 1000000.0
+                    + F.lit(0.5)
+                )
+                / 1000000.0
+            ).alias("return_rate"),
+            (
+                F.floor(
+                    (F.col("lead_sum").cast("double") / F.col("n_lines").cast("double"))
+                    * 1000000.0
+                    + F.lit(0.5)
+                )
+                / 1000000.0
+            ).alias("avg_lead_days"),
+            "n_parts",
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+SQL_SUPPLIER_SCORECARD = """
+WITH joined AS (
+  SELECT l.l_suppkey, l.l_partkey, l.l_returnflag,
+         CAST(CAST(l.l_extendedprice AS DECIMAL(10,4)) *
+              (CAST(1 AS DECIMAL(10,4)) - CAST(l.l_discount AS DECIMAL(10,4))) AS DECIMAL(18,8)) AS net,
+         datediff('day', o.o_orderdate, l.l_shipdate) AS lead_days
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+per_sup AS (
+  SELECT l_suppkey,
+         COUNT(*) AS n_lines,
+         CAST(ROUND(SUM(net), 4) AS DOUBLE) AS revenue,
+         SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returns,
+         SUM(lead_days) AS lead_sum,
+         COUNT(DISTINCT l_partkey) AS n_parts
+  FROM joined GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, s.s_nationkey,
+       p.n_lines, p.revenue,
+       (floor((CAST(p.n_returns AS DOUBLE) / CAST(p.n_lines AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0)
+         AS return_rate,
+       (floor((CAST(p.lead_sum AS DOUBLE) / CAST(p.n_lines AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0)
+         AS avg_lead_days,
+       p.n_parts
+FROM per_sup p JOIN supplier s ON p.l_suppkey = s.s_suppkey
+ORDER BY s.s_suppkey
+"""
+
+
+QUERIES["supplier_scorecard"] = supplier_scorecard
+ORACLES["supplier_scorecard"] = SQL_SUPPLIER_SCORECARD
