@@ -327,3 +327,80 @@ ORDER BY s.s_suppkey
 
 QUERIES["supplier_scorecard"] = supplier_scorecard
 ORACLES["supplier_scorecard"] = SQL_SUPPLIER_SCORECARD
+
+
+AFFINITY_TOP = 50
+AFFINITY_MIN = 2
+
+
+def part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: the top co-ordered part pairs with support
+    and lift = P(ab)/(P(a)P(b)) over orders. The pair join is a
+    self-equi-join on l_orderkey of the DISTINCT (order, part) table —
+    co-partitioned, and fan-out bounded by lines-per-order, never |parts|².
+    Lift is the exp-PMI exact-ratio form (fixed-order divisions), the same
+    association measure bigram_lift uses on text."""
+    op = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = read_table(spark, sf_dir, "orders").select("o_orderkey").count()
+    freq = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= AFFINITY_MIN)
+    )
+    w = Window.orderBy(F.col("c_ab").desc(), F.col("part_a"), F.col("part_b"))
+    top = pairs.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= AFFINITY_TOP)
+    fa = freq.select(F.col("l_partkey").alias("part_a"), F.col("cnt").alias("c_a"))
+    fb = freq.select(F.col("l_partkey").alias("part_b"), F.col("cnt").alias("c_b"))
+    joined = top.join(F.broadcast(fa), "part_a").join(F.broadcast(fb), "part_b")
+    nf = F.lit(float(n_orders))
+    lift = (F.col("c_ab").cast("double") / nf) / (
+        (F.col("c_a").cast("double") / nf) * (F.col("c_b").cast("double") / nf)
+    )
+    return joined.select(
+        "part_a",
+        "part_b",
+        "c_ab",
+        "c_a",
+        "c_b",
+        (F.floor(lift * 1000000.0 + F.lit(0.5)) / 1000000.0).alias("lift"),
+    ).orderBy(F.col("c_ab").desc(), "part_a", "part_b")
+
+
+SQL_PART_AFFINITY = f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+tot AS (SELECT COUNT(*) AS n_orders FROM orders),
+freq AS (SELECT l_partkey, COUNT(*) AS cnt FROM op GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS c_ab
+  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {AFFINITY_MIN}
+),
+top AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY c_ab DESC, part_a, part_b) AS rk FROM pairs
+  ) WHERE rk <= {AFFINITY_TOP}
+)
+SELECT t.part_a, t.part_b, t.c_ab, fa.cnt AS c_a, fb.cnt AS c_b,
+       (floor(((CAST(t.c_ab AS DOUBLE) / CAST(tt.n_orders AS DOUBLE)) /
+               ((CAST(fa.cnt AS DOUBLE) / CAST(tt.n_orders AS DOUBLE)) *
+                (CAST(fb.cnt AS DOUBLE) / CAST(tt.n_orders AS DOUBLE)))) * 1000000.0 + 0.5) / 1000000.0)
+         AS lift
+FROM top t
+JOIN freq fa ON t.part_a = fa.l_partkey
+JOIN freq fb ON t.part_b = fb.l_partkey
+CROSS JOIN tot tt
+ORDER BY t.c_ab DESC, t.part_a, t.part_b
+"""
+
+
+QUERIES["part_affinity"] = part_affinity
+ORACLES["part_affinity"] = SQL_PART_AFFINITY
