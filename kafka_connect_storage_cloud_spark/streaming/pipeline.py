@@ -255,3 +255,35 @@ def enrich_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
         "cust_key",
         "left",
     )
+
+
+def attribution_stream_outer(events: DataFrame, horizon: str = "2 hours") -> DataFrame:
+    """LEFT OUTER time-bounded stream-stream join: like attribution_stream,
+    but clicks with NO purchase inside the horizon also emit (with null
+    purchase columns) — once the watermark proves no match can still
+    arrive. This is the funnel-abandonment feed: matched rows stream out
+    immediately, abandoned clicks arrive exactly one horizon later, and
+    state stays bounded by horizon x arrival rate either way."""
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", horizon)
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", horizon)
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+        "leftOuter",
+    ).select(
+        F.col("c_user").alias("user_id"), "click_ts", "purchase_ts", "purchase_value"
+    )

@@ -550,3 +550,71 @@ def test_cms_cell_store_matches_batch(spark, sf_small, tmp_path):
         for r in cms_store_totals(spark, store).collect()
     }
     assert got == expected
+
+
+def test_stream_stream_left_outer_attribution(spark, sf_small, batch_events, tmp_path):
+    """Left-outer watermarked stream-stream join: matched rows equal the
+    inner join exactly; abandoned clicks (no purchase within horizon) emit
+    once the watermark passes — every sufficiently-old batch-unmatched
+    click must appear, and nothing outside the batch left join may."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_storage_cloud_spark.streaming.pipeline import (
+        attribution_stream,
+        attribution_stream_outer,
+        stream_events_source,
+    )
+
+    out = str(tmp_path / "attr_outer")
+
+    def drain():
+        q = (
+            attribution_stream_outer(stream_events_source(spark, sf_small))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt_outer"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    drain()
+    # a second run on the same checkpoint executes a no-new-data batch,
+    # which advances the watermark past the last horizon and flushes the
+    # expired unmatched state (outer-join rows only emit once the
+    # watermark PROVES no match can arrive)
+    drain()
+    got = spark.read.parquet(out)
+
+    matched_got = got.where(F.col("purchase_ts").isNotNull())
+    matched_want = attribution_stream(batch_events)
+    assert matched_got.count() == matched_want.count() > 0
+    assert matched_got.exceptAll(matched_want).count() == 0
+
+    # batch truth for abandonment
+    want_all = attribution_stream_outer(batch_events)
+    unmatched_want = {
+        (r["user_id"], r["click_ts"])
+        for r in want_all.where(F.col("purchase_ts").isNull()).collect()
+    }
+    unmatched_got = {
+        (r["user_id"], r["click_ts"])
+        for r in got.where(F.col("purchase_ts").isNull()).collect()
+    }
+    assert unmatched_got <= unmatched_want
+    # the global watermark is min over BOTH sides' (max event time - delay),
+    # and left-state eviction needs watermark > click_ts + horizon; stay a
+    # full extra horizon conservative on top of that
+    import datetime as dt
+
+    per_type_max = {
+        r["event_type"]: r["m"]
+        for r in batch_events.where(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(F.max("ts").alias("m"))
+        .collect()
+    }
+    cutoff = min(per_type_max.values()) - dt.timedelta(hours=6)
+    must_emit = {p for p in unmatched_want if p[1] < cutoff}
+    assert must_emit <= unmatched_got
+    assert must_emit, "no provably-expired unmatched clicks — test is vacuous"
