@@ -668,3 +668,41 @@ ORACLES = {
     "corpus_mixture": _sql_corpus_mixture(),
     "corpus_prep_pipeline": _sql_corpus_prep_pipeline(),
 }
+
+
+def doc_chunk_split_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF twin of doc_chunk_split (Spark 4 table-function surface):
+    the same overlapping-window chunker as a lateral-joinable @udtf class.
+    The JVM explode form is the hot path — this exists to prove the UDTF
+    plumbing (schema, lateral join, per-row fan-out) with the explode
+    operator as its oracle, the pattern to copy when a chunker genuinely
+    needs Python (a real tokenizer, say)."""
+    import hashlib
+
+    from pyspark.sql.functions import udtf
+
+    chunk_w, stride = SPLIT_CHUNK, SPLIT_STRIDE
+
+    @udtf(returnType="chunk_ord int, chunk_tokens int, chunk_md5 string")
+    class Chunker:
+        def eval(self, text: str):
+            # mirror the JVM split(lower(text), '\\s+') semantics exactly
+            import re
+
+            toks = re.split(r"\s+", (text or "").lower())
+            n = max(-(-(len(toks) - chunk_w) // stride) + 1, 1)
+            for i in range(n):
+                window = toks[i * stride : i * stride + chunk_w]
+                yield (
+                    i,
+                    len(window),
+                    hashlib.md5(" ".join(window).encode()).hexdigest(),
+                )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.createOrReplaceTempView("_chunk_docs")
+    spark.udtf.register("doc_chunker", Chunker)
+    return spark.sql(
+        "SELECT doc_id, c.chunk_ord, c.chunk_tokens, c.chunk_md5 "
+        "FROM _chunk_docs, LATERAL doc_chunker(text) AS c"
+    )

@@ -86,3 +86,23 @@ def test_spark_matches_model(spark, corpus):
         k: (len(docs), sum(t for _, t in docs)) for k, docs in _model(corpus).items()
     }
     assert got == model
+
+
+def test_udtf_chunker_matches_explode_chunker(spark, sf_small):
+    """The Python UDTF chunker (Spark 4 lateral table function) must equal
+    the JVM explode chunker row-for-row — the gate for swapping a real
+    Python tokenizer into the chunk path."""
+    from kafka_connect_storage_cloud_spark.llm.corpus import (
+        doc_chunk_split,
+        doc_chunk_split_udtf,
+    )
+
+    want = {
+        (r["doc_id"], r["chunk_ord"]): (r["chunk_tokens"], r["chunk_md5"])
+        for r in doc_chunk_split(spark, sf_small).collect()
+    }
+    got = {
+        (r["doc_id"], r["chunk_ord"]): (r["chunk_tokens"], r["chunk_md5"])
+        for r in doc_chunk_split_udtf(spark, sf_small).collect()
+    }
+    assert got == want and want
