@@ -404,3 +404,125 @@ ORDER BY t.c_ab DESC, t.part_a, t.part_b
 
 QUERIES["part_affinity"] = part_affinity
 ORACLES["part_affinity"] = SQL_PART_AFFINITY
+
+
+FUZZY_MAX_DIST = 2
+
+
+def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution screen: per nation, how many customer-name pairs
+    sit within levenshtein distance 1..FUZZY_MAX_DIST — the
+    blocked-pair edit-distance pass record-linkage pipelines run before
+    human review. Blocking on (nation, name length) bounds the candidate
+    join; the edit distance is a built-in on BOTH engines (exact int), so
+    the operator is oracle-checkable with zero custom UDF."""
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_name", F.length("c_name").alias("nlen")
+    )
+    a = cust.select(
+        F.col("c_nationkey").alias("nat"), F.col("nlen"),
+        F.col("c_custkey").alias("key_a"), F.col("c_name").alias("name_a"),
+    )
+    b = cust.select(
+        F.col("c_nationkey").alias("nat"), F.col("nlen"),
+        F.col("c_custkey").alias("key_b"), F.col("c_name").alias("name_b"),
+    )
+    pairs = (
+        a.join(b, ["nat", "nlen"])
+        .where(F.col("key_a") < F.col("key_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .where((F.col("dist") >= 1) & (F.col("dist") <= FUZZY_MAX_DIST))
+    )
+    return (
+        pairs.groupBy("nat", "dist")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min(F.struct("key_a", "key_b")).alias("_ex"),
+        )
+        .select(
+            F.col("nat").alias("nationkey"),
+            "dist",
+            "n_pairs",
+            F.col("_ex.key_a").alias("example_a"),
+            F.col("_ex.key_b").alias("example_b"),
+        )
+        .orderBy("nationkey", "dist")
+    )
+
+
+SQL_FUZZY_NAME_MATCHES = f"""
+WITH cust AS (
+  SELECT c_custkey, c_nationkey AS nat, c_name, LENGTH(c_name) AS nlen FROM customer
+),
+pairs AS (
+  SELECT a.nat, levenshtein(a.c_name, b.c_name) AS dist,
+         a.c_custkey AS key_a, b.c_custkey AS key_b
+  FROM cust a JOIN cust b ON a.nat = b.nat AND a.nlen = b.nlen
+                         AND a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.c_name, b.c_name) BETWEEN 1 AND {FUZZY_MAX_DIST}
+)
+SELECT nat AS nationkey, dist, COUNT(*) AS n_pairs,
+       MIN({{'key_a': key_a, 'key_b': key_b}}).key_a AS example_a,
+       MIN({{'key_a': key_a, 'key_b': key_b}}).key_b AS example_b
+FROM pairs GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def events_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type linear trend of daily event volume: exact-integer OLS —
+    slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) with x = day ordinal and
+    y = daily count, every sum an int64, one final double division (plus
+    one for the intercept). The regression the ops dashboard fits to ask
+    'is this stream growing?' — computed without a single float until the
+    last step, so it is engine-exact. One two-level aggregation; the OLS
+    runs on |types| × |days| rows."""
+    from ..session import read_events
+
+    ev = read_events(spark, sf_dir).select(
+        "event_type", F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias("x")
+    )
+    daily = ev.groupBy("event_type", "x").agg(F.count(F.lit(1)).alias("y"))
+    s = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    intercept = (F.col("sy").cast("double") - slope * F.col("sx").cast("double")) / F.col("n").cast("double")
+    return s.select(
+        "event_type",
+        "n",
+        (F.floor(slope * 1000000.0 + F.lit(0.5)) / 1000000.0).alias("slope_per_day"),
+        (F.floor(intercept * 1000000.0 + F.lit(0.5)) / 1000000.0).alias("intercept"),
+    ).orderBy("event_type")
+
+
+SQL_EVENTS_TREND_SLOPE = """
+WITH daily AS (
+  SELECT event_type,
+         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+         COUNT(*) AS y
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM daily GROUP BY 1
+)
+SELECT event_type, n,
+       (floor((CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0)
+         AS slope_per_day,
+       (floor(((CAST(sy AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0)
+         AS intercept
+FROM s ORDER BY event_type
+"""
+
+
+QUERIES["fuzzy_name_matches"] = fuzzy_name_matches
+QUERIES["events_trend_slope"] = events_trend_slope
+ORACLES["fuzzy_name_matches"] = SQL_FUZZY_NAME_MATCHES
+ORACLES["events_trend_slope"] = SQL_EVENTS_TREND_SLOPE
