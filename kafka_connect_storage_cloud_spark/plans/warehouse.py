@@ -526,3 +526,68 @@ QUERIES["fuzzy_name_matches"] = fuzzy_name_matches
 QUERIES["events_trend_slope"] = events_trend_slope
 ORACLES["fuzzy_name_matches"] = SQL_FUZZY_NAME_MATCHES
 ORACLES["events_trend_slope"] = SQL_EVENTS_TREND_SLOPE
+
+
+def events_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of daily event volume per type — the
+    seasonality/momentum diagnostic next to events_trend_slope. Pearson r
+    over (y_t, y_{t+1}) pairs from exact int64 sums; the only floating
+    steps are two sqrt's and one division, in fixed order on both
+    engines."""
+    from ..session import read_events
+
+    ev = read_events(spark, sf_dir).select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias("x"),
+    )
+    daily = ev.groupBy("event_type", "x").agg(F.count(F.lit(1)).alias("y"))
+    w = Window.partitionBy("event_type").orderBy("x")
+    pairs = daily.withColumn("y_next", F.lead("y").over(w)).where(
+        F.col("y_next").isNotNull()
+    )
+    s = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sa"),
+        F.sum("y_next").alias("sb"),
+        F.sum(F.col("y") * F.col("y_next")).alias("sab"),
+        F.sum(F.col("y") * F.col("y")).alias("saa"),
+        F.sum(F.col("y_next") * F.col("y_next")).alias("sbb"),
+    )
+    num = (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")).cast("double")
+    da = (F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")).cast("double")
+    db = (F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")).cast("double")
+    r = num / (F.sqrt(da) * F.sqrt(db))
+    return s.select(
+        "event_type",
+        "n",
+        (F.floor(r * 1000000.0 + F.lit(0.5)) / 1000000.0).alias("autocorr_lag1"),
+    ).orderBy("event_type")
+
+
+SQL_EVENTS_AUTOCORR_LAG1 = """
+WITH daily AS (
+  SELECT event_type,
+         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+         COUNT(*) AS y
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT event_type, y,
+         LEAD(y) OVER (PARTITION BY event_type ORDER BY x) AS y_next
+  FROM daily
+),
+s AS (
+  SELECT event_type, COUNT(*) AS n, SUM(y) AS sa, SUM(y_next) AS sb,
+         SUM(y * y_next) AS sab, SUM(y * y) AS saa, SUM(y_next * y_next) AS sbb
+  FROM pairs WHERE y_next IS NOT NULL GROUP BY 1
+)
+SELECT event_type, n,
+       (floor((CAST(n * sab - sa * sb AS DOUBLE) /
+               (sqrt(CAST(n * saa - sa * sa AS DOUBLE)) * sqrt(CAST(n * sbb - sb * sb AS DOUBLE))))
+              * 1000000.0 + 0.5) / 1000000.0) AS autocorr_lag1
+FROM s ORDER BY event_type
+"""
+
+
+QUERIES["events_autocorr_lag1"] = events_autocorr_lag1
+ORACLES["events_autocorr_lag1"] = SQL_EVENTS_AUTOCORR_LAG1
