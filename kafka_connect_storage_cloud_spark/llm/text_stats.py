@@ -264,3 +264,97 @@ ORACLES = {
     "bigram_lift": SQL_BIGRAM_LIFT,
     "zipf_profile": SQL_ZIPF_PROFILE,
 }
+
+
+# ---------------------------------------------------------------------------
+# vocab_drift_tvd — distribution drift between corpus halves
+# ---------------------------------------------------------------------------
+
+DRIFT_TOP = 20
+
+
+def vocab_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary drift monitor: total-variation distance between the token
+    distributions of two deterministic corpus halves (the batch-over-batch
+    drift check a feed pipeline alerts on), plus the top drifting tokens.
+
+    TVD = ½·Σ|p_i − q_i| stays EXACT until one final division: with int
+    counts c1/c2 and totals N1/N2, each term is |c1_i·N2 − c2_i·N1|
+    (int64) and TVD = Σterm / (2·N1·N2). No log-based divergence — libm
+    isn't portable; TVD is, exactly. One shuffle on token (both halves'
+    counts ride the same key); the global term-sum is a scalar aggregate."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    half = (H.h32(F.concat(F.lit("drift:"), F.col("doc_id").cast("string"))) % 2).alias(
+        "half"
+    )
+    toks = (
+        docs.select(half, F.explode(F.split(F.lower("text"), r"\s+")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    counts = (
+        toks.groupBy("token")
+        .agg(
+            F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("c1"),
+            F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("c2"),
+        )
+    )
+    totals = counts.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2")).collect()[0]
+    n1, n2 = int(totals["n1"]), int(totals["n2"])
+    term = F.abs(F.col("c1") * F.lit(n2) - F.col("c2") * F.lit(n1))
+    scored = counts.withColumn("term", term)
+    tvd_row = scored.agg(F.sum("term").alias("tsum")).collect()[0]
+    tvd = float(tvd_row["tsum"]) / (2.0 * float(n1) * float(n2))
+    w = Window.orderBy(F.col("term").desc(), F.col("token"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= DRIFT_TOP)
+        .select(
+            "rk",
+            "token",
+            "c1",
+            "c2",
+            H.round6(
+                F.col("term").cast("double") / F.lit(2.0 * float(n1) * float(n2))
+            ).alias("tvd_contribution"),
+            H.round6(F.lit(tvd)).alias("corpus_tvd"),
+        )
+        .orderBy("rk")
+    )
+
+
+SQL_VOCAB_DRIFT_TVD = f"""
+WITH toks AS (
+  SELECT {H.sql_h32("'drift:' || CAST(doc_id AS VARCHAR)")} % 2 AS half,
+         unnest(string_split_regex(lower(text), '\\s+')) AS token
+  FROM documents
+),
+counts AS (
+  SELECT token,
+         SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS c1,
+         SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS c2
+  FROM toks WHERE token <> '' GROUP BY 1
+),
+tot AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM counts),
+scored AS (
+  SELECT c.token, c.c1, c.c2,
+         ABS(c.c1 * t.n2 - c.c2 * t.n1) AS term,
+         t.n1, t.n2
+  FROM counts c CROSS JOIN tot t
+),
+g AS (SELECT SUM(term) AS tsum, ANY_VALUE(n1) AS n1, ANY_VALUE(n2) AS n2 FROM scored),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY term DESC, token) AS rk FROM scored
+)
+SELECT r.rk, r.token, r.c1, r.c2,
+       {H.sql_round6('CAST(r.term AS DOUBLE) / (2.0 * CAST(r.n1 AS DOUBLE) * CAST(r.n2 AS DOUBLE))')}
+         AS tvd_contribution,
+       {H.sql_round6('CAST(g.tsum AS DOUBLE) / (2.0 * CAST(g.n1 AS DOUBLE) * CAST(g.n2 AS DOUBLE))')}
+         AS corpus_tvd
+FROM ranked r CROSS JOIN g
+WHERE r.rk <= {DRIFT_TOP}
+ORDER BY r.rk
+"""
+
+
+QUERIES["vocab_drift_tvd"] = vocab_drift_tvd
+ORACLES["vocab_drift_tvd"] = SQL_VOCAB_DRIFT_TVD

@@ -591,3 +591,83 @@ FROM s ORDER BY event_type
 
 QUERIES["events_autocorr_lag1"] = events_autocorr_lag1
 ORACLES["events_autocorr_lag1"] = SQL_EVENTS_AUTOCORR_LAG1
+
+
+def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan over daily volume per type: the day where
+    the cumulative deviation from the overall mean peaks, plus the peak
+    magnitude — the classic level-shift detector. Scaled to stay integer:
+    CUSUM_t·n = n·Σ_{i<=t} y_i − t_rank·Σy is exact int64; the argmax tie
+    breaks to the earliest day; only the final magnitude normalization
+    divides. Two windows over the |types|×|days| aggregate."""
+    from ..session import read_events
+
+    ev = read_events(spark, sf_dir).select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias("x"),
+    )
+    daily = ev.groupBy("event_type", "x").agg(F.count(F.lit(1)).alias("y"))
+    w = Window.partitionBy("event_type").orderBy("x")
+    wall = Window.partitionBy("event_type")
+    scored = (
+        daily.withColumn("t_rank", F.row_number().over(w))
+        .withColumn("cum_y", F.sum("y").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("n", F.count(F.lit(1)).over(wall))
+        .withColumn("sy", F.sum("y").over(wall))
+        .withColumn(
+            "cusum_scaled",
+            F.abs(F.col("n") * F.col("cum_y") - F.col("t_rank") * F.col("sy")),
+        )
+    )
+    wpick = Window.partitionBy("event_type").orderBy(F.desc("cusum_scaled"), F.asc("x"))
+    return (
+        scored.withColumn("pick", F.row_number().over(wpick))
+        .where(F.col("pick") == 1)
+        .select(
+            "event_type",
+            F.col("x").alias("changepoint_day"),
+            (
+                F.floor(
+                    (F.col("cusum_scaled").cast("double") / F.col("n").cast("double"))
+                    * 1000000.0
+                    + F.lit(0.5)
+                )
+                / 1000000.0
+            ).alias("cusum_peak"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_EVENTS_CHANGEPOINT = """
+WITH daily AS (
+  SELECT event_type,
+         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+         COUNT(*) AS y
+  FROM events GROUP BY 1, 2
+),
+scored AS (
+  SELECT event_type, x,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x) AS t_rank,
+         SUM(y) OVER (PARTITION BY event_type ORDER BY x
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_y,
+         COUNT(*) OVER (PARTITION BY event_type) AS n,
+         SUM(y) OVER (PARTITION BY event_type) AS sy
+  FROM daily
+),
+ranked AS (
+  SELECT event_type, x,
+         ABS(n * cum_y - t_rank * sy) AS cusum_scaled, n,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+           ORDER BY ABS(n * cum_y - t_rank * sy) DESC, x) AS pick
+  FROM scored
+)
+SELECT event_type, x AS changepoint_day,
+       (floor((CAST(cusum_scaled AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0)
+         AS cusum_peak
+FROM ranked WHERE pick = 1 ORDER BY event_type
+"""
+
+
+QUERIES["events_changepoint"] = events_changepoint
+ORACLES["events_changepoint"] = SQL_EVENTS_CHANGEPOINT
