@@ -671,3 +671,71 @@ FROM ranked WHERE pick = 1 ORDER BY event_type
 
 QUERIES["events_changepoint"] = events_changepoint
 ORACLES["events_changepoint"] = SQL_EVENTS_CHANGEPOINT
+
+
+# Benford expected first-digit probabilities log10(1+1/d), written as
+# literal doubles so both engines parse the identical constants (no libm)
+_BENFORD = {
+    1: 0.3010299956639812,
+    2: 0.17609125905568124,
+    3: 0.12493873660829993,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+
+def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law screen over order totals: observed first-digit shares
+    vs the Benford expectation and the chi-square statistic per digit —
+    the forensic-accounting anomaly test. Expected probabilities are
+    literal constants (no runtime log), observed counts are exact ints,
+    and every share/chi term is a fixed-order double expression. One
+    map-side-combined 9-group aggregate."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        F.substring(F.col("o_totalprice").cast("string"), 1, 1).cast("int").alias("d")
+    )
+    counts = orders.groupBy("d").agg(F.count(F.lit(1)).alias("obs"))
+    n = read_table(spark, sf_dir, "orders").count()
+    p = F.lit(0.0)
+    for d, prob in _BENFORD.items():
+        p = F.when(F.col("d") == d, F.lit(prob)).otherwise(p)
+    exp = p * F.lit(float(n))
+    chi = ((F.col("obs").cast("double") - exp) * (F.col("obs").cast("double") - exp)) / exp
+    return counts.select(
+        "d",
+        "obs",
+        (F.floor((F.col("obs").cast("double") / F.lit(float(n))) * 1000000.0 + F.lit(0.5)) / 1000000.0).alias("obs_share"),
+        (F.floor(p * 1000000.0 + F.lit(0.5)) / 1000000.0).alias("benford_share"),
+        (F.floor(chi * 1000000.0 + F.lit(0.5)) / 1000000.0).alias("chi_term"),
+    ).orderBy("d")
+
+
+def _benford_case() -> str:
+    whens = " ".join(f"WHEN d = {d} THEN {p!r}" for d, p in _BENFORD.items())
+    return f"CASE {whens} ELSE 0.0 END"
+
+
+SQL_BENFORD_AUDIT = f"""
+WITH digits AS (
+  SELECT CAST(substr(CAST(o_totalprice AS VARCHAR), 1, 1) AS INT) AS d FROM orders
+),
+counts AS (SELECT d, COUNT(*) AS obs FROM digits GROUP BY 1),
+tot AS (SELECT COUNT(*) AS n FROM orders)
+SELECT c.d, c.obs,
+       (floor((CAST(c.obs AS DOUBLE) / CAST(t.n AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0) AS obs_share,
+       (floor(({_benford_case().replace('d =', 'c.d =')}) * 1000000.0 + 0.5) / 1000000.0) AS benford_share,
+       (floor((((CAST(c.obs AS DOUBLE) - ({_benford_case().replace('d =', 'c.d =')}) * CAST(t.n AS DOUBLE)) *
+                (CAST(c.obs AS DOUBLE) - ({_benford_case().replace('d =', 'c.d =')}) * CAST(t.n AS DOUBLE))) /
+               (({_benford_case().replace('d =', 'c.d =')}) * CAST(t.n AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0)
+         AS chi_term
+FROM counts c CROSS JOIN tot t
+ORDER BY c.d
+"""
+
+
+QUERIES["benford_audit"] = benford_audit
+ORACLES["benford_audit"] = SQL_BENFORD_AUDIT
