@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import hashing as H
 from ..session import read_table
 
 RFM_ANCHOR = "1998-12-31"  # fixed as-of date (max o_orderdate neighborhood)
@@ -739,3 +740,125 @@ ORDER BY c.d
 
 QUERIES["benford_audit"] = benford_audit
 ORACLES["benford_audit"] = SQL_BENFORD_AUDIT
+
+
+BOOT_B = 32  # bootstrap replicas
+# Poisson(1) CDF as literal constants (hash-uniform -> replica count);
+# the tail (count > 5) is truncated at ~6e-4 mass — identical truncation
+# on both engines, so the estimator is deterministic and oracle-exact
+_POIS_CDF = [
+    (0, 0.36787944117144233),
+    (1, 0.7357588823428847),
+    (2, 0.9196986029286058),
+    (3, 0.9810118431238463),
+    (4, 0.9963401531726563),
+    (5, 0.9994058151824183),
+]
+_POW2_32 = float(1 << 32)
+
+
+def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the mean order total —
+    THE distributed bootstrap: instead of resampling rows (impossible in
+    one pass), each row joins replica b with a Poisson(1) count derived
+    from a salted hash. All B replicas accumulate in ONE scan as 2·B
+    conditional decimal aggregates (no data explosion, no shuffle growth);
+    replica means then sort on B rows. Counts come from literal CDF
+    breakpoints, sums stay decimal-exact — the whole estimator is
+    engine-deterministic, down to the CI bounds."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("decimal(12,4)").alias("x")
+    )
+
+    def _count(b: int) -> F.Column:
+        u = (
+            H.h32(F.concat(F.lit(f"boot{b}:"), F.col("o_orderkey").cast("string")))
+            .cast("double")
+            / F.lit(_POW2_32)
+        )
+        c = F.lit(6)
+        for k, edge in reversed(_POIS_CDF):
+            c = F.when(u < F.lit(edge), F.lit(k)).otherwise(c)
+        return c
+
+    aggs = []
+    for b in range(BOOT_B):
+        cnt = _count(b)
+        aggs.append(F.sum(cnt.cast("decimal(12,4)") * F.col("x")).alias(f"s{b}"))
+        aggs.append(F.sum(cnt).alias(f"n{b}"))
+    row = orders.agg(*aggs)
+    stacked = row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("replica"),
+                        (
+                            F.floor(
+                                (F.col(f"s{b}").cast("double") / F.col(f"n{b}").cast("double"))
+                                * 1000000.0
+                                + F.lit(0.5)
+                            )
+                            / 1000000.0
+                        ).alias("mean"),
+                    )
+                    for b in range(BOOT_B)
+                ]
+            )
+        ).alias("r")
+    ).select("r.replica", "r.mean")
+    w = Window.orderBy("mean", "replica")
+    ranked = stacked.withColumn("rk", F.row_number().over(w))
+    lo_rk, hi_rk = 2, BOOT_B - 1  # ~95% interval from 32 ordered replicas
+    return ranked.select(
+        "replica",
+        "mean",
+        "rk",
+        F.max(F.when(F.col("rk") == lo_rk, F.col("mean"))).over(
+            Window.partitionBy(F.lit(1))
+        ).alias("ci_low"),
+        F.max(F.when(F.col("rk") == hi_rk, F.col("mean"))).over(
+            Window.partitionBy(F.lit(1))
+        ).alias("ci_high"),
+    ).orderBy("rk")
+
+
+def _sql_pois_count(b: int) -> str:
+    h = H.sql_h32(f"'boot{b}:' || CAST(o_orderkey AS VARCHAR)")
+    u = f"(CAST({h} AS DOUBLE) / {_POW2_32!r})"
+    expr = "6"
+    for k, edge in reversed(_POIS_CDF):
+        expr = f"CASE WHEN {u} < {edge!r} THEN {k} ELSE {expr} END"
+    return expr
+
+
+def _sql_bootstrap() -> str:
+    cols = ", ".join(
+        f"SUM(CAST({_sql_pois_count(b)} AS DECIMAL(12,4)) * x) AS s{b}, "
+        f"SUM({_sql_pois_count(b)}) AS n{b}"
+        for b in range(BOOT_B)
+    )
+    means = ", ".join(
+        f"(floor((CAST(s{b} AS DOUBLE) / CAST(n{b} AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0)"
+        for b in range(BOOT_B)
+    )
+    return f"""
+WITH orders_x AS (
+  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,4)) AS x FROM orders
+),
+sums AS (SELECT {cols} FROM orders_x),
+stacked AS (
+  SELECT unnest(range(0, {BOOT_B})) AS replica, unnest([{means}]) AS mean FROM sums
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY mean, replica) AS rk FROM stacked
+)
+SELECT replica, mean, rk,
+       (SELECT mean FROM ranked WHERE rk = 2) AS ci_low,
+       (SELECT mean FROM ranked WHERE rk = {BOOT_B - 1}) AS ci_high
+FROM ranked ORDER BY rk
+"""
+
+
+QUERIES["bootstrap_mean_ci"] = bootstrap_mean_ci
+ORACLES["bootstrap_mean_ci"] = _sql_bootstrap()
