@@ -428,10 +428,17 @@ def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_nationkey").alias("nat"), F.col("nlen"),
         F.col("c_custkey").alias("key_b"), F.col("c_name").alias("name_b"),
     )
+    # Spark's bounded levenshtein(l, r, threshold) abandons a pair's DP as
+    # soon as the distance provably exceeds the bound (returns -1), which
+    # is most pairs — the standard edit-distance band optimization. The
+    # oracle keeps the unbounded form: the kept set and kept distances are
+    # identical by construction.
     pairs = (
         a.join(b, ["nat", "nlen"])
         .where(F.col("key_a") < F.col("key_b"))
-        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .withColumn(
+            "dist", F.expr(f"levenshtein(name_a, name_b, {FUZZY_MAX_DIST})")
+        )
         .where((F.col("dist") >= 1) & (F.col("dist") <= FUZZY_MAX_DIST))
     )
     return (
@@ -771,22 +778,39 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _count(b: int) -> F.Column:
-        u = (
-            H.h32(F.concat(F.lit(f"boot{b}:"), F.col("o_orderkey").cast("string")))
-            .cast("double")
-            / F.lit(_POW2_32)
-        )
+        # one md5 yields 32 hex chars = FOUR independent 8-hex uniforms;
+        # replica b reads slice b%4 of hash b//4 (8 md5 calls total for
+        # B=32 instead of 32 — the sketch-family hashing trick applied to
+        # the hot path)
+        grp, slot = divmod(b, 4)
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"boot{grp}:"), F.col("o_orderkey").cast("string"))),
+                1 + 8 * slot,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        u = h.cast("double") / F.lit(_POW2_32)
         c = F.lit(6)
         for k, edge in reversed(_POIS_CDF):
             c = F.when(u < F.lit(edge), F.lit(k)).otherwise(c)
         return c
 
+    # materialize each replica count ONCE in a projection; referencing the
+    # CASE ladder from two aggregates would evaluate it (and its md5)
+    # twice per row
+    with_counts = orders.select(
+        "x", *[_count(b).alias(f"c{b}") for b in range(BOOT_B)]
+    )
     aggs = []
     for b in range(BOOT_B):
-        cnt = _count(b)
-        aggs.append(F.sum(cnt.cast("decimal(12,4)") * F.col("x")).alias(f"s{b}"))
-        aggs.append(F.sum(cnt).alias(f"n{b}"))
-    row = orders.agg(*aggs)
+        aggs.append(
+            F.sum(F.col(f"c{b}").cast("decimal(12,4)") * F.col("x")).alias(f"s{b}")
+        )
+        aggs.append(F.sum(F.col(f"c{b}")).alias(f"n{b}"))
+    row = with_counts.agg(*aggs)
     stacked = row.select(
         F.explode(
             F.array(
@@ -824,7 +848,11 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_pois_count(b: int) -> str:
-    h = H.sql_h32(f"'boot{b}:' || CAST(o_orderkey AS VARCHAR)")
+    grp, slot = divmod(b, 4)
+    h = (
+        f"CAST(('0x' || substr(md5('boot{grp}:' || CAST(o_orderkey AS VARCHAR)), "
+        f"{1 + 8 * slot}, 8)) AS BIGINT)"
+    )
     u = f"(CAST({h} AS DOUBLE) / {_POW2_32!r})"
     expr = "6"
     for k, edge in reversed(_POIS_CDF):
