@@ -895,3 +895,99 @@ FROM ab
 
 QUERIES["ab_test_metrics"] = ab_test_metrics
 ORACLES["ab_test_metrics"] = SQL_AB_TEST_METRICS
+
+
+# ---------------------------------------------------------------------------
+# multi_touch_attribution — linear-credit revenue attribution
+# ---------------------------------------------------------------------------
+
+MTA_HORIZON_MS = 2 * 3600 * 1000
+
+
+def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value splits equally
+    across ALL of the user's clicks in the preceding horizon; the rollup
+    reports attributed revenue per click hour — the marketing dashboard
+    that replaces last-touch with fair credit.
+
+    The click↔purchase pairing is a user-keyed equi-join with a time-range
+    predicate (pairs bounded by per-user activity in the horizon, the same
+    state bound the streaming attribution join relies on); the per-purchase
+    click count is a window over those pairs, and credit = value/n_clicks
+    is decimal/int until the rounded division."""
+    ev = read_events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("click_ts")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").cast("decimal(10,4)").alias("purchase_value"),
+    )
+    pairs = clicks.join(purchases, F.col("cu") == F.col("pu")).where(
+        (F.unix_millis("purchase_ts") >= F.unix_millis("click_ts"))
+        & (
+            F.unix_millis("purchase_ts")
+            <= F.unix_millis("click_ts") + F.lit(MTA_HORIZON_MS)
+        )
+    )
+    w = Window.partitionBy("purchase_id")
+    # exact integer credit: a double credit (value/n) would make the final
+    # SUM accumulation-order sensitive — the cross-engine (and run-to-run)
+    # hazard every other operator avoids. Scale to micro-units and floor-
+    # divide instead: per-pair credit is int64, the sum is exact, and one
+    # final division renders the revenue.
+    credited = pairs.withColumn("n_clicks", F.count(F.lit(1)).over(w)).withColumn(
+        "credit_micro",
+        F.expr("(CAST(purchase_value * 10000 AS BIGINT) * 1000) div n_clicks"),
+    )
+    return (
+        credited.groupBy(F.date_trunc("hour", F.col("click_ts")).alias("click_hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_credited_clicks"),
+            F.countDistinct("purchase_id").alias("n_purchases"),
+            (
+                F.floor(
+                    (F.sum("credit_micro").cast("double") / F.lit(10000000.0))
+                    * 1000000.0
+                    + F.lit(0.5)
+                )
+                / 1000000.0
+            ).alias("attributed_revenue"),
+        )
+        .orderBy("click_hour")
+    )
+
+
+SQL_MULTI_TOUCH_ATTRIBUTION = f"""
+WITH clicks AS (
+  SELECT user_id AS cu, ts AS click_ts FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id AS pu, event_id AS purchase_id, ts AS purchase_ts,
+         CAST("value" AS DECIMAL(10,4)) AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+),
+pairs AS (
+  SELECT c.*, p.*
+  FROM clicks c JOIN purchases p ON c.cu = p.pu
+  WHERE epoch_ms(p.purchase_ts) >= epoch_ms(c.click_ts)
+    AND epoch_ms(p.purchase_ts) <= epoch_ms(c.click_ts) + {MTA_HORIZON_MS}
+),
+credited AS (
+  SELECT *,
+         (CAST(purchase_value * 10000 AS BIGINT) * 1000)
+           // COUNT(*) OVER (PARTITION BY purchase_id) AS credit_micro
+  FROM pairs
+)
+SELECT date_trunc('hour', click_ts) AS click_hour,
+       COUNT(*) AS n_credited_clicks,
+       COUNT(DISTINCT purchase_id) AS n_purchases,
+       (floor((CAST(SUM(credit_micro) AS DOUBLE) / 10000000.0) * 1000000.0 + 0.5) / 1000000.0)
+         AS attributed_revenue
+FROM credited GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["multi_touch_attribution"] = multi_touch_attribution
+ORACLES["multi_touch_attribution"] = SQL_MULTI_TOUCH_ATTRIBUTION
