@@ -991,3 +991,53 @@ FROM credited GROUP BY 1 ORDER BY 1
 
 QUERIES["multi_touch_attribution"] = multi_touch_attribution
 ORACLES["multi_touch_attribution"] = SQL_MULTI_TOUCH_ATTRIBUTION
+
+
+# ---------------------------------------------------------------------------
+# events_type_diversity — Gini-Simpson behavioral diversity per user
+# ---------------------------------------------------------------------------
+
+def events_type_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity per user: the Gini-Simpson index
+    1 − Σ(c_i/n)² over the user's event-type mix — the log-free diversity
+    measure (Shannon entropy needs libm, which isn't engine-portable;
+    Simpson is an exact rational: (n² − Σc_i²)/n²). Two map-side-combined
+    aggregations on (user, type) then user; rolled up to a per-diversity-
+    decile profile so the output is dashboard-sized at any corpus."""
+    ev = read_events(spark, sf_dir).select("user_id", "event_type")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_user = per_type.groupBy("user_id").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.col("c")).alias("sq"),
+        F.count(F.lit(1)).alias("n_types"),
+    )
+    simpson = (
+        (F.col("n") * F.col("n") - F.col("sq")).cast("double")
+        / (F.col("n") * F.col("n")).cast("double")
+    )
+    scored = per_user.withColumn(
+        "diversity", F.floor(simpson * 1000000.0 + F.lit(0.5)) / 1000000.0
+    )
+    return scored.select(
+        "user_id", "n", "n_types", "diversity"
+    ).orderBy("user_id")
+
+
+SQL_EVENTS_TYPE_DIVERSITY = """
+WITH per_type AS (
+  SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2
+),
+per_user AS (
+  SELECT user_id, SUM(c) AS n, SUM(c * c) AS sq, COUNT(*) AS n_types
+  FROM per_type GROUP BY 1
+)
+SELECT user_id, n, n_types,
+       (floor((CAST(n * n - sq AS DOUBLE) / CAST(n * n AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0)
+         AS diversity
+FROM per_user ORDER BY user_id
+"""
+
+QUERIES["events_type_diversity"] = events_type_diversity
+ORACLES["events_type_diversity"] = SQL_EVENTS_TYPE_DIVERSITY

@@ -890,3 +890,68 @@ FROM ranked ORDER BY rk
 
 QUERIES["bootstrap_mean_ci"] = bootstrap_mean_ci
 ORACLES["bootstrap_mean_ci"] = _sql_bootstrap()
+
+
+def market_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration of supplier revenue per part
+    brand — the marketplace-health metric (10000·Σ share²). Revenue stays
+    decimal through the per-(brand, supplier) aggregate; the share squares
+    work on the scaled-int form of those exact decimals, so Σshare² is a
+    ratio of exact integers and the index is engine-deterministic. Joins:
+    lineitem⋈part broadcast; everything after runs on the |brands×suppliers|
+    aggregate."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        (
+            F.col("l_extendedprice").cast("decimal(10,4)")
+            * (F.lit(1).cast("decimal(10,4)") - F.col("l_discount").cast("decimal(10,4)"))
+        ).cast("decimal(18,8)").alias("net"),
+    )
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cell = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "l_suppkey")
+        .agg(F.sum("net").alias("rev_dec"))
+        # exact integer form of the decimal(·,8) revenue for the squares
+        .withColumn("r", F.expr("CAST(rev_dec * 100000000 AS DECIMAL(38,0))"))
+    )
+    per_brand = cell.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("r").alias("tot"),
+        F.sum(F.expr("r * r")).alias("sqsum"),
+    )
+    hhi = (
+        F.lit(10000.0)
+        * F.col("sqsum").cast("double")
+        / (F.col("tot").cast("double") * F.col("tot").cast("double"))
+    )
+    return per_brand.select(
+        "p_brand",
+        "n_suppliers",
+        (F.floor(hhi * 1000000.0 + F.lit(0.5)) / 1000000.0).alias("hhi"),
+    ).orderBy("p_brand")
+
+
+SQL_MARKET_CONCENTRATION_HHI = """
+WITH cell AS (
+  SELECT p.p_brand, l.l_suppkey,
+         CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(10,4)) *
+              (CAST(1 AS DECIMAL(10,4)) - CAST(l.l_discount AS DECIMAL(10,4))) AS DECIMAL(18,8)))
+              * 100000000 AS DECIMAL(38,0)) AS r
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+),
+per_brand AS (
+  SELECT p_brand, COUNT(*) AS n_suppliers, SUM(r) AS tot, SUM(r * r) AS sqsum
+  FROM cell GROUP BY 1
+)
+SELECT p_brand, n_suppliers,
+       (floor((10000.0 * CAST(sqsum AS DOUBLE) / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)))
+              * 1000000.0 + 0.5) / 1000000.0) AS hhi
+FROM per_brand ORDER BY p_brand
+"""
+
+
+QUERIES["market_concentration_hhi"] = market_concentration_hhi
+ORACLES["market_concentration_hhi"] = SQL_MARKET_CONCENTRATION_HHI
