@@ -899,7 +899,12 @@ def market_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     work on the scaled-int form of those exact decimals, so Σshare² is a
     ratio of exact integers and the index is engine-deterministic. Joins:
     lineitem⋈part broadcast; everything after runs on the |brands×suppliers|
-    aggregate."""
+    aggregate.
+
+    Overflow headroom: r (cell revenue ×1e8) squares inside decimal(38),
+    so per-(brand, supplier) revenue to ~1e10 money units is safe — far
+    past any realistic SF; drop the square scale to 1e4 if a corpus ever
+    approaches it."""
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_partkey",
         "l_suppkey",
