@@ -1041,3 +1041,35 @@ FROM per_user ORDER BY user_id
 
 QUERIES["events_type_diversity"] = events_type_diversity
 ORACLES["events_type_diversity"] = SQL_EVENTS_TYPE_DIVERSITY
+
+
+# ---------------------------------------------------------------------------
+# events_type_unpivot — stack() the pivot back (wide -> long roundtrip)
+# ---------------------------------------------------------------------------
+
+def events_type_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) the hour × type activity matrix back to long form via
+    stack() — the wide→long half of the reshape pair (events_type_pivot is
+    long→wide). Zero-count cells are dropped on both engines, so the
+    roundtrip reproduces exactly the observed (hour, type) rollup — the
+    reshape-identity a warehouse melt job relies on. stack() is a pure
+    row-multiplying projection: no shuffle beyond the pivot's own."""
+    wide = events_type_pivot(spark, sf_dir)
+    n = len(EVENT_TYPES)
+    cells = ", ".join(f"'{t}', n_{t}" for t in EVENT_TYPES)
+    return (
+        wide.selectExpr("hour", f"stack({n}, {cells}) AS (event_type, n_events)")
+        .where(F.col("n_events") > 0)
+        .orderBy("hour", "event_type")
+    )
+
+
+SQL_EVENTS_TYPE_UNPIVOT = """
+SELECT EXTRACT(hour FROM ts) AS hour, event_type, COUNT(*) AS n_events
+FROM events GROUP BY 1, 2
+HAVING COUNT(*) > 0
+ORDER BY 1, 2
+"""
+
+QUERIES["events_type_unpivot"] = events_type_unpivot
+ORACLES["events_type_unpivot"] = SQL_EVENTS_TYPE_UNPIVOT
