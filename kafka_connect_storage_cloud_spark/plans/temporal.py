@@ -682,3 +682,58 @@ ORACLES = {
     "events_gapfill_locf": SQL_EVENTS_GAPFILL_LOCF,
     "events_time_weighted_avg": SQL_EVENTS_TIME_WEIGHTED_AVG,
 }
+
+
+def events_asof_join_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pd.merge_asof twin of events_asof_join: per-user grouped Arrow
+    batches run pandas' native as-of merge (backward, exact matches
+    allowed). The union+window form is the scalable default (zero joins);
+    this exists to prove the guide's other recipe — applyInPandas +
+    merge_asof — lands on identical rows, the gate for adopting it when a
+    group genuinely needs pandas-only as-of logic (e.g. tolerance bands).
+
+    Tie semantics match by construction: views sort (ts, event_id), and
+    merge_asof takes the LAST right row with ts <= purchase ts, i.e. the
+    highest event_id among equal timestamps."""
+    import pandas as pd
+
+    ev = (
+        read_events(spark, sf_dir)
+        .where(F.col("event_type").isin("view", "purchase"))
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_millis("ts").alias("ts_ms"),
+            "event_type",
+        )
+    )
+
+    def asof(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        views = pdf[pdf["event_type"] == "view"].sort_values(["ts_ms", "event_id"])
+        purch = pdf[pdf["event_type"] == "purchase"].sort_values(["ts_ms", "event_id"])
+        if purch.empty:
+            return pd.DataFrame(
+                columns=["purchase_id", "user_id", "purchase_ts_ms", "view_event_id", "view_ts_ms"]
+            )
+        merged = pd.merge_asof(
+            purch[["event_id", "user_id", "ts_ms"]],
+            views[["event_id", "ts_ms"]].rename(
+                columns={"event_id": "view_event_id", "ts_ms": "view_ts_ms"}
+            ),
+            left_on="ts_ms",
+            right_on="view_ts_ms",
+            direction="backward",
+        )
+        return merged.rename(
+            columns={"event_id": "purchase_id", "ts_ms": "purchase_ts_ms"}
+        )[["purchase_id", "user_id", "purchase_ts_ms", "view_event_id", "view_ts_ms"]]
+
+    return (
+        ev.groupBy("user_id")
+        .applyInPandas(
+            asof,
+            "purchase_id long, user_id long, purchase_ts_ms long, "
+            "view_event_id long, view_ts_ms long",
+        )
+        .orderBy("purchase_id")
+    )

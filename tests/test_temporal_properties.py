@@ -163,3 +163,25 @@ def test_asof_spark_matches_model_on_ties(spark, tmp_path):
     }
     model = _asof_model([(eid, u, off, ty) for eid, u, off, ty in rows])
     assert got == model == {2: 1, 3: 1, 4: None, 6: 5, 7: None}
+
+
+def test_merge_asof_twin_matches_window_asof(spark, sf_small):
+    """The applyInPandas + pd.merge_asof as-of recipe must produce exactly
+    the union+window operator's matches (same view per purchase, same
+    nulls for view-less purchases)."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_storage_cloud_spark.plans.temporal import (
+        events_asof_join,
+        events_asof_join_pandas,
+    )
+
+    want = {
+        r["purchase_id"]: (r["view_event_id"], r["view_ts"])
+        for r in events_asof_join(spark, sf_small).collect()
+    }
+    got_rows = events_asof_join_pandas(spark, sf_small).collect()
+    got = {r["purchase_id"]: r["view_event_id"] for r in got_rows}
+    assert set(got) == set(want)
+    for pid, (vid, _vts) in want.items():
+        assert got[pid] == vid, pid
