@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_audit": LS.ann_recall_audit,
         "knn_graph_mutual": LS.knn_graph_mutual,
         "knn_triangle_count": LS.knn_triangle_count,
+        "knn_label_vote_accuracy": LS.knn_label_vote_accuracy,
         "embedding_centroid_outliers": LS.embedding_centroid_outliers,
         "embedding_dim_stats": LS.embedding_dim_stats,
         "knn_pagerank_step": LS.knn_pagerank_step,

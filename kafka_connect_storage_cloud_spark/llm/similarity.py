@@ -721,3 +721,71 @@ FROM comp GROUP BY 1 ORDER BY 1
 """
 
 ORACLES["embedding_dim_stats"] = SQL_EMBEDDING_DIM_STATS
+
+
+def knn_label_vote_accuracy(spark: SparkSession, sf_dir: str, k: int = KNN_K) -> DataFrame:
+    """kNN classification evaluation: predict each vector's label by
+    majority vote of its exact top-k cosine neighbors, report per-label
+    accuracy — the label-quality / separability audit (near-100% means the
+    embedding space respects the labels; a weak label here corroborates
+    embedding_centroid_outliers). Votes and the argmax run on the n·k edge
+    list; ties break to the smaller label id (deterministic)."""
+    edges = _knn_topk_edges(spark, sf_dir, k).select("src", "dst")
+    labels = read_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    nb = edges.join(
+        F.broadcast(labels.select(F.col("vec_id").alias("dst"), F.col("label").alias("nb_label"))),
+        "dst",
+    )
+    votes = nb.groupBy("src", "nb_label").agg(F.count(F.lit(1)).alias("n_votes"))
+    w = Window.partitionBy("src").orderBy(F.desc("n_votes"), F.asc("nb_label"))
+    pred = (
+        votes.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("src", F.col("nb_label").alias("predicted"))
+    )
+    scored = pred.join(
+        F.broadcast(labels.select(F.col("vec_id").alias("src"), F.col("label").alias("truth"))),
+        "src",
+    )
+    return (
+        scored.groupBy("truth")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum((F.col("predicted") == F.col("truth")).cast("long")).alias("n_correct"),
+        )
+        .select(
+            F.col("truth").alias("label"),
+            "n_vecs",
+            "n_correct",
+            (F.floor((F.col("n_correct").cast("double") / F.col("n_vecs").cast("double"))
+                     * 1000000.0 + F.lit(0.5)) / 1000000.0).alias("accuracy"),
+        )
+        .orderBy("label")
+    )
+
+
+SQL_KNN_LABEL_VOTE_ACCURACY = f"""
+WITH {_SQL_KNN_TOPK_CTES},
+nb AS (
+  SELECT t.src, l.label AS nb_label
+  FROM topk t JOIN embeddings l ON t.dst = l.vec_id
+),
+votes AS (SELECT src, nb_label, COUNT(*) AS n_votes FROM nb GROUP BY 1, 2),
+pred AS (
+  SELECT src, nb_label AS predicted FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY n_votes DESC, nb_label) AS rk
+    FROM votes
+  ) WHERE rk = 1
+),
+judged AS (
+  SELECT p.src, p.predicted, l.label AS truth
+  FROM pred p JOIN embeddings l ON p.src = l.vec_id
+)
+SELECT truth AS label, COUNT(*) AS n_vecs,
+       SUM(CASE WHEN predicted = truth THEN 1 ELSE 0 END) AS n_correct,
+       (floor((CAST(SUM(CASE WHEN predicted = truth THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+              * 1000000.0 + 0.5) / 1000000.0) AS accuracy
+FROM judged GROUP BY 1 ORDER BY 1
+"""
+
+ORACLES["knn_label_vote_accuracy"] = SQL_KNN_LABEL_VOTE_ACCURACY
