@@ -1,12 +1,19 @@
-"""Warehouse-style customer analytics composed from the TPC-H-ish star
-schema. First resident: RFM segmentation — the classic
-recency/frequency/monetary quintile scoring marketing warehouses run.
+"""Warehouse analytics + exact-statistics operators over the star schema:
 
-Scale: one map-side-combined groupBy on o_custkey builds the per-customer
-(last order, order count, decimal-exact spend) triple; the three NTILE
-windows then run over the |customers| aggregate — never over orders — and
-each uses a deterministic tie order (metric, custkey) so results are
-replay- and engine-stable.
+- customer value: rfm_segmentation, orders_cohort_ltv, revenue_pareto
+- supply side: supplier_scorecard, part_affinity, market_concentration_hhi
+- entity resolution: fuzzy_name_matches (blocked bounded levenshtein)
+- time-series stats: events_trend_slope, events_autocorr_lag1,
+  events_changepoint (CUSUM)
+- forensics/inference: benford_audit, bootstrap_mean_ci (Poisson
+  bootstrap, all replicas in one scan)
+
+Common discipline: money stays decimal until a single rounded cast;
+ratios/statistics are built from exact int64 or decimal sums with one
+fixed-order float step at the end (never a float accumulation, never
+libm); every ranking window has a deterministic tie order; windows run
+over per-entity aggregates, never the raw facts. See SCALE.md for the
+per-operator 100 TB arguments.
 """
 
 from __future__ import annotations
