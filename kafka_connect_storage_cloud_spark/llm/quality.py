@@ -312,21 +312,36 @@ def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams of a doc are co-located, so the shuffle carries 1 row/doc)."""
     from ..functions import text as T
 
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    grams = T.with_shingles(docs, REP_N).select("doc_id", "shingle")
-    per_doc = grams.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_grams"),
-        F.countDistinct("shingle").alias("d_grams"),
+    # a doc's grams are its own: every statistic is a per-row reduction
+    # over the gram array — zero shuffle, zero join (the same explode
+    # elimination that cut minhash 40%). Sorting the array turns the
+    # top-gram count into a max run length.
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .withColumn("ws", T.words())
+        .withColumn("s", F.array_sort(T.shingles_from_ws(REP_N)))
     )
-    top_share = (
-        grams.groupBy("doc_id", "shingle")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("top_c"))
+    top_c = F.when(
+        F.size("s") >= 2,
+        F.expr(
+            "aggregate(sequence(1, size(s) - 1),"
+            " named_struct('cur', CAST(1 AS BIGINT), 'best', CAST(1 AS BIGINT)),"
+            " (acc, i) -> IF(element_at(s, i + 1) = element_at(s, i),"
+            "   named_struct('cur', acc.cur + 1, 'best', greatest(acc.best, acc.cur + 1)),"
+            "   named_struct('cur', CAST(1 AS BIGINT), 'best', acc.best)),"
+            " acc -> acc.best)"
+        ),
+    ).otherwise(F.lit(1))
+    per_doc = docs.select(
+        "doc_id",
+        F.size("s").cast("long").alias("n_grams"),
+        F.size(F.array_distinct("s")).cast("long").alias("d_grams"),
+        top_c.alias("top_c"),
     )
     rep = H.round6(1 - F.col("d_grams") / F.col("n_grams"))
     return (
-        per_doc.join(top_share, "doc_id")
+        per_doc
         .select(
             "doc_id",
             "n_grams",
