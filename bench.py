@@ -46,6 +46,9 @@ def main() -> None:
         "quality_score",
         "quality_filter",
         "token_shard_pack",
+        "hll_distinct",
+        "scd2_history",
+        "rfm_segmentation",
     ):
         if opt in qs:
             headline.append(opt)
