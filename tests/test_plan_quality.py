@@ -354,3 +354,25 @@ def test_no_accidental_nested_loops_anywhere(spark, sf_dir):
         if hits:
             offenders[name] = hits
     assert not offenders, offenders
+
+
+def test_repetition_score_is_shuffle_free(spark, sf_dir):
+    """The per-row array form must stay a pure scan+project: any Exchange
+    reappearing means the explode+groupBy regression came back."""
+    from kafka_connect_storage_cloud_spark.llm import quality as LQ
+
+    plan = _plan(spark, LQ.repetition_score(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Scan" in plan
+
+
+def test_sketch_aggregations_are_partial(spark, sf_dir):
+    """HLL/KMV plans must show two-phase hash aggregation (map-side
+    combine) — the property that bounds their shuffle to sketch-sized
+    partials."""
+    from kafka_connect_storage_cloud_spark.llm import sketches as SK
+
+    for fn in (SK.hll_distinct, SK.kmv_distinct):
+        plan = _plan(spark, fn(spark, sf_dir))
+        assert plan.count("HashAggregate") >= 4, fn.__name__
+        assert "BroadcastHashJoin" in plan  # exact-distinct audit join
