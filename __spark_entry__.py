@@ -297,7 +297,7 @@ max_seq AS (
 )
 SELECT p.kafka_partition, p.encoded_partition,
        COUNT(*) AS n_files,
-       SUM(CASE WHEN p.file_seq < m.last_seq THEN 1 ELSE 0 END) AS rotations_by_capacity,
+       CAST(SUM(CASE WHEN p.file_seq < m.last_seq THEN 1 ELSE 0 END) AS BIGINT) AS rotations_by_capacity,
        MIN(p.records_in_file) AS min_file_records,
        MAX(p.records_in_file) AS max_file_records
 FROM per_file p JOIN max_seq m
@@ -354,8 +354,8 @@ per_file AS (
          CAST(kafka_partition AS VARCHAR) || '+' || printf('%010d', file_start_offset) || '.parquet'
            AS file_path,
          COUNT(*) AS record_count,
-         SUM(CASE WHEN CAST(('0x' || substr(md5('erase:' || "key"), 1, 8)) AS BIGINT) % 97 = 0
-                  THEN 1 ELSE 0 END) AS n_erase
+         CAST(SUM(CASE WHEN CAST(('0x' || substr(md5('erase:' || "key"), 1, 8)) AS BIGINT) % 97 = 0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_erase
   FROM files GROUP BY 1
 )
 SELECT file_path, record_count, n_erase,
@@ -518,8 +518,8 @@ WITH with_gap AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ),
 with_id AS (
-  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
   FROM with_gap
 )
 SELECT user_id, session_seq,
@@ -553,9 +553,9 @@ SELECT n_text_pairs, n_emb_pairs, n_both,
        (floor((CAST(n_both AS DOUBLE) / (n_text_pairs + n_emb_pairs - n_both)) * 1000000.0 + 0.5) / 1000000.0)
          AS pair_set_jaccard
 FROM (
-  SELECT SUM(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS n_text_pairs,
-         SUM(CASE WHEN e.vec_a IS NOT NULL THEN 1 ELSE 0 END) AS n_emb_pairs,
-         SUM(CASE WHEN t.doc_a IS NOT NULL AND e.vec_a IS NOT NULL THEN 1 ELSE 0 END) AS n_both
+  SELECT CAST(SUM(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_text_pairs,
+         CAST(SUM(CASE WHEN e.vec_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_emb_pairs,
+         CAST(SUM(CASE WHEN t.doc_a IS NOT NULL AND e.vec_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_both
   FROM ({{ngram}}) t FULL JOIN ({{cos}}) e
     ON t.doc_a = e.vec_a AND t.doc_b = e.vec_b
 )

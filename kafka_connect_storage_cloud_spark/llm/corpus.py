@@ -72,8 +72,8 @@ def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CORPUS_STATS = f"""
 SELECT lang, source,
   COUNT(*) AS n_docs,
-  SUM(n_chars) AS total_chars,
-  SUM({_SQL_WS_TOKENS}) AS total_tokens,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+  CAST(SUM({_SQL_WS_TOKENS}) AS BIGINT) AS total_tokens,
   (floor((AVG(n_chars)) * 1000000.0 + 0.5) / 1000000.0) AS avg_chars,
   quantile_cont(n_chars, 0.25) AS p25_chars,
   quantile_cont(n_chars, 0.5) AS median_chars,
@@ -141,7 +141,7 @@ WITH chunks AS ({_SQL_CHUNKS}),
 freq AS (SELECT ch, COUNT(DISTINCT doc_id) AS nd FROM chunks GROUP BY ch),
 per_doc AS (
   SELECT doc_id, COUNT(*) AS n_chunks,
-         SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS dup_chunks
+         CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks
   FROM chunks JOIN freq USING (ch) GROUP BY doc_id
 )
 SELECT doc_id, n_chunks, dup_chunks,
@@ -206,7 +206,7 @@ assigned AS (
                     / {SHARD_TOKEN_BUDGET}) AS BIGINT) AS shard
   FROM toks
 )
-SELECT worker, shard, COUNT(*) AS n_docs, SUM(tokens) AS shard_tokens,
+SELECT worker, shard, COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS shard_tokens,
        MIN(doc_id) AS start_doc, MAX(doc_id) AS end_doc,
        printf('worker=%d/shard-%05d-%d.jsonl', worker, shard, MIN(doc_id)) AS shard_path
 FROM assigned GROUP BY worker, shard ORDER BY worker, shard
@@ -438,7 +438,7 @@ assigned AS (
                     / {SHARD_TOKEN_BUDGET}) AS BIGINT) AS shard
   FROM toks
 )
-SELECT worker, shard, COUNT(*) AS n_docs, SUM(tokens) AS shard_tokens,
+SELECT worker, shard, COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS shard_tokens,
        MIN(doc_id) AS start_doc, MAX(doc_id) AS end_doc,
        printf('worker=%d/shard-%05d-%d.jsonl', worker, shard, MIN(doc_id)) AS shard_path
 FROM assigned GROUP BY worker, shard

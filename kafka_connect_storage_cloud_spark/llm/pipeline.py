@@ -110,7 +110,7 @@ grams AS (
 bench AS (SELECT DISTINCT h FROM grams WHERE source = '{BENCH_SOURCE}'),
 stats AS (
   SELECT g.doc_id, COUNT(*) AS n_grams,
-         SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+         CAST(SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
   FROM grams g LEFT JOIN bench b ON g.h = b.h
   WHERE g.source <> '{BENCH_SOURCE}'
   GROUP BY g.doc_id

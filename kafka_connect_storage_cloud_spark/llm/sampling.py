@@ -118,9 +118,9 @@ pairs AS (
   SELECT split, th, COUNT(*) AS n_docs_text FROM assigned GROUP BY 1, 2
 )
 SELECT p.split,
-       SUM(p.n_docs_text) AS n_docs,
+       CAST(SUM(p.n_docs_text) AS BIGINT) AS n_docs,
        COUNT(*) AS n_distinct_texts,
-       SUM(CASE WHEN s.n_splits > 1 THEN 1 ELSE 0 END) AS leaked_texts
+       CAST(SUM(CASE WHEN s.n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT) AS leaked_texts
 FROM pairs p JOIN th_splits s USING (th)
 GROUP BY 1 ORDER BY 1
 """

@@ -473,7 +473,7 @@ inbound AS (SELECT dst, SUM(c) AS in_contrib, COUNT(*) AS in_degree FROM contrib
 SELECT n.vec_id,
        COALESCE(o.out_degree, 0) AS out_degree,
        COALESCE(i.in_degree, 0) AS in_degree,
-       {PR_SCALE - (PR_SCALE * 85) // 100} + (85 * COALESCE(i.in_contrib, 0)) // 100 AS pr_scaled
+       CAST({PR_SCALE - (PR_SCALE * 85) // 100} + (85 * COALESCE(i.in_contrib, 0)) // 100 AS BIGINT) AS pr_scaled
 FROM embeddings n
 LEFT JOIN outdeg o ON n.vec_id = o.src
 LEFT JOIN inbound i ON n.vec_id = i.dst
@@ -782,7 +782,7 @@ judged AS (
   FROM pred p JOIN embeddings l ON p.src = l.vec_id
 )
 SELECT truth AS label, COUNT(*) AS n_vecs,
-       SUM(CASE WHEN predicted = truth THEN 1 ELSE 0 END) AS n_correct,
+       CAST(SUM(CASE WHEN predicted = truth THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
        (floor((CAST(SUM(CASE WHEN predicted = truth THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
               * 1000000.0 + 0.5) / 1000000.0) AS accuracy
 FROM judged GROUP BY 1 ORDER BY 1

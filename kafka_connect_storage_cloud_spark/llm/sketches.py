@@ -389,7 +389,7 @@ merged AS (
 )
 SELECT d.event_type,
        COUNT(*) AS n_buckets,
-       SUM(CASE WHEN d.reg_direct <> m.reg_merged THEN 1 ELSE 0 END) AS n_register_diffs,
+       CAST(SUM(CASE WHEN d.reg_direct <> m.reg_merged THEN 1 ELSE 0 END) AS BIGINT) AS n_register_diffs,
        SUM(CASE WHEN d.reg_direct <> m.reg_merged THEN 1 ELSE 0 END) = 0 AS merge_ok
 FROM direct d JOIN merged m ON d.event_type = m.event_type AND d.bucket = m.bucket
 GROUP BY 1 ORDER BY 1

@@ -148,13 +148,13 @@ spans AS (
 ),
 per_doc AS (
   SELECT doc_id, COUNT(*) AS n_dup_spans, MAX(span_len) AS max_span_tokens,
-         SUM(span_len) AS dup_tokens
+         CAST(SUM(span_len) AS BIGINT) AS dup_tokens
   FROM spans GROUP BY doc_id
 )
 SELECT s.doc_id, s.n_tokens,
        COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
        COALESCE(p.max_span_tokens, 0) AS max_span_tokens,
-       COALESCE(p.dup_tokens, 0) AS dup_tokens,
+       CAST(COALESCE(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
        floor(COALESCE(p.dup_tokens, 0) / s.n_tokens * 1000000.0 + 0.5) / 1000000.0
          AS dup_token_fraction
 FROM sized s LEFT JOIN per_doc p USING (doc_id)

@@ -99,7 +99,7 @@ vocab AS (
 per_doc AS (
   SELECT t.doc_id,
          COUNT(*) AS n_tokens,
-         SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov
+         CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
   FROM toks t LEFT JOIN vocab v ON t.token = v.token
   GROUP BY 1
 )
@@ -330,8 +330,8 @@ WITH toks AS (
 ),
 counts AS (
   SELECT token,
-         SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS c1,
-         SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS c2
+         CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
   FROM toks WHERE token <> '' GROUP BY 1
 ),
 tot AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM counts),

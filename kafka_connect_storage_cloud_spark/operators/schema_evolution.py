@@ -70,8 +70,8 @@ v2 AS (
 ),
 merged AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
 SELECT schema_version, COUNT(*) AS record_count,
-       SUM(CASE WHEN "value" IS NULL THEN 1 ELSE 0 END) AS null_values,
-       SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS null_props,
+       CAST(SUM(CASE WHEN "value" IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_values,
+       CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_props,
        COUNT(DISTINCT event_type) AS n_event_types
 FROM merged GROUP BY schema_version ORDER BY schema_version
 """

@@ -146,7 +146,7 @@ SELECT topic, COUNT(*) AS n_records,
        MIN(kafka_offset) AS min_offset,
        MAX(kafka_offset) AS max_offset,
        COUNT(k) AS n_with_k,
-       SUM(k) AS sum_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
        COUNT(DISTINCT kafka_part) AS n_partitions,
        MAX(pipeline) AS pipeline
 FROM transformed GROUP BY topic ORDER BY topic

@@ -194,7 +194,7 @@ late AS (
 )
 SELECT kafka_partition,
        COUNT(*) AS n_records,
-       SUM(CASE WHEN lateness_ms > 0 THEN 1 ELSE 0 END) AS n_late,
+       CAST(SUM(CASE WHEN lateness_ms > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
        MAX(lateness_ms) AS max_lateness_ms,
        {H.sql_round6('CAST(SUM(lateness_ms) AS DOUBLE) / COUNT(*)')} AS avg_lateness_ms,
        {H.sql_round6('CAST(SUM(CASE WHEN lateness_ms > 0 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)')} AS late_share

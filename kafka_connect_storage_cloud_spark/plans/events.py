@@ -114,8 +114,8 @@ WITH with_gap AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ),
 with_id AS (
-  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
   FROM with_gap
 )
 SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,

@@ -43,12 +43,12 @@ WITH per_user AS (
   FROM events GROUP BY user_id
 )
 SELECT COUNT(*) AS n_users,
-       SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS reached_view,
-       SUM(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL AND t_click > t_view
-                THEN 1 ELSE 0 END) AS reached_click,
-       SUM(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL AND t_click > t_view
+       CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS reached_view,
+       CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL AND t_click > t_view
+                THEN 1 ELSE 0 END) AS BIGINT) AS reached_click,
+       CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL AND t_click > t_view
                  AND t_purchase IS NOT NULL AND t_purchase > t_click
-                THEN 1 ELSE 0 END) AS reached_purchase
+                THEN 1 ELSE 0 END) AS BIGINT) AS reached_purchase
 FROM per_user
 """
 
@@ -168,9 +168,9 @@ WITH parsed AS (
 )
 SELECT event_type,
        COUNT(*) AS n_records,
-       SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS n_tombstones,
+       CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_tombstones,
        COUNT(k) AS n_with_k,
-       SUM(k) AS sum_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
        MIN(k) AS min_k,
        MAX(k) AS max_k,
        COUNT(DISTINCT k) AS distinct_k
@@ -212,7 +212,7 @@ SELECT event_type,
        COUNT(*) AS n_records,
        COUNT(v) AS n_json,
        COUNT(k) AS n_with_k,
-       SUM(k) AS sum_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
        MIN(k) AS min_k,
        MAX(k) AS max_k
 FROM parsed GROUP BY event_type ORDER BY event_type
@@ -731,7 +731,7 @@ counts AS (
   SELECT from_type, event_type AS to_type, COUNT(*) AS n_transitions
   FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2
 ),
-totals AS (SELECT from_type, SUM(n_transitions) AS n_from FROM counts GROUP BY 1)
+totals AS (SELECT from_type, CAST(SUM(n_transitions) AS BIGINT) AS n_from FROM counts GROUP BY 1)
 SELECT c.from_type, c.to_type, c.n_transitions, t.n_from,
        (floor((CAST(c.n_transitions AS DOUBLE) / CAST(t.n_from AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0)
          AS p_transition
@@ -1030,7 +1030,7 @@ WITH per_type AS (
   SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2
 ),
 per_user AS (
-  SELECT user_id, SUM(c) AS n, SUM(c * c) AS sq, COUNT(*) AS n_types
+  SELECT user_id, CAST(SUM(c) AS BIGINT) AS n, SUM(c * c) AS sq, COUNT(*) AS n_types
   FROM per_type GROUP BY 1
 )
 SELECT user_id, n, n_types,

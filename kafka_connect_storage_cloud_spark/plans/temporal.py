@@ -74,7 +74,7 @@ ranked AS (
   SELECT *,
          ROW_NUMBER() OVER (PARTITION BY key ORDER BY "offset" DESC) AS rn,
          COUNT(*) OVER (PARTITION BY key) AS n_versions,
-         SUM(CASE WHEN value2 IS NULL THEN 1 ELSE 0 END) OVER (PARTITION BY key) AS n_tombstones
+         CAST(SUM(CASE WHEN value2 IS NULL THEN 1 ELSE 0 END) OVER (PARTITION BY key) AS BIGINT) AS n_tombstones
   FROM records
 )
 SELECT key, "offset" AS last_offset, value2 AS last_value, n_versions, n_tombstones
@@ -420,7 +420,7 @@ planned AS (
 )
 SELECT encoded_partition, compact_group,
        COUNT(*) AS n_input_files,
-       SUM(record_count) AS group_records,
+       CAST(SUM(record_count) AS BIGINT) AS group_records,
        MIN(min_offset) AS min_offset,
        MAX(max_offset) AS max_offset,
        MIN(file_path) AS first_file
@@ -508,11 +508,11 @@ gapped AS (
 )
 SELECT kafka_partition,
        COUNT(*) AS n_files,
-       SUM(record_count) AS n_records,
+       CAST(SUM(record_count) AS BIGINT) AS n_records,
        MIN(min_offset) AS first_offset,
        MAX(max_offset) AS last_offset,
-       SUM(CASE WHEN gap_before > 0 THEN 1 ELSE 0 END) AS n_gaps,
-       SUM(CASE WHEN gap_before < 0 THEN 1 ELSE 0 END) AS n_overlaps,
+       CAST(SUM(CASE WHEN gap_before > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+       CAST(SUM(CASE WHEN gap_before < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_overlaps,
        CASE WHEN SUM(CASE WHEN gap_before > 0 THEN 1 ELSE 0 END) = 0
              AND SUM(CASE WHEN gap_before < 0 THEN 1 ELSE 0 END) = 0
             THEN 1 ELSE 0 END AS contiguous

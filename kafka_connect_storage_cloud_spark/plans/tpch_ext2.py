@@ -252,8 +252,8 @@ def q12_ship_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_Q12 = """
 SELECT l_returnflag AS flag,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_returnflag IN ('A', 'N')
   AND l_shipdate > o_orderdate + INTERVAL 60 DAY
@@ -510,7 +510,7 @@ SELECT o_orderpriority,
        COUNT(*) AS n_lines,
        MIN(datediff('day', o_orderdate, l_shipdate)) AS min_days,
        MAX(datediff('day', o_orderdate, l_shipdate)) AS max_days,
-       SUM(datediff('day', o_orderdate, l_shipdate)) AS total_days,
+       CAST(SUM(datediff('day', o_orderdate, l_shipdate)) AS BIGINT) AS total_days,
        (floor((CAST(SUM(datediff('day', o_orderdate, l_shipdate)) AS DOUBLE) / COUNT(*))
               * 1000000.0 + 0.5) / 1000000.0) AS avg_days
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
