@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_modality_agreement": LD.dedup_modality_agreement,
         **LSU.QUERIES,
         "embedding_cosine_dups": LS.embedding_cosine_dups,
+        "cosine_dup_band_recall": LS.cosine_dup_band_recall,
         "ann_topk_bruteforce": LS.ann_topk_bruteforce,
         "ann_topk_lsh": LS.ann_topk_lsh,
         "ann_recall_audit": LS.ann_recall_audit,

@@ -177,7 +177,7 @@ FROM ranked ORDER BY doc_id
 
 
 def _sql_semantic() -> str:
-    from .similarity import _SQL_DOT, _sql_emb
+    from .similarity import CB_THRESHOLD, _SQL_DOT, _sql_cb_banded, _sql_emb
 
     cos = (
         f"(floor(({_SQL_DOT.format(a='a.v', b='b.v')} / (a.nrm * b.nrm))"
@@ -185,10 +185,19 @@ def _sql_semantic() -> str:
     )
     return f"""
 WITH RECURSIVE {_sql_emb().strip()},
+sigb AS (
+    {_sql_cb_banded()}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+  FROM sigb a JOIN sigb b
+    ON a.label = b.label AND a.band = b.band AND a.bucket = b.bucket
+   AND a.vec_id < b.vec_id
+),
 pairs AS (
-  SELECT a.vec_id AS src, b.vec_id AS dst
-  FROM emb_n a JOIN emb_n b ON a.label = b.label AND a.vec_id < b.vec_id
-  WHERE {cos} >= 0.9
+  SELECT c.src, c.dst
+  FROM cand c JOIN emb_n a ON c.src = a.vec_id JOIN emb_n b ON c.dst = b.vec_id
+  WHERE {cos} >= {CB_THRESHOLD}
 ),
 edges AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
 reach AS (

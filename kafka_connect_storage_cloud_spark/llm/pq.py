@@ -15,11 +15,12 @@ scaled int64 (round(x * 1e8)); every distance is an EXACT integer
 are bit-identical between numpy int64 (Spark side) and DuckDB hugeint
 sums, with ties broken by smallest centroid/neighbor id.
 
-Codebook: training-free deterministic sample — vectors with
-vec_id % PQ_CENTROID_MOD == PQ_CENTROID_RES serve as centroids (the same
-device the IVF path uses; swap in ivf_kmeans_refine-style Lloyd rounds to
-train). The codebook is tiny and rides in the task closure; the corpus
-streams through one narrow Arrow stage with zero shuffle for encode.
+Codebook: the SAME fixed-K Lloyd-trained codebook as the IVF path
+(pipeline._train_codebook — K salted-hash seeds + deterministic Lloyd
+steps), subdivided into PQ_M subspaces. Cardinality is K regardless of
+corpus size, so the codebook is tiny BY CONSTRUCTION and rides in the task
+closure; the corpus streams through one narrow Arrow stage with zero
+shuffle for encode.
 
 Scale shape:
 - encode: one mapInPandas pass, centroid matrices in closure — no join,
@@ -37,28 +38,20 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..session import read_table, ship_package
-from .similarity import SCALE, _dec_vec
+from .pipeline import _FINAL_CENTS, _sql_train_chain, _train_codebook
+from .similarity import SCALE, _dec_vec, _query_pick, _sql_query_pick
 
 PQ_M = 8  # subspaces
 PQ_SUBDIM = 8  # dims per subspace (64-dim embeddings)
-PQ_CENTROID_MOD = 11  # vec_id % MOD == RES -> codebook member
-PQ_CENTROID_RES = 3
-PQ_QUERY_MOD = 50  # vec_id % QUERY_MOD == 0 -> query vector
 PQ_TOP_K = 10
 
 
 def _codebook(spark: SparkSession, sf_dir: str):
-    """Collect the (tiny) codebook driver-side: (ids, C x 64 int64 matrix),
-    rows sorted by centroid id so numpy argmin's first-hit tiebreak equals
-    smallest-centroid-id."""
-    import numpy as np
-
-    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", _dec_vec("embedding").alias("v"))
-    crows = emb.where(F.pmod(F.col("vec_id"), F.lit(PQ_CENTROID_MOD)) == PQ_CENTROID_RES).collect()
-    crows.sort(key=lambda r: r["vec_id"])
-    c_ids = np.array([r["vec_id"] for r in crows], dtype=np.int64)
-    c_mat = np.array([r["v"] for r in crows], dtype=np.int64)  # C x 64
-    return c_ids, c_mat
+    """The shared fixed-K Lloyd-trained codebook (pipeline._train_codebook):
+    (ids, K x 64 int64 matrix), rows sorted by centroid id so numpy
+    argmin's first-hit tiebreak equals smallest-centroid-id. Driver state
+    is O(K), never a corpus fraction."""
+    return _train_codebook(spark, sf_dir)
 
 
 def _sub(mat, m):
@@ -135,17 +128,27 @@ codes AS (
 )"""
 
 
-_SQL_PREFIX = f"""
-WITH emb AS ({{emb}}),
-cents AS (
-  SELECT vec_id AS cid, v AS cv FROM emb
-  WHERE vec_id % {PQ_CENTROID_MOD} = {PQ_CENTROID_RES}
-),
-{{codes}}"""
+_SQL_DOTD = (
+    "(CAST(list_sum(list_transform(list_zip({a}, {b}), "
+    "s -> s[1] * s[2])) AS DOUBLE) / 1e16)"
+)
+
+_SQL_PREFIX = """
+WITH emb AS ({emb}),
+emb_n AS (SELECT vec_id, v, sqrt({dot_vv}) AS nrm FROM emb),
+{chain},
+cents AS (SELECT cell AS cid, cv FROM {final}),
+{codes}"""
 
 
 def _sql_prefix() -> str:
-    return _SQL_PREFIX.format(emb=_sql_emb(), codes=_sql_codes().lstrip())
+    return _SQL_PREFIX.format(
+        emb=_sql_emb(),
+        dot_vv=_SQL_DOTD.format(a="v", b="v"),
+        chain=_sql_train_chain(),
+        final=_FINAL_CENTS,
+        codes=_sql_codes().lstrip(),
+    )
 
 
 SQL_EMBEDDING_PQ = (
@@ -169,7 +172,7 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str, k: int = PQ_TOP_K) -> DataFram
     cid_to_idx = {int(c): i for i, c in enumerate(c_ids)}
 
     emb = read_table(spark, sf_dir, "embeddings").select("vec_id", _dec_vec("embedding").alias("v"))
-    qrows = emb.where(F.pmod(F.col("vec_id"), F.lit(PQ_QUERY_MOD)) == 0).collect()
+    qrows = _query_pick(emb).collect()  # bounded: N_QUERIES rows
     qrows.sort(key=lambda r: r["vec_id"])
     q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     q_mat = np.array([r["v"] for r in qrows], dtype=np.int64)  # Q x 64
@@ -228,7 +231,7 @@ def _sql_adc_topk() -> str:
     )
     return f"""{_sql_prefix()},
 queries AS (
-  SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id % {PQ_QUERY_MOD} = 0
+  SELECT vec_id AS query_id, v AS qv FROM emb {_sql_query_pick()}
 ),
 adc_sub AS (
   {adc_union}
@@ -256,7 +259,7 @@ def pq_recall_audit(spark: SparkSession, sf_dir: str, k: int = PQ_TOP_K) -> Data
 
     ship_package(spark)
     emb = read_table(spark, sf_dir, "embeddings").select("vec_id", _dec_vec("embedding").alias("v"))
-    qrows = emb.where(F.pmod(F.col("vec_id"), F.lit(PQ_QUERY_MOD)) == 0).collect()
+    qrows = _query_pick(emb).collect()  # bounded: N_QUERIES rows
     qrows.sort(key=lambda r: r["vec_id"])
     q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     q_mat = np.array([r["v"] for r in qrows], dtype=np.int64)
@@ -311,7 +314,7 @@ def _sql_recall_audit() -> str:
     )
     return f"""{_sql_prefix()},
 queries AS (
-  SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id % {PQ_QUERY_MOD} = 0
+  SELECT vec_id AS query_id, v AS qv FROM emb {_sql_query_pick()}
 ),
 exact AS (
   SELECT query_id, neighbor_id FROM (
