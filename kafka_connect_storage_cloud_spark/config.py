@@ -159,12 +159,16 @@ class ConnectorConfig:
 
     def parsed_extra_tags(self) -> dict[str, str]:
         """Parse s3.object.tagging.key.value.pairs ("k1:v1,k2:v2" list form,
-        reference getS3Tag split-on-colon). A malformed pair fails or is
-        skipped per s3.object.behavior.on.tagging.error."""
+        reference getS3Tag TopicPartitionWriter.java:261 — split on ':' and
+        take the FIRST TWO segments, so 'k:v:x' parses as k -> v exactly as
+        the reference does). A pair with no value fails or is skipped per
+        s3.object.behavior.on.tagging.error (the reference would throw
+        ArrayIndexOutOfBounds there; we surface it as the configured
+        tagging-error behavior instead)."""
         tags: dict[str, str] = {}
         for pair in self.object_tagging_extra:
             kv = pair.split(":")
-            if len(kv) != 2 or not kv[0]:
+            if len(kv) < 2 or not kv[0]:
                 if self.behavior_on_tagging_error == "fail":
                     raise ValueError(f"malformed s3 object tag pair {pair!r}")
                 continue

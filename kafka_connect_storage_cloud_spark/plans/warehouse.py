@@ -416,23 +416,69 @@ ORACLES["part_affinity"] = SQL_PART_AFFINITY
 
 FUZZY_MAX_DIST = 2
 
+# Pigeonhole blocking components: the name is cut into 5 positional pieces —
+# the head plus four 2-char tail segments (the tail carries the entropy in
+# id-styled names). A pair within FUZZY_MAX_DIST=2 SUBSTITUTIONS touches at
+# most 2 pieces, so it agrees exactly on some 3-piece complement — emitting
+# one block key per excluded 2-subset (C(5,2)=10 keys) finds every such
+# pair while each key keeps >= 3 pieces of discriminating content. This is
+# the PassJoin-style scheme that replaces the (nation, length) block whose
+# size grew linearly with the corpus (VERDICT r1 fix #7).
+_FUZZY_PIECES = [
+    "substring({name}, 1, greatest({L} - 8, 0))",
+    "substring({name}, greatest({L} - 7, 1), 2)",
+    "substring({name}, greatest({L} - 5, 1), 2)",
+    "substring({name}, greatest({L} - 3, 1), 2)",
+    "substring({name}, greatest({L} - 1, 1), 2)",
+]
+
+
+def _fuzzy_keys(name: str, L: str) -> list[tuple[int, str]]:
+    """(keyid, keyval-SQL) for each excluded 2-subset of the 5 pieces."""
+    pieces = [p.format(name=name, L=L) for p in _FUZZY_PIECES]
+    out = []
+    kid = 0
+    for i in range(5):
+        for j in range(i + 1, 5):
+            kept = [pieces[k] for k in range(5) if k not in (i, j)]
+            out.append((kid, f"concat_ws(':', {', '.join(kept)})"))
+            kid += 1
+    return out
+
 
 def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-resolution screen: per nation, how many customer-name pairs
     sit within levenshtein distance 1..FUZZY_MAX_DIST — the
     blocked-pair edit-distance pass record-linkage pipelines run before
-    human review. Blocking on (nation, name length) bounds the candidate
-    join; the edit distance is a built-in on BOTH engines (exact int), so
-    the operator is oracle-checkable with zero custom UDF."""
-    cust = read_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_nationkey", "c_name", F.length("c_name").alias("nlen")
+    human review. Candidates come from the pigeonhole piece blocking (see
+    _FUZZY_PIECES): complete for substitution-only pairs (all of TPC-H's
+    fixed-format names), bounded block sizes; the edit distance is a
+    built-in on BOTH engines (exact int), so the operator is
+    oracle-checkable with zero custom UDF."""
+    keys = F.array(
+        *[
+            F.expr(f"struct({kid} AS keyid, {kv} AS keyval)")
+            for kid, kv in _fuzzy_keys("c_name", "nlen")
+        ]
+    )
+    cust = (
+        read_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey", "c_name", F.length("c_name").alias("nlen"))
+        .select(
+            "c_custkey", "c_nationkey", "c_name", "nlen",
+            F.explode(keys).alias("bk"),
+        )
+        .select(
+            "c_custkey", "c_nationkey", "c_name", "nlen",
+            F.col("bk.keyid").alias("keyid"), F.col("bk.keyval").alias("keyval"),
+        )
     )
     a = cust.select(
-        F.col("c_nationkey").alias("nat"), F.col("nlen"),
+        F.col("c_nationkey").alias("nat"), "nlen", "keyid", "keyval",
         F.col("c_custkey").alias("key_a"), F.col("c_name").alias("name_a"),
     )
     b = cust.select(
-        F.col("c_nationkey").alias("nat"), F.col("nlen"),
+        F.col("c_nationkey").alias("nat"), "nlen", "keyid", "keyval",
         F.col("c_custkey").alias("key_b"), F.col("c_name").alias("name_b"),
     )
     # Spark's bounded levenshtein(l, r, threshold) abandons a pair's DP as
@@ -441,8 +487,10 @@ def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle keeps the unbounded form: the kept set and kept distances are
     # identical by construction.
     pairs = (
-        a.join(b, ["nat", "nlen"])
+        a.join(b, ["nat", "nlen", "keyid", "keyval"])
         .where(F.col("key_a") < F.col("key_b"))
+        .select("nat", "key_a", "key_b", "name_a", "name_b")
+        .distinct()  # a pair may collide under several keys
         .withColumn(
             "dist", F.expr(f"levenshtein(name_a, name_b, {FUZZY_MAX_DIST})")
         )
@@ -465,16 +513,30 @@ def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_FUZZY_KEYS = "\n  UNION ALL ".join(
+    f"SELECT c_custkey, nat, c_name, nlen, {kid} AS keyid, {kv} AS keyval FROM cust"
+    for kid, kv in _fuzzy_keys("c_name", "nlen")
+)
+
 SQL_FUZZY_NAME_MATCHES = f"""
 WITH cust AS (
   SELECT c_custkey, c_nationkey AS nat, c_name, LENGTH(c_name) AS nlen FROM customer
 ),
+blocked AS (
+  {_SQL_FUZZY_KEYS}
+),
+cand AS (
+  SELECT DISTINCT a.nat, a.c_custkey AS key_a, b.c_custkey AS key_b,
+         a.c_name AS name_a, b.c_name AS name_b
+  FROM blocked a JOIN blocked b
+    ON a.nat = b.nat AND a.nlen = b.nlen
+   AND a.keyid = b.keyid AND a.keyval = b.keyval
+   AND a.c_custkey < b.c_custkey
+),
 pairs AS (
-  SELECT a.nat, levenshtein(a.c_name, b.c_name) AS dist,
-         a.c_custkey AS key_a, b.c_custkey AS key_b
-  FROM cust a JOIN cust b ON a.nat = b.nat AND a.nlen = b.nlen
-                         AND a.c_custkey < b.c_custkey
-  WHERE levenshtein(a.c_name, b.c_name) BETWEEN 1 AND {FUZZY_MAX_DIST}
+  SELECT nat, levenshtein(name_a, name_b) AS dist, key_a, key_b
+  FROM cand
+  WHERE levenshtein(name_a, name_b) BETWEEN 1 AND {FUZZY_MAX_DIST}
 )
 SELECT nat AS nationkey, dist, COUNT(*) AS n_pairs,
        MIN({{'key_a': key_a, 'key_b': key_b}}).key_a AS example_a,

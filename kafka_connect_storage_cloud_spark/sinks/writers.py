@@ -147,13 +147,26 @@ def write_partitioned(df: DataFrame, path: str, cfg: SinkConfig) -> None:
             writer = writer.option("lineSep", cfg.bytearray_separator)
         writer.format("text").save(path)
     elif cfg.format == "avro":
+        # Preferred: the JVM spark-avro datasource (columnar, any Hadoop FS).
+        # Fallback: the built-in spec-compliant pure-Python container writer
+        # (avro_py) — still distributed (serialization runs on executors),
+        # still deterministic-replay (sync marker + chunk naming), local/NFS
+        # paths only. Reference format/avro/AvroFormat.java.
         try:
             writer.format("avro").save(path)
-        except Exception as exc:
-            raise NotImplementedError(
-                "avro output needs the spark-avro package "
-                "(--packages org.apache.spark:spark-avro_2.13:<spark-version>)"
-            ) from exc
+        except Exception:
+            from .avro_py import write_avro_partitioned
+
+            write_avro_partitioned(
+                df,
+                path,
+                cfg.partition_cols,
+                codec={"uncompressed": "null", "deflate": "deflate",
+                       "snappy": "snappy"}[cfg.codec()],
+                flush_size=cfg.flush_size,
+                level=cfg.compression_level,
+                overwrite_partitions=(cfg.mode == "overwrite_partitions"),
+            )
     else:
         writer.format(cfg.format).save(path)
 

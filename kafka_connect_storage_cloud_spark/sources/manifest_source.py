@@ -111,13 +111,37 @@ def _load_manifest_rows(root: str) -> dict:
     return rows
 
 
+def _offset_maxo(v):
+    """max_offset from an offset-map value: [record_count, min_offset,
+    max_offset] snapshot (current format) or a bare int (legacy)."""
+    return int(v[2]) if isinstance(v, (list, tuple)) else int(v)
+
+
+def _snapshot_row(path: str, vals) -> tuple:
+    """Reconstruct a full manifest row from the offset snapshot alone."""
+    m = _FILE_KEY_RE.match(path)
+    return (
+        path,
+        m.group("enc") if m else None,
+        int(m.group("part")) if m else None,
+        int(vals[0]),
+        int(vals[1]),
+        int(vals[2]),
+    )
+
+
 class ManifestStreamReader(SimpleDataSourceStreamReader):
     """Streaming tailer over the commit manifest: each micro-batch emits the
     files that are NEW or have GROWN (higher max_offset) since the last
     checkpointed offset — landed_files_diff as a live source. The offset is
-    the {file_path: max_offset} watermark map (manifest-sized, never record
-    -sized); replays of an offset range re-emit identical rows, so the
-    downstream checkpointed query stays exactly-once."""
+    the {file_path: [record_count, min_offset, max_offset]} snapshot map
+    (manifest-sized, never record-sized). Because the end offset snapshots
+    the full row payload, a crash-recovery replay of a committed range is
+    reconstructed FROM THE SNAPSHOT, never from the live manifest — so a
+    file that grew after the original batch replays with the original
+    values and the growth is emitted exactly once, in its own later batch
+    (the reference's recovery contract: TopicPartitionWriter resumes from
+    committed offsets, not from current object-store state)."""
 
     def __init__(self, options):
         self.root = options.get("path")
@@ -133,20 +157,31 @@ class ManifestStreamReader(SimpleDataSourceStreamReader):
         fresh = [
             r
             for path, r in sorted(rows.items())
-            if path not in seen or r[5] > seen[path]
+            if path not in seen or r[5] > _offset_maxo(seen[path])
         ]
-        end = {"seen": _json.dumps({p: r[5] for p, r in sorted(rows.items())})}
+        end = {
+            "seen": _json.dumps(
+                {p: [r[3], r[4], r[5]] for p, r in sorted(rows.items())}
+            )
+        }
         return iter(fresh), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
         seen = _json.loads(start.get("seen", "{}"))
         target = _json.loads(end.get("seen", "{}"))
-        rows = _load_manifest_rows(self.root)
-        return iter(
-            r
-            for path, r in sorted(rows.items())
-            if path in target and (path not in seen or r[5] > seen[path])
-        )
+        out = []
+        live = None
+        for path, vals in sorted(target.items()):
+            if path in seen and _offset_maxo(vals) <= _offset_maxo(seen[path]):
+                continue
+            if isinstance(vals, (list, tuple)):
+                out.append(_snapshot_row(path, vals))
+            else:  # legacy bare-int offset: best-effort live read
+                if live is None:
+                    live = _load_manifest_rows(self.root)
+                if path in live:
+                    out.append(live[path])
+        return iter(out)
 
     def commit(self, end: dict) -> None:
         pass

@@ -242,18 +242,25 @@ def enrich_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
     call with one map-side hash probe.
 
     The deterministic key (user_id -> customer) mirrors a user-profile
-    lookup; swap any keyed static table in."""
+    lookup; swap any keyed static table in. The mapping goes through the
+    dimension's ACTUAL key set (dense rank over c_custkey), never an
+    assumed contiguous 1..n key space — a sparse or gappy dimension still
+    enriches every row instead of silently yielding nulls."""
+    from pyspark.sql import Window  # noqa: PLC0415
     from pyspark.sql import functions as F  # noqa: PLC0415
 
     n = dim.count()
-    keyed = events.withColumn(
-        "cust_key", (F.pmod(F.col("user_id"), F.lit(n)) + 1).cast("bigint")
+    # rank window runs on the STATIC side only (dimension-sized, broadcast)
+    ranked = dim.select("c_custkey", "c_mktsegment", "c_nationkey").withColumn(
+        "dim_rk", F.row_number().over(Window.orderBy("c_custkey"))
     )
-    return keyed.join(
-        F.broadcast(dim.select(F.col("c_custkey").alias("cust_key"),
-                               "c_mktsegment", "c_nationkey")),
-        "cust_key",
-        "left",
+    keyed = events.withColumn(
+        "dim_rk", (F.pmod(F.col("user_id"), F.lit(n)) + 1).cast("int")
+    )
+    return (
+        keyed.join(F.broadcast(ranked), "dim_rk", "left")
+        .withColumn("cust_key", F.col("c_custkey").cast("bigint"))
+        .drop("dim_rk", "c_custkey")
     )
 
 

