@@ -14,6 +14,15 @@ from typing import Any
 
 VALID_BEHAVIOR_ON_NULL = ("ignore", "fail", "write")
 VALID_COMPRESSION = ("none", "gzip", "snappy", "zstd")
+# Per-compression supported formats. gzip: the reference matrix
+# (S3SinkConnectorValidator.COMPRESSION_SUPPORTED_FORMATS — JsonFormat and
+# ByteArrayFormat only; columnar formats own their codecs). snappy/zstd
+# are a documented repo extension mapped onto the columnar formats' codecs.
+_COMPRESSION_SUPPORTED_FORMATS = {
+    "gzip": ("json", "bytearray", "csv"),
+    "snappy": ("parquet", "avro"),
+    "zstd": ("parquet",),
+}
 VALID_FORMATS = {
     "io.confluent.connect.s3.format.parquet.ParquetFormat": "parquet",
     "io.confluent.connect.s3.format.json.JsonFormat": "json",
@@ -174,6 +183,48 @@ class ConnectorConfig:
                 continue
             tags[kv[0]] = kv[1]
         return tags
+
+    def validate(self) -> list[str]:
+        """Cross-field validation (reference S3SinkConnectorValidator.java):
+        returns the full list of reference-style error strings instead of
+        raising, mirroring Connect's validate() endpoint which records every
+        error. Per-field checks already ran in __post_init__; this covers
+        the rules that need several fields at once:
+
+        - compression × format: gzip applies only to JsonFormat/
+          ByteArrayFormat (S3SinkConnectorValidator.COMPRESSION_SUPPORTED_
+          FORMATS) — parquet/avro manage their own codecs; the repo
+          extension maps snappy/zstd onto the columnar formats' codecs.
+        - the same matrix for keys.format.class / headers.format.class when
+          store.kafka.keys / store.kafka.headers are on.
+        - s3.wan.mode and s3.path.style.access.enabled are mutually
+          exclusive (validateWanModeAndPathStyleCompatibility) — both are
+          transport keys carried in `extra`.
+        """
+        errors: list[str] = []
+        if self.compression_type != "none":
+            valid = _COMPRESSION_SUPPORTED_FORMATS.get(self.compression_type, ())
+            checks = [("data", self.spark_format)]
+            if self.store_kafka_keys:
+                checks.append(("keys", self.keys_spark_format))
+            if self.store_kafka_headers:
+                checks.append(("headers", self.headers_spark_format))
+            for role, fmt in checks:
+                if fmt not in valid:
+                    errors.append(
+                        f"Compression Type {self.compression_type} not valid "
+                        f"for {role} format class: ( {fmt} )."
+                    )
+        def _flag(key: str) -> bool:
+            return str(self.extra.get(key, "false")).lower() == "true"
+
+        if _flag("s3.wan.mode") and _flag("s3.path.style.access.enabled"):
+            errors.append(
+                "Both accelerate mode and path style access are being enabled. "
+                "These options are mutually exclusive and cannot be enabled "
+                "together. Please disable one of them"
+            )
+        return errors
 
     @property
     def spark_format(self) -> str:

@@ -117,6 +117,11 @@ def run_connector(
     are actually written with the configured format/compression; the file
     manifest DataFrame is returned either way."""
     cfg = parse_properties(properties)
+    problems = cfg.validate()
+    if problems:
+        # reference behavior: a connector whose validate() records errors
+        # never deploys (S3SinkConnectorValidator.validate)
+        raise ValueError("invalid connector configuration: " + " | ".join(problems))
     if records is None:
         if sf_dir is None:
             raise ValueError("need records or sf_dir")

@@ -186,26 +186,18 @@ def attribution_stream(events: DataFrame, horizon: str = "2 hours") -> DataFrame
     )
 
 
-def run_connector_stream(
-    spark: SparkSession,
-    properties: dict,
-    sf_dir: str,
-    output_path: str,
-    checkpoint: str,
-) -> StreamingQuery:
-    """Streaming twin of connector.run_connector: the SAME reference
-    property file drives readStream -> SinkRecord projection -> configured
-    partitioner -> idempotent partitioned sink, with the checkpoint as the
-    offset store. Restarts resume from the checkpoint and rewrite nothing
-    (foreachBatch reuses the batch sink's dynamic-partition overwrite).
-    behavior.on.null.values: ignore/write apply per micro-batch; 'fail' is a
-    batch-mode concept (the reference kills the task at runtime) and raises
-    up front here."""
+def _connector_stream_records(spark, properties: dict, sf_dir: str):
+    """Shared record-prep of the streaming runners: property file ->
+    readStream -> SinkRecord projection -> SMT chain -> null handling ->
+    configured partitioner. Returns (records, cfg, sink_cfg)."""
     from ..config import parse_properties
     from ..operators.partitioners import partitioner_expr
     from ..sources.topic import as_topic_records
 
     cfg = parse_properties(properties)
+    problems = cfg.validate()
+    if problems:
+        raise ValueError("invalid connector configuration: " + " | ".join(problems))
     if cfg.behavior_on_null_values == "fail":
         raise ValueError("behavior.on.null.values=fail is not streamable; use ignore|write")
     rec = as_topic_records(stream_events_source(spark, sf_dir))
@@ -231,7 +223,95 @@ def run_connector_stream(
         for c in ("offset", "key", "value", "timestamp", "encoded_partition")
         if c in rec.columns
     ]
-    return connector_sink_stream(rec.select(*payload), output_path, checkpoint, sink)
+    return rec.select(*payload), cfg, sink
+
+
+def run_connector_stream(
+    spark: SparkSession,
+    properties: dict,
+    sf_dir: str,
+    output_path: str,
+    checkpoint: str,
+) -> StreamingQuery:
+    """Streaming twin of connector.run_connector: the SAME reference
+    property file drives readStream -> SinkRecord projection -> configured
+    partitioner -> idempotent partitioned sink, with the checkpoint as the
+    offset store. Restarts resume from the checkpoint and rewrite nothing
+    (foreachBatch reuses the batch sink's dynamic-partition overwrite).
+    behavior.on.null.values: ignore/write apply per micro-batch; 'fail' is a
+    batch-mode concept (the reference kills the task at runtime) and raises
+    up front here."""
+    records, _cfg, sink = _connector_stream_records(spark, properties, sf_dir)
+    return connector_sink_stream(records, output_path, checkpoint, sink)
+
+
+def run_connector_stream_scheduled(
+    spark: SparkSession,
+    properties: dict,
+    sf_dir: str,
+    output_path: str,
+    checkpoint: str,
+    trigger_interval_ms: int | None = None,
+) -> StreamingQuery:
+    """TRUE wall-clock `rotate.schedule.interval.ms` analog (reference
+    TopicPartitionWriter.rotateOnScheduleTime, TopicPartitionWriter.java:
+    705-721): a processing-time trigger fires a micro-batch every interval,
+    and each batch commit closes every open file for that window — files
+    rotate on the system clock regardless of record flow, exactly the
+    reference's scheduled-rotation semantics. The deterministic record-time
+    twin (`rotation_scheduled`) stays the oracle-checked form; this runner
+    exercises the real trigger path.
+
+    Exactly-once across restarts: each batch lands in a staging dir, its
+    data files are renamed into the partition dirs as
+    part-b<batch_id>-<n>.<ext>, and a `_batch_<id>_committed` marker makes
+    replays no-ops — the same start-offset-keyed idempotent commit the
+    reference gets from its file-naming scheme."""
+    import shutil
+
+    records, cfg, sink = _connector_stream_records(spark, properties, sf_dir)
+    interval = trigger_interval_ms or cfg.rotate_schedule_interval_ms
+    if interval <= 0:
+        raise ValueError(
+            "run_connector_stream_scheduled needs rotate.schedule.interval.ms > 0"
+        )
+    from dataclasses import replace
+
+    batch_sink = replace(sink, mode="overwrite")
+
+    def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        marker = os.path.join(output_path, f"_batch_{batch_id}_committed")
+        if os.path.exists(marker):
+            return  # replayed batch: files already landed
+        staging = os.path.join(output_path, f"_staging_{batch_id}")
+        shutil.rmtree(staging, ignore_errors=True)
+        write_partitioned(batch_df, staging, batch_sink)
+        n = 0
+        for dirpath, _dirs, files in os.walk(staging):
+            rel = os.path.relpath(dirpath, staging)
+            for fn in sorted(files):
+                if fn.startswith(("_", ".")):
+                    continue
+                ext = fn.split(".", 1)[1] if "." in fn else "dat"
+                dest_dir = output_path if rel == "." else os.path.join(output_path, rel)
+                os.makedirs(dest_dir, exist_ok=True)
+                os.replace(
+                    os.path.join(dirpath, fn),
+                    os.path.join(dest_dir, f"part-b{batch_id:05d}-{n:05d}.{ext}"),
+                )
+                n += 1
+        shutil.rmtree(staging, ignore_errors=True)
+        with open(marker, "w") as fh:
+            fh.write(str(n))
+
+    return (
+        records.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=f"{interval} milliseconds")
+        .start()
+    )
 
 
 def enrich_stream(events: DataFrame, dim: DataFrame) -> DataFrame:

@@ -159,3 +159,62 @@ def test_tombstone_write_requires_stored_keys():
         {"behavior.on.null.values": "write", "store.kafka.keys": "true"}
     )
     assert cfg.behavior_on_null_values == "write"
+
+
+def test_cross_validation_matrix():
+    """SinkConnectorConfig.validate() enforces the reference validator's
+    compression x format matrix (S3SinkConnectorValidator.java:
+    COMPRESSION_SUPPORTED_FORMATS — gzip only for Json/ByteArray) plus the
+    keys/headers sidecar formats and the wan-mode/path-style exclusion."""
+    from kafka_connect_storage_cloud_spark.config import parse_properties
+
+    def errs(extra):
+        props = {"topics": "events", "flush.size": "10"}
+        props.update(extra)
+        return parse_properties(props).validate()
+
+    # gzip + parquet data format: rejected (reference matrix)
+    assert errs({"format.class": "parquet", "s3.compression.type": "gzip"})
+    # gzip + json: fine
+    assert not errs({"format.class": "json", "s3.compression.type": "gzip"})
+    # gzip + bytearray: fine
+    assert not errs({"format.class": "bytearray", "s3.compression.type": "gzip"})
+    # snappy rides the columnar codecs (repo extension): parquet ok, json not
+    assert not errs({"format.class": "parquet", "s3.compression.type": "snappy"})
+    assert errs({"format.class": "json", "s3.compression.type": "snappy"})
+    # sidecar keys format inherits the matrix when store.kafka.keys is on
+    assert errs(
+        {
+            "format.class": "json",
+            "s3.compression.type": "gzip",
+            "store.kafka.keys": "true",
+            "keys.format.class": "parquet",
+        }
+    )
+    # wan mode and path-style access are mutually exclusive
+    assert errs(
+        {
+            "format.class": "json",
+            "s3.wan.mode": "true",
+            "s3.path.style.access.enabled": "true",
+        }
+    )
+    assert not errs({"format.class": "json", "s3.wan.mode": "true"})
+
+
+def test_run_connector_rejects_invalid_cross_config(spark, sf_small):
+    import pytest as _pytest
+
+    from kafka_connect_storage_cloud_spark.connector import run_connector
+
+    with _pytest.raises(ValueError, match="Compression Type gzip"):
+        run_connector(
+            spark,
+            {
+                "topics": "events",
+                "format.class": "parquet",
+                "s3.compression.type": "gzip",
+                "flush.size": "10",
+            },
+            sf_dir=sf_small,
+        )

@@ -674,3 +674,54 @@ def test_compacted_store_stream_matches_batch(spark, sf_small, tmp_path):
     # record is a tombstone is data-dependent; equality above already
     # proves the marker semantics match batch compaction)
     assert rec.where(F.col("value").isNull()).count() > 0
+
+
+def test_run_connector_stream_scheduled_trigger_path(spark, sf_small, tmp_path):
+    """True wall-clock rotate.schedule.interval.ms analog: the processing-
+    time trigger commits every open file at each interval (reference
+    TopicPartitionWriter.rotateOnScheduleTime); batch files carry the
+    batch-keyed names and a restart from the same checkpoint re-lands
+    nothing (committed-batch markers make replays no-ops)."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from kafka_connect_storage_cloud_spark.streaming.pipeline import (
+        run_connector_stream_scheduled,
+    )
+
+    # private sf_dir copy -> private staging dir, so this stream cannot
+    # contaminate the shared stream_events_source staging of other tests
+    sf_copy = tmp_path / "sfcopy"
+    sf_copy.mkdir()
+    shutil.copy(os.path.join(sf_small, "events.parquet"), sf_copy / "events.parquet")
+    props = {
+        "topics": "events",
+        "format.class": "parquet",
+        "partitioner.class": "io.confluent.connect.storage.partitioner.FieldPartitioner",
+        "partition.field.name": "event_type",
+        "rotate.schedule.interval.ms": "700",
+        "behavior.on.null.values": "ignore",
+    }
+    out = str(tmp_path / "sched")
+    ckpt = str(tmp_path / "ckpt_sched")
+    q = run_connector_stream_scheduled(spark, props, str(sf_copy), out, ckpt)
+    deadline = time.time() + 120
+    while time.time() < deadline and not glob.glob(os.path.join(out, "_batch_*_committed")):
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(60)
+    markers = glob.glob(os.path.join(out, "_batch_*_committed"))
+    assert markers, "no scheduled batch committed"
+    files = glob.glob(os.path.join(out, "**", "part-b*.parquet"), recursive=True)
+    assert files, "scheduled rotation produced no batch-keyed files"
+    got = spark.read.option("pathGlobFilter", "part-b*.parquet").parquet(out).count()
+    src = spark.read.parquet(str(sf_copy / "events.parquet")).count()
+    assert got == src
+    # restart: checkpoint + markers must prevent any re-landing
+    q2 = run_connector_stream_scheduled(spark, props, str(sf_copy), out, ckpt)
+    time.sleep(2.5)
+    q2.stop()
+    q2.awaitTermination(60)
+    assert spark.read.option("pathGlobFilter", "part-b*.parquet").parquet(out).count() == src
