@@ -212,15 +212,26 @@ def _lloyd_means(emb: DataFrame, c_ids, c_mat):
     return n_ids, n_mat
 
 
+_CODEBOOK_MEMO: dict[tuple[str, int], tuple] = {}
+
+
 def _train_codebook(spark: SparkSession, sf_dir: str, steps: int = IVF_LLOYD_STEPS):
     """Deterministic fixed-K codebook: K salted-hash seeds refined by
     `steps` Lloyd iterations. Cardinality and driver state are O(K)
     regardless of corpus size; every step is a corpus-streaming assignment
-    plus a codebook-sized aggregation."""
+    plus a codebook-sized aggregation.
+
+    Memoized per (sf_dir, steps): training is deterministic in the input
+    data, and the serving pattern is train-once/probe-many — the IVF, PQ,
+    and recall-audit operators all share one codebook per corpus."""
+    key = (sf_dir, steps)
+    if key in _CODEBOOK_MEMO:
+        return _CODEBOOK_MEMO[key]
     emb = _with_dec_and_norm(read_table(spark, sf_dir, "embeddings")).select("vec_id", "v")
     c_ids, c_mat = _seed_codebook(spark, sf_dir)
     for _ in range(steps):
         c_ids, c_mat = _lloyd_means(emb, c_ids, c_mat)
+    _CODEBOOK_MEMO[key] = (c_ids, c_mat)
     return c_ids, c_mat
 
 

@@ -357,14 +357,158 @@ FROM e_cnt e LEFT JOIN h_cnt h ON e.query_id = h.query_id
     )
 
 
+IVFPQ_PROBES = 2
+
+
+def ann_topk_ivf_pq(
+    spark: SparkSession, sf_dir: str, k: int = PQ_TOP_K, probes: int = IVFPQ_PROBES
+) -> DataFrame:
+    """The production IVF-PQ serving shape (FAISS IndexIVFPQ): IVF cells
+    bound the candidate set (each query probes its `probes` nearest cells),
+    and PQ/ADC scores those candidates from their PQ_M-byte codes alone —
+    the index the 100 TB corpus actually serves from, composed from the
+    verified pieces (shared Lloyd codebook, cell assignment, ADC LUT).
+
+    Scale shape: candidate set is probes x corpus/K per query (cell
+    equi-join, codes only — no full vectors move); the LUT
+    (|queries| x PQ_M x K) rides in the task closure; ranking windows run
+    on candidate-sized rows. All distances are exact int64, ties to the
+    smaller id — oracle-exact end to end."""
+    import numpy as np
+    import pandas as pd
+
+    from .pipeline import _assign_cells
+
+    ship_package(spark)
+    c_ids, c_mat = _codebook(spark, sf_dir)
+    cid_to_idx = {int(c): i for i, c in enumerate(c_ids)}
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dec_vec("embedding").alias("v")
+    )
+    qrows = _query_pick(emb).collect()  # bounded: N_QUERIES rows
+    qrows.sort(key=lambda r: r["vec_id"])
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    q_mat = np.array([r["v"] for r in qrows], dtype=np.int64)
+    qid_to_idx = {int(q): i for i, q in enumerate(q_ids)}
+    lut = np.stack(
+        [
+            np.einsum("ij,ij->i", _sub(q_mat, m), _sub(q_mat, m))[:, None]
+            + np.einsum("ij,ij->i", _sub(c_mat, m), _sub(c_mat, m))[None, :]
+            - 2 * (_sub(q_mat, m) @ _sub(c_mat, m).T)
+            for m in range(PQ_M)
+        ],
+        axis=1,
+    )  # Q x M x K
+
+    # probed cells per query: rounded-cosine argmax top-`probes`, ties to
+    # the smaller centroid id (stable argsort over id-sorted columns) —
+    # Q x K work on the driver, both sides O(fixed)
+    c_norm = np.sqrt(np.einsum("ij,ij->i", c_mat, c_mat).astype(np.float64) / 1e16)
+    q_norm = np.sqrt(np.einsum("ij,ij->i", q_mat, q_mat).astype(np.float64) / 1e16)
+    cos = ((q_mat @ c_mat.T).astype(np.float64) / 1e16) / (
+        q_norm[:, None] * c_norm[None, :]
+    )
+    r6 = np.floor(cos * 1e6 + 0.5) / 1e6
+    order = np.argsort(-r6, axis=1, kind="stable")[:, :probes]
+    q_cells = spark.createDataFrame(
+        [
+            (int(q_ids[qi]), int(c_ids[j]))
+            for qi in range(len(q_ids))
+            for j in order[qi]
+        ],
+        "query_id long, cell long",
+    )
+
+    assigned = _assign_cells(emb, c_ids, c_mat).select("vec_id", "cell")
+    codes = embedding_pq(spark, sf_dir).drop("recon_err_sq")
+    cand = (
+        codes.join(assigned, "vec_id")
+        .join(F.broadcast(q_cells), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame({"query_id": [], "neighbor_id": [], "adc_d2": []})
+                continue
+            qidx = np.array([qid_to_idx[int(q)] for q in pdf["query_id"]], dtype=np.int64)
+            d2 = np.zeros(len(pdf), dtype=np.int64)
+            for m in range(PQ_M):
+                cidx = np.array(
+                    [cid_to_idx[int(c)] for c in pdf[f"code_{m}"]], dtype=np.int64
+                )
+                d2 += lut[qidx, m, cidx]
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["vec_id"],
+                    "adc_d2": d2,
+                }
+            )
+
+    scored = cand.mapInPandas(score, "query_id long, neighbor_id long, adc_d2 long")
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_d2", "rank")
+    )
+
+
+def _sql_ivf_pq_topk() -> str:
+    from .pipeline import _sql_assign
+
+    dotd = _SQL_DOTD
+    adc_union = "\n  UNION ALL ".join(
+        f"SELECT qc.query_id, a.vec_id AS neighbor_id, {_sql_subd2('qc.qv', 'c.cv', m)} AS d2"
+        " FROM q_cells qc"
+        " JOIN assigned a ON a.cell = qc.cell"
+        f" JOIN (SELECT vec_id, cid FROM codes WHERE m = {m}) cd ON cd.vec_id = a.vec_id"
+        " JOIN cents c ON cd.cid = c.cid"
+        for m in range(PQ_M)
+    )
+    return f"""{_sql_prefix()},
+centsn AS (SELECT cid AS cell, cv, sqrt({dotd.format(a='cv', b='cv')}) AS cn FROM cents),
+{_sql_assign('centsn', 'assigned')},
+queries AS (
+  SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM emb_n {_sql_query_pick()}
+),
+q_cells AS (
+  SELECT query_id, cell, qv FROM (
+    SELECT q.query_id, c.cell, q.qv,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+             ORDER BY (floor(({dotd.format(a='q.qv', b='c.cv')} / (q.qn * c.cn)) * 1000000.0 + 0.5) / 1000000.0) DESC,
+                      c.cell) AS crank
+    FROM queries q CROSS JOIN centsn c
+  ) WHERE crank <= {IVFPQ_PROBES}
+),
+adc_sub AS (
+  {adc_union}
+),
+adc AS (
+  SELECT query_id, neighbor_id, CAST(SUM(d2) AS BIGINT) AS adc_d2
+  FROM adc_sub WHERE query_id <> neighbor_id
+  GROUP BY query_id, neighbor_id
+)
+SELECT query_id, neighbor_id, adc_d2, CAST(rank AS INT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS rank
+  FROM adc
+) WHERE rank <= {PQ_TOP_K}
+"""
+
+
 QUERIES = {
     "embedding_pq": embedding_pq,
+    "ann_topk_ivf_pq": ann_topk_ivf_pq,
     "pq_adc_topk": pq_adc_topk,
     "pq_recall_audit": pq_recall_audit,
 }
 
 ORACLES = {
     "embedding_pq": SQL_EMBEDDING_PQ,
+    "ann_topk_ivf_pq": _sql_ivf_pq_topk(),
     "pq_adc_topk": _sql_adc_topk(),
     "pq_recall_audit": _sql_recall_audit(),
 }

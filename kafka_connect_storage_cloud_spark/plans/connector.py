@@ -133,7 +133,9 @@ def rotation_stats_plan(spark: SparkSession, sf_dir: str, flush_size: int = 100)
     rec = events_as_topic(spark, sf_dir).withColumn(
         "encoded_partition", P.field_partitioner(["event_type"])
     )
-    return R.rotation_stats(R.assign_files_flush_size(rec, flush_size))
+    return R.rotation_stats(R.assign_files_flush_size(rec, flush_size)).orderBy(
+        "kafka_partition", "encoded_partition"
+    )
 
 
 def rotation_flush_size_plan(spark: SparkSession, sf_dir: str, flush_size: int = 100) -> DataFrame:
