@@ -28,6 +28,7 @@ from kafka_connect_storage_cloud_spark.llm import dedup as LD
 from kafka_connect_storage_cloud_spark.llm import multimodal as LM
 from kafka_connect_storage_cloud_spark.llm import pii as LPI
 from kafka_connect_storage_cloud_spark.llm import pq as LPQ
+from kafka_connect_storage_cloud_spark.llm import sq as LSQ
 from kafka_connect_storage_cloud_spark.llm import pipeline as LP
 from kafka_connect_storage_cloud_spark.llm import quality as LQ
 from kafka_connect_storage_cloud_spark.llm import substring as LSU
@@ -142,6 +143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **LCO.QUERIES,
         **LPI.QUERIES,
         **LPQ.QUERIES,
+        **LSQ.QUERIES,
         **SK.QUERIES,
         **TS.QUERIES,
         **SA.QUERIES,
@@ -580,6 +582,7 @@ FROM (
         **LCO.ORACLES,
         **LPI.ORACLES,
         **LPQ.ORACLES,
+        **LSQ.ORACLES,
         **SK.ORACLES,
         **TS.ORACLES,
         **SA.ORACLES,
