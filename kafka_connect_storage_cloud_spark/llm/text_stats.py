@@ -358,3 +358,68 @@ ORDER BY r.rk
 
 QUERIES["vocab_drift_tvd"] = vocab_drift_tvd
 ORACLES["vocab_drift_tvd"] = SQL_VOCAB_DRIFT_TVD
+
+
+# ---------------------------------------------------------------------------
+# ngram_novelty — first-occurrence n-gram attribution (corpus freshness)
+# ---------------------------------------------------------------------------
+
+NOVELTY_GRAM_N = 3
+
+
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's distinct n-grams whose
+    FIRST corpus occurrence (min doc_id over an ingestion-ordered id) is
+    this doc — the 'how much genuinely new text does each document add'
+    curve curation pipelines use to decide when a source is mined out
+    (novelty ~0 = the source now only repeats the corpus).
+
+    Scale shape: one shingle explode, a map-side-combined (doc, gram)
+    distinct, a min-aggregation keyed on the gram hash, and a gram-keyed
+    join back — all shuffles carry gram-cardinality rows, never text."""
+    from ..functions import text as T
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    grams = (
+        T.with_shingles(docs, NOVELTY_GRAM_N)
+        .select("doc_id", H.h32(F.col("shingle")).alias("g"))
+        .distinct()
+    )
+    first = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("doc_id") == F.col("first_doc")).cast("long")).alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_novel",
+        H.round6(F.col("n_novel") / F.col("n_grams").cast("double")).alias("novelty"),
+    ).orderBy("doc_id")
+
+
+def _sql_ngram_novelty() -> str:
+    from ..functions import text as T
+
+    return f"""
+WITH shingles AS ({T.sql_shingles(NOVELTY_GRAM_N)}),
+grams AS (SELECT DISTINCT doc_id, {H.sql_h32('shingle')} AS g FROM shingles),
+first_occ AS (SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g),
+per_doc AS (
+  SELECT gr.doc_id, COUNT(*) AS n_grams,
+         CAST(SUM(CASE WHEN gr.doc_id = f.first_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+  FROM grams gr JOIN first_occ f ON gr.g = f.g
+  GROUP BY gr.doc_id
+)
+SELECT doc_id, n_grams, n_novel,
+       {H.sql_round6("CAST(n_novel AS DOUBLE) / n_grams")} AS novelty
+FROM per_doc ORDER BY doc_id
+"""
+
+
+QUERIES["ngram_novelty"] = ngram_novelty
+ORACLES["ngram_novelty"] = _sql_ngram_novelty()
