@@ -30,6 +30,14 @@ HAZARD_OPS = [
     "hll_distinct",              # integer harmonic denominator
     "embedding_centroid_outliers",  # integer dot chains
     "events_time_weighted_avg",  # decimal x ms trapezoids
+    # round-2 additions: tile-join kNN, Lloyd-trained IVF, banded cosine
+    # dups, SQ8 audit — each mixes Arrow-batch float presentation over
+    # exact integer cores; invariance proves batch/tile boundaries never
+    # leak into results
+    "knn_graph_mutual",
+    "ann_topk_ivf",
+    "cosine_dup_band_recall",
+    "sq8_recall_audit",
 ]
 
 
