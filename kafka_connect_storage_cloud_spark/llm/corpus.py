@@ -706,3 +706,73 @@ def doc_chunk_split_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT doc_id, c.chunk_ord, c.chunk_tokens, c.chunk_md5 "
         "FROM _chunk_docs, LATERAL doc_chunker(text) AS c"
     )
+
+
+# ---------------------------------------------------------------------------
+# modality_coverage_audit — documents <-> embeddings alignment
+# ---------------------------------------------------------------------------
+
+
+def modality_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modality completeness audit: per (source, lang), how many
+    documents have an embedding row (doc_id = vec_id join) — the backfill
+    worklist a multimodal corpus needs before semantic dedup or ANN can be
+    trusted (at sf0.1 the synthetic corpus really is 60% un-embedded).
+    A final '__orphan_embeddings__' row counts embeddings with no document
+    (the dangling half of the same invariant).
+
+    Scale shape: one broadcast-or-shuffle equi-join on the id, two
+    map-side-combined aggregations; output is |sources x langs| + 1 rows."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id")
+    j = docs.join(emb, docs.doc_id == emb.vec_id, "left")
+    cov = j.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("vec_id").isNotNull().cast("long")).alias("n_embedded"),
+    )
+    cov = cov.select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_embedded",
+        H.round6(F.col("n_embedded") / F.col("n_docs").cast("double")).alias("coverage"),
+    )
+    orphans = (
+        emb.join(docs, emb.vec_id == docs.doc_id, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_embedded"))
+        .select(
+            F.lit("__orphan_embeddings__").alias("source"),
+            F.lit("").alias("lang"),
+            F.lit(0).cast("long").alias("n_docs"),
+            F.col("n_embedded"),
+            F.lit(None).cast("double").alias("coverage"),
+        )
+    )
+    return cov.unionByName(orphans).orderBy("source", "lang")
+
+
+SQL_MODALITY_COVERAGE_AUDIT = f"""
+WITH j AS (
+  SELECT d.source, d.lang, e.vec_id
+  FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+),
+cov AS (
+  SELECT source, lang, COUNT(*) AS n_docs,
+         CAST(SUM(CASE WHEN vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_embedded,
+         {H.sql_round6("CAST(SUM(CASE WHEN vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)")} AS coverage
+  FROM j GROUP BY source, lang
+),
+orph AS (
+  SELECT '__orphan_embeddings__' AS source, '' AS lang,
+         CAST(0 AS BIGINT) AS n_docs,
+         COUNT(*) AS n_embedded,
+         CAST(NULL AS DOUBLE) AS coverage
+  FROM embeddings e LEFT JOIN documents d ON e.vec_id = d.doc_id
+  WHERE d.doc_id IS NULL
+)
+SELECT * FROM cov UNION ALL SELECT * FROM orph
+ORDER BY source, lang
+"""
+
+QUERIES["modality_coverage_audit"] = modality_coverage_audit
+ORACLES["modality_coverage_audit"] = SQL_MODALITY_COVERAGE_AUDIT
