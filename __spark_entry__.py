@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_confusion": LQ.lang_id_confusion,
         "quality_score": LQ.quality_score,
         "quality_filter": LQ.quality_filter,
+        "gopher_rules_filter": LQ.gopher_rules_filter,
         "repetition_score": LQ.repetition_score,
         "token_count": LQ.token_count,
         "doc_fingerprint": LQ.doc_fingerprint,

@@ -471,3 +471,99 @@ ORACLES = {
     "repetition_score": _sql_repetition(),
     "quality_filter": _sql_quality_filter(),
 }
+
+
+# ---------------------------------------------------------------------------
+# gopher_rules_filter — the published Gopher quality heuristics
+# ---------------------------------------------------------------------------
+
+# Rae et al. 2021 ("Scaling Language Models: ... Gopher"), Appendix A —
+# the standard rule set web-scale text pipelines apply before model-based
+# scoring. Thresholds are the paper's.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WLEN = 3.0
+GOPHER_MAX_MEAN_WLEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOP_DISTINCT = 2
+# The paper's stop set is ("the","be","to","of","and","that","have","with");
+# we use the engine's EN stopword list (lang_id's STOPWORDS) so the rule is
+# exercised on the synthetic vocabulary too — same mechanism, same
+# threshold, documented deviation.
+GOPHER_STOPSET = STOPWORDS["en"]
+
+
+def gopher_rules_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher rule filter: word-count bounds, mean-word-length bounds,
+    symbol-to-word ratio, alphabetic-word fraction, and distinct-stopword
+    presence, each an exact-integer or round6-rounded measure so the
+    keep/drop verdict is engine-identical. One scan, zero shuffles —
+    pure projection like quality_score."""
+    stopset = ", ".join(f"'{w}'" for w in GOPHER_STOPSET)
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = docs.withColumn("ws", F.expr("split(lower(text), '\\\\s+')"))
+    m = ws.select(
+        "doc_id",
+        F.size("ws").alias("n_words"),
+        F.expr("aggregate(ws, CAST(0 AS BIGINT), (a, w) -> a + length(w))").alias("_chars"),
+        (
+            (F.length("text") - F.length(F.regexp_replace("text", "#", "")))
+            + (F.length("text") - F.length(F.regexp_replace("text", r"\.\.\.", ""))) / F.lit(3)
+        ).cast("long").alias("_symbols"),
+        F.expr("size(filter(ws, w -> w rlike '[a-z]'))").alias("_alpha_words"),
+        F.expr(f"size(array_distinct(filter(ws, w -> w IN ({stopset}))))").alias("n_stop_distinct"),
+    )
+    mean_wlen = H.round6(F.col("_chars") / F.col("n_words").cast("double"))
+    sym_ratio = H.round6(F.col("_symbols") / F.col("n_words").cast("double"))
+    alpha_frac = H.round6(F.col("_alpha_words") / F.col("n_words").cast("double"))
+    scored = m.select(
+        "doc_id",
+        "n_words",
+        mean_wlen.alias("mean_word_len"),
+        sym_ratio.alias("symbol_ratio"),
+        alpha_frac.alias("alpha_frac"),
+        "n_stop_distinct",
+    )
+    keep = (
+        F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & F.col("mean_word_len").between(GOPHER_MIN_MEAN_WLEN, GOPHER_MAX_MEAN_WLEN)
+        & (F.col("symbol_ratio") <= GOPHER_MAX_SYMBOL_RATIO)
+        & (F.col("alpha_frac") >= GOPHER_MIN_ALPHA_FRAC)
+        & (F.col("n_stop_distinct") >= GOPHER_MIN_STOP_DISTINCT)
+    )
+    return scored.withColumn("keep", keep).orderBy("doc_id")
+
+
+SQL_WORDS_Q = "string_split_regex(lower(text), '\\s+')"
+
+
+def _sql_gopher() -> str:
+    stopset = ", ".join(f"'{w}'" for w in GOPHER_STOPSET)
+    return f"""
+WITH ws AS (SELECT doc_id, text, {SQL_WORDS_Q} AS ws FROM documents),
+m AS (
+  SELECT doc_id,
+         len(ws) AS n_words,
+         CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS _chars,
+         CAST((length(text) - length(replace(text, '#', '')))
+              + (length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS _symbols,
+         len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS _alpha_words,
+         len(list_distinct(list_filter(ws, w -> w IN ({stopset})))) AS n_stop_distinct
+  FROM ws
+)
+SELECT doc_id, n_words,
+       {H.sql_round6("CAST(_chars AS DOUBLE) / n_words")} AS mean_word_len,
+       {H.sql_round6("CAST(_symbols AS DOUBLE) / n_words")} AS symbol_ratio,
+       {H.sql_round6("CAST(_alpha_words AS DOUBLE) / n_words")} AS alpha_frac,
+       CAST(n_stop_distinct AS INT) AS n_stop_distinct,
+       (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+       AND ({H.sql_round6("CAST(_chars AS DOUBLE) / n_words")} BETWEEN {GOPHER_MIN_MEAN_WLEN} AND {GOPHER_MAX_MEAN_WLEN})
+       AND ({H.sql_round6("CAST(_symbols AS DOUBLE) / n_words")} <= {GOPHER_MAX_SYMBOL_RATIO})
+       AND ({H.sql_round6("CAST(_alpha_words AS DOUBLE) / n_words")} >= {GOPHER_MIN_ALPHA_FRAC})
+       AND (n_stop_distinct >= {GOPHER_MIN_STOP_DISTINCT}) AS keep
+FROM m ORDER BY doc_id
+"""
+
+
+ORACLES["gopher_rules_filter"] = _sql_gopher()
