@@ -398,3 +398,19 @@ def test_no_corpus_sized_driver_collects_in_vector_paths():
         src = inspect.getsource(fn)
         assert "limit(IVF_K)" in src or "groupBy" in src, fn.__name__
     assert "_train_codebook" in inspect.getsource(LPQ._codebook)
+
+
+def test_gopher_and_sq8_encode_are_shuffle_free(spark, sf_dir):
+    """The round-2 verdict scans must stay pure projections: the Gopher rule
+    filter reads documents once with zero Exchange; the SQ8 encode's only
+    aggregation is the 64-row dim-stats job (collected before the plan),
+    so the returned plan itself is exchange-free."""
+    from kafka_connect_storage_cloud_spark.llm import quality as LQ
+    from kafka_connect_storage_cloud_spark.llm import sq as LSQ
+
+    plan = _plan(spark, LQ.gopher_rules_filter(spark, sf_dir))
+    body = plan.split("(1) Scan")[0] if "(1) Scan" in plan else plan
+    assert "Exchange hashpartitioning" not in plan
+    enc = _plan(spark, LSQ._encoded(spark, sf_dir))
+    assert "Exchange" not in enc
+    assert "Scan" in enc

@@ -725,3 +725,57 @@ def test_run_connector_stream_scheduled_trigger_path(spark, sf_small, tmp_path):
     q2.stop()
     q2.awaitTermination(60)
     assert spark.read.option("pathGlobFilter", "part-b*.parquet").parquet(out).count() == src
+
+
+def test_streaming_sq8_encode_matches_batch(spark, sf_small, tmp_path):
+    """The SQ8 compression path serves STREAMING ingest too: embeddings
+    arriving as a stream encode against the broadcast-trained quantizer
+    ranges and land with exactly the batch encoder's codes/errors —
+    continuously-arriving vectors join a corpus without re-encoding it."""
+    import os
+    import shutil
+
+    from kafka_connect_storage_cloud_spark.llm.sq import _dim_ranges, embedding_sq8
+    from kafka_connect_storage_cloud_spark.llm.similarity import SCALE
+    from kafka_connect_storage_cloud_spark.llm.sq import SQ_LEVELS
+
+    expected = {
+        (r["vec_id"], r["recon_err_sq"], r["code_sum"])
+        for r in embedding_sq8(spark, sf_small).collect()
+    }
+    mn, mx = _dim_ranges(spark, sf_small)
+    mn_arr = "array(" + ",".join(f"{v}L" for v in mn) + ")"
+    rng_arr = "array(" + ",".join(f"{(b - a) if b > a else 1}L" for a, b in zip(mn, mx)) + ")"
+    stage = tmp_path / "emb_stream"
+    stage.mkdir()
+    shutil.copy(os.path.join(sf_small, "embeddings.parquet"), stage / "embeddings.parquet")
+    raw_schema = spark.read.parquet(str(stage)).schema
+    stream = spark.readStream.schema(raw_schema).parquet(str(stage))
+    v = f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {SCALE}, 0) AS BIGINT))"
+    code = (
+        f"zip_with(zip_with({v}, {mn_arr}, (x, m) -> x - m), {rng_arr}, "
+        f"(d, r) -> (d * {SQ_LEVELS}) div r)"
+    )
+    recon = (
+        f"zip_with(zip_with({code}, {rng_arr}, (c, r) -> (c * r) div {SQ_LEVELS}), "
+        f"{mn_arr}, (q, m) -> q + m)"
+    )
+    enc = stream.selectExpr(
+        "vec_id",
+        f"aggregate(zip_with({v}, {recon}, (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (acc, e) -> acc + e) AS recon_err_sq",
+        f"aggregate({code}, CAST(0 AS BIGINT), (a, c) -> a + c) AS code_sum",
+    )
+    q = (
+        enc.writeStream.format("memory")
+        .queryName("sq8_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sq8"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["vec_id"], r["recon_err_sq"], r["code_sum"])
+        for r in spark.table("sq8_stream").collect()
+    }
+    assert got == expected
