@@ -86,38 +86,95 @@ CB_THRESHOLD = 0.4
 
 def _exact_label_pairs(spark: SparkSession, sf_dir: str, threshold: float = CB_THRESHOLD) -> DataFrame:
     """AUDIT-ONLY exact near-dup pairs, blocked by label: every same-label
-    pair with cosine >= threshold via one exact int64 Gram matmul per block
-    inside applyInPandas. O(block²) by construction — the gold standard the
-    banded path is audited against (cosine_dup_band_recall), same role the
-    exact kNN graph plays for ann_topk_lsh. Not a serving path at 100 TB."""
+    pair with cosine >= threshold. O(block²) COMPUTE by construction — the
+    gold standard the banded path is audited against
+    (cosine_dup_band_recall), same role the exact kNN graph plays for
+    ann_topk_lsh — but memory-bounded like _knn_topk_edges: labels are cut
+    into KNN_BLOCK range tiles and each task holds ONE tile pair, so even
+    the audit survives label blocks that dwarf executor memory. Because
+    tiles are `vec_id div B` range buckets, an off-diagonal tile pair
+    (blk < rblk) has every left id < every right id — the canonical
+    vec_a < vec_b ordering costs nothing; diagonal tiles use triu."""
     import numpy as np
     import pandas as pd
 
-    def block(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values("vec_id")
-        ids = pdf["vec_id"].to_numpy()
-        c_mat = np.stack(pdf["v"].to_numpy()).astype(np.int64)
-        norm = np.sqrt(np.einsum("ij,ij->i", c_mat, c_mat).astype(np.float64) / 1e16)
-        cos = ((c_mat @ c_mat.T).astype(np.float64) / 1e16) / (norm[:, None] * norm[None, :])
-        ia, ib = np.triu_indices(len(ids), k=1)
-        raw = cos[ia, ib]
-        # conservative prefilter; the exact >= test happens after round(,6)
-        keep = raw >= threshold - 1e-6
-        return pd.DataFrame(
-            {
-                "vec_a": ids[ia[keep]],
-                "vec_b": ids[ib[keep]],
-                "label": pdf["label"].iloc[0],
-                "cosine_raw": raw[keep],
-            }
+    B = KNN_BLOCK
+    emb = _with_dec_and_norm(read_table(spark, sf_dir, "embeddings"))
+    blocks = (
+        emb.withColumn("blk", F.expr(f"CAST(vec_id div {B} AS INT)"))
+        .groupBy("label", "blk")
+        .agg(F.expr("array_sort(collect_list(struct(vec_id, v)))").alias("p"))
+        .select(
+            "label",
+            "blk",
+            F.expr("transform(p, x -> x.vec_id)").alias("ids"),
+            F.expr("transform(p, x -> x.v)").alias("mat"),
         )
-
-    emb = _with_dec_and_norm(read_table(spark, sf_dir, "embeddings")).select(
-        "vec_id", "label", "v"
     )
+    right = blocks.select(
+        F.col("label").alias("rlabel"),
+        F.col("blk").alias("rblk"),
+        F.col("ids").alias("rids"),
+        F.col("mat").alias("rmat"),
+    )
+    tiles = blocks.join(
+        right,
+        on=[F.col("label") == F.col("rlabel"), F.col("blk") <= F.col("rblk")],
+    ).select("label", "blk", "ids", "mat", "rblk", "rids", "rmat")
+
+    def score_tiles(batches):
+        cols = ["vec_a", "vec_b", "label", "cosine_raw"]
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                l_ids = np.asarray(row.ids, dtype=np.int64)
+                l_mat = np.stack([np.asarray(x, dtype=np.int64) for x in row.mat])
+                l_norm = np.sqrt(np.einsum("ij,ij->i", l_mat, l_mat).astype(np.float64) / 1e16)
+                if row.blk == row.rblk:
+                    cos = (
+                        (l_mat @ l_mat.T).astype(np.float64) / 1e16
+                    ) / (l_norm[:, None] * l_norm[None, :])
+                    ia, ib = np.triu_indices(len(l_ids), k=1)
+                    raw = cos[ia, ib]
+                    keep = raw >= threshold - 1e-6  # conservative prefilter
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "vec_a": l_ids[ia[keep]],
+                                "vec_b": l_ids[ib[keep]],
+                                "label": row.label,
+                                "cosine_raw": raw[keep],
+                            }
+                        )
+                    )
+                else:
+                    r_ids = np.asarray(row.rids, dtype=np.int64)
+                    r_mat = np.stack([np.asarray(x, dtype=np.int64) for x in row.rmat])
+                    r_norm = np.sqrt(
+                        np.einsum("ij,ij->i", r_mat, r_mat).astype(np.float64) / 1e16
+                    )
+                    cos = (
+                        (l_mat @ r_mat.T).astype(np.float64) / 1e16
+                    ) / (l_norm[:, None] * r_norm[None, :])
+                    ia, ib = np.nonzero(cos >= threshold - 1e-6)
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "vec_a": l_ids[ia],  # blk < rblk => l_id < r_id
+                                "vec_b": r_ids[ib],
+                                "label": row.label,
+                                "cosine_raw": cos[ia, ib],
+                            }
+                        )
+                    )
+            yield (
+                pd.concat(out, ignore_index=True)
+                if out
+                else pd.DataFrame({c: [] for c in cols})
+            )
+
     return (
-        emb.groupBy("label")
-        .applyInPandas(block, "vec_a long, vec_b long, label int, cosine_raw double")
+        tiles.mapInPandas(score_tiles, "vec_a long, vec_b long, label int, cosine_raw double")
         .withColumn("cosine", (F.floor((F.col("cosine_raw")) * 1000000.0 + F.lit(0.5)) / 1000000.0))
         .where(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "label", "cosine")
