@@ -67,7 +67,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in headline:
         best = float("inf")
-        for _ in range(2):  # min-of-2: squeeze out GC/scheduler noise
+        for _ in range(3):  # min-of-3: squeeze out GC/scheduler noise
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).collect()
             best = min(best, time.perf_counter() - t0)
@@ -94,7 +94,7 @@ def main() -> None:
         run_connector(spark, props, sf_dir=sf_dir, output_path=out).collect()  # warm
         shutil.rmtree(out)
         sink_sec = float("inf")
-        for _ in range(2):  # same min-of-2 steady-state convention as queries
+        for _ in range(3):  # same min-of-3 steady-state convention as queries
             t0 = time.perf_counter()
             run_connector(spark, props, sf_dir=sf_dir, output_path=out).collect()
             sink_sec = min(sink_sec, round(time.perf_counter() - t0, 3))
