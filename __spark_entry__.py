@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": LC.dedup_clusters,
         "dedup_keep_best": LC.dedup_keep_best,
         "dedup_semantic": LC.dedup_semantic,
+        "dedup_rate_by_slice": LC.dedup_rate_by_slice,
         "dedup_exact": LD.dedup_exact,
         "dup_source_matrix": LD.dup_source_matrix,
         "dedup_minhash_lsh": LD.dedup_minhash_lsh,

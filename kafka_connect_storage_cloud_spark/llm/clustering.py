@@ -217,3 +217,53 @@ ORACLES = {
     "dedup_keep_best": _sql_keep_best(),
     "dedup_semantic": _sql_semantic(),
 }
+
+
+def dedup_rate_by_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup fairness audit: per (source, lang) slice, how many documents
+    the keep-best dedup decision retains — the bias check run after any
+    corpus-shrinking step, because a near-dup policy that silently drops
+    80% of one language skews the training mix exactly like an intentional
+    reweighting would. Composes dedup_keep_best with the document
+    dimensions; one join + one slice-keyed aggregation."""
+    from ..functions import hashing as H
+    from ..session import read_table
+
+    kb = dedup_keep_best(spark, sf_dir).select("doc_id", F.col("keep").cast("long").alias("k"))
+    dims = read_table(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    return (
+        kb.join(dims, "doc_id")
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("k").alias("n_kept"),
+        )
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "n_kept",
+            H.round6(F.col("n_kept") / F.col("n_docs").cast("double")).alias("kept_ratio"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+def _sql_dedup_rate_by_slice() -> str:
+    from ..functions import hashing as H
+
+    return f"""
+WITH kb AS ({_sql_keep_best()}),
+j AS (
+  SELECT d.source, d.lang, CASE WHEN kb.keep THEN 1 ELSE 0 END AS k
+  FROM kb JOIN documents d ON kb.doc_id = d.doc_id
+)
+SELECT source, lang, COUNT(*) AS n_docs,
+       CAST(SUM(k) AS BIGINT) AS n_kept,
+       {H.sql_round6("CAST(SUM(k) AS DOUBLE) / COUNT(*)")} AS kept_ratio
+FROM j GROUP BY source, lang
+ORDER BY source, lang
+"""
+
+
+ORACLES["dedup_rate_by_slice"] = _sql_dedup_rate_by_slice()

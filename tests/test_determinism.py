@@ -56,3 +56,26 @@ def test_result_invariant_to_partitioning(spark, sf_dir, name):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert base == alt, f"{name} depends on physical partitioning"
+
+
+def test_knn_edges_invariant_to_tile_width(spark, sf_dir, monkeypatch):
+    """The tile self-join is pure mechanics: shrinking KNN_BLOCK from 1024
+    to 64 multiplies the tile count ~256x yet must reproduce the exact
+    edge list byte-for-byte — proving per-tile top-k pruning and the
+    diagonal/off-diagonal handling never leak tile boundaries into
+    results. Covers _knn_topk_edges AND the tiled exact label-pair gold
+    standard."""
+    from kafka_connect_storage_cloud_spark.llm import similarity as LS
+
+    def edges():
+        df = LS._knn_topk_edges(spark, sf_dir, LS.KNN_K)
+        return sorted(tuple(str(v) for v in r) for r in df.collect())
+
+    def pairs():
+        df = LS._exact_label_pairs(spark, sf_dir)
+        return sorted(tuple(str(v) for v in r) for r in df.collect())
+
+    base_e, base_p = edges(), pairs()
+    monkeypatch.setattr(LS, "KNN_BLOCK", 64)
+    assert edges() == base_e
+    assert pairs() == base_p
