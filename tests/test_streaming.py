@@ -710,21 +710,47 @@ def test_run_connector_stream_scheduled_trigger_path(spark, sf_small, tmp_path):
     deadline = time.time() + 120
     while time.time() < deadline and not glob.glob(os.path.join(out, "_batch_*_committed")):
         time.sleep(0.5)
+    # second wall-clock window: new records arrive AFTER the first scheduled
+    # commit and must land in their own batch-keyed files (multi-window
+    # rotation, not just a single flush)
+    import hashlib
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    path = os.path.abspath(str(sf_copy / "events.parquet"))
+    tag = hashlib.md5(path.encode()).hexdigest()[:12]
+    stage = os.path.join(tempfile.gettempdir(), f"kcsc_events_stream_{tag}")
+    tbl = pq.read_table(path)
+    shifted = tbl.set_column(
+        tbl.schema.get_field_index("event_id"),
+        "event_id",
+        [[v.as_py() + 10_000_000 for v in tbl["event_id"].combine_chunks()]],
+    )
+    pq.write_table(shifted, os.path.join(stage, "events2.parquet"))
+    n_markers = lambda: len(glob.glob(os.path.join(out, "_batch_*_committed")))  # noqa: E731
+    first = n_markers()
+    deadline = time.time() + 120
+    while time.time() < deadline and n_markers() <= first:
+        time.sleep(0.5)
     q.stop()
     q.awaitTermination(60)
-    markers = glob.glob(os.path.join(out, "_batch_*_committed"))
-    assert markers, "no scheduled batch committed"
+    assert n_markers() >= 2, "second scheduled window never committed"
     files = glob.glob(os.path.join(out, "**", "part-b*.parquet"), recursive=True)
-    assert files, "scheduled rotation produced no batch-keyed files"
+    batch_ids = {os.path.basename(f).split("-")[1] for f in files}
+    assert len(batch_ids) >= 2, f"expected files from >=2 scheduled windows, got {batch_ids}"
     got = spark.read.option("pathGlobFilter", "part-b*.parquet").parquet(out).count()
-    src = spark.read.parquet(str(sf_copy / "events.parquet")).count()
-    assert got == src
+    src = spark.read.parquet(path).count()
+    assert got == 2 * src
     # restart: checkpoint + markers must prevent any re-landing
     q2 = run_connector_stream_scheduled(spark, props, str(sf_copy), out, ckpt)
     time.sleep(2.5)
     q2.stop()
     q2.awaitTermination(60)
-    assert spark.read.option("pathGlobFilter", "part-b*.parquet").parquet(out).count() == src
+    assert (
+        spark.read.option("pathGlobFilter", "part-b*.parquet").parquet(out).count()
+        == 2 * src
+    )
 
 
 def test_streaming_sq8_encode_matches_batch(spark, sf_small, tmp_path):
