@@ -331,3 +331,63 @@ def test_read_manifest_sidecar(spark, records, tmp_path):
     manifest = run_connector(spark, props, sf_dir="/root/testdata/sf0.001", output_path=out)
     back = read_manifest(spark, out)
     assert back.count() == manifest.count()
+
+
+def test_avro_py_conformance_against_jvm_reference_reader(spark, records, tmp_path):
+    """Independent spec-conformance gate: files written by the pure-Python
+    container writer must be readable by the REFERENCE implementation —
+    org.apache.avro's DataFileReader (the avro jar Spark bundles) — with
+    identical schema and values, under both the null and deflate codecs.
+    This is the cross-check that avro_py implements the spec, not a
+    self-consistent dialect."""
+    import json
+
+    from kafka_connect_storage_cloud_spark.sinks import avro_py as A
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": ["null", "string"]},
+            {"name": "score", "type": "double"},
+            {"name": "flag", "type": "boolean"},
+            {"name": "tags", "type": {"type": "array", "items": "int"}},
+        ],
+    }
+    rows = [
+        {"id": 1, "name": "alpha", "score": 1.5, "flag": True, "tags": [1, -2, 3]},
+        {"id": -(2**60), "name": None, "score": -2.25, "flag": False, "tags": []},
+        {"id": 0, "name": "", "score": 0.0, "flag": True, "tags": [0]},
+    ]
+    jvm = spark._jvm
+    for codec in ("null", "deflate"):
+        path = str(tmp_path / f"conf_{codec}.avro")
+        A.write_container(path, schema, rows, codec=codec)
+        freader = jvm.org.apache.avro.file.DataFileReader(
+            jvm.java.io.File(path), jvm.org.apache.avro.generic.GenericDatumReader()
+        )
+        assert json.loads(freader.getSchema().toString()) == schema
+        got = []
+        while freader.hasNext():
+            got.append(json.loads(str(freader.next())))
+        freader.close()
+        assert got == rows, codec
+    # and a real sink-written partition file
+    out = str(tmp_path / "sink_avro")
+    src = records.select("offset", "key", "value", "encoded_partition")
+    write_partitioned(src, out, SinkConfig(format="avro"))
+    import glob
+    import os
+
+    files = sorted(glob.glob(os.path.join(out, "**", "*.avro"), recursive=True))
+    assert files
+    freader = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(files[0]), jvm.org.apache.avro.generic.GenericDatumReader()
+    )
+    n = 0
+    while freader.hasNext():
+        freader.next()
+        n += 1
+    freader.close()
+    assert n > 0
