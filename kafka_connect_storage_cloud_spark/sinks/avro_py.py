@@ -401,3 +401,99 @@ def write_avro_partitioned(df, path: str, partition_cols, codec: str,
 
     ordered = df.repartition(*part).sortWithinPartitions(*part, *payload)
     ordered.foreachPartition(write_group)
+
+
+# ---------------------------------------------------------------------------
+# distributed read-back
+# ---------------------------------------------------------------------------
+
+_TO_SPARK = {
+    "long": "long",
+    "int": "int",
+    "string": "string",
+    "boolean": "boolean",
+    "double": "double",
+    "float": "float",
+    "bytes": "binary",
+    "null": "string",
+}
+
+
+def _spark_type_for(avro_type) -> str:
+    """Inverse of _avro_type: an Avro field type as a Spark DDL string."""
+    if isinstance(avro_type, list):  # nullable union ["null", T]
+        inner = [t for t in avro_type if t != "null"]
+        return _spark_type_for(inner[0] if inner else "null")
+    if isinstance(avro_type, dict):
+        lt = avro_type.get("logicalType")
+        if lt == "timestamp-micros":
+            return "timestamp"
+        if lt == "date":
+            return "date"
+        if avro_type.get("type") == "array":
+            return f"array<{_spark_type_for(avro_type['items'])}>"
+        return _spark_type_for(avro_type["type"])
+    return _TO_SPARK[avro_type]
+
+
+def spark_ddl_for(avro_schema: dict) -> str:
+    """Spark DDL schema string for an Avro record schema."""
+    return ", ".join(
+        f"{f['name']} {_spark_type_for(f['type'])}" for f in avro_schema["fields"]
+    )
+
+
+def read_avro_distributed(spark, path: str):
+    """Distributed read-back of a hive-layout Avro dataset written by
+    write_avro_partitioned (or any spec-compliant writer): the file list is
+    parallelized and each TASK parses its own containers with the
+    pure-Python decoder, so the driver never touches record data. Partition
+    directory key/values fold back in as string columns, mirroring Spark's
+    partition discovery. The schema comes from the first container's
+    header (one small driver-side read)."""
+    import glob as _g
+    from urllib.parse import unquote
+
+    from ..session import ship_package
+
+    files = sorted(_g.glob(os.path.join(path, "**", "*.avro"), recursive=True))
+    if not files:
+        raise FileNotFoundError(f"no .avro files under {path}")
+    ship_package(spark)
+    schema0, _rows = read_container(files[0])
+    part_keys = []
+    rel = os.path.relpath(os.path.dirname(files[0]), path)
+    if rel != ".":
+        part_keys = [seg.partition("=")[0] for seg in rel.split(os.sep) if "=" in seg]
+    ddl = spark_ddl_for(schema0)
+    if part_keys:
+        ddl += ", " + ", ".join(f"{k} string" for k in part_keys)
+    root = path
+
+    def parse(batches):
+        import pandas as pd
+
+        from kafka_connect_storage_cloud_spark.sinks.avro_py import read_container as rc
+
+        for pdf in batches:
+            out = []
+            for fp in pdf["path"]:
+                _schema, rows = rc(fp)
+                relp = os.path.relpath(os.path.dirname(fp), root)
+                parts = {}
+                if relp != ".":
+                    for seg in relp.split(os.sep):
+                        if "=" in seg:
+                            k, _, v = seg.partition("=")
+                            parts[k] = unquote(v)
+                for r in rows:
+                    r.update(parts)
+                    out.append(r)
+            yield pd.DataFrame(out) if out else pd.DataFrame(
+                {f["name"]: [] for f in schema0["fields"]}
+            )
+
+    paths = spark.createDataFrame([(f,) for f in files], "path string").repartition(
+        min(len(files), 64)
+    )
+    return paths.mapInPandas(parse, ddl)

@@ -32,6 +32,15 @@ def read_connector_output(
 ) -> DataFrame:
     """Read a connector output dataset with partition discovery and evolved
     schemas merged (added columns are NULL on pre-evolution files)."""
+    if fmt == "avro":
+        # spark-avro when available; otherwise the distributed pure-Python
+        # container reader (tasks parse their own files — driver sees paths)
+        try:
+            return spark.read.format("avro").load(path)
+        except Exception:
+            from ..sinks.avro_py import read_avro_distributed
+
+            return read_avro_distributed(spark, path)
     reader = spark.read.format(fmt)
     if merge_schema and fmt == "parquet":
         reader = reader.option("mergeSchema", "true")

@@ -391,3 +391,25 @@ def test_avro_py_conformance_against_jvm_reference_reader(spark, records, tmp_pa
         n += 1
     freader.close()
     assert n > 0
+
+
+def test_avro_readback_distributed(spark, records, tmp_path):
+    """Consumer read-back of an avro-landed dataset without spark-avro:
+    read_connector_output(fmt='avro') falls back to the distributed
+    pure-Python container reader and returns the full dataset with the
+    partition column restored."""
+    from kafka_connect_storage_cloud_spark.sources.readback import read_connector_output
+
+    out = str(tmp_path / "avro_rb")
+    src = records.select("offset", "key", "value", "encoded_partition")
+    write_partitioned(src, out, SinkConfig(format="avro"))
+    back = read_connector_output(spark, out, fmt="avro")
+    want = {
+        (r["offset"], r["key"], r["value"], r["encoded_partition"])
+        for r in src.collect()
+    }
+    got = {
+        (r["offset"], r["key"], r["value"], r["encoded_partition"])
+        for r in back.collect()
+    }
+    assert got == want
