@@ -451,10 +451,13 @@ def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     sit within levenshtein distance 1..FUZZY_MAX_DIST — the
     blocked-pair edit-distance pass record-linkage pipelines run before
     human review. Candidates come from the pigeonhole piece blocking (see
-    _FUZZY_PIECES): complete for substitution-only pairs (all of TPC-H's
-    fixed-format names), bounded block sizes; the edit distance is a
-    built-in on BOTH engines (exact int), so the operator is
-    oracle-checkable with zero custom UDF."""
+    _FUZZY_PIECES): PROVABLY complete for <=2-substitution pairs (incl.
+    transpositions; hypothesis-tested), bounded block sizes. Insert+delete
+    SHIFT pairs whose edit span exceeds the excluded windows are the
+    documented blocked-screen miss class (0.66% of true pairs at sf0.1 —
+    see SCALE.md); both engines implement the identical blocking, so the
+    oracle contract stays exact. The edit distance is a built-in on BOTH
+    engines (exact int) — zero custom UDF."""
     keys = F.array(
         *[
             F.expr(f"struct({kid} AS keyid, {kv} AS keyval)")
