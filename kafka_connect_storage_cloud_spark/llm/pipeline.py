@@ -123,18 +123,19 @@ FROM stats ORDER BY doc_id
 """
 
 
-def _seed_codebook(spark: SparkSession, sf_dir: str):
-    """The IVF_K seed centroids: the K vectors whose salted hash sorts first
-    — a fixed COUNT (not a corpus fraction), so driver state is O(K) at any
-    corpus size (VERDICT r1 'What's wrong' #3). Returns (ids, K x dim int64
+def _seed_codebook(spark: SparkSession, sf_dir: str, k: int = IVF_K,
+                   salt: str = IVF_CENT_SALT):
+    """The k seed centroids: the k vectors whose salted hash sorts first
+    — a fixed COUNT (not a corpus fraction), so driver state is O(k) at any
+    corpus size (VERDICT r1 'What's wrong' #3). Returns (ids, k x dim int64
     matrix) sorted by vec_id so argmin first-hit ties equal smallest id."""
     import numpy as np
 
     emb = _with_dec_and_norm(read_table(spark, sf_dir, "embeddings"))
-    qh = H.h32(F.concat(F.lit(IVF_CENT_SALT), F.col("vec_id").cast("string")))
+    qh = H.h32(F.concat(F.lit(salt), F.col("vec_id").cast("string")))
     rows = (
         emb.orderBy(qh.asc(), F.col("vec_id").asc())
-        .limit(IVF_K)
+        .limit(k)
         .select("vec_id", "v")
         .collect()
     )
@@ -215,7 +216,8 @@ def _lloyd_means(emb: DataFrame, c_ids, c_mat):
 _CODEBOOK_MEMO: dict[tuple[str, int], tuple] = {}
 
 
-def _train_codebook(spark: SparkSession, sf_dir: str, steps: int = IVF_LLOYD_STEPS):
+def _train_codebook(spark: SparkSession, sf_dir: str, steps: int = IVF_LLOYD_STEPS,
+                    k: int = IVF_K, salt: str = IVF_CENT_SALT):
     """Deterministic fixed-K codebook: K salted-hash seeds refined by
     `steps` Lloyd iterations. Cardinality and driver state are O(K)
     regardless of corpus size; every step is a corpus-streaming assignment
@@ -224,11 +226,11 @@ def _train_codebook(spark: SparkSession, sf_dir: str, steps: int = IVF_LLOYD_STE
     Memoized per (sf_dir, steps): training is deterministic in the input
     data, and the serving pattern is train-once/probe-many — the IVF, PQ,
     and recall-audit operators all share one codebook per corpus."""
-    key = (sf_dir, steps)
+    key = (sf_dir, steps, k, salt)
     if key in _CODEBOOK_MEMO:
         return _CODEBOOK_MEMO[key]
     emb = _with_dec_and_norm(read_table(spark, sf_dir, "embeddings")).select("vec_id", "v")
-    c_ids, c_mat = _seed_codebook(spark, sf_dir)
+    c_ids, c_mat = _seed_codebook(spark, sf_dir, k=k, salt=salt)
     for _ in range(steps):
         c_ids, c_mat = _lloyd_means(emb, c_ids, c_mat)
     _CODEBOOK_MEMO[key] = (c_ids, c_mat)
@@ -391,16 +393,17 @@ def _sql_assign(cents_cte: str, out: str) -> str:
 )"""
 
 
-def _sql_train_chain(steps: int = IVF_LLOYD_STEPS) -> str:
+def _sql_train_chain(steps: int = IVF_LLOYD_STEPS, k: int = IVF_K,
+                     salt: str = IVF_CENT_SALT) -> str:
     """CTE chain replicating _train_codebook: c0 seeds -> (assign, means,
     re-quantize)* -> c{steps}. Every intermediate is codebook-sized except
     the per-step assignment scan."""
-    qh = H.sql_h32(f"'{IVF_CENT_SALT}' || CAST(vec_id AS VARCHAR)")
+    qh = H.sql_h32(f"'{salt}' || CAST(vec_id AS VARCHAR)")
     dot_cc = _SQL_DOT.format(a="cv", b="cv")
     parts = [
         f"""c0 AS (
   SELECT vec_id AS cell, v AS cv, nrm AS cn FROM emb_n
-  ORDER BY {qh}, vec_id LIMIT {IVF_K}
+  ORDER BY {qh}, vec_id LIMIT {k}
 )"""
     ]
     for s in range(1, steps + 1):
