@@ -396,7 +396,7 @@ def test_no_corpus_sized_driver_collects_in_vector_paths():
         assert "_query_pick" in inspect.getsource(fn), fn.__name__
     for fn in (LP._seed_codebook, LP._lloyd_means):
         src = inspect.getsource(fn)
-        assert "limit(IVF_K)" in src or "groupBy" in src, fn.__name__
+        assert ".limit(k)" in src or "groupBy" in src, fn.__name__
     assert "_train_codebook" in inspect.getsource(LPQ._codebook)
 
 
