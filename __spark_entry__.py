@@ -56,8 +56,68 @@ def entry(spark: SparkSession) -> DataFrame:
     return T.q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
+# Keys already hash-verified by the driver in earlier rounds (CORRECTNESS_r01/r02
+# sampled the FIRST 50 dict keys both times). queries() floats never-yet-verified
+# entries to the front so each round's 50-query window extends external coverage
+# instead of re-verifying the same prefix. _PRIORITY pins this round's window to
+# the families most exposed to dtype/tie-break hazards (vector/dedup + temporal/
+# warehouse); anything new and unlisted lands right after them, still ahead of
+# the already-verified tail.
+_DRIVER_VERIFIED: frozenset[str] = frozenset({
+    "default_partitioner", "field_partitioner", "time_based_partitioner",
+    "path_format_partitioner", "daily_partitioner", "hourly_partitioner",
+    "field_time_partitioner", "schema_partitioner", "schema_partitioner_suffix",
+    "timestamp_extractor_record_field", "tz_partitioner", "duration_partitioner",
+    "rotation_stats", "rotation_flush_size", "rotation_scheduled",
+    "rotation_interval", "rotation_partition_change", "rotation_schema_change",
+    "erasure_rewrite_plan", "exactly_once_manifest", "tombstone_routing",
+    "kv_header_views", "schema_evolution", "smt_chain", "zorder_file_skipping",
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+    "q6_revenue_change", "q10_returned_items", "top_customers",
+    "order_priority_count", "part_type_margin", "q7_volume_shipping",
+    "q8_market_share", "q14_promo_effect", "q15_top_supplier",
+    "q16_parts_supplier", "q17_small_qty_revenue", "q18_large_volume_customer",
+    "q19_discounted_revenue", "q22_global_sales_opportunity", "q2_min_cost_supplier",
+    "q4_order_priority", "q9_product_type_profit", "q11_important_stock",
+    "q13_customer_distribution", "q20_potential_promotion", "q12_ship_priority_class",
+    "q1_rollup",
+})
+
+_PRIORITY: tuple[str, ...] = (
+    # §2C dedup family
+    "dedup_exact", "dedup_minhash_lsh", "dedup_incremental", "dedup_simhash",
+    "ngram_jaccard", "minhash_jaccard_est", "dup_source_matrix",
+    "dedup_modality_agreement", "dedup_substring", "dedup_bloom",
+    "dedup_clusters", "dedup_keep_best", "dedup_semantic", "dedup_rate_by_slice",
+    "dedup_chunks",
+    # §2C vector/ANN family
+    "embedding_cosine_dups", "cosine_dup_band_recall", "ann_topk_bruteforce",
+    "ann_topk_lsh", "ann_recall_audit", "knn_graph_mutual", "knn_triangle_count",
+    "knn_pagerank_step", "knn_label_vote_accuracy", "embedding_centroid_outliers",
+    "embedding_dim_stats", "ann_topk_ivf", "ann_topk_ivf_multiprobe",
+    "ivf_kmeans_refine", "ann_topk_ivf_pq", "embedding_pq", "pq_adc_topk",
+    "pq_recall_audit", "embedding_sq8", "sq8_recall_audit",
+    # §2B temporal
+    "events_asof_join", "events_range_join", "events_gapfill_locf",
+    "events_time_weighted_avg", "events_rolling_window", "scd2_history",
+    "scd2_snapshot_asof", "late_data_audit",
+    # §2B warehouse statistics
+    "fuzzy_name_matches", "bootstrap_mean_ci", "benford_audit",
+    "market_concentration_hhi", "rfm_segmentation", "orders_cohort_ltv",
+    "revenue_pareto",
+)
+
+
+def _rotate(q: dict[str, Callable[[SparkSession, str], DataFrame]]) -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    pri = [k for k in _PRIORITY if k in q]
+    seen = set(pri)
+    fresh = [k for k in q if k not in seen and k not in _DRIVER_VERIFIED]
+    tail = [k for k in q if k in _DRIVER_VERIFIED and k not in seen]
+    return {k: q[k] for k in pri + fresh + tail}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    return _rotate({
         # --- connector parity (SURVEY §2A) ---
         "default_partitioner": C.default_partitioner_plan,
         "field_partitioner": C.field_partitioner_plan,
@@ -149,7 +209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **SK.QUERIES,
         **TS.QUERIES,
         **SA.QUERIES,
-    }
+    })
 
 
 # ---------------------------------------------------------------------------
