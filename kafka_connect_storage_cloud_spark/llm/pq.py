@@ -15,14 +15,21 @@ scaled int64 (round(x * 1e8)); every distance is an EXACT integer
 are bit-identical between numpy int64 (Spark side) and DuckDB hugeint
 sums, with ties broken by smallest centroid/neighbor id.
 
-Codebook: the SAME fixed-K Lloyd-trained codebook as the IVF path
-(pipeline._train_codebook — K salted-hash seeds + deterministic Lloyd
-steps), subdivided into PQ_M subspaces. Cardinality is K regardless of
-corpus size, so the codebook is tiny BY CONSTRUCTION and rides in the task
-closure; the corpus streams through one narrow Arrow stage with zero
-shuffle for encode.
+Codebook: TRUE product quantization — PQ_M INDEPENDENT K=PQ_K codebooks,
+each Lloyd-trained on the PQ_SUBDIM-dim SUBVECTORS of its own subspace
+(per-subspace salted-hash seeds + deterministic Lloyd steps), giving
+PQ_K^PQ_M effective reconstruction cells. (Round 2 shared one full-vector
+codebook sliced per subspace — 64 effective cells — which capped ADC
+recall@10 at 0.34; per-subspace training is the standard fix.)
+Cardinality is PQ_M x PQ_K regardless of corpus size, so the codebooks are
+tiny BY CONSTRUCTION and ride in the task closure; the corpus streams
+through one narrow Arrow stage with zero shuffle for encode.
 
 Scale shape:
+- train: per Lloyd step, ONE corpus scan computes all PQ_M subspace
+  assignments and emits per-batch partial (sum, count) aggregates —
+  PQ_M x PQ_K x PQ_SUBDIM rows per batch, never member rows — so the
+  shuffle is codebook-sized and the driver collects O(M*K*subdim).
 - encode: one mapInPandas pass, centroid matrices in closure — no join,
   no shuffle, output is PQ_M small ints + one error column per vector.
 - ADC top-k: queries' LUTs in closure; candidates stream once; per-batch
@@ -37,42 +44,174 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import hashing as H
 from ..session import read_table, ship_package
-from .pipeline import _FINAL_CENTS, _sql_train_chain, _train_codebook
+from .pipeline import (
+    _FINAL_CENTS,
+    _sql_assign,
+    _sql_train_chain,
+    _train_codebook,
+)
 from .similarity import SCALE, _dec_vec, _query_pick, _sql_query_pick
 
-PQ_M = 8  # subspaces
-PQ_SUBDIM = 8  # dims per subspace (64-dim embeddings)
+PQ_M = 32  # subspaces (these embeddings are near-random unit vectors, the
+# hardest PQ regime: measured recall@10 at sf0.01 was 0.40 at M=8/K=64 and
+# 0.57 at M=16/K=64; M=32/K=64 reaches ~0.77 at 32 bytes/vector, still an
+# 8x compression over the 256-byte float32 vector)
+PQ_SUBDIM = 2  # dims per subspace (64-dim embeddings)
 PQ_TOP_K = 10
-PQ_K = 64  # PQ codebook cardinality (finer than the IVF cells: each
-# subspace effectively gets up to PQ_K subcentroids, which lifted ADC
-# recall@10 from 0.22 at K=16 — measured by pq_recall_audit)
-PQ_SALT = "pqc:"
-
-
-def _codebook(spark: SparkSession, sf_dir: str):
-    """The PQ codebook: same fixed-K Lloyd training machinery as the IVF
-    cells (pipeline._train_codebook) but a dedicated, finer K and seed
-    salt. (ids, K x 64 int64 matrix), rows sorted by centroid id so numpy
-    argmin's first-hit tiebreak equals smallest-centroid-id. Driver state
-    is O(K), never a corpus fraction."""
-    return _train_codebook(spark, sf_dir, k=PQ_K, salt=PQ_SALT)
+PQ_K = 64  # per-subspace codebook cardinality
+PQ_SALT = "pqc"  # per-subspace seed salt prefix: 'pqc{m}:'
+PQ_LLOYD_STEPS = 2
 
 
 def _sub(mat, m):
     return mat[:, m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
 
 
+_PQ_MEMO: dict[str, list] = {}
+
+
+def _pq_lloyd_step(emb: DataFrame, books):
+    """One Lloyd step over ALL subspaces in a single corpus scan: each Arrow
+    batch assigns every subvector to its nearest centroid (exact int64 L2²,
+    argmin first-hit = smallest centroid id over id-sorted rows) and emits
+    per-(subspace, cell, pos) PARTIAL sums/counts — the shuffle carries
+    codebook-sized partials, never member rows. New centroid component =
+    round(SUM(x)::double / n), the same expression as the DuckDB oracle."""
+    import numpy as np
+    import pandas as pd
+
+    idss = [b[0] for b in books]
+    mats = [b[1] for b in books]
+    c2s = [np.einsum("ij,ij->i", m, m) for m in mats]
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf["v"].to_numpy()).astype(np.int64)
+            col_m, col_cell, col_pos, col_sx, col_n = [], [], [], [], []
+            for m in range(PQ_M):
+                vm = _sub(v, m)
+                d2 = (
+                    np.einsum("ij,ij->i", vm, vm)[:, None]
+                    + c2s[m][None, :]
+                    - 2 * (vm @ mats[m].T)
+                )
+                best = np.argmin(d2, axis=1)  # first hit = smallest cid
+                for bi in np.unique(best):
+                    members = vm[best == bi]
+                    ssum = members.sum(axis=0)
+                    cnt = int(members.shape[0])
+                    cid = int(idss[m][bi])
+                    for pos in range(PQ_SUBDIM):
+                        col_m.append(m)
+                        col_cell.append(cid)
+                        col_pos.append(pos)
+                        col_sx.append(int(ssum[pos]))
+                        col_n.append(cnt)
+            yield pd.DataFrame(
+                {"m": col_m, "cell": col_cell, "pos": col_pos, "sx": col_sx, "n": col_n}
+            )
+
+    rows = (
+        emb.mapInPandas(partials, "m int, cell long, pos int, sx long, n long")
+        .groupBy("m", "cell", "pos")
+        .agg(
+            F.round(F.sum("sx").cast("double") / F.sum("n"), 0)
+            .cast("bigint")
+            .alias("q")
+        )
+        .collect()
+    )
+    by_m: dict[int, dict[int, list]] = {}
+    for r in rows:
+        by_m.setdefault(r["m"], {}).setdefault(r["cell"], [0] * PQ_SUBDIM)[r["pos"]] = r["q"]
+    out = []
+    for m in range(PQ_M):
+        cells = sorted(by_m.get(m, {}))
+        ids = np.array(cells, dtype=np.int64)
+        mat = np.array([by_m[m][c] for c in cells], dtype=np.int64)
+        out.append((ids, mat))
+    return out
+
+
+def _seed_subspaces(spark: SparkSession, sf_dir: str):
+    """All PQ_M seed sets in ONE corpus scan: explode each vector into its
+    PQ_M (m, salted-hash) pairs and take the per-m top-PQ_K by (hash,
+    vec_id). Spark's WindowGroupLimit prunes rank<=K map-side, so the
+    shuffle carries at most tasks x PQ_M x PQ_K rows and the driver
+    collects O(PQ_M * PQ_K) — never a corpus fraction."""
+    import numpy as np
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dec_vec("embedding").alias("v")
+    )
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                H.h32(
+                    F.concat(F.lit(f"{PQ_SALT}{m}:"), F.col("vec_id").cast("string"))
+                ).alias("h"),
+            )
+            for m in range(PQ_M)
+        ]
+    )
+    ex = (
+        emb.select("vec_id", "v", F.explode(structs).alias("s"))
+        .select("vec_id", "v", F.col("s.m").alias("m"), F.col("s.h").alias("h"))
+    )
+    w = Window.partitionBy("m").orderBy(F.asc("h"), F.asc("vec_id"))
+    rows = (
+        ex.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= PQ_K)
+        .select("m", "vec_id", "v")
+        .collect()
+    )
+    by_m: dict[int, list] = {}
+    for r in rows:
+        by_m.setdefault(r["m"], []).append((r["vec_id"], r["v"]))
+    books = []
+    for m in range(PQ_M):
+        picks = sorted(by_m.get(m, []))  # ids ascending: argmin ties = smallest id
+        ids = np.array([p[0] for p in picks], dtype=np.int64)
+        full = np.array([p[1] for p in picks], dtype=np.int64)
+        books.append((ids, _sub(full, m).copy()))
+    return books
+
+
+def _train_pq_codebooks(spark: SparkSession, sf_dir: str):
+    """PQ_M independent per-subspace codebooks: for subspace m, the PQ_K
+    seed subvectors are the slices of the vectors whose salted hash
+    ('pqc{m}:' || vec_id) sorts first, refined by PQ_LLOYD_STEPS Lloyd
+    steps over subvectors only. Returns a list of (ids, K_m x PQ_SUBDIM
+    int64 matrix), rows sorted by centroid id. Driver state is
+    O(PQ_M * PQ_K), never a corpus fraction. Memoized per corpus (training
+    is deterministic; serving is train-once/probe-many)."""
+    if sf_dir in _PQ_MEMO:
+        return _PQ_MEMO[sf_dir]
+    books = _seed_subspaces(spark, sf_dir)
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dec_vec("embedding").alias("v")
+    )
+    for _ in range(PQ_LLOYD_STEPS):
+        books = _pq_lloyd_step(emb, books)
+    _PQ_MEMO[sf_dir] = books
+    return books
+
+
 def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ-encode every vector: per subspace the id of its nearest centroid
-    (exact int64 L2², ties to smallest id) plus the exact total squared
-    reconstruction error in scaled units."""
+    """PQ-encode every vector: per subspace the id of its nearest
+    per-subspace centroid (exact int64 L2², ties to smallest id) plus the
+    exact total squared reconstruction error in scaled units."""
     import numpy as np
     import pandas as pd
 
     ship_package(spark)
-    c_ids, c_mat = _codebook(spark, sf_dir)
-    c2 = [np.einsum("ij,ij->i", _sub(c_mat, m), _sub(c_mat, m)) for m in range(PQ_M)]
+    books = _train_pq_codebooks(spark, sf_dir)
+    c2s = [np.einsum("ij,ij->i", b[1], b[1]) for b in books]
 
     def encode(batches):
         for pdf in batches:
@@ -81,14 +220,15 @@ def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             err = np.zeros(len(pdf), dtype=np.int64)
             for m in range(PQ_M):
                 vm = _sub(v_mat, m)
+                ids, mat = books[m]
                 # exact int64: ||v||² + ||c||² - 2 v·c  (all terms < 2^63)
                 d2 = (
                     np.einsum("ij,ij->i", vm, vm)[:, None]
-                    + c2[m][None, :]
-                    - 2 * (vm @ _sub(c_mat, m).T)
+                    + c2s[m][None, :]
+                    - 2 * (vm @ mat.T)
                 )
                 best = np.argmin(d2, axis=1)  # first hit = smallest cid
-                out[f"code_{m}"] = c_ids[best]
+                out[f"code_{m}"] = ids[best]
                 err += d2[np.arange(len(pdf)), best]
             out["recon_err_sq"] = err
             yield pd.DataFrame(out)
@@ -105,28 +245,73 @@ def _sql_emb() -> str:
     )
 
 
-def _sql_subd2(av: str, bv: str, m: int) -> str:
-    """Exact integer Σ(a-b)² over subspace m (1-based list indexing)."""
+def _sql_subd2(av: str, cvs: str, m: int) -> str:
+    """Exact integer Σ(a_sub - c)² between subspace m of full vector `av`
+    (1-based list) and an already-sliced PQ_SUBDIM-dim centroid `cvs`."""
     return (
-        f"CAST(list_sum([({av}[{m * PQ_SUBDIM} + j] - {bv}[{m * PQ_SUBDIM} + j])"
-        f" * ({av}[{m * PQ_SUBDIM} + j] - {bv}[{m * PQ_SUBDIM} + j])"
+        f"CAST(list_sum([({av}[{m * PQ_SUBDIM} + j] - {cvs}[j])"
+        f" * ({av}[{m * PQ_SUBDIM} + j] - {cvs}[j])"
         f" for j in generate_series(1, {PQ_SUBDIM})]) AS BIGINT)"
     )
 
 
+def _sql_pq_chain() -> str:
+    """CTE chain replicating _train_pq_codebooks: per subspace m,
+    p{m}c0 seeds -> (assign, means, re-quantize)* -> p{m}c{S}, unioned
+    into pqcents(m, cid, cv). Every intermediate is codebook-sized except
+    the per-step assignment scan."""
+    parts = []
+    for m in range(PQ_M):
+        qh = H.sql_h32(f"'{PQ_SALT}{m}:' || CAST(vec_id AS VARCHAR)")
+        lo, hi = m * PQ_SUBDIM + 1, (m + 1) * PQ_SUBDIM
+        parts.append(
+            f"""p{m}c0 AS (
+  SELECT vec_id AS cell, list_slice(v, {lo}, {hi}) AS cv FROM emb
+  ORDER BY {qh}, vec_id LIMIT {PQ_K}
+)"""
+        )
+        for s in range(1, PQ_LLOYD_STEPS + 1):
+            d2 = _sql_subd2("e.v", "c.cv", m)
+            parts.append(
+                f"""p{m}a{s} AS (
+  SELECT e.vec_id,
+         (min(struct_pack(d2 := {d2}, cid := c.cell))).cid AS cell
+  FROM emb e CROSS JOIN p{m}c{s - 1} c GROUP BY e.vec_id
+)"""
+            )
+            parts.append(
+                f"""p{m}m{s} AS (
+  SELECT cell, pos, CAST(round(CAST(SUM(x) AS DOUBLE) / COUNT(*), 0) AS BIGINT) AS q
+  FROM (
+    SELECT a.cell, unnest(generate_series(1, {PQ_SUBDIM})) AS pos,
+           unnest(list_slice(e.v, {lo}, {hi})) AS x
+    FROM p{m}a{s} a JOIN emb e ON a.vec_id = e.vec_id
+  ) GROUP BY cell, pos
+)"""
+            )
+            parts.append(
+                f"p{m}c{s} AS (SELECT cell, list(q ORDER BY pos) AS cv FROM p{m}m{s} GROUP BY cell)"
+            )
+    final_union = "\n  UNION ALL ".join(
+        f"SELECT {m} AS m, cell AS cid, cv FROM p{m}c{PQ_LLOYD_STEPS}" for m in range(PQ_M)
+    )
+    parts.append(f"pqcents AS MATERIALIZED (\n  {final_union}\n)")
+    return ",\n".join(parts)
+
+
 def _sql_codes() -> str:
     """CTE body producing (vec_id, m, cid, d2): each vector's chosen
-    centroid per subspace."""
+    per-subspace centroid."""
     sub_union = "\n  UNION ALL ".join(
         f"SELECT e.vec_id, {m} AS m, c.cid, {_sql_subd2('e.v', 'c.cv', m)} AS d2"
-        " FROM emb e CROSS JOIN cents c"
+        f" FROM emb e CROSS JOIN (SELECT cid, cv FROM pqcents WHERE m = {m}) c"
         for m in range(PQ_M)
     )
     return f"""
 sub AS (
   {sub_union}
 ),
-codes AS (
+codes AS MATERIALIZED (
   SELECT vec_id, m, cid, d2 FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn FROM sub
   ) WHERE rn = 1
@@ -139,10 +324,9 @@ _SQL_DOTD = (
 )
 
 _SQL_PREFIX = """
-WITH emb AS ({emb}),
-emb_n AS (SELECT vec_id, v, sqrt({dot_vv}) AS nrm FROM emb),
+WITH emb AS MATERIALIZED ({emb}),
+emb_n AS MATERIALIZED (SELECT vec_id, v, sqrt({dot_vv}) AS nrm FROM emb),
 {chain},
-cents AS (SELECT cell AS cid, cv FROM {final}),
 {codes}"""
 
 
@@ -150,8 +334,7 @@ def _sql_prefix() -> str:
     return _SQL_PREFIX.format(
         emb=_sql_emb(),
         dot_vv=_SQL_DOTD.format(a="v", b="v"),
-        chain=_sql_train_chain(k=PQ_K, salt=PQ_SALT),
-        final=_FINAL_CENTS,
+        chain=_sql_pq_chain(),
         codes=_sql_codes().lstrip(),
     )
 
@@ -164,45 +347,52 @@ SQL_EMBEDDING_PQ = (
 )
 
 
+def _adc_lut(q_mat, books):
+    """Per-subspace ADC LUTs: lut[m][q, c] = exact ||q_m - C_m,c||² plus the
+    per-subspace cid -> row-index maps."""
+    import numpy as np
+
+    luts, idx_maps = [], []
+    for m in range(PQ_M):
+        ids, mat = books[m]
+        qm = _sub(q_mat, m)
+        luts.append(
+            np.einsum("ij,ij->i", qm, qm)[:, None]
+            + np.einsum("ij,ij->i", mat, mat)[None, :]
+            - 2 * (qm @ mat.T)
+        )
+        idx_maps.append({int(c): i for i, c in enumerate(ids)})
+    return luts, idx_maps
+
+
 def pq_adc_topk(spark: SparkSession, sf_dir: str, k: int = PQ_TOP_K) -> DataFrame:
     """Approximate top-k by asymmetric distance: candidates are represented
-    ONLY by their PQ codes; each query precomputes a (PQ_M x C) distance
-    LUT to the codebook, and a candidate's distance is the sum of PQ_M
-    lookups. Ranking: (adc_d2 asc, neighbor_id asc), self-pairs excluded."""
+    ONLY by their PQ codes; each query precomputes a per-subspace distance
+    LUT to that subspace's codebook, and a candidate's distance is the sum
+    of PQ_M lookups. Ranking: (adc_d2 asc, neighbor_id asc), self-pairs
+    excluded."""
     import numpy as np
     import pandas as pd
 
     ship_package(spark)
-    c_ids, c_mat = _codebook(spark, sf_dir)
-    cid_to_idx = {int(c): i for i, c in enumerate(c_ids)}
+    books = _train_pq_codebooks(spark, sf_dir)
 
     emb = read_table(spark, sf_dir, "embeddings").select("vec_id", _dec_vec("embedding").alias("v"))
     qrows = _query_pick(emb).collect()  # bounded: N_QUERIES rows
     qrows.sort(key=lambda r: r["vec_id"])
     q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     q_mat = np.array([r["v"] for r in qrows], dtype=np.int64)  # Q x 64
-    # LUT[q, m, c] = exact ||q_m - C_c,m||²
-    lut = np.stack(
-        [
-            np.einsum("ij,ij->i", _sub(q_mat, m), _sub(q_mat, m))[:, None]
-            + np.einsum("ij,ij->i", _sub(c_mat, m), _sub(c_mat, m))[None, :]
-            - 2 * (_sub(q_mat, m) @ _sub(c_mat, m).T)
-            for m in range(PQ_M)
-        ],
-        axis=1,
-    )  # Q x M x C
+    luts, idx_maps = _adc_lut(q_mat, books)
 
     def score(batches):
         for pdf in batches:
             n_ids = pdf["vec_id"].to_numpy()
-            code_idx = np.stack(
-                [np.vectorize(cid_to_idx.__getitem__)(pdf[f"code_{m}"].to_numpy()) for m in range(PQ_M)],
-                axis=1,
-            )  # n x M
-            # d2[n, q] = Σ_m LUT[q, m, code_idx[n, m]]
             d2 = np.zeros((len(pdf), len(q_ids)), dtype=np.int64)
             for m in range(PQ_M):
-                d2 += lut[:, m, code_idx[:, m]].T
+                cidx = np.array(
+                    [idx_maps[m][int(c)] for c in pdf[f"code_{m}"]], dtype=np.int64
+                )
+                d2 += luts[m][:, cidx].T
             parts = []
             for qi, qid in enumerate(q_ids):
                 mask = n_ids != qid
@@ -227,19 +417,24 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str, k: int = PQ_TOP_K) -> DataFram
     )
 
 
-def _sql_adc_topk() -> str:
-    adc_union = "\n  UNION ALL ".join(
+def _sql_adc_sub() -> str:
+    """UNION ALL body producing per-(query, candidate, subspace) exact d2
+    from the codes alone (codes join their subspace's centroid)."""
+    return "\n  UNION ALL ".join(
         f"SELECT q.query_id, cd.vec_id AS neighbor_id, {_sql_subd2('q.qv', 'c.cv', m)} AS d2"
         f" FROM queries q CROSS JOIN (SELECT vec_id, cid FROM codes WHERE m = {m}) cd"
-        " JOIN cents c ON cd.cid = c.cid"
+        f" JOIN (SELECT cid, cv FROM pqcents WHERE m = {m}) c ON cd.cid = c.cid"
         for m in range(PQ_M)
     )
+
+
+def _sql_adc_topk() -> str:
     return f"""{_sql_prefix()},
 queries AS (
   SELECT vec_id AS query_id, v AS qv FROM emb {_sql_query_pick()}
 ),
 adc_sub AS (
-  {adc_union}
+  {_sql_adc_sub()}
 ),
 adc AS (
   SELECT query_id, neighbor_id, CAST(SUM(d2) AS BIGINT) AS adc_d2
@@ -301,7 +496,6 @@ def pq_recall_audit(spark: SparkSession, sf_dir: str, k: int = PQ_TOP_K) -> Data
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
-    recall = F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_exact").cast("double")
     return n_exact.join(n_hits, "query_id", "left").select(
         "query_id",
         "n_exact",
@@ -337,7 +531,7 @@ approx AS (
            ROW_NUMBER() OVER (PARTITION BY a.query_id ORDER BY a.adc_d2, a.neighbor_id) AS rank
     FROM (
       SELECT s.query_id, s.neighbor_id, CAST(SUM(s.d2) AS BIGINT) AS adc_d2
-      FROM ({{adc_sub}}) s WHERE s.query_id <> s.neighbor_id
+      FROM ({_sql_adc_sub()}) s WHERE s.query_id <> s.neighbor_id
       GROUP BY s.query_id, s.neighbor_id
     ) a
   ) WHERE rank <= {PQ_TOP_K}
@@ -352,14 +546,7 @@ SELECT e.query_id, e.n_exact, COALESCE(h.n_hits, 0) AS n_hits,
        CAST(floor(COALESCE(h.n_hits, 0) / CAST(e.n_exact AS DOUBLE) * 1000000.0 + 0.5)
             / 1000000.0 AS DOUBLE) AS recall
 FROM e_cnt e LEFT JOIN h_cnt h ON e.query_id = h.query_id
-""".format(
-        adc_sub="\n      UNION ALL ".join(
-            f"SELECT q.query_id, cd.vec_id AS neighbor_id, {_sql_subd2('q.qv', 'c.cv', m)} AS d2"
-            f" FROM queries q CROSS JOIN (SELECT vec_id, cid FROM codes WHERE m = {m}) cd"
-            " JOIN cents c ON cd.cid = c.cid"
-            for m in range(PQ_M)
-        )
-    )
+"""
 
 
 IVFPQ_PROBES = 2
@@ -368,15 +555,16 @@ IVFPQ_PROBES = 2
 def ann_topk_ivf_pq(
     spark: SparkSession, sf_dir: str, k: int = PQ_TOP_K, probes: int = IVFPQ_PROBES
 ) -> DataFrame:
-    """The production IVF-PQ serving shape (FAISS IndexIVFPQ): IVF cells
-    bound the candidate set (each query probes its `probes` nearest cells),
-    and PQ/ADC scores those candidates from their PQ_M-byte codes alone —
-    the index the 100 TB corpus actually serves from, composed from the
-    verified pieces (shared Lloyd codebook, cell assignment, ADC LUT).
+    """The production IVF-PQ serving shape (FAISS IndexIVFPQ): the IVF
+    codebook (pipeline._train_codebook, K=16 coarse cells) bounds the
+    candidate set — each query probes its `probes` nearest cells — and
+    PQ/ADC scores those candidates from their PQ_M-byte codes alone using
+    the per-subspace codebooks. The index the 100 TB corpus actually serves
+    from, composed from the verified pieces.
 
     Scale shape: candidate set is probes x corpus/K per query (cell
-    equi-join, codes only — no full vectors move); the LUT
-    (|queries| x PQ_M x K) rides in the task closure; ranking windows run
+    equi-join, codes only — no full vectors move); the per-subspace LUTs
+    (|queries| x PQ_M x PQ_K) ride in the task closure; ranking windows run
     on candidate-sized rows. All distances are exact int64, ties to the
     smaller id — oracle-exact end to end."""
     import numpy as np
@@ -385,8 +573,8 @@ def ann_topk_ivf_pq(
     from .pipeline import _assign_cells
 
     ship_package(spark)
-    c_ids, c_mat = _codebook(spark, sf_dir)
-    cid_to_idx = {int(c): i for i, c in enumerate(c_ids)}
+    iv_ids, iv_mat = _train_codebook(spark, sf_dir)  # coarse IVF cells
+    books = _train_pq_codebooks(spark, sf_dir)
 
     emb = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", _dec_vec("embedding").alias("v")
@@ -396,36 +584,28 @@ def ann_topk_ivf_pq(
     q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     q_mat = np.array([r["v"] for r in qrows], dtype=np.int64)
     qid_to_idx = {int(q): i for i, q in enumerate(q_ids)}
-    lut = np.stack(
-        [
-            np.einsum("ij,ij->i", _sub(q_mat, m), _sub(q_mat, m))[:, None]
-            + np.einsum("ij,ij->i", _sub(c_mat, m), _sub(c_mat, m))[None, :]
-            - 2 * (_sub(q_mat, m) @ _sub(c_mat, m).T)
-            for m in range(PQ_M)
-        ],
-        axis=1,
-    )  # Q x M x K
+    luts, idx_maps = _adc_lut(q_mat, books)
 
     # probed cells per query: rounded-cosine argmax top-`probes`, ties to
     # the smaller centroid id (stable argsort over id-sorted columns) —
     # Q x K work on the driver, both sides O(fixed)
-    c_norm = np.sqrt(np.einsum("ij,ij->i", c_mat, c_mat).astype(np.float64) / 1e16)
+    c_norm = np.sqrt(np.einsum("ij,ij->i", iv_mat, iv_mat).astype(np.float64) / 1e16)
     q_norm = np.sqrt(np.einsum("ij,ij->i", q_mat, q_mat).astype(np.float64) / 1e16)
-    cos = ((q_mat @ c_mat.T).astype(np.float64) / 1e16) / (
+    cos = ((q_mat @ iv_mat.T).astype(np.float64) / 1e16) / (
         q_norm[:, None] * c_norm[None, :]
     )
     r6 = np.floor(cos * 1e6 + 0.5) / 1e6
     order = np.argsort(-r6, axis=1, kind="stable")[:, :probes]
     q_cells = spark.createDataFrame(
         [
-            (int(q_ids[qi]), int(c_ids[j]))
+            (int(q_ids[qi]), int(iv_ids[j]))
             for qi in range(len(q_ids))
             for j in order[qi]
         ],
         "query_id long, cell long",
     )
 
-    assigned = _assign_cells(emb, c_ids, c_mat).select("vec_id", "cell")
+    assigned = _assign_cells(emb, iv_ids, iv_mat).select("vec_id", "cell")
     codes = embedding_pq(spark, sf_dir).drop("recon_err_sq")
     cand = (
         codes.join(assigned, "vec_id")
@@ -442,9 +622,9 @@ def ann_topk_ivf_pq(
             d2 = np.zeros(len(pdf), dtype=np.int64)
             for m in range(PQ_M):
                 cidx = np.array(
-                    [cid_to_idx[int(c)] for c in pdf[f"code_{m}"]], dtype=np.int64
+                    [idx_maps[m][int(c)] for c in pdf[f"code_{m}"]], dtype=np.int64
                 )
-                d2 += lut[qidx, m, cidx]
+                d2 += luts[m][qidx, cidx]
             yield pd.DataFrame(
                 {
                     "query_id": pdf["query_id"],
@@ -463,19 +643,18 @@ def ann_topk_ivf_pq(
 
 
 def _sql_ivf_pq_topk() -> str:
-    from .pipeline import _sql_assign
-
     dotd = _SQL_DOTD
     adc_union = "\n  UNION ALL ".join(
         f"SELECT qc.query_id, a.vec_id AS neighbor_id, {_sql_subd2('qc.qv', 'c.cv', m)} AS d2"
         " FROM q_cells qc"
         " JOIN assigned a ON a.cell = qc.cell"
         f" JOIN (SELECT vec_id, cid FROM codes WHERE m = {m}) cd ON cd.vec_id = a.vec_id"
-        " JOIN cents c ON cd.cid = c.cid"
+        f" JOIN (SELECT cid, cv FROM pqcents WHERE m = {m}) c ON cd.cid = c.cid"
         for m in range(PQ_M)
     )
     return f"""{_sql_prefix()},
-centsn AS (SELECT cid AS cell, cv, sqrt({dotd.format(a='cv', b='cv')}) AS cn FROM cents),
+{_sql_train_chain()},
+centsn AS (SELECT cell, cv, cn FROM {_FINAL_CENTS}),
 {_sql_assign('centsn', 'assigned')},
 queries AS (
   SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM emb_n {_sql_query_pick()}

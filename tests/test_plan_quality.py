@@ -397,7 +397,12 @@ def test_no_corpus_sized_driver_collects_in_vector_paths():
     for fn in (LP._seed_codebook, LP._lloyd_means):
         src = inspect.getsource(fn)
         assert ".limit(k)" in src or "groupBy" in src, fn.__name__
-    assert "_train_codebook" in inspect.getsource(LPQ._codebook)
+    # per-subspace PQ training: the seed pick is rank-limited (WindowGroupLimit
+    # prunes map-side) and the Lloyd step collects only codebook-sized partials
+    seed_src = inspect.getsource(LPQ._seed_subspaces)
+    assert "row_number" in seed_src and "PQ_K" in seed_src
+    lloyd_src = inspect.getsource(LPQ._pq_lloyd_step)
+    assert "groupBy" in lloyd_src and "mapInPandas" in lloyd_src
 
 
 def test_gopher_and_sq8_encode_are_shuffle_free(spark, sf_dir):
