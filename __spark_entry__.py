@@ -92,7 +92,8 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_chunks",
     # §2C vector/ANN family
     "embedding_cosine_dups", "cosine_dup_band_recall", "ann_topk_bruteforce",
-    "ann_topk_lsh", "ann_recall_audit", "knn_graph_mutual", "knn_triangle_count",
+    "ann_topk_lsh", "ann_recall_audit", "knn_graph_mutual", "knn_graph_lsh",
+    "knn_graph_lsh_recall", "knn_triangle_count",
     "knn_pagerank_step", "knn_label_vote_accuracy", "embedding_centroid_outliers",
     "embedding_dim_stats", "ann_topk_ivf", "ann_topk_ivf_multiprobe",
     "ivf_kmeans_refine", "ann_topk_ivf_pq", "embedding_pq", "pq_adc_topk",
@@ -184,6 +185,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": LS.ann_topk_lsh,
         "ann_recall_audit": LS.ann_recall_audit,
         "knn_graph_mutual": LS.knn_graph_mutual,
+        "knn_graph_lsh": LS.knn_graph_lsh,
+        "knn_graph_lsh_recall": LS.knn_graph_lsh_recall,
         "knn_triangle_count": LS.knn_triangle_count,
         "knn_label_vote_accuracy": LS.knn_label_vote_accuracy,
         "embedding_centroid_outliers": LS.embedding_centroid_outliers,
