@@ -415,6 +415,15 @@ ORACLES["part_affinity"] = SQL_PART_AFFINITY
 
 
 FUZZY_MAX_DIST = 2
+FUZZY_MIN_PIECED_LEN = 9  # below this the 5 pieces overlap and the
+# pigeonhole completeness proof no longer holds (a single substitution can
+# touch 3+ pieces): short names route through the plain (nation, length)
+# block instead — tiny by construction at any scale
+FUZZY_MAX_BLOCK = 2000  # degenerate-block guard, same semantics as
+# dedup.MAX_BUCKET: a block key shared by more members than this (a
+# pathological key distribution) is dropped from CANDIDATE generation on
+# BOTH engines, so recall degrades observably instead of a join exploding
+FUZZY_SHORT_KEYID = 10  # keyid of the short-name (nation, length) block
 
 # Pigeonhole blocking components: the name is cut into 5 positional pieces —
 # the head plus four 2-char tail segments (the tail carries the entropy in
@@ -458,12 +467,16 @@ def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     see SCALE.md); both engines implement the identical blocking, so the
     oracle contract stays exact. The edit distance is a built-in on BOTH
     engines (exact int) — zero custom UDF."""
-    keys = F.array(
+    pieced = F.array(
         *[
             F.expr(f"struct({kid} AS keyid, {kv} AS keyval)")
             for kid, kv in _fuzzy_keys("c_name", "nlen")
         ]
     )
+    short = F.array(
+        F.expr(f"struct({FUZZY_SHORT_KEYID} AS keyid, 'short' AS keyval)")
+    )
+    keys = F.when(F.col("nlen") >= FUZZY_MIN_PIECED_LEN, pieced).otherwise(short)
     cust = (
         read_table(spark, sf_dir, "customer")
         .select("c_custkey", "c_nationkey", "c_name", F.length("c_name").alias("nlen"))
@@ -475,6 +488,18 @@ def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey", "c_nationkey", "c_name", "nlen",
             F.col("bk.keyid").alias("keyid"), F.col("bk.keyval").alias("keyval"),
         )
+    )
+    # degenerate-block guard: keys shared by > FUZZY_MAX_BLOCK members (a
+    # pathological key distribution) leave candidate generation entirely —
+    # the oversized-key list is tiny by construction, so it broadcasts
+    big = (
+        cust.groupBy("c_nationkey", "nlen", "keyid", "keyval")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .where(F.col("bn") > FUZZY_MAX_BLOCK)
+        .select("c_nationkey", "nlen", "keyid", "keyval")
+    )
+    cust = cust.join(
+        F.broadcast(big), ["c_nationkey", "nlen", "keyid", "keyval"], "left_anti"
     )
     a = cust.select(
         F.col("c_nationkey").alias("nat"), "nlen", "keyid", "keyval",
@@ -518,15 +543,28 @@ def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_FUZZY_KEYS = "\n  UNION ALL ".join(
     f"SELECT c_custkey, nat, c_name, nlen, {kid} AS keyid, {kv} AS keyval FROM cust"
+    f" WHERE nlen >= {FUZZY_MIN_PIECED_LEN}"
     for kid, kv in _fuzzy_keys("c_name", "nlen")
+) + (
+    f"\n  UNION ALL SELECT c_custkey, nat, c_name, nlen, {FUZZY_SHORT_KEYID} AS keyid,"
+    f" 'short' AS keyval FROM cust WHERE nlen < {FUZZY_MIN_PIECED_LEN}"
 )
 
 SQL_FUZZY_NAME_MATCHES = f"""
 WITH cust AS (
   SELECT c_custkey, c_nationkey AS nat, c_name, LENGTH(c_name) AS nlen FROM customer
 ),
-blocked AS (
+blocked_all AS (
   {_SQL_FUZZY_KEYS}
+),
+big AS (
+  SELECT nat, nlen, keyid, keyval FROM (
+    SELECT nat, nlen, keyid, keyval, COUNT(*) AS bn FROM blocked_all GROUP BY 1, 2, 3, 4
+  ) WHERE bn > {FUZZY_MAX_BLOCK}
+),
+blocked AS (
+  SELECT bl.* FROM blocked_all bl ANTI JOIN big g
+    ON bl.nat = g.nat AND bl.nlen = g.nlen AND bl.keyid = g.keyid AND bl.keyval = g.keyval
 ),
 cand AS (
   SELECT DISTINCT a.nat, a.c_custkey AS key_a, b.c_custkey AS key_b,

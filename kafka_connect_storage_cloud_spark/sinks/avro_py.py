@@ -33,10 +33,12 @@ import json
 import os
 import struct
 import zlib
-from datetime import date, datetime, timezone
+from datetime import date, datetime, timedelta, timezone
 
 MAGIC = b"Obj\x01"
 _EPOCH_DATE = date(1970, 1, 1)
+_EPOCH_DT = datetime(1970, 1, 1, tzinfo=timezone.utc)
+_MICRO = timedelta(microseconds=1)
 
 
 # ---------------------------------------------------------------------------
@@ -153,9 +155,14 @@ def _encode_datum(buf: io.BytesIO, schema, v) -> None:
     lt = schema.get("logicalType") if isinstance(schema, dict) else None
     if t == "long":
         if lt == "timestamp-micros" and isinstance(v, datetime):
+            # naive datetimes are taken as UTC: every read path in this
+            # package normalizes through session.ensure_utc, so collected
+            # rows are session-UTC. Integer arithmetic (timedelta division)
+            # — float seconds * 1e6 can be off by 1us once seconds*1e6
+            # exceeds double precision.
             if v.tzinfo is None:
                 v = v.replace(tzinfo=timezone.utc)
-            v = int(v.timestamp() * 1_000_000)
+            v = (v - _EPOCH_DT) // _MICRO
         write_long(buf, int(v))
     elif t == "int":
         if lt == "date" and isinstance(v, date):
@@ -381,23 +388,42 @@ def write_avro_partitioned(df, path: str, partition_cols, codec: str,
     chunk = flush_size or 1_000_000
 
     def write_group(it):
-        groups: dict[tuple, list] = {}
+        # input arrives sorted by (part, payload) within the task, so each
+        # partition key is one contiguous run: stream it, flushing a
+        # container every `chunk` rows and on key change. Executor memory
+        # holds at most one chunk — a hot partition key never buffers its
+        # whole partition.
+        cur_key: tuple | None = None
+        buf_rows: list = []
+        file_idx = 0
+
+        def flush() -> None:
+            nonlocal buf_rows, file_idx
+            if not buf_rows:
+                return
+            sub = os.path.join(
+                path,
+                *[f"{c}={_escape_path_value(v)}" for c, v in zip(part, cur_key)],
+            )
+            write_container(
+                os.path.join(sub, f"part-{file_idx:05d}.avro"),
+                avro_schema,
+                (dict(zip(payload, r)) for r in buf_rows),
+                codec=codec,
+                level=level,
+            )
+            file_idx += 1
+            buf_rows = []
+
         for row in it:
             key = tuple(str(row[c]) for c in part)
-            groups.setdefault(key, []).append([row[c] for c in payload])
-        for key, rows in groups.items():
-            sub = os.path.join(
-                path, *[f"{c}={_escape_path_value(v)}" for c, v in zip(part, key)]
-            )
-            for i in range(0, len(rows), chunk):
-                fp = os.path.join(sub, f"part-{i // chunk:05d}.avro")
-                write_container(
-                    fp,
-                    avro_schema,
-                    (dict(zip(payload, r)) for r in rows[i : i + chunk]),
-                    codec=codec,
-                    level=level,
-                )
+            if key != cur_key:
+                flush()
+                cur_key, file_idx = key, 0
+            buf_rows.append([row[c] for c in payload])
+            if len(buf_rows) >= chunk:
+                flush()
+        flush()
 
     ordered = df.repartition(*part).sortWithinPartitions(*part, *payload)
     ordered.foreachPartition(write_group)

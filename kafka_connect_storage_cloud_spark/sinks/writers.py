@@ -154,7 +154,24 @@ def write_partitioned(df: DataFrame, path: str, cfg: SinkConfig) -> None:
         # paths only. Reference format/avro/AvroFormat.java.
         try:
             writer.format("avro").save(path)
-        except Exception:
+        except Exception as e:
+            # Only fall back when the avro DATASOURCE is absent (spark-avro
+            # jar not on the classpath) AND the target is a local path the
+            # Python writer can actually reach. A JVM writer that exists but
+            # failed mid-write (data error, executor loss) or a remote URI
+            # (s3a://...) must re-raise: silently writing to a literal
+            # 's3a:/...' local directory or masking the real failure would
+            # corrupt the sink's exactly-once story.
+            msg = str(e)
+            datasource_missing = (
+                "Failed to find data source" in msg
+                or "Failed to find the data source" in msg
+                or "ClassNotFoundException" in msg
+                or "DATA_SOURCE_NOT_FOUND" in msg
+            )
+            has_remote_scheme = "://" in path
+            if not datasource_missing or has_remote_scheme:
+                raise
             from .avro_py import write_avro_partitioned
 
             write_avro_partitioned(

@@ -285,6 +285,17 @@ def run_connector_stream_scheduled(
         marker = os.path.join(output_path, f"_batch_{batch_id}_committed")
         if os.path.exists(marker):
             return  # replayed batch: files already landed
+        # A replay after a mid-rename crash may produce fewer or
+        # differently-numbered files than the aborted first attempt left
+        # behind; purge every part-b<batch_id>-* survivor first so the
+        # rename pass below is the ONLY source of this batch's files.
+        import glob
+
+        prefix = f"part-b{batch_id:05d}-"
+        for stale in glob.glob(
+            os.path.join(output_path, "**", f"{prefix}*"), recursive=True
+        ):
+            os.remove(stale)
         staging = os.path.join(output_path, f"_staging_{batch_id}")
         shutil.rmtree(staging, ignore_errors=True)
         write_partitioned(batch_df, staging, batch_sink)
@@ -299,12 +310,16 @@ def run_connector_stream_scheduled(
                 os.makedirs(dest_dir, exist_ok=True)
                 os.replace(
                     os.path.join(dirpath, fn),
-                    os.path.join(dest_dir, f"part-b{batch_id:05d}-{n:05d}.{ext}"),
+                    os.path.join(dest_dir, f"{prefix}{n:05d}.{ext}"),
                 )
                 n += 1
         shutil.rmtree(staging, ignore_errors=True)
-        with open(marker, "w") as fh:
+        # marker lands atomically: a crash between the renames and here
+        # replays the batch, and the purge above makes that replay clean
+        tmp_marker = marker + ".tmp"
+        with open(tmp_marker, "w") as fh:
             fh.write(str(n))
+        os.replace(tmp_marker, marker)
 
     return (
         records.writeStream.foreachBatch(sink_batch)

@@ -90,3 +90,45 @@ def test_minhash_degenerate_bucket_guard(spark, tmp_path):
     assert any(
         {r["doc_a"], r["doc_b"]} == near_ids for r in pairs
     ), "normal near-dup pair lost by the guard"
+
+
+def test_fuzzy_degenerate_block_guard_and_short_names(spark, tmp_path):
+    """Pathological key distribution: thousands of IDENTICAL customer names
+    share every pigeonhole block key, so the block self-join would expand
+    quadratically. The FUZZY_MAX_BLOCK guard must drop those blocks from
+    candidate generation (recall degrades observably, the join never
+    explodes) while a normal near-pair is still found. Names shorter than
+    FUZZY_MIN_PIECED_LEN — where the pigeonhole completeness proof fails —
+    must route through the plain (nation, length) block and still match."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kafka_connect_storage_cloud_spark.plans.warehouse import (
+        FUZZY_MAX_BLOCK,
+        fuzzy_name_matches,
+    )
+
+    n_mass = FUZZY_MAX_BLOCK + 100
+    names = ["Customer#000IDENTICAL"] * n_mass  # nation 1: degenerate block
+    nations = [1] * n_mass
+    # nation 2: a normal 1-substitution pair (length >= 9)
+    names += ["Customer#000000101", "Customer#000000102"]
+    nations += [2, 2]
+    # nation 3: short names (length 6 < FUZZY_MIN_PIECED_LEN), 1 substitution
+    names += ["abcdef", "abcxef"]
+    nations += [3, 3]
+    tbl = pa.table(
+        {
+            "c_custkey": pa.array(range(len(names)), pa.int64()),
+            "c_nationkey": pa.array(nations, pa.int64()),
+            "c_name": pa.array(names),
+        }
+    )
+    d = tmp_path / "fuzzydgen"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "customer.parquet"))
+    rows = fuzzy_name_matches(spark, str(d)).collect()
+    by_nation = {r["nationkey"]: r for r in rows}
+    assert 1 not in by_nation, "degenerate block leaked quadratic candidates"
+    assert by_nation[2]["n_pairs"] == 1
+    assert by_nation[3]["n_pairs"] == 1, "short-name pair missed by blocking"

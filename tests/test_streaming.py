@@ -805,3 +805,58 @@ def test_streaming_sq8_encode_matches_batch(spark, sf_small, tmp_path):
         for r in spark.table("sq8_stream").collect()
     }
     assert got == expected
+
+
+def test_scheduled_sink_purges_stale_partial_batch_files(spark, sf_small, tmp_path):
+    """Crash-window exactly-once: files named part-b<id>-* that exist
+    WITHOUT the batch's committed marker are survivors of an aborted rename
+    pass. The replayed batch must purge them before landing its own files,
+    otherwise a replay that produces fewer or renumbered files leaves the
+    stale ones alongside the new — duplicating records."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kafka_connect_storage_cloud_spark.streaming.pipeline import (
+        run_connector_stream_scheduled,
+    )
+
+    sf_copy = tmp_path / "sfcopy"
+    sf_copy.mkdir()
+    shutil.copy(os.path.join(sf_small, "events.parquet"), sf_copy / "events.parquet")
+    out = str(tmp_path / "sched")
+    # simulate an aborted batch-0 rename pass: a landed data file, no marker
+    stale_dir = os.path.join(out, "event_type=stale")
+    os.makedirs(stale_dir)
+    pq.write_table(
+        pa.table({"offset": pa.array([1], pa.int64())}),
+        os.path.join(stale_dir, "part-b00000-99999.parquet"),
+    )
+    props = {
+        "topics": "events",
+        "format.class": "parquet",
+        "partitioner.class": "io.confluent.connect.storage.partitioner.FieldPartitioner",
+        "partition.field.name": "event_type",
+        "rotate.schedule.interval.ms": "700",
+        "behavior.on.null.values": "ignore",
+    }
+    q = run_connector_stream_scheduled(
+        spark, props, str(sf_copy), out, str(tmp_path / "ckpt")
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline and not glob.glob(
+        os.path.join(out, "_batch_0_committed")
+    ):
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(60)
+    assert not os.path.exists(
+        os.path.join(stale_dir, "part-b00000-99999.parquet")
+    ), "stale partial-batch file survived the replayed commit"
+    got = spark.read.option("pathGlobFilter", "part-b*.parquet").parquet(out).count()
+    src = spark.read.parquet(str(sf_copy / "events.parquet")).count()
+    assert got == src
