@@ -182,7 +182,7 @@ FROM ranked ORDER BY doc_id
 
 
 def _sql_semantic() -> str:
-    from .similarity import CB_THRESHOLD, _SQL_DOT, _sql_cb_banded, _sql_emb
+    from .similarity import CB_THRESHOLD, _SQL_DOT, _sql_cb_cand_ctes, _sql_emb
 
     cos = (
         f"(floor(({_SQL_DOT.format(a='a.v', b='b.v')} / (a.nrm * b.nrm))"
@@ -190,14 +190,9 @@ def _sql_semantic() -> str:
     )
     return f"""
 WITH RECURSIVE {_sql_emb().strip()},
-sigb AS (
-    {_sql_cb_banded()}
-),
+{_sql_cb_cand_ctes()},
 cand AS (
-  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
-  FROM sigb a JOIN sigb b
-    ON a.label = b.label AND a.band = b.band AND a.bucket = b.bucket
-   AND a.vec_id < b.vec_id
+  SELECT vec_a AS src, vec_b AS dst FROM cbcand
 ),
 pairs AS (
   SELECT c.src, c.dst

@@ -76,7 +76,13 @@ def _with_dec_and_norm(df: DataFrame) -> DataFrame:
 
 
 CB_BANDS = 8  # OR-ed hyperplane bands for the cosine-dup candidate generator
-CB_BITS = 4  # bits per band (shorter bands -> higher recall per band)
+CB_TARGET_BUCKET = 32  # expected bucket size the ADAPTIVE band width aims
+# at (r3, VERDICT next-round #6): bits = clamp(ceil(log2(n / target)), 1, 16)
+# holds buckets flat as the corpus grows instead of the fixed 4 bits whose
+# buckets scale linearly with n; Hamming-1 multiprobe on the probe side
+# holds recall as bits grow (same design as knn_graph_lsh, measured there)
+CB_MAX_BUCKET = 2000  # degenerate-bucket guard (same constant/semantics as
+# dedup.MAX_BUCKET): identical-embedding floods leave candidate generation
 # Threshold calibrated to the synthetic corpus: its embeddings are
 # near-random (max pairwise cosine ~0.51), so a 0.9 threshold would make
 # every dup operator vacuously empty; 0.4 exercises real pairs while
@@ -181,47 +187,69 @@ def _exact_label_pairs(spark: SparkSession, sf_dir: str, threshold: float = CB_T
     )
 
 
-def _banded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, label, band, bucket) — each vector exploded into its
-    CB_BANDS hyperplane band buckets, materialized once (it feeds both
-    sides of the candidate self-join)."""
+def _cb_bits(n: int) -> int:
+    """Adaptive band width for the cosine-dup generator — identical formula
+    to _graph_band_bits (and its SQL twin): enough bits that the expected
+    GLOBAL bucket holds ~CB_TARGET_BUCKET vectors (label blocking divides
+    further)."""
+    import math
+
+    return min(16, max(1, math.ceil(math.log2(n / float(CB_TARGET_BUCKET)))))
+
+
+def _banded(spark: SparkSession, sf_dir: str):
+    """((vec_id, label, band, bucket), bits) — each vector exploded into its
+    CB_BANDS hyperplane band buckets at the adaptive width, materialized
+    once (it feeds the size guard and both sides of the candidate
+    self-join). Degenerate buckets (> CB_MAX_BUCKET members within a label)
+    are dropped from candidate generation; the oversized-key list is tiny
+    by construction, so the filter is a broadcast anti-join."""
     emb = _with_dec_and_norm(read_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "label", "v"
     )
-    sigs = F.array(*[_lsh_signature(prefix=f"cb{b}:", bits=CB_BITS) for b in range(CB_BANDS)])
-    return (
+    n = emb.count()  # O(1) driver scalar (parquet row-count metadata)
+    bits = _cb_bits(n)
+    sigs = F.array(*[_lsh_signature(prefix=f"cb{b}:", bits=bits) for b in range(CB_BANDS)])
+    banded = (
         emb.select("vec_id", "label", F.posexplode(sigs).alias("band", "bucket"))
         .localCheckpoint()
     )
+    big = (
+        banded.groupBy("label", "band", "bucket")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .where(F.col("bn") > CB_MAX_BUCKET)
+        .select("label", "band", "bucket")
+    )
+    return banded.join(F.broadcast(big), ["label", "band", "bucket"], "left_anti"), bits
 
 
 def embedding_cosine_dups(spark: SparkSession, sf_dir: str, threshold: float = CB_THRESHOLD) -> DataFrame:
     """Near-duplicate embedding pairs with cosine >= threshold. Candidate
     pairs come from CB_BANDS OR-ed random-hyperplane band buckets inside
-    the label block (VERDICT r1 fix #6): a pair is considered iff it
-    collides in at least one band, then confirmed by the exact int64
-    cosine. Work is Σ bucket² per band — bounded by band-bucket sizes,
-    never the label block's all-pairs — and the miss rate of the banding is
-    measured by cosine_dup_band_recall (the ann_recall_audit analog)."""
-    banded = _banded(spark, sf_dir)
-    a = banded.alias("a")
-    b = banded.alias("b")
+    the label block (VERDICT r1 fix #6) at the ADAPTIVE band width, with
+    Hamming-1 multiprobe on the probe side: a pair is considered iff it
+    collides in (or one bit-flip away from) at least one band bucket, then
+    confirmed by the exact int64 cosine. Work is Σ bucket² x (1 + bits) per
+    band — bounded by the flat-by-construction bucket sizes, never the
+    label block's all-pairs — and the miss rate of the banding is measured
+    by cosine_dup_band_recall (the ann_recall_audit analog)."""
+    banded, bits = _banded(spark, sf_dir)
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(bits)],
+    )
+    a = banded.select(
+        "label", "band", F.explode(probes).alias("bucket"),
+        F.col("vec_id").alias("vec_a"),
+    )
+    b = banded.select(
+        "label", "band", "bucket", F.col("vec_id").alias("vec_b")
+    )
     cand = (
-        a.join(
-            b,
-            on=[
-                F.col("a.label") == F.col("b.label"),
-                F.col("a.band") == F.col("b.band"),
-                F.col("a.bucket") == F.col("b.bucket"),
-                F.col("a.vec_id") < F.col("b.vec_id"),
-            ],
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.label").alias("label"),
-        )
-        .distinct()  # a pair may collide in several bands
+        a.join(b, ["label", "band", "bucket"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "label")
+        .distinct()  # a pair may collide in several bands/probes
     )
     emb = _with_dec_and_norm(read_table(spark, sf_dir, "embeddings"))
     av = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
@@ -428,29 +456,54 @@ def _sql_lsh_signature(prefix: str = "", bits: int = LSH_BITS) -> str:
     return "CAST(" + " + ".join(sig_bits) + " AS INT)"
 
 
-def _sql_cb_banded() -> str:
-    """(vec_id, label, band, bucket) CTE body over emb_n — SQL twin of
-    _banded."""
-    return "\n    UNION ALL ".join(
-        f"SELECT vec_id, label, {b} AS band, {_sql_lsh_signature(prefix=f'cb{b}:', bits=CB_BITS)} AS bucket FROM emb_n"
+def _sql_cb_cand_ctes() -> str:
+    """CTE chain (appended after emb/emb_n) ending in
+    cbcand(vec_a, vec_b, label) — SQL twin of _banded + the multiprobe
+    candidate join. Shared by SQL_EMBEDDING_COSINE_DUPS and the
+    dedup_semantic oracle (clustering._sql_semantic)."""
+    sig_union = "\n    UNION ALL ".join(
+        f"SELECT vec_id, label, {b} AS band, {_sql_lsh_signature(prefix=f'cb{b}:', bits=16)} AS sig16 FROM emb_n"
         for b in range(CB_BANDS)
     )
+    return f"""cbbits AS (
+  SELECT LEAST(16, GREATEST(1, CAST(ceil(log2(COUNT(*) / {CB_TARGET_BUCKET}.0)) AS INT))) AS bits
+  FROM emb_n
+),
+cbsig_raw AS (
+    {sig_union}
+),
+cbsig AS (
+  SELECT vec_id, label, band, sig16 % CAST(pow(2, t.bits) AS BIGINT) AS bucket
+  FROM cbsig_raw CROSS JOIN cbbits t
+),
+cbok AS (
+  SELECT s.* FROM cbsig s JOIN (
+    SELECT label, band, bucket FROM (
+      SELECT label, band, bucket, COUNT(*) AS bn FROM cbsig GROUP BY 1, 2, 3
+    ) WHERE bn <= {CB_MAX_BUCKET}
+  ) o ON s.label = o.label AND s.band = o.band AND s.bucket = o.bucket
+),
+cbprobe AS (
+  SELECT s.vec_id, s.label, s.band,
+         unnest(list_prepend(s.bucket,
+           list_transform(generate_series(0, t.bits - 1),
+                          j -> xor(s.bucket, CAST(pow(2, j) AS BIGINT))))) AS bucket
+  FROM cbok s CROSS JOIN cbbits t
+),
+cbcand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label
+  FROM cbprobe a JOIN cbok b
+    ON a.label = b.label AND a.band = b.band AND a.bucket = b.bucket
+   AND a.vec_id < b.vec_id
+)"""
 
 
 SQL_EMBEDDING_COSINE_DUPS = f"""
 WITH {_sql_emb()},
-sigb AS (
-    {_sql_cb_banded()}
-),
-cand AS (
-  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label
-  FROM sigb a JOIN sigb b
-    ON a.label = b.label AND a.band = b.band AND a.bucket = b.bucket
-   AND a.vec_id < b.vec_id
-)
+{_sql_cb_cand_ctes()}
 SELECT c.vec_a, c.vec_b, c.label,
        (floor(({_SQL_DOT.format(a='x.v', b='y.v')} / (x.nrm * y.nrm)) * 1000000.0 + 0.5) / 1000000.0) AS cosine
-FROM cand c JOIN emb_n x ON c.vec_a = x.vec_id JOIN emb_n y ON c.vec_b = y.vec_id
+FROM cbcand c JOIN emb_n x ON c.vec_a = x.vec_id JOIN emb_n y ON c.vec_b = y.vec_id
 WHERE (floor(({_SQL_DOT.format(a='x.v', b='y.v')} / (x.nrm * y.nrm)) * 1000000.0 + 0.5) / 1000000.0) >= {CB_THRESHOLD}
 ORDER BY vec_a, vec_b
 """
