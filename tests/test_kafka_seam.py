@@ -1,0 +1,156 @@
+"""The broker-gated Kafka source seam: everything up to the actual
+broker dial-out — property-file option mapping, manifest-resume offsets,
+and the record-shape projection — runs and is verified here, so a
+deployment WITH a broker gets parity day one."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_storage_cloud_spark.sources.topic import (
+    as_topic_records,
+    kafka_records,
+    kafka_source_options,
+    kafka_topic_records,
+    resume_offsets_json,
+)
+
+
+def test_option_mapping_topics_list():
+    opts = kafka_source_options(
+        {
+            "bootstrap.servers": "b1:9092,b2:9092",
+            "topics": "events, clicks",
+        }
+    )
+    assert opts["kafka.bootstrap.servers"] == "b1:9092,b2:9092"
+    assert opts["subscribe"] == "events,clicks"
+    assert opts["startingOffsets"] == "earliest"  # Connect sink default
+    assert opts["failOnDataLoss"] == "true"
+    assert opts["includeHeaders"] == "true"
+
+
+def test_option_mapping_regex_and_overrides():
+    opts = kafka_source_options(
+        {
+            "bootstrap.servers": "k:9092",
+            "topics.regex": "events.*",
+            "errors.tolerance": "all",
+            "consumer.override.max.poll.records": "500",
+            "consumer.override.fetch.max.bytes": "1048576",
+            "consumer.override.auto.offset.reset": "latest",
+            "consumer.override.enable.auto.commit": "true",  # must be dropped
+        }
+    )
+    assert opts["subscribePattern"] == "events.*"
+    assert "subscribe" not in opts
+    assert opts["failOnDataLoss"] == "false"
+    assert opts["maxOffsetsPerTrigger"] == "500"
+    assert opts["kafka.fetch.max.bytes"] == "1048576"
+    assert opts["startingOffsets"] == "latest"
+    # Spark's source manages offsets/commits itself
+    assert "kafka.enable.auto.commit" not in opts
+    assert "kafka.auto.offset.reset" not in opts
+
+
+def test_option_mapping_validation():
+    with pytest.raises(ValueError, match="bootstrap.servers"):
+        kafka_source_options({"topics": "events"})
+    with pytest.raises(ValueError, match="exactly one"):
+        kafka_source_options({"bootstrap.servers": "k:9092"})
+    with pytest.raises(ValueError, match="exactly one"):
+        kafka_source_options(
+            {"bootstrap.servers": "k:9092", "topics": "a", "topics.regex": "b"}
+        )
+    with pytest.raises(ValueError, match="auto.offset.reset"):
+        kafka_source_options(
+            {
+                "bootstrap.servers": "k:9092",
+                "topics": "a",
+                "consumer.auto.offset.reset": "none",
+            }
+        )
+
+
+def test_resume_offsets_json_round_trip(spark, sf_small, tmp_path):
+    """The manifest-recovery rows translate into the exactly-once
+    startingOffsets JSON: resume from AFTER the last committed offset of
+    every (topic, kafka_partition)."""
+    from kafka_connect_storage_cloud_spark.connector import (
+        recover_resume_offsets,
+        run_connector,
+    )
+
+    out = str(tmp_path / "sink")
+    props = {
+        "topics": "events",
+        "format.class": "parquet",
+        "flush.size": "5000",
+        "behavior.on.null.values": "ignore",
+    }
+    run_connector(spark, props, sf_dir=sf_small, output_path=out).collect()
+    rows = recover_resume_offsets(spark, out).collect()
+    js = json.loads(resume_offsets_json(rows))
+    assert set(js) == {"events"}
+    by_part = {int(k): v for k, v in js["events"].items()}
+    expect = {r["kafka_partition"]: r["resume_offset"] for r in rows}
+    assert by_part == expect
+    # and it lands in the option map verbatim
+    opts = kafka_source_options(
+        {"bootstrap.servers": "k:9092", "topics": "events"}, resume_rows=rows
+    )
+    assert json.loads(opts["startingOffsets"]) == js
+
+
+def test_kafka_records_projection_matches_adapter_shape(spark, sf_small):
+    """A frame with the Kafka source schema projects to the exact column
+    set/types the connector consumes — verified against the offline
+    adapter's record core."""
+    raw = spark.createDataFrame(
+        [
+            (
+                "events",
+                3,
+                41,
+                None,
+                bytearray(b"77"),
+                bytearray(b'{"k":1}'),
+                [("event_type", bytearray(b"click"))],
+            ),
+            ("events", 3, 42, None, bytearray(b"78"), None, None),  # tombstone
+        ],
+        "topic string, partition int, offset long, timestamp timestamp, "
+        "key binary, value binary, "
+        "headers array<struct<key:string,value:binary>>",
+    )
+    rec = kafka_topic_records(spark, {}, source_df=raw)
+    rows = {r["offset"]: r for r in rec.collect()}
+    assert rows[41]["kafka_partition"] == 3
+    assert rows[41]["key"] == "77"
+    assert rows[41]["value"] == '{"k":1}'
+    assert rows[41]["headers"] == {"event_type": "click"}
+    assert rows[42]["value"] is None  # null payload survives as tombstone
+    assert rows[42]["headers"] == {}
+    core = ["topic", "kafka_partition", "offset", "timestamp", "key", "value", "headers"]
+    adapter = as_topic_records(
+        spark.createDataFrame(
+            [], "event_id long, user_id long, ts timestamp, props string, "
+            "event_type string, value double"
+        )
+    ).select(*core)
+    assert [f.dataType.simpleString() for f in rec.select(*core).schema.fields] == [
+        f.dataType.simpleString() for f in adapter.schema.fields
+    ]
+
+
+def test_kafka_records_is_pure_projection(spark):
+    """The record projection must stay shuffle-free (streaming-safe)."""
+    raw = spark.createDataFrame(
+        [],
+        "topic string, partition int, offset long, timestamp timestamp, "
+        "key binary, value binary, "
+        "headers array<struct<key:string,value:binary>>",
+    )
+    plan = kafka_records(raw)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
