@@ -51,3 +51,39 @@ def test_oracle_has_no_hugeint_columns(duck, name):
         f"{name}: oracle emits int128 column(s) {offenders}; "
         "wrap the integer SUM as CAST(SUM(...) AS BIGINT)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Frozen schema-class contract (VERDICT r2 next-round #8): the snapshot in
+# oracle_schema_snapshot.json records every query's (column, coarse dtype
+# class) pairs. The DuckDB side is asserted here (fast, no Spark); the
+# Spark side is asserted by tests/test_schema_canary.py against the SAME
+# snapshot — so dtype drift on EITHER engine (a DuckDB upgrade changing an
+# aggregate's return type, a pyspark decimal widening) reds locally before
+# the driver's dtype-aware hash sees it. Regenerate deliberately when a
+# query's schema changes on both sides (see the snapshot test's docstring).
+# ---------------------------------------------------------------------------
+
+import json
+
+from oracle_utils import _duck_class
+
+with open(os.path.join(os.path.dirname(__file__), "oracle_schema_snapshot.json")) as _fh:
+    _SNAPSHOT = json.load(_fh)
+
+
+def test_snapshot_covers_every_oracle():
+    assert set(_SNAPSHOT) == set(ORACLES), (
+        "snapshot out of date: regenerate oracle_schema_snapshot.json "
+        "(see file header) after adding/removing queries"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_schema_matches_snapshot(duck, name):
+    rel = duck.sql(ORACLES[name])
+    got = [[c, _duck_class(str(t).upper())] for c, t in zip(rel.columns, rel.types)]
+    assert got == _SNAPSHOT[name], (
+        f"{name}: DuckDB schema drifted from the frozen contract; if the "
+        "change is intentional, update BOTH engines and regenerate the snapshot"
+    )
