@@ -415,43 +415,75 @@ ORACLES["part_affinity"] = SQL_PART_AFFINITY
 
 
 FUZZY_MAX_DIST = 2
-FUZZY_MIN_PIECED_LEN = 9  # below this the 5 pieces overlap and the
-# pigeonhole completeness proof no longer holds (a single substitution can
-# touch 3+ pieces): short names route through the plain (nation, length)
-# block instead — tiny by construction at any scale
 FUZZY_MAX_BLOCK = 2000  # degenerate-block guard, same semantics as
 # dedup.MAX_BUCKET: a block key shared by more members than this (a
 # pathological key distribution) is dropped from CANDIDATE generation on
 # BOTH engines, so recall degrades observably instead of a join exploding
-FUZZY_SHORT_KEYID = 10  # keyid of the short-name (nation, length) block
 
-# Pigeonhole blocking components: the name is cut into 5 positional pieces —
-# the head plus four 2-char tail segments (the tail carries the entropy in
-# id-styled names). A pair within FUZZY_MAX_DIST=2 SUBSTITUTIONS touches at
-# most 2 pieces, so it agrees exactly on some 3-piece complement — emitting
-# one block key per excluded 2-subset (C(5,2)=10 keys) finds every such
-# pair while each key keeps >= 3 pieces of discriminating content. This is
-# the PassJoin-style scheme that replaces the (nation, length) block whose
-# size grew linearly with the corpus (VERDICT r1 fix #7).
-_FUZZY_PIECES = [
-    "substring({name}, 1, greatest({L} - 8, 0))",
-    "substring({name}, greatest({L} - 7, 1), 2)",
-    "substring({name}, greatest({L} - 5, 1), 2)",
-    "substring({name}, greatest({L} - 3, 1), 2)",
-    "substring({name}, greatest({L} - 1, 1), 2)",
-]
+# Pigeonhole blocking pieces: position p of the name belongs to piece
+# p mod 5 (an INTERLEAVED partition, r3). A pair within FUZZY_MAX_DIST=2
+# SUBSTITUTIONS touches at most 2 pieces, so it agrees exactly on some
+# 3-piece complement — emitting one block key per excluded 2-subset
+# (C(5,2)=10 keys) finds every such pair. Versus round 2's contiguous
+# head+tail pieces this (a) spreads key entropy evenly — sequential
+# id-styled names ("Customer#000012345") put their varying low digits one
+# per piece, so EVERY key keeps varying content and block sizes stay flat
+# as the corpus grows (the r2 layout's keys that dropped both varying tail
+# pieces collapsed into nation×length-sized blocks: the measured 6.4×
+# superlinearity) — and (b) makes the completeness proof hold at EVERY
+# name length (each position belongs to exactly one piece; no clamped
+# overlaps), removing the r2 short-name precondition.
+_FUZZY_PIECE_SPAN = 8  # chars sampled per piece: covers names up to 40
+# chars; positions beyond that fall out of the key (never breaks
+# completeness — unkeyed positions only ever ADD collisions)
 
 
-def _fuzzy_keys(name: str, L: str) -> list[tuple[int, str]]:
-    """(keyid, keyval-SQL) for each excluded 2-subset of the 5 pieces."""
-    pieces = [p.format(name=name, L=L) for p in _FUZZY_PIECES]
+def _fuzzy_piece(name: str, j: int) -> str:
+    """Piece j (1..5): the name's characters at positions j, j+5, j+10, ...
+    — engine-portable (substring past the end is '' on both engines)."""
+    parts = ", ".join(
+        f"substring({name}, {j + 5 * t}, 1)" for t in range(_FUZZY_PIECE_SPAN)
+    )
+    return f"concat({parts})"
+
+
+# Second key family (keyid 10, r3): SINGLE-DELETION variants. An
+# equal-length pair at distance 2 that is NOT two substitutions is exactly
+# one insert + one delete (a local shift, e.g. ...1096 vs ...1960, the
+# class the piece keys cannot see: the shift changes every mod-5 piece
+# from the edit point on). For such a pair, deleting the moved char from
+# each side yields IDENTICAL (L-1)-length strings — so both sides emit the
+# variant and provably collide. Variant keys carry almost the whole name's
+# entropy, so their blocks are near-singleton at ANY corpus size — this is
+# what replaced round 2's contiguous head+tail family, whose shift-catching
+# keys were precisely its low-entropy (nation x length)-sized blocks (the
+# measured 6.4x superlinearity: catching shifts through coarse blocks is
+# inherently quadratic; catching them through deletion variants is linear).
+# Together: keyids 0-9 + 10 make the blocking COMPLETE for every
+# equal-length pair within distance 2 (2 subs | sub | ins+del), up to the
+# FUZZY_MAX_BLOCK guard and edits past position FUZZY_DEL_SPAN.
+FUZZY_DEL_SPAN = 24  # deletion positions keyed; names longer than this
+# miss only pairs whose EVERY minimal edit sits past it
+
+
+def _fuzzy_keys(name: str, L: str = "nlen") -> list[tuple[int, str]]:
+    """(keyid, keyval-SQL[, guard-SQL]): keyids 0-9 are the excluded
+    2-subsets of the mod-5 pieces (substitution-complete, flat blocks);
+    keyid 10 repeats for each deletion position d with the WHERE guard
+    'd <= L' (ins+del completeness)."""
     out = []
     kid = 0
+    pieces = [_fuzzy_piece(name, j) for j in range(1, 6)]
     for i in range(5):
         for j in range(i + 1, 5):
             kept = [pieces[k] for k in range(5) if k not in (i, j)]
-            out.append((kid, f"concat_ws(':', {', '.join(kept)})"))
+            out.append((kid, f"concat_ws(':', {', '.join(kept)})", None))
             kid += 1
+    for d in range(1, FUZZY_DEL_SPAN + 1):
+        variant = (
+            f"concat(substring({name}, 1, {d - 1}), substring({name}, {d + 1}, 4096))"
+        )
+        out.append((10, variant, f"{L} >= {d}"))
     return out
 
 
@@ -459,24 +491,23 @@ def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-resolution screen: per nation, how many customer-name pairs
     sit within levenshtein distance 1..FUZZY_MAX_DIST — the
     blocked-pair edit-distance pass record-linkage pipelines run before
-    human review. Candidates come from the pigeonhole piece blocking (see
-    _FUZZY_PIECES): PROVABLY complete for <=2-substitution pairs (incl.
-    transpositions; hypothesis-tested), bounded block sizes. Insert+delete
-    SHIFT pairs whose edit span exceeds the excluded windows are the
-    documented blocked-screen miss class (0.66% of true pairs at sf0.1 —
-    see SCALE.md); both engines implement the identical blocking, so the
-    oracle contract stays exact. The edit distance is a built-in on BOTH
-    engines (exact int) — zero custom UDF."""
-    pieced = F.array(
-        *[
-            F.expr(f"struct({kid} AS keyid, {kv} AS keyval)")
-            for kid, kv in _fuzzy_keys("c_name", "nlen")
-        ]
+    human review. Candidates come from two key families (see _fuzzy_keys):
+    mod-5 pigeonhole pieces (PROVABLY complete for <=2-substitution pairs
+    incl. transpositions; hypothesis-tested) plus single-deletion variants
+    (provably complete for the 1-insert+1-delete shift class; hypothesis-
+    tested) — together COMPLETE for every equal-length pair within
+    distance 2, up to the FUZZY_MAX_BLOCK degenerate-block guard and edits
+    past FUZZY_DEL_SPAN (measured recall 1.0 at sf0.1 — see SCALE.md).
+    Both engines implement the identical blocking, so the oracle contract
+    stays exact. The edit distance is a built-in on BOTH engines (exact
+    int) — zero custom UDF."""
+    entries = ", ".join(
+        f"struct({kid} AS keyid, {kv} AS keyval)"
+        if guard is None
+        else f"IF({guard}, struct({kid} AS keyid, {kv} AS keyval), NULL)"
+        for kid, kv, guard in _fuzzy_keys("c_name")
     )
-    short = F.array(
-        F.expr(f"struct({FUZZY_SHORT_KEYID} AS keyid, 'short' AS keyval)")
-    )
-    keys = F.when(F.col("nlen") >= FUZZY_MIN_PIECED_LEN, pieced).otherwise(short)
+    keys = F.expr(f"filter(array({entries}), x -> x IS NOT NULL)")
     cust = (
         read_table(spark, sf_dir, "customer")
         .select("c_custkey", "c_nationkey", "c_name", F.length("c_name").alias("nlen"))
@@ -543,11 +574,8 @@ def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_FUZZY_KEYS = "\n  UNION ALL ".join(
     f"SELECT c_custkey, nat, c_name, nlen, {kid} AS keyid, {kv} AS keyval FROM cust"
-    f" WHERE nlen >= {FUZZY_MIN_PIECED_LEN}"
-    for kid, kv in _fuzzy_keys("c_name", "nlen")
-) + (
-    f"\n  UNION ALL SELECT c_custkey, nat, c_name, nlen, {FUZZY_SHORT_KEYID} AS keyid,"
-    f" 'short' AS keyval FROM cust WHERE nlen < {FUZZY_MIN_PIECED_LEN}"
+    + (f" WHERE {guard}" if guard else "")
+    for kid, kv, guard in _fuzzy_keys("c_name")
 )
 
 SQL_FUZZY_NAME_MATCHES = f"""

@@ -1,7 +1,11 @@
-"""Completeness property of the pigeonhole piece blocking behind
-fuzzy_name_matches (plans/warehouse.py): any pair of equal-length strings
-that differ by at most FUZZY_MAX_DIST=2 SUBSTITUTIONS must share at least
-one of the C(5,2)=10 block keys — the guarantee that lets the candidate
+"""Completeness properties of the two-family blocking behind
+fuzzy_name_matches (plans/warehouse.py): every equal-length pair within
+FUZZY_MAX_DIST=2 must share a block key —
+- 1-2 SUBSTITUTIONS touch <=2 of the 5 interleaved position-mod-5 pieces,
+  so the pair agrees on some excluded-2-subset key (keyids 0-9);
+- 1 INSERT + 1 DELETE (the shift class) yields identical single-deletion
+  variants on both sides (keyid 10).
+Together that is every equal-length dist<=2 pair, which lets the candidate
 join replace the all-pairs (nation, length) block without losing pairs."""
 
 import string
@@ -9,20 +13,22 @@ import string
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from kafka_connect_storage_cloud_spark.plans.warehouse import _fuzzy_keys
+from kafka_connect_storage_cloud_spark.plans.warehouse import (
+    _FUZZY_PIECE_SPAN,
+    FUZZY_DEL_SPAN,
+    _fuzzy_keys,
+)
 
 
 def _py_pieces(name: str):
-    L = len(name)
-    def sub(start, length):
-        s = max(start, 1) - 1
-        return name[s : s + length] if length > 0 else ""
+    # python replica of _fuzzy_piece: piece j = chars at positions j, j+5,...
+    # (1-based), up to _FUZZY_PIECE_SPAN samples
     return [
-        sub(1, max(L - 8, 0)),
-        sub(L - 7, 2),
-        sub(L - 5, 2),
-        sub(L - 3, 2),
-        sub(L - 1, 2),
+        "".join(
+            name[j - 1 + 5 * t] if j - 1 + 5 * t < len(name) else ""
+            for t in range(_FUZZY_PIECE_SPAN)
+        )
+        for j in range(1, 6)
     ]
 
 
@@ -35,12 +41,14 @@ def _py_keys(name: str):
             kept = [pieces[k] for k in range(5) if k not in (i, j)]
             out.append((kid, ":".join(kept)))
             kid += 1
+    for d in range(1, min(FUZZY_DEL_SPAN, len(name)) + 1):
+        out.append((10, name[: d - 1] + name[d:]))
     return set(out)
 
 
 @settings(max_examples=300, deadline=None)
 @given(
-    st.text(alphabet=string.ascii_lowercase + string.digits + "#", min_size=9, max_size=24),
+    st.text(alphabet=string.ascii_lowercase + string.digits + "#", min_size=1, max_size=24),
     st.lists(st.integers(min_value=0, max_value=23), min_size=0, max_size=2),
     st.text(alphabet=string.ascii_lowercase + string.digits, min_size=2, max_size=2),
 )
@@ -53,12 +61,36 @@ def test_two_substitution_pairs_always_share_a_key(name, positions, repl):
     assert _py_keys(name) & _py_keys(other), (name, other)
 
 
+@settings(max_examples=300, deadline=None)
+@given(
+    st.text(alphabet=string.ascii_lowercase + string.digits + "#", min_size=2, max_size=24),
+    st.integers(min_value=0, max_value=23),
+    st.integers(min_value=0, max_value=23),
+    st.text(alphabet=string.ascii_lowercase + string.digits, min_size=1, max_size=1),
+)
+def test_insert_delete_pairs_always_share_a_deletion_key(name, ins_pos, del_pos, ch):
+    """The shift class: delete one char, insert another elsewhere — the
+    equal-length dist-2 pairs the piece keys cannot see."""
+    if del_pos >= len(name):
+        return
+    deleted = name[:del_pos] + name[del_pos + 1 :]
+    ins = min(ins_pos, len(deleted))
+    other = deleted[:ins] + ch + deleted[ins:]
+    assert len(other) == len(name)
+    assert _py_keys(name) & _py_keys(other), (name, other)
+
+
 def test_python_keying_matches_sql_expression_shape():
-    """The python replica used above must enumerate the same (keyid, pieces)
+    """The python replica used above must enumerate the same (keyid, keyval)
     structure as the SQL generator feeding both engines."""
-    sql_keys = _fuzzy_keys("c_name", "nlen")
-    assert len(sql_keys) == 10
-    assert [k for k, _ in sql_keys] == list(range(10))
-    for _, expr in sql_keys:
+    sql_keys = _fuzzy_keys("c_name")
+    assert len(sql_keys) == 10 + FUZZY_DEL_SPAN
+    assert [k for k, _, _ in sql_keys[:10]] == list(range(10))
+    assert all(k == 10 for k, _, _ in sql_keys[10:])
+    for kid, expr, guard in sql_keys[:10]:
         assert expr.startswith("concat_ws(':'")
-        assert expr.count("substring") == 3
+        assert expr.count("substring") == 3 * _FUZZY_PIECE_SPAN
+        assert guard is None
+    for d, (kid, expr, guard) in enumerate(sql_keys[10:], start=1):
+        assert expr.count("substring") == 2
+        assert guard == f"nlen >= {d}"

@@ -97,9 +97,9 @@ def test_fuzzy_degenerate_block_guard_and_short_names(spark, tmp_path):
     share every pigeonhole block key, so the block self-join would expand
     quadratically. The FUZZY_MAX_BLOCK guard must drop those blocks from
     candidate generation (recall degrades observably, the join never
-    explodes) while a normal near-pair is still found. Names shorter than
-    FUZZY_MIN_PIECED_LEN — where the pigeonhole completeness proof fails —
-    must route through the plain (nation, length) block and still match."""
+    explodes a join) while a normal near-pair is still found. Short names
+    must match too: the interleaved mod-5 pieces make the completeness
+    proof hold at every length."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -114,7 +114,7 @@ def test_fuzzy_degenerate_block_guard_and_short_names(spark, tmp_path):
     # nation 2: a normal 1-substitution pair (length >= 9)
     names += ["Customer#000000101", "Customer#000000102"]
     nations += [2, 2]
-    # nation 3: short names (length 6 < FUZZY_MIN_PIECED_LEN), 1 substitution
+    # nation 3: short names (length 6), 1 substitution
     names += ["abcdef", "abcxef"]
     nations += [3, 3]
     tbl = pa.table(
