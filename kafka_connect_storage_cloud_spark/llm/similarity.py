@@ -364,18 +364,38 @@ WHERE rank <= {TOP_K} ORDER BY query_id, rank
 """
 
 
+EMB_DIM = 64  # embeddings table vector width
+
+
+def _lsh_signs(prefix: str, j: int, dim: int = EMB_DIM) -> list[int]:
+    """Hyperplane j's sign vector: component i is +1 iff the portable h32
+    of '<prefix>j:i' is even — the EXACT value the oracle's md5 expression
+    computes, replicated with hashlib so Spark can embed it as a literal."""
+    import hashlib
+
+    return [
+        1 if int(hashlib.md5(f"{prefix}{j}:{i}".encode()).hexdigest()[:8], 16) % 2 == 0 else -1
+        for i in range(dim)
+    ]
+
+
 def _lsh_signature(prefix: str = "", bits: int = LSH_BITS) -> Column:
-    """LSH_BITS-bit random-hyperplane signature. Hyperplane j's component i
+    """`bits`-bit random-hyperplane signature. Hyperplane j's component i
     is +1/-1 from the portable h32 of '<prefix>j:i' — reproducible in SQL.
     A non-empty prefix yields an independent band (used by the OR-ed
-    candidate bands of embedding_cosine_dups)."""
+    candidate bands of embedding_cosine_dups).
+
+    The signs are data-independent constants, so they are precomputed
+    driver-side (hashlib md5 == the oracle's md5 expression, lint-pinned by
+    tests) and embedded as literal arrays: each bit is a pure int64
+    multiply-add inside whole-stage codegen — the md5-per-element-per-row
+    form this replaced cost 64 x bits md5 calls per row and dominated every
+    banded operator's runtime."""
     bit_exprs = []
     for j in range(bits):
-        # sign_i = 1 if h32(concat(prefix,j,':',i)) is even else -1
+        arr = ",".join(str(s) for s in _lsh_signs(prefix, j))
         proj = (
-            f"aggregate(zip_with(v, sequence(0, size(v) - 1), "
-            f"(x, i) -> CASE WHEN (CAST(conv(substring(md5(concat('{prefix}{j}', ':', CAST(i AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2) = 0 "
-            f"THEN x ELSE -x END), "
+            f"aggregate(zip_with(v, array({arr}), (x, s) -> x * s), "
             f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
         )
         bit_exprs.append(f"(CASE WHEN {proj} > 0 THEN {2**j} ELSE 0 END)")
@@ -797,6 +817,12 @@ def knn_pagerank_step(spark: SparkSession, sf_dir: str, k: int = KNN_K) -> DataF
     on uniform keys — the known GraphX/Pregel shuffle shape, without the
     corpus ever re-materializing."""
     edges = _knn_topk_edges(spark, sf_dir, k).select("src", "dst")
+    return _pagerank_from_edges(spark, sf_dir, edges)
+
+
+def _pagerank_from_edges(spark: SparkSession, sf_dir: str, edges: DataFrame) -> DataFrame:
+    """One fixed-point PageRank step over a directed (src, dst) edge list —
+    shared by the exact and LSH graph paths."""
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
     contrib = edges.join(outdeg, "src").select(
         "dst", F.expr(f"{PR_SCALE} div out_degree").alias("c")
@@ -822,10 +848,8 @@ def knn_pagerank_step(spark: SparkSession, sf_dir: str, k: int = KNN_K) -> DataF
     )
 
 
-SQL_KNN_PAGERANK_STEP = f"""
-WITH {_SQL_KNN_TOPK_CTES},
-edges AS (SELECT src, dst FROM topk),
-outdeg AS (SELECT src, COUNT(*) AS out_degree FROM edges GROUP BY src),
+# pagerank tail: consumes a directed (src, dst) `edges` CTE
+_SQL_PAGERANK_TAIL = f"""outdeg AS (SELECT src, COUNT(*) AS out_degree FROM edges GROUP BY src),
 contrib AS (
   SELECT e.dst, {PR_SCALE} // o.out_degree AS c
   FROM edges e JOIN outdeg o ON e.src = o.src
@@ -840,6 +864,11 @@ LEFT JOIN outdeg o ON n.vec_id = o.src
 LEFT JOIN inbound i ON n.vec_id = i.dst
 ORDER BY n.vec_id
 """
+
+SQL_KNN_PAGERANK_STEP = f"""
+WITH {_SQL_KNN_TOPK_CTES},
+edges AS (SELECT src, dst FROM topk),
+{_SQL_PAGERANK_TAIL}"""
 
 
 def knn_triangle_count(spark: SparkSession, sf_dir: str, k: int = KNN_K) -> DataFrame:
@@ -858,6 +887,12 @@ def knn_triangle_count(spark: SparkSession, sf_dir: str, k: int = KNN_K) -> Data
         knn_graph_mutual(spark, sf_dir, k)
         .select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b"))
     )
+    return _triangle_stats(edges)
+
+
+def _triangle_stats(edges: DataFrame) -> DataFrame:
+    """Per-node triangle count + clustering coefficient over a canonical
+    (a < b) mutual edge list — shared by the exact and LSH graph paths."""
     e1 = edges.select(F.col("a").alias("ta"), F.col("b").alias("tb"))
     e2 = edges.select(F.col("a").alias("tb"), F.col("b").alias("tc"))
     e3 = edges.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
@@ -896,12 +931,8 @@ def knn_triangle_count(spark: SparkSession, sf_dir: str, k: int = KNN_K) -> Data
     )
 
 
-SQL_KNN_TRIANGLE_COUNT = f"""
-WITH {_SQL_KNN_TOPK_CTES},
-fwd AS (SELECT src AS a, dst AS b FROM topk WHERE src < dst),
-rev AS (SELECT dst AS a, src AS b FROM topk WHERE src > dst),
-edges AS (SELECT f.a, f.b FROM fwd f JOIN rev r ON f.a = r.a AND f.b = r.b),
-tri AS (
+# triangle tail: consumes a canonical (a < b) `edges` CTE
+_SQL_TRIANGLE_TAIL = """tri AS (
   SELECT e1.a AS ta, e1.b AS tb, e2.b AS tc
   FROM edges e1
   JOIN edges e2 ON e1.b = e2.a
@@ -927,6 +958,13 @@ SELECT d.vec_id, d.degree,
 FROM deg d LEFT JOIN per_node p USING (vec_id)
 ORDER BY d.vec_id
 """
+
+SQL_KNN_TRIANGLE_COUNT = f"""
+WITH {_SQL_KNN_TOPK_CTES},
+fwd AS (SELECT src AS a, dst AS b FROM topk WHERE src < dst),
+rev AS (SELECT dst AS a, src AS b FROM topk WHERE src > dst),
+edges AS (SELECT f.a, f.b FROM fwd f JOIN rev r ON f.a = r.a AND f.b = r.b),
+{_SQL_TRIANGLE_TAIL}"""
 
 
 CSCALE = 10**4  # centroid-op quantization: keeps dot(v, sum_vec) and
@@ -1183,13 +1221,13 @@ def _graph_band_bits(n: int) -> int:
     return min(16, max(1, math.ceil(math.log2(n / float(GB_TARGET_BUCKET)))))
 
 
-def knn_graph_lsh(spark: SparkSession, sf_dir: str, k: int = KNN_K) -> DataFrame:
-    """Mutual-kNN graph from LSH candidates: per-vector approximate top-k
-    over the union of its GB_BANDS band buckets (exact 6-dp cosine rerank,
-    ties dst asc — the SAME comparator as the exact builder), then the same
-    fwd/rev mutualization as knn_graph_mutual. Output schema matches
-    knn_graph_mutual so downstream graph ops (triangles, PageRank, label
-    vote) can ride either edge list.
+def _lsh_topk_edges(spark: SparkSession, sf_dir: str, k: int = KNN_K) -> DataFrame:
+    """Directed approximate top-k edges from LSH candidates: per-vector
+    top-k over the union of its GB_BANDS band buckets (exact 6-dp cosine
+    rerank, ties dst asc — the SAME comparator as the exact builder).
+    knn_graph_lsh mutualizes this into the knn_graph_mutual schema so
+    downstream graph ops (triangles, PageRank, label vote) can ride either
+    edge list.
 
     Scale shape: the band table is n x GB_BANDS rows; the bucket self-join
     emits bands x n x bucket candidates with bucket held ~GB_TARGET_BUCKET
@@ -1248,11 +1286,17 @@ def knn_graph_lsh(spark: SparkSession, sf_dir: str, k: int = KNN_K) -> DataFrame
         )
     )
     w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
-    topk = (
+    return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("src", "dst", "cosine", "rank")
     )
+
+
+def knn_graph_lsh(spark: SparkSession, sf_dir: str, k: int = KNN_K) -> DataFrame:
+    """Mutual-kNN graph over the LSH candidate edges — the same fwd/rev
+    mutualization as knn_graph_mutual over _lsh_topk_edges."""
+    topk = _lsh_topk_edges(spark, sf_dir, k)
     fwd = topk.where(F.col("src") < F.col("dst")).select(
         F.col("src").alias("vec_a"), F.col("dst").alias("vec_b"),
         "cosine", F.col("rank").alias("rank_ab"),
@@ -1262,6 +1306,27 @@ def knn_graph_lsh(spark: SparkSession, sf_dir: str, k: int = KNN_K) -> DataFrame
         F.col("rank").alias("rank_ba"),
     )
     return fwd.join(rev, ["vec_a", "vec_b"]).orderBy("vec_a", "vec_b")
+
+
+def knn_triangle_count_lsh(spark: SparkSession, sf_dir: str, k: int = KNN_K) -> DataFrame:
+    """knn_triangle_count on the PRODUCTION edge list: same triangle
+    enumeration, but the edges come from knn_graph_lsh (adaptive bands +
+    H1 multiprobe, ~linear candidate volume) instead of the exact O(n²)
+    tile builder — the form that actually runs on a 100 TB corpus, with
+    knn_graph_lsh_recall bounding the edge-set divergence."""
+    edges = (
+        knn_graph_lsh(spark, sf_dir, k)
+        .select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b"))
+    )
+    return _triangle_stats(edges)
+
+
+def knn_pagerank_step_lsh(spark: SparkSession, sf_dir: str, k: int = KNN_K) -> DataFrame:
+    """knn_pagerank_step on the PRODUCTION edge list: one fixed-point
+    PageRank step over the directed LSH top-k edges (see
+    knn_triangle_count_lsh for the scale rationale)."""
+    edges = _lsh_topk_edges(spark, sf_dir, k).select("src", "dst")
+    return _pagerank_from_edges(spark, sf_dir, edges)
 
 
 def _sql_graph_banded() -> str:
@@ -1373,3 +1438,22 @@ FROM flat
 
 ORACLES["knn_graph_lsh"] = SQL_KNN_GRAPH_LSH
 ORACLES["knn_graph_lsh_recall"] = SQL_KNN_GRAPH_LSH_RECALL
+
+
+_SQL_LSH_GRAPH_CHAIN = _SQL_KNN_GRAPH_LSH_CTES.format(banded=_sql_graph_banded())
+
+SQL_KNN_TRIANGLE_COUNT_LSH = f"""
+WITH {_SQL_LSH_GRAPH_CHAIN},
+edges AS (
+  SELECT f.vec_a AS a, f.vec_b AS b
+  FROM gfwd f JOIN grev r ON f.vec_a = r.vec_a AND f.vec_b = r.vec_b
+),
+{_SQL_TRIANGLE_TAIL}"""
+
+SQL_KNN_PAGERANK_STEP_LSH = f"""
+WITH {_SQL_LSH_GRAPH_CHAIN},
+edges AS (SELECT src, dst FROM gtopk),
+{_SQL_PAGERANK_TAIL}"""
+
+ORACLES["knn_triangle_count_lsh"] = SQL_KNN_TRIANGLE_COUNT_LSH
+ORACLES["knn_pagerank_step_lsh"] = SQL_KNN_PAGERANK_STEP_LSH

@@ -94,3 +94,22 @@ def test_python_keying_matches_sql_expression_shape():
     for d, (kid, expr, guard) in enumerate(sql_keys[10:], start=1):
         assert expr.count("substring") == 2
         assert guard == f"nlen >= {d}"
+
+
+def test_lsh_signs_match_sql_md5_expression():
+    """The Spark-side literal sign arrays (_lsh_signs, hashlib md5) must
+    equal what the oracle's SQL md5 expression computes — the invariant
+    that lets signatures be precomputed driver-side instead of 64 x bits
+    md5 calls per row."""
+    import duckdb
+
+    from kafka_connect_storage_cloud_spark.llm.similarity import _lsh_signs
+
+    for prefix, j in (("q0:", 0), ("g3:", 2), ("cb7:", 5), ("", 1)):
+        sql = f"""
+        SELECT list_transform(generate_series(0, 63),
+          i -> CASE WHEN (CAST(('0x' || substr(md5('{prefix}{j}' || ':' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 2) = 0
+               THEN 1 ELSE -1 END)
+        """
+        duck_signs = duckdb.sql(sql).fetchall()[0][0]
+        assert list(duck_signs) == _lsh_signs(prefix, j), (prefix, j)
