@@ -94,7 +94,7 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_cosine_dups", "cosine_dup_band_recall", "ann_topk_bruteforce",
     "ann_topk_lsh", "ann_recall_audit", "knn_graph_mutual", "knn_graph_lsh",
     "knn_graph_lsh_recall", "knn_triangle_count", "knn_triangle_count_lsh",
-    "knn_pagerank_step_lsh",
+    "knn_pagerank_step_lsh", "knn_label_vote_lsh",
     "knn_pagerank_step", "knn_label_vote_accuracy", "embedding_centroid_outliers",
     "embedding_dim_stats", "ann_topk_ivf", "ann_topk_ivf_multiprobe",
     "ivf_kmeans_refine", "ann_topk_ivf_pq", "embedding_pq", "pq_adc_topk",
@@ -192,6 +192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_triangle_count_lsh": LS.knn_triangle_count_lsh,
         "knn_pagerank_step_lsh": LS.knn_pagerank_step_lsh,
         "knn_label_vote_accuracy": LS.knn_label_vote_accuracy,
+        "knn_label_vote_lsh": LS.knn_label_vote_lsh,
         "embedding_centroid_outliers": LS.embedding_centroid_outliers,
         "embedding_dim_stats": LS.embedding_dim_stats,
         "knn_pagerank_step": LS.knn_pagerank_step,

@@ -1123,14 +1123,11 @@ FROM comp GROUP BY 1 ORDER BY 1
 ORACLES["embedding_dim_stats"] = SQL_EMBEDDING_DIM_STATS
 
 
-def knn_label_vote_accuracy(spark: SparkSession, sf_dir: str, k: int = KNN_K) -> DataFrame:
-    """kNN classification evaluation: predict each vector's label by
-    majority vote of its exact top-k cosine neighbors, report per-label
-    accuracy — the label-quality / separability audit (near-100% means the
-    embedding space respects the labels; a weak label here corroborates
-    embedding_centroid_outliers). Votes and the argmax run on the n·k edge
-    list; ties break to the smaller label id (deterministic)."""
-    edges = _knn_topk_edges(spark, sf_dir, k).select("src", "dst")
+def _label_vote_from_edges(spark: SparkSession, sf_dir: str, edges: DataFrame) -> DataFrame:
+    """Majority-vote label prediction + per-label accuracy over any directed
+    (src, dst) neighbor edge list — shared by the exact and LSH graph paths.
+    Votes and the argmax run on the n·k edge list; ties break to the smaller
+    label id (deterministic)."""
     labels = read_table(spark, sf_dir, "embeddings").select("vec_id", "label")
     nb = edges.join(
         F.broadcast(labels.select(F.col("vec_id").alias("dst"), F.col("label").alias("nb_label"))),
@@ -1164,11 +1161,22 @@ def knn_label_vote_accuracy(spark: SparkSession, sf_dir: str, k: int = KNN_K) ->
     )
 
 
-SQL_KNN_LABEL_VOTE_ACCURACY = f"""
-WITH {_SQL_KNN_TOPK_CTES},
+def knn_label_vote_accuracy(spark: SparkSession, sf_dir: str, k: int = KNN_K) -> DataFrame:
+    """kNN classification evaluation: predict each vector's label by
+    majority vote of its exact top-k cosine neighbors, report per-label
+    accuracy — the label-quality / separability audit (near-100% means the
+    embedding space respects the labels; a weak label here corroborates
+    embedding_centroid_outliers)."""
+    edges = _knn_topk_edges(spark, sf_dir, k).select("src", "dst")
+    return _label_vote_from_edges(spark, sf_dir, edges)
+
+
+# Tail shared by the exact and LSH label-vote oracles; {edges} is a CTE
+# exposing (src, dst) directed neighbor edges.
+_SQL_LABEL_VOTE_TAIL = """
 nb AS (
   SELECT t.src, l.label AS nb_label
-  FROM topk t JOIN embeddings l ON t.dst = l.vec_id
+  FROM {edges} t JOIN embeddings l ON t.dst = l.vec_id
 ),
 votes AS (SELECT src, nb_label, COUNT(*) AS n_votes FROM nb GROUP BY 1, 2),
 pred AS (
@@ -1186,6 +1194,11 @@ SELECT truth AS label, COUNT(*) AS n_vecs,
        (floor((CAST(SUM(CASE WHEN predicted = truth THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
               * 1000000.0 + 0.5) / 1000000.0) AS accuracy
 FROM judged GROUP BY 1 ORDER BY 1
+"""
+
+SQL_KNN_LABEL_VOTE_ACCURACY = f"""
+WITH {_SQL_KNN_TOPK_CTES},
+{_SQL_LABEL_VOTE_TAIL.format(edges="topk")}
 """
 
 ORACLES["knn_label_vote_accuracy"] = SQL_KNN_LABEL_VOTE_ACCURACY
@@ -1329,6 +1342,16 @@ def knn_pagerank_step_lsh(spark: SparkSession, sf_dir: str, k: int = KNN_K) -> D
     return _pagerank_from_edges(spark, sf_dir, edges)
 
 
+def knn_label_vote_lsh(spark: SparkSession, sf_dir: str, k: int = KNN_K) -> DataFrame:
+    """knn_label_vote_accuracy on the PRODUCTION edge list: majority-vote
+    label prediction over the LSH top-k neighbors instead of the exact
+    O(n²) tile builder — completes the graph family's linear-path story
+    (graph / triangles / PageRank / label vote all ride _lsh_topk_edges,
+    with knn_graph_lsh_recall bounding the edge divergence)."""
+    edges = _lsh_topk_edges(spark, sf_dir, k).select("src", "dst")
+    return _label_vote_from_edges(spark, sf_dir, edges)
+
+
 def _sql_graph_banded() -> str:
     """(vec_id, band, sig16) CTE body — full-width signatures; the bucket is
     sig16 % 2^bits with bits from the adaptive scalar."""
@@ -1454,6 +1477,13 @@ SQL_KNN_PAGERANK_STEP_LSH = f"""
 WITH {_SQL_LSH_GRAPH_CHAIN},
 edges AS (SELECT src, dst FROM gtopk),
 {_SQL_PAGERANK_TAIL}"""
+
+SQL_KNN_LABEL_VOTE_LSH = f"""
+WITH {_SQL_LSH_GRAPH_CHAIN},
+{_SQL_LABEL_VOTE_TAIL.format(edges="gtopk")}
+"""
+
+ORACLES["knn_label_vote_lsh"] = SQL_KNN_LABEL_VOTE_LSH
 
 ORACLES["knn_triangle_count_lsh"] = SQL_KNN_TRIANGLE_COUNT_LSH
 ORACLES["knn_pagerank_step_lsh"] = SQL_KNN_PAGERANK_STEP_LSH
