@@ -23,7 +23,7 @@ _spec.loader.exec_module(entry_mod)
 # one representative per hazard class
 HAZARD_OPS = [
     "multi_touch_attribution",   # per-item credit summed (int micro-units)
-    "bootstrap_mean_ci",         # decimal replica sums
+    "bootstrap_mean_ci",         # scaled-int64 replica sums
     "ab_test_metrics",           # decimal moments -> Welch t
     "events_anomaly",            # decimal moments -> z
     "revenue_pareto",            # decimal cumulative sums
