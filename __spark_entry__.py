@@ -89,6 +89,7 @@ _PRIORITY: tuple[str, ...] = (
     "ngram_jaccard", "minhash_jaccard_est", "dup_source_matrix",
     "dedup_modality_agreement", "dedup_substring", "dedup_bloom",
     "dedup_clusters", "dedup_keep_best", "dedup_semantic", "dedup_rate_by_slice",
+    "quality_dup_profile",
     "dedup_chunks",
     # §2C vector/ANN family
     "embedding_cosine_dups", "cosine_dup_band_recall", "ann_topk_bruteforce",
@@ -171,6 +172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": LC.dedup_keep_best,
         "dedup_semantic": LC.dedup_semantic,
         "dedup_rate_by_slice": LC.dedup_rate_by_slice,
+        "quality_dup_profile": LC.quality_dup_profile,
         "dedup_exact": LD.dedup_exact,
         "dup_source_matrix": LD.dup_source_matrix,
         "dedup_minhash_lsh": LD.dedup_minhash_lsh,

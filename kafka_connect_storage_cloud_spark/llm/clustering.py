@@ -267,3 +267,72 @@ ORDER BY source, lang
 
 
 ORACLES["dedup_rate_by_slice"] = _sql_dedup_rate_by_slice()
+
+
+def quality_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-family corpus audit: dedup drop rate by quality band — the
+    "are low-quality documents also the duplicated ones?" check run before
+    committing to a filter threshold, because if dedup already removes the
+    low-quality mass, a quality filter on top double-counts the penalty
+    (and vice versa: high drop rates in HIGH-quality bands flag boilerplate
+    that the quality heuristic likes).
+
+    Quality lands in fixed 0.1-wide bands (no ntile: fixed bins need no
+    global sort shuffle, so the op stays one join + one 10-group aggregate
+    at any corpus size). Mean quality per band aggregates the exact 1e-6
+    integer grid of the round6 scores, so every output is
+    engine-deterministic."""
+    from ..functions import hashing as H
+    from .quality import quality_score
+
+    q = quality_score(spark, sf_dir).select("doc_id", "quality")
+    kb = dedup_keep_best(spark, sf_dir).select(
+        "doc_id", F.col("keep").cast("long").alias("k")
+    )
+    j = q.join(kb, "doc_id").select(
+        F.least(F.floor(F.col("quality") * 10).cast("int"), F.lit(9)).alias("q_bin"),
+        F.floor(F.col("quality") * 1000000.0 + F.lit(0.5)).cast("bigint").alias("qi"),
+        "k",
+    )
+    return (
+        j.groupBy("q_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.lit(1) - F.col("k")).alias("n_dropped"),
+            F.sum("qi").alias("qsum"),
+        )
+        .select(
+            "q_bin",
+            "n_docs",
+            "n_dropped",
+            H.round6(F.col("n_dropped") / F.col("n_docs").cast("double")).alias("drop_ratio"),
+            H.round6(
+                F.col("qsum").cast("double") / (F.col("n_docs").cast("double") * 1000000.0)
+            ).alias("mean_quality"),
+        )
+        .orderBy("q_bin")
+    )
+
+
+def _sql_quality_dup_profile() -> str:
+    from ..functions import hashing as H
+    from .quality import SQL_QUALITY_SCORE
+
+    return f"""
+WITH kb AS ({_sql_keep_best()}),
+qsc AS ({SQL_QUALITY_SCORE}),
+qj AS (
+  SELECT CAST(LEAST(CAST(floor(q.quality * 10) AS BIGINT), 9) AS INT) AS q_bin,
+         CAST(floor(q.quality * 1000000.0 + 0.5) AS BIGINT) AS qi,
+         CASE WHEN kb.keep THEN 1 ELSE 0 END AS k
+  FROM qsc q JOIN kb ON q.doc_id = kb.doc_id
+)
+SELECT q_bin, COUNT(*) AS n_docs,
+       CAST(SUM(1 - k) AS BIGINT) AS n_dropped,
+       {H.sql_round6("CAST(SUM(1 - k) AS DOUBLE) / COUNT(*)")} AS drop_ratio,
+       {H.sql_round6("CAST(SUM(qi) AS DOUBLE) / (COUNT(*) * 1000000.0)")} AS mean_quality
+FROM qj GROUP BY q_bin ORDER BY q_bin
+"""
+
+
+ORACLES["quality_dup_profile"] = _sql_quality_dup_profile()
