@@ -382,13 +382,18 @@ QUALITY_MIN = 0.5
 def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The actual keep/drop decision of a corpus-prep pipeline: compose
     quality scoring, repetition flagging, and language-ID agreement into one
-    verdict per document with machine-readable reasons. All three inputs
-    are single-pass operators over the same corpus scan; the joins are
-    doc_id-keyed and co-partitioned after their aggregations."""
-    # quality + language-ID are pure per-doc projections: fuse them into ONE
-    # corpus scan (same expressions as quality_score / lang_id, so the
-    # composed oracle still matches value-for-value). Only the repetition
-    # input needs its own pass (gram explode + aggregate).
+    verdict per document with machine-readable reasons.
+
+    All three inputs are pure per-row reductions over the same document, so
+    the whole verdict fuses into ONE corpus scan with ZERO shuffle (r3: the
+    repetition input previously ran its own scan and joined back on doc_id —
+    a corpus-wide shuffle join of two projections of the same table). The
+    repetition flag needs only dup_fraction (size vs array_distinct of the
+    shingle array), not the top-gram run length, so no sort is paid here;
+    the expressions are byte-identical to quality_score / lang_id /
+    repetition_score so the composed oracle still matches value-for-value."""
+    from ..functions import text as T
+
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars", "lang")
     base = docs.select(
         "doc_id",
@@ -398,7 +403,7 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.regexp_replace(F.lower(F.col("text")), r"\s+", "")).alias("n_nonspace"),
         F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", "")).alias("n_alpha"),
         F.length("text").alias("n_text"),
-    )
+    ).withColumn("sh", T.shingles_from_ws(REP_N))
     wc = F.greatest(F.size("ws"), F.lit(1))
     stop_ratio = _ws_stop_hits("en") / wc
     len_score = F.least(F.col("n_chars") / F.lit(500.0), F.lit(1.0))
@@ -418,8 +423,17 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, lang in enumerate(sorted(STOPWORDS))
         ]
     )
-    q = base.select("doc_id", "lang", quality.alias("quality"), best["lang"].alias("detected_lang"))
-    r = repetition_score(spark, sf_dir).select("doc_id", F.col("flagged").alias("rep_flagged"))
+    # same dup_fraction > REP_FLAG predicate as repetition_score.flagged
+    rep_flagged = (
+        1 - F.size(F.array_distinct("sh")) / F.size("sh").cast("double") > REP_FLAG
+    )
+    q = base.select(
+        "doc_id",
+        "lang",
+        quality.alias("quality"),
+        best["lang"].alias("detected_lang"),
+        rep_flagged.alias("rep_flagged"),
+    )
     reasons = F.concat(
         F.when(F.col("quality") < QUALITY_MIN, F.lit("low_quality;")).otherwise(F.lit("")),
         F.when(F.col("rep_flagged"), F.lit("repetitive;")).otherwise(F.lit("")),
@@ -428,8 +442,7 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return (
-        q.join(r, "doc_id")
-        .withColumn("reasons", reasons)
+        q.withColumn("reasons", reasons)
         .select(
             "doc_id",
             "quality",
