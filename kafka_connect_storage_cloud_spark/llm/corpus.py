@@ -776,3 +776,115 @@ ORDER BY source, lang
 
 QUERIES["modality_coverage_audit"] = modality_coverage_audit
 ORACLES["modality_coverage_audit"] = SQL_MODALITY_COVERAGE_AUDIT
+
+
+# ---------------------------------------------------------------------------
+# dsir_importance — hashed-ngram importance weights for data selection
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 1024  # hashed unigram feature buckets (DSIR's hashing trick)
+DSIR_SCALE = 1_000_000
+DSIR_TARGET_LANG = "en"  # target slice: the English sub-corpus
+
+
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): hash every token into
+    DSIR_BUCKETS feature buckets, fit unigram bucket distributions for a
+    target slice (here: the DSIR_TARGET_LANG sub-corpus) and the raw
+    corpus, and score each document by the Laplace-smoothed per-token
+    probability ratio p_target(bucket)/p_raw(bucket). Documents whose mean
+    ratio exceeds 1 look more target-like than raw and are `selected` for
+    the resampling pool.
+
+    Determinism: the paper's log-likelihood-ratio sum is replaced by the
+    integer ratio sum ratio_micro = (cnt_t+1)*N_r'*SCALE div ((cnt_r+1)*N_t')
+    — exact int64/int128 arithmetic on both engines, so per-doc SUMs are
+    order-independent (the same reason lm_rarity_score drops the log: the
+    per-token transform is monotone and the bucket ORDER it induces is
+    what selection consumes).
+
+    Scale shape: pass 1 is one map-side-combined groupBy onto DSIR_BUCKETS
+    keys (the shuffle carries <= 1024 partial rows per task regardless of
+    corpus size) collected as an O(1024) driver table — the same bounded
+    codebook pattern as the IVF trainer. Pass 2 re-streams the corpus once
+    against the BROADCAST ratio table and aggregates 1 row/doc with the
+    doc's tokens co-located. Overflow bound: (cnt_t+1)*N_r*SCALE <=
+    N_t*N_r*1e6; past ~1e6-token target slices drop DSIR_SCALE to 1e3 (the
+    selection order is unchanged) — DuckDB runs the same chain in HUGEINT
+    and never overflows.
+    """
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    ).where(F.col("tok") != "")
+    bucketed = toks.select(
+        "doc_id",
+        "lang",
+        F.pmod(H.h32(F.col("tok")), F.lit(DSIR_BUCKETS)).alias("bucket"),
+    )
+    counts = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cnt_r"),
+        F.sum((F.col("lang") == DSIR_TARGET_LANG).cast("long")).alias("cnt_t"),
+    )
+    # O(DSIR_BUCKETS) driver table: totals + smoothed ratios in exact
+    # Python ints, then broadcast back — no scalar-literal rebuild job.
+    rows = counts.collect()
+    n_r = sum(r["cnt_r"] for r in rows) + DSIR_BUCKETS
+    n_t = sum(r["cnt_t"] for r in rows) + DSIR_BUCKETS
+    ratio_rows = [
+        (int(r["bucket"]), ((r["cnt_t"] + 1) * n_r * DSIR_SCALE) // ((r["cnt_r"] + 1) * n_t))
+        for r in rows
+    ]
+    ratio = spark.createDataFrame(ratio_rows, "bucket bigint, ratio_micro bigint")
+    scored = bucketed.join(F.broadcast(ratio), "bucket")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("ratio_micro").alias("dsir_sum_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "dsir_sum_micro",
+            F.expr("dsir_sum_micro div n_tokens").alias("mean_ratio_micro"),
+            F.expr(f"dsir_sum_micro div n_tokens > {DSIR_SCALE}").alias("selected"),
+        )
+    )
+
+
+SQL_DSIR_IMPORTANCE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+  FROM documents
+),
+bucketed AS (
+  SELECT doc_id, lang,
+         {H.sql_h32('tok')} % {DSIR_BUCKETS} AS bucket
+  FROM toks WHERE tok <> ''
+),
+counts AS (
+  SELECT bucket, COUNT(*) AS cnt_r,
+         SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END) AS cnt_t
+  FROM bucketed GROUP BY bucket
+),
+tot AS (
+  SELECT SUM(cnt_r) + {DSIR_BUCKETS} AS n_r, SUM(cnt_t) + {DSIR_BUCKETS} AS n_t
+  FROM counts
+),
+ratio AS (
+  SELECT bucket,
+         CAST((cnt_t + 1) * n_r * {DSIR_SCALE} // ((cnt_r + 1) * n_t) AS BIGINT) AS ratio_micro
+  FROM counts, tot
+)
+SELECT b.doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(r.ratio_micro) AS BIGINT) AS dsir_sum_micro,
+       CAST(SUM(r.ratio_micro) // COUNT(*) AS BIGINT) AS mean_ratio_micro,
+       SUM(r.ratio_micro) // COUNT(*) > {DSIR_SCALE} AS selected
+FROM bucketed b JOIN ratio r ON b.bucket = r.bucket
+GROUP BY b.doc_id ORDER BY b.doc_id
+"""
+
+QUERIES["dsir_importance"] = dsir_importance
+ORACLES["dsir_importance"] = SQL_DSIR_IMPORTANCE
