@@ -492,12 +492,93 @@ FROM c1 n JOIN counts USING (cell) JOIN c0 USING (cell)
 ORDER BY cell
 """
 
+def cluster_profile_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style cluster curation profile (Abbas et al. 2023 cluster
+    the corpus with k-means, then curate within clusters): every vector
+    assigned to its trained-codebook cell, profiled per cluster as size,
+    dominant label with purity, and mean member-to-centroid cosine (the
+    intra-cluster coherence that decides whether a cluster is tight enough
+    to near-dedup aggressively).
+
+    Scale shape: the corpus streams once through the Arrow-batch argmin
+    assignment (codebook in the task closure), joins its label column on
+    vec_id (co-partitioned equi-join) and the K-row BROADCAST centroid
+    table, then collapses through two map-side-combined aggregations onto
+    (cell,label) and cell — K*|labels| partial rows regardless of corpus
+    size. Per-member cosines are summed as exact micro-ints (never a
+    float sum); the mean divides once in double at the end, exact while
+    cm_total < 2^53 (≈9e9 members at |cos|<=1)."""
+    emb = _with_dec_and_norm(read_table(spark, sf_dir, "embeddings"))
+    c_ids, c_mat = _train_codebook(spark, sf_dir)
+    assigned = _assign_cells(emb, c_ids, c_mat)
+    labels = read_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    cents = _codebook_df(spark, c_ids, c_mat).select(
+        F.col("centroid_id").alias("cell"), "cv", "cn"
+    )
+    m = assigned.join(labels, "vec_id").join(F.broadcast(cents), "cell")
+    cos_micro = F.floor(
+        (_dot("v", "cv") / (F.col("nrm") * F.col("cn"))) * 1000000.0 + F.lit(0.5)
+    ).cast("long")
+    per_label = (
+        m.select("cell", "label", cos_micro.alias("cm"))
+        .groupBy("cell", "label")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cm").alias("cm_sum"))
+    )
+    prof = per_label.groupBy("cell").agg(
+        F.sum("n").alias("n_members"),
+        F.max(
+            F.struct(F.col("n").alias("n"), (-F.col("label")).cast("long").alias("negl"))
+        ).alias("top"),
+        F.sum("cm_sum").alias("cm_total"),
+    )
+    return prof.select(
+        "cell",
+        "n_members",
+        (-F.col("top.negl")).cast("int").alias("top_label"),
+        F.col("top.n").alias("top_label_n"),
+        H.round6(F.col("top.n") / F.col("n_members").cast("double")).alias("purity"),
+        H.round6(F.col("cm_total") / F.col("n_members") / F.lit(1000000.0)).alias(
+            "mean_centroid_cos"
+        ),
+    ).orderBy("cell")
+
+
+SQL_CLUSTER_PROFILE = f"""
+WITH {_SQL_EMB},
+{_sql_train_chain()},
+{_sql_assign(_FINAL_CENTS, 'assigned')},
+cents AS (SELECT cell, cv, cn FROM {_FINAL_CENTS}),
+m AS (
+  SELECT a.cell, e.label,
+         CAST(floor(({_SQL_DOT.format(a='e.v', b='c.cv')} / (e.nrm * c.cn)) * 1000000.0 + 0.5) AS BIGINT) AS cm
+  FROM assigned a JOIN emb_n e ON a.vec_id = e.vec_id
+  JOIN cents c ON a.cell = c.cell
+),
+per_label AS (
+  SELECT cell, label, COUNT(*) AS n, SUM(cm) AS cm_sum FROM m GROUP BY cell, label
+),
+prof AS (
+  SELECT cell, CAST(SUM(n) AS BIGINT) AS n_members,
+         MAX({{'n': n, 'negl': -CAST(label AS BIGINT)}}) AS top,
+         SUM(cm_sum) AS cm_total
+  FROM per_label GROUP BY cell
+)
+SELECT cell, n_members,
+       CAST(-(top.negl) AS INT) AS top_label,
+       CAST(top.n AS BIGINT) AS top_label_n,
+       {H.sql_round6("CAST(top.n AS DOUBLE) / n_members")} AS purity,
+       {H.sql_round6("CAST(cm_total AS DOUBLE) / n_members / 1000000.0")} AS mean_centroid_cos
+FROM prof ORDER BY cell
+"""
+
+
 QUERIES = {
     "stratified_sample": stratified_sample,
     "contamination_check": contamination_check,
     "ann_topk_ivf": ann_topk_ivf,
     "ann_topk_ivf_multiprobe": ann_topk_ivf_multiprobe,
     "ivf_kmeans_refine": ivf_kmeans_refine,
+    "cluster_profile_kmeans": cluster_profile_kmeans,
 }
 
 ORACLES = {
@@ -506,4 +587,5 @@ ORACLES = {
     "ann_topk_ivf": SQL_ANN_TOPK_IVF,
     "ann_topk_ivf_multiprobe": SQL_ANN_TOPK_IVF_MULTIPROBE,
     "ivf_kmeans_refine": SQL_IVF_KMEANS_REFINE,
+    "cluster_profile_kmeans": SQL_CLUSTER_PROFILE,
 }
