@@ -888,3 +888,95 @@ GROUP BY b.doc_id ORDER BY b.doc_id
 
 QUERIES["dsir_importance"] = dsir_importance
 ORACLES["dsir_importance"] = SQL_DSIR_IMPORTANCE
+
+
+# ---------------------------------------------------------------------------
+# tokens_per_source_budget — data-constrained mixture planning
+# ---------------------------------------------------------------------------
+
+BUDGET_MAX_EPOCHS = 4  # repeat cap per source (the ~4-epoch rule for
+# repeated data, Muennighoff et al. 2023 "Scaling Data-Constrained LMs")
+BUDGET_EPOCH_MULT_NUM = 15  # training budget = 15/4 x corpus tokens, so an
+BUDGET_EPOCH_MULT_DEN = 4  # equal-share plan wants ~3.75 epochs/source and
+# sources below ~94% of the mean token count hit the epoch cap
+
+
+def tokens_per_source_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget allocation across sources for a training mixture:
+    every source is offered an equal share of the global token budget, but
+    no source may repeat more than BUDGET_MAX_EPOCHS times — the
+    data-constrained scaling regime where small sources cap out and the
+    plan reports the unusable deficit per capped source.
+
+    All arithmetic is integer-exact: epochs are reported in micro-epochs
+    (planned*1e6 div available, both positive so Spark `div` == DuckDB
+    `//`). Scale shape: one map-side-combined groupBy onto |sources| keys,
+    then a global window over the |sources|-row aggregate (a single-row
+    exchange of a bounded table) — corpus size only affects the scan."""
+    docs = read_table(spark, sf_dir, "documents").select("source", "text")
+    per_src = (
+        docs.select("source", _ws_tokens().cast("long").alias("toks"))
+        .groupBy("source")
+        .agg(F.sum("toks").alias("tokens_available"))
+    )
+    w = Window.partitionBy()
+    with_tot = per_src.select(
+        "source",
+        "tokens_available",
+        F.sum("tokens_available").over(w).alias("total_tokens"),
+        F.count(F.lit(1)).over(w).alias("n_sources"),
+    )
+    budget = F.expr(
+        f"total_tokens * {BUDGET_EPOCH_MULT_NUM} div {BUDGET_EPOCH_MULT_DEN}"
+    )
+    target = F.expr(
+        f"(total_tokens * {BUDGET_EPOCH_MULT_NUM} div {BUDGET_EPOCH_MULT_DEN}) div n_sources"
+    )
+    planned = F.least(F.col("tokens_available") * BUDGET_MAX_EPOCHS, target)
+    return (
+        with_tot.select(
+            "source",
+            "tokens_available",
+            target.alias("target_share"),
+            planned.alias("planned_tokens"),
+            F.expr(
+                f"least(tokens_available * {BUDGET_MAX_EPOCHS}, "
+                f"(total_tokens * {BUDGET_EPOCH_MULT_NUM} div {BUDGET_EPOCH_MULT_DEN}) div n_sources) "
+                f"* 1000000 div tokens_available"
+            ).alias("epochs_micro"),
+            (F.col("tokens_available") * BUDGET_MAX_EPOCHS < target).alias("capped"),
+            (target - planned).alias("deficit_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_TOKENS_PER_SOURCE_BUDGET = f"""
+WITH per_src AS (
+  SELECT source, CAST(SUM({_SQL_WS_TOKENS}) AS BIGINT) AS tokens_available
+  FROM documents GROUP BY source
+),
+with_tot AS (
+  SELECT source, tokens_available,
+         CAST(SUM(tokens_available) OVER () AS BIGINT) AS total_tokens,
+         COUNT(*) OVER () AS n_sources
+  FROM per_src
+),
+calc AS (
+  SELECT source, tokens_available,
+         (total_tokens * {BUDGET_EPOCH_MULT_NUM} // {BUDGET_EPOCH_MULT_DEN}) // n_sources AS target_share,
+         LEAST(tokens_available * {BUDGET_MAX_EPOCHS},
+               (total_tokens * {BUDGET_EPOCH_MULT_NUM} // {BUDGET_EPOCH_MULT_DEN}) // n_sources) AS planned_tokens
+  FROM with_tot
+)
+SELECT source, tokens_available,
+       CAST(target_share AS BIGINT) AS target_share,
+       CAST(planned_tokens AS BIGINT) AS planned_tokens,
+       CAST(planned_tokens * 1000000 // tokens_available AS BIGINT) AS epochs_micro,
+       tokens_available * {BUDGET_MAX_EPOCHS} < target_share AS capped,
+       CAST(target_share - planned_tokens AS BIGINT) AS deficit_tokens
+FROM calc ORDER BY source
+"""
+
+QUERIES["tokens_per_source_budget"] = tokens_per_source_budget
+ORACLES["tokens_per_source_budget"] = SQL_TOKENS_PER_SOURCE_BUDGET
