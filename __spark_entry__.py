@@ -197,6 +197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_label_vote_lsh": LS.knn_label_vote_lsh,
         "embedding_centroid_outliers": LS.embedding_centroid_outliers,
         "embedding_dim_stats": LS.embedding_dim_stats,
+        "embedding_covariance": LS.embedding_covariance,
         "knn_pagerank_step": LS.knn_pagerank_step,
         "lang_id": LQ.lang_id,
         "lang_id_confusion": LQ.lang_id_confusion,

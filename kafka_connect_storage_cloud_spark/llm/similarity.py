@@ -1123,6 +1123,85 @@ FROM comp GROUP BY 1 ORDER BY 1
 ORACLES["embedding_dim_stats"] = SQL_EMBEDDING_DIM_STATS
 
 
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance matrix of the embedding components — the
+    input to PCA whitening / decorrelation diagnostics on an embedding
+    column (is the space isotropic? which dims are redundant?).
+
+    The corpus streams ONCE: each row expands its d(d+1)/2 upper-triangle
+    products as a flattened struct array (pure projection, no join), then
+    one map-side-combined groupBy onto (i,j) keys — the shuffle carries at
+    most 2080 partial rows per task at d=64 regardless of corpus size, the
+    same (key-bounded) shape as _lloyd_means. Sums are exact int64 on
+    CSCALE-quantized components (|Σ xi·xj| <= 1e8·n: safe past 9e10 rows);
+    the covariance combines the three exact sums in double at the very end
+    with one fixed op order, so Spark and DuckDB agree bit-for-bit.
+
+    The oracle computes the identical sums via a component self-join on
+    vec_id — quadratic in d only, and only at oracle scale."""
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        F.expr(
+            f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {CSCALE}, 0) AS BIGINT))"
+        ).alias("v")
+    )
+    pairs = emb.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(0, size(v) - 1), i -> "
+                "transform(sequence(i, size(v) - 1), j -> named_struct("
+                "'i', i, 'j', j, "
+                "'p', element_at(v, i + 1) * element_at(v, j + 1), "
+                "'xi', element_at(v, i + 1), 'xj', element_at(v, j + 1)))))"
+            )
+        ).alias("s")
+    ).select("s.i", "s.j", "s.p", "s.xi", "s.xj")
+    agg = pairs.groupBy("i", "j").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("p").alias("s_p"),
+        F.sum("xi").alias("s_xi"),
+        F.sum("xj").alias("s_xj"),
+    )
+    cov = (
+        (
+            F.col("s_p").cast("double")
+            - F.col("s_xi").cast("double") * F.col("s_xj").cast("double") / F.col("n")
+        )
+        / F.col("n")
+        / F.lit(float(CSCALE * CSCALE))
+    )
+    return agg.select(
+        F.col("i").alias("dim_i"),
+        F.col("j").alias("dim_j"),
+        "n",
+        H.round6(cov).alias("cov"),
+    ).orderBy("dim_i", "dim_j")
+
+
+SQL_EMBEDDING_COVARIANCE = f"""
+WITH comp AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(round(CAST(UNNEST(embedding) AS DOUBLE) * {CSCALE}, 0) AS BIGINT) AS val
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.dim AS i, b.dim AS j, a.val * b.val AS p, a.val AS xi, b.val AS xj
+  FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+),
+agg AS (
+  SELECT i, j, COUNT(*) AS n,
+         CAST(SUM(p) AS BIGINT) AS s_p,
+         CAST(SUM(xi) AS BIGINT) AS s_xi,
+         CAST(SUM(xj) AS BIGINT) AS s_xj
+  FROM pairs GROUP BY i, j
+)
+SELECT i AS dim_i, j AS dim_j, n,
+       {H.sql_round6(f"(CAST(s_p AS DOUBLE) - CAST(s_xi AS DOUBLE) * CAST(s_xj AS DOUBLE) / n) / n / {float(CSCALE * CSCALE)}")} AS cov
+FROM agg ORDER BY dim_i, dim_j
+"""
+
+ORACLES["embedding_covariance"] = SQL_EMBEDDING_COVARIANCE
+
+
 def _label_vote_from_edges(spark: SparkSession, sf_dir: str, edges: DataFrame) -> DataFrame:
     """Majority-vote label prediction + per-label accuracy over any directed
     (src, dst) neighbor edge list — shared by the exact and LSH graph paths.
