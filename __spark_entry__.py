@@ -205,6 +205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": LQ.quality_filter,
         "gopher_rules_filter": LQ.gopher_rules_filter,
         "repetition_score": LQ.repetition_score,
+        "tokenizer_fertility": LQ.tokenizer_fertility,
         "token_count": LQ.token_count,
         "doc_fingerprint": LQ.doc_fingerprint,
         "multimodal_pipeline": LM.multimodal_pipeline,

@@ -376,6 +376,57 @@ ORDER BY p.doc_id
 """
 
 
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish regex tokens per
+    whitespace word (the standard sub-word blow-up metric a tokenizer eval
+    reports per language before committing a vocab). High-fertility
+    languages burn budget in tokens_per_source_budget-style plans — this
+    is the table that feeds that correction.
+
+    One zero-shuffle projection (both tokenizations are per-row regex
+    reductions, same expressions as token_count) then a
+    map-side-combined groupBy onto |langs| keys."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    per_doc = docs.select(
+        "lang",
+        _word_count().cast("long").alias("ws"),
+        F.size(F.expr(f"regexp_extract_all(lower(text), '{TOKEN_REGEX}', 0)"))
+        .cast("long")
+        .alias("bpe"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws").alias("ws_total"),
+            F.sum("bpe").alias("bpe_total"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "ws_total",
+            "bpe_total",
+            H.round6(F.col("bpe_total") / F.col("ws_total").cast("double")).alias("fertility"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_TOKENIZER_FERTILITY = f"""
+WITH per_doc AS (
+  SELECT lang,
+         len(string_split_regex(lower(text), '\\s+')) AS ws,
+         len(regexp_extract_all(lower(text), '{TOKEN_REGEX}')) AS bpe
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(ws) AS BIGINT) AS ws_total,
+       CAST(SUM(bpe) AS BIGINT) AS bpe_total,
+       {H.sql_round6("CAST(SUM(bpe) AS DOUBLE) / SUM(ws)")} AS fertility
+FROM per_doc GROUP BY lang ORDER BY lang
+"""
+
+
 QUALITY_MIN = 0.5
 
 
@@ -483,6 +534,7 @@ ORACLES = {
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "repetition_score": _sql_repetition(),
     "quality_filter": _sql_quality_filter(),
+    "tokenizer_fertility": SQL_TOKENIZER_FERTILITY,
 }
 
 
