@@ -198,6 +198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroid_outliers": LS.embedding_centroid_outliers,
         "embedding_dim_stats": LS.embedding_dim_stats,
         "embedding_covariance": LS.embedding_covariance,
+        "embedding_pca_power": LS.embedding_pca_power,
         "knn_pagerank_step": LS.knn_pagerank_step,
         "lang_id": LQ.lang_id,
         "lang_id_confusion": LQ.lang_id_confusion,

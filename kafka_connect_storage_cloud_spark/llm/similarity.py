@@ -1123,22 +1123,10 @@ FROM comp GROUP BY 1 ORDER BY 1
 ORACLES["embedding_dim_stats"] = SQL_EMBEDDING_DIM_STATS
 
 
-def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Upper-triangle covariance matrix of the embedding components — the
-    input to PCA whitening / decorrelation diagnostics on an embedding
-    column (is the space isotropic? which dims are redundant?).
-
-    The corpus streams ONCE: each row expands its d(d+1)/2 upper-triangle
-    products as a flattened struct array (pure projection, no join), then
-    one map-side-combined groupBy onto (i,j) keys — the shuffle carries at
-    most 2080 partial rows per task at d=64 regardless of corpus size, the
-    same (key-bounded) shape as _lloyd_means. Sums are exact int64 on
-    CSCALE-quantized components (|Σ xi·xj| <= 1e8·n: safe past 9e10 rows);
-    the covariance combines the three exact sums in double at the very end
-    with one fixed op order, so Spark and DuckDB agree bit-for-bit.
-
-    The oracle computes the identical sums via a component self-join on
-    vec_id — quadratic in d only, and only at oracle scale."""
+def _cov_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact upper-triangle second/first-moment sums over CSCALE-quantized
+    components: (i, j, n, s_p=Σxi·xj, s_xi=Σxi, s_xj=Σxj). One corpus
+    scan; the shuffle carries ≤ d(d+1)/2 partials per task."""
     emb = read_table(spark, sf_dir, "embeddings").select(
         F.expr(
             f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {CSCALE}, 0) AS BIGINT))"
@@ -1155,13 +1143,18 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s")
     ).select("s.i", "s.j", "s.p", "s.xi", "s.xj")
-    agg = pairs.groupBy("i", "j").agg(
+    return pairs.groupBy("i", "j").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("p").alias("s_p"),
         F.sum("xi").alias("s_xi"),
         F.sum("xj").alias("s_xj"),
     )
-    cov = (
+
+
+def _cov_expr() -> Column:
+    """Covariance from the exact sums, one fixed double op order (shared
+    verbatim with the SQL twins)."""
+    return (
         (
             F.col("s_p").cast("double")
             - F.col("s_xi").cast("double") * F.col("s_xj").cast("double") / F.col("n")
@@ -1169,6 +1162,26 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.col("n")
         / F.lit(float(CSCALE * CSCALE))
     )
+
+
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance matrix of the embedding components — the
+    input to PCA whitening / decorrelation diagnostics on an embedding
+    column (is the space isotropic? which dims are redundant?).
+
+    The corpus streams ONCE: each row expands its d(d+1)/2 upper-triangle
+    products as a flattened struct array (pure projection, no join), then
+    one map-side-combined groupBy onto (i,j) keys — the shuffle carries at
+    most 2080 partial rows per task at d=64 regardless of corpus size, the
+    same (key-bounded) shape as _lloyd_means. Sums are exact int64 on
+    CSCALE-quantized components (|Σ xi·xj| <= 1e8·n: safe past 9e10 rows);
+    the covariance combines the three exact sums in double at the very end
+    with one fixed op order, so Spark and DuckDB agree bit-for-bit.
+
+    The oracle computes the identical sums via a component self-join on
+    vec_id — quadratic in d only, and only at oracle scale."""
+    agg = _cov_sums(spark, sf_dir)
+    cov = _cov_expr()
     return agg.select(
         F.col("i").alias("dim_i"),
         F.col("j").alias("dim_j"),
@@ -1177,29 +1190,160 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("dim_i", "dim_j")
 
 
-SQL_EMBEDDING_COVARIANCE = f"""
-WITH comp AS (
+_SQL_COV_CTES = f"""cov_comp AS (
   SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
          CAST(round(CAST(UNNEST(embedding) AS DOUBLE) * {CSCALE}, 0) AS BIGINT) AS val
   FROM embeddings
 ),
-pairs AS (
+cov_pairs AS (
   SELECT a.dim AS i, b.dim AS j, a.val * b.val AS p, a.val AS xi, b.val AS xj
-  FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+  FROM cov_comp a JOIN cov_comp b ON a.vec_id = b.vec_id AND a.dim <= b.dim
 ),
-agg AS (
+cov_agg AS (
   SELECT i, j, COUNT(*) AS n,
          CAST(SUM(p) AS BIGINT) AS s_p,
          CAST(SUM(xi) AS BIGINT) AS s_xi,
          CAST(SUM(xj) AS BIGINT) AS s_xj
-  FROM pairs GROUP BY i, j
+  FROM cov_pairs GROUP BY i, j
+)"""
+
+_SQL_COV_RAW = (
+    f"(CAST(s_p AS DOUBLE) - CAST(s_xi AS DOUBLE) * CAST(s_xj AS DOUBLE) / n) / n"
+    f" / {float(CSCALE * CSCALE)}"
 )
+
+SQL_EMBEDDING_COVARIANCE = f"""
+WITH {_SQL_COV_CTES},
+agg AS (SELECT * FROM cov_agg)
 SELECT i AS dim_i, j AS dim_j, n,
-       {H.sql_round6(f"(CAST(s_p AS DOUBLE) - CAST(s_xi AS DOUBLE) * CAST(s_xj AS DOUBLE) / n) / n / {float(CSCALE * CSCALE)}")} AS cov
+       {H.sql_round6(_SQL_COV_RAW)} AS cov
 FROM agg ORDER BY dim_i, dim_j
 """
 
 ORACLES["embedding_covariance"] = SQL_EMBEDDING_COVARIANCE
+
+
+PCA_POWER_ITERS = 8  # fixed power-iteration count (determinism over adaptivity)
+PCA_VSCALE = 1_000_000  # fixed-point unit of the iterated vector
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division for b > 0 — matches DuckDB's
+    `//` and Spark's `div` (Python's `//` floors, which differs on
+    negatives)."""
+    q = abs(a) // b
+    return q if a >= 0 else -q
+
+
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding covariance by fixed-point
+    power iteration — the first step of a PCA-whitening fit over an
+    embedding column, and the template for any 'distributed moments +
+    bounded driver solve' operator.
+
+    The distributed work is exactly `_cov_sums` (one corpus scan,
+    key-bounded shuffle); the collected state is the d(d+1)/2 = 2080-row
+    covariance — the same bounded-codebook pattern as the IVF trainer.
+    The driver then runs PCA_POWER_ITERS fixed power iterations entirely
+    in integer arithmetic: matvecs on the micro-int covariance with exact
+    Python ints, renormalized each step to max-abs = PCA_VSCALE with
+    truncate-toward-zero division (DuckDB `//` semantics — Python's
+    floor-`//` diverges on negatives). The Rayleigh quotient converts to
+    double at the very end with each operand rounded to double FIRST
+    (mirroring the oracle's CAST(num)/CAST(den), which is not the
+    correctly-rounded big-int quotient Python's `/` would give).
+
+    Output: one row per dimension with the max-abs-normalized component,
+    plus the eigenvalue estimate and its variance-explained share of the
+    trace (constant columns). Sign is pinned by the deterministic all-ones
+    start vector."""
+    cov_micro = F.floor(_cov_expr() * 1000000.0 + F.lit(0.5)).cast("long")
+    rows = _cov_sums(spark, sf_dir).select("i", "j", cov_micro.alias("m")).collect()
+    d = max(r["i"] for r in rows) + 1
+    C = [[0] * d for _ in range(d)]
+    for r in rows:
+        C[r["i"]][r["j"]] = C[r["j"]][r["i"]] = r["m"]
+    v = [PCA_VSCALE] * d
+    for _ in range(PCA_POWER_ITERS):
+        w = [sum(C[i][k] * v[k] for k in range(d)) for i in range(d)]
+        mx = max(abs(x) for x in w)
+        v = [_tdiv(x * PCA_VSCALE, mx) for x in w]
+    w = [sum(C[i][k] * v[k] for k in range(d)) for i in range(d)]
+    num = sum(v[i] * w[i] for i in range(d))
+    den = sum(v[i] * v[i] for i in range(d))
+    lam_micro = float(num) / float(den)
+    trace_micro = sum(C[i][i] for i in range(d))
+    eigenvalue = _round6_py(lam_micro / 1000000.0)
+    var_explained = _round6_py(lam_micro / float(trace_micro))
+    out = [
+        (i, _round6_py(v[i] / float(PCA_VSCALE)), eigenvalue, var_explained)
+        for i in range(d)
+    ]
+    return spark.createDataFrame(
+        out, "dim int, component double, eigenvalue double, var_explained double"
+    )
+
+
+def _round6_py(x: float) -> float:
+    import math
+
+    return math.floor(x * 1000000.0 + 0.5) / 1000000.0
+
+
+def _sql_pca_power(iters: int = PCA_POWER_ITERS) -> str:
+    # every iteration CTE is MATERIALIZED: DuckDB inlines plain CTEs, and
+    # v{t} references w{t} twice (row set + MAX subquery), so an inlined
+    # chain re-expands the covariance join 2^iters times
+    parts = [
+        f"""cmat AS MATERIALIZED (
+  SELECT i, j, CAST(floor({_SQL_COV_RAW} * 1000000.0 + 0.5) AS BIGINT) AS m FROM cov_agg
+  UNION ALL
+  SELECT j AS i, i AS j, CAST(floor({_SQL_COV_RAW} * 1000000.0 + 0.5) AS BIGINT) AS m
+  FROM cov_agg WHERE i <> j
+)""",
+        f"""v0 AS (
+  SELECT UNNEST(generate_series(0, {EMB_DIM - 1})) AS dim,
+         CAST({PCA_VSCALE} AS BIGINT) AS val
+)""",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""w{t} AS MATERIALIZED (
+  SELECT c.i AS dim, SUM(c.m * v.val) AS wv
+  FROM cmat c JOIN v{t - 1} v ON c.j = v.dim GROUP BY c.i
+)"""
+        )
+        parts.append(
+            f"""v{t} AS MATERIALIZED (
+  SELECT dim, wv * {PCA_VSCALE} // (SELECT MAX(ABS(wv)) FROM w{t}) AS val FROM w{t}
+)"""
+        )
+    parts.append(
+        f"""wf AS MATERIALIZED (
+  SELECT c.i AS dim, SUM(c.m * v.val) AS wv
+  FROM cmat c JOIN v{iters} v ON c.j = v.dim GROUP BY c.i
+)"""
+    )
+    parts.append(
+        f"""ray AS (
+  SELECT SUM(v.val * w.wv) AS num, SUM(v.val * v.val) AS den
+  FROM v{iters} v JOIN wf w USING (dim)
+)"""
+    )
+    parts.append("tr AS (SELECT SUM(m) AS trace_micro FROM cmat WHERE i = j)")
+    body = ",\n".join(parts)
+    return f"""
+WITH {_SQL_COV_CTES},
+{body}
+SELECT v.dim,
+       {H.sql_round6(f"CAST(v.val AS DOUBLE) / {float(PCA_VSCALE)}")} AS component,
+       {H.sql_round6("CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 1000000.0")} AS eigenvalue,
+       {H.sql_round6("CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / CAST(trace_micro AS DOUBLE)")} AS var_explained
+FROM v{iters} v, ray, tr ORDER BY v.dim
+"""
+
+
+ORACLES["embedding_pca_power"] = _sql_pca_power()
 
 
 def _label_vote_from_edges(spark: SparkSession, sf_dir: str, edges: DataFrame) -> DataFrame:
