@@ -366,6 +366,42 @@ def test_repetition_score_is_shuffle_free(spark, sf_dir):
     assert "Scan" in plan
 
 
+def test_quality_filter_is_one_scan_zero_shuffle(spark, sf_dir):
+    """r3 fusion pin: the keep/drop verdict is a single corpus scan of
+    stacked projections — any Exchange or Join reappearing means the
+    repetition branch regressed to its own scan + doc_id shuffle join."""
+    from kafka_connect_storage_cloud_spark.llm import quality as LQ
+
+    plan = _plan(spark, LQ.quality_filter(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    # formatted plans print each node twice (tree + detail): 2 == one scan
+    assert plan.count("Scan parquet") == 2
+
+
+def test_covariance_family_is_join_free_key_bounded(spark, sf_dir):
+    """embedding_covariance must stay explode + two-phase aggregate: no
+    join anywhere (the d² pairing happens per row), and partial
+    aggregation present so the shuffle is key-bounded at d(d+1)/2."""
+    from kafka_connect_storage_cloud_spark.llm import similarity as LS
+
+    plan = _plan(spark, LS.embedding_covariance(spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2
+    # formatted plans print each node twice (tree + detail): 2 == one scan
+    assert plan.count("Scan parquet") == 2
+
+
+def test_dsir_scoring_broadcasts_ratio_table(spark, sf_dir):
+    """The DSIR rescore pass must join the 1024-row ratio table by
+    broadcast — a shuffle join here would shuffle the token stream."""
+    from kafka_connect_storage_cloud_spark.llm import corpus as LCO
+
+    plan = _plan(spark, LCO.dsir_importance(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_sketch_aggregations_are_partial(spark, sf_dir):
     """HLL/KMV plans must show two-phase hash aggregation (map-side
     combine) — the property that bounds their shuffle to sketch-sized
