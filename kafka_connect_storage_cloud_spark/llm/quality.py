@@ -443,13 +443,22 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle array), not the top-gram run length, so no sort is paid here;
     the expressions are byte-identical to quality_score / lang_id /
     repetition_score so the composed oracle still matches value-for-value."""
-    from ..functions import text as T
-
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars", "lang")
+    return quality_verdict(docs)
+
+
+def quality_verdict(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+    """The fused keep/drop verdict as a pure projection over any documents
+    frame (doc_id, text, n_chars, lang) — batch AND streaming share this
+    exact expression tree (it is stateless per-row, so it runs unmodified
+    inside a readStream plan; see streaming.pipeline.corpus_ingest_stream).
+    `carry` names extra input columns passed through to the output."""
+    from ..functions import text as T
     base = docs.select(
         "doc_id",
         "lang",
         "n_chars",
+        *carry,
         F.split(F.lower("text"), r"\s+").alias("ws"),
         F.length(F.regexp_replace(F.lower(F.col("text")), r"\s+", "")).alias("n_nonspace"),
         F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", "")).alias("n_alpha"),
@@ -481,6 +490,7 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = base.select(
         "doc_id",
         "lang",
+        *carry,
         quality.alias("quality"),
         best["lang"].alias("detected_lang"),
         rep_flagged.alias("rep_flagged"),
@@ -502,6 +512,7 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             (F.col("reasons") == "").alias("keep"),
             "reasons",
+            *carry,
         )
     )
 

@@ -389,3 +389,42 @@ def attribution_stream_outer(events: DataFrame, horizon: str = "2 hours") -> Dat
     ).select(
         F.col("c_user").alias("user_id"), "click_ts", "purchase_ts", "purchase_value"
     )
+
+
+def stream_documents_source(spark: SparkSession, stage_dir: str) -> DataFrame:
+    """A documents stream from a staging directory of parquet files — the
+    corpus-ingest analog of stream_events_source (each landed file is a
+    micro-batch at maxFilesPerTrigger=1, the file-drop stand-in for a
+    Kafka documents topic)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ])
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+    )
+
+
+def corpus_ingest_stream(docs: DataFrame) -> DataFrame:
+    """Streaming LLM corpus ingest: the SAME fused quality/language/
+    repetition verdict as the batch quality_filter (quality_verdict is a
+    stateless per-row projection, so it runs unmodified inside the stream
+    plan), plus cross-batch exact dedup on the text md5 — a re-delivered
+    or re-crawled document commits no second copy, the corpus-side analog
+    of the connector's replay-overwrite guarantee.
+
+    dropDuplicates state grows with the distinct-hash count: right for
+    availableNow backfills and bounded catch-up runs; a forever-running
+    ingest would swap in dropDuplicatesWithinWatermark keyed on a crawl
+    timestamp (same plan shape, horizon-bounded state)."""
+    from ..llm.quality import quality_verdict
+
+    keyed = docs.withColumn("text_md5", F.md5(F.col("text")))
+    return quality_verdict(keyed, carry=("text_md5",)).dropDuplicates(["text_md5"])

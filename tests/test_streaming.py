@@ -860,3 +860,51 @@ def test_scheduled_sink_purges_stale_partial_batch_files(spark, sf_small, tmp_pa
     got = spark.read.option("pathGlobFilter", "part-b*.parquet").parquet(out).count()
     src = spark.read.parquet(str(sf_copy / "events.parquet")).count()
     assert got == src
+
+
+def test_corpus_ingest_stream_matches_batch(spark, sf_small, tmp_path):
+    """Streaming corpus ingest == batch: the fused quality verdict over a
+    documents stream staged as two files (the second re-delivers half of
+    the first — a re-crawl) must (a) emit each distinct text exactly once
+    and (b) agree with the batch quality_filter verdict value-for-value on
+    every emitted doc."""
+    from kafka_connect_storage_cloud_spark.streaming.pipeline import (
+        corpus_ingest_stream,
+        stream_documents_source,
+    )
+    from kafka_connect_storage_cloud_spark.llm.quality import quality_filter
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    stage = str(tmp_path / "doc_stage")
+    first = docs.where(F.col("doc_id") % 2 == 0)
+    second = docs.where(F.col("doc_id") % 2 == 1).unionByName(
+        docs.where(F.col("doc_id") % 4 == 0)  # re-delivered half of file 1
+    )
+    first.coalesce(1).write.parquet(stage)
+    second.coalesce(1).write.mode("append").parquet(stage)
+    ckpt = str(tmp_path / "ckpt_corpus")
+    q = (
+        corpus_ingest_stream(stream_documents_source(spark, stage))
+        .writeStream.format("memory")
+        .queryName("corpus_ingest")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("corpus_ingest").collect()
+    # (a) exactly-once per distinct text
+    md5s = [r["text_md5"] for r in got]
+    assert len(md5s) == len(set(md5s))
+    assert len(set(md5s)) == docs.select(F.md5("text")).distinct().count()
+    # (b) verdict parity with the batch operator (keyed on doc_id: dup
+    # texts share a verdict, so whichever copy survived must match batch)
+    exp = {
+        r["doc_id"]: (r["quality"], r["rep_flagged"], r["detected_lang"], r["keep"], r["reasons"])
+        for r in quality_filter(spark, sf_small).collect()
+    }
+    for r in got:
+        assert exp[r["doc_id"]] == (
+            r["quality"], r["rep_flagged"], r["detected_lang"], r["keep"], r["reasons"]
+        ), f"doc {r['doc_id']} verdict mismatch"
