@@ -520,6 +520,75 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def source_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dup_source_matrix normalized into set similarity: for every source
+    pair with shared content, the Jaccard of their distinct-text sets plus
+    both containment directions — the number a mixture designer actually
+    thresholds on when deciding whether feed B is a subset-scrape of feed
+    A (high containment_a) or a sibling crawl (symmetric Jaccard).
+
+    Same plan as dup_source_matrix (content-hash shuffle, distinct
+    (hash,source) self-join) plus one BROADCAST join against the
+    |sources|-row per-source totals."""
+    docs = read_table(spark, sf_dir, "documents")
+    hs = docs.select(
+        F.md5(_normalized()).alias("content_hash"), "source"
+    ).distinct()
+    per_src = hs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = hs.select(F.col("content_hash"), F.col("source").alias("source_a"))
+    b = hs.select(F.col("content_hash"), F.col("source").alias("source_b"))
+    inter = (
+        a.join(b, "content_hash")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    na = per_src.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    nb = per_src.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            H.round6(
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast("double")
+            ).alias("jaccard"),
+            H.round6(F.col("n_shared") / F.col("n_a").cast("double")).alias("containment_a"),
+            H.round6(F.col("n_shared") / F.col("n_b").cast("double")).alias("containment_b"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+SQL_SOURCE_OVERLAP_JACCARD = f"""
+WITH hs AS (
+  SELECT DISTINCT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS content_hash,
+         source
+  FROM documents
+),
+per_src AS (SELECT source, COUNT(*) AS n FROM hs GROUP BY source),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+  FROM hs a JOIN hs b ON a.content_hash = b.content_hash AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT i.source_a, i.source_b, i.n_shared,
+       CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+       {H.sql_round6("CAST(i.n_shared AS DOUBLE) / (na.n + nb.n - i.n_shared)")} AS jaccard,
+       {H.sql_round6("CAST(i.n_shared AS DOUBLE) / na.n")} AS containment_a,
+       {H.sql_round6("CAST(i.n_shared AS DOUBLE) / nb.n")} AS containment_b
+FROM inter i
+JOIN per_src na ON i.source_a = na.source
+JOIN per_src nb ON i.source_b = nb.source
+ORDER BY i.source_a, i.source_b
+"""
+
+
 
 
 # ---------------------------------------------------------------------------
@@ -571,4 +640,5 @@ ORACLES = {
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
+    "source_overlap_jaccard": SQL_SOURCE_OVERLAP_JACCARD,
 }
