@@ -180,6 +180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": LD.dedup_exact,
         "dup_source_matrix": LD.dup_source_matrix,
         "source_overlap_jaccard": LD.source_overlap_jaccard,
+        "minhash_precision_curve": LD.minhash_precision_curve,
         "dedup_minhash_lsh": LD.dedup_minhash_lsh,
         "dedup_incremental": LD.dedup_incremental,
         "minhash_jaccard_est": LD.minhash_jaccard_est,

@@ -279,6 +279,60 @@ ORDER BY e.doc_a, e.doc_b
 """
 
 
+MH_CURVE_TRUE_J = 0.5  # exact-Jaccard bar defining a "true" duplicate pair
+
+
+def minhash_precision_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The S-curve measurement behind every bands×rows MinHash tuning
+    decision: candidate pairs bucketed by 0.1-wide estimate band, each
+    band reporting pair volume, mean exact Jaccard, and the share of
+    pairs that are true duplicates (exact ≥ MH_CURVE_TRUE_J). Reading
+    this table top-to-bottom IS the empirical collision-probability
+    curve — where it crosses ~0.5 tells you the threshold the current
+    (K_PERMS, N_BANDS) family actually enforces.
+
+    Pure rollup over minhash_jaccard_est's pair table: one
+    map-side-combined groupBy onto 10 fixed bands; exact values are
+    summed as micro-ints (round6 grid), never as floats."""
+    est = minhash_jaccard_est(spark, sf_dir)
+    band = F.least(F.floor(F.col("est_jaccard") * 10), F.lit(9)).cast("int")
+    em = F.floor(F.col("exact_jaccard") * 1000000.0 + F.lit(0.5)).cast("long")
+    per = (
+        est.select(
+            band.alias("est_band"),
+            em.alias("em"),
+            (F.col("exact_jaccard") >= MH_CURVE_TRUE_J).cast("long").alias("is_true"),
+        )
+        .groupBy("est_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("em").alias("em_sum"),
+            F.sum("is_true").alias("n_true"),
+        )
+    )
+    return per.select(
+        "est_band",
+        "n_pairs",
+        H.round6(F.col("em_sum") / F.col("n_pairs") / F.lit(1000000.0)).alias("mean_exact"),
+        H.round6(F.col("n_true") / F.col("n_pairs").cast("double")).alias("share_true_dup"),
+    ).orderBy("est_band")
+
+
+SQL_MINHASH_PRECISION_CURVE = f"""
+WITH base AS ({SQL_MINHASH_JACCARD_EST.replace("ORDER BY e.doc_a, e.doc_b", "")}),
+b AS (
+  SELECT LEAST(CAST(floor(est_jaccard * 10) AS INT), 9) AS est_band,
+         CAST(floor(exact_jaccard * 1000000.0 + 0.5) AS BIGINT) AS em,
+         exact_jaccard
+  FROM base
+)
+SELECT est_band, COUNT(*) AS n_pairs,
+       {H.sql_round6("SUM(em) / COUNT(*) / 1000000.0")} AS mean_exact,
+       {H.sql_round6(f"CAST(SUM(CASE WHEN exact_jaccard >= {MH_CURVE_TRUE_J} THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)")} AS share_true_dup
+FROM b GROUP BY est_band ORDER BY est_band
+"""
+
+
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit simhash per document from unigram bit votes."""
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -641,4 +695,5 @@ ORACLES = {
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "source_overlap_jaccard": SQL_SOURCE_OVERLAP_JACCARD,
+    "minhash_precision_curve": SQL_MINHASH_PRECISION_CURVE,
 }
