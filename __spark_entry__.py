@@ -87,7 +87,7 @@ _PRIORITY: tuple[str, ...] = (
     # round-3 late additions: freshest code, never externally verified
     "dsir_importance", "cluster_profile_kmeans", "tokens_per_source_budget",
     "embedding_covariance", "embedding_pca_power", "tokenizer_fertility",
-    "quality_filter",
+    "quality_filter", "source_overlap_jaccard", "minhash_precision_curve",
     # §2C dedup family
     "dedup_exact", "dedup_minhash_lsh", "dedup_incremental", "dedup_simhash",
     "ngram_jaccard", "minhash_jaccard_est", "dup_source_matrix",
