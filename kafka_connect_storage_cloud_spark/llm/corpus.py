@@ -980,3 +980,66 @@ FROM calc ORDER BY source
 
 QUERIES["tokens_per_source_budget"] = tokens_per_source_budget
 ORACLES["tokens_per_source_budget"] = SQL_TOKENS_PER_SOURCE_BUDGET
+
+
+# ---------------------------------------------------------------------------
+# rarity_buckets — CC-Net head/middle/tail quality bucketing
+# ---------------------------------------------------------------------------
+
+RARITY_N_BUCKETS = 3
+_RARITY_BUCKET_NAMES = ("head", "middle", "tail")
+
+
+def rarity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CC-Net's final corpus partition (Wenzek et al. 2020): per language,
+    split documents into head / middle / tail thirds by the unigram-LM
+    rarity score — head (most-fluent third) trains as-is, middle gets
+    sampled, tail gets dropped or heavily filtered.
+
+    Bucket edges come from ntile over (rarity, doc_id) — exact,
+    deterministic on both engines because the ORDER is total. Scale note:
+    ntile is a per-language global sort; at 100 TB the same table is
+    produced from approx-quantile edges computed on the rarity aggregate
+    (one extra bounded pass) with identical downstream semantics — the
+    test-scale exact sort is what the oracle can verify."""
+    scored = lm_rarity_score(spark, sf_dir).select("doc_id", "mean_rarity_micro")
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = scored.join(docs, "doc_id")
+    w = Window.partitionBy("lang").orderBy("mean_rarity_micro", "doc_id")
+    bucket_expr = F.ntile(RARITY_N_BUCKETS).over(w)
+    name_expr = F.element_at(
+        F.array(*[F.lit(n) for n in _RARITY_BUCKET_NAMES]), F.col("bucket")
+    )
+    return (
+        j.withColumn("bucket", bucket_expr)
+        .select(
+            "doc_id",
+            "lang",
+            "mean_rarity_micro",
+            "bucket",
+            name_expr.alias("bucket_name"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_RARITY_BUCKETS = f"""
+WITH scored AS (
+  SELECT doc_id, mean_rarity_micro FROM ({SQL_LM_RARITY.replace("ORDER BY doc_id", "")})
+),
+j AS (
+  SELECT s.doc_id, d.lang, s.mean_rarity_micro
+  FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+),
+b AS (
+  SELECT *, CAST(NTILE({RARITY_N_BUCKETS}) OVER (
+              PARTITION BY lang ORDER BY mean_rarity_micro, doc_id) AS INT) AS bucket
+  FROM j
+)
+SELECT doc_id, lang, mean_rarity_micro, bucket,
+       (['head', 'middle', 'tail'])[bucket] AS bucket_name
+FROM b ORDER BY doc_id
+"""
+
+QUERIES["rarity_buckets"] = rarity_buckets
+ORACLES["rarity_buckets"] = SQL_RARITY_BUCKETS
