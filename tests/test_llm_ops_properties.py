@@ -1,0 +1,143 @@
+"""Property / cross-library checks for the round-3 LLM-pipeline additions.
+
+The oracle-parity gate proves Spark == DuckDB; these tests prove both
+engines compute the RIGHT thing — covariance and PCA against numpy's
+reference implementations, and the allocation / bucketing ops against
+their defining invariants.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_embedding_covariance_matches_numpy(spark, sf_small):
+    """Quantized exact covariance must agree with np.cov (ddof=0) within
+    the CSCALE quantization error: each component is rounded to 1e-4, so
+    |cov_quantized - cov_float| is bounded well below 1e-4."""
+    from kafka_connect_storage_cloud_spark.llm.similarity import embedding_covariance
+
+    got = {(r["dim_i"], r["dim_j"]): r["cov"] for r in embedding_covariance(spark, sf_small).collect()}
+    mat = np.array(
+        [r["embedding"] for r in spark.read.parquet(f"{sf_small}/embeddings.parquet").collect()],
+        dtype=np.float64,
+    )
+    ref = np.cov(mat, rowvar=False, ddof=0)
+    errs = [abs(got[(i, j)] - ref[i, j]) for (i, j) in got]
+    assert max(errs) < 1e-4, f"max covariance error {max(errs)}"
+
+
+def test_pca_power_matches_numpy_eig(spark, sf_small):
+    """The fixed-point power iteration's Rayleigh quotient must land near
+    numpy's true top eigenvalue of the same quantized covariance, and the
+    component must align with the true eigenvector (|cos| near 1)."""
+    from kafka_connect_storage_cloud_spark.llm.similarity import (
+        embedding_covariance,
+        embedding_pca_power,
+    )
+
+    rows = embedding_pca_power(spark, sf_small).collect()
+    d = len(rows)
+    v = np.array([r["component"] for r in sorted(rows, key=lambda r: r["dim"])])
+    lam = rows[0]["eigenvalue"]
+    var_exp = rows[0]["var_explained"]
+    cov_rows = embedding_covariance(spark, sf_small).collect()
+    C = np.zeros((d, d))
+    for r in cov_rows:
+        C[r["dim_i"], r["dim_j"]] = C[r["dim_j"], r["dim_i"]] = r["cov"]
+    w, V = np.linalg.eigh(C)
+    top = w[-1]
+    # 8 iterations on a random-ish spectrum: accept a few percent of trace
+    assert abs(lam - top) < 0.05 * np.trace(C), f"lam={lam} vs top={top}"
+    cos = abs(v @ V[:, -1]) / (np.linalg.norm(v) * np.linalg.norm(V[:, -1]))
+    assert cos > 0.9, f"component alignment {cos}"
+    assert 0.0 < var_exp <= 1.0
+    assert lam <= np.trace(C) + 1e-9
+
+
+def test_tokens_per_source_budget_invariants(spark, sf_small):
+    """Defining properties of the allocation: plans never exceed the epoch
+    cap or the equal share, deficits are exactly the unmet share, and the
+    total plan never exceeds the budget."""
+    from kafka_connect_storage_cloud_spark.llm.corpus import (
+        BUDGET_EPOCH_MULT_DEN,
+        BUDGET_EPOCH_MULT_NUM,
+        BUDGET_MAX_EPOCHS,
+        tokens_per_source_budget,
+    )
+
+    rows = tokens_per_source_budget(spark, sf_small).collect()
+    total = sum(r["tokens_available"] for r in rows)
+    budget = total * BUDGET_EPOCH_MULT_NUM // BUDGET_EPOCH_MULT_DEN
+    for r in rows:
+        assert r["planned_tokens"] <= r["tokens_available"] * BUDGET_MAX_EPOCHS
+        assert r["planned_tokens"] <= r["target_share"]
+        assert r["epochs_micro"] <= BUDGET_MAX_EPOCHS * 1_000_000
+        assert r["deficit_tokens"] == r["target_share"] - r["planned_tokens"]
+        assert r["capped"] == (
+            r["tokens_available"] * BUDGET_MAX_EPOCHS < r["target_share"]
+        )
+    assert sum(r["planned_tokens"] for r in rows) <= budget
+
+
+def test_dsir_selection_consistency(spark, sf_small):
+    """selected ⟺ mean ratio above the neutral point; sums are consistent
+    with the reported means."""
+    from kafka_connect_storage_cloud_spark.llm.corpus import DSIR_SCALE, dsir_importance
+
+    for r in dsir_importance(spark, sf_small).collect():
+        assert r["n_tokens"] > 0
+        q = abs(r["dsir_sum_micro"]) // r["n_tokens"]
+        mean = q if r["dsir_sum_micro"] >= 0 else -q
+        assert r["mean_ratio_micro"] == mean
+        assert r["selected"] == (r["mean_ratio_micro"] > DSIR_SCALE)
+
+
+def test_source_overlap_jaccard_bounds(spark):
+    """Jaccard can never exceed either containment, and all three live in
+    (0, 1]. sf0.1 is the only SF whose synthetic corpus carries
+    cross-source exact-dup texts (8 pairs), so the bounds are exercised
+    there."""
+    from kafka_connect_storage_cloud_spark.llm.dedup import source_overlap_jaccard
+
+    rows = source_overlap_jaccard(spark, "/root/testdata/sf0.1").collect()
+    assert rows, "no overlapping source pairs at sf0.1"
+    for r in rows:
+        assert 0 < r["jaccard"] <= 1
+        assert r["jaccard"] <= r["containment_a"] + 1e-9
+        assert r["jaccard"] <= r["containment_b"] + 1e-9
+        assert r["n_shared"] <= min(r["n_a"], r["n_b"])
+
+
+def test_rarity_buckets_are_balanced_thirds(spark, sf_small):
+    """ntile's defining property: within every language the three bucket
+    sizes differ by at most one, and bucket order tracks rarity order."""
+    from kafka_connect_storage_cloud_spark.llm.corpus import rarity_buckets
+
+    rows = rarity_buckets(spark, sf_small).collect()
+    by_lang: dict[str, dict[int, list]] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], {}).setdefault(r["bucket"], []).append(
+            r["mean_rarity_micro"]
+        )
+    for lang, buckets in by_lang.items():
+        sizes = [len(buckets.get(b, [])) for b in (1, 2, 3)]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+        assert max(buckets[1]) <= min(buckets[3]), lang  # head most fluent
+
+
+def test_minhash_precision_curve_totals(spark, sf_small):
+    """The curve's pair volume must equal the underlying candidate-pair
+    table's row count, and the curve must be monotone in spirit: the top
+    band's mean exact Jaccard exceeds the bottom band's."""
+    from kafka_connect_storage_cloud_spark.llm.dedup import (
+        minhash_jaccard_est,
+        minhash_precision_curve,
+    )
+
+    curve = minhash_precision_curve(spark, sf_small).collect()
+    assert sum(r["n_pairs"] for r in curve) == minhash_jaccard_est(spark, sf_small).count()
+    if len(curve) >= 2:
+        assert curve[-1]["mean_exact"] >= curve[0]["mean_exact"]
