@@ -832,7 +832,9 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = bucketed.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("cnt_r"),
-        F.sum((F.col("lang") == DSIR_TARGET_LANG).cast("long")).alias("cnt_t"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0).cast("long")
+        ).alias("cnt_t"),
     )
     # O(DSIR_BUCKETS) driver table: totals + smoothed ratios in exact
     # Python ints, then broadcast back — no scalar-literal rebuild job.
@@ -940,29 +942,27 @@ def tokens_per_source_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("tokens_available").over(w).alias("total_tokens"),
         F.count(F.lit(1)).over(w).alias("n_sources"),
     )
-    budget = F.expr(
-        f"total_tokens * {BUDGET_EPOCH_MULT_NUM} div {BUDGET_EPOCH_MULT_DEN}"
-    )
     target = F.expr(
         f"(total_tokens * {BUDGET_EPOCH_MULT_NUM} div {BUDGET_EPOCH_MULT_DEN}) div n_sources"
     )
     planned = F.least(F.col("tokens_available") * BUDGET_MAX_EPOCHS, target)
-    return (
-        with_tot.select(
-            "source",
-            "tokens_available",
-            target.alias("target_share"),
-            planned.alias("planned_tokens"),
-            F.expr(
-                f"least(tokens_available * {BUDGET_MAX_EPOCHS}, "
-                f"(total_tokens * {BUDGET_EPOCH_MULT_NUM} div {BUDGET_EPOCH_MULT_DEN}) div n_sources) "
-                f"* 1000000 div tokens_available"
-            ).alias("epochs_micro"),
-            (F.col("tokens_available") * BUDGET_MAX_EPOCHS < target).alias("capped"),
-            (target - planned).alias("deficit_tokens"),
-        )
-        .orderBy("source")
+    calc = with_tot.select(
+        "source",
+        "tokens_available",
+        target.alias("target_share"),
+        planned.alias("planned_tokens"),
     )
+    return calc.select(
+        "source",
+        "tokens_available",
+        "target_share",
+        "planned_tokens",
+        F.expr("planned_tokens * 1000000 div tokens_available").alias("epochs_micro"),
+        (
+            F.col("tokens_available") * BUDGET_MAX_EPOCHS < F.col("target_share")
+        ).alias("capped"),
+        (F.col("target_share") - F.col("planned_tokens")).alias("deficit_tokens"),
+    ).orderBy("source")
 
 
 SQL_TOKENS_PER_SOURCE_BUDGET = f"""
@@ -1033,7 +1033,6 @@ def rarity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket",
             name_expr.alias("bucket_name"),
         )
-        .orderBy("doc_id")
     )
 
 

@@ -145,10 +145,14 @@ def _seed_codebook(spark: SparkSession, sf_dir: str, k: int = IVF_K,
     return c_ids, c_mat
 
 
-def _assign_cells(emb: DataFrame, c_ids, c_mat) -> DataFrame:
+def _assign_cells(emb: DataFrame, c_ids, c_mat,
+                  carry: dict[str, str] | None = None) -> DataFrame:
     """Every vector with its nearest-centroid cell: argmin over the codebook
     of (-cosine, centroid_id), one exact int64 matmul per Arrow batch with
-    the K x dim centroid matrix in the task closure.
+    the K x dim centroid matrix in the task closure. `carry` maps extra
+    input columns to their DDL types; they ride through the Arrow batch
+    (so a consumer never has to join the corpus back on vec_id for a
+    column the scan already had).
 
     Versus the crossJoin + struct-min formulation this removes both the K×
     row blowup AND its groupBy shuffle — the corpus streams through one
@@ -159,6 +163,7 @@ def _assign_cells(emb: DataFrame, c_ids, c_mat) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    carry = carry or {}
     c_norm = np.sqrt(np.einsum("ij,ij->i", c_mat, c_mat).astype(np.float64) / 1e16)
 
     def assign(batches):
@@ -170,17 +175,19 @@ def _assign_cells(emb: DataFrame, c_ids, c_mat) -> DataFrame:
             )
             r6 = np.floor(cos * 1e6 + 0.5) / 1e6
             best = np.argmin(-r6, axis=1)  # first hit = smallest centroid_id
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"],
-                    "cell": c_ids[best],
-                    "v": pdf["v"],
-                    "nrm": nrm,
-                }
-            )
+            out = {
+                "vec_id": pdf["vec_id"],
+                "cell": c_ids[best],
+                "v": pdf["v"],
+                "nrm": nrm,
+            }
+            for c in carry:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
-    return emb.select("vec_id", "v").mapInPandas(
-        assign, "vec_id long, cell long, v array<bigint>, nrm double"
+    carry_schema = "".join(f", {c} {t}" for c, t in carry.items())
+    return emb.select("vec_id", "v", *carry).mapInPandas(
+        assign, f"vec_id long, cell long, v array<bigint>, nrm double{carry_schema}"
     )
 
 
@@ -501,21 +508,21 @@ def cluster_profile_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     to near-dedup aggressively).
 
     Scale shape: the corpus streams once through the Arrow-batch argmin
-    assignment (codebook in the task closure), joins its label column on
-    vec_id (co-partitioned equi-join) and the K-row BROADCAST centroid
-    table, then collapses through two map-side-combined aggregations onto
-    (cell,label) and cell — K*|labels| partial rows regardless of corpus
-    size. Per-member cosines are summed as exact micro-ints (never a
-    float sum); the mean divides once in double at the end, exact while
-    cm_total < 2^53 (≈9e9 members at |cos|<=1)."""
+    assignment (codebook in the task closure) with the label column riding
+    the same batch (no second scan, no corpus-wide join on vec_id), joins
+    the K-row BROADCAST centroid table, then collapses through two
+    map-side-combined aggregations onto (cell,label) and cell — K*|labels|
+    partial rows regardless of corpus size. Per-member cosines are summed
+    as exact micro-ints (never a float sum); the mean divides once in
+    double at the end, exact while cm_total < 2^53 (≈9e9 members at
+    |cos|<=1)."""
     emb = _with_dec_and_norm(read_table(spark, sf_dir, "embeddings"))
     c_ids, c_mat = _train_codebook(spark, sf_dir)
-    assigned = _assign_cells(emb, c_ids, c_mat)
-    labels = read_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    assigned = _assign_cells(emb, c_ids, c_mat, carry={"label": "int"})
     cents = _codebook_df(spark, c_ids, c_mat).select(
         F.col("centroid_id").alias("cell"), "cv", "cn"
     )
-    m = assigned.join(labels, "vec_id").join(F.broadcast(cents), "cell")
+    m = assigned.join(F.broadcast(cents), "cell")
     cos_micro = F.floor(
         (_dot("v", "cv") / (F.col("nrm") * F.col("cn"))) * 1000000.0 + F.lit(0.5)
     ).cast("long")

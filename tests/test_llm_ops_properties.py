@@ -49,8 +49,9 @@ def test_pca_power_matches_numpy_eig(spark, sf_small):
         C[r["dim_i"], r["dim_j"]] = C[r["dim_j"], r["dim_i"]] = r["cov"]
     w, V = np.linalg.eigh(C)
     top = w[-1]
-    # 8 iterations on a random-ish spectrum: accept a few percent of trace
-    assert abs(lam - top) < 0.05 * np.trace(C), f"lam={lam} vs top={top}"
+    # 48 iterations at the measured λ2/λ1≈0.93 gap: Rayleigh error is
+    # ~5e-5 absolute; 0.5% of trace leaves headroom for other corpora
+    assert abs(lam - top) < 0.005 * np.trace(C), f"lam={lam} vs top={top}"
     cos = abs(v @ V[:, -1]) / (np.linalg.norm(v) * np.linalg.norm(V[:, -1]))
     assert cos > 0.9, f"component alignment {cos}"
     assert 0.0 < var_exp <= 1.0
