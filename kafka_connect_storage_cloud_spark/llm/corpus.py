@@ -1056,3 +1056,77 @@ FROM b ORDER BY doc_id
 
 QUERIES["rarity_buckets"] = rarity_buckets
 ORACLES["rarity_buckets"] = SQL_RARITY_BUCKETS
+
+
+# ---------------------------------------------------------------------------
+# context_pack — GPT-style concat-and-chunk context-window packing
+# ---------------------------------------------------------------------------
+
+CTX_WINDOW = 2048  # tokens per packed training context
+CTX_SALT = "ctx:"
+
+
+def context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sample packing: each writer partition concatenates
+    its documents' token streams in doc_id order and cuts a training
+    context every CTX_WINDOW tokens (the GPT pretraining recipe — a
+    document may straddle a window boundary, which the attention mask
+    later re-separates). Per document the manifest reports its first/last
+    window and whether it straddles a boundary; the cross-document
+    boundary rate is the packing-efficiency diagnostic this table exists
+    for (vs. the padding waste of one-doc-per-context).
+
+    Unlike token_shard_pack (budget ROTATION: a doc never splits), this is
+    pure offset arithmetic on the running token total — the same
+    window-cumsum shape, zero extra shuffle beyond the per-worker
+    partition, so the plan scales exactly as token_shard_pack does."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    worker = (
+        H.h32(F.concat(F.lit(CTX_SALT), F.col("doc_id").cast("string"))) % SHARD_WORKERS
+    ).alias("worker")
+    toks = docs.select("doc_id", worker, _ws_tokens().cast("long").alias("tokens"))
+    w = Window.partitionBy("worker").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = F.sum("tokens").over(w)
+    assigned = toks.select(
+        "doc_id",
+        "worker",
+        "tokens",
+        (cum - F.col("tokens")).alias("offset"),
+    )
+    return assigned.select(
+        "doc_id",
+        "worker",
+        "tokens",
+        "offset",
+        F.expr(f"offset div {CTX_WINDOW}").alias("window_start"),
+        F.expr(f"(offset + tokens - 1) div {CTX_WINDOW}").alias("window_end"),
+        F.expr(f"(offset + tokens - 1) div {CTX_WINDOW} > offset div {CTX_WINDOW}").alias(
+            "straddles"
+        ),
+    )
+
+
+SQL_CONTEXT_PACK = f"""
+WITH toks AS (
+  SELECT doc_id,
+         {H.sql_h32(f"'{CTX_SALT}' || CAST(doc_id AS VARCHAR)")} % {SHARD_WORKERS} AS worker,
+         CAST({_SQL_WS_TOKENS} AS BIGINT) AS tokens
+  FROM documents
+),
+assigned AS (
+  SELECT doc_id, worker, tokens,
+         CAST(SUM(tokens) OVER (PARTITION BY worker ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tokens AS BIGINT) AS "offset"
+  FROM toks
+)
+SELECT doc_id, worker, tokens, "offset",
+       CAST("offset" // {CTX_WINDOW} AS BIGINT) AS window_start,
+       CAST(("offset" + tokens - 1) // {CTX_WINDOW} AS BIGINT) AS window_end,
+       ("offset" + tokens - 1) // {CTX_WINDOW} > "offset" // {CTX_WINDOW} AS straddles
+FROM assigned ORDER BY doc_id
+"""
+
+QUERIES["context_pack"] = context_pack
+ORACLES["context_pack"] = SQL_CONTEXT_PACK
