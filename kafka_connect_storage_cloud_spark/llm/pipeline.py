@@ -517,6 +517,12 @@ def cluster_profile_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     double at the end, exact while cm_total < 2^53 (≈9e9 members at
     |cos|<=1)."""
     emb = _with_dec_and_norm(read_table(spark, sf_dir, "embeddings"))
+    if not emb.head(1):  # empty corpus: empty profile, not a trainer crash
+        return spark.createDataFrame(
+            [],
+            "cell long, n_members bigint, top_label int, top_label_n bigint, "
+            "purity double, mean_centroid_cos double",
+        )
     c_ids, c_mat = _train_codebook(spark, sf_dir)
     assigned = _assign_cells(emb, c_ids, c_mat, carry={"label": "int"})
     cents = _codebook_df(spark, c_ids, c_mat).select(

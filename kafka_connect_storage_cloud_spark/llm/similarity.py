@@ -1265,6 +1265,9 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     start vector."""
     cov_micro = F.floor(_cov_expr() * 1000000.0 + F.lit(0.5)).cast("long")
     rows = _cov_sums(spark, sf_dir).select("i", "j", cov_micro.alias("m")).collect()
+    out_schema = "dim int, component double, eigenvalue double, var_explained double"
+    if not rows:  # empty corpus: empty manifest, not a driver crash
+        return spark.createDataFrame([], out_schema)
     d = max(r["i"] for r in rows) + 1
     C = [[0] * d for _ in range(d)]
     for r in rows:
@@ -1286,7 +1289,7 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(d)
     ]
     return spark.createDataFrame(
-        out, "dim int, component double, eigenvalue double, var_explained double"
+        out, out_schema
     )
 
 

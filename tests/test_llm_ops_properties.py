@@ -160,3 +160,32 @@ def test_minhash_precision_curve_totals(spark, sf_small):
     assert sum(r["n_pairs"] for r in curve) == minhash_jaccard_est(spark, sf_small).count()
     if len(curve) >= 2:
         assert curve[-1]["mean_exact"] >= curve[0]["mean_exact"]
+
+
+def test_new_ops_survive_empty_corpus(spark, sf_small, tmp_path):
+    """An empty partition/table is a normal production input: every
+    round-3 operator must return an empty, correctly-schema'd frame
+    instead of crashing the driver."""
+    import importlib.util
+    import sys
+
+    src = sf_small
+    dst = str(tmp_path / "sf_empty")
+    for t in ("documents", "embeddings"):
+        spark.read.parquet(f"{src}/{t}.parquet").limit(0).write.mode(
+            "overwrite"
+        ).parquet(f"{dst}/{t}.parquet")
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry_empty", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["spark_entry_empty"] = mod
+    spec.loader.exec_module(mod)
+    qs = mod.queries()
+    for op in (
+        "dsir_importance", "cluster_profile_kmeans", "tokens_per_source_budget",
+        "embedding_covariance", "embedding_pca_power", "tokenizer_fertility",
+        "quality_filter", "source_overlap_jaccard", "minhash_precision_curve",
+        "rarity_buckets", "context_pack",
+    ):
+        assert qs[op](spark, dst).count() == 0, op
