@@ -57,13 +57,20 @@ FROM documents GROUP BY 1 ORDER BY 1
 
 
 def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _signatures_of(
+        read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+def _signatures_of(docs: DataFrame) -> DataFrame:
     # ZERO-shuffle: a doc's minhash is a reduction over its own shingles, so
     # compute it as array_min over the per-row shingle-hash array instead of
     # explode + groupBy — no 16-agg hash aggregate, no exchange, and at
     # corpus scale no |shingles|-row intermediate at all. MIN over the array
     # (with duplicates) equals MIN over the distinct shingle set, so values
-    # are identical to the DISTINCT-based oracle.
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # are identical to the DISTINCT-based oracle. Frame-based so the
+    # streaming ingest (streaming.pipeline.minhash_dedup_stream) runs the
+    # IDENTICAL expression tree per micro-batch.
     hs = (
         docs.withColumn("ws", T.words())
         .withColumn("sharr", T.shingles_from_ws(SHINGLE_N))

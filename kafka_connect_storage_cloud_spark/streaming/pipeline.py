@@ -428,3 +428,79 @@ def corpus_ingest_stream(docs: DataFrame) -> DataFrame:
 
     keyed = docs.withColumn("text_md5", F.md5(F.col("text")))
     return quality_verdict(keyed, carry=("text_md5",)).dropDuplicates(["text_md5"])
+
+
+def minhash_dedup_stream(
+    docs: DataFrame, store_dir: str, checkpoint: str
+) -> StreamingQuery:
+    """Streaming NEAR-dup detection for corpus ingest: each micro-batch's
+    documents build minhash band signatures with the IDENTICAL expression
+    tree as the batch dedup (dedup._signatures_of / _band_table) and probe
+    the accumulated band store for (new_doc, index_doc) candidate pairs —
+    the streaming twin of dedup_incremental, where the "daily increment"
+    is a micro-batch and the historical index is the parquet band store.
+
+    Exactly-once: both the per-batch pair output and the band-store
+    append land in batch-keyed directories written with overwrite, so a
+    replayed micro-batch rewrites its own files byte-identically (the
+    connector's replay-overwrite rule applied to the dedup state).
+    The degenerate-bucket guard re-applies per probe over store ∪ batch,
+    so a boilerplate flood is capped exactly as in batch mode. Per-batch
+    work is bucket-sized per new doc — independent of history length,
+    which is what makes the store survive an unbounded ingest."""
+    import os
+
+    from ..llm.dedup import MAX_BUCKET, _band_table, _signatures_of
+
+    def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        bands_new = _band_table(
+            _signatures_of(batch_df.select("doc_id", "text"))
+        ).localCheckpoint(eager=True)
+        bands_path = os.path.join(store_dir, "bands")
+        # the store is versioned by batch: batch b probes ONLY bands from
+        # batches < b, so a replayed batch recomputes from the exact store
+        # state it originally saw (pairs are a pure function of batch
+        # content + prior batches — without this, replaying batch 0 over a
+        # full store would self-match every historical document)
+        prior = [
+            e for e in (os.listdir(bands_path) if os.path.exists(bands_path) else [])
+            if e.startswith("batch=") and int(e.split("=", 1)[1]) < batch_id
+        ]
+        pairs_path = os.path.join(store_dir, "pairs", f"batch={batch_id}")
+        if prior:
+            store = (
+                spark.read.parquet(*[os.path.join(bands_path, e) for e in prior])
+                .select(F.col("doc_id").alias("index_doc"), "band", "bval")
+            )
+            allb = store.select(
+                F.col("index_doc").alias("doc_id"), "band", "bval"
+            ).unionByName(bands_new)
+            ok = (
+                allb.groupBy("band", "bval")
+                .agg(F.count(F.lit(1)).alias("bn"))
+                .where(F.col("bn") <= MAX_BUCKET)
+                .select("band", "bval")
+            )
+            pairs = (
+                bands_new.join(ok, ["band", "bval"])
+                .select(F.col("doc_id").alias("new_doc"), "band", "bval")
+                .join(store.join(ok, ["band", "bval"]), ["band", "bval"])
+                .select("new_doc", "index_doc")
+                .distinct()
+            )
+        else:
+            pairs = spark.createDataFrame([], "new_doc long, index_doc long")
+        pairs.write.mode("overwrite").parquet(pairs_path)
+        bands_new.write.mode("overwrite").parquet(
+            os.path.join(bands_path, f"batch={batch_id}")
+        )
+
+    return (
+        docs.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

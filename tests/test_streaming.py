@@ -908,3 +908,41 @@ def test_corpus_ingest_stream_matches_batch(spark, sf_small, tmp_path):
         assert exp[r["doc_id"]] == (
             r["quality"], r["rep_flagged"], r["detected_lang"], r["keep"], r["reasons"]
         ), f"doc {r['doc_id']} verdict mismatch"
+
+
+def test_minhash_dedup_stream_matches_incremental(spark, sf_small, tmp_path):
+    """Streaming near-dup ingest == batch dedup_incremental: stage the
+    'historical index' (even doc_ids) as micro-batch 0 and the increment
+    (odd doc_ids) as micro-batch 1; the accumulated pair output must
+    equal the batch operator's pair set, and a full replay into a fresh
+    checkpoint must rewrite the same state (exactly-once)."""
+    from kafka_connect_storage_cloud_spark.llm.dedup import dedup_incremental
+    from kafka_connect_storage_cloud_spark.streaming.pipeline import (
+        minhash_dedup_stream,
+        stream_documents_source,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    stage = str(tmp_path / "dd_stage")
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(stage)
+    docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(stage)
+    store = str(tmp_path / "dd_store")
+
+    def run(ckpt: str) -> set:
+        q = minhash_dedup_stream(
+            stream_documents_source(spark, stage), store, str(tmp_path / ckpt)
+        )
+        q.awaitTermination(120)
+        got = spark.read.parquet(f"{store}/pairs")
+        return {(r["new_doc"], r["index_doc"]) for r in got.collect()}
+
+    got1 = run("ckpt1")
+    exp = {
+        (r["new_doc"], r["index_doc"])
+        for r in dedup_incremental(spark, sf_small).collect()
+    }
+    assert got1 == exp
+    # replay everything into a fresh checkpoint: same batch split, same
+    # batch-keyed files — state must be byte-stable, pairs unchanged
+    got2 = run("ckpt2")
+    assert got2 == exp
