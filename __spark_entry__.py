@@ -88,7 +88,7 @@ _PRIORITY: tuple[str, ...] = (
     "dsir_importance", "cluster_profile_kmeans", "tokens_per_source_budget",
     "embedding_covariance", "embedding_pca_power", "tokenizer_fertility",
     "quality_filter", "source_overlap_jaccard", "minhash_precision_curve",
-    "rarity_buckets", "context_pack",
+    "rarity_buckets", "context_pack", "semantic_contamination",
     # §2C dedup family
     "dedup_exact", "dedup_minhash_lsh", "dedup_incremental", "dedup_simhash",
     "ngram_jaccard", "minhash_jaccard_est", "dup_source_matrix",

@@ -585,6 +585,68 @@ FROM prof ORDER BY cell
 """
 
 
+def semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination: contamination_check's
+    semantic sibling. n-gram overlap misses paraphrased benchmark leakage;
+    this rides the banded cosine-dup generator (embedding_cosine_dups —
+    adaptive bands + multiprobe + exact int64 confirm) and keeps the pairs
+    with EXACTLY one side in the held-out source, reporting per training
+    document how many benchmark items it semantically collides with and
+    the worst cosine. Scale shape is the generator's (Σ bucket² per band,
+    flat buckets) plus two id-keyed joins against the source column and a
+    1-row/doc rollup."""
+    from .similarity import embedding_cosine_dups
+
+    pairs = embedding_cosine_dups(spark, sf_dir).select("vec_a", "vec_b", "cosine")
+    src = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    p = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("vec_a"), F.col("source").alias("src_a")),
+            "vec_a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("vec_b"), F.col("source").alias("src_b")),
+            "vec_b",
+        )
+    )
+    bench_pairs = p.where(
+        (F.col("src_a") == BENCH_SOURCE) != (F.col("src_b") == BENCH_SOURCE)
+    )
+    train = F.when(F.col("src_a") == BENCH_SOURCE, F.col("vec_b")).otherwise(
+        F.col("vec_a")
+    )
+    return (
+        bench_pairs.select(train.alias("train_doc"), "cosine")
+        .groupBy("train_doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_bench_matches"),
+            F.max("cosine").alias("max_cosine"),
+        )
+        .orderBy("train_doc")
+    )
+
+
+def _sql_semantic_contamination() -> str:
+    from .similarity import SQL_EMBEDDING_COSINE_DUPS
+
+    base = SQL_EMBEDDING_COSINE_DUPS.replace("ORDER BY vec_a, vec_b", "")
+    return f"""
+WITH cd AS ({base}),
+p AS (
+  SELECT cd.vec_a, cd.vec_b, cd.cosine, da.source AS src_a, db.source AS src_b
+  FROM cd JOIN documents da ON cd.vec_a = da.doc_id
+          JOIN documents db ON cd.vec_b = db.doc_id
+),
+bench_pairs AS (
+  SELECT CASE WHEN src_a = '{BENCH_SOURCE}' THEN vec_b ELSE vec_a END AS train_doc,
+         cosine
+  FROM p WHERE (src_a = '{BENCH_SOURCE}') <> (src_b = '{BENCH_SOURCE}')
+)
+SELECT train_doc, COUNT(*) AS n_bench_matches, MAX(cosine) AS max_cosine
+FROM bench_pairs GROUP BY train_doc ORDER BY train_doc
+"""
+
+
 QUERIES = {
     "stratified_sample": stratified_sample,
     "contamination_check": contamination_check,
@@ -592,6 +654,7 @@ QUERIES = {
     "ann_topk_ivf_multiprobe": ann_topk_ivf_multiprobe,
     "ivf_kmeans_refine": ivf_kmeans_refine,
     "cluster_profile_kmeans": cluster_profile_kmeans,
+    "semantic_contamination": semantic_contamination,
 }
 
 ORACLES = {
@@ -601,4 +664,5 @@ ORACLES = {
     "ann_topk_ivf_multiprobe": SQL_ANN_TOPK_IVF_MULTIPROBE,
     "ivf_kmeans_refine": SQL_IVF_KMEANS_REFINE,
     "cluster_profile_kmeans": SQL_CLUSTER_PROFILE,
+    "semantic_contamination": _sql_semantic_contamination(),
 }
