@@ -588,16 +588,19 @@ FROM prof ORDER BY cell
 def semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space benchmark decontamination: contamination_check's
     semantic sibling. n-gram overlap misses paraphrased benchmark leakage;
-    this rides the banded cosine-dup generator (embedding_cosine_dups —
-    adaptive bands + multiprobe + exact int64 confirm) and keeps the pairs
-    with EXACTLY one side in the held-out source, reporting per training
-    document how many benchmark items it semantically collides with and
-    the worst cosine. Scale shape is the generator's (Σ bucket² per band,
-    flat buckets) plus two id-keyed joins against the source column and a
-    1-row/doc rollup."""
-    from .similarity import embedding_cosine_dups
+    this rides the UNBLOCKED banded cosine generator
+    (similarity.cosine_pairs_unblocked — adaptive bands + multiprobe +
+    exact int64 confirm, candidates joined on (band, bucket) WITHOUT the
+    label block, because a paraphrased benchmark item has no reason to
+    share a label with the training doc that leaked it) and keeps the
+    pairs with EXACTLY one side in the held-out source, reporting per
+    training document how many benchmark items it semantically collides
+    with and the worst cosine. Scale shape is the generator's (Σ bucket²
+    per band, flat buckets sized by the unblocked guard) plus two
+    id-keyed joins against the source column and a 1-row/doc rollup."""
+    from .similarity import cosine_pairs_unblocked
 
-    pairs = embedding_cosine_dups(spark, sf_dir).select("vec_a", "vec_b", "cosine")
+    pairs = cosine_pairs_unblocked(spark, sf_dir).select("vec_a", "vec_b", "cosine")
     src = read_table(spark, sf_dir, "documents").select("doc_id", "source")
     p = (
         pairs.join(
@@ -627,9 +630,9 @@ def semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_semantic_contamination() -> str:
-    from .similarity import SQL_EMBEDDING_COSINE_DUPS
+    from .similarity import SQL_COSINE_PAIRS_UNBLOCKED
 
-    base = SQL_EMBEDDING_COSINE_DUPS.replace("ORDER BY vec_a, vec_b", "")
+    base = SQL_COSINE_PAIRS_UNBLOCKED
     return f"""
 WITH cd AS ({base}),
 p AS (

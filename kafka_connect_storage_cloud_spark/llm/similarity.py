@@ -197,13 +197,16 @@ def _cb_bits(n: int) -> int:
     return min(16, max(1, math.ceil(math.log2(n / float(CB_TARGET_BUCKET)))))
 
 
-def _banded(spark: SparkSession, sf_dir: str):
+def _banded(spark: SparkSession, sf_dir: str, blocked: bool = True):
     """((vec_id, label, band, bucket), bits) — each vector exploded into its
     CB_BANDS hyperplane band buckets at the adaptive width, materialized
     once (it feeds the size guard and both sides of the candidate
-    self-join). Degenerate buckets (> CB_MAX_BUCKET members within a label)
-    are dropped from candidate generation; the oversized-key list is tiny
-    by construction, so the filter is a broadcast anti-join."""
+    self-join). Degenerate buckets (> CB_MAX_BUCKET members within the
+    blocking key) are dropped from candidate generation; the oversized-key
+    list is tiny by construction, so the filter is a broadcast anti-join.
+    blocked=False sizes the guard on (band, bucket) alone, for consumers
+    whose candidate join must cross label blocks (semantic_contamination —
+    paraphrased leakage does not respect labels)."""
     emb = _with_dec_and_norm(read_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "label", "v"
     )
@@ -214,13 +217,53 @@ def _banded(spark: SparkSession, sf_dir: str):
         emb.select("vec_id", "label", F.posexplode(sigs).alias("band", "bucket"))
         .localCheckpoint()
     )
+    keys = ["label", "band", "bucket"] if blocked else ["band", "bucket"]
     big = (
-        banded.groupBy("label", "band", "bucket")
+        banded.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("bn"))
         .where(F.col("bn") > CB_MAX_BUCKET)
-        .select("label", "band", "bucket")
+        .select(*keys)
     )
-    return banded.join(F.broadcast(big), ["label", "band", "bucket"], "left_anti"), bits
+    return banded.join(F.broadcast(big), keys, "left_anti"), bits
+
+
+def cosine_pairs_unblocked(
+    spark: SparkSession, sf_dir: str, threshold: float = CB_THRESHOLD
+) -> DataFrame:
+    """embedding_cosine_dups WITHOUT the label block: candidates join on
+    (band, bucket) alone, so cross-label near-dups surface. Used by
+    semantic_contamination, where the pair that matters (benchmark doc vs
+    paraphrased training doc) has no reason to share a label. Same
+    adaptive band width, H1 multiprobe, CB_MAX_BUCKET guard (sized on the
+    unblocked buckets) and exact int64 confirm."""
+    banded, bits = _banded(spark, sf_dir, blocked=False)
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(bits)],
+    )
+    a = banded.select(
+        "band", F.explode(probes).alias("bucket"), F.col("vec_id").alias("vec_a")
+    )
+    b = banded.select("band", "bucket", F.col("vec_id").alias("vec_b"))
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    emb = _with_dec_and_norm(read_table(spark, sf_dir, "embeddings"))
+    av = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    bv = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    return (
+        cand.join(av, "vec_a")
+        .join(bv, "vec_b")
+        .withColumn(
+            "cosine",
+            F.floor((_dot("va", "vb") / (F.col("na") * F.col("nb"))) * 1000000.0 + F.lit(0.5)) / 1000000.0,
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )
 
 
 def embedding_cosine_dups(spark: SparkSession, sf_dir: str, threshold: float = CB_THRESHOLD) -> DataFrame:
@@ -476,14 +519,27 @@ def _sql_lsh_signature(prefix: str = "", bits: int = LSH_BITS) -> str:
     return "CAST(" + " + ".join(sig_bits) + " AS INT)"
 
 
-def _sql_cb_cand_ctes() -> str:
+def _sql_cb_cand_ctes(blocked: bool = True) -> str:
     """CTE chain (appended after emb/emb_n) ending in
     cbcand(vec_a, vec_b, label) — SQL twin of _banded + the multiprobe
     candidate join. Shared by SQL_EMBEDDING_COSINE_DUPS and the
-    dedup_semantic oracle (clustering._sql_semantic)."""
+    dedup_semantic oracle (clustering._sql_semantic). blocked=False is
+    the cosine_pairs_unblocked twin: guard and candidate join key on
+    (band, bucket) alone."""
     sig_union = "\n    UNION ALL ".join(
         f"SELECT vec_id, label, {b} AS band, {_sql_lsh_signature(prefix=f'cb{b}:', bits=16)} AS sig16 FROM emb_n"
         for b in range(CB_BANDS)
+    )
+    guard_keys = "label, band, bucket" if blocked else "band, bucket"
+    guard_on = (
+        "s.label = o.label AND s.band = o.band AND s.bucket = o.bucket"
+        if blocked
+        else "s.band = o.band AND s.bucket = o.bucket"
+    )
+    cand_on = (
+        "a.label = b.label AND a.band = b.band AND a.bucket = b.bucket"
+        if blocked
+        else "a.band = b.band AND a.bucket = b.bucket"
     )
     return f"""cbbits AS (
   SELECT LEAST(16, GREATEST(1, CAST(ceil(log2(COUNT(*) / {CB_TARGET_BUCKET}.0)) AS INT))) AS bits
@@ -498,10 +554,10 @@ cbsig AS (
 ),
 cbok AS (
   SELECT s.* FROM cbsig s JOIN (
-    SELECT label, band, bucket FROM (
-      SELECT label, band, bucket, COUNT(*) AS bn FROM cbsig GROUP BY 1, 2, 3
+    SELECT {guard_keys} FROM (
+      SELECT {guard_keys}, COUNT(*) AS bn FROM cbsig GROUP BY {guard_keys}
     ) WHERE bn <= {CB_MAX_BUCKET}
-  ) o ON s.label = o.label AND s.band = o.band AND s.bucket = o.bucket
+  ) o ON {guard_on}
 ),
 cbprobe AS (
   SELECT s.vec_id, s.label, s.band,
@@ -513,7 +569,7 @@ cbprobe AS (
 cbcand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label
   FROM cbprobe a JOIN cbok b
-    ON a.label = b.label AND a.band = b.band AND a.bucket = b.bucket
+    ON {cand_on}
    AND a.vec_id < b.vec_id
 )"""
 
@@ -526,6 +582,16 @@ SELECT c.vec_a, c.vec_b, c.label,
 FROM cbcand c JOIN emb_n x ON c.vec_a = x.vec_id JOIN emb_n y ON c.vec_b = y.vec_id
 WHERE (floor(({_SQL_DOT.format(a='x.v', b='y.v')} / (x.nrm * y.nrm)) * 1000000.0 + 0.5) / 1000000.0) >= {CB_THRESHOLD}
 ORDER BY vec_a, vec_b
+"""
+
+
+SQL_COSINE_PAIRS_UNBLOCKED = f"""
+WITH {_sql_emb()},
+{_sql_cb_cand_ctes(blocked=False)}
+SELECT c.vec_a, c.vec_b,
+       (floor(({_SQL_DOT.format(a='x.v', b='y.v')} / (x.nrm * y.nrm)) * 1000000.0 + 0.5) / 1000000.0) AS cosine
+FROM cbcand c JOIN emb_n x ON c.vec_a = x.vec_id JOIN emb_n y ON c.vec_b = y.vec_id
+WHERE (floor(({_SQL_DOT.format(a='x.v', b='y.v')} / (x.nrm * y.nrm)) * 1000000.0 + 0.5) / 1000000.0) >= {CB_THRESHOLD}
 """
 
 

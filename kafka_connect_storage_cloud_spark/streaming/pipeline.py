@@ -437,20 +437,46 @@ def minhash_dedup_stream(
     documents build minhash band signatures with the IDENTICAL expression
     tree as the batch dedup (dedup._signatures_of / _band_table) and probe
     the accumulated band store for (new_doc, index_doc) candidate pairs —
-    the streaming twin of dedup_incremental, where the "daily increment"
-    is a micro-batch and the historical index is the parquet band store.
+    the streaming generalization of dedup_incremental: each micro-batch
+    emits its cross-batch matches (new vs every prior batch) AND its
+    within-batch matches (new vs new, a < b), so the ACCUMULATED unordered
+    pair set equals the one-shot batch dedup's — independent of how the
+    ingest happened to split into batches.
 
     Exactly-once: both the per-batch pair output and the band-store
-    append land in batch-keyed directories written with overwrite, so a
-    replayed micro-batch rewrites its own files byte-identically (the
-    connector's replay-overwrite rule applied to the dedup state).
-    The degenerate-bucket guard re-applies per probe over store ∪ batch,
-    so a boilerplate flood is capped exactly as in batch mode. Per-batch
-    work is bucket-sized per new doc — independent of history length,
-    which is what makes the store survive an unbounded ingest."""
+    append land in batch-keyed directories written with overwrite, and
+    batch b probes ONLY bands from batches < b, so a replayed micro-batch
+    recomputes from the exact store state it originally saw and rewrites
+    identical files (the connector's replay-overwrite rule applied to the
+    dedup state). A re-delivered doc_id matching its own historical bands
+    is filtered (new_doc != index_doc).
+
+    The degenerate-bucket guard re-applies per batch over the PROBED
+    buckets of store ∪ batch (bucket sizes only matter for buckets being
+    probed, so the count semi-joins on the batch's keys): a boilerplate
+    flood is capped exactly as in batch mode while the shuffle stays
+    bounded by the batch's bucket fan-out, not history length. The store
+    READ is a columnar scan with (band,bval) pushdown per batch; a
+    long-lived deployment would bucket the store on (band,bval) to prune
+    it (sinks/bucketed.py is that machinery)."""
     import os
 
     from ..llm.dedup import MAX_BUCKET, _band_table, _signatures_of
+
+    def _list_batches(spark, path: str) -> list[str]:
+        # Hadoop FS API, not os.listdir: store_dir may be s3a://... in
+        # production — the same listing works for local paths and object
+        # stores alike.
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(jpath):
+            return []
+        return [
+            st.getPath().getName()
+            for st in fs.listStatus(jpath)
+            if st.getPath().getName().startswith("batch=")
+        ]
 
     def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -460,39 +486,52 @@ def minhash_dedup_stream(
             _signatures_of(batch_df.select("doc_id", "text"))
         ).localCheckpoint(eager=True)
         bands_path = os.path.join(store_dir, "bands")
-        # the store is versioned by batch: batch b probes ONLY bands from
-        # batches < b, so a replayed batch recomputes from the exact store
-        # state it originally saw (pairs are a pure function of batch
-        # content + prior batches — without this, replaying batch 0 over a
-        # full store would self-match every historical document)
         prior = [
-            e for e in (os.listdir(bands_path) if os.path.exists(bands_path) else [])
-            if e.startswith("batch=") and int(e.split("=", 1)[1]) < batch_id
+            e for e in _list_batches(spark, bands_path)
+            if int(e.split("=", 1)[1]) < batch_id
         ]
         pairs_path = os.path.join(store_dir, "pairs", f"batch={batch_id}")
+        probed = bands_new.select("band", "bval").distinct()
         if prior:
             store = (
                 spark.read.parquet(*[os.path.join(bands_path, e) for e in prior])
                 .select(F.col("doc_id").alias("index_doc"), "band", "bval")
+                .join(probed, ["band", "bval"])  # only probed buckets matter
             )
             allb = store.select(
                 F.col("index_doc").alias("doc_id"), "band", "bval"
             ).unionByName(bands_new)
-            ok = (
-                allb.groupBy("band", "bval")
-                .agg(F.count(F.lit(1)).alias("bn"))
-                .where(F.col("bn") <= MAX_BUCKET)
-                .select("band", "bval")
-            )
-            pairs = (
-                bands_new.join(ok, ["band", "bval"])
-                .select(F.col("doc_id").alias("new_doc"), "band", "bval")
-                .join(store.join(ok, ["band", "bval"]), ["band", "bval"])
-                .select("new_doc", "index_doc")
-                .distinct()
-            )
         else:
-            pairs = spark.createDataFrame([], "new_doc long, index_doc long")
+            store = None
+            allb = bands_new
+        ok = (
+            allb.groupBy("band", "bval")
+            .agg(F.count(F.lit(1)).alias("bn"))
+            .where(F.col("bn") <= MAX_BUCKET)
+            .select("band", "bval")
+        )
+        new_ok = bands_new.join(ok, ["band", "bval"])
+        # within-batch pairs: same-batch near-dups must not hide behind
+        # the batch split
+        within = (
+            new_ok.select(F.col("doc_id").alias("new_doc"), "band", "bval")
+            .join(
+                new_ok.select(F.col("doc_id").alias("index_doc"), "band", "bval"),
+                ["band", "bval"],
+            )
+            .where(F.col("new_doc") < F.col("index_doc"))
+            .select("new_doc", "index_doc")
+        )
+        if store is not None:
+            cross = (
+                new_ok.select(F.col("doc_id").alias("new_doc"), "band", "bval")
+                .join(store.join(ok, ["band", "bval"]), ["band", "bval"])
+                .where(F.col("new_doc") != F.col("index_doc"))  # re-crawl self-match
+                .select("new_doc", "index_doc")
+            )
+            pairs = within.unionByName(cross).distinct()
+        else:
+            pairs = within.distinct()
         pairs.write.mode("overwrite").parquet(pairs_path)
         bands_new.write.mode("overwrite").parquet(
             os.path.join(bands_path, f"batch={batch_id}")
