@@ -89,6 +89,7 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_covariance", "embedding_pca_power", "tokenizer_fertility",
     "quality_filter", "source_overlap_jaccard", "minhash_precision_curve",
     "rarity_buckets", "context_pack", "semantic_contamination",
+    "unblocked_band_recall",
     # §2C dedup family
     "dedup_exact", "dedup_minhash_lsh", "dedup_incremental", "dedup_simhash",
     "ngram_jaccard", "minhash_jaccard_est", "dup_source_matrix",
@@ -206,6 +207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dim_stats": LS.embedding_dim_stats,
         "embedding_covariance": LS.embedding_covariance,
         "embedding_pca_power": LS.embedding_pca_power,
+        "unblocked_band_recall": LS.unblocked_band_recall,
         "knn_pagerank_step": LS.knn_pagerank_step,
         "lang_id": LQ.lang_id,
         "lang_id_confusion": LQ.lang_id_confusion,

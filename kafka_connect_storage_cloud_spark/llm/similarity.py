@@ -90,7 +90,8 @@ CB_MAX_BUCKET = 2000  # degenerate-bucket guard (same constant/semantics as
 CB_THRESHOLD = 0.4
 
 
-def _exact_label_pairs(spark: SparkSession, sf_dir: str, threshold: float = CB_THRESHOLD) -> DataFrame:
+def _exact_label_pairs(spark: SparkSession, sf_dir: str, threshold: float = CB_THRESHOLD,
+                       blocked: bool = True) -> DataFrame:
     """AUDIT-ONLY exact near-dup pairs, blocked by label: every same-label
     pair with cosine >= threshold. O(block²) COMPUTE by construction — the
     gold standard the banded path is audited against
@@ -100,12 +101,17 @@ def _exact_label_pairs(spark: SparkSession, sf_dir: str, threshold: float = CB_T
     the audit survives label blocks that dwarf executor memory. Because
     tiles are `vec_id div B` range buckets, an off-diagonal tile pair
     (blk < rblk) has every left id < every right id — the canonical
-    vec_a < vec_b ordering costs nothing; diagonal tiles use triu."""
+    vec_a < vec_b ordering costs nothing; diagonal tiles use triu.
+    blocked=False audits the UNBLOCKED generator: the label column is
+    constant-folded so every pair is considered (the output `label` is 0,
+    meaningless — unblocked_band_recall re-joins the real labels)."""
     import numpy as np
     import pandas as pd
 
     B = KNN_BLOCK
     emb = _with_dec_and_norm(read_table(spark, sf_dir, "embeddings"))
+    if not blocked:
+        emb = emb.withColumn("label", F.lit(0))
     blocks = (
         emb.withColumn("blk", F.expr(f"CAST(vec_id div {B} AS INT)"))
         .groupBy("label", "blk")
@@ -583,6 +589,58 @@ FROM cbcand c JOIN emb_n x ON c.vec_a = x.vec_id JOIN emb_n y ON c.vec_b = y.vec
 WHERE (floor(({_SQL_DOT.format(a='x.v', b='y.v')} / (x.nrm * y.nrm)) * 1000000.0 + 0.5) / 1000000.0) >= {CB_THRESHOLD}
 ORDER BY vec_a, vec_b
 """
+
+
+def unblocked_band_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit of the UNBLOCKED banded generator
+    (cosine_pairs_unblocked — the candidate source of
+    semantic_contamination) against the exact all-pairs gold standard,
+    split by pair class: cross_label recall is the number that matters,
+    because cross-label pairs are exactly what the label-blocked family
+    cannot see and what benchmark decontamination depends on. Banded
+    pairs are a subset of exact pairs by construction (exact confirm), so
+    recall = n_band / n_exact per class. The gold standard reuses the
+    tiled exact scorer with the label block folded away — same
+    memory-bounded tile shape, O(n²) compute, audit-only."""
+    exact = _exact_label_pairs(spark, sf_dir, blocked=False).select(
+        "vec_a", "vec_b", "cosine"
+    )
+    labels = read_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    exact = (
+        exact.join(
+            labels.select(F.col("vec_id").alias("vec_a"), F.col("label").alias("la")),
+            "vec_a",
+        )
+        .join(
+            labels.select(F.col("vec_id").alias("vec_b"), F.col("label").alias("lb")),
+            "vec_b",
+        )
+        .select(
+            "vec_a",
+            "vec_b",
+            F.when(F.col("la") == F.col("lb"), F.lit("same_label"))
+            .otherwise(F.lit("cross_label"))
+            .alias("pair_class"),
+        )
+    )
+    band = cosine_pairs_unblocked(spark, sf_dir).select(
+        "vec_a", "vec_b", F.lit(1).alias("hit")
+    )
+    j = exact.join(band, ["vec_a", "vec_b"], "left")
+    return (
+        j.groupBy("pair_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_band"),
+        )
+        .select(
+            "pair_class",
+            "n_exact",
+            F.col("n_band").cast("long").alias("n_band"),
+            H.round6(F.col("n_band") / F.col("n_exact").cast("double")).alias("recall"),
+        )
+        .orderBy("pair_class")
+    )
 
 
 SQL_COSINE_PAIRS_UNBLOCKED = f"""
@@ -1419,6 +1477,28 @@ FROM v{iters} v, ray, tr ORDER BY v.dim
 
 
 ORACLES["embedding_pca_power"] = _sql_pca_power()
+
+_SQL_EXACT_COS = (
+    f"(floor(({_SQL_DOT.format(a='a.v', b='b.v')} / (a.nrm * b.nrm)) * 1000000.0 + 0.5) / 1000000.0)"
+)
+
+SQL_UNBLOCKED_BAND_RECALL = f"""
+WITH {_sql_emb()},
+exact AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         CASE WHEN a.label = b.label THEN 'same_label' ELSE 'cross_label' END AS pair_class
+  FROM emb_n a JOIN emb_n b ON a.vec_id < b.vec_id
+  WHERE {_SQL_EXACT_COS} >= {CB_THRESHOLD}
+),
+band AS (SELECT vec_a, vec_b FROM ({SQL_COSINE_PAIRS_UNBLOCKED}))
+SELECT e.pair_class, COUNT(*) AS n_exact,
+       CAST(SUM(CASE WHEN band.vec_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_band,
+       {H.sql_round6("CAST(SUM(CASE WHEN band.vec_a IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)")} AS recall
+FROM exact e LEFT JOIN band ON e.vec_a = band.vec_a AND e.vec_b = band.vec_b
+GROUP BY e.pair_class ORDER BY e.pair_class
+"""
+
+ORACLES["unblocked_band_recall"] = SQL_UNBLOCKED_BAND_RECALL
 
 
 def _label_vote_from_edges(spark: SparkSession, sf_dir: str, edges: DataFrame) -> DataFrame:
