@@ -129,10 +129,23 @@ def _exact_label_pairs(spark: SparkSession, sf_dir: str, threshold: float = CB_T
         F.col("ids").alias("rids"),
         F.col("mat").alias("rmat"),
     )
-    tiles = blocks.join(
-        right,
-        on=[F.col("label") == F.col("rlabel"), F.col("blk") <= F.col("rblk")],
-    ).select("label", "blk", "ids", "mat", "rblk", "rids", "rmat")
+    if blocked:
+        tiles = blocks.join(
+            right,
+            on=[F.col("label") == F.col("rlabel"), F.col("blk") <= F.col("rblk")],
+        ).select("label", "blk", "ids", "mat", "rblk", "rids", "rmat")
+    else:
+        # with the label constant-folded the equi-key above vanishes and
+        # `blk <= rblk` alone would plan a nested-loop join; enumerate the
+        # upper-triangle tile pairs explicitly instead (nblk is an O(1)
+        # scalar) so the pairing stays a hash equi-join on rblk
+        nblk = blocks.agg(F.max("blk")).collect()[0][0]
+        expanded = blocks.withColumn(
+            "rblk", F.explode(F.expr(f"sequence(blk, {int(nblk)})"))
+        )
+        tiles = expanded.join(right.drop("rlabel"), "rblk").select(
+            "label", "blk", "ids", "mat", "rblk", "rids", "rmat"
+        )
 
     def score_tiles(batches):
         cols = ["vec_a", "vec_b", "label", "cosine_raw"]
