@@ -41,6 +41,14 @@ TIE_PRONE = [
     "events_inter_arrival",   # mean gap + interpolated quartiles
     "ab_test_metrics",        # Welch t (variance ratios)
     "embedding_centroid_outliers",  # cosine-to-sum division chain
+    # round-3 additions in the same ratio/tie expression classes
+    "rarity_buckets",         # ntile ties broken by (rarity, doc_id)
+    "minhash_precision_curve",  # micro-int mean + ratio per band
+    "tokenizer_fertility",    # bpe/ws ratio
+    "dsir_importance",        # integer ratio sums + ntile pool boundary
+    "cluster_profile_kmeans", # purity + mean-cosine divisions
+    "unblocked_band_recall",  # recall ratio over exact pair classes
+    "embedding_pca_power",    # Rayleigh double conversions
 ]
 
 
