@@ -89,7 +89,7 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_covariance", "embedding_pca_power", "tokenizer_fertility",
     "quality_filter", "source_overlap_jaccard", "minhash_precision_curve",
     "rarity_buckets", "context_pack", "semantic_contamination",
-    "unblocked_band_recall",
+    "unblocked_band_recall", "token_diversity",
     # §2C dedup family
     "dedup_exact", "dedup_minhash_lsh", "dedup_incremental", "dedup_simhash",
     "ngram_jaccard", "minhash_jaccard_est", "dup_source_matrix",
@@ -216,6 +216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules_filter": LQ.gopher_rules_filter,
         "repetition_score": LQ.repetition_score,
         "tokenizer_fertility": LQ.tokenizer_fertility,
+        "token_diversity": LQ.token_diversity,
         "token_count": LQ.token_count,
         "doc_fingerprint": LQ.doc_fingerprint,
         "multimodal_pipeline": LM.multimodal_pipeline,

@@ -537,6 +537,75 @@ FROM verdict ORDER BY doc_id
 """
 
 
+DIVERSITY_MIN = 0.8  # Gini-Simpson floor: below this a doc is mostly repeats
+
+
+def token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical diversity as the Gini-Simpson index over token
+    frequencies: 1 - Σ(c_i/N)² — the boilerplate/low-information screen
+    that complements repetition_score (repetition catches adjacent n-gram
+    runs; this catches a document that is 500 copies of the same 5 words
+    in any order). Integer-exact: 1 - Σc²/N² with both sums in int64, one
+    double division at the end.
+
+    Zero shuffle: the token counts of a doc are a reduction over its own
+    sorted token array (the run-length walk repetition_score uses for its
+    top-gram count, extended to accumulate Σ run²), so the whole op is a
+    scan of stacked projections."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.select(
+        "doc_id", F.array_sort(F.split(F.lower("text"), r"\s+")).alias("s")
+    )
+    # walk the sorted array: on value change add run² to ss, else extend run
+    ss = F.when(
+        F.size("s") >= 2,
+        F.expr(
+            "aggregate(sequence(1, size(s) - 1),"
+            " named_struct('cur', CAST(1 AS BIGINT), 'ss', CAST(0 AS BIGINT)),"
+            " (acc, i) -> IF(element_at(s, i + 1) = element_at(s, i),"
+            "   named_struct('cur', acc.cur + 1, 'ss', acc.ss),"
+            "   named_struct('cur', CAST(1 AS BIGINT), 'ss', acc.ss + acc.cur * acc.cur)),"
+            " acc -> acc.ss + acc.cur * acc.cur)"
+        ),
+    ).otherwise(F.lit(1))
+    per_doc = base.select(
+        "doc_id",
+        F.size("s").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("s")).cast("long").alias("distinct_tokens"),
+        ss.alias("sum_sq"),
+    )
+    div = 1 - F.col("sum_sq") / (F.col("n_tokens") * F.col("n_tokens")).cast("double")
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "distinct_tokens",
+        H.round6(div).alias("gini_diversity"),
+        (
+            1 - F.col("sum_sq") / (F.col("n_tokens") * F.col("n_tokens")).cast("double")
+            < DIVERSITY_MIN
+        ).alias("flagged_low_diversity"),
+    )
+
+
+SQL_TOKEN_DIVERSITY = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+  FROM documents
+),
+counts AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok),
+per_doc AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         COUNT(*) AS distinct_tokens,
+         CAST(SUM(c * c) AS BIGINT) AS sum_sq
+  FROM counts GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, CAST(distinct_tokens AS BIGINT) AS distinct_tokens,
+       {H.sql_round6("1 - CAST(sum_sq AS DOUBLE) / (n_tokens * n_tokens)")} AS gini_diversity,
+       1 - CAST(sum_sq AS DOUBLE) / (n_tokens * n_tokens) < {DIVERSITY_MIN} AS flagged_low_diversity
+FROM per_doc ORDER BY doc_id
+"""
+
+
 ORACLES = {
     "lang_id": _sql_lang_id(),
     "lang_id_confusion": _sql_lang_id_confusion(),
@@ -546,6 +615,7 @@ ORACLES = {
     "repetition_score": _sql_repetition(),
     "quality_filter": _sql_quality_filter(),
     "tokenizer_fertility": SQL_TOKENIZER_FERTILITY,
+    "token_diversity": SQL_TOKEN_DIVERSITY,
 }
 
 
