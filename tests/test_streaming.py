@@ -952,3 +952,36 @@ def test_minhash_dedup_stream_matches_batch_lsh(spark, sf_small, tmp_path):
     # recomputed from the same prior-batch store states — byte-stable
     got2 = run("ckpt2")
     assert got2 == exp
+
+
+def test_minhash_dedup_stream_four_way_split(spark, sf_small, tmp_path):
+    """Split-independence at a different granularity: the same corpus
+    streamed as FOUR micro-batches (doc_id % 4) must accumulate exactly
+    the same unordered pair set as the one-shot batch LSH — pairs must
+    not depend on which batch boundary separated their documents."""
+    from kafka_connect_storage_cloud_spark.llm.dedup import dedup_minhash_lsh
+    from kafka_connect_storage_cloud_spark.streaming.pipeline import (
+        minhash_dedup_stream,
+        stream_documents_source,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    stage = str(tmp_path / "dd4_stage")
+    for part in range(4):
+        docs.where(F.col("doc_id") % 4 == part).coalesce(1).write.mode(
+            "append"
+        ).parquet(stage)
+    store = str(tmp_path / "dd4_store")
+    q = minhash_dedup_stream(
+        stream_documents_source(spark, stage), store, str(tmp_path / "dd4_ckpt")
+    )
+    assert q.awaitTermination(180), "stream did not drain in time"
+    got = {
+        (min(r["new_doc"], r["index_doc"]), max(r["new_doc"], r["index_doc"]))
+        for r in spark.read.parquet(f"{store}/pairs").collect()
+    }
+    exp = {
+        (min(r["doc_a"], r["doc_b"]), max(r["doc_a"], r["doc_b"]))
+        for r in dedup_minhash_lsh(spark, sf_small).collect()
+    }
+    assert got == exp
