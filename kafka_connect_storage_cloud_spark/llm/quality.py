@@ -302,7 +302,12 @@ FROM fps_t
 """
 
 REP_N = 2
-REP_FLAG = 0.2
+REP_FLAG = 0.1  # r3: was 0.2 — vacuous on this corpus (max dup_fraction
+# 0.182 across all SFs, so `flagged` never fired and quality_filter's
+# "repetitive;" reason was dead). 0.1 sits between p99 and the max at
+# every SF: 8/500 (sf0.001), 9/500 (sf0.01), 39/5000 (sf0.1) flagged —
+# the filter demonstrably filters, still rare enough to be an outlier
+# screen.
 
 
 def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
