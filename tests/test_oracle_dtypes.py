@@ -87,3 +87,37 @@ def test_oracle_schema_matches_snapshot(duck, name):
         f"{name}: DuckDB schema drifted from the frozen contract; if the "
         "change is intentional, update BOTH engines and regenerate the snapshot"
     )
+
+
+# ---------------------------------------------------------------------------
+# Vacuous-flag lint (round 3): a boolean output column that is single-valued
+# on the demonstration corpus is a dead feature — either its threshold is
+# mis-sited (repetition_score's flagged never fired at REP_FLAG=0.2) or the
+# signal doesn't exist in the data (two round-3 flags were redesigned/dropped
+# for this). Invariant-proof columns whose single value IS the assertion are
+# allowlisted explicitly.
+# ---------------------------------------------------------------------------
+
+_INVARIANT_BOOLEANS = {
+    ("hll_merge_invariant", "merge_ok"),  # all-True is the proof
+}
+
+
+def test_boolean_flags_split_on_the_corpus(duck):
+    offenders = []
+    for name, sql in sorted(ORACLES.items()):
+        rel = duck.sql(sql)
+        bool_cols = [
+            c for c, t in zip(rel.columns, rel.types) if str(t).upper() == "BOOLEAN"
+        ]
+        if not bool_cols:
+            continue
+        df = rel.df()
+        if len(df) < 50:  # tiny outputs can't be expected to split
+            continue
+        for c in bool_cols:
+            if (name, c) in _INVARIANT_BOOLEANS:
+                continue
+            if df[c].dropna().nunique() <= 1:
+                offenders.append((name, c))
+    assert not offenders, f"single-valued boolean flags at sf0.01: {offenders}"
