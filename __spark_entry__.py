@@ -156,6 +156,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duration_partitioner": C.duration_partitioner_plan,
         "rotation_stats": C.rotation_stats_plan,
         "rotation_flush_size": C.rotation_flush_size_plan,
+        "rotation_custom_naming": C.rotation_custom_naming_plan,
+        "locale_partitioner": C.locale_partitioner_plan,
         "rotation_scheduled": C.rotation_scheduled_plan,
         "rotation_interval": C.rotation_interval_plan,  # oracle: recursive CTE
         "rotation_partition_change": C.rotation_partition_change_plan,
@@ -301,14 +303,36 @@ def _enc_summary(enc_expr: str) -> str:
     return f"{_RECORDS}, enc AS (SELECT *, {enc_expr} AS encoded_partition FROM records)\n{_SUMMARIZE}"
 
 
-def _manifest(enc_expr: str, file_seq_expr: str, records_cte: str = _RECORDS, ext: str = "parquet") -> str:
+def _sql_locale_names(locale: str, key: str) -> str:
+    """DuckDB list literal of the SAME name table the Spark partitioner
+    renders from (operators/partitioners.LOCALES) — both engines index the
+    identical strings, so locale rendering can never drift between them."""
+    from kafka_connect_storage_cloud_spark.operators.partitioners import LOCALES
+
+    names = ", ".join("'" + n.replace("'", "''") + "'" for n in LOCALES[locale][key])
+    return f"[{names}]"
+
+
+def _manifest(
+    enc_expr: str,
+    file_seq_expr: str,
+    records_cte: str = _RECORDS,
+    ext: str = "parquet",
+    topics_prefix: str = "",
+    file_delim: str = "+",
+    pad: int = 10,
+) -> str:
+    # fileKeyToCommit parameterized by the naming keys (topics.dir,
+    # file.delim, filename.offset.zero.pad.width) — mirrors
+    # operators/rotation.FileNaming
+    head = f"'{topics_prefix}/' || " if topics_prefix else ""
     return f"""{records_cte},
 enc AS (SELECT *, {enc_expr} AS encoded_partition FROM records),
 seq AS (SELECT *, {file_seq_expr} AS file_seq FROM enc),
 files AS (SELECT *, MIN("offset") OVER (PARTITION BY kafka_partition, encoded_partition, file_seq)
                     AS file_start_offset FROM seq)
-SELECT topic || '/' || encoded_partition || '/' || topic || '+' ||
-       CAST(kafka_partition AS VARCHAR) || '+' || printf('%010d', file_start_offset) || '.{ext}'
+SELECT {head}topic || '/' || encoded_partition || '/' || topic || '{file_delim}' ||
+       CAST(kafka_partition AS VARCHAR) || '{file_delim}' || printf('%0{pad}d', file_start_offset) || '.{ext}'
          AS file_path,
        COUNT(*) AS record_count,
        MIN("offset") AS min_offset,
@@ -406,6 +430,16 @@ FROM per_file p JOIN max_seq m
 GROUP BY 1, 2 ORDER BY 1, 2""",
         "rotation_flush_size": _manifest(
             "'partition=' || CAST(kafka_partition AS VARCHAR)", _FLUSH_SEQ
+        ),
+        "rotation_custom_naming": _manifest(
+            "'partition=' || CAST(kafka_partition AS VARCHAR)", _FLUSH_SEQ,
+            topics_prefix="topics", file_delim="#", pad=6,
+        ),
+        "locale_partitioner": _enc_summary(
+            "'dt=' || strftime(\"timestamp\", '%Y') || '/mois=' || "
+            + _sql_locale_names("fr_FR", "months_short") + "[month(\"timestamp\")]"
+            + " || '/jour=' || "
+            + _sql_locale_names("fr_FR", "days_short") + "[dayofweek(\"timestamp\") + 1]"
         ),
         "rotation_scheduled": _manifest("'event_type=' || event_type", _SCHED_SEQ),
         # rotation_interval: the base-reset walk is inherently sequential per

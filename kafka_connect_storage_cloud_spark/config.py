@@ -112,6 +112,25 @@ class ConnectorConfig:
     object_tagging: bool = False
     object_tagging_extra: tuple[str, ...] = ()
     behavior_on_tagging_error: str = "ignore"
+    # --- file/dir naming (StorageCommonConfig + TopicPartitionWriter) ---
+    # topics.dir (TopicPartitionWriter.java:186): prefix above the per-topic
+    # dir. Reference default "topics" under the bucket root; this engine's
+    # sink root IS the topics dir, so the engine default is "" — the blank
+    # branch of the reference's own fileKey() (StringUtils.isNotBlank).
+    # Set "topics" to reproduce a reference bucket's keys byte-for-byte.
+    topics_dir: str = ""
+    # directory.delim / file.delim (TopicPartitionWriter.java:216-217;
+    # SchemaPartitioner.java:40 uses directory.delim for affix joins).
+    directory_delim: str = "/"
+    file_delim: str = "+"
+    # filename.offset.zero.pad.width (TopicPartitionWriter.java:219-221
+    # builds "%0<w>d"; reference default 10, validated atLeast(0)).
+    zero_pad_width: int = 10
+    # locale (storage-common PartitionerConfig): renders TimeBasedPartitioner
+    # text fields (MMM/EEE month and weekday names) in path.format. Numeric
+    # fields are locale-invariant; the engine ships name tables for the
+    # locales in operators.partitioners.LOCALES.
+    locale: str = "en_US"
     extra: dict[str, Any] = field(default_factory=dict)
 
     def __post_init__(self) -> None:
@@ -164,6 +183,18 @@ class ConnectorConfig:
             raise ValueError(
                 f"s3.object.behavior.on.tagging.error {self.behavior_on_tagging_error!r}"
                 " invalid (ignore|fail)"
+            )
+        if self.zero_pad_width < 0:
+            # reference ConfigDef atLeast(0) on FILENAME_OFFSET_ZERO_PAD_WIDTH
+            raise ValueError("filename.offset.zero.pad.width must be >= 0")
+        if not self.directory_delim or not self.file_delim:
+            raise ValueError("directory.delim and file.delim must be non-empty")
+        from .operators.partitioners import LOCALES
+
+        if self.locale.replace("-", "_") not in LOCALES:
+            raise ValueError(
+                f"locale {self.locale!r} not in the shipped name tables "
+                f"({sorted(LOCALES)})"
             )
 
     def parsed_extra_tags(self) -> dict[str, str]:
@@ -231,6 +262,18 @@ class ConnectorConfig:
         return VALID_FORMATS[self.format_class]
 
     @property
+    def naming(self):
+        """The FileNaming bundle consumed by operators.rotation."""
+        from .operators.rotation import FileNaming
+
+        return FileNaming(
+            topics_dir=self.topics_dir,
+            dir_delim=self.directory_delim,
+            file_delim=self.file_delim,
+            zero_pad_width=self.zero_pad_width,
+        )
+
+    @property
     def keys_spark_format(self) -> str:
         return VALID_FORMATS[self.keys_format_class] if self.keys_format_class else self.spark_format
 
@@ -290,6 +333,11 @@ _KEY_MAP = {
         "behavior_on_tagging_error",
         lambda v: str(v).lower(),
     ),
+    "topics.dir": ("topics_dir", str),
+    "directory.delim": ("directory_delim", str),
+    "file.delim": ("file_delim", str),
+    "filename.offset.zero.pad.width": ("zero_pad_width", int),
+    "locale": ("locale", lambda v: str(v).replace("-", "_")),
 }
 
 

@@ -97,11 +97,16 @@ def _apply_errors_tolerance(
 def _assign_files(records: DataFrame, cfg: ConnectorConfig, ext: str) -> DataFrame:
     """Pick the rotation policy the config asks for (flush.size always caps;
     the time policies take precedence for file *boundaries* when set)."""
+    naming = cfg.naming
     if cfg.rotate_interval_ms > 0:
-        return R.assign_files_rotate_interval(records, cfg.rotate_interval_ms, ext=ext)
+        return R.assign_files_rotate_interval(
+            records, cfg.rotate_interval_ms, ext=ext, naming=naming
+        )
     if cfg.rotate_schedule_interval_ms > 0:
-        return R.assign_files_scheduled(records, cfg.rotate_schedule_interval_ms, ext=ext)
-    return R.assign_files_flush_size(records, cfg.flush_size, ext=ext)
+        return R.assign_files_scheduled(
+            records, cfg.rotate_schedule_interval_ms, ext=ext, naming=naming
+        )
+    return R.assign_files_flush_size(records, cfg.flush_size, ext=ext, naming=naming)
 
 
 def run_connector(
@@ -186,11 +191,28 @@ def run_connector(
     return manifest
 
 
-RESUME_NAME_RE = r"([^/]+)\+(\d+)\+(\d+)\.[a-z]+$"
+def resume_name_re(naming=None) -> str:
+    """Regex over a committed file key's basename — the inverse of
+    fileKeyToCommit's <topic><fileDelim><partition><fileDelim><offset>.<ext>
+    for the configured delims (restart recovery must parse whatever layout
+    the connector wrote)."""
+    import re as _re
+
+    from .operators.rotation import DEFAULT_NAMING
+
+    naming = naming or DEFAULT_NAMING
+    fd, dd = _re.escape(naming.file_delim), _re.escape(naming.dir_delim)
+    return rf"([^{dd}{fd}]+){fd}(\d+){fd}(\d+)\.[a-z]+$"
+
+
+RESUME_NAME_RE = resume_name_re()
 
 
 def recover_resume_offsets(
-    spark: SparkSession, output_path: str, scan_limit: int | None = None
+    spark: SparkSession,
+    output_path: str,
+    scan_limit: int | None = None,
+    naming=None,
 ) -> DataFrame:
     """Restart-path recovery (TopicPartitionWriter.java:1023-1050 analog):
     parse the committed manifest's deterministic file names
@@ -209,10 +231,11 @@ def recover_resume_offsets(
     changes the answer — it bounds restart cost on layouts with millions of
     files (pass cfg.max_files_scan_limit; reference default 100)."""
     m = spark.read.json(f"{output_path}/_manifest")
+    name_re = resume_name_re(naming)
     parsed = m.select(
-        F.regexp_extract("file_path", RESUME_NAME_RE, 1).alias("topic"),
-        F.regexp_extract("file_path", RESUME_NAME_RE, 2).cast("int").alias("kafka_partition"),
-        F.regexp_extract("file_path", RESUME_NAME_RE, 3).cast("long").alias("start_offset"),
+        F.regexp_extract("file_path", name_re, 1).alias("topic"),
+        F.regexp_extract("file_path", name_re, 2).cast("int").alias("kafka_partition"),
+        F.regexp_extract("file_path", name_re, 3).cast("long").alias("start_offset"),
         "record_count",
         "max_offset",
     )

@@ -122,12 +122,100 @@ def _joda_to_java(pattern: str) -> str:
     return "".join(out)
 
 
-def path_format_partitioner(ts: Column, pattern: str) -> Column:
+# `locale` (storage-common PartitionerConfig): Joda renders path.format TEXT
+# fields (month/weekday names) with DateTimeFormat.forPattern(..).withLocale.
+# JVM locale data drifts across JDK releases, so instead of delegating to the
+# session JVM the engine ships explicit CLDR-abbreviation name tables — the
+# rendered path is then deterministic across engines (the DuckDB oracle
+# indexes the identical tables) and across cluster JVMs. Weekday arrays are
+# Sunday-first to index Spark's dayofweek()/DuckDB's dayofweek()+1 directly.
+LOCALES: dict[str, dict[str, list[str]]] = {
+    "en_US": {
+        "months_short": ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+                         "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"],
+        "months_full": ["January", "February", "March", "April", "May", "June",
+                        "July", "August", "September", "October", "November", "December"],
+        "days_short": ["Sun", "Mon", "Tue", "Wed", "Thu", "Fri", "Sat"],
+        "days_full": ["Sunday", "Monday", "Tuesday", "Wednesday",
+                      "Thursday", "Friday", "Saturday"],
+    },
+    "fr_FR": {
+        "months_short": ["janv.", "févr.", "mars", "avr.", "mai", "juin",
+                         "juil.", "août", "sept.", "oct.", "nov.", "déc."],
+        "months_full": ["janvier", "février", "mars", "avril", "mai", "juin",
+                        "juillet", "août", "septembre", "octobre",
+                        "novembre", "décembre"],
+        "days_short": ["dim.", "lun.", "mar.", "mer.", "jeu.", "ven.", "sam."],
+        "days_full": ["dimanche", "lundi", "mardi", "mercredi",
+                      "jeudi", "vendredi", "samedi"],
+    },
+    "de_DE": {
+        "months_short": ["Jan.", "Feb.", "März", "Apr.", "Mai", "Juni",
+                         "Juli", "Aug.", "Sept.", "Okt.", "Nov.", "Dez."],
+        "months_full": ["Januar", "Februar", "März", "April", "Mai", "Juni",
+                        "Juli", "August", "September", "Oktober",
+                        "November", "Dezember"],
+        "days_short": ["So.", "Mo.", "Di.", "Mi.", "Do.", "Fr.", "Sa."],
+        "days_full": ["Sonntag", "Montag", "Dienstag", "Mittwoch",
+                      "Donnerstag", "Freitag", "Samstag"],
+    },
+}
+
+
+def _name_lookup(ts: Column, names: list[str], index: Column) -> Column:
+    return F.element_at(F.array(*[F.lit(n) for n in names]), index)
+
+
+def path_format_partitioner(ts: Column, pattern: str, locale: str = "en_US") -> Column:
     """TimeBasedPartitioner with the connector's raw `path.format` string,
     e.g. "'year'=YYYY/'month'=MM/'day'=dd/'hour'=HH" (S3SinkConnectorConfig
-    path.format). Compiles to ONE date_format expression — still a pure
-    projection, zero shuffle."""
-    return F.date_format(ts, _joda_to_java(pattern))
+    path.format). Numeric fields compile to ONE date_format expression; text
+    fields (MMM/MMMM month names, EEE/EEEE weekday names) render from the
+    `locale` name tables (LOCALES) so the path is engine- and
+    JVM-independent. Still a pure projection, zero shuffle."""
+    tab = LOCALES[locale.replace("-", "_")]
+    pieces: list[Column] = []  # concat-ready columns
+    buf: list[str] = []  # pending date_format pattern
+
+    def flush() -> None:
+        if buf:
+            pieces.append(F.date_format(ts, _joda_to_java("".join(buf))))
+            buf.clear()
+
+    i = 0
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "'":
+            j = pattern.find("'", i + 1)
+            if j == -1:
+                raise ValueError(f"unterminated quote in path.format: {pattern!r}")
+            buf.append(pattern[i : j + 1])
+            i = j + 1
+            continue
+        if c in "ME":
+            j = i
+            while j < len(pattern) and pattern[j] == c:
+                j += 1
+            n = j - i
+            if c == "M" and n >= 3:
+                flush()
+                key = "months_short" if n == 3 else "months_full"
+                pieces.append(_name_lookup(ts, tab[key], F.month(ts)))
+                i = j
+                continue
+            if c == "E":
+                flush()
+                key = "days_short" if n <= 3 else "days_full"
+                pieces.append(_name_lookup(ts, tab[key], F.dayofweek(ts)))
+                i = j
+                continue
+            buf.append(c * n)
+            i = j
+            continue
+        buf.append(c)
+        i += 1
+    flush()
+    return pieces[0] if len(pieces) == 1 else F.concat(*pieces)
 
 
 def time_based_partitioner_tz(
@@ -149,18 +237,22 @@ def hourly_partitioner(ts: Column) -> Column:
     return time_based_partitioner(ts, "year/month/day/hour")
 
 
-def schema_partitioner(schema_name: Column, inner: Column, affix: str = "PREFIX") -> Column:
+def schema_partitioner(
+    schema_name: Column, inner: Column, affix: str = "PREFIX", delim: str = "/"
+) -> Column:
     """SchemaPartitioner (util/SchemaPartitioner.java:61-68) with
     s3.schema.partition.affix.type semantics: PREFIX prepends
-    'schema_name=<name>/', SUFFIX appends '/schema_name=<name>', NONE leaves
-    the delegate unchanged. A null schema name renders as 'null' (Java
+    'schema_name=<name><delim>', SUFFIX appends '<delim>schema_name=<name>',
+    NONE leaves the delegate unchanged. The affix joins with directory.delim
+    exactly as the reference does (SchemaPartitioner.java:40 reads
+    DIRECTORY_DELIM_CONFIG). A null schema name renders as 'null' (Java
     string concatenation in generateSchemaBasedPath)."""
     if affix == "NONE":
         return inner
     name = F.coalesce(schema_name, F.lit("null"))
     if affix == "SUFFIX":
-        return F.concat(inner, F.lit("/schema_name="), name)
-    return F.concat(F.lit("schema_name="), name, F.lit("/"), inner)
+        return F.concat(inner, F.lit(f"{delim}schema_name="), name)
+    return F.concat(F.lit("schema_name="), name, F.lit(delim), inner)
 
 
 def tombstone_supported_partitioner(
@@ -223,7 +315,7 @@ def partitioner_expr(cfg) -> Column:
         if all(seg in _GRANULARITIES for seg in pf.split("/")):
             inner = time_based_partitioner(ts, pf)
         else:
-            inner = path_format_partitioner(ts, pf)
+            inner = path_format_partitioner(ts, pf, getattr(cfg, "locale", "en_US"))
     elif k == "schema":
         # schema name stand-in: the header/schema discriminator column
         inner = schema_partitioner(F.col("event_type"), time_based_partitioner(ts, "year/month/day"))
@@ -233,7 +325,10 @@ def partitioner_expr(cfg) -> Column:
     # schema affix wraps the delegate, tombstone routing wraps outermost so a
     # null value always lands in the tombstone partition.
     if cfg.schema_affix_type != "NONE" and k != "schema":
-        inner = schema_partitioner(F.col("event_type"), inner, cfg.schema_affix_type)
+        inner = schema_partitioner(
+            F.col("event_type"), inner, cfg.schema_affix_type,
+            getattr(cfg, "directory_delim", "/"),
+        )
     if cfg.behavior_on_null_values == "write":
         inner = tombstone_supported_partitioner(
             F.col("value"), inner, cfg.tombstone_encoded_partition

@@ -32,19 +32,66 @@ i.e. thousands of modest groups at 100 TB, not one giant one.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _file_name(ext: str) -> F.Column:
+@dataclass(frozen=True)
+class FileNaming:
+    """The four file/dir naming knobs of TopicPartitionWriter.fileKeyToCommit
+    (TopicPartitionWriter.java:868-883, config reads :186,216-221):
+
+    - topics_dir  (`topics.dir`): prefix above the per-topic directory. The
+      reference defaults to "topics" under the bucket root; this engine's
+      sink root IS the topics dir, so the engine default is "" — the blank
+      branch of the reference's own fileKey() (StringUtils.isNotBlank skip).
+      Set it to reproduce a reference bucket's key space byte-for-byte.
+    - dir_delim   (`directory.delim`, reference default "/")
+    - file_delim  (`file.delim`, reference default "+")
+    - zero_pad_width (`filename.offset.zero.pad.width`, reference default 10:
+      zeroPadOffsetFormat = "%0" + width + "d", TopicPartitionWriter.java:219)
+    """
+
+    topics_dir: str = ""
+    dir_delim: str = "/"
+    file_delim: str = "+"
+    zero_pad_width: int = 10
+
+
+DEFAULT_NAMING = FileNaming()
+
+
+def _file_name(ext: str, naming: FileNaming = DEFAULT_NAMING) -> F.Column:
     return F.concat(
         F.col("topic"),
-        F.lit("+"),
+        F.lit(naming.file_delim),
         F.col("kafka_partition").cast("string"),
-        F.lit("+"),
-        F.format_string("%010d", F.col("file_start_offset")),
+        F.lit(naming.file_delim),
+        F.format_string(f"%0{int(naming.zero_pad_width)}d", F.col("file_start_offset")),
         F.lit(f".{ext}"),
+    )
+
+
+def _with_file_path(
+    out: DataFrame, ext: str, naming: FileNaming = DEFAULT_NAMING
+) -> DataFrame:
+    """fileKeyToCommit: [<topics_dir><dirDelim>]<topic><dirDelim>
+    <encodedPartition><dirDelim><topic><fileDelim><kafkaPartition>
+    <fileDelim><zeroPad(startOffset)>.<ext>."""
+    head = [F.lit(naming.topics_dir), F.lit(naming.dir_delim)] if naming.topics_dir else []
+    return out.withColumn(
+        "file_path",
+        F.concat(
+            *head,
+            F.col("topic"),
+            F.lit(naming.dir_delim),
+            F.col("encoded_partition"),
+            F.lit(naming.dir_delim),
+            _file_name(ext, naming),
+        ),
     )
 
 
@@ -52,6 +99,7 @@ def assign_files_flush_size(
     records: DataFrame,
     flush_size: int,
     ext: str = "parquet",
+    naming: FileNaming = DEFAULT_NAMING,
 ) -> DataFrame:
     """flush.size rotation: within each (kafka_partition, encoded_partition),
     records ordered by offset are chunked into files of `flush_size`.
@@ -63,10 +111,7 @@ def assign_files_flush_size(
     out = records.withColumn("file_seq", F.floor(seq / F.lit(flush_size)).cast("bigint"))
     wf = Window.partitionBy("kafka_partition", "encoded_partition", "file_seq")
     out = out.withColumn("file_start_offset", F.min("offset").over(wf))
-    return out.withColumn(
-        "file_path",
-        F.concat(F.col("topic"), F.lit("/"), F.col("encoded_partition"), F.lit("/"), _file_name(ext)),
-    )
+    return _with_file_path(out, ext, naming)
 
 
 def assign_files_scheduled(
@@ -74,6 +119,7 @@ def assign_files_scheduled(
     interval_ms: int,
     ts_col: str = "timestamp",
     ext: str = "parquet",
+    naming: FileNaming = DEFAULT_NAMING,
 ) -> DataFrame:
     """rotate.schedule.interval.ms (deterministic form): records are bucketed
     into fixed intervals of the record timestamp; each bucket is one file."""
@@ -81,10 +127,7 @@ def assign_files_scheduled(
     out = records.withColumn("file_seq", bucket.cast("bigint"))
     wf = Window.partitionBy("kafka_partition", "encoded_partition", "file_seq")
     out = out.withColumn("file_start_offset", F.min("offset").over(wf))
-    return out.withColumn(
-        "file_path",
-        F.concat(F.col("topic"), F.lit("/"), F.col("encoded_partition"), F.lit("/"), _file_name(ext)),
-    )
+    return _with_file_path(out, ext, naming)
 
 
 def assign_files_rotate_interval(
@@ -92,6 +135,7 @@ def assign_files_rotate_interval(
     rotate_interval_ms: int,
     ts_col: str = "timestamp",
     ext: str = "parquet",
+    naming: FileNaming = DEFAULT_NAMING,
 ) -> DataFrame:
     """rotate.interval.ms exact semantics (TopicPartitionWriter.rotateOnTime):
     a new file starts when recordTimestamp - baseRecordTimestamp >= interval,
@@ -131,13 +175,12 @@ def assign_files_rotate_interval(
     out = records.groupBy("kafka_partition", "encoded_partition").applyInPandas(
         chunk, schema=schema_out
     )
-    return out.withColumn(
-        "file_path",
-        F.concat(F.col("topic"), F.lit("/"), F.col("encoded_partition"), F.lit("/"), _file_name(ext)),
-    )
+    return _with_file_path(out, ext, naming)
 
 
-def assign_files_partition_change(records: DataFrame, ext: str = "parquet") -> DataFrame:
+def assign_files_partition_change(
+    records: DataFrame, ext: str = "parquet", naming: FileNaming = DEFAULT_NAMING
+) -> DataFrame:
     """rotate.file.on.partition.change: a file holds a maximal run of
     CONSECUTIVE offsets sharing one encoded partition; when the stream
     returns to an earlier encoded partition a NEW file starts, because a
@@ -154,10 +197,7 @@ def assign_files_partition_change(records: DataFrame, ext: str = "parquet") -> D
     out = records.withColumn("file_seq", run.cast("bigint"))
     wf = Window.partitionBy("kafka_partition", "file_seq")
     out = out.withColumn("file_start_offset", F.min("offset").over(wf))
-    return out.withColumn(
-        "file_path",
-        F.concat(F.col("topic"), F.lit("/"), F.col("encoded_partition"), F.lit("/"), _file_name(ext)),
-    )
+    return _with_file_path(out, ext, naming)
 
 
 def rotation_stats(assigned: DataFrame) -> DataFrame:
@@ -196,7 +236,10 @@ def file_manifest(assigned: DataFrame) -> DataFrame:
 
 
 def assign_files_run_change(
-    records: DataFrame, run_cols: list[str], ext: str = "parquet"
+    records: DataFrame,
+    run_cols: list[str],
+    ext: str = "parquet",
+    naming: FileNaming = DEFAULT_NAMING,
 ) -> DataFrame:
     """Generalized run-boundary rotation: a file holds a maximal run of
     consecutive offsets over which ALL run_cols stay constant. With
@@ -214,7 +257,4 @@ def assign_files_run_change(
     out = records.withColumn("file_seq", run.cast("bigint"))
     wf = Window.partitionBy("kafka_partition", "file_seq")
     out = out.withColumn("file_start_offset", F.min("offset").over(wf))
-    return out.withColumn(
-        "file_path",
-        F.concat(F.col("topic"), F.lit("/"), F.col("encoded_partition"), F.lit("/"), _file_name(ext)),
-    )
+    return _with_file_path(out, ext, naming)

@@ -314,3 +314,41 @@ def erasure_rewrite_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor((F.col("n_erase").cast("double") / F.col("record_count").cast("double"))
                  * 1000000.0 + F.lit(0.5)) / 1000000.0).alias("erase_share"),
     ).orderBy("file_path")
+
+
+def rotation_custom_naming_plan(spark: SparkSession, sf_dir: str, flush_size: int = 100) -> DataFrame:
+    """rotation_flush_size at NON-DEFAULT naming config — proves the four
+    file/dir naming keys actually steer the committed keys:
+    topics.dir=topics (the reference's default bucket prefix,
+    TopicPartitionWriter.java:186), file.delim=# (the reference test
+    harness's delim, test util FileUtils.TEST_FILE_DELIM),
+    filename.offset.zero.pad.width=6 (zeroPadOffsetFormat "%06d",
+    TopicPartitionWriter.java:219-221). directory.delim stays '/' so the
+    manifest remains readable; the delim-swap class is covered by the
+    fixture-pinned layout test (tests/test_naming_config.py)."""
+    naming = R.FileNaming(topics_dir="topics", dir_delim="/", file_delim="#", zero_pad_width=6)
+    rec = events_as_topic(spark, sf_dir).withColumn(
+        "encoded_partition", P.default_partitioner(F.col("kafka_partition"))
+    )
+    return R.file_manifest(
+        R.assign_files_flush_size(rec, flush_size, naming=naming)
+    ).orderBy("file_path")
+
+
+def locale_partitioner_plan(
+    spark: SparkSession, sf_dir: str, locale: str = "fr_FR"
+) -> DataFrame:
+    """TimeBasedPartitioner with a text path.format (MMM month + EEE weekday
+    names) rendered in a non-English locale — the storage-common
+    PartitionerConfig `locale` key. Names come from the engine's shipped
+    LOCALES tables (operators/partitioners.py) so the path is identical on
+    every engine and JVM."""
+    rec = events_as_topic(spark, sf_dir)
+    return _summarize(
+        rec.withColumn(
+            "encoded_partition",
+            P.path_format_partitioner(
+                F.col("timestamp"), "'dt'=YYYY/'mois'=MMM/'jour'=EEE", locale
+            ),
+        )
+    )
