@@ -162,6 +162,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rotation_interval": C.rotation_interval_plan,  # oracle: recursive CTE
         "rotation_partition_change": C.rotation_partition_change_plan,
         "rotation_schema_change": C.rotation_schema_change_plan,
+        "schema_compat_backward": lambda s, d: C.schema_compat_rotation_plan(s, d, "BACKWARD"),
+        "schema_compat_forward": lambda s, d: C.schema_compat_rotation_plan(s, d, "FORWARD"),
+        "schema_compat_full": lambda s, d: C.schema_compat_rotation_plan(s, d, "FULL"),
+        "schema_compat_none": lambda s, d: C.schema_compat_rotation_plan(s, d, "NONE"),
         "erasure_rewrite_plan": C.erasure_rewrite_plan,
         "exactly_once_manifest": C.exactly_once_manifest_plan,
         "tombstone_routing": C.tombstone_routing_plan,
@@ -346,6 +350,49 @@ _FLUSH_SEQ = (
 )
 _SCHED_SEQ = f"CAST(FLOOR(epoch_ms(\"timestamp\") / {6 * 3600 * 1000}.0) AS BIGINT)"
 
+def _schema_compat_sql(mode: str) -> str:
+    """Oracle twin of operators/rotation.assign_files_schema_compat: the
+    per-(kafka_partition, encoded_partition) current schema as a running
+    extreme of the version stream (storage-common StorageSchemaCompatibility:
+    BACKWARD/FULL adopt maxima, FORWARD minima, NONE every change), files as
+    gaps-and-islands runs of the projected version."""
+    eff = {
+        "NONE": "schema_version",
+        "BACKWARD": 'MAX(schema_version) OVER (PARTITION BY kafka_partition, encoded_partition ORDER BY "offset" ROWS UNBOUNDED PRECEDING)',
+        "FULL": 'MAX(schema_version) OVER (PARTITION BY kafka_partition, encoded_partition ORDER BY "offset" ROWS UNBOUNDED PRECEDING)',
+        "FORWARD": 'MIN(schema_version) OVER (PARTITION BY kafka_partition, encoded_partition ORDER BY "offset" ROWS UNBOUNDED PRECEDING)',
+    }[mode]
+    return f"""{_RECORDS},
+enc AS (
+  SELECT *, 'event_type=' || event_type AS encoded_partition,
+         CAST(1 + ("offset" // 256) % 3 AS INT) AS schema_version
+  FROM records
+),
+eff AS (SELECT *, CAST({eff} AS INT) AS projected_version FROM enc),
+isl AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY kafka_partition, encoded_partition ORDER BY "offset")
+         - ROW_NUMBER() OVER (PARTITION BY kafka_partition, encoded_partition, projected_version
+                              ORDER BY "offset") AS run_id
+  FROM eff
+),
+files AS (
+  SELECT *, MIN("offset") OVER (PARTITION BY kafka_partition, encoded_partition,
+                                projected_version, run_id) AS file_start_offset
+  FROM isl
+)
+SELECT topic || '/' || encoded_partition || '/' || topic || '+' ||
+       CAST(kafka_partition AS VARCHAR) || '+' || printf('%010d', file_start_offset) || '.parquet'
+         AS file_path,
+       projected_version,
+       COUNT(*) AS record_count,
+       CAST(SUM(CASE WHEN schema_version != projected_version THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_projected,
+       MIN("offset") AS min_offset,
+       MAX("offset") AS max_offset
+FROM files GROUP BY 1, 2 ORDER BY 1"""
+
+
 _REPLAYED_RECORDS = """
 WITH raw AS (
   SELECT
@@ -527,6 +574,10 @@ SELECT topic || '/' || encoded_partition || '/' || topic || '+' ||
        MIN("offset") AS min_offset,
        MAX("offset") AS max_offset
 FROM files GROUP BY 1, 2 ORDER BY 1""",
+        "schema_compat_backward": _schema_compat_sql("BACKWARD"),
+        "schema_compat_forward": _schema_compat_sql("FORWARD"),
+        "schema_compat_full": _schema_compat_sql("FULL"),
+        "schema_compat_none": _schema_compat_sql("NONE"),
         "tombstone_routing": f"""{_RECORDS},
 with_tombstones AS (
   SELECT *, CASE WHEN "offset" % 50 = 0 THEN NULL ELSE "value" END AS value2 FROM records

@@ -258,3 +258,56 @@ def assign_files_run_change(
     wf = Window.partitionBy("kafka_partition", "file_seq")
     out = out.withColumn("file_start_offset", F.min("offset").over(wf))
     return _with_file_path(out, ext, naming)
+
+
+def assign_files_schema_compat(
+    records: DataFrame,
+    mode: str = "NONE",
+    version_col: str = "schema_version",
+    ext: str = "parquet",
+    naming: FileNaming = DEFAULT_NAMING,
+) -> DataFrame:
+    """schema.compatibility-aware rotation (TopicPartitionWriter.java:471-487
+    + storage-common StorageSchemaCompatibility semantics): the writer keeps
+    ONE current schema per encoded partition; an arriving record either
+    rotates the file and becomes the new current, or is PROJECTED onto the
+    current schema and appended.
+
+    - NONE:     any version change is incompatible -> rotate both directions
+                (files = maximal runs of constant version).
+    - BACKWARD: only a NEWER version rotates (current can read older data);
+                older-versioned records project UP to current = the running
+                MAX version seen so far in the group.
+    - FORWARD:  only an OLDER version rotates (older current can read newer
+                data); newer records project DOWN to current = the running
+                MIN version.
+    - FULL:     compatible both ways; the rotation trigger matches BACKWARD
+                (adopt newer, project everything else).
+
+    Adds `projected_version` (the schema every record in the file carries
+    after projection — the reference's compatibility.project step,
+    TopicPartitionWriter.java:505) next to the usual file columns. One
+    window per (kafka_partition, encoded_partition) ordered by offset — a
+    single shuffle, same scale shape as the other policies."""
+    if mode not in ("NONE", "BACKWARD", "FORWARD", "FULL"):
+        raise ValueError(f"schema.compatibility {mode!r} invalid")
+    wk = Window.partitionBy("kafka_partition", "encoded_partition").orderBy("offset")
+    running = wk.rowsBetween(Window.unboundedPreceding, 0)
+    v = F.col(version_col)
+    if mode == "NONE":
+        effective = v
+    elif mode == "FORWARD":
+        effective = F.min(v).over(running)
+    else:  # BACKWARD | FULL
+        effective = F.max(v).over(running)
+    out = records.withColumn("projected_version", effective.cast("int"))
+    # gaps-and-islands on the projected version: each maximal run of one
+    # current schema is one file (for BACKWARD/FORWARD the running extreme
+    # is monotone, so runs == distinct values; NONE genuinely needs runs)
+    prev = F.lag("projected_version").over(wk)
+    flag = F.when(prev.isNull() | (F.col("projected_version") != prev), 1).otherwise(0)
+    run = F.sum(flag).over(running) - F.lit(1)
+    out = out.withColumn("file_seq", run.cast("bigint"))
+    wf = Window.partitionBy("kafka_partition", "encoded_partition", "file_seq")
+    out = out.withColumn("file_start_offset", F.min("offset").over(wf))
+    return _with_file_path(out, ext, naming)

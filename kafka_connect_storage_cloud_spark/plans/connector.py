@@ -352,3 +352,36 @@ def locale_partitioner_plan(
             ),
         )
     )
+
+
+def schema_compat_rotation_plan(
+    spark: SparkSession, sf_dir: str, mode: str = "BACKWARD"
+) -> DataFrame:
+    """schema.compatibility mode matrix (TopicPartitionWriter.java:471-505 +
+    storage-common StorageSchemaCompatibility): same synthetic deployment as
+    rotation_schema_change but with a 3-version cycle (1+((offset/256)%3))
+    and the mode-aware writer. The manifest shows what each mode does to the
+    SAME stream: NONE opens a file per version flip; BACKWARD/FULL rotate
+    only on upgrades and project older records up (n_projected counts them);
+    FORWARD rotates only on downgrades and projects newer records down."""
+    rec = (
+        events_as_topic(spark, sf_dir)
+        .withColumn("encoded_partition", P.field_partitioner(["event_type"]))
+        .withColumn(
+            "schema_version",
+            (F.lit(1) + F.pmod(F.floor(F.col("offset") / 256), F.lit(3))).cast("int"),
+        )
+    )
+    assigned = R.assign_files_schema_compat(rec, mode)
+    return (
+        assigned.groupBy("file_path", "projected_version")
+        .agg(
+            F.count(F.lit(1)).alias("record_count"),
+            F.sum(
+                (F.col("schema_version") != F.col("projected_version")).cast("long")
+            ).alias("n_projected"),
+            F.min("offset").alias("min_offset"),
+            F.max("offset").alias("max_offset"),
+        )
+        .orderBy("file_path")
+    )
