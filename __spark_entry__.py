@@ -212,6 +212,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **LSU.QUERIES,
         "embedding_cosine_dups": LS.embedding_cosine_dups,
         "cosine_dup_band_recall": LS.cosine_dup_band_recall,
+        "cosine_dup_band_recall_sampled": LS.cosine_dup_band_recall_sampled,
+        "knn_graph_lsh_recall_sampled": LS.knn_graph_lsh_recall_sampled,
         "ann_topk_bruteforce": LS.ann_topk_bruteforce,
         "ann_topk_lsh": LS.ann_topk_lsh,
         "ann_recall_audit": LS.ann_recall_audit,

@@ -145,3 +145,37 @@ def test_floor_fires_on_degraded_bands(spark, sf_dir, monkeypatch, knob, audit, 
     assert degraded < floor, (
         f"{audit} still {degraded} with {knob}=1 — floor {floor} is not load-bearing"
     )
+
+
+# ---------------------------------------------------------------------------
+# sampled-slice audit variants (VERDICT r3 #4): the production-scale audit
+# forms must agree with the full audits they stand in for
+# ---------------------------------------------------------------------------
+
+
+def test_sampled_knn_recall_tracks_full_audit(spark, sf_dir):
+    """Directed-edge recall for hash-sampled sources (O(S·n) gold) must sit
+    within ±0.05 of the full mutual-graph audit AND clear the same floor."""
+    full = LS.knn_graph_lsh_recall(spark, sf_dir).collect()[0]["recall"]
+    sampled_row = LS.knn_graph_lsh_recall_sampled(spark, sf_dir).collect()[0]
+    assert sampled_row["n_exact"] > 0
+    sampled = sampled_row["recall"]
+    assert abs(sampled - full) <= 0.05, (sampled, full)
+    assert sampled >= 0.99
+
+
+def test_sampled_pair_audit_is_exact_per_retained_label(spark, sf_dir):
+    """Label-block sampling is EXACT for every retained label (pairs never
+    cross labels): each sampled row must equal the full audit's row for
+    that label, and the sampled label set must be a nonempty strict subset."""
+    full = {r["label"]: r for r in LS.cosine_dup_band_recall(spark, sf_dir).collect()}
+    sampled = {
+        r["label"]: r
+        for r in LS.cosine_dup_band_recall_sampled(spark, sf_dir).collect()
+    }
+    assert sampled, "sampled audit retained no label blocks"
+    assert set(sampled) < set(full) or set(sampled) == set(full)
+    for lbl, row in sampled.items():
+        assert (row["n_exact"], row["n_band"], row["recall"]) == (
+            full[lbl]["n_exact"], full[lbl]["n_band"], full[lbl]["recall"],
+        ), lbl
