@@ -36,7 +36,9 @@ def main() -> None:
         "rotation_flush_size",
         "exactly_once_manifest",
     ]
-    # optional heavy ops appended as they land
+    # optional heavy ops appended as they land (r4: the round-3 production
+    # scale paths — LSH kNN graph and PQ encode — are timed every round so
+    # BASELINE.md can grow rows for them)
     for opt in (
         "dedup_minhash_lsh",
         "ann_topk_bruteforce",
@@ -49,6 +51,8 @@ def main() -> None:
         "hll_distinct",
         "scd2_history",
         "rfm_segmentation",
+        "knn_graph_lsh",
+        "embedding_pq",
     ):
         if opt in qs:
             headline.append(opt)
@@ -102,6 +106,37 @@ def main() -> None:
     finally:
         shutil.rmtree(out, ignore_errors=True)
     timings["sink_connector_parquet"] = sink_sec
+
+    # streaming near-dup ingest: the corpus as two micro-batches through
+    # minhash_dedup_stream (cross-batch band store), end-to-end drain time —
+    # the r3 streaming scale path, timed per round like the batch legs
+    from pyspark.sql import functions as F
+
+    from kafka_connect_storage_cloud_spark.streaming.pipeline import (
+        minhash_dedup_stream,
+        stream_documents_source,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    stage = tempfile.mkdtemp(prefix="bench_dd_stage_")
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("overwrite").parquet(stage)
+    docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(stage)
+    stream_sec = float("inf")
+    try:
+        for _ in range(2):  # min-of-2 (each run rebuilds store + checkpoint)
+            scratch = tempfile.mkdtemp(prefix="bench_dd_run_")
+            t0 = time.perf_counter()
+            q = minhash_dedup_stream(
+                stream_documents_source(spark, stage),
+                os.path.join(scratch, "store"),
+                os.path.join(scratch, "ckpt"),
+            )
+            assert q.awaitTermination(600), "dedup stream did not drain"
+            stream_sec = min(stream_sec, round(time.perf_counter() - t0, 3))
+            shutil.rmtree(scratch, ignore_errors=True)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    timings["minhash_dedup_stream"] = stream_sec
 
     total = round(sum(timings.values()), 3)
     print(
