@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rotation_scheduled": C.rotation_scheduled_plan,
         "rotation_interval": C.rotation_interval_plan,  # oracle: recursive CTE
         "rotation_partition_change": C.rotation_partition_change_plan,
+        "rotation_max_open_files": C.rotation_max_open_files_plan,
         "rotation_schema_change": C.rotation_schema_change_plan,
         "schema_compat_backward": lambda s, d: C.schema_compat_rotation_plan(s, d, "BACKWARD"),
         "schema_compat_forward": lambda s, d: C.schema_compat_rotation_plan(s, d, "FORWARD"),
@@ -518,6 +519,38 @@ SELECT 'events/' || encoded_partition || '/events+' || CAST(kafka_partition AS V
        || '+' || printf('%010d', file_start) || '.parquet' AS file_path,
        COUNT(*) AS record_count, MIN("offset") AS min_offset, MAX("offset") AS max_offset
 FROM walk GROUP BY 1 ORDER BY 1""",
+        # partitioner.max.open.files: the open-set walk is sequential per
+        # kafka partition (same replay technique as rotation_interval) —
+        # the recursive CTE carries the open encoded-partition LIST and the
+        # commit epoch; rotation fires when a new partition arrives at a
+        # full open set (list length == limit, the reference's == check)
+        "rotation_max_open_files": f"""
+WITH RECURSIVE records AS (
+  SELECT 'events' AS topic, CAST(user_id % 8 AS INT) AS kafka_partition,
+         event_id AS "offset", 'event_type=' || event_type AS ep
+  FROM events
+),
+seq AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY kafka_partition ORDER BY "offset") AS rn FROM records),
+walk AS (
+  SELECT kafka_partition, rn, "offset", ep, [ep] AS open_list, 0 AS epoch
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.kafka_partition, s.rn, s."offset", s.ep,
+         CASE WHEN list_contains(w.open_list, s.ep) THEN w.open_list
+              WHEN len(w.open_list) = 3 THEN [s.ep]
+              ELSE list_append(w.open_list, s.ep) END,
+         CASE WHEN (NOT list_contains(w.open_list, s.ep)) AND len(w.open_list) = 3
+              THEN w.epoch + 1 ELSE w.epoch END
+  FROM seq s JOIN walk w ON s.kafka_partition = w.kafka_partition AND s.rn = w.rn + 1
+),
+files AS (
+  SELECT *, MIN("offset") OVER (PARTITION BY kafka_partition, epoch, ep) AS file_start_offset
+  FROM walk
+)
+SELECT 'events/' || ep || '/events+' || CAST(kafka_partition AS VARCHAR)
+       || '+' || printf('%010d', file_start_offset) || '.parquet' AS file_path,
+       COUNT(*) AS record_count, MIN("offset") AS min_offset, MAX("offset") AS max_offset
+FROM files GROUP BY 1 ORDER BY 1""",
         # gaps-and-islands: the run id of consecutive same-encoded-partition
         # offsets is the difference of the two row_numbers
         "rotation_partition_change": _manifest(

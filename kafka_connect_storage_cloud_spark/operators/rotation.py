@@ -311,3 +311,52 @@ def assign_files_schema_compat(
     wf = Window.partitionBy("kafka_partition", "encoded_partition", "file_seq")
     out = out.withColumn("file_start_offset", F.min("offset").over(wf))
     return _with_file_path(out, ext, naming)
+
+
+def assign_files_max_open(
+    records: DataFrame,
+    max_open_files: int,
+    ext: str = "parquet",
+    naming: FileNaming = DEFAULT_NAMING,
+) -> DataFrame:
+    """partitioner.max.open.files rotation (TopicPartitionWriter.java:530-541
+    rotateOnPartitionerMaxOpenFiles): a record for a NOT-currently-open
+    encoded partition arriving while exactly `max_open_files` files are open
+    triggers rotation, which commits EVERY open file of the topic-partition
+    (the writer's rotation commits all open files, then the new partition's
+    file opens into a fresh commit epoch).
+
+    Like rotate.interval.ms this walk is inherently sequential per
+    kafka_partition (the open set depends on every prior record), so it runs
+    as a vectorized per-group pass; groups are per kafka partition —
+    thousands of modest groups at scale, never one giant one. Adds `epoch`
+    (commit generation) next to the usual file columns; files are
+    (epoch, encoded_partition) groups named by their start offset."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    if max_open_files < 1:
+        raise ValueError("partitioner.max.open.files must be >= 1 (or unset)")
+
+    schema_out = StructType(
+        list(records.schema.fields) + [StructField("epoch", LongType())]
+    )
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("offset").reset_index(drop=True)
+        open_set: set = set()
+        epoch = 0
+        epochs = []
+        for ep in pdf["encoded_partition"].tolist():
+            if ep not in open_set:
+                if len(open_set) == max_open_files:
+                    epoch += 1
+                    open_set = set()
+                open_set.add(ep)
+            epochs.append(epoch)
+        pdf["epoch"] = pd.Series(epochs, dtype="int64")
+        return pdf
+
+    out = records.groupBy("kafka_partition").applyInPandas(walk, schema=schema_out)
+    wf = Window.partitionBy("kafka_partition", "epoch", "encoded_partition")
+    out = out.withColumn("file_start_offset", F.min("offset").over(wf))
+    return _with_file_path(out, ext, naming)

@@ -385,3 +385,18 @@ def schema_compat_rotation_plan(
         )
         .orderBy("file_path")
     )
+
+
+def rotation_max_open_files_plan(
+    spark: SparkSession, sf_dir: str, max_open_files: int = 3
+) -> DataFrame:
+    """partitioner.max.open.files=3 over the event_type partitioner (8
+    encoded partitions interleave per kafka partition, so the open-set cap
+    trips constantly — the worst case the knob exists for). Manifest of
+    (epoch, encoded_partition) files named by start offset."""
+    rec = events_as_topic(spark, sf_dir).withColumn(
+        "encoded_partition", P.field_partitioner(["event_type"])
+    )
+    return R.file_manifest(
+        R.assign_files_max_open(rec, max_open_files)
+    ).orderBy("file_path")

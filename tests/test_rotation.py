@@ -128,3 +128,46 @@ def test_kafka_source_is_gated():
     ).getOrCreate()
     with pytest.raises(NotImplementedError, match="Kafka source requires"):
         kafka_source(spark, "localhost:9092", "events")
+
+
+def test_max_open_files_commits_all_open_files(spark):
+    """rotateOnPartitionerMaxOpenFiles (TopicPartitionWriter.java:530-541):
+    a record for a NOT-open encoded partition at a full open set (== limit)
+    commits EVERY open file. Stream p1 p2 p1 p3 p1 p2 with limit 2:
+    p3's arrival at {p1,p2} rotates -> epoch 1 opens with p3; the later p1/p2
+    records then reopen NEW files in epoch 1."""
+    import pyspark.sql.functions as F
+
+    rows = [
+        ("t", 0, 0, "p1"), ("t", 0, 1, "p2"), ("t", 0, 2, "p1"),
+        ("t", 0, 3, "p3"), ("t", 0, 4, "p1"), ("t", 0, 5, "p2"),
+    ]
+    df = spark.createDataFrame(
+        rows, "topic string, kafka_partition int, offset long, encoded_partition string"
+    ).withColumn("timestamp", F.lit(None).cast("timestamp"))
+    out = R.assign_files_max_open(df, 2)
+    got = {r["offset"]: (r["epoch"], r["file_start_offset"]) for r in out.collect()}
+    assert got == {
+        0: (0, 0),  # p1 epoch0 file starts at 0
+        1: (0, 1),  # p2 epoch0
+        2: (0, 0),  # p1 same open file
+        3: (1, 3),  # p3 trips the cap -> commit all, epoch1
+        4: (1, 4),  # p1 reopens in epoch1 (new file, new start offset)
+        5: (2, 5),  # p2 arrives at full epoch1 set {p3,p1} -> rotates again
+    }
+
+
+def test_max_open_files_exact_epochs(spark):
+    """Tighter pin, no ambiguity: limit 2, stream p1 p2 p3 p1 -> p3 rotates
+    (epoch1={p3}), p1 joins epoch1's open set (size 1 < 2, no rotation)."""
+    import pyspark.sql.functions as F
+
+    rows = [("t", 0, 0, "p1"), ("t", 0, 1, "p2"), ("t", 0, 2, "p3"), ("t", 0, 3, "p1")]
+    df = spark.createDataFrame(
+        rows, "topic string, kafka_partition int, offset long, encoded_partition string"
+    ).withColumn("timestamp", F.lit(None).cast("timestamp"))
+    got = {
+        r["offset"]: (r["epoch"], r["file_start_offset"])
+        for r in R.assign_files_max_open(df, 2).collect()
+    }
+    assert got == {0: (0, 0), 1: (0, 1), 2: (1, 2), 3: (1, 3)}
