@@ -236,6 +236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_confusion": LQ.lang_id_confusion,
         "quality_score": LQ.quality_score,
         "quality_filter": LQ.quality_filter,
+        "quality_threshold_yield": LQ.quality_threshold_yield,
         "gopher_rules_filter": LQ.gopher_rules_filter,
         "repetition_score": LQ.repetition_score,
         "tokenizer_fertility": LQ.tokenizer_fertility,

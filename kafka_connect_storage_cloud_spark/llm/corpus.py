@@ -1130,3 +1130,75 @@ FROM assigned ORDER BY doc_id
 
 QUERIES["context_pack"] = context_pack
 ORACLES["context_pack"] = SQL_CONTEXT_PACK
+
+
+CTX_LOSS_LENS = (64, 256, 1024)  # candidate context lengths (ws tokens)
+
+
+def doc_truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length sizing table: for each candidate context length L,
+    per language, how many documents exceed L whitespace tokens and what
+    fraction of the corpus's tokens a hard truncation at L throws away —
+    the first number a pretraining-data engineer reads when choosing
+    sequence length vs document-splitting policy (the complementary view
+    to context_pack, which models the packing side). One scan; the
+    3-length explode multiplies rows before a tiny (lang, L) aggregate,
+    all integer-exact."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "lang",
+        F.size(F.split(F.lower("text"), r"\s+")).cast("long").alias("tokens"),
+    )
+    exploded = docs.withColumn(
+        "ctx_len", F.explode(F.array(*[F.lit(n) for n in CTX_LOSS_LENS]))
+    )
+    lost = F.greatest(F.col("tokens") - F.col("ctx_len"), F.lit(0))
+    return (
+        exploded.groupBy("lang", "ctx_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("tokens") > F.col("ctx_len")).cast("long")).alias("n_truncated"),
+            F.sum("tokens").alias("tokens_total"),
+            F.sum(lost).alias("tokens_lost"),
+        )
+        .select(
+            "lang",
+            "ctx_len",
+            "n_docs",
+            "n_truncated",
+            "tokens_total",
+            "tokens_lost",
+            H.round6(F.col("n_truncated") / F.col("n_docs").cast("double")).alias(
+                "truncated_share"
+            ),
+            H.round6(F.col("tokens_lost") / F.col("tokens_total").cast("double")).alias(
+                "lost_share"
+            ),
+        )
+        .orderBy("lang", "ctx_len")
+    )
+
+
+SQL_DOC_TRUNCATION_LOSS = f"""
+WITH toks AS (
+  SELECT lang, CAST({_SQL_WS_TOKENS} AS BIGINT) AS tokens FROM documents
+),
+exploded AS (
+  SELECT lang, tokens, UNNEST([{", ".join(str(n) for n in CTX_LOSS_LENS)}]) AS ctx_len
+  FROM toks
+),
+agg AS (
+  SELECT lang, ctx_len,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN tokens > ctx_len THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated,
+         CAST(SUM(tokens) AS BIGINT) AS tokens_total,
+         CAST(SUM(GREATEST(tokens - ctx_len, 0)) AS BIGINT) AS tokens_lost
+  FROM exploded GROUP BY 1, 2
+)
+SELECT lang, ctx_len, n_docs, n_truncated, tokens_total, tokens_lost,
+       {H.sql_round6("n_truncated / CAST(n_docs AS DOUBLE)")} AS truncated_share,
+       {H.sql_round6("tokens_lost / CAST(tokens_total AS DOUBLE)")} AS lost_share
+FROM agg ORDER BY lang, ctx_len
+"""
+
+QUERIES["doc_truncation_loss"] = doc_truncation_loss
+ORACLES["doc_truncation_loss"] = SQL_DOC_TRUNCATION_LOSS

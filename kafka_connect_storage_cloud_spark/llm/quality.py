@@ -721,3 +721,77 @@ FROM m ORDER BY doc_id
 
 
 ORACLES["gopher_rules_filter"] = _sql_gopher()
+
+
+YIELD_THRESHOLDS = tuple(round(0.1 * i, 1) for i in range(1, 10))
+
+
+def quality_threshold_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-sweep yield curve: for each candidate quality bar t, the
+    document and whitespace-token volume surviving `quality >= t` — the
+    curve read to pick the quality threshold that fits a token budget
+    (quality_dup_profile shows where the corpus sits; this shows what each
+    cut would cost). Composition of the shared quality_score scan with a
+    9-literal explode; every doc lands in every threshold group, so totals
+    are in-group aggregates — one scan, one small shuffle, no cross join."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = quality_score(spark, sf_dir).select("doc_id", "quality").join(
+        docs.select(
+            "doc_id", F.size(F.split(F.lower("text"), r"\s+")).cast("long").alias("ws_tokens")
+        ),
+        "doc_id",
+    )
+    exploded = base.withColumn(
+        "threshold",
+        F.explode(F.array(*[F.lit(float(t)) for t in YIELD_THRESHOLDS])),
+    )
+    kept = F.col("quality") >= F.col("threshold")
+    return (
+        exploded.groupBy("threshold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+            F.sum("ws_tokens").alias("tokens_total"),
+            F.sum(F.when(kept, F.col("ws_tokens")).otherwise(F.lit(0))).alias("tokens_kept"),
+        )
+        .select(
+            "threshold",
+            "n_docs",
+            "n_kept",
+            "tokens_total",
+            "tokens_kept",
+            H.round6(F.col("n_kept") / F.col("n_docs").cast("double")).alias("doc_yield"),
+            H.round6(F.col("tokens_kept") / F.col("tokens_total").cast("double")).alias(
+                "token_yield"
+            ),
+        )
+        .orderBy("threshold")
+    )
+
+
+SQL_QUALITY_THRESHOLD_YIELD = f"""
+WITH scored AS (
+  SELECT doc_id, {H.sql_round6(_SQL_QUALITY_EXPR)} AS quality,
+         CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS ws_tokens
+  FROM documents
+),
+exploded AS (
+  SELECT quality, ws_tokens,
+         UNNEST([{", ".join(f"CAST({t} AS DOUBLE)" for t in YIELD_THRESHOLDS)}]) AS threshold
+  FROM scored
+),
+agg AS (
+  SELECT threshold,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN quality >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         CAST(SUM(ws_tokens) AS BIGINT) AS tokens_total,
+         CAST(SUM(CASE WHEN quality >= threshold THEN ws_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
+  FROM exploded GROUP BY 1
+)
+SELECT threshold, n_docs, n_kept, tokens_total, tokens_kept,
+       {H.sql_round6("n_kept / CAST(n_docs AS DOUBLE)")} AS doc_yield,
+       {H.sql_round6("tokens_kept / CAST(tokens_total AS DOUBLE)")} AS token_yield
+FROM agg ORDER BY threshold
+"""
+
+ORACLES["quality_threshold_yield"] = SQL_QUALITY_THRESHOLD_YIELD

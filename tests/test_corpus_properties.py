@@ -106,3 +106,46 @@ def test_udtf_chunker_matches_explode_chunker(spark, sf_small):
         for r in doc_chunk_split_udtf(spark, sf_small).collect()
     }
     assert got == want and want
+
+
+def test_doc_truncation_loss_invariants(spark, sf_small):
+    """Longer context can only reduce truncation: shares are monotone
+    non-increasing in ctx_len within a language, lost <= total, and the
+    shortest candidate length actually truncates something (in-distribution
+    — a loss table that is all zeros is a dead feature)."""
+    from kafka_connect_storage_cloud_spark.llm.corpus import doc_truncation_loss
+
+    rows = doc_truncation_loss(spark, sf_small).collect()
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert by_lang
+    any_truncated = False
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r["ctx_len"])
+        for a, b in zip(rs, rs[1:]):
+            assert a["truncated_share"] >= b["truncated_share"], lang
+            assert a["lost_share"] >= b["lost_share"], lang
+        for r in rs:
+            assert 0 <= r["tokens_lost"] <= r["tokens_total"]
+            assert r["n_truncated"] <= r["n_docs"]
+        any_truncated |= rs[0]["n_truncated"] > 0
+    assert any_truncated, "no candidate length truncates anything at this SF"
+
+
+def test_quality_threshold_yield_monotone_and_splits(spark, sf_small):
+    """A higher bar can only keep fewer docs/tokens, and the curve must
+    actually separate somewhere inside the sweep (vacuous-curve lint)."""
+    from kafka_connect_storage_cloud_spark.llm.quality import quality_threshold_yield
+
+    rows = sorted(
+        quality_threshold_yield(spark, sf_small).collect(),
+        key=lambda r: r["threshold"],
+    )
+    assert len(rows) == 9
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_kept"] >= b["n_kept"]
+        assert a["tokens_kept"] >= b["tokens_kept"]
+        assert a["n_docs"] == b["n_docs"]  # every doc in every group
+    yields = {r["doc_yield"] for r in rows}
+    assert len(yields) > 1, "yield curve is flat — thresholds sit outside the score range"
