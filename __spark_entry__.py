@@ -196,6 +196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **WH.QUERIES,
         # --- LLM data pipeline (SURVEY §2C) ---
         "dedup_clusters": LC.dedup_clusters,
+        "dup_cluster_size_profile": LC.dup_cluster_size_profile,
         "dedup_keep_best": LC.dedup_keep_best,
         "dedup_semantic": LC.dedup_semantic,
         "dedup_rate_by_slice": LC.dedup_rate_by_slice,

@@ -336,3 +336,40 @@ FROM qj GROUP BY q_bin ORDER BY q_bin
 
 
 ORACLES["quality_dup_profile"] = _sql_quality_dup_profile()
+
+
+def dup_cluster_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram: for each component size k, how many
+    near-dup clusters exist, how many documents they hold, and how many a
+    keep-one policy removes (k-1 per cluster) — the single table that says
+    how much a dedup pass will shrink the corpus before running it
+    (dedup_rate_by_slice answers WHO gets dropped; this answers HOW MUCH).
+    Pure rollup of dedup_clusters: one extra tiny aggregation."""
+    comp = dedup_clusters(spark, sf_dir)
+    return (
+        comp.groupBy("cluster_size")
+        .agg(F.countDistinct("cluster_id").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+            ((F.col("cluster_size") - F.lit(1)) * F.col("n_clusters")).alias(
+                "removable_docs"
+            ),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+def _sql_dup_cluster_size_profile() -> str:
+    return f"""
+WITH comp AS ({_sql_clusters()})
+SELECT cluster_size,
+       CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+       CAST(cluster_size * COUNT(DISTINCT cluster_id) AS BIGINT) AS n_docs,
+       CAST((cluster_size - 1) * COUNT(DISTINCT cluster_id) AS BIGINT) AS removable_docs
+FROM comp GROUP BY cluster_size ORDER BY cluster_size
+"""
+
+
+ORACLES["dup_cluster_size_profile"] = _sql_dup_cluster_size_profile()

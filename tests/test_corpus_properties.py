@@ -149,3 +149,19 @@ def test_quality_threshold_yield_monotone_and_splits(spark, sf_small):
         assert a["n_docs"] == b["n_docs"]  # every doc in every group
     yields = {r["doc_yield"] for r in rows}
     assert len(yields) > 1, "yield curve is flat — thresholds sit outside the score range"
+
+
+def test_dup_cluster_size_profile_accounts_for_every_doc(spark, sf_small):
+    """Σ n_docs over the histogram == corpus size; removable == n_docs -
+    n_clusters per row; and the corpus actually contains some k>=2 cluster
+    (in-distribution)."""
+    from kafka_connect_storage_cloud_spark.llm.clustering import (
+        dup_cluster_size_profile,
+    )
+
+    rows = dup_cluster_size_profile(spark, sf_small).collect()
+    n_docs_total = spark.read.parquet(f"{sf_small}/documents.parquet").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs_total
+    for r in rows:
+        assert r["removable_docs"] == r["n_docs"] - r["n_clusters"]
+    assert any(r["cluster_size"] >= 2 for r in rows)
