@@ -669,3 +669,43 @@ ORACLES = {
     "cluster_profile_kmeans": SQL_CLUSTER_PROFILE,
     "semantic_contamination": _sql_semantic_contamination(),
 }
+
+
+def ivf_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF inverted-list balance: per cell, how many vectors it holds and
+    its load factor vs the uniform expectation (n/K). Hot cells are what
+    ruin IVF tail latency — a probe of a cell holding 10x its share does
+    10x the rerank work — so this is the audit you read before fixing K or
+    re-training (same role rotation_stats plays for file sizes). One
+    assignment scan + a K-row aggregate."""
+    assigned = _assigned(spark, sf_dir).select("vec_id", "cell")
+    per_cell = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors"))
+    total = F.sum("n_vectors").over(Window.partitionBy())
+    return (
+        per_cell.select(
+            "cell",
+            "n_vectors",
+            H.round6(F.col("n_vectors") / total.cast("double")).alias("share"),
+            H.round6(
+                F.col("n_vectors") * F.lit(IVF_K) / total.cast("double")
+            ).alias("load_factor"),
+        )
+        .orderBy("cell")
+    )
+
+
+SQL_IVF_BALANCE_AUDIT = f"""
+WITH {_SQL_EMB},
+{_sql_train_chain()},
+{_sql_assign(_FINAL_CENTS, 'assigned')},
+per_cell AS (
+  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vectors FROM assigned GROUP BY cell
+)
+SELECT cell, n_vectors,
+       {H.sql_round6("n_vectors / CAST(SUM(n_vectors) OVER () AS DOUBLE)")} AS share,
+       {H.sql_round6(f"n_vectors * {IVF_K} / CAST(SUM(n_vectors) OVER () AS DOUBLE)")} AS load_factor
+FROM per_cell ORDER BY cell
+"""
+
+QUERIES["ivf_balance_audit"] = ivf_balance_audit
+ORACLES["ivf_balance_audit"] = SQL_IVF_BALANCE_AUDIT
