@@ -70,6 +70,41 @@ def _norm(vec_dec: str) -> Column:
     return F.sqrt(_dot(vec_dec, vec_dec))
 
 
+def _score_pairs_pandas(joined: DataFrame) -> DataFrame:
+    """(src, dst, cosine) from a frame carrying (src, dst, sv, dv, sn, dn):
+    one numpy int64 batch dot per Arrow batch, replicating the Column
+    expression's exact operation order (int64 dot -> /SCALE² as double ->
+    /(sn*dn) -> 6-dp floor-round) — bit-identical, but vectorized instead
+    of a 64-element interpreted aggregate lambda per pair (the per-pair
+    rescore cost that dominated the LSH edge builder after signatures were
+    vectorized)."""
+    import numpy as np
+    import pandas as pd
+
+    scale2 = float(SCALE * SCALE)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame({"src": [], "dst": [], "cosine": []})
+                continue
+            a = np.stack(pdf["sv"].to_numpy()).astype(np.int64)
+            b = np.stack(pdf["dv"].to_numpy()).astype(np.int64)
+            dot = np.einsum("ij,ij->i", a, b).astype(np.float64) / scale2
+            cos = dot / (pdf["sn"].to_numpy() * pdf["dn"].to_numpy())
+            yield pd.DataFrame(
+                {
+                    "src": pdf["src"].to_numpy(),
+                    "dst": pdf["dst"].to_numpy(),
+                    "cosine": np.floor(cos * 1000000.0 + 0.5) / 1000000.0,
+                }
+            )
+
+    return joined.select("src", "dst", "sv", "dv", "sn", "dn").mapInPandas(
+        score, "src long, dst long, cosine double"
+    )
+
+
 def _with_dec_and_norm(df: DataFrame) -> DataFrame:
     df = df.withColumn("v", _dec_vec("embedding"))
     return df.withColumn("nrm", _norm("v"))
@@ -1779,11 +1814,19 @@ def _lsh_topk_edges(spark: SparkSession, sf_dir: str, k: int = KNN_K) -> DataFra
         "band", F.explode(probes).alias("bucket"), F.col("vec_id").alias("src")
     )
     right = b_ok.select("band", "bucket", F.col("vec_id").alias("dst"))
-    pairs = (
+    # XOR multiprobe is symmetric (a.bucket^bit == b.bucket iff
+    # b.bucket^bit == a.bucket), so the candidate relation is symmetric by
+    # construction: dedupe only the src<dst half (half the distinct's
+    # shuffle volume — the dominant cost once signatures are vectorized)
+    # and mirror it back for the per-src top-k.
+    half = (
         left.join(right, ["band", "bucket"])
-        .where(F.col("src") != F.col("dst"))
+        .where(F.col("src") < F.col("dst"))
         .select("src", "dst")
         .distinct()  # a pair may collide in several bands/probes
+    )
+    pairs = half.unionAll(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     sv = emb.select(
         F.col("vec_id").alias("src"), F.col("v").alias("sv"), F.col("nrm").alias("sn")
@@ -1791,17 +1834,7 @@ def _lsh_topk_edges(spark: SparkSession, sf_dir: str, k: int = KNN_K) -> DataFra
     dv = emb.select(
         F.col("vec_id").alias("dst"), F.col("v").alias("dv"), F.col("nrm").alias("dn")
     )
-    scored = (
-        pairs.join(sv, "src")
-        .join(dv, "dst")
-        .withColumn(
-            "cosine",
-            (
-                F.floor((_dot("sv", "dv") / (F.col("sn") * F.col("dn"))) * 1000000.0 + F.lit(0.5))
-                / 1000000.0
-            ),
-        )
-    )
+    scored = _score_pairs_pandas(pairs.join(sv, "src").join(dv, "dst"))
     w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
