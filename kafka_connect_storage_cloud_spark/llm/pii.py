@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import hashing as H
 from ..session import read_table
 
 EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
@@ -116,3 +117,73 @@ FROM aug_t
 
 ORACLES = {"pii_scan": SQL_PII_SCAN}
 QUERIES = {"pii_scan": pii_scan}
+
+
+def pii_density_by_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII risk table per (source, lang): docs affected, hit counts per
+    category, and hits per 10k characters — the per-slice report a privacy
+    review asks for before any source is admitted to the training mix (the
+    pii_scan rollup; scan once, aggregate small)."""
+    per_doc = pii_scan(spark, sf_dir).select(
+        "doc_id", "n_emails", "n_ips", "n_phones", "pii_total", "has_pii"
+    )
+    dims = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", F.length("text").alias("n_chars_actual")
+    )
+    return (
+        per_doc.join(dims, "doc_id")
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("has_pii").cast("long")).alias("docs_with_pii"),
+            F.sum("n_emails").alias("emails"),
+            F.sum("n_ips").alias("ips"),
+            F.sum("n_phones").alias("phones"),
+            F.sum("pii_total").alias("pii_total"),
+            F.sum("n_chars_actual").alias("chars"),
+        )
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "docs_with_pii",
+            "emails",
+            "ips",
+            "phones",
+            "pii_total",
+            H.round6(F.col("docs_with_pii") / F.col("n_docs").cast("double")).alias(
+                "doc_share"
+            ),
+            H.round6(
+                F.col("pii_total") * F.lit(10000.0) / F.col("chars").cast("double")
+            ).alias("hits_per_10k_chars"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+SQL_PII_DENSITY_BY_SLICE = f"""
+WITH per_doc AS ({SQL_PII_SCAN}),
+joined AS (
+  SELECT p.*, d.source, d.lang, len(d.text) AS n_chars_actual
+  FROM per_doc p JOIN documents d ON p.doc_id = d.doc_id
+),
+agg AS (
+  SELECT source, lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN has_pii THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+         CAST(SUM(n_emails) AS BIGINT) AS emails,
+         CAST(SUM(n_ips) AS BIGINT) AS ips,
+         CAST(SUM(n_phones) AS BIGINT) AS phones,
+         CAST(SUM(pii_total) AS BIGINT) AS pii_total,
+         CAST(SUM(n_chars_actual) AS BIGINT) AS chars
+  FROM joined GROUP BY 1, 2
+)
+SELECT source, lang, n_docs, docs_with_pii, emails, ips, phones, pii_total,
+       {H.sql_round6("docs_with_pii / CAST(n_docs AS DOUBLE)")} AS doc_share,
+       {H.sql_round6("pii_total * 10000.0 / CAST(chars AS DOUBLE)")} AS hits_per_10k_chars
+FROM agg ORDER BY source, lang
+"""
+
+QUERIES["pii_density_by_slice"] = pii_density_by_slice
+ORACLES["pii_density_by_slice"] = SQL_PII_DENSITY_BY_SLICE
