@@ -208,6 +208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": LD.dedup_minhash_lsh,
         "dedup_incremental": LD.dedup_incremental,
         "minhash_jaccard_est": LD.minhash_jaccard_est,
+        "minhash_band_tuning": LD.minhash_band_tuning,
         "dedup_simhash": LD.dedup_simhash,
         "ngram_jaccard": LD.ngram_jaccard,
         "dedup_modality_agreement": LD.dedup_modality_agreement,

@@ -704,3 +704,75 @@ ORACLES = {
     "source_overlap_jaccard": SQL_SOURCE_OVERLAP_JACCARD,
     "minhash_precision_curve": SQL_MINHASH_PRECISION_CURVE,
 }
+
+
+MH_TUNE_CONFIGS = tuple(
+    (K_PERMS // r, r) for r in (1, 2, 4, 8, 16)
+)  # (bands, rows_per_band) with bands*rows == K_PERMS
+
+
+def _pow_chain(expr: str, n: int) -> str:
+    """x^n as an explicit left-associated product — bit-identical on both
+    engines for integer n (libm pow is NOT guaranteed correctly rounded and
+    Math.pow vs std::pow differ in last ULPs)."""
+    return "(" + " * ".join([f"({expr})"] * n) + ")"
+
+
+def minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding tuning table: for every (bands, rows) split of the
+    K_PERMS signature, the EXPECTED capture of the corpus's own observed
+    pair population under the standard S-curve P(candidate) = 1-(1-j^r)^b,
+    evaluated at each pair's exact Jaccard and split by true duplicates
+    (j >= MH_CURVE_TRUE_J) vs spurious candidates — the table read to move
+    N_BANDS before re-running a corpus-scale dedup (minhash_precision_curve
+    shows what the CURRENT banding did; this predicts the alternatives).
+    Per-pair capture probabilities are 1e-6-quantized to integers before
+    summing, so the aggregation is order-free on both engines."""
+    base = minhash_jaccard_est(spark, sf_dir).select("exact_jaccard").localCheckpoint()
+    frames = []
+    for b, r in MH_TUNE_CONFIGS:
+        jr = _pow_chain("exact_jaccard", r)
+        p = f"1.0 - {_pow_chain(f'1.0 - {jr}', b)}"
+        pint = F.expr(f"CAST(floor(({p}) * 1000000.0 + 0.5) AS BIGINT)")
+        is_true = F.col("exact_jaccard") >= MH_CURVE_TRUE_J
+        agg = base.agg(
+            F.sum(F.when(is_true, pint).otherwise(F.lit(0))).alias("true_cap_micro"),
+            F.sum(F.when(is_true, F.lit(1)).otherwise(F.lit(0))).cast("long").alias("n_true"),
+            F.sum(F.when(~is_true, pint).otherwise(F.lit(0))).alias("false_cap_micro"),
+            F.sum(F.when(~is_true, F.lit(1)).otherwise(F.lit(0))).cast("long").alias("n_false"),
+        ).select(
+            F.lit(b).alias("bands"),
+            F.lit(r).alias("rows_per_band"),
+            "n_true",
+            "n_false",
+            H.round6(F.col("true_cap_micro") / F.lit(1000000.0) / F.greatest(F.col("n_true"), F.lit(1)).cast("double")).alias("exp_recall"),
+            H.round6(F.col("false_cap_micro") / F.lit(1000000.0) / F.greatest(F.col("n_false"), F.lit(1)).cast("double")).alias("exp_false_capture"),
+        )
+        frames.append(agg)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionAll(f)
+    return out.orderBy("rows_per_band")
+
+
+def _sql_band_tuning() -> str:
+    base = SQL_MINHASH_JACCARD_EST.replace("ORDER BY e.doc_a, e.doc_b", "")
+    selects = []
+    for b, r in MH_TUNE_CONFIGS:
+        jr = _pow_chain("exact_jaccard", r)
+        p = f"1.0 - {_pow_chain(f'1.0 - {jr}', b)}"
+        pint = f"CAST(floor(({p}) * 1000000.0 + 0.5) AS BIGINT)"
+        selects.append(f"""
+SELECT {b} AS bands, {r} AS rows_per_band,
+       CAST(SUM(CASE WHEN exact_jaccard >= {MH_CURVE_TRUE_J} THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+       CAST(SUM(CASE WHEN exact_jaccard < {MH_CURVE_TRUE_J} THEN 1 ELSE 0 END) AS BIGINT) AS n_false,
+       (floor((CAST(SUM(CASE WHEN exact_jaccard >= {MH_CURVE_TRUE_J} THEN {pint} ELSE 0 END) AS DOUBLE)
+          / 1000000.0 / GREATEST(SUM(CASE WHEN exact_jaccard >= {MH_CURVE_TRUE_J} THEN 1 ELSE 0 END), 1)) * 1000000.0 + 0.5) / 1000000.0) AS exp_recall,
+       (floor((CAST(SUM(CASE WHEN exact_jaccard < {MH_CURVE_TRUE_J} THEN {pint} ELSE 0 END) AS DOUBLE)
+          / 1000000.0 / GREATEST(SUM(CASE WHEN exact_jaccard < {MH_CURVE_TRUE_J} THEN 1 ELSE 0 END), 1)) * 1000000.0 + 0.5) / 1000000.0) AS exp_false_capture
+FROM base""")
+    u = "\nUNION ALL\n".join(selects)
+    return f"WITH base AS MATERIALIZED ({base})\nSELECT * FROM (\n{u}\n) ORDER BY rows_per_band"
+
+
+ORACLES["minhash_band_tuning"] = _sql_band_tuning()
