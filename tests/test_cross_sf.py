@@ -49,6 +49,15 @@ TIE_PRONE = [
     "cluster_profile_kmeans", # purity + mean-cosine divisions
     "unblocked_band_recall",  # recall ratio over exact pair classes
     "embedding_pca_power",    # Rayleigh double conversions
+    # round-4 additions in the same ratio/tie expression classes
+    "doc_truncation_loss",    # truncated/lost share ratios
+    "quality_threshold_yield",  # quality >= threshold boundary + yield ratios
+    "pii_density_by_slice",   # hits-per-10k-chars ratio
+    "minhash_band_tuning",    # S-curve power chains + micro-int mean ratios
+    "ivf_balance_audit",      # share / load-factor divisions over window total
+    "cosine_dup_band_recall_sampled",  # per-label recall ratio on the sampled blocks
+    "knn_graph_lsh_recall_sampled",    # single-row recall ratio
+    "locale_partitioner",     # tz-sensitive month/dow name indexing
 ]
 
 
