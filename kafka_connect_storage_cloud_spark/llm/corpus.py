@@ -1202,3 +1202,127 @@ FROM agg ORDER BY lang, ctx_len
 
 QUERIES["doc_truncation_loss"] = doc_truncation_loss
 ORACLES["doc_truncation_loss"] = SQL_DOC_TRUNCATION_LOSS
+
+
+BPE_ROUNDS = 6
+_BPE_SEP = "\x1f"  # token boundary inside the word representation
+_BPE_GLUE = "\x1e"  # internal glue of a merged token (stripped for display)
+
+
+def bpe_train_rounds(spark: SparkSession, sf_dir: str, rounds: int = BPE_ROUNDS) -> DataFrame:
+    """FULL iterative BPE training loop (bpe_pair_stats runs one counting
+    round; this runs the actual trainer): per round, count corpus-weighted
+    adjacent token pairs over the word-type table, merge the most frequent
+    pair (count desc, pair asc — deterministic), repeat. Returns the merge
+    trace (round, pair, weighted count, vocab size after) — the first
+    `rounds` entries of the tokenizer's merges.txt.
+
+    Scale shape: training runs on the AGGREGATED word-type table (vocab
+    size, not corpus size — exactly how production BPE trainers work), so
+    every round is a vocab-sized scan + a 1-row argmax; the only corpus
+    pass is the initial word count. The per-round driver state is ONE
+    (pair, count) row — same bounded-collect class as the Lloyd/PCA loops.
+    The merge itself is a string rewrite on a SEP-delimited representation:
+    replace('<s>a<s>b<s>' -> '<s>a<glue>b<s>') is leftmost-non-overlapping
+    on both engines, which IS greedy-left BPE merge order ('a a a' merges
+    the left pair)."""
+    docs = read_table(spark, sf_dir, "documents").select("text")
+    words = (
+        docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    rep0 = F.concat(
+        F.lit(_BPE_SEP), F.regexp_replace(F.col("w"), "(.)", "$1" + _BPE_SEP)
+    )
+    cur = words.select(rep0.alias("rep"), "cnt").localCheckpoint()
+    toks_expr = f"filter(split(rep, '{_BPE_SEP}'), x -> x != '')"
+    # zip_with over the two shifted slices: yields exactly the adjacent
+    # pairs and degrades to an empty array for 1-token words (sequence(1,
+    # size-1) would COUNT DOWN to [1,0] there — Spark sequences descend
+    # when start > stop)
+    pair_expr = (
+        "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1), "
+        "(x, y) -> struct(x AS a, y AS b))"
+    )
+    trace = []
+    for r in range(1, rounds + 1):
+        pairs = (
+            cur.select("cnt", F.expr(toks_expr).alias("t"))
+            .select("cnt", F.explode(F.expr(pair_expr)).alias("p"))
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.desc("c"), "a", "b")
+            .limit(1)
+            .collect()  # bounded: ONE row per round
+        )
+        if not pairs:
+            break
+        a, b, c = pairs[0]["a"], pairs[0]["b"], pairs[0]["c"]
+        search = f"{_BPE_SEP}{a}{_BPE_SEP}{b}{_BPE_SEP}"
+        repl = f"{_BPE_SEP}{a}{_BPE_GLUE}{b}{_BPE_SEP}"
+        cur = cur.select(
+            F.expr(f"replace(rep, '{search}', '{repl}')").alias("rep"), "cnt"
+        ).localCheckpoint()
+        vocab_after = (
+            cur.select(F.explode(F.expr(toks_expr)).alias("x")).distinct().count()
+        )
+        trace.append(
+            (
+                r,
+                a.replace(_BPE_GLUE, ""),
+                b.replace(_BPE_GLUE, ""),
+                int(c),
+                int(vocab_after),
+            )
+        )
+    return spark.createDataFrame(
+        trace,
+        "round int, pair_a string, pair_b string, pair_count long, vocab_size_after long",
+    ).orderBy("round")
+
+
+def _sql_bpe_train(rounds: int = BPE_ROUNDS) -> str:
+    s, g = _BPE_SEP, _BPE_GLUE
+    ctes = [
+        f"""w0 AS MATERIALIZED (
+  SELECT '{s}' || regexp_replace(w, '(.)', '\\1{s}', 'g') AS rep, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT UNNEST(string_split_regex(lower(text), '\\s+')) AS w FROM documents)
+  WHERE w != '' GROUP BY 1
+)"""
+    ]
+    finals = []
+    for r in range(1, rounds + 1):
+        prev = f"w{r - 1}"
+        ctes.append(
+            f"""p{r} AS MATERIALIZED (
+  SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS c FROM (
+    SELECT t[i] AS a, t[i + 1] AS b, cnt FROM (
+      SELECT t, cnt, UNNEST(generate_series(1, len(t) - 1)) AS i
+      FROM (SELECT list_filter(string_split(rep, '{s}'), x -> x != '') AS t, cnt FROM {prev})
+    )
+  ) GROUP BY 1, 2 ORDER BY c DESC, a, b LIMIT 1
+)"""
+        )
+        ctes.append(
+            f"""w{r} AS MATERIALIZED (
+  SELECT replace(rep, '{s}' || p.a || '{s}' || p.b || '{s}',
+                      '{s}' || p.a || '{g}' || p.b || '{s}') AS rep, cnt
+  FROM {prev} CROSS JOIN p{r} p
+)"""
+        )
+        finals.append(
+            f"""SELECT {r} AS round, replace(a, '{g}', '') AS pair_a, replace(b, '{g}', '') AS pair_b,
+       c AS pair_count,
+       (SELECT CAST(COUNT(DISTINCT x) AS BIGINT) FROM
+         (SELECT UNNEST(list_filter(string_split(rep, '{s}'), x -> x != '')) AS x FROM w{r}))
+         AS vocab_size_after
+FROM p{r}"""
+        )
+    u = "\nUNION ALL\n".join(finals)
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT * FROM (\n{u}\n) ORDER BY round"
+
+
+QUERIES["bpe_train_rounds"] = bpe_train_rounds
+ORACLES["bpe_train_rounds"] = _sql_bpe_train()
