@@ -189,3 +189,42 @@ def test_new_ops_survive_empty_corpus(spark, sf_small, tmp_path):
         "rarity_buckets", "context_pack",
     ):
         assert qs[op](spark, dst).count() == 0, op
+
+
+def test_banded_pandas_matches_expression_form(spark, sf_small):
+    """The vectorized band-signature builder (_banded_pandas, r4) must stay
+    bit-identical to the _lsh_signature expression tree it replaced — the
+    invariant that makes the numpy matmul a pure perf change. Pins all
+    three prefix families at their production widths."""
+    import pyspark.sql.functions as F
+
+    from kafka_connect_storage_cloud_spark.llm import similarity as LS
+
+    emb = LS._with_dec_and_norm(LS.read_table(spark, sf_small, "embeddings"))
+    n = emb.count()
+    cases = [
+        ("g{b}:", LS.GB_BANDS, LS._graph_band_bits(n), None),
+        ("q{b}:", LS.LSH_BANDS, LS.LSH_BAND_BITS, None),
+        ("cb{b}:", LS.CB_BANDS, LS._cb_bits(n), (("label", "int"),)),
+    ]
+    for fmt, n_bands, bits, extra in cases:
+        sigs = F.array(
+            *[
+                LS._lsh_signature(prefix=fmt.format(b=b), bits=bits)
+                for b in range(n_bands)
+            ]
+        )
+        cols = ["vec_id"] + [c for c, _t in (extra or ())]
+        expr_rows = set(
+            map(
+                tuple,
+                emb.select(*cols, F.posexplode(sigs).alias("band", "bucket")).collect(),
+            )
+        )
+        pd_rows = set(
+            map(
+                tuple,
+                LS._banded_pandas(emb, fmt, n_bands, bits, extra=extra or ()).collect(),
+            )
+        )
+        assert expr_rows == pd_rows, (fmt, n_bands, bits)
