@@ -1283,7 +1283,9 @@ def bpe_train_rounds(spark: SparkSession, sf_dir: str, rounds: int = BPE_ROUNDS)
     ).orderBy("round")
 
 
-def _sql_bpe_train(rounds: int = BPE_ROUNDS) -> str:
+def _sql_bpe_ctes(rounds: int = BPE_ROUNDS) -> list[str]:
+    """Shared CTE chain for the BPE oracles: w0 (char-split word types) and
+    per-round (p{r} top pair, w{r} merged representation)."""
     s, g = _BPE_SEP, _BPE_GLUE
     ctes = [
         f"""w0 AS MATERIALIZED (
@@ -1292,7 +1294,6 @@ def _sql_bpe_train(rounds: int = BPE_ROUNDS) -> str:
   WHERE w != '' GROUP BY 1
 )"""
     ]
-    finals = []
     for r in range(1, rounds + 1):
         prev = f"w{r - 1}"
         ctes.append(
@@ -1312,6 +1313,14 @@ def _sql_bpe_train(rounds: int = BPE_ROUNDS) -> str:
   FROM {prev} CROSS JOIN p{r} p
 )"""
         )
+    return ctes
+
+
+def _sql_bpe_train(rounds: int = BPE_ROUNDS) -> str:
+    s, g = _BPE_SEP, _BPE_GLUE
+    ctes = _sql_bpe_ctes(rounds)
+    finals = []
+    for r in range(1, rounds + 1):
         finals.append(
             f"""SELECT {r} AS round, replace(a, '{g}', '') AS pair_a, replace(b, '{g}', '') AS pair_b,
        c AS pair_count,
@@ -1326,3 +1335,104 @@ FROM p{r}"""
 
 QUERIES["bpe_train_rounds"] = bpe_train_rounds
 ORACLES["bpe_train_rounds"] = _sql_bpe_train()
+
+
+def bpe_compression_curve(spark: SparkSession, sf_dir: str, rounds: int = BPE_ROUNDS) -> DataFrame:
+    """What each BPE merge buys: per round 0..N, the corpus-weighted token
+    total under the first r merges and the chars-per-token compression —
+    the curve that says when to stop growing the vocab (the marginal gain
+    flattens). Shares the trainer's loop; the only extra work per round is
+    one vocab-sized weighted sum."""
+    docs = read_table(spark, sf_dir, "documents").select("text")
+    words = (
+        docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    rep0 = F.concat(
+        F.lit(_BPE_SEP), F.regexp_replace(F.col("w"), "(.)", "$1" + _BPE_SEP)
+    )
+    chars = F.sum(
+        F.col("cnt") * F.length(F.regexp_replace(F.col("rep"), _BPE_SEP, ""))
+    )
+    toks_expr = f"filter(split(rep, '{_BPE_SEP}'), x -> x != '')"
+    pair_expr = (
+        "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1), "
+        "(x, y) -> struct(x AS a, y AS b))"
+    )
+    cur = words.select(rep0.alias("rep"), "cnt").localCheckpoint()
+
+    def totals(df, r):
+        row = df.agg(
+            F.sum(F.col("cnt") * F.size(F.expr(toks_expr))).alias("tok"),
+            chars.alias("ch"),
+        ).collect()[0]
+        # chars never change under merges (GLUE chars excluded by counting
+        # only non-SEP after stripping GLUE too)
+        return (r, int(row["tok"]), int(row["ch"]))
+
+    # strip GLUE from the char count (merged tokens carry it internally)
+    chars = F.sum(
+        F.col("cnt")
+        * F.length(
+            F.regexp_replace(
+                F.regexp_replace(F.col("rep"), _BPE_SEP, ""), _BPE_GLUE, ""
+            )
+        )
+    )
+    trace = [totals(cur, 0)]
+    for r in range(1, rounds + 1):
+        pairs = (
+            cur.select("cnt", F.expr(toks_expr).alias("t"))
+            .select("cnt", F.explode(F.expr(pair_expr)).alias("p"))
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.desc("c"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not pairs:
+            break
+        a, b = pairs[0]["a"], pairs[0]["b"]
+        search = f"{_BPE_SEP}{a}{_BPE_SEP}{b}{_BPE_SEP}"
+        repl = f"{_BPE_SEP}{a}{_BPE_GLUE}{b}{_BPE_SEP}"
+        cur = cur.select(
+            F.expr(f"replace(rep, '{search}', '{repl}')").alias("rep"), "cnt"
+        ).localCheckpoint()
+        trace.append(totals(cur, r))
+    out = spark.createDataFrame(
+        trace, "round int, token_total long, char_total long"
+    )
+    return out.select(
+        "round",
+        "token_total",
+        "char_total",
+        H.round6(F.col("char_total") / F.col("token_total").cast("double")).alias(
+            "chars_per_token"
+        ),
+    ).orderBy("round")
+
+
+def _sql_bpe_compression(rounds: int = BPE_ROUNDS) -> str:
+    s, g = _BPE_SEP, _BPE_GLUE
+    ctes = _sql_bpe_ctes(rounds)
+    finals = []
+    for r in range(0, rounds + 1):
+        finals.append(
+            f"""SELECT {r} AS round,
+       CAST(SUM(cnt * len(list_filter(string_split(rep, '{s}'), x -> x != ''))) AS BIGINT) AS token_total,
+       CAST(SUM(cnt * len(replace(replace(rep, '{s}', ''), '{g}', ''))) AS BIGINT) AS char_total
+FROM w{r}"""
+        )
+    u = "\nUNION ALL\n".join(finals)
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""\nSELECT round, token_total, char_total,
+       {H.sql_round6("char_total / CAST(token_total AS DOUBLE)")} AS chars_per_token
+FROM (\n{u}\n) ORDER BY round"""
+    )
+
+
+QUERIES["bpe_compression_curve"] = bpe_compression_curve
+ORACLES["bpe_compression_curve"] = _sql_bpe_compression()
