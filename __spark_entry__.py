@@ -249,6 +249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": LM.multimodal_resize,
         "multimodal_frame_sample": LM.multimodal_frame_sample,
         "multimodal_audio_resample": LM.multimodal_audio_resample,
+        "multimodal_payload_dedup": LM.multimodal_payload_dedup,
         **LP.QUERIES,
         **LCO.QUERIES,
         **LPI.QUERIES,

@@ -340,3 +340,184 @@ ORACLES = {
     "multimodal_frame_sample": SQL_MULTIMODAL_FRAMES,
     "multimodal_audio_resample": SQL_MULTIMODAL_AUDIO_RESAMPLE,
 }
+
+
+# ---------------------------------------------------------------------------
+# Byte-level payload near-dup — the one dedup that needs NO decoder: raw
+# payload bytes are chunked, chunk digests minhashed, candidates banded and
+# confirmed by exact chunk-set Jaccard. Works on any modality today (the
+# decode stub is irrelevant here), which is exactly how multimodal corpora
+# get deduped before anyone pays for decoding.
+# ---------------------------------------------------------------------------
+
+MMD_CHUNK = 32  # bytes per chunk
+MMD_PERMS = 8
+MMD_BANDS = 4  # 2 rows per band
+MMD_TAU = 0.5  # exact chunk-set Jaccard confirm bar
+MMD_MAX_BUCKET = 64  # degenerate band-bucket guard (boilerplate floods)
+
+
+def _mmd_chunks(media: DataFrame) -> DataFrame:
+    """(media_id, mime, h): distinct 32-bit chunk digests of each payload's
+    MMD_CHUNK-byte windows — digests computed on the BINARY column."""
+    from ..functions import hashing as H
+
+    n_chunks = F.floor((F.col("n_bytes") - 1) / MMD_CHUNK)
+    hexd = F.expr(
+        f"md5(substring(payload, i * {MMD_CHUNK} + 1, {MMD_CHUNK}))"
+    )
+    return (
+        media.withColumn("i", F.explode(F.sequence(F.lit(0), n_chunks)))
+        .select(
+            "media_id",
+            "mime",
+            F.conv(F.substring(hexd, 1, 8), 16, 10).cast("bigint").alias("h"),
+        )
+        .distinct()
+    )
+
+
+def multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate payloads per mime: minhash (MMD_PERMS portable perms)
+    over byte-chunk digests, MMD_BANDS OR-ed 2-row bands for candidates,
+    exact chunk-set Jaccard >= MMD_TAU confirm. Identical plan shape to the
+    text dedup_minhash_lsh (signature projection, band equi-join, bounded
+    buckets) but driven entirely from the binary column."""
+    from ..functions import hashing as H
+
+    media = synth_media(spark, sf_dir).where(F.col("n_bytes") > 0)
+    chunks = _mmd_chunks(media).localCheckpoint()
+    mins = [
+        F.min(
+            H.h32(F.concat(F.lit(f"mmp{j}:"), F.col("h").cast("string")))
+        ).alias(f"mh{j}")
+        for j in range(MMD_PERMS)
+    ]
+    sig = chunks.groupBy("media_id", "mime").agg(*mins)
+    bands = sig.select(
+        "media_id",
+        "mime",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ":", F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")
+                        ).alias("bval"),
+                    )
+                    for b in range(MMD_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("media_id", "mime", F.col("bk.band").alias("band"), F.col("bk.bval").alias("bval"))
+    sizes = bands.groupBy("mime", "band", "bval").agg(F.count(F.lit(1)).alias("bn"))
+    ok = sizes.where(F.col("bn") <= MMD_MAX_BUCKET).select("mime", "band", "bval")
+    bands_ok = bands.join(F.broadcast(ok), ["mime", "band", "bval"])
+    a = bands_ok.select("mime", "band", "bval", F.col("media_id").alias("media_a"))
+    b = bands_ok.select("mime", "band", "bval", F.col("media_id").alias("media_b"))
+    cand = (
+        a.join(b, ["mime", "band", "bval"])
+        .where(F.col("media_a") < F.col("media_b"))
+        .select("mime", "media_a", "media_b")
+        .distinct()
+    )
+    ca = chunks.select(F.col("media_id").alias("media_a"), F.col("h").alias("ha"))
+    cb = chunks.select(F.col("media_id").alias("media_b"), F.col("h").alias("hb"))
+    inter = (
+        cand.join(ca, "media_a")
+        .join(cb, "media_b")
+        .where(F.col("ha") == F.col("hb"))
+        .groupBy("mime", "media_a", "media_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes_m = chunks.groupBy("media_id").agg(F.count(F.lit(1)).alias("n_ch"))
+    sa = sizes_m.select(F.col("media_id").alias("media_a"), F.col("n_ch").alias("na"))
+    sb = sizes_m.select(F.col("media_id").alias("media_b"), F.col("n_ch").alias("nb"))
+    jac = (
+        F.floor(
+            (F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double"))
+            * 1000000.0
+            + F.lit(0.5)
+        )
+        / 1000000.0
+    )
+    return (
+        cand.join(inter, ["mime", "media_a", "media_b"], "left")
+        .join(sa, "media_a")
+        .join(sb, "media_b")
+        .withColumn("n_inter", F.coalesce(F.col("n_inter"), F.lit(0)))
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= MMD_TAU)
+        .select("mime", "media_a", "media_b", F.col("n_inter").cast("long").alias("n_shared_chunks"), "jaccard")
+        .orderBy("mime", "media_a", "media_b")
+    )
+
+
+def _sql_mmd() -> str:
+    """DuckDB twin: the synthetic payload is encode(text) and the corpus is
+    ASCII, so byte-windows of the payload == char-windows of the text and
+    the md5 digests are identical."""
+    from ..functions import hashing as H
+
+    perms = ",\n         ".join(
+        "MIN("
+        + H.sql_h32(f"'mmp{j}:' || CAST(h AS VARCHAR)")
+        + f") AS mh{j}"
+        for j in range(MMD_PERMS)
+    )
+    band_rows = "\n  UNION ALL ".join(
+        f"SELECT media_id, mime, {b} AS band, CAST(mh{2 * b} AS VARCHAR) || ':' || CAST(mh{2 * b + 1} AS VARCHAR) AS bval FROM sig"
+        for b in range(MMD_BANDS)
+    )
+    return f"""
+WITH media AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS mime,
+         text, len(text) AS n_bytes
+  FROM documents WHERE len(text) > 0
+),
+chunks AS (
+  SELECT DISTINCT media_id, mime,
+         CAST(('0x' || substr(md5(substring(text, i * {MMD_CHUNK} + 1, {MMD_CHUNK})), 1, 8)) AS BIGINT) AS h
+  FROM (SELECT *, UNNEST(generate_series(0, CAST(floor((n_bytes - 1) / {MMD_CHUNK}) AS BIGINT))) AS i FROM media)
+),
+sig AS (
+  SELECT media_id, mime,
+         {perms}
+  FROM chunks GROUP BY media_id, mime
+),
+bands AS (
+  {band_rows}
+),
+bucket_sizes AS (SELECT mime, band, bval, COUNT(*) AS bn FROM bands GROUP BY 1, 2, 3),
+bands_ok AS (
+  SELECT b.* FROM bands b JOIN bucket_sizes s USING (mime, band, bval) WHERE s.bn <= {MMD_MAX_BUCKET}
+),
+cand AS (
+  SELECT DISTINCT a.mime, a.media_id AS media_a, b.media_id AS media_b
+  FROM bands_ok a JOIN bands_ok b
+    ON a.mime = b.mime AND a.band = b.band AND a.bval = b.bval AND a.media_id < b.media_id
+),
+inter AS (
+  SELECT c.mime, c.media_a, c.media_b, COUNT(*) AS n_inter
+  FROM cand c JOIN chunks ca ON ca.media_id = c.media_a
+              JOIN chunks cb ON cb.media_id = c.media_b AND ca.h = cb.h
+  GROUP BY 1, 2, 3
+),
+sizes AS (SELECT media_id, COUNT(*) AS n_ch FROM chunks GROUP BY 1)
+SELECT c.mime, c.media_a, c.media_b,
+       CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_shared_chunks,
+       (floor((CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+             / (sa.n_ch + sb.n_ch - COALESCE(i.n_inter, 0))) * 1000000.0 + 0.5) / 1000000.0) AS jaccard
+FROM cand c
+LEFT JOIN inter i ON i.mime = c.mime AND i.media_a = c.media_a AND i.media_b = c.media_b
+JOIN sizes sa ON sa.media_id = c.media_a
+JOIN sizes sb ON sb.media_id = c.media_b
+WHERE (floor((CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+            / (sa.n_ch + sb.n_ch - COALESCE(i.n_inter, 0))) * 1000000.0 + 0.5) / 1000000.0) >= {MMD_TAU}
+ORDER BY c.mime, c.media_a, c.media_b
+"""
+
+
+ORACLES["multimodal_payload_dedup"] = _sql_mmd()
