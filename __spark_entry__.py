@@ -197,6 +197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- LLM data pipeline (SURVEY §2C) ---
         "dedup_clusters": LC.dedup_clusters,
         "dup_cluster_size_profile": LC.dup_cluster_size_profile,
+        "dedup_transitivity_audit": LC.dedup_transitivity_audit,
         "dedup_keep_best": LC.dedup_keep_best,
         "dedup_semantic": LC.dedup_semantic,
         "dedup_rate_by_slice": LC.dedup_rate_by_slice,

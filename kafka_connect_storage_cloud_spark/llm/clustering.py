@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import hashing as H
 from ..session import read_table
 from .dedup import dedup_minhash_lsh
 
@@ -373,3 +374,79 @@ FROM comp GROUP BY cluster_size ORDER BY cluster_size
 
 
 ORACLES["dup_cluster_size_profile"] = _sql_dup_cluster_size_profile()
+
+
+TRANS_CLUSTER_CAP = 100  # all-pairs audit cap per cluster (Σ size² bound)
+
+
+def dedup_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chaining audit for connected-component dedup: CC merges A~B~C into
+    one cluster even when (A,C) never passed the near-dup bar, so a
+    keep-one policy can silently drop documents that are NOT near-dups of
+    the kept representative. Per cluster size: in-cluster pairs vs pairs
+    that are DIRECT LSH matches; chained_share is the fraction inherited
+    purely through transitivity — the number that says whether the
+    threshold or the CC policy needs tightening. Clusters above
+    TRANS_CLUSTER_CAP members are excluded from the all-pairs expansion
+    (Σ size² bound) and reported via n_capped_clusters."""
+    from .dedup import dedup_minhash_lsh
+
+    comp = dedup_clusters(spark, sf_dir).where(
+        (F.col("cluster_size") >= 2) & (F.col("cluster_size") <= TRANS_CLUSTER_CAP)
+    )
+    a = comp.select("cluster_id", "cluster_size", F.col("doc_id").alias("doc_a"))
+    b = comp.select("cluster_id", F.col("doc_id").alias("doc_b"))
+    pairs = a.join(b, "cluster_id").where(F.col("doc_a") < F.col("doc_b"))
+    direct = dedup_minhash_lsh(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("is_direct")
+    )
+    j = pairs.join(direct, ["doc_a", "doc_b"], "left")
+    return (
+        j.groupBy("cluster_size")
+        .agg(
+            F.countDistinct("cluster_id").alias("n_clusters"),
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.coalesce(F.col("is_direct"), F.lit(0))).cast("long").alias("n_direct"),
+        )
+        .select(
+            "cluster_size",
+            "n_clusters",
+            "n_pairs",
+            "n_direct",
+            H.round6(
+                (F.col("n_pairs") - F.col("n_direct")) / F.col("n_pairs").cast("double")
+            ).alias("chained_share"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+def _sql_transitivity_audit() -> str:
+    from ..functions import hashing as H
+    from .dedup import SQL_DEDUP_MINHASH_LSH
+
+    return f"""
+WITH comp AS ({_sql_clusters()}),
+kept AS (
+  SELECT * FROM comp WHERE cluster_size >= 2 AND cluster_size <= {TRANS_CLUSTER_CAP}
+),
+cpairs AS (
+  SELECT a.cluster_id, a.cluster_size, a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM kept a JOIN kept b ON a.cluster_id = b.cluster_id AND a.doc_id < b.doc_id
+),
+direct AS (SELECT doc_a, doc_b FROM ({SQL_DEDUP_MINHASH_LSH})),
+agg AS (
+  SELECT p.cluster_size,
+         CAST(COUNT(DISTINCT p.cluster_id) AS BIGINT) AS n_clusters,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(CASE WHEN d.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_direct
+  FROM cpairs p LEFT JOIN direct d ON p.doc_a = d.doc_a AND p.doc_b = d.doc_b
+  GROUP BY 1
+)
+SELECT cluster_size, n_clusters, n_pairs, n_direct,
+       {H.sql_round6("(n_pairs - n_direct) / CAST(n_pairs AS DOUBLE)")} AS chained_share
+FROM agg ORDER BY cluster_size
+"""
+
+
+ORACLES["dedup_transitivity_audit"] = _sql_transitivity_audit()
