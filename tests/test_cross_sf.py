@@ -58,6 +58,9 @@ TIE_PRONE = [
     "cosine_dup_band_recall_sampled",  # per-label recall ratio on the sampled blocks
     "knn_graph_lsh_recall_sampled",    # single-row recall ratio
     "locale_partitioner",     # tz-sensitive month/dow name indexing
+    "bpe_compression_curve",  # chars-per-token ratio per round
+    "multimodal_payload_dedup",  # chunk-set jaccard ratio + band boundary
+    "dedup_transitivity_audit",  # chained-share ratio
 ]
 
 
