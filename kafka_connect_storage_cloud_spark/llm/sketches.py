@@ -409,3 +409,120 @@ ORACLES = {
     "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
     "hll_merge_invariant": SQL_HLL_MERGE_INVARIANT,
 }
+
+
+# ---------------------------------------------------------------------------
+# Binned quantile sketch — the 4th classic mergeable sketch next to
+# KMV / HLL / CMS: a fixed 64-bucket histogram of per-doc token counts whose
+# quantile read-out is audited against the exact percentile. Bin totals are
+# plain integer sums, so shards merge by addition (the property that lets a
+# 1000-executor job keep one tiny histogram per slice instead of sorting
+# 100 TB for a median).
+# ---------------------------------------------------------------------------
+
+QSK_BINS = 64
+QSK_MAX = 256  # bin width QSK_MAX/QSK_BINS tokens; tail clamps into the last bin
+# (size QSK_MAX to the measured domain — width 4 puts read-out error ~bin/2)
+QSK_QS = (50, 90, 99)
+
+
+def quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per language: P50/P90/P99 of the per-doc token count — the sketch
+    estimate (upper edge of the first histogram bin whose cumulative count
+    reaches the rank) next to the exact percentile (ordered pick at
+    ceil(q/100 * n), the classic nearest-rank definition) and the relative
+    error. The histogram is 64 integer cells per language regardless of
+    corpus size; the exact side exists to audit the read-out."""
+    width = QSK_MAX // QSK_BINS
+    docs = read_table(spark, sf_dir, "documents").select(
+        "lang",
+        F.size(F.split(F.lower("text"), r"\s+")).cast("long").alias("tokens"),
+    )
+    binned = docs.withColumn(
+        "bin",
+        F.least(F.floor(F.col("tokens") / width), F.lit(QSK_BINS - 1)).cast("int"),
+    )
+    hist = binned.groupBy("lang", "bin").agg(F.count(F.lit(1)).alias("c"))
+    wl = Window.partitionBy("lang").orderBy("bin")
+    cum = hist.withColumn("cum", F.sum("c").over(wl)).withColumn(
+        "n", F.sum("c").over(Window.partitionBy("lang"))
+    )
+    rows = []
+    for q in QSK_QS:
+        rank = F.ceil(F.col("n") * q / 100.0)
+        est = (
+            cum.where(F.col("cum") >= rank)
+            .groupBy("lang")
+            .agg(F.min("bin").alias("bin"), F.max("n").alias("n"))
+            .select(
+                "lang",
+                F.lit(q).alias("q"),
+                ((F.col("bin") + 1) * width).cast("long").alias("sketch_value"),
+                "n",
+            )
+        )
+        wq = Window.partitionBy("lang").orderBy("tokens", "lang")
+        exact = (
+            docs.withColumn("rn", F.row_number().over(wq.orderBy("tokens")))
+            .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("lang")))
+            .where(F.col("rn") == F.ceil(F.col("n") * q / 100.0))
+            .select("lang", F.col("tokens").alias("exact_value"))
+        )
+        rows.append(
+            est.join(exact, "lang").select(
+                "lang",
+                "q",
+                "sketch_value",
+                "exact_value",
+                H.round6(
+                    F.abs(F.col("sketch_value") - F.col("exact_value"))
+                    / F.col("exact_value").cast("double")
+                ).alias("rel_err"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("lang", "q")
+
+
+def _sql_quantile_sketch() -> str:
+    width = QSK_MAX // QSK_BINS
+    per_q = []
+    for q in QSK_QS:
+        per_q.append(f"""
+SELECT e.lang, {q} AS q,
+       CAST((s.bin + 1) * {width} AS BIGINT) AS sketch_value,
+       e.exact_value,
+       {H.sql_round6(f"ABS((s.bin + 1) * {width} - e.exact_value) / CAST(e.exact_value AS DOUBLE)")} AS rel_err
+FROM (
+  SELECT lang, MIN(bin) AS bin FROM cum WHERE cum >= CEIL(n * {q} / 100.0) GROUP BY lang
+) s JOIN (
+  SELECT lang, tokens AS exact_value FROM (
+    SELECT lang, tokens, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY tokens) AS rn,
+           COUNT(*) OVER (PARTITION BY lang) AS n
+    FROM toks
+  ) WHERE rn = CEIL(n * {q} / 100.0)
+) e ON s.lang = e.lang""")
+    u = "\nUNION ALL\n".join(per_q)
+    return f"""
+WITH toks AS (
+  SELECT lang, CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS tokens
+  FROM documents
+),
+binned AS (
+  SELECT lang, CAST(LEAST(tokens // {width}, {QSK_BINS - 1}) AS INT) AS bin FROM toks
+),
+hist AS (SELECT lang, bin, CAST(COUNT(*) AS BIGINT) AS c FROM binned GROUP BY 1, 2),
+cum AS (
+  SELECT lang, bin, c,
+         SUM(c) OVER (PARTITION BY lang ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(c) OVER (PARTITION BY lang) AS n
+  FROM hist
+)
+SELECT * FROM (\n{u}\n) ORDER BY lang, q
+"""
+
+
+QUERIES["quantile_sketch_audit"] = quantile_sketch_audit
+ORACLES["quantile_sketch_audit"] = _sql_quantile_sketch()

@@ -81,3 +81,44 @@ def test_vocab_coverage_bounds_and_zipf_monotone(spark, sf_dir):
     assert all(a <= b + 1e-12 for a, b in zip(shares, shares[1:]))
     counts = [r["cnt"] for r in zipf]
     assert all(a >= b for a, b in zip(counts, counts[1:]))
+
+
+def test_quantile_sketch_mergeable_and_bounded(spark, sf_dir):
+    """The binned quantile sketch must (a) merge by addition — the histogram
+    of two half-corpora summed equals the one-pass histogram (the property
+    that replaces a corpus sort at scale), and (b) read out within one bin
+    width of the exact percentile."""
+    import pyspark.sql.functions as F
+
+    from kafka_connect_storage_cloud_spark.llm.sketches import (
+        QSK_BINS,
+        QSK_MAX,
+        quantile_sketch_audit,
+    )
+    from kafka_connect_storage_cloud_spark.session import read_table
+
+    width = QSK_MAX // QSK_BINS
+    rows = quantile_sketch_audit(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["sketch_value"] - r["exact_value"] <= width, r
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "lang", F.size(F.split(F.lower("text"), r"\s+")).cast("long").alias("tokens"),
+        "doc_id",
+    )
+    def hist(df):
+        return {
+            (r["lang"], r["bin"]): r["c"]
+            for r in df.withColumn(
+                "bin", F.least(F.floor(F.col("tokens") / width), F.lit(QSK_BINS - 1)).cast("int")
+            ).groupBy("lang", "bin").agg(F.count(F.lit(1)).alias("c")).collect()
+        }
+    full = hist(docs)
+    h1 = hist(docs.where(F.col("doc_id") % 2 == 0))
+    h2 = hist(docs.where(F.col("doc_id") % 2 == 1))
+    merged: dict = {}
+    for h in (h1, h2):
+        for k, v in h.items():
+            merged[k] = merged.get(k, 0) + v
+    assert merged == full
