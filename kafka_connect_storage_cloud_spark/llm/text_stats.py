@@ -423,3 +423,57 @@ FROM per_doc ORDER BY doc_id
 
 QUERIES["ngram_novelty"] = ngram_novelty
 ORACLES["ngram_novelty"] = _sql_ngram_novelty()
+
+
+NEG_ALPHA_NOTE = "count^0.75 == sqrt(cnt * sqrt(cnt)) — sqrt is IEEE-correctly rounded on both engines"
+
+
+def negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec/NCE negative-sampling distribution: per token, the
+    count^0.75-smoothed sampling weight and probability (the smoothing that
+    keeps frequent tokens from dominating the negatives). Portability:
+    x^0.75 computes as sqrt(x * sqrt(x)) — two correctly-rounded sqrts and
+    one multiply, bit-identical on both engines, where libm pow(x, 0.75)
+    would drift in last ULPs. Probabilities derive from micro-quantized
+    weights summed as exact integers (order-free)."""
+    toks = (
+        read_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower("text"), r"\s+")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = F.sqrt(F.col("cnt") * F.sqrt(F.col("cnt")))  # cnt^0.75
+    wmicro = F.floor(w * 1000000.0 + F.lit(0.5)).cast("bigint")
+    scored = toks.withColumn("w_micro", wmicro)
+    total = F.sum("w_micro").over(Window.partitionBy())
+    return (
+        scored.select(
+            "token",
+            "cnt",
+            H.round6(F.col("w_micro") / 1000000.0).alias("weight"),
+            H.round6(F.col("w_micro") / total.cast("double")).alias("prob"),
+        )
+        .orderBy("token")
+    )
+
+
+SQL_NEGATIVE_SAMPLING_TABLE = f"""
+WITH toks AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS token FROM documents
+  ) WHERE token != '' GROUP BY token
+),
+scored AS (
+  SELECT token, cnt,
+         CAST(floor(sqrt(cnt * sqrt(cnt)) * 1000000.0 + 0.5) AS BIGINT) AS w_micro
+  FROM toks
+)
+SELECT token, cnt,
+       {H.sql_round6("w_micro / 1000000.0")} AS weight,
+       {H.sql_round6("w_micro / CAST(SUM(w_micro) OVER () AS DOUBLE)")} AS prob
+FROM scored ORDER BY token
+"""
+
+QUERIES["negative_sampling_table"] = negative_sampling_table
+ORACLES["negative_sampling_table"] = SQL_NEGATIVE_SAMPLING_TABLE
