@@ -1365,11 +1365,14 @@ def bpe_compression_curve(spark: SparkSession, sf_dir: str, rounds: int = BPE_RO
 
     def totals(df, r):
         row = df.agg(
-            F.sum(F.col("cnt") * F.size(F.expr(toks_expr))).alias("tok"),
-            chars.alias("ch"),
+            F.coalesce(
+                F.sum(F.col("cnt") * F.size(F.expr(toks_expr))), F.lit(0)
+            ).alias("tok"),
+            F.coalesce(chars, F.lit(0)).alias("ch"),
         ).collect()[0]
         # chars never change under merges (GLUE chars excluded by counting
-        # only non-SEP after stripping GLUE too)
+        # only non-SEP after stripping GLUE too); coalesce(0) is the
+        # empty-corpus contract (SUM over zero rows is NULL)
         return (r, int(row["tok"]), int(row["ch"]))
 
     # strip GLUE from the char count (merged tokens carry it internally)

@@ -736,10 +736,10 @@ def minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         pint = F.expr(f"CAST(floor(({p}) * 1000000.0 + 0.5) AS BIGINT)")
         is_true = F.col("exact_jaccard") >= MH_CURVE_TRUE_J
         agg = base.agg(
-            F.sum(F.when(is_true, pint).otherwise(F.lit(0))).alias("true_cap_micro"),
-            F.sum(F.when(is_true, F.lit(1)).otherwise(F.lit(0))).cast("long").alias("n_true"),
-            F.sum(F.when(~is_true, pint).otherwise(F.lit(0))).alias("false_cap_micro"),
-            F.sum(F.when(~is_true, F.lit(1)).otherwise(F.lit(0))).cast("long").alias("n_false"),
+            F.coalesce(F.sum(F.when(is_true, pint).otherwise(F.lit(0))), F.lit(0)).alias("true_cap_micro"),
+            F.coalesce(F.sum(F.when(is_true, F.lit(1)).otherwise(F.lit(0))), F.lit(0)).cast("long").alias("n_true"),
+            F.coalesce(F.sum(F.when(~is_true, pint).otherwise(F.lit(0))), F.lit(0)).alias("false_cap_micro"),
+            F.coalesce(F.sum(F.when(~is_true, F.lit(1)).otherwise(F.lit(0))), F.lit(0)).cast("long").alias("n_false"),
         ).select(
             F.lit(b).alias("bands"),
             F.lit(r).alias("rows_per_band"),
@@ -764,12 +764,12 @@ def _sql_band_tuning() -> str:
         pint = f"CAST(floor(({p}) * 1000000.0 + 0.5) AS BIGINT)"
         selects.append(f"""
 SELECT {b} AS bands, {r} AS rows_per_band,
-       CAST(SUM(CASE WHEN exact_jaccard >= {MH_CURVE_TRUE_J} THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
-       CAST(SUM(CASE WHEN exact_jaccard < {MH_CURVE_TRUE_J} THEN 1 ELSE 0 END) AS BIGINT) AS n_false,
-       (floor((CAST(SUM(CASE WHEN exact_jaccard >= {MH_CURVE_TRUE_J} THEN {pint} ELSE 0 END) AS DOUBLE)
-          / 1000000.0 / GREATEST(SUM(CASE WHEN exact_jaccard >= {MH_CURVE_TRUE_J} THEN 1 ELSE 0 END), 1)) * 1000000.0 + 0.5) / 1000000.0) AS exp_recall,
-       (floor((CAST(SUM(CASE WHEN exact_jaccard < {MH_CURVE_TRUE_J} THEN {pint} ELSE 0 END) AS DOUBLE)
-          / 1000000.0 / GREATEST(SUM(CASE WHEN exact_jaccard < {MH_CURVE_TRUE_J} THEN 1 ELSE 0 END), 1)) * 1000000.0 + 0.5) / 1000000.0) AS exp_false_capture
+       CAST(COALESCE(SUM(CASE WHEN exact_jaccard >= {MH_CURVE_TRUE_J} THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_true,
+       CAST(COALESCE(SUM(CASE WHEN exact_jaccard < {MH_CURVE_TRUE_J} THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_false,
+       (floor((CAST(COALESCE(SUM(CASE WHEN exact_jaccard >= {MH_CURVE_TRUE_J} THEN {pint} ELSE 0 END), 0) AS DOUBLE)
+          / 1000000.0 / GREATEST(COALESCE(SUM(CASE WHEN exact_jaccard >= {MH_CURVE_TRUE_J} THEN 1 ELSE 0 END), 0), 1)) * 1000000.0 + 0.5) / 1000000.0) AS exp_recall,
+       (floor((CAST(COALESCE(SUM(CASE WHEN exact_jaccard < {MH_CURVE_TRUE_J} THEN {pint} ELSE 0 END), 0) AS DOUBLE)
+          / 1000000.0 / GREATEST(COALESCE(SUM(CASE WHEN exact_jaccard < {MH_CURVE_TRUE_J} THEN 1 ELSE 0 END), 0), 1)) * 1000000.0 + 0.5) / 1000000.0) AS exp_false_capture
 FROM base""")
     u = "\nUNION ALL\n".join(selects)
     return f"WITH base AS MATERIALIZED ({base})\nSELECT * FROM (\n{u}\n) ORDER BY rows_per_band"

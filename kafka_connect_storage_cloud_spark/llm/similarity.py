@@ -288,7 +288,7 @@ def _cb_bits(n: int) -> int:
     further)."""
     import math
 
-    return min(16, max(1, math.ceil(math.log2(n / float(CB_TARGET_BUCKET)))))
+    return min(16, max(1, math.ceil(math.log2(max(n, 1) / float(CB_TARGET_BUCKET)))))
 
 
 def _banded(spark: SparkSession, sf_dir: str, blocked: bool = True):
@@ -953,7 +953,8 @@ def _knn_topk_edges(
         )
 
     blocks = _to_blocks(emb)
-    nblk = blocks.agg(F.max("blk")).first()[0] + 1  # scalar, O(1) driver state
+    max_blk = blocks.agg(F.max("blk")).first()[0]  # scalar, O(1) driver state
+    nblk = (max_blk + 1) if max_blk is not None else 1  # empty corpus: 1 empty tile domain
     right = blocks.select(
         F.col("blk").alias("rblk"),
         F.col("ids").alias("rids"),
@@ -1776,7 +1777,9 @@ def _graph_band_bits(n: int) -> int:
     boundaries are powers of two where log2 is exact in both engines."""
     import math
 
-    return min(16, max(1, math.ceil(math.log2(n / float(GB_TARGET_BUCKET)))))
+    # max(n,1): an empty corpus is a normal input (the width is irrelevant
+    # there, but log2(0) would throw before the empty frame can flow out)
+    return min(16, max(1, math.ceil(math.log2(max(n, 1) / float(GB_TARGET_BUCKET)))))
 
 
 def _lsh_topk_edges(spark: SparkSession, sf_dir: str, k: int = KNN_K) -> DataFrame:
