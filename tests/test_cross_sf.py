@@ -61,6 +61,8 @@ TIE_PRONE = [
     "bpe_compression_curve",  # chars-per-token ratio per round
     "multimodal_payload_dedup",  # chunk-set jaccard ratio + band boundary
     "dedup_transitivity_audit",  # chained-share ratio
+    "quantile_sketch_audit",  # rel-err ratio + rank boundary
+    "negative_sampling_table",  # sqrt-composed power + normalized probs
 ]
 
 
