@@ -132,6 +132,8 @@ def test_fuzzy_blocking_recall_floor(spark, sf_dir):
         ("LSH_BANDS", "ann_recall_audit", 0.85),
         ("GB_BANDS", "knn_graph_lsh_recall", 0.99),
         ("CB_BANDS", "cosine_dup_band_recall", 0.90),
+        # the sampled (production-scale) audit form must fire identically
+        ("GB_BANDS", "knn_graph_lsh_recall_sampled", 0.99),
     ],
 )
 def test_floor_fires_on_degraded_bands(spark, sf_dir, monkeypatch, knob, audit, floor):
