@@ -218,23 +218,10 @@ FROM documents ORDER BY doc_id
 """
 
 
-def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing fingerprints (Schleimer et al.): hash every char
-    FINGERPRINT_GRAM-gram, take the min hash of each sliding window of
-    FINGERPRINT_WINDOW grams, dedupe. Output per doc: fingerprint count and
-    min/max for compactness.
-
-    A document's fingerprints depend only on its own text, so the whole op
-    is ONE narrow projection over per-row arrays (transform + element_at +
-    array_distinct) — no gram explode, no per-doc sort window, no shuffle.
-    The exploded form sorted |corpus|·|chars| rows; this form is why the op
-    stays linear at 100 TB. Gram hashes are a Karp-Rabin polynomial over
-    char codes (the winnowing paper's rolling hash) — pure integer math,
-    ~10x cheaper than a cryptographic hash per gram and portable to the
-    oracle via identical arithmetic (char codes from ascii()/unicode()).
-    Docs with fewer than FINGERPRINT_WINDOW grams have no full window and
-    drop out (same as the windowed form's pos >= W-1 filter and the
-    oracle's GROUP BY)."""
+def _doc_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, fps): each eligible document's distinct winnowing
+    fingerprints — the shared builder of doc_fingerprint (compact stats)
+    and winnowing_pairs (cross-doc overlap pairs)."""
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     # char-code array of lower(text), then g_p = Σ cs[p+j]·B^(G-1-j) mod M
     cs = "transform(sequence(1, greatest(length(text), 1)), i -> ascii(substring(lower(text), i, 1)))"
@@ -258,7 +245,27 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"element_at(ghs, p - {j})" for j in range(w - 1, -1, -1)
     ) + ")"
     fps = f"array_distinct(transform(sequence({w}, size(ghs)), p -> {window_min}))"
-    return base.select("doc_id", F.expr(fps).alias("fps")).select(
+    return base.select("doc_id", F.expr(fps).alias("fps"))
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al.): hash every char
+    FINGERPRINT_GRAM-gram, take the min hash of each sliding window of
+    FINGERPRINT_WINDOW grams, dedupe. Output per doc: fingerprint count and
+    min/max for compactness.
+
+    A document's fingerprints depend only on its own text, so the whole op
+    is ONE narrow projection over per-row arrays (transform + element_at +
+    array_distinct) — no gram explode, no per-doc sort window, no shuffle.
+    The exploded form sorted |corpus|·|chars| rows; this form is why the op
+    stays linear at 100 TB. Gram hashes are a Karp-Rabin polynomial over
+    char codes (the winnowing paper's rolling hash) — pure integer math,
+    ~10x cheaper than a cryptographic hash per gram and portable to the
+    oracle via identical arithmetic (char codes from ascii()/unicode()).
+    Docs with fewer than FINGERPRINT_WINDOW grams have no full window and
+    drop out (same as the windowed form's pos >= W-1 filter and the
+    oracle's GROUP BY)."""
+    return _doc_fps(spark, sf_dir).select(
         "doc_id",
         F.size("fps").cast("long").alias("n_fingerprints"),
         F.array_min("fps").alias("min_fp"),
