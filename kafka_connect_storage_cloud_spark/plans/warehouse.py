@@ -1110,3 +1110,68 @@ FROM per_brand ORDER BY p_brand
 
 QUERIES["market_concentration_hhi"] = market_concentration_hhi
 ORACLES["market_concentration_hhi"] = SQL_MARKET_CONCENTRATION_HHI
+
+
+AGING_ANCHOR = "1998-08-01"  # as-of date for backlog aging (inside data range)
+AGING_EDGES = (30, 90, 365)  # bucket edges in days
+
+
+def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog aging: orders not yet finalized (status O or P) as
+    of AGING_ANCHOR, bucketed by age in days (0-30 / 31-90 / 91-365 / 365+)
+    per (status, priority) with order counts and decimal-exact open value —
+    the receivables-style aging report every order-management warehouse
+    runs. Pure scan + small aggregate, decimal money math."""
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus").isin("O", "P"))
+        .where(F.col("o_orderdate") <= F.lit(AGING_ANCHOR).cast("date"))
+        .select(
+            "o_orderstatus",
+            "o_orderpriority",
+            F.datediff(
+                F.lit(AGING_ANCHOR).cast("date"), F.col("o_orderdate")
+            ).alias("age_days"),
+            F.col("o_totalprice").cast("decimal(12,4)").alias("price"),
+        )
+    )
+    e1, e2, e3 = AGING_EDGES
+    bucket = (
+        F.when(F.col("age_days") <= e1, F.lit("0-30"))
+        .when(F.col("age_days") <= e2, F.lit("31-90"))
+        .when(F.col("age_days") <= e3, F.lit("91-365"))
+        .otherwise(F.lit("365+"))
+    )
+    return (
+        orders.withColumn("age_bucket", bucket)
+        .groupBy("o_orderstatus", "o_orderpriority", "age_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("price"), 4).cast("double").alias("open_value"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority", "age_bucket")
+    )
+
+
+SQL_ORDERS_BACKLOG_AGING = f"""
+WITH open_orders AS (
+  SELECT o_orderstatus, o_orderpriority,
+         date_diff('day', o_orderdate, TIMESTAMP '{AGING_ANCHOR} 00:00:00') AS age_days,
+         CAST(o_totalprice AS DECIMAL(12,4)) AS price
+  FROM orders
+  WHERE o_orderstatus IN ('O', 'P') AND o_orderdate <= TIMESTAMP '{AGING_ANCHOR} 00:00:00'
+)
+SELECT o_orderstatus, o_orderpriority,
+       CASE WHEN age_days <= {AGING_EDGES[0]} THEN '0-30'
+            WHEN age_days <= {AGING_EDGES[1]} THEN '31-90'
+            WHEN age_days <= {AGING_EDGES[2]} THEN '91-365'
+            ELSE '365+' END AS age_bucket,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(price), 4) AS DOUBLE) AS open_value
+FROM open_orders
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+QUERIES["orders_backlog_aging"] = orders_backlog_aging
+ORACLES["orders_backlog_aging"] = SQL_ORDERS_BACKLOG_AGING
