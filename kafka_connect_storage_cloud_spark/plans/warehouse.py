@@ -1175,3 +1175,95 @@ ORDER BY 1, 2, 3
 
 QUERIES["orders_backlog_aging"] = orders_backlog_aging
 ORACLES["orders_backlog_aging"] = SQL_ORDERS_BACKLOG_AGING
+
+
+CUSUM_H_MULT = 0.9  # alarm threshold in units of n·sd — sited INSIDE the
+# demo corpus's max-stat distribution (observed 0.78-1.30 across SFs; a
+# textbook 4-5·sd bar never fires on a driftless synthetic corpus and the
+# alarm column would be vacuous — the repetition_score r3 lesson)
+
+
+def events_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential one-sided CUSUM monitor over daily volume per type —
+    events_changepoint finds the retrospective argmax; this is the
+    MONITORING form that fires alarms as drift accumulates and RESETS after
+    dips. The reset recursion S_t = max(0, S_{t-1} + dev_t) has the closed
+    window form S_t = C_t − min(0, min_{s≤t} C_s) with C the running
+    deviation sum, so the whole statistic is two windows per type — no
+    sequential pass. Deviations stay exact int64 (n·y_t − Σy, the
+    changepoint scaling); only the final sd normalization divides. Alarm
+    when S_t > CUSUM_H_MULT · n · sd."""
+    from ..session import read_events
+
+    ev = read_events(spark, sf_dir).select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias("x"),
+    )
+    daily = ev.groupBy("event_type", "x").agg(F.count(F.lit(1)).alias("y"))
+    w = Window.partitionBy("event_type").orderBy("x")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy("event_type")
+    scored = (
+        daily.withColumn("n", F.count(F.lit(1)).over(wall))
+        .withColumn("sy", F.sum("y").over(wall))
+        # exact-integer variance pieces: n·Σy² − (Σy)²  (population var ·n²)
+        .withColumn("syy", F.sum(F.col("y") * F.col("y")).over(wall))
+        .withColumn("dev", F.col("n") * F.col("y") - F.col("sy"))  # n·(y−mean)
+        .withColumn("c", F.sum("dev").over(wrun))
+        .withColumn("cmin", F.least(F.lit(0), F.min("c").over(wrun)))
+        .withColumn("s", F.col("c") - F.col("cmin"))
+    )
+    # sd of daily y (population), in the same n-scaled units as dev:
+    # sd_scaled = sqrt(n·(n·Σy² − (Σy)²)) — matches dev = n·(y−mean)
+    sd_scaled = F.sqrt(
+        (F.col("n") * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))).cast("double")
+    )
+    h = F.lit(float(CUSUM_H_MULT)) * sd_scaled
+    flagged = scored.withColumn("alarm", F.col("s").cast("double") > h)
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n_days"),
+            F.sum(F.col("alarm").cast("long")).alias("n_alarms"),
+            F.min(F.when(F.col("alarm"), F.col("x"))).alias("first_alarm_day"),
+            H.round6(
+                F.max(F.col("s").cast("double")) / F.max(sd_scaled)
+            ).alias("max_stat_sd"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_EVENTS_CUSUM_ALARMS = f"""
+WITH daily AS (
+  SELECT event_type,
+         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+base AS (
+  SELECT event_type, x, y,
+         COUNT(*) OVER (PARTITION BY event_type) AS n,
+         SUM(y) OVER (PARTITION BY event_type) AS sy,
+         SUM(y * y) OVER (PARTITION BY event_type) AS syy
+  FROM daily
+),
+scored AS (
+  SELECT *, SUM(n * y - sy) OVER (PARTITION BY event_type ORDER BY x ROWS UNBOUNDED PRECEDING) AS c
+  FROM base
+),
+stat AS (
+  SELECT *, c - LEAST(0, MIN(c) OVER (PARTITION BY event_type ORDER BY x ROWS UNBOUNDED PRECEDING)) AS s,
+         sqrt(CAST(n * (n * syy - sy * sy) AS DOUBLE)) AS sd_scaled
+  FROM scored
+)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n_days,
+       CAST(SUM(CASE WHEN CAST(s AS DOUBLE) > {float(CUSUM_H_MULT)} * sd_scaled THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+       MIN(CASE WHEN CAST(s AS DOUBLE) > {float(CUSUM_H_MULT)} * sd_scaled THEN x END) AS first_alarm_day,
+       {H.sql_round6("MAX(CAST(s AS DOUBLE)) / MAX(sd_scaled)")} AS max_stat_sd
+FROM stat GROUP BY event_type ORDER BY event_type
+"""
+
+QUERIES["events_cusum_alarms"] = events_cusum_alarms
+ORACLES["events_cusum_alarms"] = SQL_EVENTS_CUSUM_ALARMS
