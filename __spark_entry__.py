@@ -59,11 +59,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # Keys already hash-verified by the driver in earlier rounds (the driver samples
 # the FIRST 50 dict keys each round). queries() floats never-yet-verified entries
 # to the front so each round's 50-query window extends external coverage instead
-# of re-verifying the same prefix. Union after r3: 100/192. _PRIORITY pins the
-# round-4 window to the next 50 never-verified entries, float-hazard-heavy first
-# (temporal as-of/time-weighted math, bootstrap/autocorr statistics, sketch
-# estimators, quality scores); anything new and unlisted lands right after them,
-# still ahead of the already-verified tail.
+# of re-verifying the same prefix. Union after r4: 145/215. _PRIORITY pins the
+# round-5 window to the next 50 never-verified entries, hazard-heavy first
+# (schema-compat matrix, naming/locale file keys, sampled recall audits, BPE /
+# vocabulary statistics, PII density, multimodal plumbing); anything new and
+# unlisted lands right after them, still ahead of the already-verified tail.
 _DRIVER_VERIFIED: frozenset[str] = frozenset({
     # r1/r2 windows (connector + core TPC-H)
     "default_partitioner", "field_partitioner", "time_based_partitioner",
@@ -101,33 +101,53 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset({
     "knn_label_vote_accuracy", "embedding_centroid_outliers",
     "embedding_dim_stats", "ann_topk_ivf", "ann_topk_ivf_multiprobe",
     "ivf_kmeans_refine", "ann_topk_ivf_pq",
-})
-
-_PRIORITY: tuple[str, ...] = (
-    # temporal / as-of math (float + tie-break hazards)
+    # r4 window (CORRECTNESS_r04.json, 50/50 green)
     "events_asof_join", "events_range_join", "events_gapfill_locf",
     "events_time_weighted_avg", "events_rolling_window", "scd2_history",
     "scd2_snapshot_asof", "late_data_audit",
-    # warehouse statistics
     "fuzzy_name_matches", "bootstrap_mean_ci", "benford_audit",
     "market_concentration_hhi", "rfm_segmentation", "orders_cohort_ltv",
     "revenue_pareto", "supplier_scorecard", "part_affinity",
     "events_trend_slope", "events_autocorr_lag1", "events_changepoint",
-    # events analytics
     "ab_test_metrics", "events_funnel", "events_retention", "events_anomaly",
     "events_anomaly_mad", "events_dau_mau", "events_markov_transitions",
     "events_inter_arrival", "multi_touch_attribution", "events_value_histogram",
     "events_value_deciles", "events_dow_profile", "events_dod_growth",
-    # PQ/SQ quantizers (never in a window; freshest r3 math)
     "embedding_pq", "pq_adc_topk", "pq_recall_audit",
     "embedding_sq8", "sq8_recall_audit",
-    # quality / text scores
     "lang_id", "lang_id_confusion", "quality_score", "gopher_rules_filter",
     "repetition_score", "lm_rarity_score",
-    # sketches (estimator float hazards)
     "kmv_distinct", "hll_distinct", "cms_heavy_hitters", "hll_merge_invariant",
-    # multimodal plumbing
     "multimodal_pipeline", "multimodal_resize",
+})
+
+_PRIORITY: tuple[str, ...] = (
+    # connector naming/locale + schema-compat matrix (r4 additions, string/
+    # path-format + projection-vs-rotate hazards)
+    "rotation_custom_naming", "locale_partitioner", "rotation_max_open_files",
+    "schema_compat_backward", "schema_compat_forward", "schema_compat_full",
+    "schema_compat_none",
+    # temporal / compaction plans
+    "log_compaction", "cdc_merge_apply", "landed_files_diff",
+    "compact_small_files", "offset_continuity_audit",
+    # events window machinery
+    "events_sessionize", "events_session_window_native", "events_sliding_window",
+    "events_cube", "rollup_incremental_merge", "orders_backlog_aging",
+    "events_cusum_alarms",
+    # dedup audits + sampled recall golds (r4 sampled-slice mode)
+    "dup_cluster_size_profile", "dedup_transitivity_audit", "minhash_band_tuning",
+    "cosine_dup_band_recall_sampled", "knn_graph_lsh_recall_sampled",
+    # corpus curation / text statistics (ratio + log-free float hazards)
+    "quality_threshold_yield", "stratified_sample", "contamination_check",
+    "ivf_balance_audit", "doc_chunk_split", "k_anonymity_audit",
+    "bpe_pair_stats", "token_shard_pack", "idf_topterms", "corpus_mixture",
+    "corpus_prep_pipeline", "doc_truncation_loss", "bpe_train_rounds",
+    "bpe_compression_curve", "pii_scan", "pii_density_by_slice",
+    "quantile_sketch_audit", "vocab_coverage", "bigram_lift", "zipf_profile",
+    "vocab_drift_tvd", "ngram_novelty",
+    # multimodal plumbing
+    "multimodal_frame_sample", "multimodal_audio_resample",
+    "multimodal_payload_dedup", "modality_coverage_audit",
 )
 
 
