@@ -709,3 +709,146 @@ FROM per_cell ORDER BY cell
 
 QUERIES["ivf_balance_audit"] = ivf_balance_audit
 ORACLES["ivf_balance_audit"] = SQL_IVF_BALANCE_AUDIT
+
+
+PROBE_LEVELS = (1, 2, 4, 8)  # nprobe settings the curve sweeps
+
+
+def ivf_nprobe_recall_curve(
+    spark: SparkSession, sf_dir: str, k: int = IVF_TOP_K,
+    levels: tuple[int, ...] = PROBE_LEVELS,
+) -> DataFrame:
+    """Recall@k and candidate volume of IVF search as a function of nprobe
+    (1/2/4/8 cells probed) — the table an operator reads to pick the
+    recall/latency point before flipping a corpus to the IVF path (the
+    reference's flush.size-style tuning knob, applied to ANN; mirrors
+    ann_recall_audit which grades the LSH path at one fixed setting).
+
+    Scale design: the candidate pool is scored ONCE at the deepest setting
+    (crank <= max(levels)); each candidate then replicates to the probe
+    levels that would have seen it via a pure projection
+    (filter(levels, p -> p >= crank) + explode) — no per-level rescan, no
+    inequality join. Hits are graded against the exact brute-force top-k
+    (the already-verified gold); every aggregate is an integer count and
+    the single recall division happens once at the end, so the curve is
+    bit-identical across engines. Cost: |queries| x probes x |cell| scoring
+    plus a |levels|-way fan-out of k-row sets — independent of corpus size
+    once cells are bounded."""
+    from .similarity import ann_topk_bruteforce
+
+    emb = _with_dec_and_norm(read_table(spark, sf_dir, "embeddings"))
+    c_ids, c_mat = _train_codebook(spark, sf_dir)
+    cents = _codebook_df(spark, c_ids, c_mat)
+    assigned = _assign_cells(emb, c_ids, c_mat).localCheckpoint()
+    max_p = max(levels)
+    cands = assigned.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("cell"),
+        F.col("v").alias("cv2"), F.col("nrm").alias("cn2"),
+    )
+    q_emb = _query_pick(emb).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    q_scored = q_emb.crossJoin(F.broadcast(cents)).withColumn(
+        "ccos", (F.floor((_dot("qv", "cv") / (F.col("qn") * F.col("cn"))) * 1000000.0 + F.lit(0.5)) / 1000000.0)
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("centroid_id"))
+    q_cells = (
+        q_scored.withColumn("crank", F.row_number().over(wq))
+        .where(F.col("crank") <= max_p)
+        .select("query_id", "crank", F.col("centroid_id").alias("cell"), "qv", "qn")
+    )
+    lvl_arr = ",".join(str(p) for p in levels)
+    cand_lvl = (
+        cands.join(F.broadcast(q_cells), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", (F.floor((_dot("qv", "cv2") / (F.col("qn") * F.col("cn2"))) * 1000000.0 + F.lit(0.5)) / 1000000.0))
+        .select(
+            "query_id", "neighbor_id", "cosine",
+            F.explode(F.expr(f"filter(array({lvl_arr}), p -> p >= crank)")).alias("probes"),
+        )
+    )
+    w = Window.partitionBy("probes", "query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    approx = (
+        cand_lvl.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("probes", "query_id", "neighbor_id")
+    )
+    exact = ann_topk_bruteforce(spark, sf_dir, k).select("query_id", "neighbor_id")
+    cand_stats = cand_lvl.groupBy("probes").agg(F.count(F.lit(1)).alias("n_candidates"))
+    hit_stats = (
+        approx.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("probes")
+        .agg(F.count(F.lit(1)).alias("sum_hits"))
+    )
+    ex = exact.agg(F.count(F.lit(1)).alias("sum_exact"))
+    return (
+        cand_stats.join(hit_stats, "probes", "left")
+        .crossJoin(F.broadcast(ex))
+        .select(
+            "probes",
+            "n_candidates",
+            "sum_exact",
+            F.coalesce(F.col("sum_hits"), F.lit(0).cast("long")).alias("sum_hits"),
+            H.round6(
+                F.coalesce(F.col("sum_hits"), F.lit(0)).cast("double")
+                / F.col("sum_exact").cast("double")
+            ).alias("recall"),
+        )
+        .orderBy("probes")
+    )
+
+
+def _sql_nprobe_curve(k: int = IVF_TOP_K, levels: tuple[int, ...] = PROBE_LEVELS) -> str:
+    from .similarity import SQL_ANN_TOPK_BRUTEFORCE
+
+    max_p = max(levels)
+    lvl_arr = ", ".join(str(p) for p in levels)
+    dot_qc = _SQL_DOT.format(a="q.v", b="c.cv")
+    dot_qn = _SQL_DOT.format(a="qc.qv", b="c.v")
+    return f"""
+WITH {_SQL_EMB},
+{_sql_train_chain()},
+cents AS (SELECT cell AS centroid_id, cv, cn FROM {_FINAL_CENTS}),
+{_sql_assign(_FINAL_CENTS, 'assigned')},
+av AS (SELECT a.vec_id, a.cell, e.v, e.nrm FROM assigned a JOIN emb_n e ON a.vec_id = e.vec_id),
+qsel AS (SELECT vec_id FROM emb_n {_sql_query_pick()}),
+q_cells AS (
+  SELECT * FROM (
+    SELECT q.vec_id AS query_id, c.centroid_id AS cell, q.v AS qv, q.nrm AS qn,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY (floor(({dot_qc} / (q.nrm * c.cn)) * 1000000.0 + 0.5) / 1000000.0) DESC,
+                      c.centroid_id) AS crank
+    FROM emb_n q JOIN qsel s ON q.vec_id = s.vec_id CROSS JOIN cents c
+  ) WHERE crank <= {max_p}
+),
+cand_lvl AS MATERIALIZED (
+  SELECT qc.query_id, c.vec_id AS neighbor_id,
+         (floor(({dot_qn} / (qc.qn * c.nrm)) * 1000000.0 + 0.5) / 1000000.0) AS cosine,
+         UNNEST(list_filter([{lvl_arr}], p -> p >= qc.crank)) AS probes
+  FROM q_cells qc JOIN av c ON qc.cell = c.cell AND qc.query_id <> c.vec_id
+),
+approx AS (
+  SELECT probes, query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY probes, query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rnk
+    FROM cand_lvl
+  ) WHERE rnk <= {k}
+),
+exact AS MATERIALIZED (SELECT query_id, neighbor_id FROM ({SQL_ANN_TOPK_BRUTEFORCE})),
+cand_stats AS (SELECT probes, CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cand_lvl GROUP BY probes),
+hit_stats AS (
+  SELECT a.probes, CAST(COUNT(*) AS BIGINT) AS sum_hits
+  FROM approx a JOIN exact e ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY a.probes
+),
+ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS sum_exact FROM exact)
+SELECT cs.probes, cs.n_candidates, ex.sum_exact,
+       COALESCE(h.sum_hits, 0) AS sum_hits,
+       {H.sql_round6("CAST(COALESCE(h.sum_hits, 0) AS DOUBLE) / CAST(ex.sum_exact AS DOUBLE)")} AS recall
+FROM cand_stats cs LEFT JOIN hit_stats h ON cs.probes = h.probes CROSS JOIN ex
+ORDER BY cs.probes
+"""
+
+
+QUERIES["ivf_nprobe_recall_curve"] = ivf_nprobe_recall_curve
+ORACLES["ivf_nprobe_recall_curve"] = _sql_nprobe_curve()

@@ -181,3 +181,24 @@ def test_sampled_pair_audit_is_exact_per_retained_label(spark, sf_dir):
         assert (row["n_exact"], row["n_band"], row["recall"]) == (
             full[lbl]["n_exact"], full[lbl]["n_band"], full[lbl]["recall"],
         ), lbl
+
+
+def test_ivf_nprobe_curve_is_monotone_and_informative(spark, sf_dir):
+    """The nprobe curve must be a real tuning signal: recall non-decreasing
+    in probes, strictly higher at the deepest setting than at nprobe=1
+    (sf0.01 measured 0.195 -> 0.755), candidate volume growing with probes,
+    and the deepest recall above a floor that a broken probe ranking
+    (e.g. constant crank) would fall under."""
+    from kafka_connect_storage_cloud_spark.llm import pipeline as LP
+
+    rows = sorted(
+        LP.ivf_nprobe_recall_curve(spark, sf_dir).collect(),
+        key=lambda r: r["probes"],
+    )
+    assert [r["probes"] for r in rows] == [1, 2, 4, 8]
+    recalls = [r["recall"] for r in rows]
+    cands = [r["n_candidates"] for r in rows]
+    assert all(b >= a for a, b in zip(recalls, recalls[1:]))
+    assert all(b > a for a, b in zip(cands, cands[1:]))
+    assert recalls[-1] > recalls[0]
+    assert recalls[-1] >= 0.6
