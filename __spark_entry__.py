@@ -253,6 +253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dim_stats": LS.embedding_dim_stats,
         "embedding_covariance": LS.embedding_covariance,
         "embedding_pca_power": LS.embedding_pca_power,
+        "embedding_pca_project": LS.embedding_pca_project,
         "unblocked_band_recall": LS.unblocked_band_recall,
         "knn_pagerank_step": LS.knn_pagerank_step,
         "lang_id": LQ.lang_id,

@@ -1533,6 +1533,29 @@ def _tdiv(a: int, b: int) -> int:
     return q if a >= 0 else -q
 
 
+def _pca_power_state(spark: SparkSession, sf_dir: str) -> tuple[int, list[list[int]], list[int]] | None:
+    """Shared power-iteration core: collect the micro-int covariance, run
+    PCA_POWER_ITERS exact-integer iterations, return (d, C, v) — the
+    dimension, the symmetric micro-int covariance, and the iterated
+    fixed-point component (max-abs = PCA_VSCALE). None on an empty corpus.
+    Consumed by embedding_pca_power (adds the Rayleigh quotient) and
+    embedding_pca_project (projects the corpus onto v)."""
+    cov_micro = F.floor(_cov_expr() * 1000000.0 + F.lit(0.5)).cast("long")
+    rows = _cov_sums(spark, sf_dir).select("i", "j", cov_micro.alias("m")).collect()
+    if not rows:
+        return None
+    d = max(r["i"] for r in rows) + 1
+    C = [[0] * d for _ in range(d)]
+    for r in rows:
+        C[r["i"]][r["j"]] = C[r["j"]][r["i"]] = r["m"]
+    v = [PCA_VSCALE] * d
+    for _ in range(PCA_POWER_ITERS):
+        w = [sum(C[i][k] * v[k] for k in range(d)) for i in range(d)]
+        mx = max(abs(x) for x in w)
+        v = [_tdiv(x * PCA_VSCALE, mx) for x in w]
+    return d, C, v
+
+
 def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal component of the embedding covariance by fixed-point
     power iteration — the first step of a PCA-whitening fit over an
@@ -1555,20 +1578,11 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus the eigenvalue estimate and its variance-explained share of the
     trace (constant columns). Sign is pinned by the deterministic all-ones
     start vector."""
-    cov_micro = F.floor(_cov_expr() * 1000000.0 + F.lit(0.5)).cast("long")
-    rows = _cov_sums(spark, sf_dir).select("i", "j", cov_micro.alias("m")).collect()
     out_schema = "dim int, component double, eigenvalue double, var_explained double"
-    if not rows:  # empty corpus: empty manifest, not a driver crash
+    state = _pca_power_state(spark, sf_dir)
+    if state is None:  # empty corpus: empty manifest, not a driver crash
         return spark.createDataFrame([], out_schema)
-    d = max(r["i"] for r in rows) + 1
-    C = [[0] * d for _ in range(d)]
-    for r in rows:
-        C[r["i"]][r["j"]] = C[r["j"]][r["i"]] = r["m"]
-    v = [PCA_VSCALE] * d
-    for _ in range(PCA_POWER_ITERS):
-        w = [sum(C[i][k] * v[k] for k in range(d)) for i in range(d)]
-        mx = max(abs(x) for x in w)
-        v = [_tdiv(x * PCA_VSCALE, mx) for x in w]
+    d, C, v = state
     w = [sum(C[i][k] * v[k] for k in range(d)) for i in range(d)]
     num = sum(v[i] * w[i] for i in range(d))
     den = sum(v[i] * v[i] for i in range(d))
@@ -1591,7 +1605,7 @@ def _round6_py(x: float) -> float:
     return math.floor(x * 1000000.0 + 0.5) / 1000000.0
 
 
-def _sql_pca_power(iters: int = PCA_POWER_ITERS) -> str:
+def _sql_pca_chain(iters: int = PCA_POWER_ITERS) -> str:
     # every iteration CTE is MATERIALIZED: DuckDB inlines plain CTEs, and
     # v{t} references w{t} twice (row set + MAX subquery), so an inlined
     # chain re-expands the covariance join 2^iters times
@@ -1619,6 +1633,11 @@ def _sql_pca_power(iters: int = PCA_POWER_ITERS) -> str:
   SELECT dim, wv * {PCA_VSCALE} // (SELECT MAX(ABS(wv)) FROM w{t}) AS val FROM w{t}
 )"""
         )
+    return ",\n".join(parts)
+
+
+def _sql_pca_power(iters: int = PCA_POWER_ITERS) -> str:
+    parts = [_sql_pca_chain(iters)]
     parts.append(
         f"""wf AS MATERIALIZED (
   SELECT c.i AS dim, SUM(c.m * v.val) AS wv
@@ -1645,6 +1664,67 @@ FROM v{iters} v, ray, tr ORDER BY v.dim
 
 
 ORACLES["embedding_pca_power"] = _sql_pca_power()
+
+
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project every embedding onto the corpus's top principal component —
+    the 1-D semantic coordinate used for curriculum binning, diversity
+    stratification, and the first step of PCA dimensionality reduction
+    (follow-on to embedding_pca_power, which fits the component this
+    operator applies).
+
+    Scale design: the component fit is the bounded driver solve
+    (_pca_power_state — one covariance scan, d(d+1)/2-row collect); the
+    projection itself is a PURE PROJECTION over the corpus: the component
+    embeds in the plan as a 64-long literal array, the dot product is the
+    exact int64 zip_with/aggregate (quantized embedding x fixed-point
+    component), and no join or shuffle ever touches the vectors. Per-row
+    double math happens once at the end in a pinned order (int dot ->
+    /1e14 -> /cnorm -> 6-dp floor-round) so Spark and DuckDB agree
+    bit-for-bit."""
+    out_schema = "vec_id bigint, label int, proj_pc1 double"
+    state = _pca_power_state(spark, sf_dir)
+    if state is None:  # empty corpus
+        return spark.createDataFrame([], out_schema)
+    _, _, v = state
+    import math
+
+    cnorm = math.sqrt(float(sum(x * x for x in v))) / float(PCA_VSCALE)
+    comp = "array(" + ",".join(f"{x}L" for x in v) + ")"
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _dec_vec("embedding").alias("v")
+    )
+    dot = F.expr(
+        f"aggregate(zip_with(v, {comp}, (x, y) -> x * y), "
+        "CAST(0 AS BIGINT), (acc, s) -> acc + s)"
+    )
+    return emb.select(
+        "vec_id",
+        "label",
+        H.round6(dot.cast("double") / F.lit(1e14) / F.lit(cnorm)).alias("proj_pc1"),
+    )
+
+
+def _sql_pca_project(iters: int = PCA_POWER_ITERS) -> str:
+    dot_ec = (
+        "CAST(list_sum(list_transform(list_zip(e.v, p.comp), s -> s[1] * s[2])) AS DOUBLE)"
+    )
+    return f"""
+WITH {_SQL_COV_CTES},
+{_sql_pca_chain(iters)},
+{_sql_emb()},
+pvec AS (SELECT list(val ORDER BY dim) AS comp FROM v{iters}),
+pn AS (SELECT sqrt(CAST(SUM(val * val) AS DOUBLE)) / {float(PCA_VSCALE)} AS cnorm FROM v{iters}),
+proj AS (
+  SELECT e.vec_id, e.label, {dot_ec} / 1e14 AS dotd
+  FROM emb_n e CROSS JOIN pvec p
+)
+SELECT vec_id, label, {H.sql_round6("dotd / cnorm")} AS proj_pc1
+FROM proj CROSS JOIN pn ORDER BY vec_id
+"""
+
+
+ORACLES["embedding_pca_project"] = _sql_pca_project()
 
 _SQL_EXACT_COS = (
     f"(floor(({_SQL_DOT.format(a='a.v', b='b.v')} / (a.nrm * b.nrm)) * 1000000.0 + 0.5) / 1000000.0)"

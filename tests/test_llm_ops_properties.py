@@ -274,3 +274,26 @@ def test_r4_ops_survive_empty_corpus(spark, sf_small, tmp_path):
             ), op
         else:
             assert n == 0, op
+
+
+def test_pca_projection_variance_equals_eigenvalue(spark, sf_small):
+    """u'Σu = λ for the fitted component u: the population variance of the
+    1-D projection must equal embedding_pca_power's Rayleigh eigenvalue
+    (measured agreement ~5e-5 at sf0.001; centering cancels inside the
+    variance, so the uncentered projection satisfies the identity too).
+    Also pins the plan: the projection is a pure scan+project — the
+    component rides the plan as a literal, never a join."""
+    from kafka_connect_storage_cloud_spark.llm.similarity import (
+        embedding_pca_power,
+        embedding_pca_project,
+    )
+
+    proj_df = embedding_pca_project(spark, sf_small)
+    vals = np.array([r["proj_pc1"] for r in proj_df.collect()])
+    lam = embedding_pca_power(spark, sf_small).collect()[0]["eigenvalue"]
+    assert abs(vals.var() - lam) < 5e-4, f"var={vals.var()} vs lam={lam}"
+    plan = proj_df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Exchange" not in plan
+    assert "Join" not in plan
