@@ -227,6 +227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap_jaccard": LD.source_overlap_jaccard,
         "minhash_precision_curve": LD.minhash_precision_curve,
         "dedup_minhash_lsh": LD.dedup_minhash_lsh,
+        "dedup_containment": LD.dedup_containment,
         "dedup_incremental": LD.dedup_incremental,
         "minhash_jaccard_est": LD.minhash_jaccard_est,
         "minhash_band_tuning": LD.minhash_band_tuning,

@@ -19,7 +19,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import hashing as H
@@ -776,3 +776,153 @@ FROM base""")
 
 
 ORACLES["minhash_band_tuning"] = _sql_band_tuning()
+
+
+# --- asymmetric containment dedup (prefix-filter candidate generation) ------
+#
+# Jaccard-based LSH structurally misses SUBSET duplication: a short doc whose
+# content is mostly contained in a much longer one has high containment
+# |A∩B|/|A| but low Jaccard (measured on this corpus: pairs with containment
+# 0.27 at Jaccard 0.036), so no minhash band ever collides. The AllPairs /
+# PPJoin prefix filter closes the gap EXACTLY: order every doc's shingles by
+# ascending document frequency (rarest first, canonical (df, h) order); a
+# pair with |A∩B| >= t(A) := ceil(tau * |A|) MUST share one of A's first
+# |A| - t(A) + 1 shingles (pigeonhole), so joining only those prefix rows
+# against the full inverted index generates candidates with recall 1.0 by
+# construction — no tuning knob, unlike banding. Threshold math is kept in
+# exact integers (tau as a percent: t = (15*n + 99) // 100) so both engines
+# slice identical prefixes.
+CONT_TAU_PCT = 15  # containment threshold, percent (integer-exact prefix math)
+CONT_TAU = 0.15  # the same threshold as the double the output filter uses
+CONT_NEAR_J = 0.5  # jaccard at/above which the pair is a near-exact dup
+CONT_ASYM_GAP = 0.1  # containment-minus-jaccard gap that marks subset pairs
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment-dedup candidate pairs: every unordered doc pair whose
+    smaller side has >= CONT_TAU of its shingles inside the larger side,
+    classed as near_exact (high Jaccard too), asymmetric_subset (the pairs
+    only containment sees), or partial_overlap.
+
+    Scale design: one shingle scan builds the distinct (doc, h) set; doc
+    frequencies come from one h-keyed aggregate; the candidate join is
+    prefix-rows x inverted-index on h (equi-join, skew-bounded by the same
+    MAX_BUCKET degenerate-shingle guard as the band generators — a shingle
+    shared by >MAX_BUCKET docs is boilerplate, dropped from BOTH join sides
+    on BOTH engines); exact intersection counts then touch only candidate
+    pairs. Prefix length shrinks as tau grows, so candidate volume is
+    tunable by threshold alone. All ratios are computed once, in one pinned
+    double-op order, after integer aggregation."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = (
+        T.with_shingles(docs, SHINGLE_N)
+        .select("doc_id", H.h32(F.col("shingle")).alias("h"))
+        .distinct()
+    )
+    dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    ok = sh.join(dfreq.where(F.col("df") <= MAX_BUCKET), "h")
+    w = Window.partitionBy("doc_id").orderBy("df", "h")
+    ranked = ok.withColumn("rnk", F.row_number().over(w)).withColumn(
+        "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    )
+    prefix = ranked.where(
+        F.col("rnk")
+        <= F.col("n_sh") - F.expr(f"({CONT_TAU_PCT} * n_sh + 99) div 100") + 1
+    ).select(F.col("doc_id").alias("pdoc"), "h")
+    idx = ok.select(F.col("doc_id").alias("idoc"), "h")
+    cand = (
+        prefix.join(idx, "h")
+        .where(F.col("pdoc") != F.col("idoc"))
+        .select(
+            F.least("pdoc", "idoc").alias("doc_a"),
+            F.greatest("pdoc", "idoc").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "h")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "h")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    cont = H.round6(
+        F.col("n_inter").cast("double") / F.least("na", "nb").cast("double")
+    )
+    jac = H.round6(
+        F.col("n_inter").cast("double")
+        / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double")
+    )
+    scored = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        .select(
+            "doc_a", "doc_b", "na", "nb", "n_inter",
+            cont.alias("containment"), jac.alias("jaccard"),
+        )
+        .where(F.col("containment") >= CONT_TAU)
+    )
+    dup_class = (
+        F.when(F.col("jaccard") >= CONT_NEAR_J, "near_exact")
+        .when(F.col("containment") - F.col("jaccard") >= CONT_ASYM_GAP, "asymmetric_subset")
+        .otherwise("partial_overlap")
+    )
+    return scored.withColumn("dup_class", dup_class)
+
+
+def _sql_containment() -> str:
+    h = H.sql_h32("shingle")
+    return f"""
+WITH shing AS (
+  SELECT d.doc_id, s.shingle
+  FROM documents d JOIN ({T.sql_shingles(SHINGLE_N)}) s ON d.doc_id = s.doc_id
+),
+hs AS (SELECT DISTINCT doc_id, {h} AS h FROM shing),
+dfreq AS (SELECT h, COUNT(*) AS df FROM hs GROUP BY h),
+ok AS (
+  SELECT hs.doc_id, hs.h, dfreq.df FROM hs JOIN dfreq ON hs.h = dfreq.h
+  WHERE dfreq.df <= {MAX_BUCKET}
+),
+ranked AS (
+  SELECT doc_id, h,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY df, h) AS rnk,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n_sh
+  FROM ok
+),
+prefix AS (
+  SELECT doc_id AS pdoc, h FROM ranked
+  WHERE rnk <= n_sh - (({CONT_TAU_PCT} * n_sh + 99) // 100) + 1
+),
+cand AS (
+  SELECT DISTINCT LEAST(p.pdoc, i.doc_id) AS doc_a, GREATEST(p.pdoc, i.doc_id) AS doc_b
+  FROM prefix p JOIN ok i ON p.h = i.h AND p.pdoc <> i.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN hs a ON a.doc_id = c.doc_a
+  JOIN hs b ON b.doc_id = c.doc_b AND b.h = a.h
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM hs GROUP BY doc_id),
+scored AS (
+  SELECT i.doc_a, i.doc_b, sa.n_sh AS na, sb.n_sh AS nb, i.n_inter,
+         {H.sql_round6("CAST(i.n_inter AS DOUBLE) / CAST(LEAST(sa.n_sh, sb.n_sh) AS DOUBLE)")} AS containment,
+         {H.sql_round6("CAST(i.n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE)")} AS jaccard
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+)
+SELECT doc_a, doc_b, na, nb, n_inter, containment, jaccard,
+       CASE WHEN jaccard >= {CONT_NEAR_J} THEN 'near_exact'
+            WHEN containment - jaccard >= {CONT_ASYM_GAP} THEN 'asymmetric_subset'
+            ELSE 'partial_overlap' END AS dup_class
+FROM scored WHERE containment >= {CONT_TAU}
+ORDER BY doc_a, doc_b
+"""
+
+
+SQL_DEDUP_CONTAINMENT = _sql_containment()
+ORACLES["dedup_containment"] = SQL_DEDUP_CONTAINMENT

@@ -238,6 +238,9 @@ def _train_codebook(spark: SparkSession, sf_dir: str, steps: int = IVF_LLOYD_STE
         return _CODEBOOK_MEMO[key]
     emb = _with_dec_and_norm(read_table(spark, sf_dir, "embeddings")).select("vec_id", "v")
     c_ids, c_mat = _seed_codebook(spark, sf_dir, k=k, salt=salt)
+    if len(c_ids) == 0:  # empty corpus: no codebook to refine
+        _CODEBOOK_MEMO[key] = (c_ids, c_mat)
+        return c_ids, c_mat
     for _ in range(steps):
         c_ids, c_mat = _lloyd_means(emb, c_ids, c_mat)
     _CODEBOOK_MEMO[key] = (c_ids, c_mat)
@@ -738,6 +741,10 @@ def ivf_nprobe_recall_curve(
 
     emb = _with_dec_and_norm(read_table(spark, sf_dir, "embeddings"))
     c_ids, c_mat = _train_codebook(spark, sf_dir)
+    if len(c_ids) == 0:  # empty corpus: empty curve, not a driver crash
+        return spark.createDataFrame(
+            [], "probes int, n_candidates bigint, sum_exact bigint, sum_hits bigint, recall double"
+        )
     cents = _codebook_df(spark, c_ids, c_mat)
     assigned = _assign_cells(emb, c_ids, c_mat).localCheckpoint()
     max_p = max(levels)

@@ -187,6 +187,8 @@ def test_new_ops_survive_empty_corpus(spark, sf_small, tmp_path):
         "embedding_covariance", "embedding_pca_power", "tokenizer_fertility",
         "quality_filter", "source_overlap_jaccard", "minhash_precision_curve",
         "rarity_buckets", "context_pack",
+        # round-5 additions
+        "dedup_containment", "embedding_pca_project", "ivf_nprobe_recall_curve",
     ):
         assert qs[op](spark, dst).count() == 0, op
 
@@ -297,3 +299,44 @@ def test_pca_projection_variance_equals_eigenvalue(spark, sf_small):
     )
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_containment_prefix_filter_is_lossless(spark, sf_small):
+    """The AllPairs prefix filter must have recall 1.0 by construction:
+    the operator's pair set equals a brute-force gold that intersects ALL
+    doc pairs sharing any shingle (no prefix restriction), at the same
+    threshold. Also pins that every dup_class actually occurs on the
+    corpus (the asymmetric_subset class is the operator's reason to
+    exist — Jaccard LSH cannot see those pairs)."""
+    import duckdb
+
+    from kafka_connect_storage_cloud_spark.functions import hashing as H
+    from kafka_connect_storage_cloud_spark.functions import text as T
+    from kafka_connect_storage_cloud_spark.llm import dedup as LD
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["dup_class"]
+        for r in LD.dedup_containment(spark, sf_small).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_small}/documents.parquet'"
+    )
+    gold = con.sql(f"""
+WITH shing AS (
+  SELECT d.doc_id, s.shingle
+  FROM documents d JOIN ({T.sql_shingles(LD.SHINGLE_N)}) s ON d.doc_id = s.doc_id
+),
+hs AS (SELECT DISTINCT doc_id, {H.sql_h32("shingle")} AS h FROM shing),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM hs GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id doc_a, b.doc_id doc_b, COUNT(*) n_inter
+  FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT doc_a, doc_b FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh) >= {LD.CONT_TAU}
+""").fetchall()
+    assert set(got) == {(a, b) for a, b in gold}
+    classes = set(got.values())
+    assert "near_exact" in classes and "asymmetric_subset" in classes
