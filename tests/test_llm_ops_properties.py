@@ -189,6 +189,7 @@ def test_new_ops_survive_empty_corpus(spark, sf_small, tmp_path):
         "rarity_buckets", "context_pack",
         # round-5 additions
         "dedup_containment", "embedding_pca_project", "ivf_nprobe_recall_curve",
+        "mixture_temperature_weights", "curriculum_stages", "span_corruption_plan",
     ):
         assert qs[op](spark, dst).count() == 0, op
 
@@ -340,3 +341,77 @@ WHERE CAST(n_inter AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh) >= {LD.CONT_TAU}
     assert set(got) == {(a, b) for a, b in gold}
     classes = set(got.values())
     assert "near_exact" in classes and "asymmetric_subset" in classes
+
+
+def test_mixture_temperature_invariants(spark, sf_small):
+    """Defining properties of the alpha=1/2 mixture: weights are a
+    distribution (sum 1 within quantization), temperature LIFTS
+    low-resource sources (the smallest source must get at least the
+    effective epochs of the largest), and p_share reproduces the exact
+    token shares."""
+    from kafka_connect_storage_cloud_spark.llm.curriculum import (
+        mixture_temperature_weights,
+    )
+
+    rows = mixture_temperature_weights(spark, sf_small).collect()
+    assert rows
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-4
+    total = sum(r["n_tokens"] for r in rows)
+    for r in rows:
+        assert abs(r["p_share"] - r["n_tokens"] / total) < 1e-5
+    lo = min(rows, key=lambda r: r["n_tokens"])
+    hi = max(rows, key=lambda r: r["n_tokens"])
+    if lo["n_tokens"] < hi["n_tokens"]:
+        assert lo["effective_epochs"] > hi["effective_epochs"]
+        # sqrt-temperature: the weight ratio must sit between the raw
+        # share ratio and 1 (a pure flattening, never an inversion)
+        assert lo["weight"] / hi["weight"] > lo["n_tokens"] / hi["n_tokens"]
+
+
+def test_curriculum_stage_invariants(spark, sf_small):
+    """Stages are balanced ntiles in difficulty order; cumulative token
+    offsets are exact: sorted by (difficulty, doc_id), each row's
+    tokens_before equals the sum of all earlier docs' n_tokens."""
+    from kafka_connect_storage_cloud_spark.llm.curriculum import (
+        CURR_STAGES,
+        curriculum_stages,
+    )
+
+    rows = sorted(
+        curriculum_stages(spark, sf_small).collect(),
+        key=lambda r: (r["mean_rarity_micro"], r["doc_id"]),
+    )
+    sizes = {}
+    run = 0
+    for r in rows:
+        assert r["tokens_before"] == run, r
+        run += r["n_tokens"]
+        sizes[r["stage"]] = sizes.get(r["stage"], 0) + 1
+    assert set(sizes) == set(range(1, CURR_STAGES + 1))
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    # difficulty must be non-decreasing across stage boundaries
+    by_stage = {}
+    for r in rows:
+        by_stage.setdefault(r["stage"], []).append(r["mean_rarity_micro"])
+    for s in range(1, CURR_STAGES):
+        assert max(by_stage[s]) <= min(by_stage[s + 1])
+
+
+def test_span_corruption_plan_invariants(spark, sf_small):
+    """The noise plan must realize ~15% masking in aggregate (overlap
+    pulls individual docs below 15%; the mean stays in [0.10, 0.20]),
+    never mask more than n_spans * SPAN_LEN or n_tokens positions, and be
+    replay-identical (two runs produce the same plan)."""
+    from kafka_connect_storage_cloud_spark.llm.curriculum import (
+        SPAN_LEN,
+        span_corruption_plan,
+    )
+
+    rows = span_corruption_plan(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["masked_positions"] <= min(r["n_spans"] * SPAN_LEN, r["n_tokens"])
+    mean_ratio = sum(r["mask_ratio_micro"] for r in rows) / len(rows) / 1e6
+    assert 0.10 <= mean_ratio <= 0.20, mean_ratio
+    again = span_corruption_plan(spark, sf_small).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
