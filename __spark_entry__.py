@@ -177,6 +177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duration_partitioner": C.duration_partitioner_plan,
         "rotation_stats": C.rotation_stats_plan,
         "rotation_flush_size": C.rotation_flush_size_plan,
+        "multipart_upload_plan": C.multipart_upload_plan,
         "rotation_custom_naming": C.rotation_custom_naming_plan,
         "locale_partitioner": C.locale_partitioner_plan,
         "rotation_scheduled": C.rotation_scheduled_plan,
@@ -510,6 +511,25 @@ GROUP BY 1, 2 ORDER BY 1, 2""",
         "rotation_flush_size": _manifest(
             "'partition=' || CAST(kafka_partition AS VARCHAR)", _FLUSH_SEQ
         ),
+        "multipart_upload_plan": f"""{_RECORDS},
+enc AS (SELECT *, 'partition=' || CAST(kafka_partition AS VARCHAR) AS encoded_partition FROM records),
+seq AS (SELECT *, {_FLUSH_SEQ} AS file_seq FROM enc),
+files AS (SELECT *, MIN("offset") OVER (PARTITION BY kafka_partition, encoded_partition, file_seq)
+                    AS file_start_offset FROM seq),
+agg AS (
+  SELECT topic || '/' || encoded_partition || '/' || topic || '+' ||
+         CAST(kafka_partition AS VARCHAR) || '+' || printf('%010d', file_start_offset) || '.parquet' AS file_path,
+         COUNT(*) AS record_count,
+         CAST(SUM(COALESCE(length("key"), 0) + COALESCE(length("value"), 0)
+                  + {C.MULTIPART_REC_OVERHEAD}) AS BIGINT) AS est_bytes
+  FROM files GROUP BY 1
+)
+SELECT file_path, record_count, est_bytes,
+       CAST((est_bytes + {C.MULTIPART_PART_SIZE_TEST - 1}) // {C.MULTIPART_PART_SIZE_TEST} AS BIGINT) AS n_parts,
+       CAST(est_bytes - ((est_bytes + {C.MULTIPART_PART_SIZE_TEST - 1}) // {C.MULTIPART_PART_SIZE_TEST} - 1)
+                        * {C.MULTIPART_PART_SIZE_TEST} AS BIGINT) AS last_part_bytes,
+       CAST({C.MULTIPART_PART_SIZE_TEST} AS BIGINT) AS part_size
+FROM agg ORDER BY file_path""",
         "rotation_custom_naming": _manifest(
             "'partition=' || CAST(kafka_partition AS VARCHAR)", _FLUSH_SEQ,
             topics_prefix="topics", file_delim="#", pad=6,

@@ -400,3 +400,52 @@ def rotation_max_open_files_plan(
     return R.file_manifest(
         R.assign_files_max_open(rec, max_open_files)
     ).orderBy("file_path")
+
+
+# s3.part.size governs how the S3 writer slices a closed file into multipart
+# upload parts (reference: S3SinkConnectorConfig.java:103-104, default
+# 25 MiB; S3OutputStream buffers part.size bytes then uploadPart()s). The
+# plan parameterizes the size; tests/oracles use a 4 KiB part against the
+# synthetic topic so multi-part splits actually occur at test scale.
+MULTIPART_PART_SIZE_TEST = 4096
+MULTIPART_REC_OVERHEAD = 32  # framing overhead per record in the size model
+
+
+def multipart_upload_plan(
+    spark: SparkSession, sf_dir: str, flush_size: int = 100,
+    part_size: int = MULTIPART_PART_SIZE_TEST,
+) -> DataFrame:
+    """Multipart-upload plan for every rotated file: estimated object bytes
+    (key + value + per-record framing — a deterministic size model, since
+    the real serialized size depends on the format writer), the part count
+    at `part_size`, and the final part's size. The capacity-planning view
+    an operator reads to size s3.part.size: parts-per-file drives S3
+    request volume and the part buffer is the connector's dominant heap
+    cost (reference: S3OutputStream part buffer, S3SinkConnectorConfig
+    s3.part.size/s3.part.retries).
+
+    Scale: rides the flush-size file assignment (one shuffle on the file
+    grouping key); byte sums aggregate map-side per file; the part math is
+    pure integer projection on the manifest-sized result."""
+    rec = events_as_topic(spark, sf_dir).withColumn(
+        "encoded_partition", P.default_partitioner(F.col("kafka_partition"))
+    )
+    assigned = R.assign_files_flush_size(rec, flush_size)
+    rec_bytes = (
+        F.coalesce(F.length("key"), F.lit(0))
+        + F.coalesce(F.length("value"), F.lit(0))
+        + F.lit(MULTIPART_REC_OVERHEAD)
+    )
+    files = assigned.groupBy("file_path").agg(
+        F.count(F.lit(1)).alias("record_count"),
+        F.sum(rec_bytes.cast("long")).alias("est_bytes"),
+    )
+    n_parts = F.expr(f"(est_bytes + {part_size - 1}) div {part_size}")
+    return files.select(
+        "file_path",
+        "record_count",
+        "est_bytes",
+        n_parts.alias("n_parts"),
+        (F.col("est_bytes") - (n_parts - F.lit(1)) * F.lit(part_size)).alias("last_part_bytes"),
+        F.lit(part_size).cast("long").alias("part_size"),
+    ).orderBy("file_path")

@@ -1267,3 +1267,69 @@ FROM stat GROUP BY event_type ORDER BY event_type
 
 QUERIES["events_cusum_alarms"] = events_cusum_alarms
 ORACLES["events_cusum_alarms"] = SQL_EVENTS_CUSUM_ALARMS
+
+
+EWMA_TERMS = 16  # dyadic EWMA window: weights 2^-1 .. 2^-16 (alpha = 1/2)
+
+
+def events_ewma16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of hourly metric volume per
+    event type, with alpha = 1/2 truncated at 16 terms — the smoothing the
+    ops dashboard overlays on a bursty series. A recursive EWMA cannot be
+    expressed engine-portably (each step compounds float error in
+    engine-specific order), but the dyadic 16-term form is EXACT integer
+    math: ewma_t = (Σ_{j=0..15} v_{t-j}·2^(15-j)) / 2^16 over 1e-6-quantized
+    hourly sums, computed as one truncating integer division — weights sum
+    to 1 - 2^-16, and both engines produce bit-identical results.
+
+    Scale: one map-side-combined aggregation to |types|×|hours| rows, then
+    a 16-lag window over that metadata-sized series (partition-local, no
+    corpus data in the window)."""
+    from ..session import read_events
+
+    ev = read_events(spark, sf_dir).select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        F.floor(F.col("value") * 1000000.0 + F.lit(0.5)).cast("long").alias("v_micro"),
+    )
+    hourly = ev.groupBy("event_type", "hour").agg(F.sum("v_micro").alias("v_micro"))
+    w = Window.partitionBy("event_type").orderBy("hour")
+    num = None
+    for j in range(EWMA_TERMS):
+        term = F.coalesce(F.lag("v_micro", j).over(w), F.lit(0)) * F.lit(2 ** (EWMA_TERMS - 1 - j))
+        num = term if num is None else num + term
+    return (
+        hourly.withColumn("num_col", num)
+        .withColumn("n_terms", F.least(F.row_number().over(w), F.lit(EWMA_TERMS)))
+        .select(
+            "event_type",
+            "hour",
+            "v_micro",
+            F.expr(f"num_col div {2 ** EWMA_TERMS}").alias("ewma_micro"),
+            "n_terms",
+        )
+    )
+
+
+def _sql_ewma16() -> str:
+    terms = " + ".join(
+        f'COALESCE(LAG(v_micro, {j}) OVER w, 0) * {2 ** (EWMA_TERMS - 1 - j)}'
+        for j in range(EWMA_TERMS)
+    )
+    return f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(SUM(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS v_micro
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, hour, v_micro,
+       CAST(({terms}) // {2 ** EWMA_TERMS} AS BIGINT) AS ewma_micro,
+       CAST(LEAST(ROW_NUMBER() OVER w, {EWMA_TERMS}) AS INT) AS n_terms
+FROM hourly
+WINDOW w AS (PARTITION BY event_type ORDER BY hour)
+ORDER BY event_type, hour
+"""
+
+
+QUERIES["events_ewma16"] = events_ewma16
+ORACLES["events_ewma16"] = _sql_ewma16()
