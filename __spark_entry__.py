@@ -222,6 +222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_transitivity_audit": LC.dedup_transitivity_audit,
         "dedup_keep_best": LC.dedup_keep_best,
         "dedup_semantic": LC.dedup_semantic,
+        "knn_graph_components": LC.knn_graph_components,
         "dedup_rate_by_slice": LC.dedup_rate_by_slice,
         "quality_dup_profile": LC.quality_dup_profile,
         "dedup_exact": LD.dedup_exact,

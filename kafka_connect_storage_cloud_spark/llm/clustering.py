@@ -450,3 +450,52 @@ FROM agg ORDER BY cluster_size
 
 
 ORACLES["dedup_transitivity_audit"] = _sql_transitivity_audit()
+
+
+def knn_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the PRODUCTION mutual-kNN graph
+    (knn_graph_lsh edges): each vector's community id (min reachable
+    vec_id) and community size — the coarse cluster structure used for
+    diversity sampling and SemDeDup-style pruning, computed on the same
+    edge list the graph analytics ride (triangles / PageRank / label vote).
+
+    Scale: identical min-label propagation as dedup_clusters — state is a
+    (vec_id, label) DataFrame, one shuffle join per iteration, loop bounded
+    by component diameter (tiny for near-dup/kNN graphs); the edge builder
+    is the banded-LSH path whose candidate volume stays ~linear in n."""
+    from .similarity import knn_graph_lsh
+
+    vecs = read_table(spark, sf_dir, "embeddings").select("vec_id")
+    pairs = knn_graph_lsh(spark, sf_dir).select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    )
+    return min_label_components(vecs, pairs, "vec_id")
+
+
+def _sql_knn_components() -> str:
+    from .similarity import SQL_KNN_GRAPH_LSH
+
+    return f"""
+WITH RECURSIVE gpairs AS (
+  SELECT vec_a, vec_b FROM ({SQL_KNN_GRAPH_LSH})
+),
+gedges AS (
+  SELECT vec_a AS src, vec_b AS dst FROM gpairs
+  UNION
+  SELECT vec_b AS src, vec_a AS dst FROM gpairs
+),
+greach AS (
+  SELECT vec_id AS node, vec_id AS lab FROM embeddings
+  UNION
+  SELECT e.src AS node, r.lab
+  FROM greach r JOIN gedges e ON e.dst = r.node
+),
+gfinal AS (SELECT node AS vec_id, MIN(lab) AS cluster_id FROM greach GROUP BY node),
+gsizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM gfinal GROUP BY cluster_id)
+SELECT f.vec_id, f.cluster_id, s.cluster_size
+FROM gfinal f JOIN gsizes s USING (cluster_id)
+ORDER BY f.vec_id
+"""
+
+
+ORACLES["knn_graph_components"] = _sql_knn_components()
