@@ -477,3 +477,112 @@ FROM scored ORDER BY token
 
 QUERIES["negative_sampling_table"] = negative_sampling_table
 ORACLES["negative_sampling_table"] = SQL_NEGATIVE_SAMPLING_TABLE
+
+
+# ---------------------------------------------------------------------------
+# vocab_growth_curve — Heaps'-law vocabulary growth over the streamed corpus
+# ---------------------------------------------------------------------------
+
+HEAPS_DECILES = 10
+HEAPS_SALT = "heaps:"
+
+
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law curve: stream the corpus in a deterministic salted-hash
+    order, cut it into deciles, and report per decile the cumulative token
+    volume and the cumulative DISTINCT vocabulary — the curve that predicts
+    how a tokenizer's type inventory grows with corpus size (sublinear if
+    the corpus is natural text, near-linear if it is id/noise-heavy).
+
+    Tracked at TWO granularities: unigram word types (the classic Heaps
+    curve — saturates fast on a closed vocabulary) and 3-word shingle
+    types (the unit the minhash/dedup family fingerprints — its
+    combinatorial space keeps growing, which is exactly what sizes a band
+    store or Bloom dedup filter as ingest proceeds).
+
+    Scale: the 'streaming order' is a hash projection (no data motion);
+    each type's FIRST decile is one inverted-index aggregate (min over
+    the type's doc deciles — map-side combined); the curve itself is a
+    10-row window. Every number is an exact integer count, so both engines
+    agree bit-for-bit."""
+    from ..functions import text as T
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    h = H.h32(F.concat(F.lit(HEAPS_SALT), F.col("doc_id").cast("string")))
+    w_ord = Window.orderBy(h.asc(), F.col("doc_id").asc())
+    staged = docs.withColumn("decile", F.ntile(HEAPS_DECILES).over(w_ord))
+    toks = staged.select(
+        "decile", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    sh = T.with_shingles(staged, 3).select("decile", "shingle")
+    per_decile = toks.groupBy("decile").agg(F.count(F.lit(1)).alias("n_tokens"))
+    first_seen = (
+        toks.groupBy("token").agg(F.min("decile").alias("decile"))
+        .groupBy("decile").agg(F.count(F.lit(1)).alias("new_types"))
+    )
+    first_sh = (
+        sh.groupBy("shingle").agg(F.min("decile").alias("decile"))
+        .groupBy("decile").agg(F.count(F.lit(1)).alias("new_shingles"))
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_decile.join(first_seen, "decile", "left")
+        .join(first_sh, "decile", "left")
+        .select(
+            "decile",
+            "n_tokens",
+            F.coalesce(F.col("new_types"), F.lit(0)).alias("new_types"),
+            F.coalesce(F.col("new_shingles"), F.lit(0)).alias("new_shingles"),
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w_cum))
+        .withColumn("cum_types", F.sum("new_types").over(w_cum))
+        .withColumn("cum_shingles", F.sum("new_shingles").over(w_cum))
+        .orderBy("decile")
+    )
+
+
+def _sql_vocab_growth() -> str:
+    h = H.sql_h32(f"'{HEAPS_SALT}' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH staged AS (
+  SELECT doc_id, text, NTILE({HEAPS_DECILES}) OVER (ORDER BY {h}, doc_id) AS decile
+  FROM documents
+),
+toks AS (
+  SELECT decile, unnest(string_split_regex(lower(text), '\\s+')) AS token FROM staged
+),
+toks_ne AS (SELECT * FROM toks WHERE token <> ''),
+sh AS (
+  SELECT decile, unnest(
+    CASE WHEN len(ws) >= 3
+         THEN [array_to_string(ws[i : i + 2], ' ') for i in generate_series(1, len(ws) - 2)]
+         ELSE [array_to_string(ws, ' ')] END
+  ) AS shingle
+  FROM (SELECT decile, string_split_regex(lower(text), '\\s+') AS ws FROM staged)
+),
+per_decile AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM toks_ne GROUP BY decile),
+first_seen AS (
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS new_types FROM (
+    SELECT token, MIN(decile) AS decile FROM toks_ne GROUP BY token
+  ) GROUP BY decile
+),
+first_sh AS (
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS new_shingles FROM (
+    SELECT shingle, MIN(decile) AS decile FROM sh GROUP BY shingle
+  ) GROUP BY decile
+)
+SELECT p.decile, p.n_tokens,
+       COALESCE(f.new_types, 0) AS new_types,
+       COALESCE(g.new_shingles, 0) AS new_shingles,
+       CAST(SUM(p.n_tokens) OVER (ORDER BY p.decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+       CAST(SUM(COALESCE(f.new_types, 0)) OVER (ORDER BY p.decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_types,
+       CAST(SUM(COALESCE(g.new_shingles, 0)) OVER (ORDER BY p.decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_shingles
+FROM per_decile p
+LEFT JOIN first_seen f ON p.decile = f.decile
+LEFT JOIN first_sh g ON p.decile = g.decile
+ORDER BY p.decile
+"""
+
+
+QUERIES["vocab_growth_curve"] = vocab_growth_curve
+ORACLES["vocab_growth_curve"] = _sql_vocab_growth()

@@ -190,7 +190,7 @@ def test_new_ops_survive_empty_corpus(spark, sf_small, tmp_path):
         # round-5 additions
         "dedup_containment", "embedding_pca_project", "ivf_nprobe_recall_curve",
         "mixture_temperature_weights", "curriculum_stages", "span_corruption_plan",
-        "knn_graph_components",
+        "knn_graph_components", "vocab_growth_curve",
     ):
         assert qs[op](spark, dst).count() == 0, op
 
@@ -416,3 +416,22 @@ def test_span_corruption_plan_invariants(spark, sf_small):
     assert 0.10 <= mean_ratio <= 0.20, mean_ratio
     again = span_corruption_plan(spark, sf_small).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_vocab_growth_curve_is_heaps_shaped(spark, sf_small):
+    """The growth curve's defining invariants: exactly 10 deciles, exact
+    cumulative sums, and sublinear type growth — the marginal shingle-type
+    yield of the last decile must be below the first decile's (measured
+    sf0.01: 2536 -> 1002/decile), which is the Heaps-law signal the
+    band-store capacity planner reads."""
+    from kafka_connect_storage_cloud_spark.llm.text_stats import vocab_growth_curve
+
+    rows = sorted(vocab_growth_curve(spark, sf_small).collect(), key=lambda r: r["decile"])
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    ct = cs = 0
+    for r in rows:
+        ct += r["n_tokens"]; cs += r["new_shingles"]
+        assert r["cum_tokens"] == ct
+        assert r["cum_shingles"] == cs
+    assert rows[-1]["new_shingles"] < rows[0]["new_shingles"]
+    assert all(r["new_shingles"] > 0 for r in rows)
