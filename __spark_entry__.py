@@ -23,6 +23,7 @@ _REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
 
+from kafka_connect_storage_cloud_spark.functions import hashing as _H
 from kafka_connect_storage_cloud_spark.llm import corpus as LCO
 from kafka_connect_storage_cloud_spark.llm import dedup as LD
 from kafka_connect_storage_cloud_spark.llm import multimodal as LM
@@ -178,6 +179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rotation_stats": C.rotation_stats_plan,
         "rotation_flush_size": C.rotation_flush_size_plan,
         "multipart_upload_plan": C.multipart_upload_plan,
+        "consumer_lag_report": C.consumer_lag_report,
         "rotation_custom_naming": C.rotation_custom_naming_plan,
         "locale_partitioner": C.locale_partitioner_plan,
         "rotation_scheduled": C.rotation_scheduled_plan,
@@ -231,6 +233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_precision_curve": LD.minhash_precision_curve,
         "dedup_minhash_lsh": LD.dedup_minhash_lsh,
         "dedup_containment": LD.dedup_containment,
+        "simhash_bit_balance": LD.simhash_bit_balance,
         "dedup_incremental": LD.dedup_incremental,
         "minhash_jaccard_est": LD.minhash_jaccard_est,
         "minhash_band_tuning": LD.minhash_band_tuning,
@@ -531,6 +534,40 @@ SELECT file_path, record_count, est_bytes,
                         * {C.MULTIPART_PART_SIZE_TEST} AS BIGINT) AS last_part_bytes,
        CAST({C.MULTIPART_PART_SIZE_TEST} AS BIGINT) AS part_size
 FROM agg ORDER BY file_path""",
+        "consumer_lag_report": f"""{_RECORDS},
+enc AS (SELECT *, 'partition=' || CAST(kafka_partition AS VARCHAR) AS encoded_partition FROM records),
+seq AS (SELECT *, {_FLUSH_SEQ} AS file_seq FROM enc),
+per_file AS (
+  SELECT kafka_partition, file_seq, COUNT(*) AS n_in_file, MAX("offset") AS file_end_offset
+  FROM seq GROUP BY 1, 2
+),
+committed AS (
+  SELECT kafka_partition, MAX(file_end_offset) AS committed_offset
+  FROM per_file WHERE n_in_file = 100 GROUP BY 1
+),
+per_part AS (
+  SELECT kafka_partition, CAST(COUNT(*) AS BIGINT) AS n_records, MAX("offset") AS topic_end_offset
+  FROM records GROUP BY 1
+),
+behind AS (
+  SELECT s.kafka_partition, CAST(COUNT(*) AS BIGINT) AS uncommitted_records
+  FROM seq s LEFT JOIN committed c ON s.kafka_partition = c.kafka_partition
+  WHERE c.committed_offset IS NULL OR s."offset" > c.committed_offset
+  GROUP BY 1
+)
+SELECT p.kafka_partition, p.n_records, p.topic_end_offset, c.committed_offset,
+       COALESCE(b.uncommitted_records, 0) AS uncommitted_records,
+       {{lag_share}}
+FROM per_part p
+LEFT JOIN committed c ON p.kafka_partition = c.kafka_partition
+LEFT JOIN behind b ON p.kafka_partition = b.kafka_partition
+ORDER BY p.kafka_partition""".replace(
+            "{lag_share}",
+            _H.sql_round6(
+                "CAST(COALESCE(b.uncommitted_records, 0) AS DOUBLE) / CAST(p.n_records AS DOUBLE)"
+            )
+            + " AS lag_share",
+        ),
         "rotation_custom_naming": _manifest(
             "'partition=' || CAST(kafka_partition AS VARCHAR)", _FLUSH_SEQ,
             topics_prefix="topics", file_delim="#", pad=6,

@@ -926,3 +926,46 @@ ORDER BY doc_a, doc_b
 
 SQL_DEDUP_CONTAINMENT = _sql_containment()
 ORACLES["dedup_containment"] = SQL_DEDUP_CONTAINMENT
+
+
+def simhash_bit_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash bit-position balance: for each of the 60 signature bits,
+    the share of documents with that bit set. A healthy hyperplane family
+    sits near 0.5 per bit; a skewed bit carries less than one bit of
+    information and inflates false-positive hamming collisions — this is
+    the hashing-QA audit you read before trusting dedup_simhash's
+    distance threshold on a new corpus.
+
+    Scale: rides the simhash signature scan (one groupBy per doc), then a
+    60-row explode + aggregate on the signature table — map-side combined,
+    constant-size output."""
+    sim = simhash_signatures(spark, sf_dir)
+    bits = sim.select(
+        F.explode(F.expr(f"sequence(0, {SIM_BITS - 1})")).alias("bit"),
+        F.col("simhash"),
+    ).select("bit", F.expr("shiftright(simhash, bit) & 1").alias("v"))
+    return (
+        bits.groupBy("bit")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("v").alias("n_ones"))
+        .select(
+            "bit",
+            "n_docs",
+            "n_ones",
+            H.round6(F.col("n_ones").cast("double") / F.col("n_docs").cast("double")).alias("ones_share"),
+        )
+        .orderBy("bit")
+    )
+
+
+SQL_SIMHASH_BIT_BALANCE = f"""
+WITH {_sql_simhash()},
+bits AS (
+  SELECT b.bit, (sim.simhash >> b.bit) & 1 AS v
+  FROM sim, (SELECT unnest(generate_series(0, {SIM_BITS - 1})) AS bit) b
+)
+SELECT bit, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(v) AS BIGINT) AS n_ones,
+       {H.sql_round6("CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)")} AS ones_share
+FROM bits GROUP BY bit ORDER BY bit
+"""
+
+ORACLES["simhash_bit_balance"] = SQL_SIMHASH_BIT_BALANCE

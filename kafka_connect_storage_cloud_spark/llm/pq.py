@@ -177,7 +177,11 @@ def _seed_subspaces(spark: SparkSession, sf_dir: str):
     for m in range(PQ_M):
         picks = sorted(by_m.get(m, []))  # ids ascending: argmin ties = smallest id
         ids = np.array([p[0] for p in picks], dtype=np.int64)
-        full = np.array([p[1] for p in picks], dtype=np.int64)
+        # empty corpus: keep the (0, PQ_SUBDIM) shape so downstream guards
+        # (len(books[0][0]) == 0) see a well-formed empty codebook
+        full = np.array([p[1] for p in picks], dtype=np.int64).reshape(
+            len(picks), -1 if picks else PQ_M * PQ_SUBDIM
+        )
         books.append((ids, _sub(full, m).copy()))
     return books
 
@@ -196,6 +200,9 @@ def _train_pq_codebooks(spark: SparkSession, sf_dir: str):
     emb = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", _dec_vec("embedding").alias("v")
     )
+    if len(books) == 0 or len(books[0][0]) == 0:  # empty corpus: no codebooks
+        _PQ_MEMO[sf_dir] = books
+        return books
     for _ in range(PQ_LLOYD_STEPS):
         books = _pq_lloyd_step(emb, books)
     _PQ_MEMO[sf_dir] = books
@@ -211,6 +218,13 @@ def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ship_package(spark)
     books = _train_pq_codebooks(spark, sf_dir)
+    schema = (
+        "vec_id long, "
+        + ", ".join(f"code_{m} long" for m in range(PQ_M))
+        + ", recon_err_sq long"
+    )
+    if len(books) == 0 or len(books[0][0]) == 0:  # empty corpus: no codes
+        return spark.createDataFrame([], schema)
     c2s = [np.einsum("ij,ij->i", b[1], b[1]) for b in books]
 
     def encode(batches):
@@ -234,7 +248,6 @@ def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     emb = read_table(spark, sf_dir, "embeddings").select("vec_id", _dec_vec("embedding").alias("v"))
-    schema = "vec_id long, " + ", ".join(f"code_{m} long" for m in range(PQ_M)) + ", recon_err_sq long"
     return emb.mapInPandas(encode, schema)
 
 
@@ -696,3 +709,49 @@ ORACLES = {
     "pq_adc_topk": _sql_adc_topk(),
     "pq_recall_audit": _sql_recall_audit(),
 }
+
+
+def pq_code_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ inverted-code balance: per (subspace m, code cid), how many
+    vectors chose that code, its share of the subspace, and its load
+    factor vs the uniform expectation n/PQ_K — the ivf_balance_audit
+    analog for the PQ codebooks. Dead codes (never chosen) and hot codes
+    (load ≫ 1) both waste quantization bits; this is the table that says
+    when to retrain or re-seed a subspace.
+
+    Scale: one PQ encode pass (the memoized codebooks ride the Arrow
+    batch closure), then a groupBy onto at most PQ_M·PQ_K = 2048 keys —
+    map-side combined, broadcast-sized output at any corpus size."""
+    codes = embedding_pq(spark, sf_dir)
+    stack = "stack(" + str(PQ_M) + ", " + ", ".join(
+        f"{m}, code_{m}" for m in range(PQ_M)
+    ) + ") AS (m, cid)"
+    per = (
+        codes.selectExpr(stack)
+        .groupBy("m", "cid")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+    )
+    total = F.sum("n_vecs").over(Window.partitionBy("m"))
+    return per.select(
+        "m",
+        "cid",
+        "n_vecs",
+        H.round6(F.col("n_vecs").cast("double") / total.cast("double")).alias("share"),
+        H.round6(
+            F.col("n_vecs") * F.lit(PQ_K) / total.cast("double")
+        ).alias("load_factor"),
+    ).orderBy("m", "cid")
+
+
+SQL_PQ_CODE_BALANCE = (
+    _sql_prefix()
+    + f""",
+per AS (SELECT m, cid, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM codes GROUP BY m, cid)
+SELECT m, cid, n_vecs,
+       {H.sql_round6("CAST(n_vecs AS DOUBLE) / CAST(SUM(n_vecs) OVER (PARTITION BY m) AS DOUBLE)")} AS share,
+       {H.sql_round6(f"n_vecs * {PQ_K} / CAST(SUM(n_vecs) OVER (PARTITION BY m) AS DOUBLE)")} AS load_factor
+FROM per ORDER BY m, cid"""
+)
+
+QUERIES["pq_code_balance"] = pq_code_balance
+ORACLES["pq_code_balance"] = SQL_PQ_CODE_BALANCE

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import hashing as H
 from ..operators import partitioners as P
 from ..operators import rotation as R
 from ..sources.topic import events_as_topic
@@ -449,3 +450,61 @@ def multipart_upload_plan(
         (F.col("est_bytes") - (n_parts - F.lit(1)) * F.lit(part_size)).alias("last_part_bytes"),
         F.lit(part_size).cast("long").alias("part_size"),
     ).orderBy("file_path")
+
+
+def consumer_lag_report(
+    spark: SparkSession, sf_dir: str, flush_size: int = 100
+) -> DataFrame:
+    """Consumer-group lag as the sink connector reports it: the connector
+    commits a partition's offset only when a file CLOSES (flush.size
+    reached — reference: TopicPartitionWriter commitFiles after rotation),
+    so records sitting in the open partial file are consumed-but-uncommitted
+    lag. Per kafka partition: topic end offset, highest committed offset
+    (last record of the last FULL file; NULL when nothing has flushed),
+    uncommitted record count, and its share — the restart-exposure /
+    monitoring view an operator alarms on.
+
+    Scale: one file assignment (single shuffle), file summaries combine
+    map-side, and the report is |partitions| rows."""
+    rec = events_as_topic(spark, sf_dir).withColumn(
+        "encoded_partition", P.default_partitioner(F.col("kafka_partition"))
+    )
+    assigned = R.assign_files_flush_size(rec, flush_size)
+    per_file = assigned.groupBy("kafka_partition", "file_seq").agg(
+        F.count(F.lit(1)).alias("n_in_file"),
+        F.max("offset").alias("file_end_offset"),
+    )
+    committed = (
+        per_file.where(F.col("n_in_file") == flush_size)
+        .groupBy("kafka_partition")
+        .agg(F.max("file_end_offset").alias("committed_offset"))
+    )
+    per_part = rec.groupBy("kafka_partition").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.max("offset").alias("topic_end_offset"),
+    )
+    joined = per_part.join(committed, "kafka_partition", "left")
+    behind = (
+        assigned.join(committed, "kafka_partition", "left")
+        .where(
+            F.col("committed_offset").isNull()
+            | (F.col("offset") > F.col("committed_offset"))
+        )
+        .groupBy("kafka_partition")
+        .agg(F.count(F.lit(1)).alias("uncommitted_records"))
+    )
+    return (
+        joined.join(behind, "kafka_partition", "left")
+        .select(
+            "kafka_partition",
+            "n_records",
+            "topic_end_offset",
+            "committed_offset",
+            F.coalesce(F.col("uncommitted_records"), F.lit(0)).alias("uncommitted_records"),
+            H.round6(
+                F.coalesce(F.col("uncommitted_records"), F.lit(0)).cast("double")
+                / F.col("n_records").cast("double")
+            ).alias("lag_share"),
+        )
+        .orderBy("kafka_partition")
+    )
