@@ -969,3 +969,96 @@ FROM bits GROUP BY bit ORDER BY bit
 """
 
 ORACLES["simhash_bit_balance"] = SQL_SIMHASH_BIT_BALANCE
+
+
+GOLD_JACCARD = 0.5  # a pair is a TRUE near-dup when exact Jaccard >= this
+
+
+def dedup_method_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Method-comparison audit: precision and recall of each candidate
+    generator — minhash_lsh, simhash, containment — against the exact
+    Jaccard >= GOLD_JACCARD gold pair set, in one table. The
+    which-dedup-do-I-run decision input: banding (probabilistic, Jaccard),
+    bit-vote hamming (cheap, drifts on short docs), and prefix-filter
+    containment (exact, also catches subset pairs) trade recall for
+    candidate volume differently on every corpus.
+
+    The gold itself is EXACT yet scale-bounded: J >= 0.5 implies the
+    smaller side's containment >= 0.5 >= CONT_TAU, so the gold pair set is
+    a subset of the lossless prefix-filter candidates — dedup_containment's
+    output filtered to jaccard >= 0.5, no O(n²) sweep. All counts are
+    integers; the two ratios divide once at the end."""
+    gold = (
+        dedup_containment(spark, sf_dir)
+        .where(F.col("jaccard") >= GOLD_JACCARD)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()  # three method joins + the count read it
+    )
+    n_gold_row = gold.agg(F.count(F.lit(1)).alias("n_gold"))
+    methods = [
+        ("minhash_lsh", dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")),
+        ("simhash", dedup_simhash(spark, sf_dir).select("doc_a", "doc_b")),
+        (
+            "containment",
+            dedup_containment(spark, sf_dir).select("doc_a", "doc_b"),
+        ),
+    ]
+    cands = None
+    for name, df in methods:
+        tagged = df.select(F.lit(name).alias("method"), "doc_a", "doc_b")
+        cands = tagged if cands is None else cands.unionAll(tagged)
+    per = cands.groupBy("method").agg(F.count(F.lit(1)).alias("n_candidates"))
+    hits = (
+        cands.join(gold, ["doc_a", "doc_b"])
+        .groupBy("method")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        per.join(hits, "method", "left")
+        .crossJoin(F.broadcast(n_gold_row))
+        .select(
+            "method",
+            "n_candidates",
+            "n_gold",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            H.round6(
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / F.col("n_candidates").cast("double")
+            ).alias("precision"),
+            H.round6(
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / F.col("n_gold").cast("double")
+            ).alias("recall"),
+        )
+        .orderBy("method")
+    )
+
+
+def _sql_method_matrix() -> str:
+    return f"""
+WITH cont AS MATERIALIZED (SELECT doc_a, doc_b, jaccard FROM ({SQL_DEDUP_CONTAINMENT})),
+gold AS (SELECT doc_a, doc_b FROM cont WHERE jaccard >= {GOLD_JACCARD}),
+cands AS MATERIALIZED (
+  SELECT 'minhash_lsh' AS method, doc_a, doc_b FROM ({SQL_DEDUP_MINHASH_LSH})
+  UNION ALL
+  SELECT 'simhash' AS method, doc_a, doc_b FROM ({SQL_DEDUP_SIMHASH})
+  UNION ALL
+  SELECT 'containment' AS method, doc_a, doc_b FROM cont
+),
+per AS (SELECT method, CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cands GROUP BY method),
+hits AS (
+  SELECT c.method, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM cands c JOIN gold g ON c.doc_a = g.doc_a AND c.doc_b = g.doc_b
+  GROUP BY c.method
+),
+ng AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_gold FROM gold)
+SELECT p.method, p.n_candidates, ng.n_gold,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       {H.sql_round6("CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(p.n_candidates AS DOUBLE)")} AS precision,
+       {H.sql_round6("CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(ng.n_gold AS DOUBLE)")} AS recall
+FROM per p LEFT JOIN hits h ON p.method = h.method CROSS JOIN ng
+ORDER BY p.method
+"""
+
+
+ORACLES["dedup_method_matrix"] = _sql_method_matrix()
