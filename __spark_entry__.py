@@ -38,6 +38,7 @@ from kafka_connect_storage_cloud_spark.llm import sketches as SK
 from kafka_connect_storage_cloud_spark.llm import sampling as SA
 from kafka_connect_storage_cloud_spark.llm import text_stats as TS
 from kafka_connect_storage_cloud_spark.llm import curriculum as CU
+from kafka_connect_storage_cloud_spark.llm import ann_audit as AA
 from kafka_connect_storage_cloud_spark.operators import schema_evolution as SE
 from kafka_connect_storage_cloud_spark.operators import layout as LAY
 from kafka_connect_storage_cloud_spark.operators import smt as SMT
@@ -243,6 +244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_modality_agreement": LD.dedup_modality_agreement,
         **LSU.QUERIES,
         **CU.QUERIES,
+        **AA.QUERIES,
         "embedding_cosine_dups": LS.embedding_cosine_dups,
         "cosine_dup_band_recall": LS.cosine_dup_band_recall,
         "cosine_dup_band_recall_sampled": LS.cosine_dup_band_recall_sampled,
@@ -882,6 +884,7 @@ FROM (
         **LD.ORACLES,
         **LSU.ORACLES,
         **CU.ORACLES,
+        **AA.ORACLES,
         **LS.ORACLES,
         **LQ.ORACLES,
         **LM.ORACLES,

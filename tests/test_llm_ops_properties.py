@@ -191,7 +191,7 @@ def test_new_ops_survive_empty_corpus(spark, sf_small, tmp_path):
         "dedup_containment", "embedding_pca_project", "ivf_nprobe_recall_curve",
         "mixture_temperature_weights", "curriculum_stages", "span_corruption_plan",
         "knn_graph_components", "vocab_growth_curve", "pq_code_balance",
-        "simhash_bit_balance", "dedup_method_matrix",
+        "simhash_bit_balance", "dedup_method_matrix", "ann_method_matrix",
     ):
         assert qs[op](spark, dst).count() == 0, op
 
