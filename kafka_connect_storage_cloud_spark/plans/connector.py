@@ -469,6 +469,15 @@ def consumer_lag_report(
     rec = events_as_topic(spark, sf_dir).withColumn(
         "encoded_partition", P.default_partitioner(F.col("kafka_partition"))
     )
+    return lag_report_from_records(rec, flush_size)
+
+
+def lag_report_from_records(rec: DataFrame, flush_size: int = 100) -> DataFrame:
+    """consumer_lag_report over any SinkRecord-shaped frame carrying
+    (kafka_partition, offset, encoded_partition) — shared by the batch
+    operator and the streaming lag monitor (streaming.pipeline.
+    consumer_lag_stream), so both report identical numbers from identical
+    state."""
     assigned = R.assign_files_flush_size(rec, flush_size)
     per_file = assigned.groupBy("kafka_partition", "file_seq").agg(
         F.count(F.lit(1)).alias("n_in_file"),

@@ -562,3 +562,65 @@ def minhash_dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def consumer_lag_stream(
+    records: DataFrame, store_dir: str, checkpoint: str, flush_size: int = 100
+) -> StreamingQuery:
+    """Streaming consumer-lag monitor: after every micro-batch, emit the
+    SAME per-partition lag report the batch operator computes
+    (plans.connector.consumer_lag_report — committed offset advances only
+    when a flush.size file closes; the open partial file is
+    consumed-but-uncommitted exposure), over everything ingested so far.
+
+    State is the accumulated (topic, kafka_partition, offset) log in
+    batch-keyed parquet dirs; batch b snapshots from batches <= b only and
+    both the log append and the lag snapshot are overwrite-idempotent, so
+    a replayed micro-batch rewrites identical files (the connector's
+    replay rule applied to monitoring state). The final snapshot over a
+    fully-drained stream equals the batch report row-for-row — pinned in
+    tests/test_streaming.py regardless of how ingest split into batches."""
+    import os
+
+    from ..plans.connector import lag_report_from_records
+
+    def _entries(spark, path: str) -> list[str]:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(jpath):
+            return []
+        return [
+            st.getPath().getName()
+            for st in fs.listStatus(jpath)
+            if st.getPath().getName().startswith("batch=")
+        ]
+
+    def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        log_dir = os.path.join(store_dir, "offsets")
+        batch_df.select("topic", "kafka_partition", "offset").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(log_dir, f"batch={batch_id}"))
+        seen = [
+            e for e in _entries(spark, log_dir)
+            if int(e.split("=", 1)[1]) <= batch_id
+        ]
+        rec = (
+            spark.read.parquet(*[os.path.join(log_dir, e) for e in seen])
+            .withColumn(
+                "encoded_partition", P.default_partitioner(F.col("kafka_partition"))
+            )
+        )
+        lag_report_from_records(rec, flush_size).write.mode("overwrite").parquet(
+            os.path.join(store_dir, "lag", f"batch={batch_id}")
+        )
+
+    return (
+        records.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

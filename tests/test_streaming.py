@@ -985,3 +985,41 @@ def test_minhash_dedup_stream_four_way_split(spark, sf_small, tmp_path):
         for r in dedup_minhash_lsh(spark, sf_small).collect()
     }
     assert got == exp
+
+
+def test_consumer_lag_stream_matches_batch_report(spark, sf_small, tmp_path):
+    """Streaming lag monitor == batch consumer_lag_report once the stream
+    drains, regardless of micro-batch split; intermediate snapshots exist
+    per batch and replaying into a fresh checkpoint rewrites the same
+    final snapshot (overwrite idempotence)."""
+    from kafka_connect_storage_cloud_spark.plans.connector import consumer_lag_report
+    from kafka_connect_storage_cloud_spark.sources.topic import as_topic_records
+    from kafka_connect_storage_cloud_spark.streaming.pipeline import (
+        consumer_lag_stream,
+        stream_events_source,
+    )
+
+    store = str(tmp_path / "lag_store")
+
+    def run(ckpt: str):
+        q = consumer_lag_stream(
+            as_topic_records(stream_events_source(spark, sf_small)),
+            store,
+            str(tmp_path / ckpt),
+        )
+        assert q.awaitTermination(120), "lag stream did not drain in time"
+        import os
+
+        batches = sorted(
+            int(e.split("=", 1)[1])
+            for e in os.listdir(f"{store}/lag")
+            if e.startswith("batch=")
+        )
+        assert batches, "no lag snapshots written"
+        last = spark.read.parquet(f"{store}/lag/batch={batches[-1]}")
+        return sorted(map(tuple, last.collect()))
+
+    got = run("ckpt1")
+    exp = sorted(map(tuple, consumer_lag_report(spark, sf_small).collect()))
+    assert got == exp
+    assert run("ckpt2") == exp  # replay == original (idempotent state)
