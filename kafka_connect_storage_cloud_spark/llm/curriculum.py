@@ -207,3 +207,65 @@ ORACLES = {
     "curriculum_stages": SQL_CURRICULUM_STAGES,
     "span_corruption_plan": _sql_span_plan(),
 }
+
+
+MLM_MASK_PCT = 15  # fraction of tokens selected for prediction, percent
+# of the selected tokens: 80% -> [MASK], 10% -> random token, 10% -> kept
+MLM_MASK_SPLIT, MLM_RAND_SPLIT = 8, 9  # h % 10 < 8 mask; < 9 random; else keep
+
+
+def mlm_masking_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic BERT-style MLM masking plan: per document, ~15% of
+    token positions are selected by portable hash, and each selected
+    position is assigned its action by a second hash — 80% [MASK], 10%
+    random-token substitution, 10% kept unchanged. RNG-free: the same doc
+    masks identically on every run, engine, and replay (the
+    span_corruption_plan sibling for encoder-style objectives).
+
+    Scale: pure per-row projection — position selection and the action
+    split are array expressions over sequence(1, n_tokens); no shuffle,
+    no UDF. Counts are exact integers."""
+    sel_h = H.spark_sql_h32("CAST(doc_id AS STRING) || '@' || CAST(p AS STRING)")
+    act_h = H.spark_sql_h32("CAST(doc_id AS STRING) || '#' || CAST(p AS STRING)")
+    sel = f"filter(sequence(1, n_tokens), p -> {sel_h} % 100 < {MLM_MASK_PCT})"
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(f"size({_SPARK_WORDS})").cast("long").alias("n_tokens")
+    )
+    return docs.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(f"size({sel})").cast("long").alias("n_selected"),
+        F.expr(f"size(filter({sel}, p -> {act_h} % 10 < {MLM_MASK_SPLIT}))")
+        .cast("long")
+        .alias("n_masked"),
+        F.expr(
+            f"size(filter({sel}, p -> {act_h} % 10 >= {MLM_MASK_SPLIT} "
+            f"AND {act_h} % 10 < {MLM_RAND_SPLIT}))"
+        )
+        .cast("long")
+        .alias("n_random"),
+        F.expr(f"size(filter({sel}, p -> {act_h} % 10 >= {MLM_RAND_SPLIT}))")
+        .cast("long")
+        .alias("n_kept"),
+    )
+
+
+def _sql_mlm_plan() -> str:
+    sel_h = H.sql_h32("CAST(doc_id AS VARCHAR) || '@' || CAST(p AS VARCHAR)")
+    act_h = H.sql_h32("CAST(doc_id AS VARCHAR) || '#' || CAST(p AS VARCHAR)")
+    sel = f"list_filter(generate_series(1, n_tokens), p -> {sel_h} % 100 < {MLM_MASK_PCT})"
+    return f"""
+WITH sized AS (
+  SELECT doc_id, CAST(len({_SQL_WORDS_NE}) AS BIGINT) AS n_tokens FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST(len({sel}) AS BIGINT) AS n_selected,
+       CAST(len(list_filter({sel}, p -> {act_h} % 10 < {MLM_MASK_SPLIT})) AS BIGINT) AS n_masked,
+       CAST(len(list_filter({sel}, p -> {act_h} % 10 >= {MLM_MASK_SPLIT} AND {act_h} % 10 < {MLM_RAND_SPLIT})) AS BIGINT) AS n_random,
+       CAST(len(list_filter({sel}, p -> {act_h} % 10 >= {MLM_RAND_SPLIT})) AS BIGINT) AS n_kept
+FROM sized ORDER BY doc_id
+"""
+
+
+QUERIES["mlm_masking_plan"] = mlm_masking_plan
+ORACLES["mlm_masking_plan"] = _sql_mlm_plan()

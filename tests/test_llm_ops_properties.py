@@ -190,7 +190,7 @@ def test_new_ops_survive_empty_corpus(spark, sf_small, tmp_path):
         # round-5 additions
         "dedup_containment", "embedding_pca_project", "ivf_nprobe_recall_curve",
         "mixture_temperature_weights", "curriculum_stages", "span_corruption_plan",
-        "knn_graph_components", "vocab_growth_curve", "pq_code_balance",
+        "knn_graph_components", "vocab_growth_curve", "pq_code_balance", "mlm_masking_plan",
         "simhash_bit_balance", "dedup_method_matrix", "ann_method_matrix",
     ):
         assert qs[op](spark, dst).count() == 0, op
@@ -436,3 +436,23 @@ def test_vocab_growth_curve_is_heaps_shaped(spark, sf_small):
         assert r["cum_shingles"] == cs
     assert rows[-1]["new_shingles"] < rows[0]["new_shingles"]
     assert all(r["new_shingles"] > 0 for r in rows)
+
+
+def test_mlm_masking_plan_invariants(spark, sf_small):
+    """The action split partitions the selection exactly; aggregate rates
+    sit near the design point (15% selected; 80/10/10 split), and the plan
+    is replay-identical."""
+    from kafka_connect_storage_cloud_spark.llm.curriculum import mlm_masking_plan
+
+    rows = mlm_masking_plan(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert r["n_masked"] + r["n_random"] + r["n_kept"] == r["n_selected"]
+        assert r["n_selected"] <= r["n_tokens"]
+    tot = sum(r["n_tokens"] for r in rows)
+    sel = sum(r["n_selected"] for r in rows)
+    msk = sum(r["n_masked"] for r in rows)
+    assert 0.10 <= sel / tot <= 0.20
+    assert 0.7 <= msk / sel <= 0.9
+    again = mlm_masking_plan(spark, sf_small).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
