@@ -131,6 +131,13 @@ class ConnectorConfig:
     # fields are locale-invariant; the engine ships name tables for the
     # locales in operators.partitioners.LOCALES.
     locale: str = "en_US"
+    # s3.part.size / s3.part.retries (S3SinkConnectorConfig.java:103-104,
+    # :155-156; PartRange validator :1163 — S3's 5 MiB floor). The engine's
+    # writers don't upload parts themselves (the S3A committer does), but
+    # the size drives multipart_upload_plan's capacity model and both keys
+    # validate exactly as the reference does.
+    part_size: int = 25 * 1024 * 1024
+    part_retries: int = 3
     extra: dict[str, Any] = field(default_factory=dict)
 
     def __post_init__(self) -> None:
@@ -138,6 +145,11 @@ class ConnectorConfig:
             raise ValueError(f"format.class {self.format_class!r} not supported")
         if self.flush_size < 1:
             raise ValueError("flush.size must be >= 1")
+        if self.part_size < 5 * 1024 * 1024:
+            # reference PartRange: S3's multipart minimum is 5 MiB
+            raise ValueError("s3.part.size must be at least 5242880 (5 MiB)")
+        if self.part_retries < 0:
+            raise ValueError("s3.part.retries must be >= 0")
         if self.partitioner_class not in VALID_PARTITIONERS:
             raise ValueError(f"partitioner.class {self.partitioner_class!r} not supported")
         if self.json_decimal_format not in ("BASE64", "NUMERIC"):
@@ -338,6 +350,8 @@ _KEY_MAP = {
     "file.delim": ("file_delim", str),
     "filename.offset.zero.pad.width": ("zero_pad_width", int),
     "locale": ("locale", lambda v: str(v).replace("-", "_")),
+    "s3.part.size": ("part_size", int),
+    "s3.part.retries": ("part_retries", int),
 }
 
 

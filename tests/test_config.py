@@ -218,3 +218,21 @@ def test_run_connector_rejects_invalid_cross_config(spark, sf_small):
             },
             sf_dir=sf_small,
         )
+
+
+def test_part_size_parses_and_validates_like_reference():
+    """s3.part.size / s3.part.retries: typed parse with the reference's
+    PartRange floor (5 MiB — S3's multipart minimum) and non-negative
+    retries."""
+    import pytest
+
+    from kafka_connect_storage_cloud_spark.config import parse_properties
+
+    cfg = parse_properties({"s3.part.size": "10485760", "s3.part.retries": "5"})
+    assert cfg.part_size == 10 * 1024 * 1024
+    assert cfg.part_retries == 5
+    assert parse_properties({}).part_size == 25 * 1024 * 1024  # reference default
+    with pytest.raises(ValueError):
+        parse_properties({"s3.part.size": "1048576"})  # below the 5 MiB floor
+    with pytest.raises(ValueError):
+        parse_properties({"s3.part.retries": "-1"})
