@@ -181,6 +181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rotation_flush_size": C.rotation_flush_size_plan,
         "multipart_upload_plan": C.multipart_upload_plan,
         "consumer_lag_report": C.consumer_lag_report,
+        "rotation_policy_matrix": C.rotation_policy_matrix,
         "rotation_custom_naming": C.rotation_custom_naming_plan,
         "locale_partitioner": C.locale_partitioner_plan,
         "rotation_scheduled": C.rotation_scheduled_plan,
@@ -468,6 +469,27 @@ records AS (
 
 
 def oracle_sql() -> dict[str, str]:
+    d = _oracle_sql_base()
+    agg = _H.sql_round6("CAST(SUM(record_count) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)")
+    blocks = " UNION ALL ".join(
+        f"""SELECT '{name}' AS policy, CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(record_count) AS BIGINT) AS n_records,
+       MIN(record_count) AS min_records_per_file,
+       MAX(record_count) AS max_records_per_file,
+       {agg} AS avg_records_per_file
+FROM ({d[key]})"""
+        for name, key in (
+            ("flush_size", "rotation_flush_size"),
+            ("scheduled", "rotation_scheduled"),
+            ("interval", "rotation_interval"),
+            ("partition_change", "rotation_partition_change"),
+        )
+    )
+    d["rotation_policy_matrix"] = f"SELECT * FROM ({blocks}) ORDER BY policy"
+    return d
+
+
+def _oracle_sql_base() -> dict[str, str]:
     daily = "'year=' || strftime(\"timestamp\", '%Y') || '/month=' || strftime(\"timestamp\", '%m') || '/day=' || strftime(\"timestamp\", '%d')"
     hourly = daily + " || '/hour=' || strftime(\"timestamp\", '%H')"
     return {

@@ -517,3 +517,35 @@ def lag_report_from_records(rec: DataFrame, flush_size: int = 100) -> DataFrame:
         )
         .orderBy("kafka_partition")
     )
+
+
+def rotation_policy_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rotation-policy comparison: for each rotation policy in its
+    canonical configuration (flush.size=100, rotate.schedule.interval 6 h,
+    rotate.interval 12 h, rotate-on-partition-change), the file count,
+    record volume, and min/avg/max records per file — the one table that
+    shows the small-file/latency trade before a connector config is
+    chosen (tiny files hurt the object store and downstream scans; huge
+    files hurt restart/commit latency).
+
+    Scale: each policy's manifest is its already-verified plan (one
+    shuffle each); the matrix is a 4-row aggregate union."""
+    policies = (
+        ("flush_size", rotation_flush_size_plan),
+        ("scheduled", rotation_scheduled_plan),
+        ("interval", rotation_interval_plan),
+        ("partition_change", rotation_partition_change_plan),
+    )
+    out = None
+    for name, fn in policies:
+        agg = fn(spark, sf_dir).agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("record_count").alias("n_records"),
+            F.min("record_count").alias("min_records_per_file"),
+            F.max("record_count").alias("max_records_per_file"),
+            H.round6(
+                F.sum("record_count").cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("avg_records_per_file"),
+        ).select(F.lit(name).alias("policy"), "*")
+        out = agg if out is None else out.unionByName(agg)
+    return out.orderBy("policy")
