@@ -63,6 +63,21 @@ TIE_PRONE = [
     "dedup_transitivity_audit",  # chained-share ratio
     "quantile_sketch_audit",  # rel-err ratio + rank boundary
     "negative_sampling_table",  # sqrt-composed power + normalized probs
+    # round-5 additions in the same ratio/tie expression classes
+    "dedup_containment",      # containment/jaccard ratios + integer-ceil prefix boundary
+    "dedup_method_matrix",    # precision/recall ratios over three generators
+    "ann_method_matrix",      # recall ratios over four ANN paths
+    "ivf_nprobe_recall_curve",  # recall ratios per probe level
+    "mixture_temperature_weights",  # sqrt + micro-int-normalized weights + epoch ratio
+    "curriculum_stages",      # ntile boundary ties broken by (rarity, doc_id)
+    "events_ewma16",          # micro-int quantization of double values + trunc div
+    "multipart_upload_plan",  # integer ceil part boundary
+    "consumer_lag_report",    # lag-share ratio + flush boundary
+    "rotation_policy_matrix", # avg-records ratio over four manifests
+    "vocab_growth_curve",     # ntile decile boundary
+    "pq_code_balance",        # share / load-factor divisions over window total
+    "simhash_bit_balance",    # ones-share ratio
+    "embedding_pca_project",  # double conversion chain / cnorm division
 ]
 
 
