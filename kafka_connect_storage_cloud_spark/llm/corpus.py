@@ -1439,3 +1439,47 @@ FROM (\n{u}\n) ORDER BY round"""
 
 QUERIES["bpe_compression_curve"] = bpe_compression_curve
 ORACLES["bpe_compression_curve"] = _sql_bpe_compression()
+
+
+def shard_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard skew: per writer partition (worker), shard count,
+    token volume, its share, and the load factor vs the uniform W-way
+    expectation — the straggler signal for a sharded training job (a
+    worker at load 1.5x finishes the epoch 50% late; fix = rebalance the
+    doc->worker hash or split the hot worker's shards). ivf_balance_audit
+    for the token_shard_pack manifest.
+
+    Scale: a |workers|-row aggregate over the shard manifest (itself
+    bounded: corpus_tokens / SHARD_TOKEN_BUDGET rows)."""
+    shards = token_shard_pack(spark, sf_dir)
+    per = shards.groupBy("worker").agg(
+        F.count(F.lit(1)).alias("n_shards"),
+        F.sum("shard_tokens").alias("worker_tokens"),
+    )
+    total = F.sum("worker_tokens").over(Window.partitionBy())
+    return per.select(
+        "worker",
+        "n_shards",
+        "worker_tokens",
+        H.round6(F.col("worker_tokens").cast("double") / total.cast("double")).alias("token_share"),
+        H.round6(
+            F.col("worker_tokens") * F.lit(SHARD_WORKERS) / total.cast("double")
+        ).alias("load_factor"),
+    ).orderBy("worker")
+
+
+SQL_SHARD_SKEW_AUDIT = f"""
+WITH shards AS ({{pack}}),
+per AS (
+  SELECT worker, CAST(COUNT(*) AS BIGINT) AS n_shards,
+         CAST(SUM(shard_tokens) AS BIGINT) AS worker_tokens
+  FROM shards GROUP BY worker
+)
+SELECT worker, n_shards, worker_tokens,
+       {H.sql_round6("CAST(worker_tokens AS DOUBLE) / CAST(SUM(worker_tokens) OVER () AS DOUBLE)")} AS token_share,
+       {H.sql_round6(f"worker_tokens * {SHARD_WORKERS} / CAST(SUM(worker_tokens) OVER () AS DOUBLE)")} AS load_factor
+FROM per ORDER BY worker
+"""
+
+QUERIES["shard_skew_audit"] = shard_skew_audit
+ORACLES["shard_skew_audit"] = SQL_SHARD_SKEW_AUDIT.format(pack=SQL_TOKEN_SHARD_PACK)

@@ -192,6 +192,7 @@ def test_new_ops_survive_empty_corpus(spark, sf_small, tmp_path):
         "mixture_temperature_weights", "curriculum_stages", "span_corruption_plan",
         "knn_graph_components", "vocab_growth_curve", "pq_code_balance", "mlm_masking_plan",
         "simhash_bit_balance", "dedup_method_matrix", "ann_method_matrix",
+        "shard_skew_audit",
     ):
         assert qs[op](spark, dst).count() == 0, op
 
