@@ -1333,3 +1333,105 @@ ORDER BY event_type, hour
 
 QUERIES["events_ewma16"] = events_ewma16
 ORACLES["events_ewma16"] = _sql_ewma16()
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Truncate-toward-zero division for b > 0 (DuckDB // on HUGEINT and
+    Spark div semantics; Python // floors, differing on negatives)."""
+    q = abs(a) // b
+    return q if a >= 0 else -q
+
+
+def events_seasonality_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much of a metric's variance is DAILY SEASONALITY: per event
+    type, the one-way ANOVA decomposition of value variance across
+    hour-of-day groups — seasonal_share = SS_between / SS_total — plus the
+    peak hour. Near 1 = the series is mostly a daily cycle (alert
+    thresholds should be hour-conditioned, cf. events_anomaly); near 0 =
+    hour-of-day carries no signal.
+
+    Exactness: values quantize to 1e-3 ints; per-(type, hour) sums and
+    sum-of-squares are exact integers (Spark: DECIMAL(38,0) accumulators —
+    a plain long sum of squared milli-values would overflow ~1e18; DuckDB:
+    HUGEINT). The |types|x24-row aggregate collects to the driver (the
+    bounded-solve pattern of embedding_pca_power), where arbitrary-
+    precision ints compute SSB/SST with truncating division mirrored
+    operation-for-operation by the HUGEINT oracle, and the one double
+    division happens per type at the end. Peak-hour ties rank by the
+    1e6-quantized integer mean (desc), then hour (asc) — both engines."""
+    from ..session import read_events
+
+    ev = read_events(spark, sf_dir).select(
+        "event_type",
+        F.hour("ts").alias("hour"),
+        F.floor(F.col("value") * 1000.0 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    g = ev.groupBy("event_type", "hour").agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.sum(F.col("v").cast("decimal(38,0)")).alias("s_h"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(38,0)")).alias("q_h"),
+    )
+    rows = g.collect()  # bounded: |types| x 24
+    out_schema = "event_type string, n_events bigint, seasonal_share double, peak_hour int"
+    if not rows:
+        return spark.createDataFrame([], out_schema)
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(
+            (int(r["hour"]), int(r["n_h"]), int(r["s_h"]), int(r["q_h"]))
+        )
+    out = []
+    for et, hs in sorted(by_type.items()):
+        n = sum(h[1] for h in hs)
+        s = sum(h[2] for h in hs)
+        q = sum(h[3] for h in hs)
+        grand = _trunc_div(s * s, n)
+        sst = q - grand
+        ssb = sum(_trunc_div(h[2] * h[2], h[1]) for h in hs) - grand
+        share = 0.0 if sst == 0 else float(ssb) / float(sst)
+        share = _round6_share(share)
+        peak = min(hs, key=lambda h: (-_trunc_div(h[2] * 1000000, h[1]), h[0]))[0]
+        out.append((et, n, share, peak))
+    return spark.createDataFrame(out, out_schema)
+
+
+def _round6_share(x: float) -> float:
+    import math
+
+    return math.floor(x * 1000000.0 + 0.5) / 1000000.0
+
+
+SQL_EVENTS_SEASONALITY_ANOVA = f"""
+WITH base AS (
+  SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INT) AS hour,
+         CAST(floor("value" * 1000.0 + 0.5) AS BIGINT) AS v
+  FROM events
+),
+g AS (
+  SELECT event_type, hour, COUNT(*) AS n_h,
+         CAST(SUM(v) AS HUGEINT) AS s_h,
+         CAST(SUM(v * v) AS HUGEINT) AS q_h
+  FROM base GROUP BY 1, 2
+),
+t AS (
+  SELECT event_type, CAST(SUM(n_h) AS BIGINT) AS n,
+         SUM(s_h) AS s, SUM(q_h) AS q,
+         SUM(s_h * s_h // n_h) AS ssb_part
+  FROM g GROUP BY 1
+),
+peak AS (
+  SELECT event_type, hour AS peak_hour FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+      ORDER BY (s_h * 1000000 // n_h) DESC, hour) AS rn
+    FROM g
+  ) WHERE rn = 1
+)
+SELECT t.event_type, t.n AS n_events,
+       {H.sql_round6("CASE WHEN t.q - (t.s * t.s // t.n) = 0 THEN 0.0 ELSE CAST(t.ssb_part - (t.s * t.s // t.n) AS DOUBLE) / CAST(t.q - (t.s * t.s // t.n) AS DOUBLE) END")} AS seasonal_share,
+       CAST(peak.peak_hour AS INT) AS peak_hour
+FROM t JOIN peak ON t.event_type = peak.event_type
+ORDER BY t.event_type
+"""
+
+QUERIES["events_seasonality_anova"] = events_seasonality_anova
+ORACLES["events_seasonality_anova"] = SQL_EVENTS_SEASONALITY_ANOVA

@@ -78,6 +78,7 @@ TIE_PRONE = [
     "pq_code_balance",        # share / load-factor divisions over window total
     "simhash_bit_balance",    # ones-share ratio
     "embedding_pca_project",  # double conversion chain / cnorm division
+    "events_seasonality_anova",  # HUGEINT ANOVA + trunc-div mean comparator
 ]
 
 

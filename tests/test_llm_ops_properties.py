@@ -457,3 +457,31 @@ def test_mlm_masking_plan_invariants(spark, sf_small):
     assert 0.7 <= msk / sel <= 0.9
     again = mlm_masking_plan(spark, sf_small).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_seasonality_anova_matches_numpy(spark, sf_small):
+    """The integer ANOVA must agree with a float numpy decomposition of
+    the same series within quantization error, stay in [0, 1], and name a
+    peak hour whose float mean is (near-)maximal."""
+    from kafka_connect_storage_cloud_spark.plans.warehouse import (
+        events_seasonality_anova,
+    )
+    from kafka_connect_storage_cloud_spark.session import read_events
+
+    got = {r["event_type"]: r for r in events_seasonality_anova(spark, sf_small).collect()}
+    assert got
+    ev = read_events(spark, sf_small).selectExpr(
+        "event_type", "hour(ts) AS hour", "CAST(value AS DOUBLE) AS v"
+    ).collect()
+    by_type: dict[str, dict[int, list]] = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], {}).setdefault(r["hour"], []).append(r["v"])
+    for et, hours in by_type.items():
+        vals = np.array([v for vs in hours.values() for v in vs])
+        sst = ((vals - vals.mean()) ** 2).sum()
+        ssb = sum(len(vs) * (np.mean(vs) - vals.mean()) ** 2 for vs in hours.values())
+        share = got[et]["seasonal_share"]
+        assert 0.0 <= share <= 1.0
+        assert abs(share - ssb / sst) < 1e-3, (et, share, ssb / sst)
+        means = {h: float(np.mean(vs)) for h, vs in hours.items()}
+        assert means[got[et]["peak_hour"]] >= max(means.values()) - 1e-6
