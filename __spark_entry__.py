@@ -80,11 +80,12 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset({
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
     "q6_revenue_change", "q10_returned_items", "top_customers",
     "order_priority_count", "part_type_margin", "q7_volume_shipping",
-    "q8_market_share", "q14_promo_effect", "q15_top_supplier",
-    "q16_parts_supplier", "q17_small_qty_revenue", "q18_large_volume_customer",
+    "q8_market_share", "q14_promo_revenue", "q15_top_supplier",
+    "q16_supplier_part_counts", "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
     "q19_discounted_revenue", "q22_global_sales_opportunity", "q2_min_cost_supplier",
     "q4_order_priority", "q9_product_type_profit", "q11_important_stock",
-    "q13_customer_distribution", "q20_potential_promotion", "q12_ship_priority_class",
+    "q13_customer_distribution", "q20_dominant_suppliers", "q12_ship_priority_class",
     "q1_rollup",
     # r3 window (CORRECTNESS_r03.json, 50/50 green)
     "dsir_importance", "cluster_profile_kmeans", "tokens_per_source_budget",
@@ -122,35 +123,55 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset({
     "repetition_score", "lm_rarity_score",
     "kmv_distinct", "hll_distinct", "cms_heavy_hitters", "hll_merge_invariant",
     "multimodal_pipeline", "multimodal_resize",
-})
-
-_PRIORITY: tuple[str, ...] = (
-    # connector naming/locale + schema-compat matrix (r4 additions, string/
-    # path-format + projection-vs-rotate hazards)
+    # r5 window (CORRECTNESS_r05.json, 50/50 green)
     "rotation_custom_naming", "locale_partitioner", "rotation_max_open_files",
     "schema_compat_backward", "schema_compat_forward", "schema_compat_full",
-    "schema_compat_none",
-    # temporal / compaction plans
-    "log_compaction", "cdc_merge_apply", "landed_files_diff",
-    "compact_small_files", "offset_continuity_audit",
-    # events window machinery
+    "schema_compat_none", "log_compaction", "cdc_merge_apply",
+    "landed_files_diff", "compact_small_files", "offset_continuity_audit",
     "events_sessionize", "events_session_window_native", "events_sliding_window",
     "events_cube", "rollup_incremental_merge", "orders_backlog_aging",
-    "events_cusum_alarms",
-    # dedup audits + sampled recall golds (r4 sampled-slice mode)
-    "dup_cluster_size_profile", "dedup_transitivity_audit", "minhash_band_tuning",
-    "cosine_dup_band_recall_sampled", "knn_graph_lsh_recall_sampled",
-    # corpus curation / text statistics (ratio + log-free float hazards)
-    "quality_threshold_yield", "stratified_sample", "contamination_check",
-    "ivf_balance_audit", "doc_chunk_split", "k_anonymity_audit",
-    "bpe_pair_stats", "token_shard_pack", "idf_topterms", "corpus_mixture",
+    "events_cusum_alarms", "dup_cluster_size_profile", "dedup_transitivity_audit",
+    "minhash_band_tuning", "cosine_dup_band_recall_sampled",
+    "knn_graph_lsh_recall_sampled", "quality_threshold_yield",
+    "stratified_sample", "contamination_check", "ivf_balance_audit",
+    "doc_chunk_split", "k_anonymity_audit", "bpe_pair_stats",
+    "token_shard_pack", "idf_topterms", "corpus_mixture",
     "corpus_prep_pipeline", "doc_truncation_loss", "bpe_train_rounds",
     "bpe_compression_curve", "pii_scan", "pii_density_by_slice",
     "quantile_sketch_audit", "vocab_coverage", "bigram_lift", "zipf_profile",
-    "vocab_drift_tvd", "ngram_novelty",
-    # multimodal plumbing
-    "multimodal_frame_sample", "multimodal_audio_resample",
-    "multimodal_payload_dedup", "modality_coverage_audit",
+    "vocab_drift_tvd", "ngram_novelty", "multimodal_frame_sample",
+    "multimodal_audio_resample", "multimodal_payload_dedup",
+    "modality_coverage_audit",
+})
+
+_PRIORITY: tuple[str, ...] = (
+    # r6 window: the final 34 never-driver-verified keys (all judge-sim green
+    # at sf0.01 in the r5 verdict) — landing these takes the external union to
+    # 234/234. New r6 ops follow automatically (fresh), then _RECHECK fills the
+    # rest of the 50-slot window with highest-risk already-verified re-checks.
+    "ann_method_matrix", "consumer_lag_report", "corpus_stats",
+    "curriculum_stages", "dedup_containment", "dedup_method_matrix",
+    "doc_fingerprint", "embedding_pca_project", "events_ewma16",
+    "events_hourly_rollup", "events_props_extract", "events_props_variant",
+    "events_seasonality_anova", "events_topk_users", "events_type_diversity",
+    "events_type_pivot", "events_type_unpivot", "ivf_nprobe_recall_curve",
+    "knn_graph_components", "mixture_temperature_weights", "mlm_masking_plan",
+    "multipart_upload_plan", "negative_sampling_table", "order_lead_time",
+    "pq_code_balance", "q21_waiting_suppliers", "reservoir_sample",
+    "rotation_policy_matrix", "shard_skew_audit", "simhash_bit_balance",
+    "span_corruption_plan", "token_count", "train_test_split",
+    "vocab_growth_curve",
+)
+
+# Highest-risk already-verified keys to re-check with leftover window slots:
+# the kNN-graph family after r5's score-half-then-mirror rewrite, the recall
+# audits that ride it, and the dedup pipelines the r6 streaming twin reuses.
+_RECHECK: tuple[str, ...] = (
+    "knn_graph_lsh", "knn_graph_lsh_recall", "knn_graph_mutual",
+    "knn_triangle_count_lsh", "knn_pagerank_step_lsh", "knn_label_vote_lsh",
+    "cosine_dup_band_recall", "ann_recall_audit", "embedding_cosine_dups",
+    "dedup_minhash_lsh", "dedup_incremental", "dedup_exact", "dedup_simhash",
+    "minhash_jaccard_est", "dedup_clusters", "unblocked_band_recall",
 )
 
 
@@ -158,8 +179,11 @@ def _rotate(q: dict[str, Callable[[SparkSession, str], DataFrame]]) -> dict[str,
     pri = [k for k in _PRIORITY if k in q]
     seen = set(pri)
     fresh = [k for k in q if k not in seen and k not in _DRIVER_VERIFIED]
-    tail = [k for k in q if k in _DRIVER_VERIFIED and k not in seen]
-    return {k: q[k] for k in pri + fresh + tail}
+    seen |= set(fresh)
+    recheck = [k for k in _RECHECK if k in q and k not in seen]
+    seen |= set(recheck)
+    tail = [k for k in q if k not in seen]
+    return {k: q[k] for k in pri + fresh + recheck + tail}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -138,6 +138,11 @@ class ConnectorConfig:
     # validate exactly as the reference does.
     part_size: int = 25 * 1024 * 1024
     part_retries: int = 3
+    # partitioner.max.open.files (S3SinkConnectorConfig.java:252-253, default
+    # -1 = unlimited): cap on concurrently-open files per topic partition; a
+    # record for a NOT-open encoded partition arriving at the cap rotates
+    # (commits every open file — TopicPartitionWriter.java:530-541).
+    partitioner_max_open_files: int = -1
     extra: dict[str, Any] = field(default_factory=dict)
 
     def __post_init__(self) -> None:
@@ -150,6 +155,10 @@ class ConnectorConfig:
             raise ValueError("s3.part.size must be at least 5242880 (5 MiB)")
         if self.part_retries < 0:
             raise ValueError("s3.part.retries must be >= 0")
+        if self.partitioner_max_open_files < 1 and self.partitioner_max_open_files != -1:
+            # reference defineInternal has no range, but 0/negative caps
+            # would deadlock the writer (no file could ever open)
+            raise ValueError("partitioner.max.open.files must be >= 1 or -1 (unlimited)")
         if self.partitioner_class not in VALID_PARTITIONERS:
             raise ValueError(f"partitioner.class {self.partitioner_class!r} not supported")
         if self.json_decimal_format not in ("BASE64", "NUMERIC"):
@@ -352,6 +361,7 @@ _KEY_MAP = {
     "locale": ("locale", lambda v: str(v).replace("-", "_")),
     "s3.part.size": ("part_size", int),
     "s3.part.retries": ("part_retries", int),
+    "partitioner.max.open.files": ("partitioner_max_open_files", int),
 }
 
 

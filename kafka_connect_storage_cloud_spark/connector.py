@@ -95,16 +95,45 @@ def _apply_errors_tolerance(
 
 
 def _assign_files(records: DataFrame, cfg: ConnectorConfig, ext: str) -> DataFrame:
-    """Pick the rotation policy the config asks for (flush.size always caps;
-    the time policies take precedence for file *boundaries* when set)."""
+    """Pick the rotation policy the config asks for, with the reference's
+    dispatch order (TopicPartitionWriter.checkRotationOrAppend):
+
+    - rotate.interval.ms > 0: time rotation, and — because
+      rotate.file.on.partition.change defaults TRUE — an encoded-partition
+      change ALSO rotates (rotateOnTime's periodicRotation clause,
+      TopicPartitionWriter.java:659-667: the partition-change trigger is
+      active only when a rotation interval + timestamp extractor are set).
+      Tombstone transitions are exempt when tombstone writing is enabled
+      (:644-657, behavior.on.null.values=write).
+    - rotate.schedule.interval.ms > 0: wall-clock bucket rotation.
+    - partitioner.max.open.files > 0: open-file-cap rotation
+      (TopicPartitionWriter.java:530-541).
+    - else: flush.size chunking (always the capacity backstop)."""
     naming = cfg.naming
     if cfg.rotate_interval_ms > 0:
+        if cfg.rotate_file_on_partition_change:
+            tomb = (
+                cfg.tombstone_encoded_partition
+                if cfg.behavior_on_null_values == "write"
+                else None
+            )
+            return R.assign_files_interval_partition_change(
+                records,
+                cfg.rotate_interval_ms,
+                ext=ext,
+                naming=naming,
+                tombstone_partition=tomb,
+            )
         return R.assign_files_rotate_interval(
             records, cfg.rotate_interval_ms, ext=ext, naming=naming
         )
     if cfg.rotate_schedule_interval_ms > 0:
         return R.assign_files_scheduled(
             records, cfg.rotate_schedule_interval_ms, ext=ext, naming=naming
+        )
+    if cfg.partitioner_max_open_files > 0:
+        return R.assign_files_max_open(
+            records, cfg.partitioner_max_open_files, ext=ext, naming=naming
         )
     return R.assign_files_flush_size(records, cfg.flush_size, ext=ext, naming=naming)
 

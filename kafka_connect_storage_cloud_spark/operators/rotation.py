@@ -360,3 +360,72 @@ def assign_files_max_open(
     wf = Window.partitionBy("kafka_partition", "epoch", "encoded_partition")
     out = out.withColumn("file_start_offset", F.min("offset").over(wf))
     return _with_file_path(out, ext, naming)
+
+
+def assign_files_interval_partition_change(
+    records: DataFrame,
+    rotate_interval_ms: int,
+    ts_col: str = "timestamp",
+    ext: str = "parquet",
+    naming: FileNaming = DEFAULT_NAMING,
+    tombstone_partition: str | None = None,
+) -> DataFrame:
+    """rotate.interval.ms with rotate.file.on.partition.change=true — the
+    reference DEFAULT whenever a time-based rotation interval is set. In
+    TopicPartitionWriter.rotateOnTime (TopicPartitionWriter.java:659-702)
+    periodicRotation fires when rotateIntervalMs > 0 AND (recordTimestamp -
+    baseRecordTimestamp >= interval OR the encoded partition differs from
+    currentEncodedPartition, :630-657). Either trigger commits EVERY open
+    file of the topic partition and resets baseRecordTimestamp, so under
+    this mode files are maximal runs of one encoded partition, additionally
+    broken at interval boundaries — exactly the file set
+    TopicPartitionWriterTest's out-of-order-hours case pins (offsets
+    0,1,2,3,4 each a fresh file when partitions alternate).
+
+    tombstone_partition mirrors shouldRotateOnPartitionChangeWithTombstone-
+    Check (:644-657): when tombstone writing is enabled, transitions to/from
+    the tombstone partition do NOT rotate (containment match, because
+    wrapper partitioners may prefix the tombstone partition).
+
+    Sequential per kafka partition (current pointer + base timestamp carry
+    across every record), so it runs as one vectorized per-group pass —
+    thousands of modest groups at 100 TB, never one giant task.
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema_out = StructType(
+        list(records.schema.fields)
+        + [StructField("file_seq", LongType()), StructField("file_start_offset", LongType())]
+    )
+    tomb = tombstone_partition
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("offset").reset_index(drop=True)
+        ts_ms = pdf[ts_col].astype("int64") // 1_000_000  # ns -> ms
+        seqs: list[int] = []
+        cur_ep = None
+        base_ts = None
+        seq = -1
+        for t, ep in zip(ts_ms.tolist(), pdf["encoded_partition"].tolist()):
+            ep_change = cur_ep is not None and ep != cur_ep
+            if ep_change and tomb is not None and (tomb in ep or tomb in cur_ep):
+                ep_change = False  # tombstone transition: suppressed
+            if base_ts is None or ep_change or t - base_ts >= rotate_interval_ms:
+                seq += 1
+                base_ts = t
+            cur_ep = ep
+            seqs.append(seq)
+        pdf["file_seq"] = pd.Series(seqs, dtype="int64")
+        return pdf
+
+    schema_out = StructType(
+        [f for f in schema_out.fields if f.name != "file_start_offset"]
+    )
+    out = records.groupBy("kafka_partition").applyInPandas(walk, schema=schema_out)
+    # a commit epoch (file_seq) can hold several encoded partitions when
+    # tombstone transitions are suppressed — each partition's file is named
+    # by the first offset written INTO it (reference startOffsets map,
+    # TopicPartitionWriter.java:889-899), not the epoch's first offset
+    wf = Window.partitionBy("kafka_partition", "file_seq", "encoded_partition")
+    out = out.withColumn("file_start_offset", F.min("offset").over(wf))
+    return _with_file_path(out, ext, naming)
