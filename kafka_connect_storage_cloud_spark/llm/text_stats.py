@@ -500,8 +500,11 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinatorial space keeps growing, which is exactly what sizes a band
     store or Bloom dedup filter as ingest proceeds).
 
-    Scale: the 'streaming order' is a hash projection (no data motion);
-    each type's FIRST decile is one inverted-index aggregate (min over
+    Scale: the global NTILE sort runs over a (doc_id, hash) projection —
+    ~16 bytes/row — and the decile joins back to the text by doc_id, so
+    document bodies NEVER flow through the single-partition window task
+    (the r5 form sorted the full corpus text through one executor).
+    Each type's FIRST decile is one inverted-index aggregate (min over
     the type's doc deciles — map-side combined); the curve itself is a
     10-row window. Every number is an exact integer count, so both engines
     agree bit-for-bit."""
@@ -509,8 +512,13 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     h = H.h32(F.concat(F.lit(HEAPS_SALT), F.col("doc_id").cast("string")))
-    w_ord = Window.orderBy(h.asc(), F.col("doc_id").asc())
-    staged = docs.withColumn("decile", F.ntile(HEAPS_DECILES).over(w_ord))
+    w_ord = Window.orderBy(F.col("__h").asc(), F.col("doc_id").asc())
+    deciles = (
+        docs.select("doc_id", h.alias("__h"))
+        .withColumn("decile", F.ntile(HEAPS_DECILES).over(w_ord))
+        .drop("__h")
+    )
+    staged = docs.join(deciles, "doc_id")
     toks = staged.select(
         "decile", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token")
     ).filter(F.col("token") != "")
