@@ -821,6 +821,16 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from an approx-quantile over the same bounded aggregate, identical
     downstream semantics.
     """
+    per_doc = _dsir_per_doc(spark, sf_dir)
+    w = Window.orderBy(F.desc("mean_ratio_micro"), F.asc("doc_id"))
+    return per_doc.withColumn(
+        "selected", F.ntile(DSIR_KEEP_NTILE).over(w) == 1
+    )
+
+
+def _dsir_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared DSIR scoring passes (bucket counts -> broadcast ratio
+    table -> per-doc integer ratio sums) consumed by both selection forms."""
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     toks = docs.select(
         "doc_id", "lang", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
@@ -847,7 +857,7 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     ratio = spark.createDataFrame(ratio_rows, "bucket bigint, ratio_micro bigint")
     scored = bucketed.join(F.broadcast(ratio), "bucket")
-    per_doc = (
+    return (
         scored.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
@@ -860,9 +870,28 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("dsir_sum_micro div n_tokens").alias("mean_ratio_micro"),
         )
     )
-    w = Window.orderBy(F.desc("mean_ratio_micro"), F.asc("doc_id"))
-    return per_doc.withColumn(
-        "selected", F.ntile(DSIR_KEEP_NTILE).over(w) == 1
+
+
+def dsir_importance_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dsir_importance, scale-safe: identical output, but the top-quartile
+    pool boundary comes from the score HISTOGRAM's cumulative edges (exact
+    two-pass rank, functions/ranking.py) instead of an unpartitioned NTILE
+    window — the selection rank never sorts the per-doc aggregate in one
+    task. NTILE(k)==1 is rank <= ceil(n/k), so `selected` is one integer
+    comparison once the rank exists. Same oracle as the NTILE twin."""
+    from ..functions.ranking import with_global_rank
+
+    ranked = with_global_rank(
+        _dsir_per_doc(spark, sf_dir), "mean_ratio_micro", "doc_id", desc=True
+    )
+    k = DSIR_KEEP_NTILE
+    tile1 = ((F.col("__total") + F.lit(k - 1)) / F.lit(k)).cast("long")
+    return ranked.select(
+        "doc_id",
+        "n_tokens",
+        "dsir_sum_micro",
+        "mean_ratio_micro",
+        (F.col("__rank") <= tile1).alias("selected"),
     )
 
 
@@ -904,6 +933,9 @@ FROM per_doc ORDER BY doc_id
 
 QUERIES["dsir_importance"] = dsir_importance
 ORACLES["dsir_importance"] = SQL_DSIR_IMPORTANCE
+QUERIES["dsir_importance_edges"] = dsir_importance_edges
+# exact two-pass rank == exact NTILE output: the same oracle verifies both
+ORACLES["dsir_importance_edges"] = SQL_DSIR_IMPORTANCE
 
 
 # ---------------------------------------------------------------------------

@@ -138,6 +138,36 @@ FROM rarity ORDER BY mean_rarity_micro, doc_id
 """
 
 
+def curriculum_stages_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """curriculum_stages, scale-safe: identical output (same stages, same
+    exact cumulative token offsets) WITHOUT the unpartitioned row-level
+    window. The rank over (mean_rarity_micro, doc_id) decomposes into the
+    difficulty HISTOGRAM's cumulative edges (a window over |distinct
+    difficulty values| rows — metadata-sized) plus a per-difficulty-value
+    window (distributed). Exact two-pass rank, so the NTILE twin's oracle
+    verifies this plan unchanged and the exact-vs-edges agreement is
+    identically 1.0 — see functions/ranking.py for the decomposition.
+
+    At 25B docs the single-window form sorts ~600 GB in ONE task; this
+    form's biggest single sort is one difficulty value's tie group."""
+    from ..functions.ranking import ntile_of_rank, with_global_rank
+
+    rarity = lm_rarity_score(spark, sf_dir)
+    ranked = with_global_rank(
+        rarity,
+        "mean_rarity_micro",
+        "doc_id",
+        cum_cols=("n_tokens",),
+    )
+    return ranked.select(
+        "doc_id",
+        "n_tokens",
+        "mean_rarity_micro",
+        ntile_of_rank(F.col("__rank"), F.col("__total"), CURR_STAGES).alias("stage"),
+        (F.col("__cum_n_tokens") - F.col("n_tokens")).cast("long").alias("tokens_before"),
+    )
+
+
 def span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic T5 span-corruption plan: per document, the number of
     noise spans (15% token density / span length 3, exact integer math),
@@ -199,12 +229,15 @@ FROM planned ORDER BY doc_id
 QUERIES = {
     "mixture_temperature_weights": mixture_temperature_weights,
     "curriculum_stages": curriculum_stages,
+    "curriculum_stages_edges": curriculum_stages_edges,
     "span_corruption_plan": span_corruption_plan,
 }
 
 ORACLES = {
     "mixture_temperature_weights": SQL_MIXTURE_TEMPERATURE,
     "curriculum_stages": SQL_CURRICULUM_STAGES,
+    # exact two-pass rank == exact NTILE output: the same oracle verifies both
+    "curriculum_stages_edges": SQL_CURRICULUM_STAGES,
     "span_corruption_plan": _sql_span_plan(),
 }
 

@@ -34,25 +34,7 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     R: days since last order as of RFM_ANCHOR (fewer = better);
     F: lifetime order count; M: decimal-exact lifetime spend.
     Quintile 5 is best on every axis; segment = R*100 + F*10 + M."""
-    orders = read_table(spark, sf_dir, "orders").select(
-        "o_custkey",
-        "o_orderdate",
-        F.col("o_totalprice").cast("decimal(12,4)").alias("price"),
-    )
-    per_cust = orders.groupBy("o_custkey").agg(
-        F.datediff(F.lit(RFM_ANCHOR).cast("date"), F.max("o_orderdate")).alias(
-            "recency_days"
-        ),
-        F.count(F.lit(1)).alias("frequency"),
-        F.sum("price").alias("monetary_dec"),
-    )
-    monetary = F.round(F.col("monetary_dec"), 4).cast("double")
-    scored = per_cust.select(
-        "o_custkey",
-        "recency_days",
-        "frequency",
-        monetary.alias("monetary"),
-    )
+    scored = _rfm_scored(spark, sf_dir)
     w_r = Window.orderBy(F.desc("recency_days"), F.asc("o_custkey"))  # recent last -> rank 5
     w_f = Window.orderBy(F.asc("frequency"), F.asc("o_custkey"))
     w_m = Window.orderBy(F.asc("monetary"), F.asc("o_custkey"))
@@ -97,8 +79,74 @@ FROM scored ORDER BY o_custkey
 """
 
 
-QUERIES = {"rfm_segmentation": rfm_segmentation}
-ORACLES = {"rfm_segmentation": SQL_RFM_SEGMENTATION}
+def _rfm_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-customer R/F/M aggregate both quintile forms rank."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        F.col("o_totalprice").cast("decimal(12,4)").alias("price"),
+    )
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.datediff(F.lit(RFM_ANCHOR).cast("date"), F.max("o_orderdate")).alias(
+            "recency_days"
+        ),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum("price").alias("monetary_dec"),
+    )
+    monetary = F.round(F.col("monetary_dec"), 4).cast("double")
+    return per_cust.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        monetary.alias("monetary"),
+    )
+
+
+def rfm_segmentation_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rfm_segmentation, scale-safe: identical quintiles from three exact
+    two-pass ranks (value histogram cumulative edges + per-value tiebreak
+    window, functions/ranking.py) instead of three unpartitioned NTILE
+    windows — at 1B customers each NTILE sorts the whole aggregate in one
+    task; here the only global windows run over the distinct-value
+    histograms (bounded: |distinct days|, |distinct counts|, |distinct
+    rounded spends|). Same oracle as the NTILE twin."""
+    from ..functions.ranking import ntile_of_rank, with_global_rank
+
+    scored = _rfm_scored(spark, sf_dir)
+    axes = {
+        "r_score": ("recency_days", True),  # recent (small) last -> rank 5
+        "f_score": ("frequency", False),
+        "m_score": ("monetary", False),
+    }
+    out = scored
+    for name, (col, desc) in axes.items():
+        out = with_global_rank(out, col, "o_custkey", desc=desc)
+        out = out.withColumn(
+            name, ntile_of_rank(F.col("__rank"), F.col("__total"), 5)
+        ).drop("__rank", "__total")
+    return out.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        "r_score",
+        "f_score",
+        "m_score",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")).alias(
+            "rfm_segment"
+        ),
+    ).orderBy("o_custkey")
+
+
+QUERIES = {
+    "rfm_segmentation": rfm_segmentation,
+    # exact two-pass rank == exact NTILE output: same oracle verifies both
+    "rfm_segmentation_edges": rfm_segmentation_edges,
+}
+ORACLES = {
+    "rfm_segmentation": SQL_RFM_SEGMENTATION,
+    "rfm_segmentation_edges": SQL_RFM_SEGMENTATION,
+}
 
 
 def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -241,10 +289,60 @@ ORDER BY d.decile
 """
 
 
+def revenue_pareto_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """revenue_pareto, scale-safe: identical deciles and exact decimal
+    cumulative revenue from ONE exact two-pass rank (spend histogram
+    cumulative edges + per-spend-value tiebreak window,
+    functions/ranking.py) — no unpartitioned row-level window over the
+    customer aggregate. The within-value cumulative is spend × in-value
+    row_number added to the histogram's prior-value decimal sum, so
+    cum_spend is the same exact DECIMAL as the single-window form. Same
+    oracle as the NTILE twin."""
+    from ..functions.ranking import ntile_of_rank, with_global_rank
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_totalprice").cast("decimal(12,4)").alias("price")
+    )
+    per_cust = orders.groupBy("o_custkey").agg(F.sum("price").alias("spend"))
+    n = per_cust.count()
+    total = per_cust.agg(F.sum("spend")).collect()[0][0]  # exact Decimal
+    ranked = with_global_rank(
+        per_cust, "spend", "o_custkey", desc=True, cum_cols=("spend",)
+    )
+    ranked = ranked.withColumn(
+        "decile", ntile_of_rank(F.col("__rank"), F.col("__total"), 10)
+    )
+    top_of_decile = ranked.groupBy("decile").agg(
+        F.max("__rank").alias("n_customers"),
+        F.max("__cum_spend").alias("cum_end"),
+    )
+    cum = F.col("cum_end")
+    return top_of_decile.select(
+        "decile",
+        "n_customers",
+        (
+            F.floor(
+                (F.col("n_customers").cast("double") / F.lit(float(n))) * 1000000.0
+                + F.lit(0.5)
+            )
+            / 1000000.0
+        ).alias("customer_share"),
+        (
+            F.floor(
+                (cum.cast("double") / F.lit(float(total))) * 1000000.0 + F.lit(0.5)
+            )
+            / 1000000.0
+        ).alias("revenue_share"),
+    ).orderBy("decile")
+
+
 QUERIES["orders_cohort_ltv"] = orders_cohort_ltv
 QUERIES["revenue_pareto"] = revenue_pareto
+# exact two-pass rank == exact NTILE output: same oracle verifies both
+QUERIES["revenue_pareto_edges"] = revenue_pareto_edges
 ORACLES["orders_cohort_ltv"] = SQL_ORDERS_COHORT_LTV
 ORACLES["revenue_pareto"] = SQL_REVENUE_PARETO
+ORACLES["revenue_pareto_edges"] = SQL_REVENUE_PARETO
 
 
 def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -46,6 +46,7 @@ TIE_PRONE = [
     "minhash_precision_curve",  # micro-int mean + ratio per band
     "tokenizer_fertility",    # bpe/ws ratio
     "dsir_importance",        # integer ratio sums + ntile pool boundary
+    "dsir_importance_edges",  # r6 two-pass-rank twin (same boundary class)
     "cluster_profile_kmeans", # purity + mean-cosine divisions
     "unblocked_band_recall",  # recall ratio over exact pair classes
     "embedding_pca_power",    # Rayleigh double conversions
@@ -70,6 +71,9 @@ TIE_PRONE = [
     "ivf_nprobe_recall_curve",  # recall ratios per probe level
     "mixture_temperature_weights",  # sqrt + micro-int-normalized weights + epoch ratio
     "curriculum_stages",      # ntile boundary ties broken by (rarity, doc_id)
+    "curriculum_stages_edges",  # r6 two-pass-rank twin (same tie class)
+    "rfm_segmentation_edges",   # r6 twin: three histogram-edge quintiles
+    "revenue_pareto_edges",     # r6 twin: decimal cum via value-offset + in-value count
     "events_ewma16",          # micro-int quantization of double values + trunc div
     "multipart_upload_plan",  # integer ceil part boundary
     "consumer_lag_report",    # lag-share ratio + flush boundary
