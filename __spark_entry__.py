@@ -507,6 +507,8 @@ FROM ({d[key]})"""
             ("scheduled", "rotation_scheduled"),
             ("interval", "rotation_interval"),
             ("partition_change", "rotation_partition_change"),
+            ("max_open_files", "rotation_max_open_files"),
+            ("schema_change", "rotation_schema_change"),
         )
     )
     d["rotation_policy_matrix"] = f"SELECT * FROM ({blocks}) ORDER BY policy"

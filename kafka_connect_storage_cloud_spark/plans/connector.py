@@ -529,12 +529,16 @@ def rotation_policy_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     files hurt restart/commit latency).
 
     Scale: each policy's manifest is its already-verified plan (one
-    shuffle each); the matrix is a 4-row aggregate union."""
+    shuffle each); the matrix is a 6-row aggregate union covering ALL
+    shipped rotation policies (r6 adds max_open_files and schema_change —
+    the two newest policies are the ones this decision table most needs)."""
     policies = (
         ("flush_size", rotation_flush_size_plan),
         ("scheduled", rotation_scheduled_plan),
         ("interval", rotation_interval_plan),
         ("partition_change", rotation_partition_change_plan),
+        ("max_open_files", rotation_max_open_files_plan),
+        ("schema_change", rotation_schema_change_plan),
     )
     out = None
     for name, fn in policies:
