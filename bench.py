@@ -53,6 +53,10 @@ def main() -> None:
         "rfm_segmentation",
         "knn_graph_lsh",
         "embedding_pq",
+        # r6: the r5 corpus-shaped audits (prefix x inverted-index join) are
+        # tracked per round like knn_graph_lsh (VERDICT r5 next-round #7)
+        "dedup_containment",
+        "dedup_method_matrix",
     ):
         if opt in qs:
             headline.append(opt)

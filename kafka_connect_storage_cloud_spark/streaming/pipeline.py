@@ -624,3 +624,193 @@ def consumer_lag_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def containment_dedup_stream(
+    docs: DataFrame, store_dir: str, checkpoint: str
+) -> StreamingQuery:
+    """Streaming CONTAINMENT dedup for corpus ingest — the incremental twin
+    of llm.dedup.dedup_containment, closing the gap minhash_dedup_stream
+    structurally leaves: truncated re-crawls (a short doc mostly contained
+    in an earlier long one) have high containment but low Jaccard, so no
+    band ever collides — and incremental ingest is exactly where subset
+    dupes arrive.
+
+    Batch-versioned store (same replay-overwrite pattern as the minhash
+    twin), three datasets per batch directory:
+      hs/batch=b      the batch docs' full distinct (doc_id, h) shingle sets
+      prefix/batch=b  the batch docs' AllPairs prefix rows (rarest-first by
+                      the dfs visible AT ARRIVAL — the pigeonhole guarantee
+                      holds for ANY fixed per-doc order, so arrival-time
+                      ordering stays lossless; see dedup.py:781)
+      pairs/batch=b   scored pairs first discoverable at batch b
+
+    Candidates probe BOTH directions — the new docs' prefixes against the
+    accumulated index AND the stored prefixes against the new docs' index
+    rows — because the prefix guarantee rides the SMALLER side of a pair,
+    and the smaller side may have landed in either the batch or the store.
+    Every join is equi on h and every probed h occurs in the new batch, so
+    per-batch cost is bounded by the batch's shingle fan-out, not history.
+    The MAX_BUCKET boilerplate guard is applied over store ∪ batch
+    occurrences of the PROBED shingles (df only grows, so a shingle
+    boilerplate at arrival stays boilerplate). Scores (n_inter, na, nb,
+    containment, jaccard, dup_class) come from the FULL stored shingle
+    sets with the batch operator's exact expression order, so an emitted
+    row is bit-identical to the one-shot row and the accumulated pair set
+    equals dedup_containment's regardless of the batch split
+    (tests/test_streaming.py pins 2-way and 4-way splits)."""
+    import os
+
+    from ..functions import hashing as H
+    from ..functions import text as T
+    from ..llm.dedup import (
+        CONT_ASYM_GAP,
+        CONT_NEAR_J,
+        CONT_TAU,
+        CONT_TAU_PCT,
+        MAX_BUCKET,
+        SHINGLE_N,
+    )
+
+    def _list_batches(spark, path: str) -> list[str]:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(jpath):
+            return []
+        return [
+            st.getPath().getName()
+            for st in fs.listStatus(jpath)
+            if st.getPath().getName().startswith("batch=")
+        ]
+
+    def _prior(spark, sub: str, batch_id: int) -> DataFrame | None:
+        root = os.path.join(store_dir, sub)
+        dirs = [
+            os.path.join(root, e)
+            for e in _list_batches(spark, root)
+            if int(e.split("=", 1)[1]) < batch_id
+        ]
+        return spark.read.parquet(*dirs) if dirs else None
+
+    def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        hs_new = (
+            T.with_shingles(batch_df.select("doc_id", "text"), SHINGLE_N)
+            .select("doc_id", H.h32(F.col("shingle")).alias("h"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        hs_old = _prior(spark, "hs", batch_id)
+        prefix_old = _prior(spark, "prefix", batch_id)
+        probed = hs_new.select("h").distinct()
+        occ = hs_new if hs_old is None else hs_new.unionByName(
+            hs_old.join(probed, "h")
+        )
+        df_ok = (
+            occ.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= MAX_BUCKET)
+        )
+        ok_new = hs_new.join(df_ok, "h")
+        # arrival-time prefix for the new docs: rarest-first by current df
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("doc_id").orderBy("df", "h")
+        ranked = ok_new.withColumn("rnk", F.row_number().over(w)).withColumn(
+            "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+        )
+        prefix_new = ranked.where(
+            F.col("rnk")
+            <= F.col("n_sh") - F.expr(f"({CONT_TAU_PCT} * n_sh + 99) div 100") + 1
+        ).select("doc_id", "h").localCheckpoint(eager=True)
+        idx_new = ok_new.select(F.col("doc_id").alias("idoc"), "h")
+        cands = [
+            prefix_new.select(F.col("doc_id").alias("pdoc"), "h").join(
+                idx_new, "h"
+            )
+        ]
+        if hs_old is not None:
+            idx_old = hs_old.join(df_ok, "h").select(
+                F.col("doc_id").alias("idoc"), "h"
+            )
+            cands.append(
+                prefix_new.select(F.col("doc_id").alias("pdoc"), "h").join(
+                    idx_old, "h"
+                )
+            )
+        if prefix_old is not None:
+            cands.append(
+                prefix_old.select(F.col("doc_id").alias("pdoc"), "h").join(
+                    idx_new, "h"
+                )
+            )
+        cand = None
+        for c in cands:
+            cand = c if cand is None else cand.unionByName(c)
+        cand = (
+            cand.where(F.col("pdoc") != F.col("idoc"))
+            .select(
+                F.least("pdoc", "idoc").alias("doc_a"),
+                F.greatest("pdoc", "idoc").alias("doc_b"),
+            )
+            .distinct()
+        )
+        all_hs = hs_new if hs_old is None else hs_new.unionByName(hs_old)
+        sa = all_hs.select(F.col("doc_id").alias("doc_a"), "h")
+        sb = all_hs.select(F.col("doc_id").alias("doc_b"), "h")
+        inter = (
+            cand.join(sa, "doc_a")
+            .join(sb, ["doc_b", "h"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+        sizes = all_hs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+        cont = H.round6(
+            F.col("n_inter").cast("double") / F.least("na", "nb").cast("double")
+        )
+        jac = H.round6(
+            F.col("n_inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double")
+        )
+        scored = (
+            inter.join(
+                sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")),
+                "doc_a",
+            )
+            .join(
+                sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")),
+                "doc_b",
+            )
+            .select(
+                "doc_a", "doc_b", "na", "nb", "n_inter",
+                cont.alias("containment"), jac.alias("jaccard"),
+            )
+            .where(F.col("containment") >= CONT_TAU)
+        )
+        dup_class = (
+            F.when(F.col("jaccard") >= CONT_NEAR_J, "near_exact")
+            .when(
+                F.col("containment") - F.col("jaccard") >= CONT_ASYM_GAP,
+                "asymmetric_subset",
+            )
+            .otherwise("partial_overlap")
+        )
+        scored.withColumn("dup_class", dup_class).write.mode("overwrite").parquet(
+            os.path.join(store_dir, "pairs", f"batch={batch_id}")
+        )
+        hs_new.write.mode("overwrite").parquet(
+            os.path.join(store_dir, "hs", f"batch={batch_id}")
+        )
+        prefix_new.write.mode("overwrite").parquet(
+            os.path.join(store_dir, "prefix", f"batch={batch_id}")
+        )
+
+    return (
+        docs.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

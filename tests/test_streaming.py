@@ -1023,3 +1023,73 @@ def test_consumer_lag_stream_matches_batch_report(spark, sf_small, tmp_path):
     exp = sorted(map(tuple, consumer_lag_report(spark, sf_small).collect()))
     assert got == exp
     assert run("ckpt2") == exp  # replay == original (idempotent state)
+
+
+def test_containment_dedup_stream_matches_batch(spark, sf_small, tmp_path):
+    """Streaming containment ingest == one-shot dedup_containment: stream
+    the corpus as two micro-batches (even/odd doc_ids); the accumulated
+    scored pair set (both probe directions — new-prefix x store-index and
+    store-prefix x new-index) must reproduce the batch operator's rows,
+    and a full replay into a fresh checkpoint must rewrite the same state
+    (exactly-once, same contract as the minhash twin)."""
+    from kafka_connect_storage_cloud_spark.llm.dedup import dedup_containment
+    from kafka_connect_storage_cloud_spark.streaming.pipeline import (
+        containment_dedup_stream,
+        stream_documents_source,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    stage = str(tmp_path / "ct_stage")
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(stage)
+    docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(stage)
+    store = str(tmp_path / "ct_store")
+
+    def run(ckpt: str) -> set:
+        q = containment_dedup_stream(
+            stream_documents_source(spark, stage), store, str(tmp_path / ckpt)
+        )
+        assert q.awaitTermination(180), "stream did not drain in time"
+        cols = ["doc_a", "doc_b", "na", "nb", "n_inter",
+                "containment", "jaccard", "dup_class"]
+        return {
+            tuple(r)
+            for r in spark.read.parquet(f"{store}/pairs").select(*cols).collect()
+        }
+
+    got1 = run("ct_ckpt1")
+    exp = {tuple(r) for r in dedup_containment(spark, sf_small).collect()}
+    assert got1 == exp and exp, "accumulated pairs != one-shot containment"
+    got2 = run("ct_ckpt2")
+    assert got2 == exp
+
+
+def test_containment_dedup_stream_four_way_split(spark, sf_small, tmp_path):
+    """Split-independence: FOUR micro-batches (doc_id % 4) accumulate the
+    same scored pair set as the one-shot operator — subset dupes must not
+    hide behind any batch boundary orientation (smaller side earlier AND
+    smaller side later both occur in this split)."""
+    from kafka_connect_storage_cloud_spark.llm.dedup import dedup_containment
+    from kafka_connect_storage_cloud_spark.streaming.pipeline import (
+        containment_dedup_stream,
+        stream_documents_source,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    stage = str(tmp_path / "ct4_stage")
+    for part in range(4):
+        docs.where(F.col("doc_id") % 4 == part).coalesce(1).write.mode(
+            "append"
+        ).parquet(stage)
+    store = str(tmp_path / "ct4_store")
+    q = containment_dedup_stream(
+        stream_documents_source(spark, stage), store, str(tmp_path / "ct4_ckpt")
+    )
+    assert q.awaitTermination(240), "stream did not drain in time"
+    cols = ["doc_a", "doc_b", "na", "nb", "n_inter",
+            "containment", "jaccard", "dup_class"]
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(f"{store}/pairs").select(*cols).collect()
+    }
+    exp = {tuple(r) for r in dedup_containment(spark, sf_small).collect()}
+    assert got == exp and exp
