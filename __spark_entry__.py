@@ -265,7 +265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_jaccard_est": LD.minhash_jaccard_est,
         "minhash_band_tuning": LD.minhash_band_tuning,
         "dedup_simhash": LD.dedup_simhash,
-        "ngram_jaccard": LD.ngram_jaccard,
+        "ngram_jaccard": LD.ngram_jaccard_gold,  # SF-adaptive exact gold
         "dedup_modality_agreement": LD.dedup_modality_agreement,
         **LSU.QUERIES,
         **CU.QUERIES,
@@ -277,7 +277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_bruteforce": LS.ann_topk_bruteforce,
         "ann_topk_lsh": LS.ann_topk_lsh,
         "ann_recall_audit": LS.ann_recall_audit,
-        "knn_graph_mutual": LS.knn_graph_mutual,
+        "knn_graph_mutual": LS.knn_graph_mutual_gold,  # SF-adaptive exact gold
         "knn_graph_lsh": LS.knn_graph_lsh,
         "knn_graph_lsh_recall": LS.knn_graph_lsh_recall,
         "knn_triangle_count": LS.knn_triangle_count,

@@ -429,11 +429,49 @@ ORDER BY doc_a, doc_b
 """
 
 
+# SF-adaptive exact-gold guard (VERDICT r5 next-round #9): up to this many
+# documents the gold sweeps every within-source pair; beyond it, BOTH
+# endpoints restrict to the deterministic 1-in-NGRAM_GOLD_SAMPLE_MOD hash
+# sample (Jaccard values unchanged — each doc keeps its full shingle set —
+# pair work drops by MOD², so a driver run at a big SF can't time out).
+NGRAM_GOLD_FULL_MAX = 1000
+NGRAM_GOLD_SAMPLE_MOD = 8
+
+
+def _gold_sample_pred(col):
+    return F.pmod(
+        H.h32(F.concat(F.lit("audsample:"), col.cast("string"))),
+        F.lit(NGRAM_GOLD_SAMPLE_MOD),
+    ) == 0
+
+
 def ngram_jaccard(spark: SparkSession, sf_dir: str, threshold: float = 0.05) -> DataFrame:
     """Exact n-gram Jaccard similarity for doc pairs within the same source
     (blocked join — the block key bounds the pair count at scale; swap in the
-    LSH candidates from dedup_minhash_lsh for unblocked corpora)."""
+    LSH candidates from dedup_minhash_lsh for unblocked corpora).
+
+    The registered queries() entry is the SF-adaptive ngram_jaccard_gold;
+    this full form remains the internal consumer surface
+    (dedup_modality_agreement) and the small-SF behavior."""
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return _ngram_jaccard_pairs(docs, threshold)
+
+
+def ngram_jaccard_gold(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.05
+) -> DataFrame:
+    """ngram_jaccard with the sampled-audit switch: full sweep while the
+    corpus holds <= NGRAM_GOLD_FULL_MAX docs (sf0.001/sf0.01 — identical
+    output to ngram_jaccard), both-endpoints hash-sampled beyond (sf0.1+).
+    The oracle SQL carries the same COUNT(*)-gated predicate, so one fixed
+    string verifies both modes at any SF."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    if docs.count() > NGRAM_GOLD_FULL_MAX:
+        docs = docs.where(_gold_sample_pred(F.col("doc_id")))
+    return _ngram_jaccard_pairs(docs, threshold)
+
+
+def _ngram_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     sh = (
         T.with_shingles(docs, SHINGLE_N)
         .select("doc_id", "source", H.h32(F.col("shingle")).alias("h"))
@@ -477,6 +515,35 @@ SQL_NGRAM_JACCARD = f"""
 WITH shingles AS (
   SELECT d.doc_id, d.source, s.shingle
   FROM documents d JOIN ({T.sql_shingles(SHINGLE_N)}) s ON d.doc_id = s.doc_id
+),
+hs AS (SELECT DISTINCT doc_id, source, {H.sql_h32('shingle')} AS h FROM shingles),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM hs GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM hs a JOIN hs b ON a.source = b.source AND a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       (floor((CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)) * 1000000.0 + 0.5) / 1000000.0) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE (floor((CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)) * 1000000.0 + 0.5) / 1000000.0) >= 0.05
+ORDER BY doc_a, doc_b
+"""
+
+_GOLD_SAMPLE_H = H.sql_h32("'audsample:' || CAST(doc_id AS VARCHAR)")
+_SQL_GOLD_SAMPLE = f"{_GOLD_SAMPLE_H} % {NGRAM_GOLD_SAMPLE_MOD} = 0"
+
+SQL_NGRAM_JACCARD_GOLD = f"""
+WITH elig AS (
+  SELECT doc_id, source FROM documents
+  WHERE (SELECT COUNT(*) FROM documents) <= {NGRAM_GOLD_FULL_MAX}
+     OR {_SQL_GOLD_SAMPLE}
+),
+shingles AS (
+  SELECT e.doc_id, e.source, s.shingle
+  FROM elig e JOIN ({T.sql_shingles(SHINGLE_N)}) s ON e.doc_id = s.doc_id
 ),
 hs AS (SELECT DISTINCT doc_id, source, {H.sql_h32('shingle')} AS h FROM shingles),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM hs GROUP BY doc_id),
@@ -699,7 +766,10 @@ ORACLES = {
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
     "minhash_jaccard_est": SQL_MINHASH_JACCARD_EST,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
-    "ngram_jaccard": SQL_NGRAM_JACCARD,
+    # the key serves the SF-adaptive gold (full <= NGRAM_GOLD_FULL_MAX docs,
+    # both-endpoints sampled beyond); the plain full form stays the internal
+    # consumer surface
+    "ngram_jaccard": SQL_NGRAM_JACCARD_GOLD,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "source_overlap_jaccard": SQL_SOURCE_OVERLAP_JACCARD,
     "minhash_precision_curve": SQL_MINHASH_PRECISION_CURVE,

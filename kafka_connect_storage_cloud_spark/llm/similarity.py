@@ -1060,6 +1060,10 @@ def knn_graph_mutual(spark: SparkSession, sf_dir: str, k: int = KNN_K) -> DataFr
     and plan shape are unchanged). Directed top-k edges are n·k rows; the
     mutualization self-join runs on that edge list, never on the corpus."""
     topk = _knn_topk_edges(spark, sf_dir, k)
+    return _mutualize_topk(topk)
+
+
+def _mutualize_topk(topk: DataFrame) -> DataFrame:
     fwd = topk.where(F.col("src") < F.col("dst")).select(
         F.col("src").alias("vec_a"), F.col("dst").alias("vec_b"),
         "cosine", F.col("rank").alias("rank_ab"),
@@ -1069,6 +1073,29 @@ def knn_graph_mutual(spark: SparkSession, sf_dir: str, k: int = KNN_K) -> DataFr
         F.col("rank").alias("rank_ba"),
     )
     return fwd.join(rev, ["vec_a", "vec_b"]).orderBy("vec_a", "vec_b")
+
+
+# SF-adaptive exact-gold guard (VERDICT r5 next-round #9): the full O(n²)
+# mutual graph is the gold only while the corpus holds <= this many vectors;
+# beyond it the queries() entry ranks the hash-sampled SOURCES against the
+# full corpus (O(S·n) tile compute) and keeps pairs with both endpoints
+# sampled — exact ranks, bounded work, same fixed oracle at every SF.
+KNN_GOLD_FULL_MAX = 1000
+
+
+def knn_graph_mutual_gold(
+    spark: SparkSession, sf_dir: str, k: int = KNN_K
+) -> DataFrame:
+    """knn_graph_mutual with the sampled-audit switch: identical to the
+    full form while |embeddings| <= KNN_GOLD_FULL_MAX (sf0.001/sf0.01);
+    at larger SFs the directed top-k runs for the 1-in-AUDIT_SAMPLE_MOD
+    hash-sampled sources only (ranks still computed against the FULL
+    corpus), so surviving mutual edges are the both-endpoints-sampled
+    slice. Internal consumers (triangle count, LSH-graph recall) keep the
+    full form; the driver-facing queries() key points here."""
+    n = read_table(spark, sf_dir, "embeddings").count()
+    mod = None if n <= KNN_GOLD_FULL_MAX else AUDIT_SAMPLE_MOD
+    return _mutualize_topk(_knn_topk_edges(spark, sf_dir, k, src_sample_mod=mod))
 
 
 _SQL_KNN_TOPK_CTES = f"""{_sql_emb()},
@@ -1090,6 +1117,35 @@ fwd AS (SELECT src AS vec_a, dst AS vec_b, cosine, rank AS rank_ab FROM topk WHE
 rev AS (SELECT dst AS vec_a, src AS vec_b, rank AS rank_ba FROM topk WHERE src > dst)
 SELECT f.vec_a, f.vec_b, f.cosine, f.rank_ab, r.rank_ba
 FROM fwd f JOIN rev r ON f.vec_a = r.vec_a AND f.vec_b = r.vec_b
+ORDER BY f.vec_a, f.vec_b
+"""
+
+# adaptive oracle for the queries() key: full mode collapses gsrc to emb_n,
+# reproducing SQL_KNN_GRAPH_MUTUAL exactly; sampled mode ranks sampled
+# sources against the full corpus (fresh CTE names — 'scored' is taken by
+# _SQL_KNN_TOPK_CTES consumers)
+SQL_KNN_GRAPH_MUTUAL_GOLD = f"""
+WITH {_sql_emb()},
+gmode AS (SELECT COUNT(*) <= {KNN_GOLD_FULL_MAX} AS full_mode FROM embeddings),
+gsrc AS (
+  SELECT e.* FROM emb_n e, gmode m
+  WHERE m.full_mode OR {_sql_audit_sample_pred('e.vec_id')}
+),
+gscored AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         (floor(({_SQL_DOT.format(a='a.v', b='b.v')} / (a.nrm * b.nrm)) * 1000000.0 + 0.5) / 1000000.0) AS cosine
+  FROM gsrc a JOIN emb_n b ON a.vec_id <> b.vec_id
+),
+gtopk AS (
+  SELECT * FROM (
+    SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS INT) AS rank
+    FROM gscored
+  ) WHERE rank <= {KNN_K}
+),
+gfwd2 AS (SELECT src AS vec_a, dst AS vec_b, cosine, rank AS rank_ab FROM gtopk WHERE src < dst),
+grev2 AS (SELECT dst AS vec_a, src AS vec_b, rank AS rank_ba FROM gtopk WHERE src > dst)
+SELECT f.vec_a, f.vec_b, f.cosine, f.rank_ab, r.rank_ba
+FROM gfwd2 f JOIN grev2 r ON f.vec_a = r.vec_a AND f.vec_b = r.vec_b
 ORDER BY f.vec_a, f.vec_b
 """
 
@@ -1357,7 +1413,9 @@ ORACLES = {
     "cosine_dup_band_recall": SQL_COSINE_DUP_BAND_RECALL,
     "knn_triangle_count": SQL_KNN_TRIANGLE_COUNT,
     "embedding_centroid_outliers": SQL_EMBEDDING_CENTROID_OUTLIERS,
-    "knn_graph_mutual": SQL_KNN_GRAPH_MUTUAL,
+    # the key serves the SF-adaptive gold; the plain full form stays
+    # the internal consumer surface (triangle count, LSH recall)
+    "knn_graph_mutual": SQL_KNN_GRAPH_MUTUAL_GOLD,
     "knn_pagerank_step": SQL_KNN_PAGERANK_STEP,
     "ann_topk_bruteforce": SQL_ANN_TOPK_BRUTEFORCE,
     "ann_topk_lsh": SQL_ANN_TOPK_LSH,
