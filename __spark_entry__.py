@@ -211,6 +211,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rotation_scheduled": C.rotation_scheduled_plan,
         "rotation_interval": C.rotation_interval_plan,  # oracle: recursive CTE
         "rotation_partition_change": C.rotation_partition_change_plan,
+        # r6: the reference-default interval+partition-change combination
+        "rotation_interval_partition_change": C.rotation_interval_partition_change_plan,
         "rotation_max_open_files": C.rotation_max_open_files_plan,
         "rotation_schema_change": C.rotation_schema_change_plan,
         "schema_compat_backward": lambda s, d: C.schema_compat_rotation_plan(s, d, "BACKWARD"),
@@ -657,6 +659,41 @@ SELECT 'events/' || encoded_partition || '/events+' || CAST(kafka_partition AS V
        || '+' || printf('%010d', file_start) || '.parquet' AS file_path,
        COUNT(*) AS record_count, MIN("offset") AS min_offset, MAX("offset") AS max_offset
 FROM walk GROUP BY 1 ORDER BY 1""",
+        # interval + partition-change (the reference default whenever a
+        # rotation interval is set): same recursive replay as
+        # rotation_interval but stepping per kafka partition with the
+        # encoded-partition flip OR'd into the rotate condition; a commit
+        # epoch may span several encoded partitions only when tombstone
+        # suppression applies (not here), so files key on (epoch, ep)
+        "rotation_interval_partition_change": f"""
+WITH RECURSIVE records AS (
+  SELECT CAST(user_id % 8 AS INT) AS kafka_partition,
+         event_id AS "offset", ts AS "timestamp",
+         'event_type=' || event_type AS ep
+  FROM events
+),
+seq AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY kafka_partition ORDER BY "offset") AS rn,
+               epoch_ms("timestamp") AS ts_ms FROM records),
+walk AS (
+  SELECT kafka_partition, rn, "offset", ts_ms, ep,
+         ts_ms AS base_ts, 0 AS file_seq
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.kafka_partition, s.rn, s."offset", s.ts_ms, s.ep,
+         CASE WHEN s.ep <> w.ep OR s.ts_ms - w.base_ts >= {12 * 3600 * 1000}
+              THEN s.ts_ms ELSE w.base_ts END,
+         CASE WHEN s.ep <> w.ep OR s.ts_ms - w.base_ts >= {12 * 3600 * 1000}
+              THEN w.file_seq + 1 ELSE w.file_seq END
+  FROM seq s JOIN walk w ON s.kafka_partition = w.kafka_partition AND s.rn = w.rn + 1
+),
+files AS (
+  SELECT *, MIN("offset") OVER (PARTITION BY kafka_partition, file_seq, ep) AS file_start_offset
+  FROM walk
+)
+SELECT 'events/' || ep || '/events+' || CAST(kafka_partition AS VARCHAR)
+       || '+' || printf('%010d', file_start_offset) || '.parquet' AS file_path,
+       COUNT(*) AS record_count, MIN("offset") AS min_offset, MAX("offset") AS max_offset
+FROM files GROUP BY 1 ORDER BY 1""",
         # partitioner.max.open.files: the open-set walk is sequential per
         # kafka partition (same replay technique as rotation_interval) —
         # the recursive CTE carries the open encoded-partition LIST and the

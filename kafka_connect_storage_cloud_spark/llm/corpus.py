@@ -1515,3 +1515,102 @@ FROM per ORDER BY worker
 
 QUERIES["shard_skew_audit"] = shard_skew_audit
 ORACLES["shard_skew_audit"] = SQL_SHARD_SKEW_AUDIT.format(pack=SQL_TOKEN_SHARD_PACK)
+
+
+# ---------------------------------------------------------------------------
+# pack_efficiency_curve — sequence-length packing decision table (r6)
+# ---------------------------------------------------------------------------
+
+PACK_BIN_SIZES = (512, 1024, 2048, 4096)
+
+
+def pack_efficiency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding/truncation waste per candidate context length under the two
+    analytic packing policies — the table that picks a training sequence
+    length BEFORE committing to a pack run:
+
+    - concat:      GPT-style concat-and-chunk (context_pack semantics) —
+                   only the final bin pads, but documents straddle bins.
+    - pad_per_doc: one document per context, pad short docs to L, hard-
+                   truncate overlong ones — no straddling, maximal waste.
+
+    Per (bin_size, policy): bin count, padding tokens, truncated tokens,
+    and utilization = trained tokens / (bins x L). The gap between the two
+    rows at a given L is what doc-boundary-aware packing (token_shard_pack)
+    gets to recover; doc_truncation_loss details WHICH docs truncate.
+
+    Scale: one corpus scan projecting the whitespace token count, a
+    4-way literal explode, one 8-row aggregate — no joins, no windows."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        _ws_tokens().cast("long").alias("n")
+    )
+    sized = docs.select(
+        "n",
+        F.explode(F.array(*[F.lit(b) for b in PACK_BIN_SIZES])).alias("bin_size"),
+    )
+    per = sized.groupBy("bin_size").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").alias("total_tokens"),
+        F.sum(F.least(F.col("n"), F.col("bin_size").cast("long"))).alias("kept"),
+        F.sum(F.greatest(F.col("n") - F.col("bin_size"), F.lit(0))).alias("trunc"),
+    )
+    bins_cc = F.expr("(total_tokens + bin_size - 1) div bin_size")
+    concat_rows = per.select(
+        F.col("bin_size").cast("int").alias("bin_size"),
+        F.lit("concat").alias("policy"),
+        bins_cc.alias("n_bins"),
+        (bins_cc * F.col("bin_size") - F.col("total_tokens")).alias("padding_tokens"),
+        F.lit(0).cast("long").alias("truncated_tokens"),
+        H.round6(
+            F.col("total_tokens").cast("double")
+            / (bins_cc * F.col("bin_size")).cast("double")
+        ).alias("utilization"),
+    )
+    pad_rows = per.select(
+        F.col("bin_size").cast("int").alias("bin_size"),
+        F.lit("pad_per_doc").alias("policy"),
+        F.col("n_docs").alias("n_bins"),
+        (F.col("n_docs") * F.col("bin_size") - F.col("kept")).alias("padding_tokens"),
+        F.col("trunc").alias("truncated_tokens"),
+        H.round6(
+            F.col("kept").cast("double")
+            / (F.col("n_docs") * F.col("bin_size")).cast("double")
+        ).alias("utilization"),
+    )
+    return concat_rows.unionByName(pad_rows).orderBy("bin_size", "policy")
+
+
+_PACK_BIN_LIST = "[" + ", ".join(str(b) for b in PACK_BIN_SIZES) + "]"
+
+SQL_PACK_EFFICIENCY_CURVE = f"""
+WITH sized AS (
+  SELECT CAST({_SQL_WS_TOKENS} AS BIGINT) AS n, unnest({_PACK_BIN_LIST}) AS bin_size
+  FROM documents
+),
+per AS (
+  SELECT bin_size,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n) AS BIGINT) AS total_tokens,
+         CAST(SUM(LEAST(n, bin_size)) AS BIGINT) AS kept,
+         CAST(SUM(GREATEST(n - bin_size, 0)) AS BIGINT) AS trunc
+  FROM sized GROUP BY bin_size
+)
+SELECT * FROM (
+  SELECT CAST(bin_size AS INT) AS bin_size, 'concat' AS policy,
+         CAST((total_tokens + bin_size - 1) // bin_size AS BIGINT) AS n_bins,
+         CAST(((total_tokens + bin_size - 1) // bin_size) * bin_size - total_tokens AS BIGINT) AS padding_tokens,
+         CAST(0 AS BIGINT) AS truncated_tokens,
+         {H.sql_round6("CAST(total_tokens AS DOUBLE) / CAST(((total_tokens + bin_size - 1) // bin_size) * bin_size AS DOUBLE)")} AS utilization
+  FROM per
+  UNION ALL
+  SELECT CAST(bin_size AS INT) AS bin_size, 'pad_per_doc' AS policy,
+         n_docs AS n_bins,
+         CAST(n_docs * bin_size - kept AS BIGINT) AS padding_tokens,
+         trunc AS truncated_tokens,
+         {H.sql_round6("CAST(kept AS DOUBLE) / CAST(n_docs * bin_size AS DOUBLE)")} AS utilization
+  FROM per
+) ORDER BY bin_size, policy
+"""
+
+QUERIES["pack_efficiency_curve"] = pack_efficiency_curve
+ORACLES["pack_efficiency_curve"] = SQL_PACK_EFFICIENCY_CURVE

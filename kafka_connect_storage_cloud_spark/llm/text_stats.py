@@ -594,3 +594,84 @@ ORDER BY p.decile
 
 QUERIES["vocab_growth_curve"] = vocab_growth_curve
 ORACLES["vocab_growth_curve"] = _sql_vocab_growth()
+
+
+# ---------------------------------------------------------------------------
+# ngram_memorization_audit — cross-document long-n-gram repetition risk (r6)
+# ---------------------------------------------------------------------------
+
+MEM_N = 13  # the memorization-dedup standard unit (Lee et al. 2022 dedups
+# exact duplicated spans; 13 words ~ the 50-token scale at which verbatim
+# repetition across documents predicts model memorization)
+
+
+def ngram_memorization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memorization-risk summary: how much of the corpus' distinct 13-word
+    n-gram inventory repeats ACROSS documents, and how many documents carry
+    at least one such repeated span. High shares mean verbatim boilerplate/
+    mirror content that a trained model will reproduce token-for-token —
+    the signal that gates a span-level dedup pass (dedup_substring is the
+    within-pair confirm; this is the corpus-level gate).
+
+    Scale: one shingle scan to the distinct (doc, h) set, one h-keyed
+    doc-frequency aggregate (map-side combined), one summary row. The
+    distinct-count shuffles are keyed on h/doc_id — no pair joins, no
+    windows."""
+    from ..functions import text as T
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = (
+        T.with_shingles(docs, MEM_N)
+        .select("doc_id", H.h32(F.col("shingle")).alias("h"))
+        .distinct()
+    )
+    dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    j = sh.join(dfreq, "h")
+    rep = F.col("df") >= 2
+    agg = j.agg(
+        F.countDistinct("h").alias("n_grams"),
+        F.countDistinct(F.when(rep, F.col("h"))).alias("n_repeated"),
+        F.max("df").alias("max_df"),
+        F.countDistinct("doc_id").alias("n_docs_with_grams"),
+        F.countDistinct(F.when(rep, F.col("doc_id"))).alias("docs_affected"),
+    )
+    return agg.select(
+        "n_grams",
+        "n_repeated",
+        H.round6(
+            F.col("n_repeated").cast("double") / F.col("n_grams").cast("double")
+        ).alias("repeated_share"),
+        "max_df",
+        "n_docs_with_grams",
+        "docs_affected",
+        H.round6(
+            F.col("docs_affected").cast("double")
+            / F.col("n_docs_with_grams").cast("double")
+        ).alias("docs_share"),
+    ).where(F.col("n_grams") > 0)  # empty corpus -> empty frame, not a null row
+
+
+def _sql_memorization() -> str:
+    from ..functions import text as T
+
+    h = H.sql_h32("shingle")
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, {h} AS h FROM ({T.sql_shingles(MEM_N)})
+),
+dfreq AS (SELECT h, COUNT(*) AS df FROM sh GROUP BY h),
+j AS (SELECT sh.doc_id, sh.h, dfreq.df FROM sh JOIN dfreq ON sh.h = dfreq.h)
+SELECT CAST(COUNT(DISTINCT h) AS BIGINT) AS n_grams,
+       CAST(COUNT(DISTINCT CASE WHEN df >= 2 THEN h END) AS BIGINT) AS n_repeated,
+       {H.sql_round6("CAST(COUNT(DISTINCT CASE WHEN df >= 2 THEN h END) AS DOUBLE) / CAST(COUNT(DISTINCT h) AS DOUBLE)")} AS repeated_share,
+       CAST(MAX(df) AS BIGINT) AS max_df,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_with_grams,
+       CAST(COUNT(DISTINCT CASE WHEN df >= 2 THEN doc_id END) AS BIGINT) AS docs_affected,
+       {H.sql_round6("CAST(COUNT(DISTINCT CASE WHEN df >= 2 THEN doc_id END) AS DOUBLE) / CAST(COUNT(DISTINCT doc_id) AS DOUBLE)")} AS docs_share
+FROM j
+HAVING COUNT(DISTINCT h) > 0
+"""
+
+
+QUERIES["ngram_memorization_audit"] = ngram_memorization_audit
+ORACLES["ngram_memorization_audit"] = _sql_memorization()

@@ -175,6 +175,26 @@ def rotation_partition_change_plan(spark: SparkSession, sf_dir: str) -> DataFram
     return R.file_manifest(R.assign_files_partition_change(rec)).orderBy("file_path")
 
 
+def rotation_interval_partition_change_plan(
+    spark: SparkSession, sf_dir: str, rotate_interval_ms: int = 12 * 3600 * 1000
+) -> DataFrame:
+    """The reference's DEFAULT time-policy combination (r6): rotate.interval.ms
+    with rotate.file.on.partition.change left true — rotateOnTime's
+    periodicRotation fires on EITHER trigger and every rotation commits all
+    open files, resetting the base timestamp
+    (TopicPartitionWriter.java:630-667). This is what `run_connector`
+    dispatches for a property file that sets only rotate.interval.ms; the
+    standalone plan makes that default externally verifiable. Oracle: the
+    same one-row-per-step recursive-CTE replay as rotation_interval, with
+    the encoded-partition flip folded into the rotate condition."""
+    rec = events_as_topic(spark, sf_dir).withColumn(
+        "encoded_partition", P.field_partitioner(["event_type"])
+    )
+    return R.file_manifest(
+        R.assign_files_interval_partition_change(rec, rotate_interval_ms)
+    ).orderBy("file_path")
+
+
 def exactly_once_manifest_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay invariance: process the input UNIONed with itself; after
     de-duplicating on the connector's identity (kafka_partition, offset) the

@@ -193,8 +193,9 @@ def test_new_ops_survive_empty_corpus(spark, sf_small, tmp_path):
         "knn_graph_components", "vocab_growth_curve", "pq_code_balance", "mlm_masking_plan",
         "simhash_bit_balance", "dedup_method_matrix", "ann_method_matrix",
         "shard_skew_audit",
-        # round-6 additions (scale-safe two-pass-rank twins)
+        # round-6 additions (scale-safe two-pass-rank twins + new audits)
         "curriculum_stages_edges", "dsir_importance_edges",
+        "pack_efficiency_curve", "ngram_memorization_audit",
     ):
         assert qs[op](spark, dst).count() == 0, op
 
