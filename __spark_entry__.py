@@ -273,6 +273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **CU.QUERIES,
         **AA.QUERIES,
         "embedding_cosine_dups": LS.embedding_cosine_dups,
+        "matryoshka_recall_audit": LS.matryoshka_recall_audit,  # r6
         "cosine_dup_band_recall": LS.cosine_dup_band_recall,
         "cosine_dup_band_recall_sampled": LS.cosine_dup_band_recall_sampled,
         "knn_graph_lsh_recall_sampled": LS.knn_graph_lsh_recall_sampled,

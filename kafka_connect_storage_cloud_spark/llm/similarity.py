@@ -2326,3 +2326,164 @@ FROM flat
 
 ORACLES["cosine_dup_band_recall_sampled"] = SQL_COSINE_DUP_BAND_RECALL_SAMPLED
 ORACLES["knn_graph_lsh_recall_sampled"] = SQL_KNN_GRAPH_LSH_RECALL_SAMPLED
+
+
+# ---------------------------------------------------------------------------
+# matryoshka_recall_audit — truncated-dimension retrieval decision table (r6)
+# ---------------------------------------------------------------------------
+
+MRL_DIMS = (16, 32, 64)  # prefix widths; the last is EMB_DIM = the gold
+
+
+def matryoshka_recall_audit(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    """Matryoshka-style dimension-truncation audit: exact cosine top-k per
+    query using only the FIRST P embedding components, graded against the
+    full-width gold — the table that decides how far an index can truncate
+    stored vectors (4x smaller index at P=16) before recall pays for it.
+    The P = EMB_DIM row IS the gold (recall 1.0 by construction — built-in
+    sanity pin).
+
+    One corpus pass scores all prefixes: each Arrow batch runs one exact
+    int64 matmul per P against the in-closure query matrix (same
+    bounded-query-set pattern as ann_topk_bruteforce); per-P top-k is a
+    (prefix_dim, query_id)-partitioned window over N_QUERIES*k*|P| rows.
+    Mean top-k cosine aggregates via 1e-6-int sums (order-free)."""
+    import numpy as np
+    import pandas as pd
+
+    emb = _with_dec_and_norm(read_table(spark, sf_dir, "embeddings"))
+    qrows = _query_pick(emb).select("vec_id", "v").collect()  # bounded: N_QUERIES
+    if not qrows:  # empty corpus: empty audit, correct schema
+        return spark.createDataFrame(
+            [],
+            "prefix_dim int, n_edges long, n_gold long, n_hits long, "
+            "recall double, mean_topk_cosine double",
+        )
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    q_mat = np.array([r["v"] for r in qrows], dtype=np.int64)
+    dims = tuple(MRL_DIMS)
+
+    def score(batches):
+        for pdf in batches:
+            c_mat = np.stack(pdf["v"].to_numpy()).astype(np.int64)
+            c_ids = pdf["vec_id"].to_numpy()
+            out = []
+            for p in dims:
+                cp, qp = c_mat[:, :p], q_mat[:, :p]
+                c_norm = np.sqrt(np.einsum("ij,ij->i", cp, cp).astype(np.float64) / 1e16)
+                q_norm = np.sqrt(np.einsum("ij,ij->i", qp, qp).astype(np.float64) / 1e16)
+                cos = ((cp @ qp.T).astype(np.float64) / 1e16) / (
+                    c_norm[:, None] * q_norm[None, :]
+                )
+                n, m = cos.shape
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "prefix_dim": np.full(n * m, p, dtype=np.int32),
+                            "query_id": np.tile(q_ids, n),
+                            "neighbor_id": np.repeat(c_ids, m),
+                            "cosine_raw": cos.ravel(),
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    scored = (
+        emb.select("vec_id", "v")
+        .mapInPandas(
+            score, "prefix_dim int, query_id long, neighbor_id long, cosine_raw double"
+        )
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", (F.floor(F.col("cosine_raw") * 1000000.0 + F.lit(0.5)) / 1000000.0))
+    )
+    w = Window.partitionBy("prefix_dim", "query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    edges = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("prefix_dim", "query_id", "neighbor_id", "cosine")
+    )
+    gold = edges.where(F.col("prefix_dim") == EMB_DIM).select(
+        "query_id", "neighbor_id", F.lit(1).alias("in_gold")
+    )
+    per = (
+        edges.join(gold, ["query_id", "neighbor_id"], "left")
+        .groupBy("prefix_dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.sum(F.coalesce(F.col("in_gold"), F.lit(0))).alias("n_hits"),
+            F.sum((F.col("cosine") * 1000000.0).cast("long")).alias("cos_micro_sum"),
+        )
+    )
+    n_gold = F.max(
+        F.when(F.col("prefix_dim") == EMB_DIM, F.col("n_edges"))
+    ).over(Window.partitionBy())
+    return (
+        per.withColumn("n_gold", n_gold)
+        .select(
+            "prefix_dim",
+            "n_edges",
+            "n_gold",
+            "n_hits",
+            H.round6(
+                F.col("n_hits").cast("double") / F.col("n_gold").cast("double")
+            ).alias("recall"),
+            H.round6(
+                F.col("cos_micro_sum").cast("double")
+                / 1000000.0
+                / F.col("n_edges").cast("double")
+            ).alias("mean_topk_cosine"),
+        )
+        .orderBy("prefix_dim")
+    )
+
+
+def _sql_matryoshka() -> str:
+    dims_list = "[" + ", ".join(str(p) for p in MRL_DIMS) + "]"
+
+    def pdot(a, b):
+        return (
+            f"(CAST(list_sum(list_transform(list_zip({a}[1:d.prefix_dim], {b}[1:d.prefix_dim]), "
+            "s -> s[1] * s[2])) AS DOUBLE) / 1e16)"
+        )
+
+    cos = (
+        f"(floor((({pdot('q.qv', 'c.v')}) / "
+        f"(sqrt({pdot('c.v', 'c.v')}) * sqrt({pdot('q.qv', 'q.qv')}))) * 1000000.0 + 0.5) / 1000000.0)"
+    )
+    return f"""
+WITH {_sql_emb()},
+queries AS (SELECT vec_id AS query_id, v AS qv FROM emb_n {_sql_query_pick()}),
+dims AS (SELECT unnest({dims_list}) AS prefix_dim),
+mscored AS (
+  SELECT d.prefix_dim, q.query_id, c.vec_id AS neighbor_id, {cos} AS cosine
+  FROM dims d CROSS JOIN queries q JOIN emb_n c ON q.query_id <> c.vec_id
+),
+medges AS (
+  SELECT prefix_dim, query_id, neighbor_id, cosine FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY prefix_dim, query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM mscored
+  ) WHERE rank <= {TOP_K}
+),
+mgold AS (SELECT query_id, neighbor_id FROM medges WHERE prefix_dim = {EMB_DIM}),
+mper AS (
+  SELECT e.prefix_dim,
+         CAST(COUNT(*) AS BIGINT) AS n_edges,
+         CAST(SUM(CASE WHEN g.query_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         CAST(SUM(CAST(e.cosine * 1000000.0 AS BIGINT)) AS BIGINT) AS cos_micro_sum
+  FROM medges e LEFT JOIN mgold g
+    ON e.query_id = g.query_id AND e.neighbor_id = g.neighbor_id
+  GROUP BY 1
+)
+SELECT prefix_dim, n_edges,
+       CAST(MAX(CASE WHEN prefix_dim = {EMB_DIM} THEN n_edges END) OVER () AS BIGINT) AS n_gold,
+       n_hits,
+       {H.sql_round6(f"CAST(n_hits AS DOUBLE) / CAST(MAX(CASE WHEN prefix_dim = {EMB_DIM} THEN n_edges END) OVER () AS DOUBLE)")} AS recall,
+       {H.sql_round6("CAST(cos_micro_sum AS DOUBLE) / 1000000.0 / CAST(n_edges AS DOUBLE)")} AS mean_topk_cosine
+FROM mper ORDER BY prefix_dim
+"""
+
+
+ORACLES["matryoshka_recall_audit"] = _sql_matryoshka()

@@ -196,6 +196,7 @@ def test_new_ops_survive_empty_corpus(spark, sf_small, tmp_path):
         # round-6 additions (scale-safe two-pass-rank twins + new audits)
         "curriculum_stages_edges", "dsir_importance_edges",
         "pack_efficiency_curve", "ngram_memorization_audit",
+        "matryoshka_recall_audit",
     ):
         assert qs[op](spark, dst).count() == 0, op
 
