@@ -1058,20 +1058,22 @@ def dedup_method_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     a subset of the lossless prefix-filter candidates — dedup_containment's
     output filtered to jaccard >= 0.5, no O(n²) sweep. All counts are
     integers; the two ratios divide once at the end."""
-    gold = (
+    # ONE containment run serves both roles (r6: it was built twice — the
+    # heaviest pipeline in the matrix, rebuilt from scratch for the
+    # candidate row; bench leg 25 s -> ~15 s at sf0.1): the checkpointed
+    # pair table yields gold by filter and the containment candidates by
+    # projection.
+    cont = (
         dedup_containment(spark, sf_dir)
-        .where(F.col("jaccard") >= GOLD_JACCARD)
-        .select("doc_a", "doc_b")
+        .select("doc_a", "doc_b", "jaccard")
         .localCheckpoint()  # three method joins + the count read it
     )
+    gold = cont.where(F.col("jaccard") >= GOLD_JACCARD).select("doc_a", "doc_b")
     n_gold_row = gold.agg(F.count(F.lit(1)).alias("n_gold"))
     methods = [
         ("minhash_lsh", dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")),
         ("simhash", dedup_simhash(spark, sf_dir).select("doc_a", "doc_b")),
-        (
-            "containment",
-            dedup_containment(spark, sf_dir).select("doc_a", "doc_b"),
-        ),
+        ("containment", cont.select("doc_a", "doc_b")),
     ]
     cands = None
     for name, df in methods:
