@@ -143,6 +143,19 @@ def main() -> None:
     timings["minhash_dedup_stream"] = stream_sec
 
     total = round(sum(timings.values()), 3)
+    # the 21 legs pinned in BASELINE.md (round 2) — the cross-round
+    # comparison basis; later-round legs are tracked against their own
+    # first-measurement rows, so the raw total is not comparable across
+    # leg sets and the subtotal is emitted explicitly
+    pinned = (
+        "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+        "q6_revenue_change", "q10_returned_items", "events_hourly_rollup",
+        "events_sessionize", "rotation_flush_size", "exactly_once_manifest",
+        "dedup_minhash_lsh", "ann_topk_bruteforce", "ann_topk_ivf",
+        "dedup_exact", "dedup_chunks", "quality_score", "quality_filter",
+        "token_shard_pack", "hll_distinct", "scd2_history", "rfm_segmentation",
+        "sink_connector_parquet",
+    )
     print(
         json.dumps(
             {
@@ -150,6 +163,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "pinned_leg_subtotal": round(
+                    sum(timings[k] for k in pinned if k in timings), 3
+                ),
                 "sf": float(sf),
                 "sink_records": n_records,
                 "sink_records_per_sec": round(n_records / sink_sec),
