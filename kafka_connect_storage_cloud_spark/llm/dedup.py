@@ -888,9 +888,18 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.with_shingles(docs, SHINGLE_N)
         .select("doc_id", H.h32(F.col("shingle")).alias("h"))
         .distinct()
+        # the (doc, h) set feeds SIX consumers (dfreq/ok/prefix/index/both
+        # intersection sides/sizes); without materialization Catalyst
+        # re-runs the text-split+shingle+md5 scan for each one (measured:
+        # 16 scans, 0 ReusedExchange at sf0.1). ~60 int rows/doc — tiny.
+        .localCheckpoint(eager=True)
     )
     dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-    ok = sh.join(dfreq.where(F.col("df") <= MAX_BUCKET), "h")
+    # ok feeds four consumers (prefix ranking, index, both co-occurrence
+    # sides) — materialize once, same rationale as sh above
+    ok = sh.join(dfreq.where(F.col("df") <= MAX_BUCKET), "h").localCheckpoint(
+        eager=True
+    )
     w = Window.partitionBy("doc_id").orderBy("df", "h")
     ranked = ok.withColumn("rnk", F.row_number().over(w)).withColumn(
         "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
@@ -909,13 +918,43 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "h")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "h")
-    inter = (
-        cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "h"])
+    # intersection counts, decomposed by the df partition of the shingle
+    # space (values identical to joining each candidate against the full
+    # (doc, h) sets — the oracle keeps that form):
+    # - ok shingles (df <= MAX_BUCKET): co-occurring pairs enumerate
+    #   directly off the inverted index — sum(df²) rows (2.8M at sf0.1)
+    #   instead of |cand| x avg-doc-shingles (49M) for the old
+    #   candidate-expansion join; the same MAX_BUCKET guard that bounds
+    #   candidates bounds this enumeration.
+    # - boilerplate shingles (df > MAX_BUCKET, excluded from candidates
+    #   but still part of every true intersection): contribute only
+    #   through already-bounded candidate pairs, via the old join shape
+    #   restricted to the (rare) boilerplate rows.
+    pairs_ok = (
+        ok.select(F.col("doc_id").alias("doc_a"), "h")
+        .join(ok.select(F.col("doc_id").alias("doc_b"), "h"), "h")
+        .where(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .agg(F.count(F.lit(1)).alias("n_ok"))
+    )
+    boiler = sh.join(dfreq.where(F.col("df") > MAX_BUCKET), "h")
+    n_boiler = (
+        cand.join(boiler.select(F.col("doc_id").alias("doc_a"), "h"), "doc_a")
+        .join(boiler.select(F.col("doc_id").alias("doc_b"), "h"), ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_b"))
+    )
+    inter = (
+        cand.join(pairs_ok, ["doc_a", "doc_b"], "left")
+        .join(n_boiler, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.coalesce(F.col("n_ok"), F.lit(0))
+                + F.coalesce(F.col("n_b"), F.lit(0))
+            ).alias("n_inter"),
+        )
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     cont = H.round6(
