@@ -43,23 +43,31 @@ def with_global_rank(
     rank_name: str = "__rank",
     total_name: str = "__total",
     cum_prefix: str = "__cum_",
+    part_cols: Sequence[str] = (),
 ) -> DataFrame:
-    """Add the exact global ROW_NUMBER over (value_col [DESC], id_col ASC)
-    as `rank_name`, the frame row count as `total_name`, and for each c in
-    cum_cols the inclusive running SUM(c) along that order as
-    `cum_prefix + c` — all without an unpartitioned row-level window."""
+    """Add the exact ROW_NUMBER over ([part_cols,] value_col [DESC],
+    id_col ASC) as `rank_name` (restarting per part_cols group when given),
+    the group row count as `total_name`, and for each c in cum_cols the
+    inclusive running SUM(c) along that order as `cum_prefix + c` — all
+    without a row-level window wider than one (group, value) tie class.
+    With part_cols the histogram windows partition by the group, so even a
+    group holding half the corpus (one language at 100 TB) sorts only its
+    DISTINCT VALUES in one task, never its rows."""
+    parts = list(part_cols)
     val_order = F.desc(value_col) if desc else F.asc(value_col)
     aggs = [F.count(F.lit(1)).alias("__cnt")] + [
         F.sum(c).alias(f"__vsum_{c}") for c in cum_cols
     ]
-    hist = df.groupBy(value_col).agg(*aggs)
+    hist = df.groupBy(*parts, value_col).agg(*aggs)
     # cumulative offsets over the histogram: one window over |distinct
-    # values| rows (metadata-sized), not over the data frame
-    w_prior = Window.orderBy(val_order).rowsBetween(Window.unboundedPreceding, -1)
-    w_all = Window.orderBy(val_order).rowsBetween(
+    # values| rows per group (metadata-sized), not over the data frame
+    w_base = Window.partitionBy(*parts) if parts else Window.partitionBy()
+    w_prior = w_base.orderBy(val_order).rowsBetween(Window.unboundedPreceding, -1)
+    w_all = w_base.orderBy(val_order).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     hist = hist.select(
+        *parts,
         value_col,
         F.coalesce(F.sum("__cnt").over(w_prior), F.lit(0)).alias("__off_cnt"),
         F.sum("__cnt").over(w_all).alias(total_name),
@@ -70,10 +78,10 @@ def with_global_rank(
             for c in cum_cols
         ],
     )
-    # pass 2: distributed per-value windows (the id tiebreak), offsets added
-    w_in = Window.partitionBy(value_col).orderBy(F.asc(id_col))
+    # pass 2: distributed per-(group, value) windows (the id tiebreak)
+    w_in = Window.partitionBy(*parts, value_col).orderBy(F.asc(id_col))
     w_in_cum = w_in.rowsBetween(Window.unboundedPreceding, 0)
-    out = df.join(hist, value_col)
+    out = df.join(hist, parts + [value_col])
     out = out.withColumn(rank_name, F.col("__off_cnt") + F.row_number().over(w_in))
     for c in cum_cols:
         out = out.withColumn(
