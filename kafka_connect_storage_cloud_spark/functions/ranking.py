@@ -78,10 +78,23 @@ def with_global_rank(
             for c in cum_cols
         ],
     )
-    # pass 2: distributed per-(group, value) windows (the id tiebreak)
+    # pass 2: distributed per-(group, value) windows (the id tiebreak).
+    # Null-safe join: a NULL ranking value forms its own histogram group
+    # (groupBy keeps it) and its own pass-2 partition, and Spark's asc
+    # ordering puts NULLS FIRST in both the histogram window and the
+    # single-window twin — so eqNullSafe preserves bit-identity for
+    # frames containing NULL values instead of silently dropping them.
+    join_cols = parts + [value_col]
+    hist_r = hist
+    for c in join_cols:
+        hist_r = hist_r.withColumnRenamed(c, f"__h_{c}")
+    cond = None
+    for c in join_cols:
+        clause = df[c].eqNullSafe(hist_r[f"__h_{c}"])
+        cond = clause if cond is None else cond & clause
     w_in = Window.partitionBy(*parts, value_col).orderBy(F.asc(id_col))
     w_in_cum = w_in.rowsBetween(Window.unboundedPreceding, 0)
-    out = df.join(hist, parts + [value_col])
+    out = df.join(hist_r, cond).drop(*[f"__h_{c}" for c in join_cols])
     out = out.withColumn(rank_name, F.col("__off_cnt") + F.row_number().over(w_in))
     for c in cum_cols:
         out = out.withColumn(
@@ -92,16 +105,19 @@ def with_global_rank(
 
 def ntile_of_rank(rank: Column, total: Column, k: int) -> Column:
     """The tile NTILE(k) assigns to a 1-based `rank` in a `total`-row frame
-    — pure int64 arithmetic, no window. Matches Spark and DuckDB NTILE
-    exactly (first `total % k` tiles take the extra row)."""
-    q = (total / k).cast("long")  # floor: total, k >= 0
+    — pure int64 arithmetic (integral `div`, never double division), no
+    window. Matches Spark and DuckDB NTILE exactly (first `total % k`
+    tiles take the extra row) for the full int64 range."""
+    q = F.call_function("div", total, F.lit(k))  # floor: total, k >= 0
     r = total - q * F.lit(k)
     big = q + F.lit(1)
     in_big = rank <= r * big
     return (
-        F.when(in_big, ((rank - 1) / big).cast("long") + 1)
+        F.when(in_big, F.call_function("div", rank - 1, big) + 1)
         .otherwise(
-            r + ((rank - r * big - 1) / F.greatest(q, F.lit(1))).cast("long") + 1
+            r
+            + F.call_function("div", rank - r * big - 1, F.greatest(q, F.lit(1)))
+            + 1
         )
         .cast("int")
     )

@@ -12,21 +12,30 @@ average fraction of files a per-user probe must touch — the number a table
 format's OPTIMIZE ZORDER reports. Everything is integer arithmetic
 (interleave via div/mod), exact in both engines.
 
-Scale: the Z-sort is a range-partitioned global sort (one exchange — the
-standard compaction job shape); zone maps are per-file aggregates
+Scale: file ids come from the exact two-pass histogram rank
+(functions/ranking.py `with_global_rank`) — NEVER an unpartitioned
+row_number, which would funnel the whole fact table through ONE
+window-sort task (VERDICT r6 'What's wrong' #1, in the one operator whose
+job is 100x-scale layout). The Z-order rank sorts only the <= 4^Z_BITS
+distinct Morton codes in its histogram window; the natural-offset rank
+sorts event_id div Z_NAT_BUCKET coarse buckets (n / 4096 metadata rows) —
+ordering by (bucket, event_id) is the same total order as event_id because
+the bucket is monotone in event_id. Zone maps are per-file aggregates
 (manifest-sized); the audit joins |users| x |files| zone rows, never
 records.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.ranking import with_global_rank
 from ..session import read_events
 
 Z_BITS = 8  # bits per dimension -> 16-bit Morton code
 Z_FLUSH = 200  # records per file in both layouts
+Z_NAT_BUCKET = 4096  # offset-order histogram coarsening (div, order-preserving)
 
 
 def _morton_expr(a: str, b: str) -> str:
@@ -51,17 +60,19 @@ def zorder_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.least(F.col("user_id") / F.lit(8), F.lit(255)).cast("bigint").alias("ub"),
         (F.floor(F.unix_millis("ts") / F.lit(3600 * 1000)) % 256).alias("tb"),
+        F.call_function("div", F.col("event_id"), F.lit(Z_NAT_BUCKET)).alias("eb"),
     )
     ev = ev.withColumn("morton", F.expr(_morton_expr("ub", "tb")))
 
-    def layout(order_cols, name: str) -> DataFrame:
-        w = Window.orderBy(*order_cols)
+    def layout(value_col: str, name: str) -> DataFrame:
+        # exact global row_number over (value_col, event_id) without an
+        # unpartitioned window: two-pass histogram rank, bit-identical to
+        # ROW_NUMBER() OVER (ORDER BY value_col, event_id)
+        ranked = with_global_rank(ev, value_col=value_col, id_col="event_id")
         files = (
-            ev.withColumn(
+            ranked.withColumn(
                 "file_id",
-                F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(Z_FLUSH)).cast(
-                    "bigint"
-                ),
+                F.call_function("div", F.col("__rank") - F.lit(1), F.lit(Z_FLUSH)),
             )
             .groupBy("file_id")
             .agg(F.min("user_id").alias("zmin"), F.max("user_id").alias("zmax"))
@@ -84,8 +95,8 @@ def zorder_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_files_touched_frac"),
         )
 
-    natural = layout([F.col("event_id")], "natural_offset")
-    zorder = layout([F.col("morton"), F.col("event_id")], "zorder")
+    natural = layout("eb", "natural_offset")
+    zorder = layout("morton", "zorder")
     return natural.unionByName(zorder).orderBy("layout")
 
 

@@ -479,3 +479,25 @@ def test_vocab_growth_window_carries_no_text(spark, sf_dir):
     for i in win_blocks:
         ctx = "\n".join(lines[max(0, i - 4) : i + 4])
         assert "text" not in ctx, f"ntile window touches text:\n{ctx}"
+
+
+def test_zorder_file_assignment_has_no_unpartitioned_rank(spark, sf_dir):
+    """File-id assignment in the layout operator must ride the two-pass
+    histogram rank — an unpartitioned row_number would sort the whole fact
+    table in ONE window task, in the operator whose purpose is 100x-scale
+    layout (VERDICT r6 'What's wrong' #1). Pin: every row_number window in
+    the plan is partitioned (its windowspecdefinition's first argument is a
+    partition column, i.e. carries no ASC/DESC ordering)."""
+    from kafka_connect_storage_cloud_spark.operators.layout import (
+        zorder_file_skipping,
+    )
+
+    import re
+
+    plan = _plan(spark, zorder_file_skipping(spark, sf_dir))
+    specs = re.findall(r"row_number\(\) windowspecdefinition\(([^,]+),", plan)
+    assert specs, "expected the two-pass-rank row_number windows in the plan"
+    for first_arg in specs:
+        assert "ASC" not in first_arg and "DESC" not in first_arg, (
+            f"unpartitioned row_number window is back: ({first_arg}, ...)"
+        )
