@@ -1086,8 +1086,47 @@ SELECT doc_id, lang, mean_rarity_micro, bucket,
 FROM b ORDER BY doc_id
 """
 
+def rarity_buckets_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rarity_buckets, scale-safe: identical per-language head/middle/tail
+    assignment, but the bucket comes from the per-language rarity
+    HISTOGRAM's cumulative rank (`with_global_rank(part_cols=["lang"])`)
+    plus NTILE arithmetic instead of a per-language NTILE window. The
+    NTILE form is one window task PER LANGUAGE holding all its documents —
+    at 100 TB the largest language is ~corpus/|langs| rows in one sort
+    (VERDICT r6 'What's wrong' #2); here that task sorts only the
+    language's DISTINCT micro-quantized rarity scores. Bit-identical, so
+    the NTILE twin's oracle verifies this plan unchanged."""
+    from ..functions.ranking import ntile_of_rank, with_global_rank
+
+    scored = lm_rarity_score(spark, sf_dir).select("doc_id", "mean_rarity_micro")
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = scored.join(docs, "doc_id")
+    ranked = with_global_rank(
+        j, "mean_rarity_micro", "doc_id", part_cols=["lang"]
+    )
+    name_expr = F.element_at(
+        F.array(*[F.lit(n) for n in _RARITY_BUCKET_NAMES]), F.col("bucket")
+    )
+    return (
+        ranked.withColumn(
+            "bucket",
+            ntile_of_rank(F.col("__rank"), F.col("__total"), RARITY_N_BUCKETS),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "mean_rarity_micro",
+            "bucket",
+            name_expr.alias("bucket_name"),
+        )
+    )
+
+
 QUERIES["rarity_buckets"] = rarity_buckets
 ORACLES["rarity_buckets"] = SQL_RARITY_BUCKETS
+QUERIES["rarity_buckets_edges"] = rarity_buckets_edges
+# exact two-pass rank == exact NTILE output: the same oracle verifies both
+ORACLES["rarity_buckets_edges"] = SQL_RARITY_BUCKETS
 
 
 # ---------------------------------------------------------------------------

@@ -426,16 +426,46 @@ FROM d GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def events_value_deciles_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events_value_deciles, scale-safe: the per-event-type decile comes
+    from the two-pass histogram rank (`with_global_rank(part_cols=
+    ["event_type"])`) plus NTILE arithmetic instead of a per-type NTILE
+    window — the NTILE form is one window task PER EVENT TYPE holding
+    ~n/|types| full rows at 100x (VERDICT r6 'What's wrong' #2); here the
+    per-type single task sees only (value, count) histogram rows and the
+    row-level work is hash-distributed across (type, value). Bit-identical
+    order (value, event_id), so the NTILE twin's oracle verifies it."""
+    from ..functions.ranking import ntile_of_rank, with_global_rank
+
+    ev = read_events(spark, sf_dir).select("event_id", "event_type", "value")
+    ranked = with_global_rank(ev, "value", "event_id", part_cols=["event_type"])
+    return (
+        ranked.withColumn(
+            "decile", ntile_of_rank(F.col("__rank"), F.col("__total"), 10)
+        )
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.min("value"), 4).alias("lo_value"),
+            F.round(F.max("value"), 4).alias("hi_value"),
+        )
+        .orderBy("event_type", "decile")
+    )
+
+
 QUERIES.update(
     {
         "events_value_histogram": events_value_histogram,
         "events_value_deciles": events_value_deciles,
+        # exact two-pass rank == exact NTILE output: same oracle as the twin
+        "events_value_deciles_edges": events_value_deciles_edges,
     }
 )
 ORACLES.update(
     {
         "events_value_histogram": SQL_EVENTS_VALUE_HISTOGRAM,
         "events_value_deciles": SQL_EVENTS_VALUE_DECILES,
+        "events_value_deciles_edges": SQL_EVENTS_VALUE_DECILES,
     }
 )
 
