@@ -107,7 +107,9 @@ def _assign_files(records: DataFrame, cfg: ConnectorConfig, ext: str) -> DataFra
       (:644-657, behavior.on.null.values=write).
     - rotate.schedule.interval.ms > 0: wall-clock bucket rotation.
     - partitioner.max.open.files > 0: open-file-cap rotation
-      (TopicPartitionWriter.java:530-541).
+      (TopicPartitionWriter.java:530-541), COMPOSED with flush.size —
+      rotateOnSize (:513-525) still commits all open files when the
+      writer's records-since-last-commit reach flush.size (ADVICE r6 #3).
     - else: flush.size chunking (always the capacity backstop)."""
     naming = cfg.naming
     if cfg.rotate_interval_ms > 0:
@@ -133,7 +135,11 @@ def _assign_files(records: DataFrame, cfg: ConnectorConfig, ext: str) -> DataFra
         )
     if cfg.partitioner_max_open_files > 0:
         return R.assign_files_max_open(
-            records, cfg.partitioner_max_open_files, ext=ext, naming=naming
+            records,
+            cfg.partitioner_max_open_files,
+            ext=ext,
+            naming=naming,
+            flush_size=cfg.flush_size,
         )
     return R.assign_files_flush_size(records, cfg.flush_size, ext=ext, naming=naming)
 

@@ -2413,7 +2413,12 @@ def matryoshka_recall_audit(spark: SparkSession, sf_dir: str, k: int = TOP_K) ->
         .agg(
             F.count(F.lit(1)).alias("n_edges"),
             F.sum(F.coalesce(F.col("in_gold"), F.lit(0))).alias("n_hits"),
-            F.sum((F.col("cosine") * 1000000.0).cast("long")).alias("cos_micro_sum"),
+            # floor(x*1e6 + 0.5), not a truncating cast: cosine is m/1e6 and
+            # (m/1e6)*1e6 can land just below m, where truncation yields m-1
+            # on Spark but DuckDB's CAST rounds to m (ADVICE r6)
+            F.sum(
+                F.floor(F.col("cosine") * 1000000.0 + F.lit(0.5)).cast("long")
+            ).alias("cos_micro_sum"),
         )
     )
     n_gold = F.max(
@@ -2472,7 +2477,7 @@ mper AS (
   SELECT e.prefix_dim,
          CAST(COUNT(*) AS BIGINT) AS n_edges,
          CAST(SUM(CASE WHEN g.query_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
-         CAST(SUM(CAST(e.cosine * 1000000.0 AS BIGINT)) AS BIGINT) AS cos_micro_sum
+         CAST(SUM(CAST(floor(e.cosine * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS cos_micro_sum
   FROM medges e LEFT JOIN mgold g
     ON e.query_id = g.query_id AND e.neighbor_id = g.neighbor_id
   GROUP BY 1

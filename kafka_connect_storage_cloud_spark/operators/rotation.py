@@ -318,6 +318,7 @@ def assign_files_max_open(
     max_open_files: int,
     ext: str = "parquet",
     naming: FileNaming = DEFAULT_NAMING,
+    flush_size: int | None = None,
 ) -> DataFrame:
     """partitioner.max.open.files rotation (TopicPartitionWriter.java:530-541
     rotateOnPartitionerMaxOpenFiles): a record for a NOT-currently-open
@@ -325,6 +326,14 @@ def assign_files_max_open(
     triggers rotation, which commits EVERY open file of the topic-partition
     (the writer's rotation commits all open files, then the new partition's
     file opens into a fresh commit epoch).
+
+    With `flush_size` set, size rotation COMPOSES (reference: rotateOnSize,
+    TopicPartitionWriter.java:513-525/813-821, is checked on every write
+    regardless of the max-open-files policy): `recordCount` — the writer's
+    TOTAL records since its last commit, across all its open encoded
+    partitions — reaching flush.size also rotates, and either trigger
+    commits EVERY open file (commitFiles resets recordCount and the open
+    set), i.e. starts a new epoch here (ADVICE r6 #3).
 
     Like rotate.interval.ms this walk is inherently sequential per
     kafka_partition (the open set depends on every prior record), so it runs
@@ -345,14 +354,23 @@ def assign_files_max_open(
         pdf = pdf.sort_values("offset").reset_index(drop=True)
         open_set: set = set()
         epoch = 0
+        count = 0
         epochs = []
         for ep in pdf["encoded_partition"].tolist():
             if ep not in open_set:
                 if len(open_set) == max_open_files:
                     epoch += 1
                     open_set = set()
+                    count = 0
                 open_set.add(ep)
             epochs.append(epoch)
+            count += 1
+            # post-write size check (the record that reaches flush.size
+            # stays in the epoch it was written into; the commit follows)
+            if flush_size is not None and count >= flush_size:
+                epoch += 1
+                open_set = set()
+                count = 0
         pdf["epoch"] = pd.Series(epochs, dtype="int64")
         return pdf
 

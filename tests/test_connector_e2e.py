@@ -521,6 +521,55 @@ def test_max_open_files_routes_through_runner(spark):
     assert len(got) > 3
 
 
+def test_max_open_files_composes_with_flush_size(spark):
+    """flush.size is NOT mutually exclusive with max.open.files: the
+    reference checks rotateOnSize on every write regardless
+    (TopicPartitionWriter.java:513-525), and either trigger commits all
+    open files. A small flush.size must therefore cap files even while
+    the max-open-files policy is active (ADVICE r6 #3)."""
+    from kafka_connect_storage_cloud_spark.operators import rotation as R
+    from kafka_connect_storage_cloud_spark.operators.partitioners import (
+        partitioner_expr,
+    )
+    from kafka_connect_storage_cloud_spark.config import parse_properties
+
+    # one encoded partition only: the open-file cap (2) never fires, so any
+    # rotation observed is the size trigger
+    rows = [(i, 1488477600000 + i * 1000, "A") for i in range(12)]
+    df = spark.createDataFrame(rows, "offset long, ts_ms long, event_type string")
+    rec = df.select(
+        F.lit("events").alias("topic"),
+        F.lit(3).cast("int").alias("kafka_partition"),
+        "offset",
+        F.timestamp_millis(F.col("ts_ms")).alias("timestamp"),
+        F.lit("k").alias("key"),
+        F.lit("{}").alias("value"),
+        "event_type",
+    )
+    props = {
+        "topics": "events",
+        "format.class": "io.confluent.connect.s3.format.parquet.ParquetFormat",
+        "partitioner.class": "io.confluent.connect.storage.partitioner.FieldPartitioner",
+        "partition.field.name": "event_type",
+        "flush.size": "5",
+        "partitioner.max.open.files": "2",
+    }
+    manifest = run_connector(spark, props, records=rec)
+    got = sorted(tuple(r) for r in manifest.collect())
+    # 12 records / flush.size 5 -> three files (5, 5, 2)
+    assert len(got) == 3
+    cfg = parse_properties(props)
+    expected = R.file_manifest(
+        R.assign_files_max_open(
+            rec.withColumn("encoded_partition", partitioner_expr(cfg)),
+            2,
+            flush_size=5,
+        )
+    )
+    want = sorted(tuple(r) for r in expected.orderBy("file_path").collect())
+    assert got == want
+
+
 def test_max_open_files_key_parses_not_extra(spark):
     from kafka_connect_storage_cloud_spark.config import parse_properties
 
