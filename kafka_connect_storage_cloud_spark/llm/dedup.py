@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..functions import hashing as H
 from ..functions import text as T
-from ..session import read_table
+from ..session import read_table, table_count
 
 K_PERMS = 16
 N_BANDS = 8  # rows-per-band r = K/N = 2
@@ -466,7 +466,7 @@ def ngram_jaccard_gold(
     The oracle SQL carries the same COUNT(*)-gated predicate, so one fixed
     string verifies both modes at any SF."""
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    if docs.count() > NGRAM_GOLD_FULL_MAX:
+    if table_count(spark, sf_dir, "documents") > NGRAM_GOLD_FULL_MAX:
         docs = docs.where(_gold_sample_pred(F.col("doc_id")))
     return _ngram_jaccard_pairs(docs, threshold)
 

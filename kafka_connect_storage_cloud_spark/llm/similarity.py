@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import hashing as H
-from ..session import read_table
+from ..session import read_table, table_count
 
 SCALE = 10**8  # component quantization; dot products carry SCALE**2
 N_QUERIES = 40  # fixed-size query set (bounded driver/broadcast footprint)
@@ -1093,7 +1093,7 @@ def knn_graph_mutual_gold(
     corpus), so surviving mutual edges are the both-endpoints-sampled
     slice. Internal consumers (triangle count, LSH-graph recall) keep the
     full form; the driver-facing queries() key points here."""
-    n = read_table(spark, sf_dir, "embeddings").count()
+    n = table_count(spark, sf_dir, "embeddings")
     mod = None if n <= KNN_GOLD_FULL_MAX else AUDIT_SAMPLE_MOD
     return _mutualize_topk(_knn_topk_edges(spark, sf_dir, k, src_sample_mod=mod))
 
