@@ -814,3 +814,201 @@ def containment_dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_embeddings_source(spark: SparkSession, stage_dir: str) -> DataFrame:
+    """An embeddings stream from a staging directory of parquet files — the
+    vector-ingest analog of stream_documents_source (each landed file is a
+    micro-batch at maxFilesPerTrigger=1, standing in for an embeddings
+    topic fed by an upstream encoder)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("label", IntegerType()),
+    ])
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+    )
+
+
+def cosine_dup_stream(
+    embs: DataFrame, store_dir: str, checkpoint: str, bits: int
+) -> StreamingQuery:
+    """Streaming EMBEDDING-SPACE near-dup detection — the incremental twin
+    of llm.similarity.embedding_cosine_dups, completing the family: the
+    lexical near-dup paths have streaming twins (minhash r3, containment
+    r6) but embeddings arrive incrementally in a real ingest too (the
+    encoder runs behind the crawler). Each micro-batch's vectors build
+    hyperplane band signatures with the IDENTICAL planes/int64-dot/sign
+    expression as the batch operator (similarity._banded_pandas), probe the
+    accumulated band store with the same Hamming-1 multiprobe, and confirm
+    candidates with the exact int64 cosine — so an emitted row is
+    bit-identical to the one-shot row and the ACCUMULATED pair set equals
+    embedding_cosine_dups' regardless of the batch split.
+
+    `bits` is the band width. The batch operator adapts it to the corpus
+    size (similarity._cb_bits); a streaming deployment pins the LSH
+    geometry up front from design capacity — signatures must be comparable
+    across batches, so the width cannot drift mid-ingest. Callers pass
+    _cb_bits(expected_n) (the tests pass the final corpus size, which is
+    what makes the twin bit-identical to the one-shot form).
+
+    Candidate direction: Hamming-1 collision is SYMMETRIC (bucket(y) is one
+    flip from bucket(x) iff the reverse), so probing only the NEW side
+    against store ∪ batch covers both orientations — unlike the containment
+    twin, no second probe direction is needed.
+
+    Batch-versioned store (replay-overwrite exactly-once, same contract as
+    the other twins): bands/batch=b, vecs/batch=b (decimal vectors + norms
+    for the exact confirm), pairs/batch=b. The CB_MAX_BUCKET degenerate-
+    bucket guard is re-applied per batch over store ∪ batch occurrences of
+    the PROBED buckets (the semi-join keeps the count shuffle bounded by
+    the batch's fan-out, not history length — an identical-embedding flood
+    is capped exactly as in batch mode)."""
+    import os
+
+    from ..llm.similarity import (
+        CB_BANDS,
+        CB_MAX_BUCKET,
+        CB_THRESHOLD,
+        _banded_pandas,
+        _dot,
+        _with_dec_and_norm,
+    )
+
+    def _list_batches(spark, path: str) -> list[str]:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(jpath):
+            return []
+        return [
+            st.getPath().getName()
+            for st in fs.listStatus(jpath)
+            if st.getPath().getName().startswith("batch=")
+        ]
+
+    def _prior(spark, sub: str, batch_id: int) -> DataFrame | None:
+        root = os.path.join(store_dir, sub)
+        dirs = [
+            os.path.join(root, e)
+            for e in _list_batches(spark, root)
+            if int(e.split("=", 1)[1]) < batch_id
+        ]
+        return spark.read.parquet(*dirs) if dirs else None
+
+    def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        vec_new = (
+            _with_dec_and_norm(batch_df)
+            .select("vec_id", "label", "v", "nrm")
+            .localCheckpoint(eager=True)
+        )
+        bands_new = _banded_pandas(
+            vec_new, "cb{b}:", CB_BANDS, bits, extra=(("label", "int"),)
+        ).localCheckpoint(eager=True)
+        # probed buckets this batch: the new vectors' exact buckets plus
+        # their Hamming-1 flips (the only store buckets any candidate can
+        # live in)
+        probe_arr = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(bits)],
+        )
+        probed = (
+            bands_new.select(
+                "label", "band", F.explode(probe_arr).alias("bucket")
+            ).distinct()
+        )
+        store_bands = _prior(spark, "bands", batch_id)
+        if store_bands is not None:
+            store_bands = store_bands.select(
+                "vec_id", "label", "band", "bucket"
+            ).join(probed, ["label", "band", "bucket"])
+            allb = bands_new.unionByName(store_bands)
+        else:
+            allb = bands_new
+        # degenerate-bucket guard over store ∪ batch, probed buckets only
+        ok = (
+            allb.groupBy("label", "band", "bucket")
+            .agg(F.count(F.lit(1)).alias("bn"))
+            .where(F.col("bn") <= CB_MAX_BUCKET)
+            .select("label", "band", "bucket")
+        )
+        new_ok = bands_new.join(ok, ["label", "band", "bucket"])
+        b_side = allb.join(ok, ["label", "band", "bucket"]).select(
+            "label", "band", "bucket", F.col("vec_id").alias("vec_b")
+        )
+        a_side = new_ok.select(
+            "label",
+            "band",
+            F.explode(probe_arr).alias("bucket"),
+            F.col("vec_id").alias("vec_a"),
+        )
+        cand = (
+            a_side.join(b_side, ["label", "band", "bucket"])
+            .where(F.col("vec_a") != F.col("vec_b"))
+            .select(
+                F.least("vec_a", "vec_b").alias("vec_a"),
+                F.greatest("vec_a", "vec_b").alias("vec_b"),
+                "label",
+            )
+            .distinct()
+        )
+        vecs_prior = _prior(spark, "vecs", batch_id)
+        all_vecs = (
+            vec_new if vecs_prior is None
+            else vec_new.unionByName(vecs_prior.select("vec_id", "label", "v", "nrm"))
+        )
+        av = all_vecs.select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("v").alias("va"),
+            F.col("nrm").alias("na"),
+        )
+        bv = all_vecs.select(
+            F.col("vec_id").alias("vec_b"),
+            F.col("v").alias("vb"),
+            F.col("nrm").alias("nb"),
+        )
+        pairs = (
+            cand.join(av, "vec_a")
+            .join(bv, "vec_b")
+            .withColumn(
+                "cosine",
+                F.floor(
+                    (_dot("va", "vb") / (F.col("na") * F.col("nb"))) * 1000000.0
+                    + F.lit(0.5)
+                )
+                / 1000000.0,
+            )
+            .where(F.col("cosine") >= CB_THRESHOLD)
+            .select("vec_a", "vec_b", "label", "cosine")
+        )
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(store_dir, "pairs", f"batch={batch_id}")
+        )
+        bands_new.write.mode("overwrite").parquet(
+            os.path.join(store_dir, "bands", f"batch={batch_id}")
+        )
+        vec_new.write.mode("overwrite").parquet(
+            os.path.join(store_dir, "vecs", f"batch={batch_id}")
+        )
+
+    return (
+        embs.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

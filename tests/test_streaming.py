@@ -1093,3 +1093,79 @@ def test_containment_dedup_stream_four_way_split(spark, sf_small, tmp_path):
     }
     exp = {tuple(r) for r in dedup_containment(spark, sf_small).collect()}
     assert got == exp and exp
+
+
+def test_cosine_dup_stream_matches_batch(spark, sf_small, tmp_path):
+    """Streaming embedding ingest == one-shot embedding_cosine_dups: stream
+    the vectors as two micro-batches (even/odd vec_ids) at the one-shot
+    operator's adaptive band width; the accumulated confirmed pair set must
+    reproduce the batch operator's rows bit-identically, and a full replay
+    into a fresh checkpoint must rewrite the same state (exactly-once,
+    same contract as the minhash/containment twins)."""
+    from kafka_connect_storage_cloud_spark.llm.similarity import (
+        _cb_bits,
+        embedding_cosine_dups,
+    )
+    from kafka_connect_storage_cloud_spark.streaming.pipeline import (
+        cosine_dup_stream,
+        stream_embeddings_source,
+    )
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    bits = _cb_bits(emb.count())
+    stage = str(tmp_path / "cd_stage")
+    emb.where(F.col("vec_id") % 2 == 0).coalesce(1).write.parquet(stage)
+    emb.where(F.col("vec_id") % 2 == 1).coalesce(1).write.mode("append").parquet(stage)
+    store = str(tmp_path / "cd_store")
+
+    def run(ckpt: str) -> set:
+        q = cosine_dup_stream(
+            stream_embeddings_source(spark, stage), store, str(tmp_path / ckpt), bits
+        )
+        assert q.awaitTermination(180), "stream did not drain in time"
+        cols = ["vec_a", "vec_b", "label", "cosine"]
+        return {
+            tuple(r)
+            for r in spark.read.parquet(f"{store}/pairs").select(*cols).collect()
+        }
+
+    got1 = run("cd_ckpt1")
+    exp = {tuple(r) for r in embedding_cosine_dups(spark, sf_small).collect()}
+    assert got1 == exp and exp, "accumulated pairs != one-shot embedding_cosine_dups"
+    got2 = run("cd_ckpt2")
+    assert got2 == exp
+
+
+def test_cosine_dup_stream_four_way_split(spark, sf_small, tmp_path):
+    """Split-independence: FOUR micro-batches (vec_id % 4) accumulate the
+    same confirmed pair set as the one-shot operator — a near-dup pair must
+    not hide behind any batch boundary orientation."""
+    from kafka_connect_storage_cloud_spark.llm.similarity import (
+        _cb_bits,
+        embedding_cosine_dups,
+    )
+    from kafka_connect_storage_cloud_spark.streaming.pipeline import (
+        cosine_dup_stream,
+        stream_embeddings_source,
+    )
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    bits = _cb_bits(emb.count())
+    stage = str(tmp_path / "cd4_stage")
+    for part in range(4):
+        emb.where(F.col("vec_id") % 4 == part).coalesce(1).write.mode(
+            "append"
+        ).parquet(stage)
+    store = str(tmp_path / "cd4_store")
+    q = cosine_dup_stream(
+        stream_embeddings_source(spark, stage), store, str(tmp_path / "cd4_ckpt"), bits
+    )
+    assert q.awaitTermination(240), "stream did not drain in time"
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(f"{store}/pairs")
+        .select("vec_a", "vec_b", "label", "cosine")
+        .collect()
+    }
+    exp = {tuple(r) for r in embedding_cosine_dups(spark, sf_small).collect()}
+    assert got == exp and exp
