@@ -56,6 +56,16 @@ FROM documents GROUP BY 1 ORDER BY 1
 """
 
 
+def _docs_ws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, ws) — the corpus tokenized once. The shared scan unit for
+    generators that otherwise each re-read + re-split the text
+    (dedup_method_matrix checkpoints it once for all three pipelines,
+    VERDICT r6 next-round #4)."""
+    return read_table(spark, sf_dir, "documents").select(
+        "doc_id", T.words().alias("ws")
+    )
+
+
 def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _signatures_of(
         read_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -71,9 +81,15 @@ def _signatures_of(docs: DataFrame) -> DataFrame:
     # are identical to the DISTINCT-based oracle. Frame-based so the
     # streaming ingest (streaming.pipeline.minhash_dedup_stream) runs the
     # IDENTICAL expression tree per micro-batch.
+    return _signatures_from_ws(docs.withColumn("ws", T.words()))
+
+
+def _signatures_from_ws(dws: DataFrame) -> DataFrame:
+    """Minhash signatures from an already-tokenized (doc_id, ws[, ...])
+    frame — the shared-scan entry point. Expressions identical to
+    _signatures_of."""
     hs = (
-        docs.withColumn("ws", T.words())
-        .withColumn("sharr", T.shingles_from_ws(SHINGLE_N))
+        dws.withColumn("sharr", T.shingles_from_ws(SHINGLE_N))
         .select("doc_id", F.expr(f"transform(sharr, s -> {H.spark_sql_h32('s')})").alias("hs"))
     )
     mins = [
@@ -342,8 +358,11 @@ FROM b GROUP BY est_band ORDER BY est_band
 
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit simhash per document from unigram bit votes."""
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = docs.select("doc_id", F.explode(T.words()).alias("w")).where(F.col("w") != "")
+    return _simhash_signatures_from_ws(_docs_ws(spark, sf_dir))
+
+
+def _simhash_signatures_from_ws(dws: DataFrame) -> DataFrame:
+    toks = dws.select("doc_id", F.explode("ws").alias("w")).where(F.col("w") != "")
     toks = toks.select("doc_id", H.h60(F.col("w")).alias("h"))
     votes = [
         F.sum(
@@ -362,7 +381,10 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs with simhash hamming distance <= HAMMING_MAX,
     candidate-bounded by 15-bit chunk banding (pigeonhole)."""
-    sim = simhash_signatures(spark, sf_dir)
+    return _simhash_pairs_of(simhash_signatures(spark, sf_dir))
+
+
+def _simhash_pairs_of(sim: DataFrame) -> DataFrame:
     chunk_structs = [
         F.struct(
             F.lit(c).alias("chunk"),
@@ -883,9 +905,12 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs. Prefix length shrinks as tau grows, so candidate volume is
     tunable by threshold alone. All ratios are computed once, in one pinned
     double-op order, after integer aggregation."""
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return _containment_from_ws(_docs_ws(spark, sf_dir))
+
+
+def _containment_from_ws(dws: DataFrame) -> DataFrame:
     sh = (
-        T.with_shingles(docs, SHINGLE_N)
+        dws.withColumn("shingle", F.explode(T.shingles_from_ws(SHINGLE_N)))
         .select("doc_id", H.h32(F.col("shingle")).alias("h"))
         .distinct()
         # the (doc, h) set feeds SIX consumers (dfreq/ok/prefix/index/both
@@ -1101,17 +1126,28 @@ def dedup_method_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # heaviest pipeline in the matrix, rebuilt from scratch for the
     # candidate row; bench leg 25 s -> ~15 s at sf0.1): the checkpointed
     # pair table yields gold by filter and the containment candidates by
-    # projection.
+    # projection. The corpus is also read + tokenized ONCE (r7: the three
+    # generators each re-ran the scan/split/shingle pass; one checkpointed
+    # (doc_id, ws) frame feeds all three — VERDICT r6 next-round #4).
+    dws = _docs_ws(spark, sf_dir).localCheckpoint(eager=True)
     cont = (
-        dedup_containment(spark, sf_dir)
+        _containment_from_ws(dws)
         .select("doc_a", "doc_b", "jaccard")
         .localCheckpoint()  # three method joins + the count read it
     )
     gold = cont.where(F.col("jaccard") >= GOLD_JACCARD).select("doc_a", "doc_b")
     n_gold_row = gold.agg(F.count(F.lit(1)).alias("n_gold"))
     methods = [
-        ("minhash_lsh", dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")),
-        ("simhash", dedup_simhash(spark, sf_dir).select("doc_a", "doc_b")),
+        (
+            "minhash_lsh",
+            _candidate_pairs(_signatures_from_ws(dws)).select("doc_a", "doc_b"),
+        ),
+        (
+            "simhash",
+            _simhash_pairs_of(_simhash_signatures_from_ws(dws)).select(
+                "doc_a", "doc_b"
+            ),
+        ),
         ("containment", cont.select("doc_a", "doc_b")),
     ]
     cands = None
