@@ -39,6 +39,7 @@ from kafka_connect_storage_cloud_spark.llm import sampling as SA
 from kafka_connect_storage_cloud_spark.llm import text_stats as TS
 from kafka_connect_storage_cloud_spark.llm import curriculum as CU
 from kafka_connect_storage_cloud_spark.llm import ann_audit as AA
+from kafka_connect_storage_cloud_spark.llm import retrieval as RT
 from kafka_connect_storage_cloud_spark.operators import schema_evolution as SE
 from kafka_connect_storage_cloud_spark.operators import layout as LAY
 from kafka_connect_storage_cloud_spark.operators import smt as SMT
@@ -263,6 +264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **LSU.QUERIES,
         **CU.QUERIES,
         **AA.QUERIES,
+        **RT.QUERIES,
         "embedding_cosine_dups": LS.embedding_cosine_dups,
         "matryoshka_recall_audit": LS.matryoshka_recall_audit,  # r6
         "cosine_dup_band_recall": LS.cosine_dup_band_recall,
@@ -962,6 +964,7 @@ FROM (
         **LSU.ORACLES,
         **CU.ORACLES,
         **AA.ORACLES,
+        **RT.ORACLES,
         **LS.ORACLES,
         **LQ.ORACLES,
         **LM.ORACLES,

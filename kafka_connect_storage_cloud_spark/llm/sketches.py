@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import hashing as H
+from ..functions import text as text_fn
 from ..session import read_table
 
 KMV_K = 64
@@ -526,3 +527,194 @@ SELECT * FROM (\n{u}\n) ORDER BY lang, q
 
 QUERIES["quantile_sketch_audit"] = quantile_sketch_audit
 ORACLES["quantile_sketch_audit"] = _sql_quantile_sketch()
+
+
+# ---------------------------------------------------------------------------
+# kmv_set_ops (round 7)
+# ---------------------------------------------------------------------------
+
+KMVSET_K = 64
+
+
+def kmv_set_ops(spark: SparkSession, sf_dir: str, k: int = KMVSET_K) -> DataFrame:
+    """KMV (theta-sketch) SET OPERATIONS between source pairs over the
+    3-word-shingle universe, graded against the exact answer — the audit
+    that sizes k before trusting sketch-only overlap monitoring at 100 TB,
+    where the exact per-pair shingle intersection (source_overlap_jaccard's
+    whole-text analog) is a full corpus-pair join you run once, not nightly.
+
+    KMV sketches are MERGEABLE: each source keeps only its k smallest
+    distinct shingle hashes (WindowGroupLimit prunes to k rows per source
+    map-side), so the pair stage runs on |sources| x k rows — independent
+    of corpus size. Per pair (a, b), the k smallest of mins_a UNION mins_b
+    form the union sketch (identical to the k smallest of the true union):
+
+        union_est = (k-1) * 2^60 / h_(k)      (exact kept count if < k)
+        jacc_est  = |{h in union-k-min : h in mins_a AND h in mins_b}| / k'
+        inter_est = floor(jacc_est * union_est + 0.5)
+
+    (Beyer et al., 'On synopses for distinct-value estimation under
+    multiset operations', SIGMOD'07.) Every intermediate is int64; the
+    two divisions and one product are single fixed-order double ops.
+
+    Scale: one distinct-shuffle on (source, h); the k-min window prunes
+    map-side; the exact legs (per-source distinct counts + pair
+    intersection self-join) are the audit baseline this op exists to
+    retire at scale. Pair enumeration is |sources|^2 metadata.
+    """
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    sh = (
+        text_fn.with_shingles(docs, 3)
+        .select(
+            "source",
+            H.h60(F.concat(F.lit("kmvset:"), F.col("shingle"))).alias("h"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("source").orderBy("h")
+    mins = sh.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    per_src = sh.groupBy("source").agg(F.count(F.lit(1)).alias("d"))
+    a_ex = sh.select(F.col("source").alias("source_a"), "h")
+    b_ex = sh.select(F.col("source").alias("source_b"), "h")
+    inter_exact = (
+        a_ex.join(b_ex, "h")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("inter_exact"))
+    )
+    pa = per_src.select(F.col("source").alias("source_a"), F.col("d").alias("d_a"))
+    pb = per_src.select(F.col("source").alias("source_b"), F.col("d").alias("d_b"))
+    pairs = pa.crossJoin(pb).where(F.col("source_a") < F.col("source_b"))
+    ma = mins.select(F.col("source").alias("source_a"), "h").withColumn(
+        "side_a", F.lit(1)
+    )
+    mb = mins.select(F.col("source").alias("source_b"), "h").withColumn(
+        "side_b", F.lit(1)
+    )
+    ua = pairs.join(ma, "source_a").select("source_a", "source_b", "h", "side_a")
+    ub = pairs.join(mb, "source_b").select(
+        "source_a", "source_b", "h", F.lit(None).cast("int").alias("side_a")
+    )
+    u = (
+        ua.unionByName(ub.withColumn("side_b", F.lit(1)), allowMissingColumns=True)
+        .groupBy("source_a", "source_b", "h")
+        .agg(
+            F.max(F.coalesce(F.col("side_a"), F.lit(0))).alias("in_a"),
+            F.max(F.coalesce(F.col("side_b"), F.lit(0))).alias("in_b"),
+        )
+    )
+    wp = Window.partitionBy("source_a", "source_b").orderBy("h")
+    kept = u.withColumn("rn", F.row_number().over(wp)).filter(F.col("rn") <= k)
+    agg = kept.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max(F.when(F.col("rn") == k, F.col("h"))).alias("kth"),
+        F.sum(((F.col("in_a") == 1) & (F.col("in_b") == 1)).cast("long")).alias("m"),
+    )
+    union_est = F.when(F.col("n_kept") < k, F.col("n_kept").cast("double")).otherwise(
+        (F.lit(float(k - 1)) * F.lit(POW2_60)) / F.col("kth").cast("double")
+    )
+    jacc_est = F.col("m").cast("double") / F.col("n_kept").cast("double")
+    out = (
+        pairs.join(agg, ["source_a", "source_b"])
+        .join(inter_exact, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            (
+                F.col("d_a") + F.col("d_b") - F.coalesce("inter_exact", F.lit(0))
+            ).alias("union_exact"),
+            F.coalesce("inter_exact", F.lit(0)).alias("inter_exact"),
+            F.floor(union_est + F.lit(0.5)).cast("bigint").alias("union_est"),
+            F.floor(jacc_est * union_est + F.lit(0.5)).cast("bigint").alias("inter_est"),
+            H.round6(jacc_est).alias("jacc_est"),
+            H.round6(
+                F.coalesce("inter_exact", F.lit(0)).cast("double")
+                / (
+                    F.col("d_a") + F.col("d_b") - F.coalesce("inter_exact", F.lit(0))
+                ).cast("double")
+            ).alias("jacc_exact"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+    return out
+
+
+def _sql_kmv_set_ops() -> str:
+    shingle_src = f"""
+  SELECT source, unnest(
+    CASE WHEN len(ws) >= 3
+         THEN [array_to_string(ws[i : i + 2], ' ') for i in generate_series(1, len(ws) - 2)]
+         ELSE [array_to_string(ws, ' ')] END
+  ) AS shingle
+  FROM (SELECT source, string_split_regex(lower(text), '\\s+') AS ws FROM documents)
+"""
+    h = H.sql_h60("'kmvset:' || shingle")
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT source, {h} AS h FROM ({shingle_src})
+),
+mins AS (
+  SELECT * FROM (
+    SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn FROM sh
+  ) WHERE rn <= {KMVSET_K}
+),
+per_src AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS d FROM sh GROUP BY 1),
+inter_exact AS (
+  SELECT a.source AS source_a, b.source AS source_b, CAST(COUNT(*) AS BIGINT) AS inter_exact
+  FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT pa.source AS source_a, pa.d AS d_a, pb.source AS source_b, pb.d AS d_b
+  FROM per_src pa CROSS JOIN per_src pb
+  WHERE pa.source < pb.source
+),
+u AS (
+  SELECT source_a, source_b, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b
+  FROM (
+    SELECT p.source_a, p.source_b, m.h, 1 AS in_a, 0 AS in_b
+    FROM pairs p JOIN mins m ON m.source = p.source_a
+    UNION ALL
+    SELECT p.source_a, p.source_b, m.h, 0 AS in_a, 1 AS in_b
+    FROM pairs p JOIN mins m ON m.source = p.source_b
+  ) GROUP BY 1, 2, 3
+),
+kept AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY source_a, source_b ORDER BY h) AS rn
+    FROM u
+  ) WHERE rn <= {KMVSET_K}
+),
+agg AS (
+  SELECT source_a, source_b,
+         CAST(COUNT(*) AS BIGINT) AS n_kept,
+         MAX(CASE WHEN rn = {KMVSET_K} THEN h END) AS kth,
+         CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS m
+  FROM kept GROUP BY 1, 2
+),
+est AS (
+  SELECT p.source_a, p.source_b, p.d_a, p.d_b,
+         COALESCE(i.inter_exact, 0) AS inter_exact,
+         a.n_kept, a.m,
+         CASE WHEN a.n_kept < {KMVSET_K} THEN CAST(a.n_kept AS DOUBLE)
+              ELSE ({float(KMVSET_K - 1)} * {POW2_60}) / CAST(a.kth AS DOUBLE)
+         END AS union_est_d,
+         CAST(a.m AS DOUBLE) / CAST(a.n_kept AS DOUBLE) AS jacc_est_d
+  FROM pairs p
+  JOIN agg a USING (source_a, source_b)
+  LEFT JOIN inter_exact i USING (source_a, source_b)
+)
+SELECT source_a, source_b,
+       CAST(d_a + d_b - inter_exact AS BIGINT) AS union_exact,
+       inter_exact,
+       CAST(FLOOR(union_est_d + 0.5) AS BIGINT) AS union_est,
+       CAST(FLOOR(jacc_est_d * union_est_d + 0.5) AS BIGINT) AS inter_est,
+       {H.sql_round6('jacc_est_d')} AS jacc_est,
+       {H.sql_round6('CAST(inter_exact AS DOUBLE) / CAST(d_a + d_b - inter_exact AS DOUBLE)')} AS jacc_exact
+FROM est
+ORDER BY source_a, source_b
+"""
+
+
+QUERIES["kmv_set_ops"] = kmv_set_ops
+ORACLES["kmv_set_ops"] = _sql_kmv_set_ops()

@@ -675,3 +675,131 @@ HAVING COUNT(DISTINCT h) > 0
 
 QUERIES["ngram_memorization_audit"] = ngram_memorization_audit
 ORACLES["ngram_memorization_audit"] = _sql_memorization()
+
+
+# ---------------------------------------------------------------------------
+# vocab_drift_chi2 (round 7)
+# ---------------------------------------------------------------------------
+
+CHI2_TOP = 15
+
+
+def vocab_drift_chi2(spark: SparkSession, sf_dir: str, top: int = CHI2_TOP) -> DataFrame:
+    """Two-sample chi-square drift test between the token distributions of
+    the same deterministic corpus halves vocab_drift_tvd monitors — the
+    statistic a pipeline alerts on when TVD alone is too insensitive to
+    rare-token shifts (chi-square weights a shift by 1/expected, so a rare
+    token moving matters as much as a common one).
+
+    For token t with counts c1/c2 in halves of size N1/N2, the pooled
+    two-cell chi-square term reduces exactly to
+
+        term_t = (c1*N2 - c2*N1)^2 / (N1 * N2 * (c1 + c2))
+
+    (algebra: obs-exp per cell is +-(c1*N2 - c2*N1)/(N1+N2)). The
+    numerator can exceed int64 (c*N ~ 1e11 at sf0.1, squared 1e22), so the
+    delta is cast to DOUBLE before squaring ON BOTH ENGINES — the per-term
+    expression is then a fixed-order IEEE computation, portable. The sum
+    across terms is NOT portable as doubles (partial-agg order), so each
+    term is quantized to 1e-9 ints and the int64 sum divides once
+    (DETERMINISM.md rules 2/4: chi-square replaces the libm-dependent
+    KL/G-test exactly as TVD replaced |p-q| divergence).
+
+    Scale: identical shape to vocab_drift_tvd — one shuffle on token
+    (vocab-sized counts frame), a scalar totals aggregate, and a top-N
+    window over the vocab-sized frame. Reference tie-in: the reference's
+    per-partition record-count rotation audit (TopicPartitionWriter.java
+    recordCount) is the volume analog; this is the content-drift version.
+    """
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    half = (H.h32(F.concat(F.lit("drift:"), F.col("doc_id").cast("string"))) % 2).alias(
+        "half"
+    )
+    toks = docs.select(
+        half, F.explode(F.split(F.lower("text"), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy("token").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("c2"),
+    )
+    totals = counts.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2")).collect()[0]
+    n1 = int(totals["n1"] or 0)
+    n2 = int(totals["n2"] or 0)
+    if n1 == 0 or n2 == 0:  # empty/degenerate corpus: no two-sample test
+        return counts.select(
+            F.lit(0).alias("rk"),
+            "token",
+            "c1",
+            "c2",
+            F.lit(0.0).alias("chi2_term"),
+            F.lit(0.0).alias("corpus_chi2"),
+            F.lit(0).alias("dof"),
+        ).where(F.lit(False))
+    delta = (F.col("c1") * F.lit(n2) - F.col("c2") * F.lit(n1)).cast("double")
+    term = (delta * delta) / (
+        F.lit(float(n1)) * F.lit(float(n2)) * (F.col("c1") + F.col("c2")).cast("double")
+    )
+    scored = counts.withColumn("term", term).withColumn(
+        "term_q", F.floor(term * F.lit(1e9) + F.lit(0.5)).cast("long")
+    )
+    g = scored.agg(
+        F.sum("term_q").alias("qsum"), F.count(F.lit(1)).alias("vocab")
+    ).collect()[0]
+    chi2 = float(g["qsum"]) / 1e9
+    dof = int(g["vocab"]) - 1
+    w = Window.orderBy(F.col("term_q").desc(), F.col("token"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top)
+        .select(
+            "rk",
+            "token",
+            "c1",
+            "c2",
+            H.round6(F.col("term")).alias("chi2_term"),
+            H.round6(F.lit(chi2)).alias("corpus_chi2"),
+            F.lit(dof).alias("dof"),
+        )
+        .orderBy("rk")
+    )
+
+
+SQL_VOCAB_DRIFT_CHI2 = f"""
+WITH toks AS (
+  SELECT {H.sql_h32("'drift:' || CAST(doc_id AS VARCHAR)")} % 2 AS half,
+         unnest(string_split_regex(lower(text), '\\s+')) AS token
+  FROM documents
+),
+counts AS (
+  SELECT token,
+         CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM toks WHERE token <> '' GROUP BY 1
+),
+tot AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM counts),
+scored AS (
+  SELECT c.token, c.c1, c.c2,
+         (CAST(c.c1 * t.n2 - c.c2 * t.n1 AS DOUBLE) * CAST(c.c1 * t.n2 - c.c2 * t.n1 AS DOUBLE))
+           / (CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE) * CAST(c.c1 + c.c2 AS DOUBLE)) AS term
+  FROM counts c CROSS JOIN tot t
+  WHERE t.n1 > 0 AND t.n2 > 0
+),
+q AS (
+  SELECT *, CAST(FLOOR(term * 1e9 + 0.5) AS BIGINT) AS term_q FROM scored
+),
+g AS (SELECT CAST(SUM(term_q) AS BIGINT) AS qsum, COUNT(*) AS vocab FROM q),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY term_q DESC, token) AS rk FROM q
+)
+SELECT r.rk, r.token, r.c1, r.c2,
+       {H.sql_round6('r.term')} AS chi2_term,
+       {H.sql_round6('CAST(g.qsum AS DOUBLE) / 1e9')} AS corpus_chi2,
+       CAST(g.vocab - 1 AS INT) AS dof
+FROM ranked r CROSS JOIN g
+WHERE r.rk <= {CHI2_TOP}
+ORDER BY r.rk
+"""
+
+
+QUERIES["vocab_drift_chi2"] = vocab_drift_chi2
+ORACLES["vocab_drift_chi2"] = SQL_VOCAB_DRIFT_CHI2

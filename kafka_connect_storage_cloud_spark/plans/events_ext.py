@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import hashing as H
 from ..session import read_events
 
 FUNNEL_STEPS = ("view", "click", "purchase")
@@ -1103,3 +1104,182 @@ ORDER BY 1, 2
 
 QUERIES["events_type_unpivot"] = events_type_unpivot
 ORACLES["events_type_unpivot"] = SQL_EVENTS_TYPE_UNPIVOT
+
+
+# ---------------------------------------------------------------------------
+# events_burst_runs (round 7)
+# ---------------------------------------------------------------------------
+
+BURST_NUM = 5  # hot when c * active_hours * 4 >= 5 * type_total
+BURST_DEN = 4  # (i.e. rate >= 1.25x the type's mean active-hour rate)
+BURST_MIN_RUN = 2
+
+
+def events_burst_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sustained-burst detector: maximal runs of CONSECUTIVE hours in which
+    an event type's hourly volume holds at >= 5/4 of its own mean
+    active-hour rate — the 'sustained elevated traffic' alert shape (a
+    single hot hour is noise; N consecutive hot hours is a story). The
+    Kleinberg burst model's two-state reduction, with the rate test kept
+    EXACT as the integer cross-multiplication c*act*4 >= 5*tot (no
+    division, no float threshold; DETERMINISM.md rule 2).
+
+    Runs are gaps-and-islands: within a type, consecutive hot hours share
+    (hr - row_number) — integer hour indexes make 'consecutive' exact.
+
+    Scale: the only corpus-sized stage is the (event_type, hour) count
+    aggregate (map-side combined); everything after runs on the bounded
+    hours-x-types cell frame (time-range metadata, independent of row
+    count), so the window partitions are |active hours per type| cells,
+    never raw events. Reference tie-in: the hourly partitioner's path
+    encoding (TimeBasedPartitioner.java) is what makes this rollup a
+    partition-pruned scan over landed files.
+    """
+    ev = read_events(spark, sf_dir).select("event_type", "ts")
+    cells = (
+        ev.withColumn("hr", (F.unix_millis("ts") / F.lit(3600000)).cast("long"))
+        .groupBy("event_type", "hr")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = cells.groupBy("event_type").agg(
+        F.sum("c").alias("tot"), F.count(F.lit(1)).alias("act")
+    )
+    hot = (
+        cells.join(tot, "event_type")
+        .where(F.col("c") * F.col("act") * F.lit(BURST_DEN) >= F.lit(BURST_NUM) * F.col("tot"))
+    )
+    w = Window.partitionBy("event_type").orderBy("hr")
+    isl = hot.withColumn("grp", F.col("hr") - F.row_number().over(w))
+    runs = (
+        isl.groupBy("event_type", "grp")
+        .agg(
+            F.min("hr").alias("hr_start"),
+            F.max("hr").alias("hr_end"),
+            F.count(F.lit(1)).alias("run_len"),
+            F.max("c").alias("peak_c"),
+            F.sum("c").alias("total_c"),
+            F.max("tot").alias("tot"),
+        )
+        .where(F.col("run_len") >= BURST_MIN_RUN)
+    )
+    return runs.select(
+        "event_type",
+        "hr_start",
+        "hr_end",
+        "run_len",
+        "peak_c",
+        "total_c",
+        H.round6(F.col("total_c").cast("double") / F.col("tot").cast("double")).alias(
+            "share_of_type"
+        ),
+    ).orderBy("event_type", "hr_start")
+
+
+SQL_EVENTS_BURST_RUNS = f"""
+WITH cells AS (
+  SELECT event_type, epoch_ms(ts) // 3600000 AS hr, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, CAST(SUM(c) AS BIGINT) AS tot, CAST(COUNT(*) AS BIGINT) AS act
+  FROM cells GROUP BY 1
+),
+hot AS (
+  SELECT cells.*, tot.tot FROM cells JOIN tot USING (event_type)
+  WHERE c * act * {BURST_DEN} >= {BURST_NUM} * tot
+),
+isl AS (
+  SELECT *, hr - ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hr) AS grp FROM hot
+),
+runs AS (
+  SELECT event_type, grp,
+         MIN(hr) AS hr_start, MAX(hr) AS hr_end,
+         CAST(COUNT(*) AS BIGINT) AS run_len,
+         CAST(MAX(c) AS BIGINT) AS peak_c,
+         CAST(SUM(c) AS BIGINT) AS total_c,
+         CAST(MAX(tot) AS BIGINT) AS tot
+  FROM isl GROUP BY 1, 2
+  HAVING COUNT(*) >= {BURST_MIN_RUN}
+)
+SELECT event_type, hr_start, hr_end, run_len, peak_c, total_c,
+       {{round6}} AS share_of_type
+FROM runs
+ORDER BY event_type, hr_start
+""".replace("{round6}", H.sql_round6("CAST(total_c AS DOUBLE) / CAST(tot AS DOUBLE)"))
+
+QUERIES["events_burst_runs"] = events_burst_runs
+ORACLES["events_burst_runs"] = SQL_EVENTS_BURST_RUNS
+
+
+# ---------------------------------------------------------------------------
+# events_value_percentiles_exact (round 7)
+# ---------------------------------------------------------------------------
+
+PCT_POINTS = (50, 90, 99)
+
+
+def events_value_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-type p50/p90/p99 of `value` — no approx_percentile sketch,
+    no single-task sort. The inverse-CDF (lower) definition: the value at
+    rank ceil(p*n/100) in the (value, event_id) total order, computed with
+    functions/ranking.with_global_rank(part_cols=['event_type']): the
+    per-type histogram carries cumulative offsets (metadata-sized window),
+    rank assignment distributes across distinct values, and the target
+    rank (p*n + 99) div 100 is pure int64 (no float quantile boundary to
+    disagree on — DETERMINISM.md rule 8).
+
+    Exact quantiles are the gate that CALIBRATES approx sketches
+    (quantile_sketch_audit grades its histogram against this family); at
+    100 TB you run this shape per partition-slice, not a global sort.
+    The explode over the 3 percentile points happens AFTER the rank
+    filter, so only |types| x 3 candidate rows fan out, never the corpus.
+
+    Values are raw DOUBLE passthrough (no arithmetic -> portable).
+    """
+    from ..functions.ranking import with_global_rank
+
+    ev = read_events(spark, sf_dir).select("event_type", "event_id", "value")
+    ranked = with_global_rank(
+        ev, value_col="value", id_col="event_id", part_cols=["event_type"]
+    )
+    targets = [
+        F.expr(f"div({p} * __total + 99, 100)").alias(f"__t{p}") for p in PCT_POINTS
+    ]
+    cand = ranked.select("*", *targets).where(
+        (F.col("__rank") == F.col(f"__t{PCT_POINTS[0]}"))
+        | (F.col("__rank") == F.col(f"__t{PCT_POINTS[1]}"))
+        | (F.col("__rank") == F.col(f"__t{PCT_POINTS[2]}"))
+    )
+    out = (
+        cand.withColumn(
+            "p", F.explode(F.array(*[F.lit(p) for p in PCT_POINTS]))
+        )
+        .where(F.col("__rank") == F.expr("div(p * __total + 99, 100)"))
+        .select(
+            "event_type",
+            "p",
+            F.col("__rank").alias("rank_at"),
+            F.col("__total").alias("n"),
+            "value",
+        )
+        .orderBy("event_type", "p")
+    )
+    return out
+
+
+SQL_EVENTS_VALUE_PERCENTILES_EXACT = f"""
+WITH r AS (
+  SELECT event_type, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+fan AS (SELECT *, unnest([{", ".join(str(p) for p in PCT_POINTS)}]) AS p FROM r)
+SELECT event_type, p, CAST(rk AS BIGINT) AS rank_at, CAST(n AS BIGINT) AS n, value
+FROM fan
+WHERE rk = (p * n + 99) // 100
+ORDER BY event_type, p
+"""
+
+QUERIES["events_value_percentiles_exact"] = events_value_percentiles_exact
+ORACLES["events_value_percentiles_exact"] = SQL_EVENTS_VALUE_PERCENTILES_EXACT

@@ -197,6 +197,10 @@ def test_new_ops_survive_empty_corpus(spark, sf_small, tmp_path):
         "curriculum_stages_edges", "dsir_importance_edges",
         "pack_efficiency_curve", "ngram_memorization_audit",
         "matryoshka_recall_audit",
+        # round-7 additions (document-corpus ops; events ops excluded — the
+        # fixture only stages documents+embeddings)
+        "vocab_drift_chi2", "kmv_set_ops", "bm25_topk",
+        "rarity_buckets_edges",
     ):
         assert qs[op](spark, dst).count() == 0, op
 

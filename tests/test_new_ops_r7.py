@@ -1,0 +1,198 @@
+"""Property pins for the round-7 operators beyond the oracle gate:
+sketch-exactness invariants, retrieval sanity, burst-run shape, and the
+plan-shape guarantees that make them 100-TB-safe."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+
+def _plan(spark, df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+# ---------------------------------------------------------------------------
+# kmv_set_ops
+# ---------------------------------------------------------------------------
+
+def test_kmv_set_ops_exact_when_small(spark, sf_small):
+    """KMV invariant: when a pair's true union has fewer than k elements,
+    BOTH sketch estimates collapse to the exact answer (every hash is
+    kept, the jaccard numerator is the true intersection). Pairs above k
+    must still satisfy the ordering inter_est <= union_est and the exact
+    legs' set algebra."""
+    from kafka_connect_storage_cloud_spark.llm.sketches import KMVSET_K, kmv_set_ops
+
+    rows = kmv_set_ops(spark, sf_small).collect()
+    assert rows, "no source pairs at sf_small"
+    for r in rows:
+        assert r["inter_exact"] <= r["union_exact"]
+        assert r["inter_est"] <= r["union_est"]
+        assert 0.0 <= r["jacc_est"] <= 1.0
+        if r["union_exact"] < KMVSET_K:
+            assert r["union_est"] == r["union_exact"], r
+            assert r["inter_est"] == r["inter_exact"], r
+
+
+def test_kmv_set_ops_sketch_stage_is_bounded(spark, sf_dir):
+    """The k-min window must be rank-limited (WindowGroupLimit) so each
+    map task keeps k rows per source before the shuffle — the property
+    that makes the sketch corpus-size-independent."""
+    from kafka_connect_storage_cloud_spark.llm.sketches import kmv_set_ops
+
+    assert "WindowGroupLimit" in _plan(spark, kmv_set_ops(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# bm25_topk
+# ---------------------------------------------------------------------------
+
+def test_bm25_topk_shape(spark, sf_small):
+    from kafka_connect_storage_cloud_spark.llm.retrieval import (
+        BM25_NQ,
+        BM25_TOPK,
+        bm25_topk,
+    )
+
+    rows = bm25_topk(spark, sf_small).collect()
+    assert rows
+    by_q: dict = {}
+    for r in rows:
+        assert r["qid"] != r["doc_id"], "query doc must be excluded"
+        assert r["rk"] <= BM25_TOPK
+        assert r["bm25_expidf"] > 0.0
+        assert r["n_terms_matched"] >= 1
+        by_q.setdefault(r["qid"], []).append(r)
+    assert len(by_q) <= BM25_NQ
+    for q, rs in by_q.items():
+        scores = [r["bm25_expidf"] for r in sorted(rs, key=lambda r: r["rk"])]
+        assert scores == sorted(scores, reverse=True), f"rank order broken for {q}"
+
+
+def test_bm25_query_terms_are_broadcast(spark, sf_dir):
+    """The bounded query-term table must reach the postings join as a
+    broadcast — a shuffled postings join on token would put the whole
+    corpus through an exchange keyed on a 31-value vocabulary."""
+    from kafka_connect_storage_cloud_spark.llm.retrieval import bm25_topk
+
+    assert "BroadcastHashJoin" in _plan(spark, bm25_topk(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# events_burst_runs
+# ---------------------------------------------------------------------------
+
+def test_events_burst_runs_are_consecutive_and_hot(spark, sf_dir):
+    from kafka_connect_storage_cloud_spark.plans.events_ext import (
+        BURST_MIN_RUN,
+        events_burst_runs,
+    )
+
+    rows = events_burst_runs(spark, sf_dir).collect()
+    assert rows, "burst threshold vacuous at sf_dir"
+    for r in rows:
+        assert r["run_len"] >= BURST_MIN_RUN
+        assert r["hr_end"] - r["hr_start"] + 1 == r["run_len"], (
+            "runs must be maximal consecutive hour spans"
+        )
+        assert r["peak_c"] <= r["total_c"]
+        assert 0.0 < r["share_of_type"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# events_value_percentiles_exact
+# ---------------------------------------------------------------------------
+
+def test_percentiles_match_duckdb_rank_definition(spark, sf_small):
+    """The two-pass-rank percentile must equal the naive single-window
+    definition computed independently (not via the shared oracle string):
+    value at rank ceil(p*n/100) in (value, event_id) order per type."""
+    import duckdb
+
+    from kafka_connect_storage_cloud_spark.plans.events_ext import (
+        events_value_percentiles_exact,
+    )
+
+    got = {
+        (r["event_type"], r["p"]): (r["rank_at"], r["n"], r["value"])
+        for r in events_value_percentiles_exact(spark, sf_small).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_small}/events.parquet'"
+    )
+    want = {}
+    for et, p, rk, n, v in con.sql(
+        """
+        WITH r AS (
+          SELECT event_type, value,
+                 ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) rk,
+                 COUNT(*) OVER (PARTITION BY event_type) n
+          FROM events
+        ), f AS (SELECT *, unnest([50, 90, 99]) p FROM r)
+        SELECT event_type, p, rk, n, value FROM f WHERE rk = (p * n + 99) // 100
+        """
+    ).fetchall():
+        want[(et, p)] = (rk, n, v)
+    assert got == want
+
+
+def test_percentiles_plan_has_no_unpartitioned_row_window(spark, sf_dir):
+    """The rank must come from the two-pass histogram form: no
+    row_number window whose partition is the bare corpus (the histogram
+    window runs over distinct (event_type, value) metadata instead)."""
+    from kafka_connect_storage_cloud_spark.plans.events_ext import (
+        events_value_percentiles_exact,
+    )
+
+    plan = _plan(spark, events_value_percentiles_exact(spark, sf_dir))
+    import re
+
+    for m in re.finditer(r"row_number\(\) windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(1)
+        assert "event_type" in spec and "value" in spec, (
+            "row_number must partition by (event_type, value) tie classes, "
+            f"got: {spec}"
+        )
+
+
+# ---------------------------------------------------------------------------
+# vocab_drift_chi2
+# ---------------------------------------------------------------------------
+
+def test_chi2_agrees_with_scipy_free_reference(spark, sf_small):
+    """Recompute the two-sample chi-square in pure Python from raw counts
+    and check the operator's statistic to 1e-5 — guards the algebraic
+    reduction (c1*N2 - c2*N1)^2 / (N1*N2*(c1+c2))."""
+    from kafka_connect_storage_cloud_spark.llm.text_stats import vocab_drift_chi2
+    from kafka_connect_storage_cloud_spark.session import read_table
+    import kafka_connect_storage_cloud_spark.functions.hashing as H
+
+    rows = vocab_drift_chi2(spark, sf_small).collect()
+    assert rows
+    docs = read_table(spark, sf_small, "documents")
+    toks = (
+        docs.select(
+            (H.h32(F.concat(F.lit("drift:"), F.col("doc_id").cast("string"))) % 2).alias("half"),
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(
+            F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("c1"),
+            F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("c2"),
+        )
+        .collect()
+    )
+    n1 = sum(r["c1"] for r in toks)
+    n2 = sum(r["c2"] for r in toks)
+    chi2 = 0.0
+    for r in toks:
+        d = r["c1"] * n2 - r["c2"] * n1
+        e1 = (r["c1"] + r["c2"]) * n1 / (n1 + n2)
+        e2 = (r["c1"] + r["c2"]) * n2 / (n1 + n2)
+        chi2 += (r["c1"] - e1) ** 2 / e1 + (r["c2"] - e2) ** 2 / e2
+    assert abs(rows[0]["corpus_chi2"] - chi2) < 1e-4 * max(1.0, chi2)
+    assert rows[0]["dof"] == len(toks) - 1

@@ -329,6 +329,7 @@ _NESTED_LOOP_OK = {
     "ann_method_matrix",          # q nearest-cells probes + 1-row totals combine
     "corpus_prep_pipeline",       # language-mix weight table (|langs| rows)
     "ab_test_metrics",            # 1-row x 1-row variant combine
+    "kmv_set_ops",                # |sources|^2 pair spine (20 x 20 metadata)
 }
 
 
