@@ -3,8 +3,9 @@ one exact gold in a single table.
 
 ann_recall_audit grades the LSH path alone and ivf_nprobe_recall_curve
 sweeps the IVF probe knob; this module is the capstone view — per method
-(lsh / ivf / ivf_multiprobe / ivf_pq), total hits against the brute-force
-top-k over the shared deterministic query set, and the recall. The table an
+(lsh / ivf / ivf_multiprobe / ivf_pq / ivf_sq8), total hits against the
+brute-force top-k over the shared deterministic query set, and the recall.
+The table an
 operator reads when choosing the serving path for a new corpus: LSH needs
 no training but band storage, IVF needs the codebook but probes fewer
 candidates, PQ adds memory compression at a recall cost.
@@ -22,6 +23,7 @@ from pyspark.sql import functions as F
 from ..functions import hashing as H
 from .pipeline import SQL_ANN_TOPK_IVF, SQL_ANN_TOPK_IVF_MULTIPROBE, ann_topk_ivf, ann_topk_ivf_multiprobe
 from .pq import _sql_ivf_pq_topk, ann_topk_ivf_pq
+from .sq import _sql_ann_topk_ivf_sq8, ann_topk_ivf_sq8
 from .similarity import (
     SQL_ANN_TOPK_BRUTEFORCE,
     SQL_ANN_TOPK_LSH,
@@ -52,6 +54,7 @@ def ann_method_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("ivf", ann_topk_ivf(spark, sf_dir)),
         ("ivf_multiprobe", ann_topk_ivf_multiprobe(spark, sf_dir)),
         ("ivf_pq", ann_topk_ivf_pq(spark, sf_dir)),
+        ("ivf_sq8", ann_topk_ivf_sq8(spark, sf_dir)),
     ]
     tagged = None
     for name, df in methods:
@@ -98,6 +101,8 @@ tagged AS MATERIALIZED (
   SELECT 'ivf_multiprobe' AS method, query_id, neighbor_id FROM ({SQL_ANN_TOPK_IVF_MULTIPROBE})
   UNION ALL
   SELECT 'ivf_pq' AS method, query_id, neighbor_id FROM ({_sql_ivf_pq_topk()})
+  UNION ALL
+  SELECT 'ivf_sq8' AS method, query_id, neighbor_id FROM ({_sql_ann_topk_ivf_sq8()})
 ),
 per AS (
   SELECT method, CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,

@@ -244,3 +244,125 @@ ORACLES = {
     "embedding_sq8": SQL_EMBEDDING_SQ8,
     "sq8_recall_audit": SQL_SQ8_RECALL_AUDIT,
 }
+
+
+# ---------------------------------------------------------------------------
+# ann_topk_ivf_sq8 (round 7)
+# ---------------------------------------------------------------------------
+
+def ann_topk_ivf_sq8(spark: SparkSession, sf_dir: str, k: int | None = None) -> DataFrame:
+    """IVF cells + SQ8 asymmetric scoring: the memory-bounded serving path
+    that combines the two compression levers this family already audits
+    separately — candidate pruning by inverted-file cell (pipeline.py IVF)
+    and 4x-smaller candidate payloads scored as raw-query x SQ8-
+    reconstruction (this module). FAISS's IndexIVFScalarQuantizer shape.
+
+    Plan: cell assignment rides the memoized Lloyd codebook exactly like
+    ann_topk_ivf (assignment scan is the only corpus-sized stage, then a
+    broadcast join of the bounded query set keyed on cell); candidates
+    carry rv (the int64 SQ8 reconstruction, a pure JVM zip_with
+    projection), so scoring stays in the exact integer-dot domain and
+    every rank decision is oracle-checkable. WindowGroupLimit prunes the
+    per-query rank to k before the shuffle.
+    """
+    from .pipeline import IVF_TOP_K, _assigned, _train_codebook
+
+    k = IVF_TOP_K if k is None else k
+    c_ids, _ = _train_codebook(spark, sf_dir)
+    if len(c_ids) == 0:  # empty corpus: no cells, no candidates
+        return spark.createDataFrame(
+            [],
+            "query_id bigint, cell bigint, neighbor_id bigint, "
+            "cosine_sq8 double, rank int",
+        )
+    asg = _assigned(spark, sf_dir).localCheckpoint()
+    enc = _encoded(spark, sf_dir).select("vec_id", "rv")
+    cands = (
+        asg.select("vec_id", "cell")
+        .join(enc, "vec_id")
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            "cell",
+            "rv",
+            _rv_norm("rv").alias("rn"),
+        )
+    )
+    queries = _query_pick(asg).select(
+        F.col("vec_id").alias("query_id"),
+        "cell",
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    scored = (
+        cands.join(F.broadcast(queries), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine_sq8",
+            F.floor(
+                (_int_dot("qv", "rv") / (F.col("qn") * F.col("rn"))) * 1000000.0
+                + F.lit(0.5)
+            )
+            / 1000000.0,
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sq8"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "cell", "neighbor_id", "cosine_sq8", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _int_dot(a: str, b: str):
+    return (
+        F.expr(
+            f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, e) -> acc + e)"
+        ).cast("double")
+        / 1e16
+    )
+
+
+def _rv_norm(col: str):
+    return F.sqrt(
+        F.expr(
+            f"aggregate(zip_with({col}, {col}, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, e) -> acc + e)"
+        ).cast("double")
+        / 1e16
+    )
+
+
+def _sql_ann_topk_ivf_sq8() -> str:
+    from .pipeline import _FINAL_CENTS, IVF_TOP_K, _sql_assign, _sql_train_chain
+
+    return f"""
+WITH {_sql_enc()},
+{_sql_train_chain()},
+{_sql_assign(_FINAL_CENTS, 'assigned')},
+av AS (
+  SELECT *, {_SQL_RV_NRM} AS rn FROM (
+    SELECT a.vec_id, a.cell, e.v, e.nrm, e.rv
+    FROM assigned a JOIN encoded e ON a.vec_id = e.vec_id
+  )
+),
+qsel AS (SELECT vec_id FROM emb_n {_sql_query_pick()}),
+scored AS (
+  SELECT q.vec_id AS query_id, q.cell AS cell, c.vec_id AS neighbor_id,
+         (floor(({_SQL_DOT.format(a='q.v', b='c.rv')} / (q.nrm * c.rn)) * 1000000.0 + 0.5) / 1000000.0) AS cosine_sq8
+  FROM av q JOIN qsel s ON q.vec_id = s.vec_id
+  JOIN av c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine_sq8 DESC, neighbor_id)
+       AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, cell, neighbor_id, cosine_sq8, rank FROM ranked
+WHERE rank <= {IVF_TOP_K} ORDER BY query_id, rank
+"""
+
+
+QUERIES["ann_topk_ivf_sq8"] = ann_topk_ivf_sq8
+ORACLES["ann_topk_ivf_sq8"] = _sql_ann_topk_ivf_sq8()
