@@ -1012,3 +1012,129 @@ def cosine_dup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def simhash_dup_stream(
+    docs: DataFrame, store_dir: str, checkpoint: str
+) -> StreamingQuery:
+    """Streaming twin of dedup_simhash — completes the near-dup ingest
+    family: minhash (r3) and containment (r6) cover lexical set overlap,
+    cosine_dup_stream (r6) covers embedding space; this adds the
+    hamming-ball signature class. Each micro-batch computes 60-bit
+    simhashes with the IDENTICAL expression tree as the batch op
+    (dedup._simhash_signatures_from_ws), explodes the 15-bit pigeonhole
+    chunks, and probes the accumulated chunk store both within-batch and
+    cross-batch, so the ACCUMULATED pair set equals one-shot
+    dedup_simhash regardless of the batch split.
+
+    Exactly-once follows the band-store pattern (batch-keyed overwrite
+    dirs; batch b probes only batches < b — replay rewrites identical
+    files). Signatures ride the chunk rows, so the hamming filter runs
+    inside the probe join with no signature re-join. The store probe
+    semi-joins on the batch's (chunk, cval) keys: per-batch work is
+    bounded by the batch's bucket fan-out, not history length.
+    """
+    import os
+
+    from ..functions import text as text_fn
+    from ..llm.dedup import HAMMING_MAX, _simhash_signatures_from_ws
+
+    def _list_batches(spark, path: str) -> list[str]:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(jpath):
+            return []
+        return [
+            st.getPath().getName()
+            for st in fs.listStatus(jpath)
+            if st.getPath().getName().startswith("batch=")
+        ]
+
+    def _chunks_of(sim: DataFrame) -> DataFrame:
+        from ..llm.dedup import SIM_CHUNKS
+
+        structs = [
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.expr(f"shiftright(simhash, {15 * c}) & 32767").alias("cval"),
+            )
+            for c in range(SIM_CHUNKS)
+        ]
+        return sim.select(
+            "doc_id", "simhash", F.explode(F.array(*structs)).alias("cc")
+        ).select("doc_id", "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.cval").alias("cval"))
+
+    def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        dws = batch_df.select("doc_id", text_fn.words().alias("ws"))
+        chunks_new = _chunks_of(_simhash_signatures_from_ws(dws)).localCheckpoint(
+            eager=True
+        )
+        chunks_path = os.path.join(store_dir, "chunks")
+        prior = [
+            e for e in _list_batches(spark, chunks_path)
+            if int(e.split("=", 1)[1]) < batch_id
+        ]
+        pairs_path = os.path.join(store_dir, "pairs", f"batch={batch_id}")
+        ham = F.expr("bit_count(sim_a ^ sim_b)")
+        a = chunks_new.select(
+            F.col("doc_id").alias("new_doc"), F.col("simhash").alias("sim_a"),
+            "chunk", "cval",
+        )
+        within = (
+            a.join(
+                chunks_new.select(
+                    F.col("doc_id").alias("index_doc"),
+                    F.col("simhash").alias("sim_b"),
+                    "chunk", "cval",
+                ),
+                ["chunk", "cval"],
+            )
+            .where(F.col("new_doc") < F.col("index_doc"))
+            .withColumn("hamming", ham)
+            .where(F.col("hamming") <= HAMMING_MAX)
+            .select(
+                F.col("new_doc").alias("doc_a"),
+                F.col("index_doc").alias("doc_b"),
+                "hamming",
+            )
+        )
+        if prior:
+            probed = chunks_new.select("chunk", "cval").distinct()
+            store = (
+                spark.read.parquet(*[os.path.join(chunks_path, e) for e in prior])
+                .select(
+                    F.col("doc_id").alias("index_doc"),
+                    F.col("simhash").alias("sim_b"),
+                    "chunk", "cval",
+                )
+                .join(probed, ["chunk", "cval"])
+            )
+            cross = (
+                a.join(store, ["chunk", "cval"])
+                .where(F.col("new_doc") != F.col("index_doc"))
+                .withColumn("hamming", ham)
+                .where(F.col("hamming") <= HAMMING_MAX)
+                .select(
+                    F.least("new_doc", "index_doc").alias("doc_a"),
+                    F.greatest("new_doc", "index_doc").alias("doc_b"),
+                    "hamming",
+                )
+            )
+            pairs = within.unionByName(cross).distinct()
+        else:
+            pairs = within.distinct()
+        pairs.write.mode("overwrite").parquet(pairs_path)
+        chunks_new.write.mode("overwrite").parquet(
+            os.path.join(chunks_path, f"batch={batch_id}")
+        )
+
+    return (
+        docs.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1169,3 +1169,70 @@ def test_cosine_dup_stream_four_way_split(spark, sf_small, tmp_path):
     }
     exp = {tuple(r) for r in embedding_cosine_dups(spark, sf_small).collect()}
     assert got == exp and exp
+
+
+def test_simhash_dup_stream_matches_batch(spark, sf_small, tmp_path):
+    """Streaming simhash ingest == one-shot dedup_simhash: two even/odd
+    micro-batches accumulate the batch operator's (doc_a, doc_b, hamming)
+    set exactly; a full replay into a fresh checkpoint rewrites the same
+    state (the band-store exactly-once contract, fourth signature class
+    after minhash/containment/cosine)."""
+    from kafka_connect_storage_cloud_spark.llm.dedup import dedup_simhash
+    from kafka_connect_storage_cloud_spark.streaming.pipeline import (
+        simhash_dup_stream,
+        stream_documents_source,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    stage = str(tmp_path / "sh_stage")
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(stage)
+    docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(stage)
+    store = str(tmp_path / "sh_store")
+
+    def run(ckpt: str) -> set:
+        q = simhash_dup_stream(
+            stream_documents_source(spark, stage), store, str(tmp_path / ckpt)
+        )
+        assert q.awaitTermination(180), "stream did not drain in time"
+        return {
+            tuple(r)
+            for r in spark.read.parquet(f"{store}/pairs")
+            .select("doc_a", "doc_b", "hamming")
+            .collect()
+        }
+
+    got1 = run("sh_ckpt1")
+    exp = {tuple(r) for r in dedup_simhash(spark, sf_small).collect()}
+    assert got1 == exp and exp, "accumulated pairs != one-shot dedup_simhash"
+    got2 = run("sh_ckpt2")
+    assert got2 == exp
+
+
+def test_simhash_dup_stream_four_way_split(spark, sf_small, tmp_path):
+    """Split-independence for the simhash twin: four doc_id%4 batches
+    accumulate the same pair set as one-shot dedup_simhash."""
+    from kafka_connect_storage_cloud_spark.llm.dedup import dedup_simhash
+    from kafka_connect_storage_cloud_spark.streaming.pipeline import (
+        simhash_dup_stream,
+        stream_documents_source,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    stage = str(tmp_path / "sh4_stage")
+    for part in range(4):
+        docs.where(F.col("doc_id") % 4 == part).coalesce(1).write.mode(
+            "append"
+        ).parquet(stage)
+    store = str(tmp_path / "sh4_store")
+    q = simhash_dup_stream(
+        stream_documents_source(spark, stage), store, str(tmp_path / "sh4_ckpt")
+    )
+    assert q.awaitTermination(240), "stream did not drain in time"
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(f"{store}/pairs")
+        .select("doc_a", "doc_b", "hamming")
+        .collect()
+    }
+    exp = {tuple(r) for r in dedup_simhash(spark, sf_small).collect()}
+    assert got == exp and exp
