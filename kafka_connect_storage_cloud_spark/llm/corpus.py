@@ -1653,3 +1653,97 @@ SELECT * FROM (
 
 QUERIES["pack_efficiency_curve"] = pack_efficiency_curve
 ORACLES["pack_efficiency_curve"] = SQL_PACK_EFFICIENCY_CURVE
+
+
+# ---------------------------------------------------------------------------
+# bigram_lm_rarity (round 7)
+# ---------------------------------------------------------------------------
+
+def bigram_lm_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc BIGRAM language-model rarity — the order-2 sibling of
+    lm_rarity_score: train per-language bigram conditionals over the
+    corpus itself, score each document by the mean inverse conditional
+    probability of its bigrams. rarity = cnt(lang, w1·) / p(w2|w1) =
+    cnt_prefix(lang, w1) · SCALE div cnt(lang, w1 w2) is a monotone
+    transform of −log p(w2|w1) (the exact log-free idiom of
+    lm_rarity_score), so CC-Net-style head/middle/tail bucket ORDER is
+    identical to the perplexity form while every value is int64-exact on
+    both engines. A doc scoring high here but ordinary on unigram rarity
+    is word-salad (plausible tokens, implausible transitions) — the
+    quality signal unigram perplexity can't see.
+
+    Scale: bigram extraction is an in-array transform (no extra shuffle
+    vs the token explode); the conditional table is bigram-vocab-sized
+    (Zipf-small) and broadcast; prefix counts derive from it by one more
+    vocab-sized aggregate. Per-doc sums combine map-side. Empty-filtered
+    tokens keep adjacency identical on both engines (filter BEFORE
+    pairing)."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.expr(r"filter(split(lower(text), '\\s+'), w -> w <> '')").alias("ws"),
+    ).where(F.size("ws") >= 2)
+    bg = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1), "
+                "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "lang", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    cnt = bg.groupBy("lang", "w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    pre = cnt.groupBy("lang", "w1").agg(F.sum("c").alias("p"))
+    rar = cnt.join(F.broadcast(pre), ["lang", "w1"]).select(
+        "lang",
+        "w1",
+        "w2",
+        F.expr(f"p * {RARITY_SCALE} div c").alias("rarity_micro"),
+    )
+    scored = bg.join(F.broadcast(rar), ["lang", "w1", "w2"])
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("rarity_micro").alias("rarity_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.expr("rarity_sum div n_bigrams").alias("mean_bigram_rarity_micro"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_BIGRAM_LM_RARITY = f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS ws
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, lang,
+         unnest([struct_pack(w1 := ws[i], w2 := ws[i + 1])
+                 for i in generate_series(1, len(ws) - 1)]) AS b
+  FROM d WHERE len(ws) >= 2
+),
+bgf AS (SELECT doc_id, lang, b.w1 AS w1, b.w2 AS w2 FROM bg),
+cnt AS (SELECT lang, w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM bgf GROUP BY 1, 2, 3),
+pre AS (SELECT lang, w1, CAST(SUM(c) AS BIGINT) AS p FROM cnt GROUP BY 1, 2),
+rar AS (
+  SELECT c.lang, c.w1, c.w2,
+         CAST(p * {RARITY_SCALE} // c AS BIGINT) AS rarity_micro
+  FROM cnt c JOIN pre USING (lang, w1)
+),
+sc AS (SELECT t.doc_id, r.rarity_micro FROM bgf t JOIN rar r USING (lang, w1, w2))
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       CAST(SUM(rarity_micro) // COUNT(*) AS BIGINT) AS mean_bigram_rarity_micro
+FROM sc GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+QUERIES["bigram_lm_rarity"] = bigram_lm_rarity
+ORACLES["bigram_lm_rarity"] = SQL_BIGRAM_LM_RARITY

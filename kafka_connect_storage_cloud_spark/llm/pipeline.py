@@ -859,3 +859,101 @@ ORDER BY cs.probes
 
 QUERIES["ivf_nprobe_recall_curve"] = ivf_nprobe_recall_curve
 ORACLES["ivf_nprobe_recall_curve"] = _sql_nprobe_curve()
+
+
+# ---------------------------------------------------------------------------
+# semdedup_cells (round 7)
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_TAU = 0.4  # = similarity.CB_THRESHOLD: one near-dup bar family-wide
+
+
+def semdedup_cells(spark: SparkSession, sf_dir: str, tau: float = SEMDEDUP_TAU) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster the
+    embeddings, compare pairs ONLY within a cluster, and greedily keep the
+    min-id representative of every near-identical group — the semantic
+    dedup that needs no LSH recall argument because the cluster step IS
+    the blocking. Complements dedup_semantic (global CC over banded
+    cosine edges): same τ, different candidate generator — within-cell
+    pairs are exhaustive, so a dup pair is missed only when k-means
+    splits it across cells (the paper's documented trade).
+
+    Verdict per vector: keep=false iff a LOWER-id same-cell vector sits
+    within cosine ≥ τ (greedy first-keeper rule — deterministic, no
+    iteration), plus how many such dominating neighbors and the closest.
+
+    Scale: assignment is the memoized-codebook scan; pair work is
+    Σ|cell|² — with the production rule C ∝ n/target_cell_size this is
+    linear in n (the demo keeps IVF_K=16 cells, matching the serving
+    index). Scoring stays in the exact int64-dot domain; the keep mask is
+    one |cell|-keyed aggregate + a left anti-style join."""
+    c_ids, _ = _train_codebook(spark, sf_dir)
+    if len(c_ids) == 0:
+        return spark.createDataFrame(
+            [],
+            "vec_id bigint, cell bigint, keep boolean, "
+            "n_close_lower bigint, max_cos_lower double",
+        )
+    asg = _assigned(spark, sf_dir).localCheckpoint()
+    a = asg.select(
+        "cell", F.col("vec_id").alias("va"), F.col("v").alias("av"), F.col("nrm").alias("an")
+    )
+    b = asg.select(
+        "cell", F.col("vec_id").alias("vb"), F.col("v").alias("bv"), F.col("nrm").alias("bn")
+    )
+    close = (
+        a.join(b, "cell")
+        .where(F.col("va") < F.col("vb"))
+        .withColumn(
+            "cosine",
+            F.floor((_dot("av", "bv") / (F.col("an") * F.col("bn"))) * 1000000.0 + F.lit(0.5))
+            / 1000000.0,
+        )
+        .where(F.col("cosine") >= tau)
+    )
+    dominated = close.groupBy(F.col("vb").alias("vec_id")).agg(
+        F.count(F.lit(1)).alias("n_close_lower"),
+        F.max("cosine").alias("max_cos_lower"),
+    )
+    return (
+        asg.select("vec_id", "cell")
+        .join(dominated, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.col("n_close_lower").isNull().alias("keep"),
+            F.coalesce("n_close_lower", F.lit(0)).alias("n_close_lower"),
+            F.coalesce("max_cos_lower", F.lit(0.0)).alias("max_cos_lower"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _sql_semdedup_cells() -> str:
+    dot_xy = _SQL_DOT.format(a="x.v", b="y.v")
+    return f"""
+WITH {_SQL_EMB},
+{_sql_train_chain()},
+{_sql_assign(_FINAL_CENTS, 'assigned')},
+av AS (
+  SELECT a.vec_id, a.cell, e.v, e.nrm FROM assigned a JOIN emb_n e ON a.vec_id = e.vec_id
+),
+close_p AS (
+  SELECT y.vec_id,
+         CAST(COUNT(*) AS BIGINT) AS n_close_lower,
+         MAX(floor(({dot_xy} / (x.nrm * y.nrm)) * 1000000.0 + 0.5) / 1000000.0) AS max_cos_lower
+  FROM av x JOIN av y ON x.cell = y.cell AND x.vec_id < y.vec_id
+  WHERE (floor(({dot_xy} / (x.nrm * y.nrm)) * 1000000.0 + 0.5) / 1000000.0) >= {SEMDEDUP_TAU}
+  GROUP BY y.vec_id
+)
+SELECT a.vec_id, a.cell,
+       (c.vec_id IS NULL) AS keep,
+       COALESCE(c.n_close_lower, 0) AS n_close_lower,
+       COALESCE(c.max_cos_lower, 0.0) AS max_cos_lower
+FROM av a LEFT JOIN close_p c ON a.vec_id = c.vec_id
+ORDER BY a.vec_id
+"""
+
+
+QUERIES["semdedup_cells"] = semdedup_cells
+ORACLES["semdedup_cells"] = _sql_semdedup_cells()

@@ -135,3 +135,76 @@ ORACLES = {
     "reservoir_sample": SQL_RESERVOIR_SAMPLE,
     "train_test_split": SQL_TRAIN_TEST_SPLIT,
 }
+
+
+# ---------------------------------------------------------------------------
+# kfold_assignment (round 7)
+# ---------------------------------------------------------------------------
+
+KFOLD_K = 5
+KFOLD_SALT = "kfold:"
+
+
+def kfold_assignment(spark: SparkSession, sf_dir: str, k: int = KFOLD_K) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment with a stratum
+    balance audit: fold = salted-hash(doc_id) mod k (replay-stable,
+    engine-portable — the same contract as train_test_split), audited per
+    (lang, fold): doc count, token count, and the doc-count load factor
+    vs the uniform |stratum|/k expectation. The table a training pipeline
+    reads before trusting that per-fold metrics are comparable — a fold
+    that drew 1.4x its share of one language measures a different
+    distribution, not a different model.
+
+    Scale: one corpus scan into a |langs| x k aggregate (map-side
+    combined); the expectation join is |langs| rows broadcast. Exact
+    integers until the one load-factor division per row."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    fold = (
+        H.h32(F.concat(F.lit(KFOLD_SALT), F.col("doc_id").cast("string"))) % k
+    ).alias("fold")
+    n_tokens = F.size(F.expr(r"filter(split(lower(text), '\\s+'), w -> w <> '')"))
+    cells = (
+        docs.select("lang", fold, n_tokens.alias("n_tok"))
+        .groupBy("lang", "fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )
+    strata = cells.groupBy("lang").agg(F.sum("n_docs").alias("n_stratum"))
+    return (
+        cells.join(F.broadcast(strata), "lang")
+        .select(
+            "lang",
+            "fold",
+            "n_docs",
+            "n_tokens",
+            "n_stratum",
+            H.round6(
+                F.col("n_docs").cast("double")
+                * F.lit(float(k))
+                / F.col("n_stratum").cast("double")
+            ).alias("load_factor"),
+        )
+        .orderBy("lang", "fold")
+    )
+
+
+SQL_KFOLD_ASSIGNMENT = f"""
+WITH cells AS (
+  SELECT lang,
+         {H.sql_h32(f"'{KFOLD_SALT}' || CAST(doc_id AS VARCHAR)")} % {KFOLD_K} AS fold,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1, 2
+),
+strata AS (SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS n_stratum FROM cells GROUP BY 1)
+SELECT c.lang, c.fold, c.n_docs, c.n_tokens, s.n_stratum,
+       {H.sql_round6(f"CAST(c.n_docs AS DOUBLE) * {float(KFOLD_K)} / CAST(s.n_stratum AS DOUBLE)")} AS load_factor
+FROM cells c JOIN strata s USING (lang)
+ORDER BY c.lang, c.fold
+"""
+
+
+QUERIES["kfold_assignment"] = kfold_assignment
+ORACLES["kfold_assignment"] = SQL_KFOLD_ASSIGNMENT

@@ -1283,3 +1283,141 @@ ORDER BY event_type, p
 
 QUERIES["events_value_percentiles_exact"] = events_value_percentiles_exact
 ORACLES["events_value_percentiles_exact"] = SQL_EVENTS_VALUE_PERCENTILES_EXACT
+
+
+# ---------------------------------------------------------------------------
+# events_haar_energy (round 7)
+# ---------------------------------------------------------------------------
+
+HAAR_LEVELS = 9  # 2^9 = 512-hour analysis window
+HAAR_WINDOW = 1 << HAAR_LEVELS
+
+
+def events_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haar wavelet energy spectrum of each event type's hourly volume —
+    which TIME SCALE carries the variance (level 1 = hour-to-hour jitter,
+    level 5 ≈ day boundary, level 8-9 ≈ week/fortnight trend). The
+    periodicity detector behind 'is this series bursty or diurnal',
+    complementing events_seasonality_anova (which tests exactly the
+    24-hour hypothesis; the wavelet scan is hypothesis-free).
+
+    Uses the UNNORMALIZED integer Haar transform: level-j approximations
+    a_j[k] = a_{j-1}[2k] + a_{j-1}[2k+1] and details
+    d_j[k] = a_{j-1}[2k] - a_{j-1}[2k+1] stay exact int64 (counts sum to
+    ~1e5 per type at sf0.1; squared details bound by 1e10 x 256 terms —
+    far inside int64). Energy share per level is the one double division,
+    floor-rounded. Normalization (1/2^j per level) is a presentation
+    constant the share cancels out.
+
+    Scale: events aggregate ONCE to (type, hour-offset) cells over the
+    first 512 hours (bounded frame, localCheckpointed so the 9 level
+    branches never rescan the corpus); every transform level is a
+    metadata-sized groupBy. At 100 TB the only corpus-cost is the single
+    cell aggregate — the same shape as events_burst_runs."""
+    ev = read_events(spark, sf_dir).select("event_type", "ts")
+    hr = (F.unix_millis("ts") / F.lit(3600000)).cast("long")
+    with_hr = ev.select("event_type", hr.alias("hr"))
+    h0 = with_hr.agg(F.min("hr").alias("h0")).collect()[0]["h0"]
+    if h0 is None:  # empty events partition
+        return spark.createDataFrame(
+            [], "event_type string, level int, energy bigint, share double"
+        )
+    counts = (
+        with_hr.select("event_type", (F.col("hr") - F.lit(int(h0))).alias("pos"))
+        .where(F.col("pos") < HAAR_WINDOW)
+        .groupBy("event_type", "pos")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    types = counts.select("event_type").distinct()
+    spine = types.select(
+        "event_type", F.explode(F.sequence(F.lit(0), F.lit(HAAR_WINDOW - 1))).alias("pos")
+    )
+    cells = (
+        spine.join(counts, ["event_type", "pos"], "left")
+        .select("event_type", "pos", F.coalesce("c", F.lit(0)).alias("c"))
+        .localCheckpoint(eager=True)  # 9 level branches; never rescan events
+    )
+    energies = []
+    prev = cells
+    for j in range(1, HAAR_LEVELS + 1):
+        # disambiguate parent position vs input position BEFORE the agg so
+        # neither engine can bind the parity test to the new alias
+        half = prev.select(
+            "event_type",
+            F.expr("pos div 2").alias("ppos"),
+            (F.col("pos") % 2 == 0).alias("even"),
+            "c",
+        )
+        lv = half.groupBy("event_type", F.col("ppos").alias("pos")).agg(
+            F.sum("c").alias("c"),
+            F.sum(F.when(F.col("even"), F.col("c")).otherwise(-F.col("c"))).alias("d"),
+        )
+        energies.append(
+            lv.groupBy("event_type")
+            .agg(F.sum(F.col("d") * F.col("d")).alias("energy"))
+            .select("event_type", F.lit(j).alias("level"), "energy")
+        )
+        prev = lv.select("event_type", "pos", "c")
+    all_e = energies[0]
+    for e in energies[1:]:
+        all_e = all_e.unionByName(e)
+    tot = all_e.groupBy("event_type").agg(F.sum("energy").alias("te"))
+    return (
+        all_e.join(tot, "event_type")
+        .select(
+            "event_type",
+            "level",
+            "energy",
+            H.round6(F.col("energy").cast("double") / F.col("te").cast("double")).alias(
+                "share"
+            ),
+        )
+        .orderBy("event_type", "level")
+    )
+
+
+def _sql_haar_energy() -> str:
+    parts = []
+    prev = "cells"
+    for j in range(1, HAAR_LEVELS + 1):
+        parts.append(f"""
+l{j} AS (
+  SELECT event_type, ppos AS pos,
+         CAST(SUM(c) AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN even THEN c ELSE -c END) AS BIGINT) AS d
+  FROM (SELECT event_type, pos // 2 AS ppos, pos % 2 = 0 AS even, c FROM {prev})
+  GROUP BY 1, 2
+),
+e{j} AS (SELECT event_type, {j} AS level, CAST(SUM(d * d) AS BIGINT) AS energy FROM l{j} GROUP BY 1)""")
+        prev = f"l{j}"
+    chain = ",".join(parts)
+    union = " UNION ALL ".join(f"SELECT * FROM e{j}" for j in range(1, HAAR_LEVELS + 1))
+    return f"""
+WITH ev AS (
+  SELECT event_type, epoch_ms(ts) // 3600000 AS hr FROM events
+),
+g AS (SELECT MIN(hr) AS h0 FROM ev),
+counts AS (
+  SELECT event_type, hr - g.h0 AS pos, CAST(COUNT(*) AS BIGINT) AS c
+  FROM ev CROSS JOIN g WHERE hr - g.h0 < {HAAR_WINDOW} GROUP BY 1, 2
+),
+spine AS (
+  SELECT t.event_type, s.pos FROM (SELECT DISTINCT event_type FROM ev) t
+  CROSS JOIN (SELECT unnest(generate_series(0, {HAAR_WINDOW - 1})) AS pos) s
+),
+cells AS (
+  SELECT s.event_type, s.pos, COALESCE(c.c, 0) AS c
+  FROM spine s LEFT JOIN counts c USING (event_type, pos)
+),
+{chain},
+allE AS ({union}),
+tot AS (SELECT event_type, CAST(SUM(energy) AS BIGINT) AS te FROM allE GROUP BY 1)
+SELECT a.event_type, CAST(a.level AS INT) AS level, a.energy,
+       {H.sql_round6('CAST(a.energy AS DOUBLE) / CAST(t.te AS DOUBLE)')} AS share
+FROM allE a JOIN tot t USING (event_type)
+ORDER BY a.event_type, a.level
+"""
+
+
+QUERIES["events_haar_energy"] = events_haar_energy
+ORACLES["events_haar_energy"] = _sql_haar_energy()

@@ -196,3 +196,122 @@ def test_chi2_agrees_with_scipy_free_reference(spark, sf_small):
         chi2 += (r["c1"] - e1) ** 2 / e1 + (r["c2"] - e2) ** 2 / e2
     assert abs(rows[0]["corpus_chi2"] - chi2) < 1e-4 * max(1.0, chi2)
     assert rows[0]["dof"] == len(toks) - 1
+
+
+# ---------------------------------------------------------------------------
+# batch 3: semdedup_cells / events_haar_energy / bigram_lm_rarity / kfold
+# ---------------------------------------------------------------------------
+
+def test_semdedup_greedy_keep_invariants(spark, sf_dir):
+    """Greedy first-keeper rule: (1) keep=false iff at least one dominating
+    lower-id neighbor; (2) the min vec_id of every cell is always kept;
+    (3) a dominated vector's closest dominator is >= tau."""
+    from kafka_connect_storage_cloud_spark.llm.pipeline import (
+        SEMDEDUP_TAU,
+        semdedup_cells,
+    )
+
+    rows = semdedup_cells(spark, sf_dir).collect()
+    assert rows
+    by_cell: dict = {}
+    dropped = 0
+    for r in rows:
+        by_cell.setdefault(r["cell"], []).append(r)
+        assert r["keep"] == (r["n_close_lower"] == 0)
+        if not r["keep"]:
+            dropped += 1
+            assert r["max_cos_lower"] >= SEMDEDUP_TAU
+    assert dropped > 0, "semdedup vacuous at sf_dir (no within-cell dups)"
+    for cell, rs in by_cell.items():
+        first = min(rs, key=lambda r: r["vec_id"])
+        assert first["keep"], f"min vec_id of cell {cell} must be kept"
+
+
+def test_haar_energy_shape(spark, sf_dir):
+    """Nine levels per type; shares sum to ~1 per type; energies are
+    non-negative integers."""
+    from kafka_connect_storage_cloud_spark.plans.events_ext import (
+        HAAR_LEVELS,
+        events_haar_energy,
+    )
+
+    rows = events_haar_energy(spark, sf_dir).collect()
+    assert rows
+    by_type: dict = {}
+    for r in rows:
+        assert 1 <= r["level"] <= HAAR_LEVELS
+        assert r["energy"] >= 0
+        by_type.setdefault(r["event_type"], []).append(r)
+    for et, rs in by_type.items():
+        assert len(rs) == HAAR_LEVELS, et
+        assert abs(sum(r["share"] for r in rs) - 1.0) < 1e-4, et
+
+
+def test_haar_level1_energy_equals_numpy(spark, sf_small):
+    """Level-1 detail energy recomputed with numpy from the raw hourly
+    series — guards the island of integer transform plumbing."""
+    import numpy as np
+
+    from kafka_connect_storage_cloud_spark.plans.events_ext import (
+        HAAR_WINDOW,
+        events_haar_energy,
+    )
+    from kafka_connect_storage_cloud_spark.session import read_events
+
+    got = {
+        r["event_type"]: r["energy"]
+        for r in events_haar_energy(spark, sf_small).collect()
+        if r["level"] == 1
+    }
+    ev = read_events(spark, sf_small).select("event_type", "ts").collect()
+    hrs = [(r["event_type"], int(r["ts"].timestamp() * 1000) // 3600000) for r in ev]
+    h0 = min(h for _, h in hrs)
+    series: dict = {}
+    for et, h in hrs:
+        pos = h - h0
+        if pos < HAAR_WINDOW:
+            series.setdefault(et, np.zeros(HAAR_WINDOW, dtype=np.int64))[pos] += 1
+    for et, x in series.items():
+        d = x[0::2] - x[1::2]
+        assert got[et] == int((d * d).sum()), et
+
+
+def test_bigram_rarity_bounds(spark, sf_small):
+    """rarity >= SCALE always (conditional prob <= 1), and a doc's mean is
+    within [min, max] of the per-bigram range by construction."""
+    from kafka_connect_storage_cloud_spark.llm.corpus import (
+        RARITY_SCALE,
+        bigram_lm_rarity,
+    )
+
+    rows = bigram_lm_rarity(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert r["n_bigrams"] >= 1
+        assert r["mean_bigram_rarity_micro"] >= RARITY_SCALE
+
+
+def test_kfold_partition_is_exhaustive(spark, sf_small):
+    """Per-stratum fold counts sum to the stratum size; folds in [0, k)."""
+    from kafka_connect_storage_cloud_spark.llm.sampling import (
+        KFOLD_K,
+        kfold_assignment,
+    )
+    from kafka_connect_storage_cloud_spark.session import read_table
+
+    rows = kfold_assignment(spark, sf_small).collect()
+    assert rows
+    per_lang: dict = {}
+    for r in rows:
+        assert 0 <= r["fold"] < KFOLD_K
+        per_lang.setdefault(r["lang"], [0, r["n_stratum"]])
+        per_lang[r["lang"]][0] += r["n_docs"]
+    truth = {
+        r["lang"]: r["n"]
+        for r in read_table(spark, sf_small, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for lang, (tot, stratum) in per_lang.items():
+        assert tot == stratum == truth[lang], lang
