@@ -802,3 +802,127 @@ FROM agg ORDER BY threshold
 """
 
 ORACLES["quality_threshold_yield"] = SQL_QUALITY_THRESHOLD_YIELD
+
+
+# ---------------------------------------------------------------------------
+# quality_ablation_matrix (round 7)
+# ---------------------------------------------------------------------------
+
+def quality_ablation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-stack ablation: for every quality screen in the prep pipeline
+    (the three quality_filter reasons + the Gopher rule set + the
+    Gini-diversity screen), how many documents and tokens it drops, its
+    drop rate, and its UNIQUE contribution (docs no other filter catches)
+    — plus the any_filter union row. The table that answers 'which screen
+    earns its false-positive risk' before a 100-TB prep run; the
+    dedup_method_matrix of the quality family.
+
+    Plan: the three verdict flags ride ONE fused scan (quality_filter);
+    gopher and diversity are two more per-row projections of the same
+    table, composed by doc_id equi-joins (an audit runs this shape once;
+    the production path is the fused quality_verdict projection). The
+    6-way fan-out explodes a literal struct array over the 5-boolean
+    projection — corpus-sized rows but 3 columns wide — and aggregates to
+    a 6-row table map-side."""
+    v = quality_filter(spark, sf_dir).select("doc_id", "reasons")
+    g = gopher_rules_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("gk")
+    )
+    t = token_diversity(spark, sf_dir).select(
+        "doc_id", "n_tokens", F.col("flagged_low_diversity").alias("ld")
+    )
+    flags = (
+        v.join(g, "doc_id")
+        .join(t, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.col("reasons").contains("low_quality").alias("f_low_quality"),
+            F.col("reasons").contains("repetitive").alias("f_repetitive"),
+            F.col("reasons").contains("lang_mismatch").alias("f_lang_mismatch"),
+            (~F.col("gk")).alias("f_gopher"),
+            F.col("ld").alias("f_low_diversity"),
+        )
+    )
+    names = ("low_quality", "repetitive", "lang_mismatch", "gopher", "low_diversity")
+    nfail = None
+    for n in names:
+        c = F.col(f"f_{n}").cast("int")
+        nfail = c if nfail is None else nfail + c
+    nf = flags.withColumn("nfail", nfail)
+    structs = [
+        F.struct(F.lit(n).alias("name"), F.col(f"f_{n}").alias("failed"))
+        for n in names
+    ] + [
+        F.struct(
+            F.lit("any_filter").alias("name"), (F.col("nfail") > 0).alias("failed")
+        )
+    ]
+    fan = nf.select(
+        "n_tokens", "nfail", F.explode(F.array(*structs)).alias("u")
+    ).select(
+        "n_tokens", "nfail", F.col("u.name").alias("filter"), F.col("u.failed").alias("failed")
+    )
+    return (
+        fan.groupBy("filter")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("failed").cast("long")).alias("n_dropped"),
+            F.sum(F.when(F.col("failed"), F.col("n_tokens")).otherwise(F.lit(0))).alias(
+                "tok_dropped"
+            ),
+            F.sum((F.col("failed") & (F.col("nfail") == 1)).cast("long")).alias(
+                "n_unique_dropped"
+            ),
+        )
+        .select(
+            "filter",
+            "n_docs",
+            "n_dropped",
+            H.round6(F.col("n_dropped").cast("double") / F.col("n_docs").cast("double")).alias(
+                "drop_rate"
+            ),
+            "tok_dropped",
+            "n_unique_dropped",
+        )
+        .orderBy("filter")
+    )
+
+
+def _sql_quality_ablation() -> str:
+    fails = {
+        "low_quality": "contains(v.reasons, 'low_quality')",
+        "repetitive": "contains(v.reasons, 'repetitive')",
+        "lang_mismatch": "contains(v.reasons, 'lang_mismatch')",
+        "gopher": "NOT g.gk",
+        "low_diversity": "t.ld",
+    }
+    nfail = " + ".join(f"CAST(f_{n} AS INT)" for n in fails)
+    structs = ", ".join(
+        f"struct_pack(name := '{n}', failed := f_{n})" for n in fails
+    ) + ", struct_pack(name := 'any_filter', failed := nfail > 0)"
+    flag_cols = ",\n         ".join(f"{e} AS f_{n}" for n, e in fails.items())
+    return f"""
+WITH v AS (SELECT doc_id, reasons FROM ({_sql_quality_filter()})),
+g AS (SELECT doc_id, keep AS gk FROM ({_sql_gopher()})),
+t AS (SELECT doc_id, n_tokens, flagged_low_diversity AS ld FROM ({SQL_TOKEN_DIVERSITY})),
+flags AS (
+  SELECT v.doc_id, t.n_tokens,
+         {flag_cols}
+  FROM v JOIN g USING (doc_id) JOIN t USING (doc_id)
+),
+nf AS (SELECT *, {nfail} AS nfail FROM flags),
+fan AS (
+  SELECT n_tokens, nfail, unnest([{structs}]) AS u FROM nf
+)
+SELECT u.name AS filter,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN u.failed THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       {H.sql_round6("CAST(SUM(CASE WHEN u.failed THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)")} AS drop_rate,
+       CAST(SUM(CASE WHEN u.failed THEN n_tokens ELSE 0 END) AS BIGINT) AS tok_dropped,
+       CAST(SUM(CASE WHEN u.failed AND nfail = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique_dropped
+FROM fan GROUP BY 1 ORDER BY 1
+"""
+
+
+ORACLES["quality_ablation_matrix"] = _sql_quality_ablation()

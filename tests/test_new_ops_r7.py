@@ -315,3 +315,29 @@ def test_kfold_partition_is_exhaustive(spark, sf_small):
     }
     for lang, (tot, stratum) in per_lang.items():
         assert tot == stratum == truth[lang], lang
+
+
+def test_quality_ablation_consistency(spark, sf_dir):
+    """The union row dominates every individual filter; unique drops never
+    exceed total drops; the three verdict filters reconcile with
+    quality_filter's keep count."""
+    from kafka_connect_storage_cloud_spark.llm.quality import (
+        quality_ablation_matrix,
+        quality_filter,
+    )
+
+    rows = {r["filter"]: r for r in quality_ablation_matrix(spark, sf_dir).collect()}
+    assert set(rows) == {
+        "any_filter", "gopher", "lang_mismatch", "low_diversity",
+        "low_quality", "repetitive",
+    }
+    any_row = rows["any_filter"]
+    for name, r in rows.items():
+        assert r["n_unique_dropped"] <= r["n_dropped"]
+        assert r["n_dropped"] <= any_row["n_dropped"]
+        assert r["n_docs"] == any_row["n_docs"]
+    verdict_dropped = quality_filter(spark, sf_dir).where(~F.col("keep")).count()
+    three = ("low_quality", "repetitive", "lang_mismatch")
+    lo = max(rows[n]["n_dropped"] for n in three)
+    hi = sum(rows[n]["n_dropped"] for n in three)
+    assert lo <= verdict_dropped <= hi
