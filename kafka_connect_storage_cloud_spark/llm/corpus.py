@@ -1694,7 +1694,13 @@ def bigram_lm_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "lang", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
-    cnt = bg.groupBy("lang", "w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    # bigram-vocab-sized; serves the prefix aggregate AND the rarity join —
+    # checkpoint so the corpus bigram explode runs once, not per consumer
+    cnt = (
+        bg.groupBy("lang", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     pre = cnt.groupBy("lang", "w1").agg(F.sum("c").alias("p"))
     rar = cnt.join(F.broadcast(pre), ["lang", "w1"]).select(
         "lang",

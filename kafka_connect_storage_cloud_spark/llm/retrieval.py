@@ -105,7 +105,13 @@ def bm25_topk(
     single-partition step ever sees data.
     """
     toks = _doc_tokens(spark, sf_dir)
-    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    # the (doc, token, tf) postings index is read by dl, df, the query-term
+    # pick, and the scoring join — materialize it once (10 raw scans otherwise)
+    tf = (
+        toks.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     df_t = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     totals = dl.agg(

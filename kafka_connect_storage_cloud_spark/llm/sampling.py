@@ -170,6 +170,9 @@ def kfold_assignment(spark: SparkSession, sf_dir: str, k: int = KFOLD_K) -> Data
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tok").alias("n_tokens"),
         )
+        # |langs| x k rows; feeds the stratum totals AND the output join —
+        # checkpoint so the corpus scan runs once
+        .localCheckpoint(eager=True)
     )
     strata = cells.groupBy("lang").agg(F.sum("n_docs").alias("n_stratum"))
     return (

@@ -570,6 +570,10 @@ def kmv_set_ops(spark: SparkSession, sf_dir: str, k: int = KMVSET_K) -> DataFram
             H.h60(F.concat(F.lit("kmvset:"), F.col("shingle"))).alias("h"),
         )
         .distinct()
+        # one materialization serves the k-min window, the per-source totals,
+        # and both sides of the exact intersection self-join — without it the
+        # raw corpus scan re-runs per consumer (20 scans observed in the plan)
+        .localCheckpoint(eager=True)
     )
     w = Window.partitionBy("source").orderBy("h")
     mins = sh.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)

@@ -1140,6 +1140,9 @@ def events_burst_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withColumn("hr", (F.unix_millis("ts") / F.lit(3600000)).cast("long"))
         .groupBy("event_type", "hr")
         .agg(F.count(F.lit(1)).alias("c"))
+        # bounded hours x types frame; feeds totals AND the hot filter —
+        # checkpoint so the events scan runs once
+        .localCheckpoint(eager=True)
     )
     tot = cells.groupBy("event_type").agg(
         F.sum("c").alias("tot"), F.count(F.lit(1)).alias("act")

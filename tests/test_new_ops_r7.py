@@ -341,3 +341,30 @@ def test_quality_ablation_consistency(spark, sf_dir):
     lo = max(rows[n]["n_dropped"] for n in three)
     hi = sum(rows[n]["n_dropped"] for n in three)
     assert lo <= verdict_dropped <= hi
+
+
+def test_r7_ops_bound_their_corpus_scans(spark, sf_dir):
+    """The shared-frame materializations must hold: each op's plan reads
+    the raw parquet at most twice (the checkpointed index/cell frames
+    absorb every other consumer). A regression here means a derived frame
+    silently re-derives from the corpus scan per consumer — 20 scans were
+    observed in kmv_set_ops before the fix."""
+    import importlib.util
+    import os
+    import sys
+
+    entry_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "__spark_entry__.py"
+    )
+    spec = importlib.util.spec_from_file_location("spark_entry_scans", entry_path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["spark_entry_scans"] = mod
+    spec.loader.exec_module(mod)
+    qs = mod.queries()
+    for name in (
+        "kmv_set_ops", "bm25_topk", "bigram_lm_rarity",
+        "events_burst_runs", "kfold_assignment", "events_haar_energy",
+    ):
+        plan = _plan(spark, qs[name](spark, sf_dir))
+        n = plan.count("Scan parquet")
+        assert n <= 2, f"{name}: {n} raw corpus scans (shared frame regressed)"
