@@ -1138,3 +1138,92 @@ def simhash_dup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def burst_runs_stream(
+    events: DataFrame, store_dir: str, checkpoint: str
+) -> StreamingQuery:
+    """Streaming twin of events_burst_runs: hourly (type, hour) cell counts
+    are MERGEABLE state (counts add across micro-batches), so each batch
+    appends its partial cells to a batch-keyed store, merges the
+    accumulated cells, and rewrites the CURRENT runs table — the
+    monitoring view a burst alerter reads after every ingest tick.
+
+    After the final batch the runs table equals one-shot events_burst_runs
+    by construction (merged cells == batch cells; the run derivation is
+    the same integer cross-multiplication + gaps-and-islands over the
+    bounded cell frame). Exactly-once: partial cells land in
+    overwrite-per-batch dirs keyed by batch_id (replay rewrites identical
+    partials); the runs rewrite is idempotent given the store.
+
+    Per-batch cost: one aggregate of the batch (corpus-rate work) + a
+    merge/island pass over the bounded hours x types frame — history
+    length only enters through the cell-store size, which is time-range
+    metadata, not row count."""
+    import os
+
+    from ..plans.events_ext import BURST_DEN, BURST_MIN_RUN, BURST_NUM
+
+    def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        cells_new = (
+            batch_df.select(
+                "event_type",
+                (F.unix_millis("ts") / F.lit(3600000)).cast("long").alias("hr"),
+            )
+            .groupBy("event_type", "hr")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        cells_path = os.path.join(store_dir, "cells")
+        cells_new.write.mode("overwrite").parquet(
+            os.path.join(cells_path, f"batch={batch_id}")
+        )
+        merged = (
+            spark.read.parquet(cells_path)
+            .groupBy("event_type", "hr")
+            .agg(F.sum("c").alias("c"))
+            .localCheckpoint(eager=True)
+        )
+        tot = merged.groupBy("event_type").agg(
+            F.sum("c").alias("tot"), F.count(F.lit(1)).alias("act")
+        )
+        hot = merged.join(tot, "event_type").where(
+            F.col("c") * F.col("act") * F.lit(BURST_DEN)
+            >= F.lit(BURST_NUM) * F.col("tot")
+        )
+        w = Window.partitionBy("event_type").orderBy("hr")
+        isl = hot.withColumn("grp", F.col("hr") - F.row_number().over(w))
+        runs = (
+            isl.groupBy("event_type", "grp")
+            .agg(
+                F.min("hr").alias("hr_start"),
+                F.max("hr").alias("hr_end"),
+                F.count(F.lit(1)).alias("run_len"),
+                F.max("c").alias("peak_c"),
+                F.sum("c").alias("total_c"),
+                F.max("tot").alias("tot"),
+            )
+            .where(F.col("run_len") >= BURST_MIN_RUN)
+            .select(
+                "event_type", "hr_start", "hr_end", "run_len", "peak_c",
+                "total_c",
+                (F.floor(
+                    F.col("total_c").cast("double") / F.col("tot").cast("double")
+                    * 1000000.0 + F.lit(0.5)
+                ) / 1000000.0).alias("share_of_type"),
+            )
+        )
+        runs.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            os.path.join(store_dir, "runs")
+        )
+
+    return (
+        events.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1236,3 +1236,39 @@ def test_simhash_dup_stream_four_way_split(spark, sf_small, tmp_path):
     }
     exp = {tuple(r) for r in dedup_simhash(spark, sf_small).collect()}
     assert got == exp and exp
+
+
+def test_burst_runs_stream_matches_batch(spark, sf_small, tmp_path):
+    """Streaming burst monitor == one-shot events_burst_runs after the
+    final batch: hour cells merge across an even/odd event_id split, and
+    a replay into a fresh checkpoint rewrites the same runs table."""
+    from kafka_connect_storage_cloud_spark.plans.events_ext import events_burst_runs
+    from kafka_connect_storage_cloud_spark.session import read_events
+    from kafka_connect_storage_cloud_spark.streaming.pipeline import burst_runs_stream
+
+    ev = read_events(spark, sf_small)
+    stage = str(tmp_path / "br_stage")
+    ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(stage)
+    ev.where(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(stage)
+    store = str(tmp_path / "br_store")
+    cols = ["event_type", "hr_start", "hr_end", "run_len", "peak_c",
+            "total_c", "share_of_type"]
+
+    def run(ckpt: str) -> set:
+        stream = (
+            spark.readStream.schema(spark.read.parquet(stage).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        q = burst_runs_stream(stream, store, str(tmp_path / ckpt))
+        assert q.awaitTermination(180), "stream did not drain in time"
+        return {
+            tuple(r)
+            for r in spark.read.parquet(f"{store}/runs").select(*cols).collect()
+        }
+
+    got1 = run("br_ckpt1")
+    exp = {tuple(r) for r in events_burst_runs(spark, sf_small).collect()}
+    assert got1 == exp and exp, "final runs table != one-shot events_burst_runs"
+    got2 = run("br_ckpt2")
+    assert got2 == exp
