@@ -843,6 +843,9 @@ def quality_ablation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             (~F.col("gk")).alias("f_gopher"),
             F.col("ld").alias("f_low_diversity"),
         )
+        # 3-boolean projection read by the fan-out AND the nfail column —
+        # materialize so the three source projections scan documents once
+        .localCheckpoint(eager=True)
     )
     names = ("low_quality", "repetitive", "lang_mismatch", "gopher", "low_diversity")
     nfail = None

@@ -364,6 +364,7 @@ def test_r7_ops_bound_their_corpus_scans(spark, sf_dir):
     for name in (
         "kmv_set_ops", "bm25_topk", "bigram_lm_rarity",
         "events_burst_runs", "kfold_assignment", "events_haar_energy",
+        "quality_ablation_matrix",
     ):
         plan = _plan(spark, qs[name](spark, sf_dir))
         n = plan.count("Scan parquet")
