@@ -57,6 +57,13 @@ def main() -> None:
         # tracked per round like knn_graph_lsh (VERDICT r5 next-round #7)
         "dedup_containment",
         "dedup_method_matrix",
+        # r7: the new families' heaviest representatives get their own
+        # first-measurement rows (lexical retrieval, sketch set-ops,
+        # wavelet spectrum, SemDeDup)
+        "bm25_topk",
+        "kmv_set_ops",
+        "events_haar_energy",
+        "semdedup_cells",
     ):
         if opt in qs:
             headline.append(opt)
