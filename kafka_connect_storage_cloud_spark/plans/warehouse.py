@@ -1533,3 +1533,116 @@ ORDER BY t.event_type
 
 QUERIES["events_seasonality_anova"] = events_seasonality_anova
 ORACLES["events_seasonality_anova"] = SQL_EVENTS_SEASONALITY_ANOVA
+
+
+# ---------------------------------------------------------------------------
+# events_holt_linear (round 7)
+# ---------------------------------------------------------------------------
+
+HOLT_TERMS = 16
+
+
+def _holt_kernels(terms: int = HOLT_TERMS):
+    """Impulse responses of Holt's linear method at alpha = beta = 1/2:
+    l_t = Σ_j hl[j]·x_{t-j}, b_t = Σ_j hb[j]·x_{t-j}. With both smoothing
+    constants dyadic, every coefficient is an EXACT dyadic rational
+    (denominators <= 2^(2j+2)), hence exactly representable as a double —
+    the same trick that makes events_ewma16 engine-portable, extended to
+    the two-state trend recursion. Computed with Fraction so the emitted
+    literals are exact."""
+    from fractions import Fraction as Fr
+
+    half = Fr(1, 2)
+    l, b = Fr(0), Fr(0)
+    hl, hb = [], []
+    for t in range(terms):
+        x = Fr(1) if t == 0 else Fr(0)
+        l_new = half * x + half * (l + b)
+        b_new = half * (l_new - l) + half * b
+        l, b = l_new, b_new
+        hl.append(float(l))
+        hb.append(float(b))
+    return hl, hb
+
+
+def events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + linear trend) of hourly
+    metric volume per event type, alpha = beta = 1/2, truncated at 16
+    terms — the trend-aware sibling of events_ewma16 (EWMA lags a trending
+    series by design; Holt's one-step forecast level+trend does not).
+
+    A recursive Holt is not engine-portable (compounded float error in
+    engine-specific order); the 16-term truncated convolution is: the
+    kernels are exact dyadic doubles, the lag inputs are exact int64
+    micro-sums, and each row's level/trend is ONE fixed-order expression
+    (in-row left-to-right sum — both engines evaluate the identical
+    literal expression tree). Output: smoothed level, trend, and the
+    one-step forecast level + trend, all round6 in value units.
+
+    Scale: identical to events_ewma16 — one map-side-combined hourly
+    aggregate, then 16-lag windows over the |types| x |hours| metadata
+    series."""
+    from ..session import read_events
+
+    hl, hb = _holt_kernels()
+    ev = read_events(spark, sf_dir).select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        F.floor(F.col("value") * 1000000.0 + F.lit(0.5)).cast("long").alias("v_micro"),
+    )
+    hourly = ev.groupBy("event_type", "hour").agg(F.sum("v_micro").alias("v_micro"))
+    w = Window.partitionBy("event_type").orderBy("hour")
+    lvl = None
+    trd = None
+    for j in range(HOLT_TERMS):
+        x = F.coalesce(F.lag("v_micro", j).over(w), F.lit(0)).cast("double")
+        tl = x * F.lit(hl[j])
+        tb = x * F.lit(hb[j])
+        lvl = tl if lvl is None else lvl + tl
+        trd = tb if trd is None else trd + tb
+    return (
+        hourly.withColumn("lvl", lvl)
+        .withColumn("trd", trd)
+        .withColumn("n_terms", F.least(F.row_number().over(w), F.lit(HOLT_TERMS)))
+        .select(
+            "event_type",
+            "hour",
+            "v_micro",
+            H.round6(F.col("lvl") / F.lit(1e6)).alias("holt_level"),
+            H.round6(F.col("trd") / F.lit(1e6)).alias("holt_trend"),
+            H.round6((F.col("lvl") + F.col("trd")) / F.lit(1e6)).alias("holt_forecast"),
+            "n_terms",
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+def _sql_holt_linear() -> str:
+    hl, hb = _holt_kernels()
+    lvl = " + ".join(
+        f"CAST(COALESCE(LAG(v_micro, {j}) OVER w, 0) AS DOUBLE) * {hl[j]!r}"
+        for j in range(HOLT_TERMS)
+    )
+    trd = " + ".join(
+        f"CAST(COALESCE(LAG(v_micro, {j}) OVER w, 0) AS DOUBLE) * {hb[j]!r}"
+        for j in range(HOLT_TERMS)
+    )
+    return f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(SUM(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS v_micro
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, hour, v_micro,
+       {H.sql_round6(f'({lvl}) / 1e6')} AS holt_level,
+       {H.sql_round6(f'({trd}) / 1e6')} AS holt_trend,
+       {H.sql_round6(f'(({lvl}) + ({trd})) / 1e6')} AS holt_forecast,
+       CAST(LEAST(ROW_NUMBER() OVER w, {HOLT_TERMS}) AS INT) AS n_terms
+FROM hourly
+WINDOW w AS (PARTITION BY event_type ORDER BY hour)
+ORDER BY event_type, hour
+"""
+
+
+QUERIES["events_holt_linear"] = events_holt_linear
+ORACLES["events_holt_linear"] = _sql_holt_linear()

@@ -369,3 +369,34 @@ def test_r7_ops_bound_their_corpus_scans(spark, sf_dir):
         plan = _plan(spark, qs[name](spark, sf_dir))
         n = plan.count("Scan parquet")
         assert n <= 2, f"{name}: {n} raw corpus scans (shared frame regressed)"
+
+
+def test_holt_tracks_trend_better_than_ewma(spark, sf_small):
+    """On a linearly trending synthetic series Holt's one-step forecast
+    must beat the trend-blind EWMA's lag — checked by construction on the
+    kernels: sum(hl) ~ 1 and the trend kernel has positive first moment
+    (these two facts make level+trend track a ramp)."""
+    from kafka_connect_storage_cloud_spark.plans.warehouse import _holt_kernels
+
+    hl, hb = _holt_kernels()
+    assert abs(sum(hl) - 1.0) < 0.01
+    # trend kernel must respond positively to a rising ramp:
+    # Σ_j hb[j] * (-j) > 0  <=>  recent points weigh more than old ones
+    ramp_response = sum(hb[j] * (-j) for j in range(len(hb)))
+    assert ramp_response > 0
+    # every coefficient must be an exact dyadic double (round-trips via
+    # Fraction with a power-of-two denominator)
+    from fractions import Fraction
+
+    for c in hl + hb:
+        f = Fraction(c)
+        assert f.denominator & (f.denominator - 1) == 0
+
+
+def test_holt_output_shape(spark, sf_small):
+    from kafka_connect_storage_cloud_spark.plans.warehouse import events_holt_linear
+
+    rows = events_holt_linear(spark, sf_small).collect()
+    assert rows
+    for r in rows[:50]:
+        assert abs(r["holt_forecast"] - (r["holt_level"] + r["holt_trend"])) < 2e-6
