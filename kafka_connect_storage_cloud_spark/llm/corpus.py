@@ -1753,3 +1753,70 @@ FROM sc GROUP BY doc_id ORDER BY doc_id
 
 QUERIES["bigram_lm_rarity"] = bigram_lm_rarity
 ORACLES["bigram_lm_rarity"] = SQL_BIGRAM_LM_RARITY
+
+
+# ---------------------------------------------------------------------------
+# l_diversity_audit (round 7)
+# ---------------------------------------------------------------------------
+
+L_DIV = 3
+
+
+def l_diversity_audit(spark: SparkSession, sf_dir: str, l_min: int = L_DIV) -> DataFrame:
+    """l-diversity over k_anonymity_audit's quasi-identifier classes
+    (lang, length decile) with SOURCE as the sensitive attribute: a class
+    is safe only if its members draw from >= l distinct sources — a class
+    that is k-anonymous but single-source still reveals provenance
+    (Machanavajjhala et al., 'l-Diversity', ICDE'06: k-anonymity composes
+    with a homogeneous sensitive column into a disclosure). Also reports
+    the dominant source's share — the 'recognizability' a reviewer reads
+    even when l passes.
+
+    Scale: one corpus scan to a |langs| x 10 x |sources| cell aggregate,
+    then class-level rollups on that metadata frame. The dominant share
+    is a struct-max over the cells (no window)."""
+    docs = read_table(spark, sf_dir, "documents").select("lang", "source", "n_chars")
+    cells = (
+        docs.withColumn("len_decile", F.least(F.floor(F.col("n_chars") / 100), F.lit(9)))
+        .groupBy("lang", "len_decile", "source")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cls = cells.groupBy("lang", "len_decile").agg(
+        F.sum("c").alias("class_size"),
+        F.count(F.lit(1)).alias("l_distinct"),
+        F.max(F.struct(F.col("c"), F.col("source"))).getField("c").alias("dom_c"),
+    )
+    return cls.select(
+        "lang",
+        "len_decile",
+        "class_size",
+        "l_distinct",
+        H.round6(F.col("dom_c").cast("double") / F.col("class_size").cast("double")).alias(
+            "dominant_share"
+        ),
+        (F.col("l_distinct") < l_min).cast("int").alias("at_risk"),
+    ).orderBy("lang", "len_decile")
+
+
+SQL_L_DIVERSITY = f"""
+WITH cells AS (
+  SELECT lang, LEAST(n_chars // 100, 9) AS len_decile, source,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2, 3
+),
+cls AS (
+  SELECT lang, len_decile,
+         CAST(SUM(c) AS BIGINT) AS class_size,
+         CAST(COUNT(*) AS BIGINT) AS l_distinct,
+         (MAX({{'c': c, 'source': source}})).c AS dom_c
+  FROM cells GROUP BY 1, 2
+)
+SELECT lang, len_decile, class_size, l_distinct,
+       {H.sql_round6('CAST(dom_c AS DOUBLE) / CAST(class_size AS DOUBLE)')} AS dominant_share,
+       CASE WHEN l_distinct < {L_DIV} THEN 1 ELSE 0 END AS at_risk
+FROM cls ORDER BY lang, len_decile
+"""
+
+
+QUERIES["l_diversity_audit"] = l_diversity_audit
+ORACLES["l_diversity_audit"] = SQL_L_DIVERSITY

@@ -202,7 +202,7 @@ def test_new_ops_survive_empty_corpus(spark, sf_small, tmp_path):
         "vocab_drift_chi2", "kmv_set_ops", "bm25_topk",
         "rarity_buckets_edges", "ann_topk_ivf_sq8",
         "bigram_lm_rarity", "kfold_assignment", "semdedup_cells",
-        "quality_ablation_matrix",
+        "quality_ablation_matrix", "l_diversity_audit",
     ):
         assert qs[op](spark, dst).count() == 0, op
 
