@@ -1673,11 +1673,15 @@ def bigram_lm_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality signal unigram perplexity can't see.
 
     Scale: bigram extraction is an in-array transform (no extra shuffle
-    vs the token explode); the conditional table is bigram-vocab-sized
-    (Zipf-small) and broadcast; prefix counts derive from it by one more
-    vocab-sized aggregate. Per-doc sums combine map-side. Empty-filtered
-    tokens keep adjacency identical on both engines (filter BEFORE
-    pairing)."""
+    vs the token explode); the conditional table is bigram-vocab-sized and
+    joined WITHOUT a broadcast hint — bigram TYPE count grows near-linearly
+    with corpus tokens (order-2 Heaps; vocab_growth_curve measures it), so
+    a forced broadcast would OOM the driver at 100 TB. AQE still picks a
+    broadcast join at bench SFs where the table is small; at scale it
+    shuffle-joins on (lang, w1, w2), which is the right plan. Prefix counts
+    derive from the conditional table by one more vocab-sized aggregate.
+    Per-doc sums combine map-side. Empty-filtered tokens keep adjacency
+    identical on both engines (filter BEFORE pairing)."""
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     d = docs.select(
         "doc_id",
@@ -1695,20 +1699,26 @@ def bigram_lm_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("b"),
     ).select("doc_id", "lang", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
     # bigram-vocab-sized; serves the prefix aggregate AND the rarity join —
-    # checkpoint so the corpus bigram explode runs once, not per consumer
+    # checkpointed so ITS bigram explode runs once across those two
+    # consumers (the scoring join still re-derives bg from the raw scan:
+    # the documented <=2-scan shape; checkpointing corpus-sized bg itself
+    # would trade a cheap rescan for a full corpus materialization).
+    # No F.broadcast on pre/rar: both are corpus-DERIVED (bigram types grow
+    # ~linearly in tokens) — AQE broadcasts them at small SFs and falls
+    # back to a shuffle join at scale, which a forced hint would forbid.
     cnt = (
         bg.groupBy("lang", "w1", "w2")
         .agg(F.count(F.lit(1)).alias("c"))
         .localCheckpoint(eager=True)
     )
     pre = cnt.groupBy("lang", "w1").agg(F.sum("c").alias("p"))
-    rar = cnt.join(F.broadcast(pre), ["lang", "w1"]).select(
+    rar = cnt.join(pre, ["lang", "w1"]).select(
         "lang",
         "w1",
         "w2",
         F.expr(f"p * {RARITY_SCALE} div c").alias("rarity_micro"),
     )
-    scored = bg.join(F.broadcast(rar), ["lang", "w1", "w2"])
+    scored = bg.join(rar, ["lang", "w1", "w2"])
     return (
         scored.groupBy("doc_id")
         .agg(
@@ -1763,8 +1773,9 @@ L_DIV = 3
 
 
 def l_diversity_audit(spark: SparkSession, sf_dir: str, l_min: int = L_DIV) -> DataFrame:
-    """l-diversity over k_anonymity_audit's quasi-identifier classes
-    (lang, length decile) with SOURCE as the sensitive attribute: a class
+    """l-diversity over the k-anonymity classes with the sensitive source
+    column removed from the quasi-identifier — classes are (lang, length
+    decile); SOURCE is the sensitive attribute being audited: a class
     is safe only if its members draw from >= l distinct sources — a class
     that is k-anonymous but single-source still reveals provenance
     (Machanavajjhala et al., 'l-Diversity', ICDE'06: k-anonymity composes

@@ -412,8 +412,10 @@ def multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bk"),
     ).select("media_id", "mime", F.col("bk.band").alias("band"), F.col("bk.bval").alias("bval"))
     sizes = bands.groupBy("mime", "band", "bval").agg(F.count(F.lit(1)).alias("bn"))
-    ok = sizes.where(F.col("bn") <= MMD_MAX_BUCKET).select("mime", "band", "bval")
-    bands_ok = bands.join(F.broadcast(ok), ["mime", "band", "bval"])
+    # broadcast the OVERSIZED keys (tiny by pigeonhole) as an anti-join —
+    # the ok complement is corpus-sized and must never be a forced broadcast
+    big = sizes.where(F.col("bn") > MMD_MAX_BUCKET).select("mime", "band", "bval")
+    bands_ok = bands.join(F.broadcast(big), ["mime", "band", "bval"], "left_anti")
     a = bands_ok.select("mime", "band", "bval", F.col("media_id").alias("media_a"))
     b = bands_ok.select("mime", "band", "bval", F.col("media_id").alias("media_b"))
     cand = (

@@ -1811,10 +1811,12 @@ def _label_vote_from_edges(spark: SparkSession, sf_dir: str, edges: DataFrame) -
     """Majority-vote label prediction + per-label accuracy over any directed
     (src, dst) neighbor edge list — shared by the exact and LSH graph paths.
     Votes and the argmax run on the n·k edge list; ties break to the smaller
-    label id (deterministic)."""
+    label id (deterministic). The label table is a corpus-sized projection
+    (n rows), so neither join forces a broadcast — AQE picks one at bench
+    SFs; at 100x the equi-join on vec_id shuffles, which is correct."""
     labels = read_table(spark, sf_dir, "embeddings").select("vec_id", "label")
     nb = edges.join(
-        F.broadcast(labels.select(F.col("vec_id").alias("dst"), F.col("label").alias("nb_label"))),
+        labels.select(F.col("vec_id").alias("dst"), F.col("label").alias("nb_label")),
         "dst",
     )
     votes = nb.groupBy("src", "nb_label").agg(F.count(F.lit(1)).alias("n_votes"))
@@ -1825,7 +1827,7 @@ def _label_vote_from_edges(spark: SparkSession, sf_dir: str, edges: DataFrame) -
         .select("src", F.col("nb_label").alias("predicted"))
     )
     scored = pred.join(
-        F.broadcast(labels.select(F.col("vec_id").alias("src"), F.col("label").alias("truth"))),
+        labels.select(F.col("vec_id").alias("src"), F.col("label").alias("truth")),
         "src",
     )
     return (
@@ -1940,8 +1942,13 @@ def _lsh_topk_edges(spark: SparkSession, sf_dir: str, k: int = KNN_K) -> DataFra
     banded = _banded_pandas(emb, "g{b}:", GB_BANDS, bits).localCheckpoint()
     # (feeds the size guard + both self-join sides)
     sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("bn"))
-    ok = sizes.where(F.col("bn") <= GB_MAX_BUCKET).select("band", "bucket")
-    b_ok = banded.join(F.broadcast(ok), ["band", "bucket"])
+    # guard as a broadcast ANTI-join on the OVERSIZED keys: that list is
+    # bounded by n*bands/GB_MAX_BUCKET (pigeonhole) and in practice near
+    # empty, while the complement "ok" set is corpus-sized (~n*bands/target
+    # keys) — broadcasting ok was the r8-audit scale bug, same class as a
+    # corpus-derived dimension broadcast
+    big = sizes.where(F.col("bn") > GB_MAX_BUCKET).select("band", "bucket")
+    b_ok = banded.join(F.broadcast(big), ["band", "bucket"], "left_anti")
     # Hamming-1 multiprobe on the probe side: each vector also searches the
     # `bits` buckets one bit-flip away in every band. This is what holds
     # recall as the adaptive bits grow with n (measured at sf0.1/bits=6:

@@ -208,10 +208,13 @@ def dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", (F.col("n_hit") == F.col("n_bits")).cast("int").alias("bloom_positive"))
     )
+    # exact is the OLD corpus's distinct norms — corpus-derived, so no
+    # broadcast hint (the Bloom bit array above is the bounded broadcast;
+    # this audit side shuffle-joins on norm at scale, AQE broadcasts small)
     exact = old.select(F.col("norm").alias("norm_old")).distinct()
     verdicts = (
         new.join(hits, "doc_id")
-        .join(F.broadcast(exact), F.col("norm") == F.col("norm_old"), "left")
+        .join(exact, F.col("norm") == F.col("norm_old"), "left")
         .select(
             "doc_id",
             "bloom_positive",

@@ -56,14 +56,17 @@ FROM per_user
 
 def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention: users grouped by first-activity week; for
-    each later week, how many came back. Two aggregations + one broadcast
-    join of the (tiny) cohort table — no per-user state on the driver."""
+    each later week, how many came back. Two aggregations + one user-keyed
+    join — no per-user state on the driver. The cohort table is PER-USER
+    (corpus-derived), so it carries no broadcast hint: the join reuses the
+    user_id hash partitioning the cohort aggregate just produced, and AQE
+    still broadcasts it at small SFs."""
     ev = read_events(spark, sf_dir)
     week = (F.datediff(F.col("ts"), F.lit("2024-01-01").cast("timestamp")) / 7).cast("int")
     activity = ev.select("user_id", week.alias("week")).distinct()
     cohorts = activity.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
     return (
-        activity.join(F.broadcast(cohorts), "user_id")
+        activity.join(cohorts, "user_id")
         .groupBy("cohort_week", F.col("week"))
         .agg(F.countDistinct("user_id").alias("active_users"))
         .withColumn("weeks_since", F.col("week") - F.col("cohort_week"))
@@ -1273,7 +1276,7 @@ def events_value_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFram
 SQL_EVENTS_VALUE_PERCENTILES_EXACT = f"""
 WITH r AS (
   SELECT event_type, event_id, value,
-         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rk,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value NULLS FIRST, event_id) AS rk,
          COUNT(*) OVER (PARTITION BY event_type) AS n
   FROM events
 ),

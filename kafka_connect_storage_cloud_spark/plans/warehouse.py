@@ -468,7 +468,9 @@ def part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = pairs.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= AFFINITY_TOP)
     fa = freq.select(F.col("l_partkey").alias("part_a"), F.col("cnt").alias("c_a"))
     fb = freq.select(F.col("l_partkey").alias("part_b"), F.col("cnt").alias("c_b"))
-    joined = top.join(F.broadcast(fa), "part_a").join(F.broadcast(fb), "part_b")
+    # broadcast the TOP-50 side, not the |parts|-sized frequency table —
+    # freq is dim-proportional and would not fit a broadcast at extreme SF
+    joined = F.broadcast(top).join(fa, "part_a").join(fb, "part_b")
     nf = F.lit(float(n_orders))
     lift = (F.col("c_ab").cast("double") / nf) / (
         (F.col("c_a").cast("double") / nf) * (F.col("c_b").cast("double") / nf)
