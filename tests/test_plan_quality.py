@@ -330,6 +330,8 @@ _NESTED_LOOP_OK = {
     "corpus_prep_pipeline",       # language-mix weight table (|langs| rows)
     "ab_test_metrics",            # 1-row x 1-row variant combine
     "kmv_set_ops",                # |sources|^2 pair spine (20 x 20 metadata)
+    "cdc_merge_apply",            # 1-row offset-split scalar-anchor combine
+    "landed_files_diff",          # 1-row offset-split scalar-anchor combine
 }
 
 
@@ -502,3 +504,61 @@ def test_zorder_file_assignment_has_no_unpartitioned_rank(spark, sf_dir):
         assert "ASC" not in first_arg and "DESC" not in first_arg, (
             f"unpartitioned row_number window is back: ({first_arg}, ...)"
         )
+
+
+# ---------------------------------------------------------------------------
+# r8: eager-action inventory gate (VERDICT r7 'What's wrong' #3 follow-up).
+# Plan BUILDERS should construct plans, not run jobs. The remaining eager
+# sites are a frozen, documented inventory of bounded scalars (memoized
+# count gates, codebook training partials, |types|x24 cell collects,
+# decimal-exact pareto totals) plus one lazy false-positive
+# (events_ext pivot().count() is an aggregation, not an action). Any NEW
+# `.collect()` / `.count()` / `.head(` in a plan-builder module grows its
+# count and fails here: either make it a scalar subquery / memoized gate
+# (the haar h0 / cdc split / landed-files split treatment, r8) or justify
+# it and bump the frozen number in the same commit.
+# ---------------------------------------------------------------------------
+
+_EAGER_INVENTORY = {
+    "llm/clustering.py": 2,
+    "llm/corpus.py": 7,
+    "llm/pipeline.py": 3,
+    "llm/pq.py": 5,
+    "llm/retrieval.py": 1,
+    "llm/similarity.py": 6,
+    "llm/sq.py": 2,
+    "llm/text_stats.py": 7,
+    "plans/events_ext.py": 1,   # pivot().count() — lazy aggregation
+    "plans/warehouse.py": 7,
+    "operators/layout.py": 1,
+}
+
+
+def test_eager_actions_in_plan_builders_are_frozen():
+    import os
+    import re
+
+    pkg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "kafka_connect_storage_cloud_spark",
+    )
+    pat = re.compile(r"\.collect\(\)|\.count\(\)|\.head\(")
+    found = {}
+    for sub in ("llm", "plans", "operators"):
+        d = os.path.join(pkg, sub)
+        for fn in sorted(os.listdir(d)):
+            if not fn.endswith(".py"):
+                continue
+            with open(os.path.join(d, fn)) as f:
+                n = len(pat.findall(f.read()))
+            if n:
+                found[f"{sub}/{fn}"] = n
+    over = {
+        k: (v, _EAGER_INVENTORY.get(k, 0))
+        for k, v in found.items()
+        if v > _EAGER_INVENTORY.get(k, 0)
+    }
+    assert not over, (
+        f"new eager action(s) in plan builders {over} — scalar-subquery or "
+        "memoize it, or bump _EAGER_INVENTORY with justification"
+    )
