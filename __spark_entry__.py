@@ -60,111 +60,99 @@ def entry(spark: SparkSession) -> DataFrame:
     return T.q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-# --- diff-aware re-verification window (rebuilt END of round 7) ----------
-# Rebuilt after the round's 13 new operators landed (tools/stale_keys.py
-# end-of-round run: fresh=13, stale=169 of 255 — the stale count GREW this
-# round because every module that gained an appended operator marks its
-# incumbent keys stale under the module-recency proxy). Window composition
-# overrides pure module recency per the SKILL.md pin rule: today's module
-# changes are pure appends (low risk to incumbent keys), while the r6-tail
-# rewrites of llm/dedup.py and llm/similarity.py touched shared helpers
-# under keys last green in ROUND 3 — the oldest-green x heaviest-rewritten
-# cells. Order: 13 fresh (new r7 ops incl. the two rank-edges twins),
-# 7 body-changed pins (zorder rewrite, deciles, matryoshka rounding fix,
-# ann_method_matrix +ivf_sq8 row, dedup_method_matrix shared scan,
-# knn_graph_mutual/ngram_jaccard gate memoization), the r3-green
-# dedup.py/similarity.py families, then the stalest r5/r6 keys of those
-# same two modules. _rotate still floats unknown (post-build) keys first.
+# --- diff-aware re-verification window (rebuilt START of round 8) --------
+# Rebuilt with the r8 FUNCTION-LEVEL staleness (tools/stale_keys.py now
+# compares per-key content signatures — impl source + transitive package
+# helpers + oracle SQL — against the tree of each key's last-green verdict
+# commit; tools/key_signatures.py). Stale count: 169 under the old module-
+# mtime proxy -> 47 true body-changes, so the ENTIRE stale set fits one
+# 50-slot window and _RECHECK is empty for the first time. The 47 split:
+# r8's own edits (haar fusion + scalar anchors, semdedup adaptive K,
+# bigram/labels/guards broadcast fixes, percentiles oracle NULLS pin) plus
+# keys whose TRANSITIVE helpers were rewritten after their last green round
+# (rotation/partitioner keys green r2 vs the r5 rotation.py work; PQ keys
+# green r4 vs the r6 codebook memo; clustering keys green r3 vs the r6
+# dedup/similarity rewrites) — exactly the shared-helper class the old
+# proxy needed hand-pins for. _rotate still floats unknown keys first.
 _PRIORITY: tuple[str, ...] = (
-    "events_burst_runs", "events_value_percentiles_exact", "events_haar_energy",
-    "bm25_topk", "quality_ablation_matrix", "semdedup_cells", "bigram_lm_rarity",
-    "ann_topk_ivf_sq8", "kmv_set_ops", "vocab_drift_chi2", "kfold_assignment",
-    "events_value_deciles_edges", "rarity_buckets_edges", "zorder_file_skipping",
-    "events_value_deciles", "matryoshka_recall_audit", "ann_method_matrix",
-    "dedup_method_matrix", "knn_graph_mutual", "ngram_jaccard", "dedup_exact",
-    "dedup_incremental", "dedup_minhash_lsh", "dedup_modality_agreement",
-    "dedup_simhash", "dup_source_matrix", "minhash_jaccard_est",
-    "minhash_precision_curve", "source_overlap_jaccard", "ann_topk_bruteforce",
-    "ann_topk_lsh", "embedding_centroid_outliers", "embedding_cosine_dups",
-    "embedding_covariance", "embedding_dim_stats", "embedding_pca_power",
-    "knn_label_vote_accuracy", "knn_pagerank_step", "knn_triangle_count",
-    "unblocked_band_recall", "minhash_band_tuning", "dedup_containment",
-    "simhash_bit_balance", "cosine_dup_band_recall_sampled",
-    "knn_graph_lsh_recall_sampled", "ann_recall_audit", "cosine_dup_band_recall",
-    "embedding_pca_project", "knn_graph_lsh", "knn_graph_lsh_recall",
+    "events_retention", "events_haar_energy", "events_value_percentiles_exact",
+    "cdc_merge_apply", "landed_files_diff", "dsir_importance", "bigram_lm_rarity",
+    "l_diversity_audit", "ann_topk_ivf", "ann_topk_ivf_multiprobe", "cluster_profile_kmeans",
+    "semdedup_cells", "knn_graph_lsh", "knn_graph_lsh_recall", "knn_label_vote_lsh",
+    "knn_pagerank_step_lsh", "knn_triangle_count_lsh", "knn_graph_lsh_recall_sampled",
+    "knn_label_vote_accuracy", "part_affinity", "rfm_segmentation", "dedup_bloom",
+    "multimodal_payload_dedup", "duration_partitioner", "erasure_rewrite_plan",
+    "exactly_once_manifest", "path_format_partitioner", "rotation_flush_size",
+    "rotation_interval", "rotation_partition_change", "rotation_scheduled", "rotation_schema_change",
+    "rotation_stats", "schema_partitioner", "schema_partitioner_suffix", "rotation_max_open_files",
+    "rotation_policy_matrix", "ann_topk_ivf_pq", "embedding_pq", "pq_adc_topk",
+    "pq_recall_audit", "dedup_clusters", "dedup_keep_best", "dedup_rate_by_slice",
+    "quality_dup_profile", "dedup_transitivity_audit", "dup_cluster_size_profile",
 )
 
-# Remaining stale-green keys (tools/stale_keys.py ranking) — swept every
-# suite run by tests/test_oracle_parity.py; window candidates for r8.
-_RECHECK: tuple[str, ...] = (
-    "ab_test_metrics", "events_anomaly", "events_anomaly_mad", "events_dau_mau",
-    "events_dod_growth", "events_dow_profile", "events_funnel", "events_inter_arrival",
-    "events_markov_transitions", "events_retention", "events_value_histogram",
-    "multi_touch_attribution", "events_cube", "rollup_incremental_merge",
-    "events_props_extract", "events_props_variant", "events_type_diversity",
-    "events_type_pivot", "events_type_unpivot", "context_pack", "dedup_chunks",
-    "dsir_importance", "rarity_buckets", "tokens_per_source_budget", "lm_rarity_score",
-    "bpe_compression_curve", "bpe_pair_stats", "bpe_train_rounds", "corpus_mixture",
-    "corpus_prep_pipeline", "doc_chunk_split", "doc_truncation_loss", "idf_topterms",
-    "k_anonymity_audit", "modality_coverage_audit", "token_shard_pack", "corpus_stats",
-    "dsir_importance_edges", "pack_efficiency_curve", "shard_skew_audit",
-    "cms_heavy_hitters", "hll_distinct", "hll_merge_invariant", "kmv_distinct",
-    "quantile_sketch_audit", "reservoir_sample", "train_test_split",
-    "schema_compat_backward", "schema_compat_forward", "schema_compat_full",
-    "schema_compat_none", "quality_filter", "token_diversity", "tokenizer_fertility",
-    "gopher_rules_filter", "lang_id", "lang_id_confusion", "quality_score",
-    "repetition_score", "quality_threshold_yield", "doc_fingerprint", "token_count",
-    "ann_topk_ivf", "ann_topk_ivf_multiprobe", "cluster_profile_kmeans",
-    "ivf_kmeans_refine", "semantic_contamination", "contamination_check",
-    "ivf_balance_audit", "stratified_sample", "ivf_nprobe_recall_curve",
-    "embedding_sq8", "sq8_recall_audit", "bigram_lift", "ngram_novelty",
-    "vocab_coverage", "vocab_drift_tvd", "zipf_profile", "negative_sampling_table",
-    "ngram_memorization_audit", "vocab_growth_curve", "knn_label_vote_lsh",
-    "knn_pagerank_step_lsh", "knn_triangle_count_lsh", "daily_partitioner",
-    "default_partitioner", "duration_partitioner", "erasure_rewrite_plan",
-    "exactly_once_manifest", "field_partitioner", "field_time_partitioner",
-    "hourly_partitioner", "kv_header_views", "path_format_partitioner",
-    "rotation_flush_size", "rotation_interval", "rotation_partition_change",
-    "rotation_scheduled", "rotation_schema_change", "rotation_stats",
-    "schema_partitioner", "schema_partitioner_suffix", "time_based_partitioner",
-    "timestamp_extractor_record_field", "tombstone_routing", "tz_partitioner",
-    "locale_partitioner", "rotation_custom_naming", "rotation_max_open_files",
-    "benford_audit", "bootstrap_mean_ci", "events_autocorr_lag1", "events_changepoint",
-    "events_trend_slope", "fuzzy_name_matches", "market_concentration_hhi",
-    "orders_cohort_ltv", "part_affinity", "revenue_pareto", "rfm_segmentation",
-    "supplier_scorecard", "events_cusum_alarms", "orders_backlog_aging",
-    "ann_topk_ivf_pq", "embedding_pq", "pq_adc_topk", "pq_recall_audit",
-    "dedup_clusters", "dedup_keep_best", "dedup_rate_by_slice", "dedup_semantic",
-    "quality_dup_profile",
-)
+# Empty: every stale key fits the r8 window (47 < 50). Kept for _rotate's
+# contract; future rebuilds repopulate it when stale > window.
+_RECHECK: tuple[str, ...] = ()
 
-# Externally-verified keys whose implementing module is unchanged since
-# their last green round.
+# Externally-verified keys whose behavior-relevant code (impl + transitive
+# helpers + oracle SQL) is signature-identical to their last green round.
 _VERIFIED_CURRENT: tuple[str, ...] = (
-    "cdc_merge_apply", "compact_small_files", "consumer_lag_report",
-    "curriculum_stages", "curriculum_stages_edges", "dedup_bloom", "dedup_substring",
-    "dedup_transitivity_audit", "dup_cluster_size_profile", "events_asof_join",
-    "events_ewma16", "events_gapfill_locf", "events_hourly_rollup",
-    "events_range_join", "events_rolling_window", "events_seasonality_anova",
-    "events_session_window_native", "events_sessionize", "events_sliding_window",
-    "events_time_weighted_avg", "events_topk_users", "knn_graph_components",
-    "landed_files_diff", "late_data_audit", "log_compaction",
-    "mixture_temperature_weights", "mlm_masking_plan", "multimodal_audio_resample",
-    "multimodal_frame_sample", "multimodal_payload_dedup", "multimodal_pipeline",
-    "multimodal_resize", "multipart_upload_plan", "offset_continuity_audit",
-    "order_lead_time", "order_priority_count", "part_type_margin",
-    "pii_density_by_slice", "pii_scan", "pq_code_balance", "q10_returned_items",
-    "q11_important_stock", "q12_ship_priority_class", "q13_customer_distribution",
-    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_part_counts",
-    "q17_small_quantity_revenue", "q18_large_volume_customers",
-    "q19_discounted_revenue", "q1_pricing_summary", "q1_rollup",
-    "q20_dominant_suppliers", "q21_waiting_suppliers", "q22_global_sales_opportunity",
-    "q2_min_cost_supplier", "q3_shipping_priority", "q4_order_priority",
-    "q5_local_supplier_volume", "q6_revenue_change", "q7_volume_shipping",
-    "q8_market_share", "q9_product_type_profit", "revenue_pareto_edges",
-    "rfm_segmentation_edges", "rotation_interval_partition_change",
-    "rotation_policy_matrix", "scd2_history", "scd2_snapshot_asof", "schema_evolution",
-    "smt_chain", "span_corruption_plan", "top_customers",
+    "ab_test_metrics", "ann_method_matrix", "ann_recall_audit", "ann_topk_bruteforce",
+    "ann_topk_ivf_sq8", "ann_topk_lsh", "benford_audit", "bigram_lift", "bm25_topk",
+    "bootstrap_mean_ci", "bpe_compression_curve", "bpe_pair_stats", "bpe_train_rounds",
+    "cms_heavy_hitters", "compact_small_files", "consumer_lag_report", "contamination_check",
+    "context_pack", "corpus_mixture", "corpus_prep_pipeline", "corpus_stats",
+    "cosine_dup_band_recall", "cosine_dup_band_recall_sampled", "curriculum_stages",
+    "curriculum_stages_edges", "daily_partitioner", "dedup_chunks", "dedup_containment",
+    "dedup_exact", "dedup_incremental", "dedup_method_matrix", "dedup_minhash_lsh",
+    "dedup_modality_agreement", "dedup_semantic", "dedup_simhash", "dedup_substring",
+    "default_partitioner", "doc_chunk_split", "doc_fingerprint", "doc_truncation_loss",
+    "dsir_importance_edges", "dup_source_matrix", "embedding_centroid_outliers",
+    "embedding_cosine_dups", "embedding_covariance", "embedding_dim_stats", "embedding_pca_power",
+    "embedding_pca_project", "embedding_sq8", "events_anomaly", "events_anomaly_mad",
+    "events_asof_join", "events_autocorr_lag1", "events_burst_runs", "events_changepoint",
+    "events_cube", "events_cusum_alarms", "events_dau_mau", "events_dod_growth",
+    "events_dow_profile", "events_ewma16", "events_funnel", "events_gapfill_locf",
+    "events_holt_linear", "events_hourly_rollup", "events_inter_arrival", "events_markov_transitions",
+    "events_props_extract", "events_props_variant", "events_range_join", "events_rolling_window",
+    "events_seasonality_anova", "events_session_window_native", "events_sessionize",
+    "events_sliding_window", "events_time_weighted_avg", "events_topk_users",
+    "events_trend_slope", "events_type_diversity", "events_type_pivot", "events_type_unpivot",
+    "events_value_deciles", "events_value_deciles_edges", "events_value_histogram",
+    "field_partitioner", "field_time_partitioner", "fuzzy_name_matches", "gopher_rules_filter",
+    "hll_distinct", "hll_merge_invariant", "hourly_partitioner", "idf_topterms",
+    "ivf_balance_audit", "ivf_kmeans_refine", "ivf_nprobe_recall_curve", "k_anonymity_audit",
+    "kfold_assignment", "kmv_distinct", "kmv_set_ops", "knn_graph_components",
+    "knn_graph_mutual", "knn_pagerank_step", "knn_triangle_count", "kv_header_views",
+    "lang_id", "lang_id_confusion", "late_data_audit", "lm_rarity_score", "locale_partitioner",
+    "log_compaction", "market_concentration_hhi", "matryoshka_recall_audit",
+    "minhash_band_tuning", "minhash_jaccard_est", "minhash_precision_curve",
+    "mixture_temperature_weights", "mlm_masking_plan", "modality_coverage_audit",
+    "multi_touch_attribution", "multimodal_audio_resample", "multimodal_frame_sample",
+    "multimodal_pipeline", "multimodal_resize", "multipart_upload_plan", "negative_sampling_table",
+    "ngram_jaccard", "ngram_memorization_audit", "ngram_novelty", "offset_continuity_audit",
+    "order_lead_time", "order_priority_count", "orders_backlog_aging", "orders_cohort_ltv",
+    "pack_efficiency_curve", "part_type_margin", "pii_density_by_slice", "pii_scan",
+    "pq_code_balance", "q10_returned_items", "q11_important_stock", "q12_ship_priority_class",
+    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier", "q16_supplier_part_counts",
+    "q17_small_quantity_revenue", "q18_large_volume_customers", "q19_discounted_revenue",
+    "q1_pricing_summary", "q1_rollup", "q20_dominant_suppliers", "q21_waiting_suppliers",
+    "q22_global_sales_opportunity", "q2_min_cost_supplier", "q3_shipping_priority",
+    "q4_order_priority", "q5_local_supplier_volume", "q6_revenue_change", "q7_volume_shipping",
+    "q8_market_share", "q9_product_type_profit", "quality_ablation_matrix", "quality_filter",
+    "quality_score", "quality_threshold_yield", "quantile_sketch_audit", "rarity_buckets",
+    "rarity_buckets_edges", "repetition_score", "reservoir_sample", "revenue_pareto",
+    "revenue_pareto_edges", "rfm_segmentation_edges", "rollup_incremental_merge",
+    "rotation_custom_naming", "rotation_interval_partition_change", "scd2_history",
+    "scd2_snapshot_asof", "schema_compat_backward", "schema_compat_forward",
+    "schema_compat_full", "schema_compat_none", "schema_evolution", "semantic_contamination",
+    "shard_skew_audit", "simhash_bit_balance", "smt_chain", "source_overlap_jaccard",
+    "span_corruption_plan", "sq8_recall_audit", "stratified_sample", "supplier_scorecard",
+    "time_based_partitioner", "timestamp_extractor_record_field", "token_count",
+    "token_diversity", "token_shard_pack", "tokenizer_fertility", "tokens_per_source_budget",
+    "tombstone_routing", "top_customers", "train_test_split", "tz_partitioner",
+    "unblocked_band_recall", "vocab_coverage", "vocab_drift_chi2", "vocab_drift_tvd",
+    "vocab_growth_curve", "zipf_profile", "zorder_file_skipping",
 )
 
 

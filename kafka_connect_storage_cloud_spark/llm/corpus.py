@@ -373,7 +373,22 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     qf = quality_filter(spark, sf_dir).where(F.col("keep")).select("doc_id")
     kb = dedup_keep_best(spark, sf_dir).where(F.col("keep")).select("doc_id")
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    survivors = docs.join(qf, "doc_id").join(kb, "doc_id").localCheckpoint()
+    survivors = (
+        docs.join(qf, "doc_id")
+        .join(kb, "doc_id")
+        .select("doc_id", "lang", _ws_tokens().alias("tokens"))
+        .localCheckpoint()
+    )
+    return _rebalance_pack(survivors)
+
+
+def _rebalance_pack(survivors: DataFrame) -> DataFrame:
+    """Language-mix rebalance + token shard packing over a survivors frame
+    (doc_id, lang, tokens) — the tail of corpus_prep_pipeline, shared with
+    the streaming twin's drain-time finalize (streaming.pipeline.
+    corpus_prep_stream_manifest), so batch and stream provably run the
+    SAME mixture/packing decision. The weight table is |langs|-sized
+    (bounded broadcast); the pack inherits token_shard_pack's shape."""
     counts = survivors.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
     total = counts.agg(F.sum("n_docs").alias("n"))
     target = F.lit(MIX_DEFAULT)
@@ -392,8 +407,7 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(weights), "lang")
         .where(F.col("bucket") < F.floor(F.col("weight") * 1000000).cast("bigint"))
     )
-    toks = kept.select("doc_id", _ws_tokens().alias("tokens"))
-    return pack_manifest(toks)
+    return pack_manifest(kept.select("doc_id", "tokens"))
 
 
 def _sql_corpus_prep_pipeline() -> str:

@@ -478,83 +478,11 @@ def minhash_dedup_stream(
     READ is a columnar scan with (band,bval) pushdown per batch; a
     long-lived deployment would bucket the store on (band,bval) to prune
     it (sinks/bucketed.py is that machinery)."""
-    import os
-
-    from ..llm.dedup import MAX_BUCKET, _band_table, _signatures_of
-
-    def _list_batches(spark, path: str) -> list[str]:
-        # Hadoop FS API, not os.listdir: store_dir may be s3a://... in
-        # production — the same listing works for local paths and object
-        # stores alike.
-        jvm = spark._jvm
-        jpath = jvm.org.apache.hadoop.fs.Path(path)
-        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        if not fs.exists(jpath):
-            return []
-        return [
-            st.getPath().getName()
-            for st in fs.listStatus(jpath)
-            if st.getPath().getName().startswith("batch=")
-        ]
 
     def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        spark = batch_df.sparkSession
-        bands_new = _band_table(
-            _signatures_of(batch_df.select("doc_id", "text"))
-        ).localCheckpoint(eager=True)
-        bands_path = os.path.join(store_dir, "bands")
-        prior = [
-            e for e in _list_batches(spark, bands_path)
-            if int(e.split("=", 1)[1]) < batch_id
-        ]
-        pairs_path = os.path.join(store_dir, "pairs", f"batch={batch_id}")
-        probed = bands_new.select("band", "bval").distinct()
-        if prior:
-            store = (
-                spark.read.parquet(*[os.path.join(bands_path, e) for e in prior])
-                .select(F.col("doc_id").alias("index_doc"), "band", "bval")
-                .join(probed, ["band", "bval"])  # only probed buckets matter
-            )
-            allb = store.select(
-                F.col("index_doc").alias("doc_id"), "band", "bval"
-            ).unionByName(bands_new)
-        else:
-            store = None
-            allb = bands_new
-        ok = (
-            allb.groupBy("band", "bval")
-            .agg(F.count(F.lit(1)).alias("bn"))
-            .where(F.col("bn") <= MAX_BUCKET)
-            .select("band", "bval")
-        )
-        new_ok = bands_new.join(ok, ["band", "bval"])
-        # within-batch pairs: same-batch near-dups must not hide behind
-        # the batch split
-        within = (
-            new_ok.select(F.col("doc_id").alias("new_doc"), "band", "bval")
-            .join(
-                new_ok.select(F.col("doc_id").alias("index_doc"), "band", "bval"),
-                ["band", "bval"],
-            )
-            .where(F.col("new_doc") < F.col("index_doc"))
-            .select("new_doc", "index_doc")
-        )
-        if store is not None:
-            cross = (
-                new_ok.select(F.col("doc_id").alias("new_doc"), "band", "bval")
-                .join(store.join(ok, ["band", "bval"]), ["band", "bval"])
-                .where(F.col("new_doc") != F.col("index_doc"))  # re-crawl self-match
-                .select("new_doc", "index_doc")
-            )
-            pairs = within.unionByName(cross).distinct()
-        else:
-            pairs = within.distinct()
-        pairs.write.mode("overwrite").parquet(pairs_path)
-        bands_new.write.mode("overwrite").parquet(
-            os.path.join(bands_path, f"batch={batch_id}")
-        )
+        _minhash_band_sink(batch_df, batch_id, store_dir)
 
     return (
         docs.writeStream.foreachBatch(sink_batch)
@@ -562,6 +490,206 @@ def minhash_dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _list_store_batches(spark, path: str) -> list[str]:
+    """batch=N entries under a store path. Hadoop FS API, not os.listdir:
+    store_dir may be s3a://... in production — the same listing works for
+    local paths and object stores alike."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return []
+    return [
+        st.getPath().getName()
+        for st in fs.listStatus(jpath)
+        if st.getPath().getName().startswith("batch=")
+    ]
+
+
+def _minhash_band_sink(batch_df: DataFrame, batch_id: int, store_dir: str) -> None:
+    """One micro-batch of the cross-batch minhash band store: probe prior
+    bands for cross-batch pairs, emit within-batch pairs, append this
+    batch's bands — all batch-keyed overwrite writes (exactly-once; see
+    minhash_dedup_stream's contract, whose sink this is, shared since r8
+    with corpus_prep_stream)."""
+    import os
+
+    from ..llm.dedup import MAX_BUCKET, _band_table, _signatures_of
+
+    spark = batch_df.sparkSession
+    bands_new = _band_table(
+        _signatures_of(batch_df.select("doc_id", "text"))
+    ).localCheckpoint(eager=True)
+    bands_path = os.path.join(store_dir, "bands")
+    prior = [
+        e for e in _list_store_batches(spark, bands_path)
+        if int(e.split("=", 1)[1]) < batch_id
+    ]
+    pairs_path = os.path.join(store_dir, "pairs", f"batch={batch_id}")
+    probed = bands_new.select("band", "bval").distinct()
+    if prior:
+        store = (
+            spark.read.parquet(*[os.path.join(bands_path, e) for e in prior])
+            .select(F.col("doc_id").alias("index_doc"), "band", "bval")
+            .join(probed, ["band", "bval"])  # only probed buckets matter
+        )
+        allb = store.select(
+            F.col("index_doc").alias("doc_id"), "band", "bval"
+        ).unionByName(bands_new)
+    else:
+        store = None
+        allb = bands_new
+    ok = (
+        allb.groupBy("band", "bval")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .where(F.col("bn") <= MAX_BUCKET)
+        .select("band", "bval")
+    )
+    new_ok = bands_new.join(ok, ["band", "bval"])
+    # within-batch pairs: same-batch near-dups must not hide behind
+    # the batch split
+    within = (
+        new_ok.select(F.col("doc_id").alias("new_doc"), "band", "bval")
+        .join(
+            new_ok.select(F.col("doc_id").alias("index_doc"), "band", "bval"),
+            ["band", "bval"],
+        )
+        .where(F.col("new_doc") < F.col("index_doc"))
+        .select("new_doc", "index_doc")
+    )
+    if store is not None:
+        cross = (
+            new_ok.select(F.col("doc_id").alias("new_doc"), "band", "bval")
+            .join(store.join(ok, ["band", "bval"]), ["band", "bval"])
+            .where(F.col("new_doc") != F.col("index_doc"))  # re-crawl self-match
+            .select("new_doc", "index_doc")
+        )
+        pairs = within.unionByName(cross).distinct()
+    else:
+        pairs = within.distinct()
+    pairs.write.mode("overwrite").parquet(pairs_path)
+    bands_new.write.mode("overwrite").parquet(
+        os.path.join(bands_path, f"batch={batch_id}")
+    )
+
+
+def corpus_prep_stream(
+    docs: DataFrame, store_dir: str, checkpoint: str
+) -> StreamingQuery:
+    """Streaming END-TO-END corpus preparation — the capstone composition
+    of the individually-pinned ingest pieces (VERDICT r7 'Next round' #6):
+    per micro-batch,
+
+      1. the fused per-doc quality verdict (quality_verdict — the same
+         stateless expression tree as batch quality_filter) plus the
+         whitespace token count land in `docs/batch=N` (doc_id, lang,
+         tokens, quality, q_keep);
+      2. the cross-batch minhash band store ingests the batch and emits
+         its cross- and within-batch near-dup pairs (`_minhash_band_sink`
+         — byte-identical logic to minhash_dedup_stream, so the
+         accumulated pair set is split-independent and equals the
+         one-shot dedup_minhash_lsh's).
+
+    Both stores are batch-keyed overwrite writes: a replayed micro-batch
+    recomputes from the store state it originally saw and rewrites
+    identical files (the connector's replay-overwrite rule).
+
+    The global decisions a training manifest needs — keep-best within
+    near-dup clusters, language-mix weights, shard packing — are NOT
+    per-batch computable (they depend on the whole corpus), so they run
+    once at drain over the ACCUMULATED metadata stores:
+    corpus_prep_stream_manifest == batch corpus_prep_pipeline, pinned in
+    tests/test_streaming.py. At 100 TB the drain-time finalize touches
+    only per-doc metadata rows (doc_id, lang, tokens, quality) and the
+    near-dup pair set — never the corpus text again."""
+    from ..llm.corpus import _ws_tokens
+    from ..llm.quality import quality_verdict
+
+    def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        if batch_df.isEmpty():
+            return
+        batch_df = batch_df.localCheckpoint(eager=True)  # verdict + bands read it
+        verd = quality_verdict(
+            batch_df.withColumn("tokens", _ws_tokens()), carry=("tokens",)
+        ).select(
+            "doc_id", "lang", "tokens", "quality", F.col("keep").alias("q_keep")
+        )
+        verd.write.mode("overwrite").parquet(
+            os.path.join(store_dir, "docs", f"batch={batch_id}")
+        )
+        _minhash_band_sink(batch_df, batch_id, store_dir)
+
+    return (
+        docs.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def corpus_prep_stream_manifest(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Drain-time finalize of corpus_prep_stream: keep-best over the
+    accumulated near-dup pair store (the same min-label components +
+    quality-rank rule as batch dedup_keep_best), intersect with the
+    per-doc quality verdicts, then the SHARED mixture/packing tail
+    (llm.corpus._rebalance_pack). Equals batch corpus_prep_pipeline
+    row-for-row regardless of how the ingest split into batches.
+
+    Scale: every input here is metadata — per-doc verdict rows (5 narrow
+    columns), the near-dup pair set, and |langs| weights; the corpus text
+    is never re-read. Re-delivered docs collapse via distinct() (their
+    verdict rows are deterministic projections, hence identical)."""
+    import os
+
+    from pyspark.sql import Window
+
+    from ..llm.clustering import min_label_components
+    from ..llm.corpus import _rebalance_pack
+
+    docs_path = os.path.join(store_dir, "docs")
+    doc_batches = _list_store_batches(spark, docs_path)
+    if not doc_batches:
+        return spark.createDataFrame(
+            [],
+            "worker int, shard bigint, n_docs bigint, shard_tokens bigint, "
+            "start_doc bigint, end_doc bigint, shard_path string",
+        )
+    docs = (
+        spark.read.parquet(*[os.path.join(docs_path, e) for e in doc_batches])
+        .select("doc_id", "lang", "tokens", "quality", "q_keep")
+        .distinct()
+        .localCheckpoint()
+    )
+    pair_batches = _list_store_batches(spark, os.path.join(store_dir, "pairs"))
+    if pair_batches:
+        raw = spark.read.parquet(
+            *[os.path.join(store_dir, "pairs", e) for e in pair_batches]
+        )
+        pairs = raw.select(
+            F.least("new_doc", "index_doc").alias("src"),
+            F.greatest("new_doc", "index_doc").alias("dst"),
+        ).distinct()
+    else:
+        pairs = spark.createDataFrame([], "src long, dst long")
+    comp = min_label_components(docs.select("doc_id"), pairs, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("quality"), F.asc("doc_id"))
+    kb = (
+        comp.join(docs.select("doc_id", "quality"), "doc_id")
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select("doc_id")
+    )
+    survivors = (
+        docs.where(F.col("q_keep"))
+        .join(kb, "doc_id")
+        .select("doc_id", "lang", "tokens")
+        .localCheckpoint()
+    )
+    return _rebalance_pack(survivors)
 
 
 def consumer_lag_stream(

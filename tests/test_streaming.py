@@ -1272,3 +1272,56 @@ def test_burst_runs_stream_matches_batch(spark, sf_small, tmp_path):
     assert got1 == exp and exp, "final runs table != one-shot events_burst_runs"
     got2 = run("br_ckpt2")
     assert got2 == exp
+
+
+def test_corpus_prep_stream_matches_batch(spark, sf_small, tmp_path):
+    """The r8 streaming corpus-prep capstone: quality ∘ cross-batch near-dup
+    keep-best ∘ mixture ∘ packing over a 2-batch ingest must reproduce the
+    one-shot corpus_prep_pipeline manifest row-for-row; a 4-way split must
+    produce the same manifest (batch-split independence); and a full replay
+    into a fresh checkpoint must land identical state (exactly-once)."""
+    import shutil
+
+    from kafka_connect_storage_cloud_spark.llm.corpus import corpus_prep_pipeline
+    from kafka_connect_storage_cloud_spark.streaming.pipeline import (
+        corpus_prep_stream,
+        corpus_prep_stream_manifest,
+        stream_documents_source,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+
+    def run(stage: str, store: str, ckpt: str) -> set:
+        q = corpus_prep_stream(
+            stream_documents_source(spark, stage), store, ckpt
+        )
+        assert q.awaitTermination(180), "corpus prep stream did not drain"
+        return {
+            tuple(r)
+            for r in corpus_prep_stream_manifest(spark, store).collect()
+        }
+
+    # 2-way split
+    stage2 = str(tmp_path / "cp_stage2")
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(stage2)
+    docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(stage2)
+    store2 = str(tmp_path / "cp_store2")
+    got2 = run(stage2, store2, str(tmp_path / "cp_ckpt2"))
+
+    exp = {tuple(r) for r in corpus_prep_pipeline(spark, sf_small).collect()}
+    assert got2 == exp
+
+    # replay: fresh checkpoint over the same stage + store — identical state
+    got2r = run(stage2, store2, str(tmp_path / "cp_ckpt2r"))
+    assert got2r == exp
+
+    # 4-way split independence
+    stage4 = str(tmp_path / "cp_stage4")
+    for m in range(4):
+        docs.where(F.col("doc_id") % 4 == m).coalesce(1).write.mode(
+            "append" if m else "overwrite"
+        ).parquet(stage4)
+    store4 = str(tmp_path / "cp_store4")
+    got4 = run(stage4, store4, str(tmp_path / "cp_ckpt4"))
+    assert got4 == exp
+    shutil.rmtree(stage4, ignore_errors=True)

@@ -1,30 +1,31 @@
 #!/usr/bin/env python
-"""Diff-aware re-verification window builder (VERDICT r6 'Next round' #3).
+"""Diff-aware re-verification window builder (VERDICT r6 #3, sharpened to
+FUNCTION level in r8 per VERDICT r7 'Next round' #4).
 
-The external-verification union hit 242/242 in round 6, so a rotation window
-of never-verified keys buys nothing. The highest-value window now is STALE
-re-verification: keys whose implementing module changed in git AFTER the
+The external-verification union covers every key, so the window's value is
+STALE re-verification: keys whose BEHAVIOR-RELEVANT CODE changed after the
 round in which the driver last verified them green.
 
-For every key in `queries()`:
-  last_green(key) = max round r such that CORRECTNESS_r0N.json marks it
-                    rows+schema+hash green (hash may be absent for
-                    rows-only checks).
-  impl(key)       = the file containing the callable's code object.
-  stale(key)      = git last-commit-time(impl) > commit-time("round r:
-                    verdict/..." snapshot) for r = last_green(key).
+Staleness is content-signature based (tools/key_signatures.py): per key,
+sha1(impl source + transitively referenced package helper sources + oracle
+SQL string), computed on the CURRENT tree and on a git worktree of each
+last-green round's `round N: verdict` commit (the tree the driver
+verified). A key is stale iff the signatures differ. This is exact where
+module mtime was a proxy both ways: append-only edits no longer mark a
+module's other keys stale (r7 burned three rounds of window slots on
+those), and a rewrite of a SHARED helper in another module now marks every
+transitive consumer stale (mtime-on-own-module missed those; r6/r7 had to
+hand---pin them).
 
 Output: a ranked window — fresh keys first (never externally verified),
-then stale keys grouped by implementing module, most-recently-changed
-module first; within a module, oldest last-green round first (the longest
-unverified code drift). Paste the top WINDOW_SIZE into `_PRIORITY` in
-__spark_entry__.py; the remainder into `_RECHECK`.
+then pins, then stale keys grouped by implementing module,
+most-recently-changed module first; within a module, oldest last-green
+round first (the longest unverified drift). Paste the top WINDOW_SIZE into
+`_PRIORITY` in __spark_entry__.py; the remainder into `_RECHECK`.
 
-Module-recency is a proxy: a file whose last commit was an unrelated helper
-still marks every key in it stale. When you KNOW a key's own function body
-was rewritten since its last green round (e.g. the r6-tail zorder rewrite),
-pin it explicitly with --pin so it cannot fall out of the window behind
-more-recently-touched modules.
+--pin still exists for out-of-band reasons (e.g. a data-file change the
+signature can't see); --mtime falls back to the old module-recency proxy
+if historical imports ever break.
 
 Run from the repo root:
     python tools/stale_keys.py [--window 50] [--pin key1 --pin key2]
@@ -100,6 +101,49 @@ def impl_path(fn) -> str | None:
         return None
 
 
+def round_commits() -> dict[int, str]:
+    """round number -> sha of its `round N: verdict` snapshot commit."""
+    shas: dict[int, str] = {}
+    for line in _git("log", "--format=%H|%s").splitlines():
+        sha, subject = line.split("|", 1)
+        m = re.match(r"round (\d+): verdict", subject)
+        if m:
+            shas.setdefault(int(m.group(1)), sha)
+    return shas
+
+
+def signatures_at(commit: str) -> dict[str, str] | None:
+    """Per-key content signatures of the tree at `commit`, via a throwaway
+    git worktree + subprocess import (cached per sha under /tmp)."""
+    import tempfile
+
+    cache = os.path.join(tempfile.gettempdir(), f"kcsc_sigs_{commit}.json")
+    if os.path.exists(cache):
+        return json.load(open(cache))
+    wt = tempfile.mkdtemp(prefix="kcsc_sig_wt_")
+    try:
+        subprocess.run(
+            ["git", "worktree", "add", "--detach", wt, commit],
+            capture_output=True, cwd=REPO, check=True,
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "key_signatures.py"), wt],
+            capture_output=True, text=True,
+        )
+        if out.returncode != 0:
+            return None
+        sigs = json.loads(out.stdout)
+        json.dump(sigs, open(cache, "w"))
+        return sigs
+    except Exception:
+        return None
+    finally:
+        subprocess.run(
+            ["git", "worktree", "remove", "--force", wt],
+            capture_output=True, cwd=REPO,
+        )
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--window", type=int, default=50)
@@ -107,8 +151,13 @@ def main() -> int:
         "--pin",
         action="append",
         default=[],
-        help="key whose own body changed since last green; placed right "
-        "after the fresh keys regardless of module recency",
+        help="key to verify for an out-of-band reason; placed right "
+        "after the fresh keys",
+    )
+    ap.add_argument(
+        "--mtime",
+        action="store_true",
+        help="fall back to the pre-r8 module-recency proxy",
     )
     args = ap.parse_args()
 
@@ -124,6 +173,24 @@ def main() -> int:
             file_ts[path] = int(out) if out else 0
         return file_ts[path]
 
+    sig_now: dict[str, str] | None = None
+    sig_round: dict[int, dict[str, str] | None] = {}
+    if not args.mtime:
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "key_signatures.py"), REPO],
+            capture_output=True, text=True,
+        )
+        sig_now = json.loads(out.stdout) if out.returncode == 0 else None
+        if sig_now is None:
+            print("# signature of current tree failed; using --mtime proxy", file=sys.stderr)
+        else:
+            shas = round_commits()
+            for r in sorted({lg for lg in green.values()}):
+                sig_round[r] = signatures_at(shas[r]) if r in shas else None
+                if sig_round[r] is None:
+                    print(f"# round {r} signatures unavailable; its keys fall back "
+                          "to the mtime proxy", file=sys.stderr)
+
     fresh: list[str] = []
     stale_by_mod: dict[str, list[tuple[str, int]]] = collections.defaultdict(list)
     for key, fn in queries.items():
@@ -132,6 +199,12 @@ def main() -> int:
             fresh.append(key)
             continue
         path = impl_path(fn)
+        old = (sig_round.get(lg) or {}).get(key) if sig_now is not None else None
+        if sig_now is not None and old is not None:
+            if sig_now.get(key) != old and path:
+                stale_by_mod[path].append((key, lg))
+            continue
+        # fallback: module-recency proxy
         if path and lg in rnd_ts and mtime(path) > rnd_ts[lg]:
             stale_by_mod[path].append((key, lg))
 
