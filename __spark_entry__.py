@@ -238,6 +238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_rate_by_slice": LC.dedup_rate_by_slice,
         "quality_dup_profile": LC.quality_dup_profile,
         "dedup_exact": LD.dedup_exact,
+        "winnowing_fingerprints": LD.winnowing_fingerprints,
         "dup_source_matrix": LD.dup_source_matrix,
         "source_overlap_jaccard": LD.source_overlap_jaccard,
         "minhash_precision_curve": LD.minhash_precision_curve,

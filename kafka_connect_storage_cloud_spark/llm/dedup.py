@@ -1209,3 +1209,105 @@ ORDER BY p.method
 
 
 ORACLES["dedup_method_matrix"] = _sql_method_matrix()
+
+
+# ---------------------------------------------------------------------------
+# winnowing_fingerprints (round 8) — Schleimer/Wilkerson/Aiken, SIGMOD'03
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 3  # word-shingle width (the family-wide 3-gram convention)
+WINNOW_W = 4  # winnowing window: one fingerprint per W consecutive shingles
+
+
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS scheme, Schleimer et al.
+    SIGMOD'03): per document, hash every word 3-shingle and select the MIN
+    hash of each sliding window of WINNOW_W consecutive shingles — a local
+    scheme that GUARANTEES any shared run of >= K+W-1 tokens between two
+    documents yields at least one shared fingerprint (the detection floor
+    rolling-hash doc_fingerprint and probabilistic minhash both lack).
+    Reported per doc: window count, distinct fingerprints selected, how
+    many of them also appear in another document, and the two ratios
+    (density ~ 2/(W+1) for random text; shared_share is the plagiarism /
+    boilerplate signal).
+
+    Scale: shingling, hashing, window minima, and per-doc distinct all
+    happen IN-ARRAY inside one projection (transform/slice/array_min —
+    zero shuffle, no explode until the fingerprint table); the only
+    shuffles are the fingerprint df aggregate and the (fp)-keyed join
+    back, both on the winnowed table (~n_tokens/(W+1) rows, 4-5x smaller
+    than the token stream). The df table is corpus-derived, so no
+    broadcast hint (r8 audit rule). Hashes are the portable md5-prefix
+    h32; every count is int64; the two divisions are round6-portable."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    h = H.spark_sql_h32("s")
+    base = (
+        docs.withColumn("ws", T.words())
+        .select("doc_id", T.shingles_from_ws(WINNOW_K).alias("sha"))
+        .where(F.size("sha") >= WINNOW_W)
+    )
+    fps = base.select(
+        "doc_id",
+        (F.size("sha") - F.lit(WINNOW_W - 1)).alias("n_windows"),
+        F.explode(
+            F.expr(
+                f"array_distinct(transform(sequence(1, size(sha) - {WINNOW_W - 1}), "
+                f"i -> array_min(transform(slice(sha, i, {WINNOW_W}), s -> {h}))))"
+            )
+        ).alias("fp"),
+    ).localCheckpoint(eager=True)  # feeds the df aggregate AND the per-doc rollup
+    df_tbl = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        fps.join(df_tbl, "fp")
+        .groupBy("doc_id", "n_windows")
+        .agg(
+            F.count(F.lit(1)).alias("n_fp"),
+            F.sum((F.col("df") >= 2).cast("long")).alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_fp",
+            "n_shared",
+            H.round6(F.col("n_fp").cast("double") / F.col("n_windows").cast("double")).alias(
+                "fp_density"
+            ),
+            H.round6(F.col("n_shared").cast("double") / F.col("n_fp").cast("double")).alias(
+                "shared_share"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sql_winnowing() -> str:
+    h = H.sql_h32("s")
+    k1 = WINNOW_K - 1
+    w1 = WINNOW_W - 1
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= {WINNOW_K}
+              THEN [array_to_string(ws[i : i + {k1}], ' ') for i in generate_series(1, len(ws) - {k1})]
+              ELSE [array_to_string(ws, ' ')] END AS sha
+  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws FROM documents)
+),
+fps AS (
+  SELECT doc_id, len(sha) - {w1} AS n_windows,
+         unnest(list_distinct([list_min(list_transform(sha[i : i + {w1}], s -> {h}))
+                               for i in generate_series(1, len(sha) - {w1})])) AS fp
+  FROM base WHERE len(sha) >= {WINNOW_W}
+),
+dfq AS (SELECT fp, CAST(COUNT(*) AS BIGINT) AS df FROM fps GROUP BY fp)
+SELECT f.doc_id, CAST(f.n_windows AS BIGINT) AS n_windows,
+       CAST(COUNT(*) AS BIGINT) AS n_fp,
+       CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       {H.sql_round6("CAST(COUNT(*) AS DOUBLE) / CAST(f.n_windows AS DOUBLE)")} AS fp_density,
+       {H.sql_round6("CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)")} AS shared_share
+FROM fps f JOIN dfq d USING (fp)
+GROUP BY f.doc_id, f.n_windows
+ORDER BY f.doc_id
+"""
+
+
+ORACLES["winnowing_fingerprints"] = _sql_winnowing()

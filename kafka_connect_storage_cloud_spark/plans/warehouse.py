@@ -1648,3 +1648,98 @@ ORDER BY event_type, hour
 
 QUERIES["events_holt_linear"] = events_holt_linear
 ORACLES["events_holt_linear"] = _sql_holt_linear()
+
+
+# ---------------------------------------------------------------------------
+# events_acf_profile (round 8) — multi-lag autocorrelation spectrum
+# ---------------------------------------------------------------------------
+
+ACF_LAGS = 24  # hourly lags 1..24: one diurnal cycle
+
+
+def events_acf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation PROFILE of each type's hourly volume at lags 1..24 —
+    events_autocorr_lag1 generalized from one lag-1 daily point to the
+    full diurnal correlogram (a peak at lag 24 = daily seasonality, fast
+    decay = bursty noise; the hypothesis-free companion to
+    events_seasonality_anova, in the time domain where events_haar_energy
+    is the scale domain). Pearson r per (type, lag) over the (y_t, y_{t+ℓ})
+    pairs of hours PRESENT in the series, same estimator as the lag-1 op.
+
+    Scale: events aggregate once to the (type, hour) cell frame
+    (localCheckpointed — it feeds both join sides); the lag fan-out
+    (cells x 24) and the self-equi-join on (type, hr+lag) stay on that
+    metadata frame. All sums are exact int64; per (type, lag) the only
+    floating steps are two sqrt's and one division in fixed order,
+    round6-quantized (the events_autocorr_lag1 discipline)."""
+    from ..session import read_events
+
+    ev = read_events(spark, sf_dir).select(
+        "event_type", (F.unix_millis("ts") / F.lit(3600000)).cast("long").alias("hr")
+    )
+    cells = (
+        ev.groupBy("event_type", "hr")
+        .agg(F.count(F.lit(1)).alias("y"))
+        .localCheckpoint(eager=True)  # both sides of the lag join
+    )
+    left = cells.select(
+        "event_type",
+        "hr",
+        F.col("y").alias("ya"),
+        F.explode(F.sequence(F.lit(1), F.lit(ACF_LAGS))).alias("lag"),
+    ).withColumn("hr2", F.col("hr") + F.col("lag"))
+    right = cells.select(
+        "event_type", F.col("hr").alias("hr2"), F.col("y").alias("yb")
+    )
+    pairs = left.join(right, ["event_type", "hr2"])
+    s = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("ya").alias("sa"),
+        F.sum("yb").alias("sb"),
+        F.sum(F.col("ya") * F.col("yb")).alias("sab"),
+        F.sum(F.col("ya") * F.col("ya")).alias("saa"),
+        F.sum(F.col("yb") * F.col("yb")).alias("sbb"),
+    )
+    num = (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")).cast("double")
+    da = (F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")).cast("double")
+    db = (F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")).cast("double")
+    r = num / (F.sqrt(da) * F.sqrt(db))
+    return (
+        s.where((F.col("n") >= 2))
+        .select(
+            "event_type",
+            "lag",
+            "n",
+            (F.floor(r * 1000000.0 + F.lit(0.5)) / 1000000.0).alias("acf"),
+        )
+        .orderBy("event_type", "lag")
+    )
+
+
+SQL_EVENTS_ACF_PROFILE = f"""
+WITH cells AS (
+  SELECT event_type, epoch_ms(ts) // 3600000 AS hr, CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.event_type, l.lag, a.y AS ya, b.y AS yb
+  FROM cells a
+  CROSS JOIN (SELECT unnest(generate_series(1, {ACF_LAGS})) AS lag) l
+  JOIN cells b ON a.event_type = b.event_type AND b.hr = a.hr + l.lag
+),
+s AS (
+  SELECT event_type, lag, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(ya) AS sa, SUM(yb) AS sb, SUM(ya * yb) AS sab,
+         SUM(ya * ya) AS saa, SUM(yb * yb) AS sbb
+  FROM pairs GROUP BY 1, 2
+)
+SELECT event_type, CAST(lag AS INT) AS lag, n,
+       (floor((CAST(n * sab - sa * sb AS DOUBLE) /
+               (sqrt(CAST(n * saa - sa * sa AS DOUBLE)) * sqrt(CAST(n * sbb - sb * sb AS DOUBLE))))
+              * 1000000.0 + 0.5) / 1000000.0) AS acf
+FROM s WHERE n >= 2 ORDER BY event_type, lag
+"""
+
+
+QUERIES["events_acf_profile"] = events_acf_profile
+ORACLES["events_acf_profile"] = SQL_EVENTS_ACF_PROFILE

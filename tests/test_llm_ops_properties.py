@@ -203,6 +203,8 @@ def test_new_ops_survive_empty_corpus(spark, sf_small, tmp_path):
         "rarity_buckets_edges", "ann_topk_ivf_sq8",
         "bigram_lm_rarity", "kfold_assignment", "semdedup_cells",
         "quality_ablation_matrix", "l_diversity_audit",
+        # round-8 additions
+        "winnowing_fingerprints",
     ):
         assert qs[op](spark, dst).count() == 0, op
 

@@ -1,0 +1,87 @@
+"""Round-8 operator tests: winnowing fingerprints (guarantee property +
+corpus sanity) and the multi-lag ACF profile (numpy recomputation)."""
+
+import pyspark.sql.functions as F
+
+
+def test_winnowing_guarantee_shared_run_yields_shared_fp(spark, tmp_path):
+    """Schleimer et al.'s winnowing guarantee: two documents sharing a
+    token run of length >= K+W-1 (= 6 here) must select at least one
+    COMMON fingerprint — the property that makes winnowing a detection
+    floor rather than a probabilistic signal."""
+    from kafka_connect_storage_cloud_spark.llm.dedup import (
+        WINNOW_K,
+        WINNOW_W,
+        winnowing_fingerprints,
+    )
+
+    run = "alpha beta gamma delta epsilon zeta"  # K+W-1 = 6 shared tokens
+    rows = [
+        (1, f"one two three {run} four five six", "en", "src1", 60),
+        (2, f"seven eight nine ten {run} eleven", "en", "src1", 60),
+        (3, "completely different words with no overlap at all here", "en", "src1", 55),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    dst = str(tmp_path / "winnow_sf")
+    df.write.parquet(f"{dst}/documents.parquet")
+    out = {r["doc_id"]: r for r in winnowing_fingerprints(spark, dst).collect()}
+    assert len(run.split()) == WINNOW_K + WINNOW_W - 1
+    # docs 1 and 2 share the run -> each must report >= 1 shared fp
+    assert out[1]["n_shared"] >= 1
+    assert out[2]["n_shared"] >= 1
+    # every doc selects at least one fingerprint per window block
+    for r in out.values():
+        assert 1 <= r["n_fp"] <= r["n_windows"]
+        assert 0.0 < r["fp_density"] <= 1.0
+
+
+def test_winnowing_density_near_theory(spark, sf_small):
+    """On random-ish text the expected winnowing density is 2/(W+1) = 0.4;
+    the corpus mean must sit in a loose band around it (far from the 0
+    and 1 degeneracies that would mean the window logic broke)."""
+    from kafka_connect_storage_cloud_spark.llm.dedup import winnowing_fingerprints
+
+    rows = winnowing_fingerprints(spark, sf_small).collect()
+    assert rows
+    mean_density = sum(r["fp_density"] for r in rows) / len(rows)
+    assert 0.2 < mean_density < 0.8, mean_density
+
+
+def test_acf_profile_matches_numpy(spark, sf_small):
+    """Pearson r at each lag recomputed with numpy from the raw hourly
+    pairs (hours present in the series, same estimator) — guards the
+    fan-out join and the fixed-order final expression."""
+    import math
+
+    from kafka_connect_storage_cloud_spark.plans.warehouse import (
+        ACF_LAGS,
+        events_acf_profile,
+    )
+    from kafka_connect_storage_cloud_spark.session import read_events
+
+    got = {
+        (r["event_type"], r["lag"]): (r["n"], r["acf"])
+        for r in events_acf_profile(spark, sf_small).collect()
+    }
+    assert got
+    ev = read_events(spark, sf_small).select("event_type", "ts").collect()
+    series: dict = {}
+    for r in ev:
+        hr = int(r["ts"].timestamp() * 1000) // 3600000
+        series.setdefault(r["event_type"], {}).setdefault(hr, 0)
+        series[r["event_type"]][hr] += 1
+    for (et, lag), (n, acf) in got.items():
+        s = series[et]
+        pairs = [(y, s[h + lag]) for h, y in s.items() if h + lag in s]
+        assert len(pairs) == n, (et, lag)
+        sa = sum(a for a, _ in pairs); sb = sum(b for _, b in pairs)
+        sab = sum(a * b for a, b in pairs)
+        saa = sum(a * a for a, _ in pairs); sbb = sum(b * b for _, b in pairs)
+        num = n * sab - sa * sb
+        da, db = n * saa - sa * sa, n * sbb - sb * sb
+        exp = math.floor((num / (math.sqrt(da) * math.sqrt(db))) * 1e6 + 0.5) / 1e6
+        assert acf == exp, (et, lag, acf, exp)
+    # every lag 1..ACF_LAGS is present for at least one type
+    assert {lag for _, lag in got} == set(range(1, ACF_LAGS + 1))
