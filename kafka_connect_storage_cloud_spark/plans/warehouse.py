@@ -1743,3 +1743,103 @@ FROM s WHERE n >= 2 ORDER BY event_type, lag
 
 QUERIES["events_acf_profile"] = events_acf_profile
 ORACLES["events_acf_profile"] = SQL_EVENTS_ACF_PROFILE
+
+
+# ---------------------------------------------------------------------------
+# events_theil_sen (round 8) — robust median-of-slopes trend
+# ---------------------------------------------------------------------------
+
+def events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of daily event volume per type: the MEDIAN
+    of all pairwise slopes (y_j−y_i)/(x_j−x_i), x_i<x_j — the estimator
+    that shrugs off the outlier days that drag events_trend_slope's OLS
+    around (29.3% breakdown point vs OLS's zero; Sen 1968). Read the two
+    side by side: OLS ≫ Theil–Sen means a few anomalous days, not a trend.
+
+    Exactness: each slope is ONE IEEE division of exact int64 deltas —
+    identical bits on both engines — and the median is an order statistic
+    over those doubles with a deterministic (slope, x_i, x_j) tiebreak;
+    even-count medians average two doubles (single fixed-order add). No
+    accumulation-order dependence anywhere.
+
+    Scale: pairs are |days|²/2 per type over the checkpointed daily cell
+    frame — metadata-sized (a year is 66k pairs), never corpus rows; the
+    rank runs per (type) partition on those pairs. The corpus cost is the
+    one daily cell aggregate."""
+    from ..session import read_events
+
+    ev = read_events(spark, sf_dir).select(
+        "event_type", F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias("x")
+    )
+    daily = (
+        ev.groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).alias("y"))
+        .localCheckpoint(eager=True)  # both sides of the pair join
+    )
+    a = daily.select("event_type", F.col("x").alias("x1"), F.col("y").alias("y1"))
+    b = daily.select("event_type", F.col("x").alias("x2"), F.col("y").alias("y2"))
+    pairs = (
+        a.join(b, "event_type")
+        .where(F.col("x2") > F.col("x1"))
+        .select(
+            "event_type",
+            "x1",
+            "x2",
+            (
+                (F.col("y2") - F.col("y1")).cast("double")
+                / (F.col("x2") - F.col("x1")).cast("double")
+            ).alias("slope"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("slope", "x1", "x2")
+    ranked = pairs.select(
+        "event_type",
+        "slope",
+        F.row_number().over(w).alias("rnk"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("m"),
+    )
+    med = ranked.where(
+        (F.col("rnk") == F.expr("div(m + 1, 2)")) | (F.col("rnk") == F.expr("div(m + 2, 2)"))
+    )
+    return (
+        med.groupBy("event_type", "m")
+        .agg((F.sum("slope") / F.count(F.lit(1))).alias("ts_slope"))
+        .select(
+            "event_type",
+            F.col("m").alias("n_pairs"),
+            (F.floor(F.col("ts_slope") * 1000000.0 + F.lit(0.5)) / 1000000.0).alias(
+                "theil_sen_slope"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_EVENTS_THEIL_SEN = """
+WITH daily AS (
+  SELECT event_type,
+         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.event_type, a.x AS x1, b.x AS x2,
+         CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+  FROM daily a JOIN daily b ON a.event_type = b.event_type AND b.x > a.x
+),
+ranked AS (
+  SELECT event_type, slope,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY slope, x1, x2) AS rnk,
+         COUNT(*) OVER (PARTITION BY event_type) AS m
+  FROM pairs
+)
+SELECT event_type, CAST(m AS BIGINT) AS n_pairs,
+       (floor((SUM(slope) / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0) AS theil_sen_slope
+FROM ranked
+WHERE rnk = (m + 1) // 2 OR rnk = (m + 2) // 2
+GROUP BY event_type, m ORDER BY event_type
+"""
+
+
+QUERIES["events_theil_sen"] = events_theil_sen
+ORACLES["events_theil_sen"] = SQL_EVENTS_THEIL_SEN

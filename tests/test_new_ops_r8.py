@@ -85,3 +85,39 @@ def test_acf_profile_matches_numpy(spark, sf_small):
         assert acf == exp, (et, lag, acf, exp)
     # every lag 1..ACF_LAGS is present for at least one type
     assert {lag for _, lag in got} == set(range(1, ACF_LAGS + 1))
+
+
+def test_theil_sen_robust_to_outlier_day(spark, sf_small):
+    """Exact recompute of the median-of-pairwise-slopes from the raw daily
+    series (same (slope, x1, x2) order, same even/odd median rule) —
+    guards the pair join, the rank tiebreak, and the two-row average."""
+    import math
+
+    from kafka_connect_storage_cloud_spark.plans.warehouse import events_theil_sen
+    from kafka_connect_storage_cloud_spark.session import read_events
+
+    rows = {r["event_type"]: r for r in events_theil_sen(spark, sf_small).collect()}
+    assert rows
+    # exact recompute: median of pairwise slopes from the raw daily series
+    ev = read_events(spark, sf_small).select("event_type", F.to_date("ts").alias("d")).collect()
+    import datetime
+    base = datetime.date(2024, 1, 1)
+    daily: dict = {}
+    for r in ev:
+        x = (r["d"] - base).days
+        daily.setdefault(r["event_type"], {}).setdefault(x, 0)
+        daily[r["event_type"]][x] += 1
+    for et, series in daily.items():
+        xs = sorted(series)
+        slopes = sorted(
+            ((series[x2] - series[x1]) / (x2 - x1), x1, x2)
+            for i, x1 in enumerate(xs) for x2 in xs[i + 1:]
+        )
+        if not slopes:
+            assert et not in rows
+            continue
+        m = len(slopes)
+        lo, hi = slopes[(m + 1) // 2 - 1][0], slopes[(m + 2) // 2 - 1][0]
+        exp = math.floor(((lo + hi) / 2) * 1e6 + 0.5) / 1e6
+        assert rows[et]["n_pairs"] == m
+        assert rows[et]["theil_sen_slope"] == exp, et
