@@ -60,39 +60,38 @@ def entry(spark: SparkSession) -> DataFrame:
     return T.q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-# --- diff-aware re-verification window (rebuilt START of round 8) --------
-# Rebuilt with the r8 FUNCTION-LEVEL staleness (tools/stale_keys.py now
-# compares per-key content signatures — impl source + transitive package
-# helpers + oracle SQL — against the tree of each key's last-green verdict
-# commit; tools/key_signatures.py). Stale count: 169 under the old module-
-# mtime proxy -> 47 true body-changes, so the ENTIRE stale set fits one
-# 50-slot window and _RECHECK is empty for the first time. The 47 split:
-# r8's own edits (haar fusion + scalar anchors, semdedup adaptive K,
-# bigram/labels/guards broadcast fixes, percentiles oracle NULLS pin) plus
-# keys whose TRANSITIVE helpers were rewritten after their last green round
-# (rotation/partitioner keys green r2 vs the r5 rotation.py work; PQ keys
-# green r4 vs the r6 codebook memo; clustering keys green r3 vs the r6
-# dedup/similarity rewrites) — exactly the shared-helper class the old
-# proxy needed hand-pins for. _rotate still floats unknown keys first.
+# --- diff-aware re-verification window (rebuilt END of round 8) ----------
+# Function-level (content-signature) staleness throughout this round
+# (tools/stale_keys.py + tools/key_signatures.py): start-of-round rebuild
+# found 169-under-mtime -> 47 true body-changes; this END-of-round rebuild
+# adds the round's own late work: 3 fresh keys (events_acf_profile,
+# events_theil_sen, winnowing_fingerprints — each already driver-sim green
+# at sf0.001/0.01/0.1 + hostile TZ) and corpus_prep_pipeline (the
+# _rebalance_pack refactor shared with the streaming twin). 51 ranked =
+# 50 window + 1 _RECHECK (dup_cluster_size_profile — swept every suite run
+# by test_oracle_parity; next round's window head). All 50 window keys
+# were locally driver-sim green on this tree before shipping.
 _PRIORITY: tuple[str, ...] = (
-    "events_retention", "events_haar_energy", "events_value_percentiles_exact",
-    "cdc_merge_apply", "landed_files_diff", "dsir_importance", "bigram_lm_rarity",
-    "l_diversity_audit", "ann_topk_ivf", "ann_topk_ivf_multiprobe", "cluster_profile_kmeans",
-    "semdedup_cells", "knn_graph_lsh", "knn_graph_lsh_recall", "knn_label_vote_lsh",
-    "knn_pagerank_step_lsh", "knn_triangle_count_lsh", "knn_graph_lsh_recall_sampled",
-    "knn_label_vote_accuracy", "part_affinity", "rfm_segmentation", "dedup_bloom",
+    "events_acf_profile", "events_theil_sen", "winnowing_fingerprints", "part_affinity",
+    "rfm_segmentation", "dsir_importance", "corpus_prep_pipeline", "bigram_lm_rarity",
+    "l_diversity_audit", "events_retention", "events_haar_energy", "events_value_percentiles_exact",
+    "cdc_merge_apply", "landed_files_diff", "ann_topk_ivf", "ann_topk_ivf_multiprobe",
+    "cluster_profile_kmeans", "semdedup_cells", "knn_graph_lsh", "knn_graph_lsh_recall",
+    "knn_label_vote_lsh", "knn_pagerank_step_lsh", "knn_triangle_count_lsh",
+    "knn_graph_lsh_recall_sampled", "knn_label_vote_accuracy", "dedup_bloom",
     "multimodal_payload_dedup", "duration_partitioner", "erasure_rewrite_plan",
     "exactly_once_manifest", "path_format_partitioner", "rotation_flush_size",
     "rotation_interval", "rotation_partition_change", "rotation_scheduled", "rotation_schema_change",
     "rotation_stats", "schema_partitioner", "schema_partitioner_suffix", "rotation_max_open_files",
     "rotation_policy_matrix", "ann_topk_ivf_pq", "embedding_pq", "pq_adc_topk",
     "pq_recall_audit", "dedup_clusters", "dedup_keep_best", "dedup_rate_by_slice",
-    "quality_dup_profile", "dedup_transitivity_audit", "dup_cluster_size_profile",
+    "quality_dup_profile", "dedup_transitivity_audit",
 )
 
-# Empty: every stale key fits the r8 window (47 < 50). Kept for _rotate's
-# contract; future rebuilds repopulate it when stale > window.
-_RECHECK: tuple[str, ...] = ()
+# Remaining stale key (the 51st rank) — suite-swept; r9 window candidate.
+_RECHECK: tuple[str, ...] = (
+    "dup_cluster_size_profile",
+)
 
 # Externally-verified keys whose behavior-relevant code (impl + transitive
 # helpers + oracle SQL) is signature-identical to their last green round.
@@ -101,19 +100,19 @@ _VERIFIED_CURRENT: tuple[str, ...] = (
     "ann_topk_ivf_sq8", "ann_topk_lsh", "benford_audit", "bigram_lift", "bm25_topk",
     "bootstrap_mean_ci", "bpe_compression_curve", "bpe_pair_stats", "bpe_train_rounds",
     "cms_heavy_hitters", "compact_small_files", "consumer_lag_report", "contamination_check",
-    "context_pack", "corpus_mixture", "corpus_prep_pipeline", "corpus_stats",
-    "cosine_dup_band_recall", "cosine_dup_band_recall_sampled", "curriculum_stages",
-    "curriculum_stages_edges", "daily_partitioner", "dedup_chunks", "dedup_containment",
-    "dedup_exact", "dedup_incremental", "dedup_method_matrix", "dedup_minhash_lsh",
-    "dedup_modality_agreement", "dedup_semantic", "dedup_simhash", "dedup_substring",
-    "default_partitioner", "doc_chunk_split", "doc_fingerprint", "doc_truncation_loss",
-    "dsir_importance_edges", "dup_source_matrix", "embedding_centroid_outliers",
-    "embedding_cosine_dups", "embedding_covariance", "embedding_dim_stats", "embedding_pca_power",
-    "embedding_pca_project", "embedding_sq8", "events_anomaly", "events_anomaly_mad",
-    "events_asof_join", "events_autocorr_lag1", "events_burst_runs", "events_changepoint",
-    "events_cube", "events_cusum_alarms", "events_dau_mau", "events_dod_growth",
-    "events_dow_profile", "events_ewma16", "events_funnel", "events_gapfill_locf",
-    "events_holt_linear", "events_hourly_rollup", "events_inter_arrival", "events_markov_transitions",
+    "context_pack", "corpus_mixture", "corpus_stats", "cosine_dup_band_recall",
+    "cosine_dup_band_recall_sampled", "curriculum_stages", "curriculum_stages_edges",
+    "daily_partitioner", "dedup_chunks", "dedup_containment", "dedup_exact",
+    "dedup_incremental", "dedup_method_matrix", "dedup_minhash_lsh", "dedup_modality_agreement",
+    "dedup_semantic", "dedup_simhash", "dedup_substring", "default_partitioner",
+    "doc_chunk_split", "doc_fingerprint", "doc_truncation_loss", "dsir_importance_edges",
+    "dup_source_matrix", "embedding_centroid_outliers", "embedding_cosine_dups",
+    "embedding_covariance", "embedding_dim_stats", "embedding_pca_power", "embedding_pca_project",
+    "embedding_sq8", "events_anomaly", "events_anomaly_mad", "events_asof_join",
+    "events_autocorr_lag1", "events_burst_runs", "events_changepoint", "events_cube",
+    "events_cusum_alarms", "events_dau_mau", "events_dod_growth", "events_dow_profile",
+    "events_ewma16", "events_funnel", "events_gapfill_locf", "events_holt_linear",
+    "events_hourly_rollup", "events_inter_arrival", "events_markov_transitions",
     "events_props_extract", "events_props_variant", "events_range_join", "events_rolling_window",
     "events_seasonality_anova", "events_session_window_native", "events_sessionize",
     "events_sliding_window", "events_time_weighted_avg", "events_topk_users",
