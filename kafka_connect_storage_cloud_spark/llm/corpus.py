@@ -1845,3 +1845,75 @@ FROM cls ORDER BY lang, len_decile
 
 QUERIES["l_diversity_audit"] = l_diversity_audit
 ORACLES["l_diversity_audit"] = SQL_L_DIVERSITY
+
+
+# ---------------------------------------------------------------------------
+# shard_checksum_manifest (round 8) — training-shard integrity hashes
+# ---------------------------------------------------------------------------
+
+def shard_checksum_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic CONTENT checksum per packed training shard: the md5 of
+    the shard's member-document md5s concatenated in doc_id order — the
+    integrity manifest a training job records next to the shard files so
+    any re-pack (new engine, new cluster, replayed ingest) can prove
+    byte-identical shard composition without re-reading the shards
+    (exactly-once for DATA, where exactly_once_manifest covers files).
+
+    Shard assignment replicates token_shard_pack's windowed cumulative sum
+    verbatim (same salt, same budget — pinned by the shared oracle
+    arithmetic); the checksum is md5-of-ordered-md5s, portable because both
+    engines emit lowercase-hex md5. Per-shard collect_list is bounded by
+    SHARD_TOKEN_BUDGET / min-doc-tokens; the window is the documented
+    per-worker pack shape (W writer partitions)."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    worker = (
+        H.h32(F.concat(F.lit(SHARD_SALT), F.col("doc_id").cast("string"))) % SHARD_WORKERS
+    ).alias("worker")
+    toks = docs.select(
+        "doc_id", worker, _ws_tokens().alias("tokens"), F.md5("text").alias("h")
+    )
+    w = Window.partitionBy("worker").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    assigned = toks.withColumn(
+        "shard", F.floor((F.sum("tokens").over(w) - F.col("tokens")) / SHARD_TOKEN_BUDGET)
+    )
+    return (
+        assigned.groupBy("worker", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tokens").alias("shard_tokens"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.expr("transform(array_sort(collect_list(struct(doc_id, h))), s -> s.h)"),
+                )
+            ).alias("checksum"),
+        )
+        .orderBy("worker", "shard")
+    )
+
+
+SQL_SHARD_CHECKSUM_MANIFEST = f"""
+WITH toks AS (
+  SELECT doc_id,
+         {H.sql_h32(f"'{SHARD_SALT}' || CAST(doc_id AS VARCHAR)")} % {SHARD_WORKERS} AS worker,
+         {_SQL_WS_TOKENS} AS tokens,
+         md5(text) AS h
+  FROM documents
+),
+assigned AS (
+  SELECT doc_id, worker, tokens, h,
+         CAST(floor((SUM(tokens) OVER (PARTITION BY worker ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tokens)
+                    / {SHARD_TOKEN_BUDGET}) AS BIGINT) AS shard
+  FROM toks
+)
+SELECT worker, shard, COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS shard_tokens,
+       md5(string_agg(h, ',' ORDER BY doc_id)) AS checksum
+FROM assigned GROUP BY worker, shard ORDER BY worker, shard
+"""
+
+
+QUERIES["shard_checksum_manifest"] = shard_checksum_manifest
+ORACLES["shard_checksum_manifest"] = SQL_SHARD_CHECKSUM_MANIFEST

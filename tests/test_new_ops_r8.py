@@ -121,3 +121,39 @@ def test_theil_sen_robust_to_outlier_day(spark, sf_small):
         exp = math.floor(((lo + hi) / 2) * 1e6 + 0.5) / 1e6
         assert rows[et]["n_pairs"] == m
         assert rows[et]["theil_sen_slope"] == exp, et
+
+
+def test_shard_checksums_align_with_pack_and_detect_change(spark, sf_small, tmp_path):
+    """(1) The checksum manifest's (worker, shard, n_docs, shard_tokens)
+    must agree exactly with token_shard_pack's (same assignment window);
+    (2) re-running produces identical checksums (deterministic); (3) a
+    one-character change in one document flips exactly that shard's
+    checksum and no other."""
+    from kafka_connect_storage_cloud_spark.llm.corpus import (
+        shard_checksum_manifest,
+        token_shard_pack,
+    )
+
+    chk = {(r["worker"], r["shard"]): r for r in shard_checksum_manifest(spark, sf_small).collect()}
+    pack = {(r["worker"], r["shard"]): r for r in token_shard_pack(spark, sf_small).collect()}
+    assert set(chk) == set(pack)
+    for k, r in chk.items():
+        assert (r["n_docs"], r["shard_tokens"]) == (pack[k]["n_docs"], pack[k]["shard_tokens"]), k
+    chk2 = {(r["worker"], r["shard"]): r["checksum"]
+            for r in shard_checksum_manifest(spark, sf_small).collect()}
+    assert chk2 == {k: r["checksum"] for k, r in chk.items()}
+    # mutate one doc's text in a copied corpus: only its shard's checksum moves
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    victim = docs.select("doc_id").orderBy("doc_id").limit(1).collect()[0]["doc_id"]
+    mutated = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == victim, F.concat(F.col("text"), F.lit("X"))).otherwise(
+            F.col("text")
+        ),
+    )
+    dst = str(tmp_path / "mut_sf")
+    mutated.write.parquet(f"{dst}/documents.parquet")
+    chk_mut = {(r["worker"], r["shard"]): r["checksum"]
+               for r in shard_checksum_manifest(spark, dst).collect()}
+    diffs = [k for k in chk if chk_mut.get(k) != chk[k]["checksum"]]
+    assert len(diffs) == 1, diffs
