@@ -64,6 +64,13 @@ def main() -> None:
         "kmv_set_ops",
         "events_haar_energy",
         "semdedup_cells",
+        # r8: the new dedup-family generator (heaviest new leg) + the two
+        # time-series additions + the shard integrity manifest get
+        # first-measurement rows
+        "winnowing_fingerprints",
+        "events_acf_profile",
+        "events_theil_sen",
+        "shard_checksum_manifest",
     ):
         if opt in qs:
             headline.append(opt)

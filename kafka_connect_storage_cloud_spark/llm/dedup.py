@@ -1245,14 +1245,17 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.withColumn("ws", T.words())
         .select("doc_id", T.shingles_from_ws(WINNOW_K).alias("sha"))
         .where(F.size("sha") >= WINNOW_W)
+        # hash each shingle ONCE, then window-min over the int array — the
+        # fused form re-ran the md5 W times per shingle (4.9 s -> see SCALE)
+        .select("doc_id", F.expr(f"transform(sha, s -> {h})").alias("hs"))
     )
     fps = base.select(
         "doc_id",
-        (F.size("sha") - F.lit(WINNOW_W - 1)).alias("n_windows"),
+        (F.size("hs") - F.lit(WINNOW_W - 1)).alias("n_windows"),
         F.explode(
             F.expr(
-                f"array_distinct(transform(sequence(1, size(sha) - {WINNOW_W - 1}), "
-                f"i -> array_min(transform(slice(sha, i, {WINNOW_W}), s -> {h}))))"
+                f"array_distinct(transform(sequence(1, size(hs) - {WINNOW_W - 1}), "
+                f"i -> array_min(slice(hs, i, {WINNOW_W}))))"
             )
         ).alias("fp"),
     ).localCheckpoint(eager=True)  # feeds the df aggregate AND the per-doc rollup

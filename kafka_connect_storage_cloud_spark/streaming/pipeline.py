@@ -1355,3 +1355,106 @@ def burst_runs_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def winnowing_dup_stream(
+    docs: DataFrame, store_dir: str, checkpoint: str
+) -> StreamingQuery:
+    """Streaming twin of winnowing_fingerprints — the FIFTH near-dup
+    signature class gets its incremental form (minhash r3, containment
+    r6, cosine r6-tail, simhash r7): each micro-batch computes its
+    documents' winnowed fingerprints with the IDENTICAL in-array
+    expression as the batch op and appends (doc_id, n_windows, fp) rows
+    to a batch-keyed store. Fingerprint selection is PER-DOCUMENT (no
+    cross-doc state), so the store is exactly the batch op's exploded
+    fingerprint table regardless of the split; the cross-doc sharing
+    statistics are computed at drain by winnowing_dup_stream_stats, ==
+    the one-shot operator (pinned for 2-/4-way splits + replay).
+
+    Exactly-once: batch-keyed overwrite writes, the connector's
+    replay-overwrite rule; a re-delivered document rewrites identical
+    fingerprint rows that the drain-time distinct() collapses."""
+    from ..functions import hashing as H
+    from ..functions import text as T
+    from ..llm.dedup import WINNOW_K, WINNOW_W
+
+    h = H.spark_sql_h32("s")
+
+    def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        if batch_df.isEmpty():
+            return
+        fps = (
+            batch_df.withColumn("ws", T.words())
+            .select("doc_id", T.shingles_from_ws(WINNOW_K).alias("sha"))
+            .where(F.size("sha") >= WINNOW_W)
+            .select("doc_id", F.expr(f"transform(sha, s -> {h})").alias("hs"))
+            .select(
+                "doc_id",
+                (F.size("hs") - F.lit(WINNOW_W - 1)).alias("n_windows"),
+                F.explode(
+                    F.expr(
+                        f"array_distinct(transform(sequence(1, size(hs) - {WINNOW_W - 1}), "
+                        f"i -> array_min(slice(hs, i, {WINNOW_W}))))"
+                    )
+                ).alias("fp"),
+            )
+        )
+        fps.write.mode("overwrite").parquet(
+            os.path.join(store_dir, "fps", f"batch={batch_id}")
+        )
+
+    return (
+        docs.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def winnowing_dup_stream_stats(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Drain-time rollup of winnowing_dup_stream's fingerprint store:
+    cross-doc document frequency + per-doc sharing stats — the same
+    columns as the batch winnowing_fingerprints, computed from per-doc
+    METADATA rows only (fp store ≈ 0.4×shingle count; text never
+    re-read)."""
+    import os
+
+    from ..functions import hashing as H
+
+    batches = _list_store_batches(spark, os.path.join(store_dir, "fps"))
+    if not batches:
+        return spark.createDataFrame(
+            [],
+            "doc_id bigint, n_windows int, n_fp bigint, n_shared bigint, "
+            "fp_density double, shared_share double",
+        )
+    fps = (
+        spark.read.parquet(*[os.path.join(store_dir, "fps", e) for e in batches])
+        .select("doc_id", "n_windows", "fp")
+        .distinct()  # re-delivered docs rewrite identical rows
+        .localCheckpoint()
+    )
+    df_tbl = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        fps.join(df_tbl, "fp")
+        .groupBy("doc_id", "n_windows")
+        .agg(
+            F.count(F.lit(1)).alias("n_fp"),
+            F.sum((F.col("df") >= 2).cast("long")).alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_fp",
+            "n_shared",
+            H.round6(F.col("n_fp").cast("double") / F.col("n_windows").cast("double")).alias(
+                "fp_density"
+            ),
+            H.round6(F.col("n_shared").cast("double") / F.col("n_fp").cast("double")).alias(
+                "shared_share"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -1325,3 +1325,41 @@ def test_corpus_prep_stream_matches_batch(spark, sf_small, tmp_path):
     got4 = run(stage4, store4, str(tmp_path / "cp_ckpt4"))
     assert got4 == exp
     shutil.rmtree(stage4, ignore_errors=True)
+
+
+def test_winnowing_dup_stream_matches_batch(spark, sf_small, tmp_path):
+    """The fifth near-dup signature class's incremental twin: the
+    fingerprint store accumulated over a 2-batch ingest (with a
+    re-delivered half) must roll up to EXACTLY the batch
+    winnowing_fingerprints output; a 4-way split must match too."""
+    from kafka_connect_storage_cloud_spark.llm.dedup import winnowing_fingerprints
+    from kafka_connect_storage_cloud_spark.streaming.pipeline import (
+        stream_documents_source,
+        winnowing_dup_stream,
+        winnowing_dup_stream_stats,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    exp = {tuple(r) for r in winnowing_fingerprints(spark, sf_small).collect()}
+
+    def run(stage: str, store: str, ckpt: str) -> set:
+        q = winnowing_dup_stream(stream_documents_source(spark, stage), store, ckpt)
+        assert q.awaitTermination(120), "winnowing stream did not drain"
+        return {tuple(r) for r in winnowing_dup_stream_stats(spark, store).collect()}
+
+    stage2 = str(tmp_path / "wn_stage2")
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(stage2)
+    # second file re-delivers a quarter of the first (re-crawl)
+    docs.where(F.col("doc_id") % 2 == 1).unionByName(
+        docs.where(F.col("doc_id") % 4 == 0)
+    ).coalesce(1).write.mode("append").parquet(stage2)
+    got2 = run(stage2, str(tmp_path / "wn_store2"), str(tmp_path / "wn_ckpt2"))
+    assert got2 == exp
+
+    stage4 = str(tmp_path / "wn_stage4")
+    for m in range(4):
+        docs.where(F.col("doc_id") % 4 == m).coalesce(1).write.mode(
+            "append" if m else "overwrite"
+        ).parquet(stage4)
+    got4 = run(stage4, str(tmp_path / "wn_store4"), str(tmp_path / "wn_ckpt4"))
+    assert got4 == exp
