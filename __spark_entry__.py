@@ -68,11 +68,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # events_theil_sen, winnowing_fingerprints — each already driver-sim green
 # at sf0.001/0.01/0.1 + hostile TZ) and corpus_prep_pipeline (the
 # _rebalance_pack refactor shared with the streaming twin), then the round's
-# 4th fresh key (shard_checksum_manifest). 52 ranked = 50 window +
-# 2 _RECHECK (dedup_transitivity_audit, dup_cluster_size_profile — swept
-# every suite run by test_oracle_parity; r9 window head). All 50 window
-# keys were locally driver-sim green on this tree before shipping.
+# later fresh keys (shard_checksum_manifest, t_closeness_audit). 53
+# ranked = 50 window + 3 _RECHECK (quality_dup_profile,
+# dedup_transitivity_audit, dup_cluster_size_profile — swept every suite
+# run by test_oracle_parity; r9 window head). All 50 window keys were
+# locally driver-sim green on this tree before shipping.
 _PRIORITY: tuple[str, ...] = (
+    "t_closeness_audit",
     "shard_checksum_manifest",
     "events_acf_profile", "events_theil_sen", "winnowing_fingerprints", "part_affinity",
     "rfm_segmentation", "dsir_importance", "corpus_prep_pipeline", "bigram_lm_rarity",
@@ -87,12 +89,11 @@ _PRIORITY: tuple[str, ...] = (
     "rotation_stats", "schema_partitioner", "schema_partitioner_suffix", "rotation_max_open_files",
     "rotation_policy_matrix", "ann_topk_ivf_pq", "embedding_pq", "pq_adc_topk",
     "pq_recall_audit", "dedup_clusters", "dedup_keep_best", "dedup_rate_by_slice",
-    "quality_dup_profile",
 )
 
 # Remaining stale key (the 51st rank) — suite-swept; r9 window candidate.
 _RECHECK: tuple[str, ...] = (
-    "dedup_transitivity_audit", "dup_cluster_size_profile",
+    "quality_dup_profile", "dedup_transitivity_audit", "dup_cluster_size_profile",
 )
 
 # Externally-verified keys whose behavior-relevant code (impl + transitive

@@ -1917,3 +1917,113 @@ FROM assigned GROUP BY worker, shard ORDER BY worker, shard
 
 QUERIES["shard_checksum_manifest"] = shard_checksum_manifest
 ORACLES["shard_checksum_manifest"] = SQL_SHARD_CHECKSUM_MANIFEST
+
+
+# ---------------------------------------------------------------------------
+# t_closeness_audit (round 8) — completes the k-anon / l-div / t-close trilogy
+# ---------------------------------------------------------------------------
+
+T_CLOSE = 0.25  # a class whose source distribution sits further than this
+# TVD from the corpus-wide distribution leaks provenance. Sited between the
+# corpus tvd floors (sf0.001/0.01 min ~0.225-0.235) and the sf0.1 p95
+# (~0.26) so the flag SPLITS at every SF (the vacuous-flag lint rule:
+# 29/30, 29/30, 2/30 at-risk at sf0.001/0.01/0.1)
+
+
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness over the same quasi-identifier classes as
+    l_diversity_audit (lang, length decile) with SOURCE sensitive (Li,
+    Li & Venkatasubramanian, ICDE'07): a class passes only if its
+    source DISTRIBUTION stays within t of the corpus-wide distribution —
+    the audit that catches what l-diversity misses (a class can draw from
+    >= l sources yet still be 90% one source; l_diversity_audit's
+    dominant_share eyeballs that, this measures it as a proper distance).
+    Distance = total variation (the categorical Earth Mover reduction):
+    TVD(class) = ½ Σ_s |c_s/n − g_s/N|.
+
+    Exactness: every |c·N − g·n| term is IEEE double products of exact
+    int64 counts in a fixed parse order, quantized to 1e-9 per term
+    BEFORE the int64 sum (the vocab_drift_chi2 discipline — never a
+    float accumulation). Scale: one corpus scan to the langs×10×sources
+    cell frame; the class×source grid is a bounded metadata cross join
+    (allowlisted); N and per-source totals are windows over that frame —
+    no corpus-sized join anywhere. (The
+    corpus total rides as n_total — Spark resolves identifiers
+    case-insensitively, so `N` next to `n` is ambiguous.)"""
+    docs = read_table(spark, sf_dir, "documents").select("lang", "source", "n_chars")
+    cells = (
+        docs.withColumn("len_decile", F.least(F.floor(F.col("n_chars") / 100), F.lit(9)))
+        .groupBy("lang", "len_decile", "source")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)  # classes, sources, and the grid join read it
+    )
+    classes = cells.groupBy("lang", "len_decile").agg(F.sum("c").alias("n"))
+    sources = cells.groupBy("source").agg(F.sum("c").alias("g"))
+    sources = sources.withColumn("n_total", F.sum("g").over(Window.partitionBy()))
+    grid = classes.crossJoin(sources)  # |classes| x |sources| metadata rows
+    j = grid.join(cells, ["lang", "len_decile", "source"], "left").withColumn(
+        "c0", F.coalesce("c", F.lit(0))
+    )
+    term = F.abs(
+        F.col("c0").cast("double") * F.col("n_total").cast("double")
+        - F.col("g").cast("double") * F.col("n").cast("double")
+    ) / (F.lit(2.0) * F.col("n").cast("double") * F.col("n_total").cast("double"))
+    nano = F.floor(term * F.lit(1000000000.0) + F.lit(0.5)).cast("long")
+    return (
+        j.withColumn("nano", nano)
+        .groupBy("lang", "len_decile", "n")
+        .agg(F.sum("nano").alias("tvd_nano"))
+        .select(
+            "lang",
+            "len_decile",
+            F.col("n").alias("class_size"),
+            H.round6(F.col("tvd_nano").cast("double") / F.lit(1000000000.0)).alias(
+                "tvd_source"
+            ),
+            (F.col("tvd_nano") > F.lit(int(T_CLOSE * 1_000_000_000))).cast("int").alias(
+                "at_risk"
+            ),
+        )
+        .orderBy("lang", "len_decile")
+    )
+
+
+SQL_T_CLOSENESS = f"""
+WITH cells AS (
+  SELECT lang, LEAST(n_chars // 100, 9) AS len_decile, source,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2, 3
+),
+classes AS (
+  SELECT lang, len_decile, CAST(SUM(c) AS BIGINT) AS n FROM cells GROUP BY 1, 2
+),
+sources AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS g,
+         CAST(SUM(SUM(c)) OVER () AS BIGINT) AS n_total
+  FROM cells GROUP BY source
+),
+grid AS (SELECT cl.lang, cl.len_decile, cl.n, s.source, s.g, s.n_total
+         FROM classes cl CROSS JOIN sources s),
+j AS (
+  SELECT gr.*, COALESCE(ce.c, 0) AS c0 FROM grid gr
+  LEFT JOIN cells ce USING (lang, len_decile, source)
+),
+terms AS (
+  SELECT lang, len_decile, n,
+         CAST(floor((ABS(CAST(c0 AS DOUBLE) * CAST(n_total AS DOUBLE)
+                         - CAST(g AS DOUBLE) * CAST(n AS DOUBLE))
+                     / (2.0 * CAST(n AS DOUBLE) * CAST(n_total AS DOUBLE)))
+                    * 1000000000.0 + 0.5) AS BIGINT) AS nano
+  FROM j
+)
+SELECT lang, len_decile, n AS class_size,
+       {H.sql_round6("CAST(SUM(nano) AS DOUBLE) / 1000000000.0")} AS tvd_source,
+       CASE WHEN CAST(SUM(nano) AS BIGINT) > {int(T_CLOSE * 1_000_000_000)}
+            THEN 1 ELSE 0 END AS at_risk
+FROM terms GROUP BY lang, len_decile, n
+ORDER BY lang, len_decile
+"""
+
+
+QUERIES["t_closeness_audit"] = t_closeness_audit
+ORACLES["t_closeness_audit"] = SQL_T_CLOSENESS

@@ -204,7 +204,7 @@ def test_new_ops_survive_empty_corpus(spark, sf_small, tmp_path):
         "bigram_lm_rarity", "kfold_assignment", "semdedup_cells",
         "quality_ablation_matrix", "l_diversity_audit",
         # round-8 additions
-        "winnowing_fingerprints", "shard_checksum_manifest",
+        "winnowing_fingerprints", "shard_checksum_manifest", "t_closeness_audit",
     ):
         assert qs[op](spark, dst).count() == 0, op
 

@@ -157,3 +157,47 @@ def test_shard_checksums_align_with_pack_and_detect_change(spark, sf_small, tmp_
                for r in shard_checksum_manifest(spark, dst).collect()}
     diffs = [k for k in chk if chk_mut.get(k) != chk[k]["checksum"]]
     assert len(diffs) == 1, diffs
+
+
+def test_t_closeness_exact_tvd_and_flag_splits(spark, sf_small):
+    """TVD per class recomputed exactly from raw counts (same per-term
+    1e-9 quantization), and the at_risk flag must SPLIT on the corpus
+    (not vacuously all-0/all-1) — the round-3 flag rule."""
+    import math
+
+    from kafka_connect_storage_cloud_spark.llm.corpus import (
+        T_CLOSE,
+        t_closeness_audit,
+    )
+    from kafka_connect_storage_cloud_spark.session import read_table
+
+    got = {(r["lang"], r["len_decile"]): r for r in t_closeness_audit(spark, sf_small).collect()}
+    assert got
+    docs = read_table(spark, sf_small, "documents").select("lang", "source", "n_chars").collect()
+    cells: dict = {}
+    for r in docs:
+        key = (r["lang"], min(r["n_chars"] // 100, 9), r["source"])
+        cells[key] = cells.get(key, 0) + 1
+    g: dict = {}
+    for (_, _, s), c in cells.items():
+        g[s] = g.get(s, 0) + c
+    N = sum(g.values())
+    classes: dict = {}
+    for (lang, dec, s), c in cells.items():
+        classes.setdefault((lang, dec), {})[s] = c
+    flags = set()
+    for key, members in classes.items():
+        n = sum(members.values())
+        nano = sum(
+            math.floor(
+                abs(float(members.get(s, 0)) * float(N) - float(gs) * float(n))
+                / (2.0 * float(n) * float(N)) * 1e9 + 0.5
+            )
+            for s, gs in g.items()
+        )
+        exp_tvd = math.floor((nano / 1e9) * 1e6 + 0.5) / 1e6
+        assert got[key]["class_size"] == n, key
+        assert got[key]["tvd_source"] == exp_tvd, key
+        assert got[key]["at_risk"] == int(nano > int(T_CLOSE * 1e9)), key
+        flags.add(got[key]["at_risk"])
+    assert flags == {0, 1}, f"at_risk vacuous: {flags}"

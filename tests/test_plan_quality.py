@@ -332,6 +332,7 @@ _NESTED_LOOP_OK = {
     "kmv_set_ops",                # |sources|^2 pair spine (20 x 20 metadata)
     "cdc_merge_apply",            # 1-row offset-split scalar-anchor combine
     "landed_files_diff",          # 1-row offset-split scalar-anchor combine
+    "t_closeness_audit",          # |classes| x |sources| metadata grid
 }
 
 
