@@ -68,14 +68,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # events_theil_sen, winnowing_fingerprints — each already driver-sim green
 # at sf0.001/0.01/0.1 + hostile TZ) and corpus_prep_pipeline (the
 # _rebalance_pack refactor shared with the streaming twin), then the round's
-# later fresh keys (shard_checksum_manifest, t_closeness_audit). 53
-# ranked = 50 window + 3 _RECHECK (quality_dup_profile,
-# dedup_transitivity_audit, dup_cluster_size_profile — swept every suite
-# run by test_oracle_parity; r9 window head). All 50 window keys were
-# locally driver-sim green on this tree before shipping.
+# later fresh keys (shard_checksum_manifest, t_closeness_audit) and the
+# body-changed dedup_method_matrix (4th generator row). 54
+# ranked = 50 window + 4 _RECHECK (dedup_rate_by_slice,
+# quality_dup_profile, dedup_transitivity_audit, dup_cluster_size_profile
+# — swept every suite run by test_oracle_parity; r9 window head). All 50
+# window keys were locally driver-sim green on this tree before shipping.
 _PRIORITY: tuple[str, ...] = (
     "t_closeness_audit",
     "shard_checksum_manifest",
+    "dedup_method_matrix",
     "events_acf_profile", "events_theil_sen", "winnowing_fingerprints", "part_affinity",
     "rfm_segmentation", "dsir_importance", "corpus_prep_pipeline", "bigram_lm_rarity",
     "l_diversity_audit", "events_retention", "events_haar_energy", "events_value_percentiles_exact",
@@ -88,12 +90,13 @@ _PRIORITY: tuple[str, ...] = (
     "rotation_interval", "rotation_partition_change", "rotation_scheduled", "rotation_schema_change",
     "rotation_stats", "schema_partitioner", "schema_partitioner_suffix", "rotation_max_open_files",
     "rotation_policy_matrix", "ann_topk_ivf_pq", "embedding_pq", "pq_adc_topk",
-    "pq_recall_audit", "dedup_clusters", "dedup_keep_best", "dedup_rate_by_slice",
+    "pq_recall_audit", "dedup_clusters", "dedup_keep_best",
 )
 
-# Remaining stale key (the 51st rank) — suite-swept; r9 window candidate.
+# Remaining stale keys (ranks 51-54) — suite-swept; r9 window head.
 _RECHECK: tuple[str, ...] = (
-    "quality_dup_profile", "dedup_transitivity_audit", "dup_cluster_size_profile",
+    "dedup_rate_by_slice", "quality_dup_profile", "dedup_transitivity_audit",
+    "dup_cluster_size_profile",
 )
 
 # Externally-verified keys whose behavior-relevant code (impl + transitive
@@ -106,7 +109,7 @@ _VERIFIED_CURRENT: tuple[str, ...] = (
     "context_pack", "corpus_mixture", "corpus_stats", "cosine_dup_band_recall",
     "cosine_dup_band_recall_sampled", "curriculum_stages", "curriculum_stages_edges",
     "daily_partitioner", "dedup_chunks", "dedup_containment", "dedup_exact",
-    "dedup_incremental", "dedup_method_matrix", "dedup_minhash_lsh", "dedup_modality_agreement",
+    "dedup_incremental", "dedup_minhash_lsh", "dedup_modality_agreement",
     "dedup_semantic", "dedup_simhash", "dedup_substring", "default_partitioner",
     "doc_chunk_split", "doc_fingerprint", "doc_truncation_loss", "dsir_importance_edges",
     "dup_source_matrix", "embedding_centroid_outliers", "embedding_cosine_dups",

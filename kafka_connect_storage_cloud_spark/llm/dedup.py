@@ -1110,12 +1110,13 @@ GOLD_JACCARD = 0.5  # a pair is a TRUE near-dup when exact Jaccard >= this
 
 def dedup_method_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Method-comparison audit: precision and recall of each candidate
-    generator — minhash_lsh, simhash, containment — against the exact
-    Jaccard >= GOLD_JACCARD gold pair set, in one table. The
-    which-dedup-do-I-run decision input: banding (probabilistic, Jaccard),
-    bit-vote hamming (cheap, drifts on short docs), and prefix-filter
-    containment (exact, also catches subset pairs) trade recall for
-    candidate volume differently on every corpus.
+    generator — minhash_lsh, simhash, containment, winnowing (r8) —
+    against the exact Jaccard >= GOLD_JACCARD gold pair set, in one
+    table. The which-dedup-do-I-run decision input: banding
+    (probabilistic, Jaccard), bit-vote hamming (cheap, drifts on short
+    docs), prefix-filter containment (exact, also catches subset pairs),
+    and winnowing (deterministic shared-run floor, SIGMOD'03) trade
+    recall for candidate volume differently on every corpus.
 
     The gold itself is EXACT yet scale-bounded: J >= 0.5 implies the
     smaller side's containment >= 0.5 >= CONT_TAU, so the gold pair set is
@@ -1149,6 +1150,17 @@ def dedup_method_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
         ("containment", cont.select("doc_a", "doc_b")),
+        (
+            # fp frame checkpointed: the guard aggregate and BOTH self-join
+            # sides read it (3 consumers — uncheckpointed it re-ran the
+            # hash scan per side: leg 14.8 -> 12.4 s warm at sf0.1; the
+            # remaining delta vs the 3-row matrix is the one extra shingle
+            # hash pass the fourth generator inherently costs)
+            "winnowing",
+            _winnow_pairs_of(
+                _winnow_fps_from_ws(dws).localCheckpoint(eager=True)
+            ).select("doc_a", "doc_b"),
+        ),
     ]
     cands = None
     for name, df in methods:
@@ -1191,6 +1203,8 @@ cands AS MATERIALIZED (
   SELECT 'simhash' AS method, doc_a, doc_b FROM ({SQL_DEDUP_SIMHASH})
   UNION ALL
   SELECT 'containment' AS method, doc_a, doc_b FROM cont
+  UNION ALL
+  SELECT 'winnowing' AS method, doc_a, doc_b FROM ({_sql_winnow_cands()})
 ),
 per AS (SELECT method, CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cands GROUP BY method),
 hits AS (
@@ -1208,7 +1222,8 @@ ORDER BY p.method
 """
 
 
-ORACLES["dedup_method_matrix"] = _sql_method_matrix()
+# NOTE: ORACLES["dedup_method_matrix"] is registered at the END of this
+# module — its SQL composes the winnowing candidate CTEs defined below.
 
 
 # ---------------------------------------------------------------------------
@@ -1217,6 +1232,52 @@ ORACLES["dedup_method_matrix"] = _sql_method_matrix()
 
 WINNOW_K = 3  # word-shingle width (the family-wide 3-gram convention)
 WINNOW_W = 4  # winnowing window: one fingerprint per W consecutive shingles
+
+
+def _winnow_fps_from_ws(dws: DataFrame) -> DataFrame:
+    """(doc_id, n_windows, fp) — each document's winnowed fingerprint set
+    from a (doc_id, ws) frame. Shingling, hashing (each shingle hashed
+    ONCE into an int array — the fused form re-ran the md5 W times per
+    shingle), window minima, and per-doc distinct all happen in-array
+    inside one projection; the explode emits the winnowed table
+    (~shingles/(W+1) after the per-doc distinct)."""
+    h = H.spark_sql_h32("s")
+    base = (
+        dws.select("doc_id", T.shingles_from_ws(WINNOW_K).alias("sha"))
+        .where(F.size("sha") >= WINNOW_W)
+        .select("doc_id", F.expr(f"transform(sha, s -> {h})").alias("hs"))
+    )
+    return base.select(
+        "doc_id",
+        (F.size("hs") - F.lit(WINNOW_W - 1)).alias("n_windows"),
+        F.explode(
+            F.expr(
+                f"array_distinct(transform(sequence(1, size(hs) - {WINNOW_W - 1}), "
+                f"i -> array_min(slice(hs, i, {WINNOW_W}))))"
+            )
+        ).alias("fp"),
+    )
+
+
+def _winnow_pairs_of(fps: DataFrame) -> DataFrame:
+    """Candidate near-dup pairs (doc_a < doc_b) sharing at least one
+    non-degenerate winnowed fingerprint — winnowing as the fourth
+    candidate GENERATOR in dedup_method_matrix. The boilerplate guard is
+    the family MAX_BUCKET discipline: a fingerprint held by more than
+    MAX_BUCKET documents is dropped from candidate generation (its
+    members still pair via their other fingerprints), keeping the
+    self-join Σ df² bounded."""
+    sizes = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("bn"))
+    big = sizes.where(F.col("bn") > MAX_BUCKET).select("fp")
+    ok = fps.join(F.broadcast(big), "fp", "left_anti")
+    a = ok.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = ok.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
 
 
 def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1239,26 +1300,9 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     than the token stream). The df table is corpus-derived, so no
     broadcast hint (r8 audit rule). Hashes are the portable md5-prefix
     h32; every count is int64; the two divisions are round6-portable."""
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    h = H.spark_sql_h32("s")
-    base = (
-        docs.withColumn("ws", T.words())
-        .select("doc_id", T.shingles_from_ws(WINNOW_K).alias("sha"))
-        .where(F.size("sha") >= WINNOW_W)
-        # hash each shingle ONCE, then window-min over the int array — the
-        # fused form re-ran the md5 W times per shingle (4.9 s -> see SCALE)
-        .select("doc_id", F.expr(f"transform(sha, s -> {h})").alias("hs"))
-    )
-    fps = base.select(
-        "doc_id",
-        (F.size("hs") - F.lit(WINNOW_W - 1)).alias("n_windows"),
-        F.explode(
-            F.expr(
-                f"array_distinct(transform(sequence(1, size(hs) - {WINNOW_W - 1}), "
-                f"i -> array_min(slice(hs, i, {WINNOW_W}))))"
-            )
-        ).alias("fp"),
-    ).localCheckpoint(eager=True)  # feeds the df aggregate AND the per-doc rollup
+    fps = _winnow_fps_from_ws(_docs_ws(spark, sf_dir)).localCheckpoint(
+        eager=True
+    )  # feeds the df aggregate AND the per-doc rollup
     df_tbl = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
     return (
         fps.join(df_tbl, "fp")
@@ -1283,24 +1327,44 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_winnowing() -> str:
+def _sql_winnow_fps_ctes() -> str:
+    """CTE text `wbase AS (...), wfps AS (...)` — the SQL twin of
+    _winnow_fps_from_ws, shared by the standalone oracle and the method
+    matrix's winnowing candidate row."""
     h = H.sql_h32("s")
     k1 = WINNOW_K - 1
     w1 = WINNOW_W - 1
-    return f"""
-WITH base AS (
+    return f"""wbase AS (
   SELECT doc_id,
          CASE WHEN len(ws) >= {WINNOW_K}
               THEN [array_to_string(ws[i : i + {k1}], ' ') for i in generate_series(1, len(ws) - {k1})]
               ELSE [array_to_string(ws, ' ')] END AS sha
   FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws FROM documents)
 ),
-fps AS (
+wfps AS (
   SELECT doc_id, len(sha) - {w1} AS n_windows,
          unnest(list_distinct([list_min(list_transform(sha[i : i + {w1}], s -> {h}))
                                for i in generate_series(1, len(sha) - {w1})])) AS fp
-  FROM base WHERE len(sha) >= {WINNOW_W}
-),
+  FROM wbase WHERE len(sha) >= {WINNOW_W}
+)"""
+
+
+def _sql_winnow_cands() -> str:
+    """SQL twin of _winnow_pairs_of: candidate pairs sharing a
+    non-degenerate winnowed fingerprint (MAX_BUCKET guard)."""
+    return f"""
+WITH {_sql_winnow_fps_ctes()},
+wszs AS (SELECT fp, COUNT(*) AS bn FROM wfps GROUP BY fp),
+wok AS (SELECT f.doc_id, f.fp FROM wfps f JOIN wszs s USING (fp) WHERE s.bn <= {MAX_BUCKET})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM wok a JOIN wok b ON a.fp = b.fp AND a.doc_id < b.doc_id
+"""
+
+
+def _sql_winnowing() -> str:
+    return f"""
+WITH {_sql_winnow_fps_ctes()},
+fps AS (SELECT * FROM wfps),
 dfq AS (SELECT fp, CAST(COUNT(*) AS BIGINT) AS df FROM fps GROUP BY fp)
 SELECT f.doc_id, CAST(f.n_windows AS BIGINT) AS n_windows,
        CAST(COUNT(*) AS BIGINT) AS n_fp,
@@ -1314,3 +1378,8 @@ ORDER BY f.doc_id
 
 
 ORACLES["winnowing_fingerprints"] = _sql_winnowing()
+
+
+# registered here (not next to _sql_method_matrix): the matrix SQL composes
+# the winnowing candidate CTEs defined above it in source order
+ORACLES["dedup_method_matrix"] = _sql_method_matrix()
