@@ -68,13 +68,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # events_theil_sen, winnowing_fingerprints — each already driver-sim green
 # at sf0.001/0.01/0.1 + hostile TZ) and corpus_prep_pipeline (the
 # _rebalance_pack refactor shared with the streaming twin), then the round's
-# later fresh keys (shard_checksum_manifest, t_closeness_audit) and the
-# body-changed dedup_method_matrix (4th generator row). 54
-# ranked = 50 window + 4 _RECHECK (dedup_rate_by_slice,
-# quality_dup_profile, dedup_transitivity_audit, dup_cluster_size_profile
-# — swept every suite run by test_oracle_parity; r9 window head). All 50
-# window keys were locally driver-sim green on this tree before shipping.
+# later fresh keys (shard_checksum_manifest, t_closeness_audit,
+# hybrid_retrieval_agreement) and the body-changed dedup_method_matrix
+# (4th generator row). 55 ranked = 50 window + 5 _RECHECK (dedup_keep_best,
+# dedup_rate_by_slice, quality_dup_profile, dedup_transitivity_audit,
+# dup_cluster_size_profile — swept every suite run by test_oracle_parity;
+# r9 window head). All 50 window keys were locally driver-sim green on
+# this tree before shipping.
 _PRIORITY: tuple[str, ...] = (
+    "hybrid_retrieval_agreement",
     "t_closeness_audit",
     "shard_checksum_manifest",
     "dedup_method_matrix",
@@ -90,12 +92,12 @@ _PRIORITY: tuple[str, ...] = (
     "rotation_interval", "rotation_partition_change", "rotation_scheduled", "rotation_schema_change",
     "rotation_stats", "schema_partitioner", "schema_partitioner_suffix", "rotation_max_open_files",
     "rotation_policy_matrix", "ann_topk_ivf_pq", "embedding_pq", "pq_adc_topk",
-    "pq_recall_audit", "dedup_clusters", "dedup_keep_best",
+    "pq_recall_audit", "dedup_clusters",
 )
 
-# Remaining stale keys (ranks 51-54) — suite-swept; r9 window head.
+# Remaining stale keys (ranks 51-55) — suite-swept; r9 window head.
 _RECHECK: tuple[str, ...] = (
-    "dedup_rate_by_slice", "quality_dup_profile", "dedup_transitivity_audit",
+    "dedup_keep_best", "dedup_rate_by_slice", "quality_dup_profile", "dedup_transitivity_audit",
     "dup_cluster_size_profile",
 )
 

@@ -228,3 +228,176 @@ ORDER BY qid, rk
 
 QUERIES["bm25_topk"] = bm25_topk
 ORACLES["bm25_topk"] = _sql_bm25_topk()
+
+
+# ---------------------------------------------------------------------------
+# hybrid_retrieval_agreement (round 8) — lexical vs semantic top-k overlap
+# ---------------------------------------------------------------------------
+
+def hybrid_retrieval_agreement(
+    spark: SparkSession, sf_dir: str, nq: int = BM25_NQ, k: int = BM25_TOPK
+) -> DataFrame:
+    """Do lexical and semantic retrieval agree? For every BM25 query doc
+    that has an embedding, intersect its BM25 top-k with its exact-cosine
+    top-k over the embedding corpus — the calibration table behind any
+    hybrid-retrieval (RRF/weighted-fusion) decision: high overlap means
+    one retriever is redundant; low overlap with a high ceiling means
+    fusion adds recall. `agreement_ceiling` = the fraction of lexical
+    hits that even HAVE embeddings (the upper bound overlap could reach
+    on a partially-embedded corpus — documents outnumber embeddings in
+    this testdata, as in most production stores).
+
+    Scale: the lexical side is bm25_topk (postings of a bounded query
+    batch); the semantic side streams the embedding corpus once through
+    the Arrow-matmul scorer with the <= nq query vectors in the task
+    closure (ann_topk_bruteforce's pattern — exact int64 dots, 6-dp
+    floor, doc_id tiebreak); everything after is nq x k metadata."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    from .similarity import _with_dec_and_norm
+
+    lex = (
+        bm25_topk(spark, sf_dir, nq=nq, k=k)
+        .select("qid", "rk", "doc_id")
+        .localCheckpoint(eager=True)  # qid pick + overlap joins read it
+    )
+    emb = _with_dec_and_norm(read_table(spark, sf_dir, "embeddings"))
+    qids = lex.select("qid").distinct()
+    qrows = (
+        emb.join(qids, emb.vec_id == qids.qid)
+        .select("vec_id", "v")
+        .collect()  # bounded: <= nq rows
+    )
+    out_schema = (
+        "qid bigint, n_lex bigint, n_lex_emb bigint, n_common bigint, "
+        "sem_rank_top_lex bigint, overlap double, agreement_ceiling double"
+    )
+    if not qrows:
+        return spark.createDataFrame([], out_schema)
+    qrows.sort(key=lambda r: r["vec_id"])
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    q_mat = np.array([r["v"] for r in qrows], dtype=np.int64)
+    q_norm = np.sqrt(np.einsum("ij,ij->i", q_mat, q_mat).astype(np.float64) / 1e16)
+
+    def score(batches):
+        for pdf in batches:
+            c_mat = np.stack(pdf["v"].to_numpy()).astype(np.int64)
+            c_norm = np.sqrt(np.einsum("ij,ij->i", c_mat, c_mat).astype(np.float64) / 1e16)
+            dots = c_mat @ q_mat.T
+            cos = (dots.astype(np.float64) / 1e16) / (c_norm[:, None] * q_norm[None, :])
+            n, m = cos.shape
+            yield pd.DataFrame(
+                {
+                    "qid": np.tile(q_ids, n),
+                    "doc_id": np.repeat(pdf["vec_id"].to_numpy(), m),
+                    "cosine_raw": cos.ravel(),
+                }
+            )
+
+    scored = (
+        emb.select("vec_id", "v")
+        .mapInPandas(score, "qid long, doc_id long, cosine_raw double")
+        .where(F.col("qid") != F.col("doc_id"))
+        .withColumn("cosine", F.floor(F.col("cosine_raw") * 1000000.0 + F.lit(0.5)) / 1000000.0)
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("doc_id"))
+    ranked_all = scored.withColumn("rnk", F.row_number().over(w)).localCheckpoint()
+    sem = ranked_all.where(F.col("rnk") <= k).select("qid", "doc_id")
+    # where does BM25's #1 hit sit in the FULL semantic ranking? (stays
+    # informative even at overlap 0 — this corpus's embeddings are not
+    # text-derived, so the two retrievers rank near-independently)
+    top_lex = lex.where(F.col("rk") == 1).select("qid", "doc_id")
+    top_rank = top_lex.join(ranked_all.select("qid", "doc_id", "rnk"), ["qid", "doc_id"]).select(
+        "qid", F.col("rnk").alias("sem_rank_top_lex")
+    )
+    emb_ids = emb.select(F.col("vec_id").alias("doc_id")).withColumn("has_emb", F.lit(1))
+    lex_q = lex.join(qids.where(F.col("qid").isin([int(i) for i in q_ids])), "qid")
+    per_lex = (
+        lex_q.join(emb_ids, "doc_id", "left")
+        .groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).alias("n_lex"),
+            F.coalesce(F.sum("has_emb"), F.lit(0)).cast("long").alias("n_lex_emb"),
+        )
+    )
+    common = (
+        lex_q.join(sem, ["qid", "doc_id"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        per_lex.join(common, "qid", "left")
+        .join(top_rank, "qid", "left")
+        .select(
+            "qid",
+            "n_lex",
+            "n_lex_emb",
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+            F.coalesce("sem_rank_top_lex", F.lit(0)).cast("long").alias("sem_rank_top_lex"),
+            H.round6(
+                F.coalesce("n_common", F.lit(0)).cast("double") / F.lit(float(k))
+            ).alias("overlap"),
+            H.round6(F.col("n_lex_emb").cast("double") / F.lit(float(k))).alias(
+                "agreement_ceiling"
+            ),
+        )
+        .orderBy("qid")
+    )
+
+
+def _sql_hybrid_agreement(nq: int = BM25_NQ, k: int = BM25_TOPK) -> str:
+    from .similarity import _SQL_DOT, _sql_emb
+
+    cos = (
+        f"(floor(({_SQL_DOT.format(a='eq.qv', b='c.v')} / (eq.qn * c.nrm))"
+        f" * 1000000.0 + 0.5) / 1000000.0)"
+    )
+    return f"""
+WITH lex AS MATERIALIZED (SELECT qid, rk, doc_id FROM ({_sql_bm25_topk()})),
+{_sql_emb()},
+eq AS (
+  SELECT e.vec_id AS qid, e.v AS qv, e.nrm AS qn
+  FROM emb_n e JOIN (SELECT DISTINCT qid FROM lex) q ON e.vec_id = q.qid
+),
+hscored AS (
+  SELECT eq.qid, c.vec_id AS doc_id, {cos} AS cosine
+  FROM eq JOIN emb_n c ON eq.qid <> c.vec_id
+),
+ranked_all AS MATERIALIZED (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, doc_id) AS rnk
+  FROM hscored
+),
+sem AS (SELECT qid, doc_id FROM ranked_all WHERE rnk <= {k}),
+top_rank AS (
+  SELECT l.qid, r.rnk AS sem_rank_top_lex
+  FROM lex l JOIN ranked_all r ON l.qid = r.qid AND l.doc_id = r.doc_id
+  WHERE l.rk = 1
+),
+lex_q AS (SELECT l.* FROM lex l JOIN eq ON l.qid = eq.qid),
+per_lex AS (
+  SELECT lq.qid, CAST(COUNT(*) AS BIGINT) AS n_lex,
+         CAST(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_lex_emb
+  FROM lex_q lq LEFT JOIN emb_n e ON lq.doc_id = e.vec_id
+  GROUP BY lq.qid
+),
+common AS (
+  SELECT lq.qid, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM lex_q lq JOIN sem s ON lq.qid = s.qid AND lq.doc_id = s.doc_id
+  GROUP BY lq.qid
+)
+SELECT p.qid, p.n_lex, p.n_lex_emb,
+       COALESCE(c.n_common, 0) AS n_common,
+       COALESCE(t.sem_rank_top_lex, 0) AS sem_rank_top_lex,
+       {H.sql_round6(f"CAST(COALESCE(c.n_common, 0) AS DOUBLE) / {float(k)}")} AS overlap,
+       {H.sql_round6(f"CAST(p.n_lex_emb AS DOUBLE) / {float(k)}")} AS agreement_ceiling
+FROM per_lex p LEFT JOIN common c ON p.qid = c.qid
+LEFT JOIN top_rank t ON p.qid = t.qid
+ORDER BY p.qid
+"""
+
+
+QUERIES["hybrid_retrieval_agreement"] = hybrid_retrieval_agreement
+ORACLES["hybrid_retrieval_agreement"] = _sql_hybrid_agreement()

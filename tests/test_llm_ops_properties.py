@@ -205,6 +205,7 @@ def test_new_ops_survive_empty_corpus(spark, sf_small, tmp_path):
         "quality_ablation_matrix", "l_diversity_audit",
         # round-8 additions
         "winnowing_fingerprints", "shard_checksum_manifest", "t_closeness_audit",
+        "hybrid_retrieval_agreement",
     ):
         assert qs[op](spark, dst).count() == 0, op
 

@@ -201,3 +201,33 @@ def test_t_closeness_exact_tvd_and_flag_splits(spark, sf_small):
         assert got[key]["at_risk"] == int(nano > int(T_CLOSE * 1e9)), key
         flags.add(got[key]["at_risk"])
     assert flags == {0, 1}, f"at_risk vacuous: {flags}"
+
+
+def test_hybrid_agreement_bounds(spark, sf_small):
+    """Structural invariants: n_common <= min(k, n_lex_emb) (an agreed hit
+    must be an embedded lexical hit), overlap <= agreement_ceiling, and
+    sem_rank_top_lex is 0 only when the lexical #1 has no embedding."""
+    from kafka_connect_storage_cloud_spark.llm.retrieval import (
+        BM25_TOPK,
+        bm25_topk,
+        hybrid_retrieval_agreement,
+    )
+    from kafka_connect_storage_cloud_spark.session import read_table
+
+    rows = hybrid_retrieval_agreement(spark, sf_small).collect()
+    assert rows
+    emb_ids = {
+        r["vec_id"]
+        for r in read_table(spark, sf_small, "embeddings").select("vec_id").collect()
+    }
+    top_lex = {
+        r["qid"]: r["doc_id"]
+        for r in bm25_topk(spark, sf_small).collect()
+        if r["rk"] == 1
+    }
+    for r in rows:
+        assert r["n_lex"] <= BM25_TOPK
+        assert r["n_common"] <= min(BM25_TOPK, r["n_lex_emb"])
+        assert r["overlap"] <= r["agreement_ceiling"] + 1e-9
+        has_emb = top_lex[r["qid"]] in emb_ids
+        assert (r["sem_rank_top_lex"] > 0) == has_emb, r["qid"]
