@@ -525,7 +525,10 @@ _EAGER_INVENTORY = {
     "llm/corpus.py": 7,
     "llm/pipeline.py": 3,
     "llm/pq.py": 5,
-    "llm/retrieval.py": 1,
+    # bm25 query-batch collect + hybrid_retrieval_agreement query-vector
+    # collect (retrieval.py:272) — both bounded by the query contract
+    # (<= nq rows each), the legitimate contract-bounded class.
+    "llm/retrieval.py": 2,
     "llm/similarity.py": 6,
     "llm/sq.py": 2,
     "llm/text_stats.py": 7,
