@@ -1744,7 +1744,6 @@ def bigram_lm_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_bigrams",
             F.expr("rarity_sum div n_bigrams").alias("mean_bigram_rarity_micro"),
         )
-        .orderBy("doc_id")
     )
 
 

@@ -1323,7 +1323,6 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "shared_share"
             ),
         )
-        .orderBy("doc_id")
     )
 
 

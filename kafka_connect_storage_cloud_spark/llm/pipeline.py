@@ -951,7 +951,6 @@ def semdedup_cells(spark: SparkSession, sf_dir: str, tau: float = SEMDEDUP_TAU) 
             F.coalesce("n_close_lower", F.lit(0)).alias("n_close_lower"),
             F.coalesce("max_cos_lower", F.lit(0.0)).alias("max_cos_lower"),
         )
-        .orderBy("vec_id")
     )
 
 

@@ -693,7 +693,7 @@ def gopher_rules_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("alpha_frac") >= GOPHER_MIN_ALPHA_FRAC)
         & (F.col("n_stop_distinct") >= GOPHER_MIN_STOP_DISTINCT)
     )
-    return scored.withColumn("keep", keep).orderBy("doc_id")
+    return scored.withColumn("keep", keep)
 
 
 SQL_WORDS_Q = "string_split_regex(lower(text), '\\s+')"

@@ -1192,7 +1192,6 @@ def _pagerank_from_edges(spark: SparkSession, sf_dir: str, edges: DataFrame) -> 
                 + F.expr("85 * coalesce(in_contrib, 0) div 100")
             ).alias("pr_scaled"),
         )
-        .orderBy("vec_id")
     )
 
 
@@ -1275,7 +1274,6 @@ def _triangle_stats(edges: DataFrame) -> DataFrame:
             nt.alias("n_triangles"),
             coeff.alias("clustering_coeff"),
         )
-        .orderBy("vec_id")
     )
 
 

@@ -90,7 +90,7 @@ def embedding_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("aggregate(codes, CAST(0 AS BIGINT), (a, c) -> a + c)").alias("code_sum"),
         F.expr("array_min(codes)").cast("long").alias("code_min"),
         F.expr("array_max(codes)").cast("long").alias("code_max"),
-    ).orderBy("vec_id")
+    )
 
 
 def sq8_recall_audit(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:

@@ -109,7 +109,6 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / 1000000.0
             ).alias("dup_token_fraction"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -224,7 +223,7 @@ def dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verdicts.withColumn(
         "false_positive",
         ((F.col("bloom_positive") == 1) & (F.col("true_dup") == 0)).cast("int"),
-    ).orderBy("doc_id")
+    )
 
 
 SQL_DEDUP_BLOOM = f"""

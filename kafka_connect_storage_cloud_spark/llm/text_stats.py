@@ -399,7 +399,7 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_grams",
         "n_novel",
         H.round6(F.col("n_novel") / F.col("n_grams").cast("double")).alias("novelty"),
-    ).orderBy("doc_id")
+    )
 
 
 def _sql_ngram_novelty() -> str:

@@ -1456,5 +1456,4 @@ def winnowing_dup_stream_stats(spark: SparkSession, store_dir: str) -> DataFrame
                 "shared_share"
             ),
         )
-        .orderBy("doc_id")
     )

@@ -538,6 +538,43 @@ _EAGER_INVENTORY = {
 }
 
 
+# r9 (VERDICT r8 'What's wrong' #3): a global .orderBy on a corpus-sized
+# output (per-doc / per-vector tables) is a wasted full range shuffle —
+# the driver compare is order-insensitive (r1 rule, llm/dedup.py). Bounded
+# outputs (audit tables, per-type cells) may sort; list them here if one
+# ever keys its sort on doc_id/vec_id. Window specs
+# (partitionBy(...).orderBy(...)) are not output sorts and are excluded.
+_CORPUS_SORT_ALLOWLIST: set[str] = set()
+
+
+def test_no_global_sorts_on_corpus_sized_outputs():
+    import os
+    import re
+
+    pkg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "kafka_connect_storage_cloud_spark",
+    )
+    pat = re.compile(r'\.orderBy\("(?:doc_id|vec_id)"\)')
+    hits = []
+    for sub in ("llm", "plans", "operators", "streaming"):
+        d = os.path.join(pkg, sub)
+        for fn in sorted(os.listdir(d)):
+            if not fn.endswith(".py"):
+                continue
+            key = f"{sub}/{fn}"
+            if key in _CORPUS_SORT_ALLOWLIST:
+                continue
+            with open(os.path.join(d, fn)) as f:
+                for i, line in enumerate(f, 1):
+                    if pat.search(line) and "partitionBy" not in line:
+                        hits.append(f"{key}:{i}")
+    assert not hits, (
+        f"global sort on corpus-sized output at {hits} — the compare is "
+        "order-insensitive; drop the orderBy or allowlist a bounded output"
+    )
+
+
 def test_eager_actions_in_plan_builders_are_frozen():
     import os
     import re
