@@ -866,26 +866,130 @@ ORACLES["ivf_nprobe_recall_curve"] = _sql_nprobe_curve()
 
 
 # ---------------------------------------------------------------------------
-# semdedup_cells (round 7)
+# semdedup_cells (round 7; two-level distributed codebook round 9)
 # ---------------------------------------------------------------------------
 
 SEMDEDUP_TAU = 0.4  # = similarity.CB_THRESHOLD: one near-dup bar family-wide
-SEMDEDUP_CELL_TARGET = 50  # target members per cell — K = ceil(n / this)
+SEMDEDUP_CELL_TARGET = 50  # target members per FINE cell — K = ceil(n / this)
+SEMDEDUP_COARSE_SALT = "semc:"  # coarse-level seed pick (≠ serving "cent:")
+SEMDEDUP_FINE_SALT = "semf:"  # fine-level per-coarse-cell seed pick
+SEMDEDUP_FINE_STEPS = IVF_LLOYD_STEPS
 
 
 def _semdedup_k(spark: SparkSession, sf_dir: str) -> int:
-    """SF-adaptive SemDeDup codebook cardinality: K = max(IVF_K,
-    ceil(n / SEMDEDUP_CELL_TARGET)). With K ∝ n the expected cell holds
-    ~CELL_TARGET vectors, so the within-cell pair stage is Σ|cell|² ≈
-    n·CELL_TARGET — LINEAR in the corpus (Abbas et al. §2 run C ∝ n at
-    100M+ embeddings for exactly this reason). The count comes from the
-    memoized table gate (session.table_count — one parquet-metadata count
-    per (sf_dir, table) per session; plan builders stay side-effect-free
-    after the first evaluation), the same pattern that SF-gates the
-    knn_graph_mutual / ngram_jaccard exact golds. Integer ceil on both
-    engines: (n + T - 1) div T here, (COUNT(*) + T - 1) // T in DuckDB."""
+    """SF-adaptive SemDeDup TOTAL cell cardinality: K = max(IVF_K,
+    ceil(n / SEMDEDUP_CELL_TARGET)). With K ∝ n the expected fine cell
+    holds ~CELL_TARGET vectors, so the within-cell pair stage is
+    Σ|cell|² ≈ n·CELL_TARGET — LINEAR in the corpus (Abbas et al. §2 run
+    C ∝ n at 100M+ embeddings for exactly this reason). The count comes
+    from the memoized table gate (session.table_count); integer ceil on
+    both engines: (n + T - 1) div T here, (COUNT(*) + T - 1) // T in
+    DuckDB."""
     n = table_count(spark, sf_dir, "embeddings")
     return max(IVF_K, (n + SEMDEDUP_CELL_TARGET - 1) // SEMDEDUP_CELL_TARGET)
+
+
+def _semdedup_k0(k: int) -> int:
+    """Coarse fan-out for the two-level codebook: K₀ = max(4, ceil(√K)) —
+    the geometric split that minimizes per-vector assignment work
+    K₀ + K/K₀ (faiss trains large-nlist IVF quantizers exactly this way).
+    math.isqrt(k-1)+1 is exact integer ceil(√k); the oracle's
+    CEIL(SQRT(k)) agrees because IEEE sqrt is correctly rounded and ULP
+    error cannot cross an integer until k ~ 1e13 (DETERMINISM.md)."""
+    import math
+
+    return max(4, math.isqrt(max(k - 1, 0)) + 1)
+
+
+def _fine_assign(members: DataFrame, codebook: DataFrame) -> DataFrame:
+    """Distributed in-cell assignment: members cogrouped with the FINE
+    codebook on the coarse cell — the codebook never leaves the cluster
+    (VERDICT r8 'What's wrong' #2: driver state stays O(K₀), not O(K·d)).
+    One exact int64 Arrow matmul per coarse cell; argmin first-hit over
+    the fcell-sorted block = lexicographic min of (-rounded cosine,
+    fcell), replicating the oracle's struct-min exactly (same rounding
+    chain as _assign_cells: int64 dot → /1e16 → /(norms) → 6dp
+    floor-round)."""
+    import numpy as np
+    import pandas as pd
+
+    out_cols = ["vec_id", "ccell", "fcell", "v", "nrm"]
+
+    def assign(_key, mdf, cdf):
+        if mdf.empty or cdf.empty:
+            return pd.DataFrame(columns=out_cols)
+        cdf = cdf.sort_values("fcell")
+        c_mat = np.stack(cdf["cv"].to_numpy()).astype(np.int64)
+        c_ids = cdf["fcell"].to_numpy()
+        c_norm = np.sqrt(np.einsum("ij,ij->i", c_mat, c_mat).astype(np.float64) / 1e16)
+        v_mat = np.stack(mdf["v"].to_numpy()).astype(np.int64)
+        nrm = np.sqrt(np.einsum("ij,ij->i", v_mat, v_mat).astype(np.float64) / 1e16)
+        cos = ((v_mat @ c_mat.T).astype(np.float64) / 1e16) / (
+            nrm[:, None] * c_norm[None, :]
+        )
+        r6 = np.floor(cos * 1e6 + 0.5) / 1e6
+        best = np.argmin(-r6, axis=1)  # first hit = smallest fcell
+        return pd.DataFrame(
+            {
+                "vec_id": mdf["vec_id"],
+                "ccell": mdf["ccell"],
+                "fcell": c_ids[best],
+                "v": mdf["v"],
+                "nrm": nrm,
+            }
+        )
+
+    return (
+        members.select("vec_id", "ccell", "v")
+        .groupBy("ccell")
+        .cogroup(codebook.groupBy("ccell"))
+        .applyInPandas(
+            assign,
+            "vec_id long, ccell long, fcell long, v array<bigint>, nrm double",
+        )
+    )
+
+
+def _semdedup_fine_codebook(members: DataFrame) -> DataFrame:
+    """The trained fine codebook as a DataFrame keyed by coarse cell —
+    NEVER collected. Seeds: within each coarse cell, the ceil(|c|/
+    CELL_TARGET) members whose salted hash ranks first (so expected fine
+    cell size ≈ CELL_TARGET whatever the coarse skew); then
+    SEMDEDUP_FINE_STEPS distributed Lloyd refinements, each one cogrouped
+    assignment + a codebook-sized re-quantized-mean aggregate (the exact
+    expression _lloyd_means uses, minus its collect)."""
+    qh = H.h32(F.concat(F.lit(SEMDEDUP_FINE_SALT), F.col("vec_id").cast("string")))
+    w_rank = Window.partitionBy("ccell").orderBy(qh.asc(), F.col("vec_id").asc())
+    w_cnt = Window.partitionBy("ccell")
+    code = (
+        members.withColumn("rnk", F.row_number().over(w_rank))
+        .withColumn("n_c", F.count(F.lit(1)).over(w_cnt))
+        .where(
+            F.col("rnk")
+            <= F.expr(f"(n_c + {SEMDEDUP_CELL_TARGET - 1}) div {SEMDEDUP_CELL_TARGET}")
+        )
+        .select("ccell", F.col("vec_id").alias("fcell"), F.col("v").alias("cv"))
+    )
+    for _ in range(SEMDEDUP_FINE_STEPS):
+        asg = _fine_assign(members, code)
+        code = (
+            asg.select("ccell", "fcell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("ccell", "fcell", "pos")
+            .agg(
+                F.round(F.sum("x").cast("double") / F.count(F.lit(1)), 0)
+                .cast("bigint")
+                .alias("q")
+            )
+            .groupBy("ccell", "fcell")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, q))), s -> s.q)"
+                ).alias("cv")
+            )
+        )
+    # each intermediate codebook has exactly ONE consumer (the next step's
+    # cogroup), so the unrolled chain runs as one job — no checkpoint needed
+    return code
 
 
 def semdedup_cells(spark: SparkSession, sf_dir: str, tau: float = SEMDEDUP_TAU) -> DataFrame:
@@ -898,21 +1002,29 @@ def semdedup_cells(spark: SparkSession, sf_dir: str, tau: float = SEMDEDUP_TAU) 
     pairs are exhaustive, so a dup pair is missed only when k-means
     splits it across cells (the paper's documented trade).
 
-    Verdict per vector: keep=false iff a LOWER-id same-cell vector sits
-    within cosine ≥ τ (greedy first-keeper rule — deterministic, no
+    Verdict per vector: keep=false iff a LOWER-id same-(fine-)cell vector
+    sits within cosine ≥ τ (greedy first-keeper rule — deterministic, no
     iteration), plus how many such dominating neighbors and the closest.
 
-    Scale: K scales with the corpus (_semdedup_k: K = max(16,
-    ceil(n/50)) via the memoized count gate), so the within-cell pair
-    stage is Σ|cell|² ≈ n·CELL_TARGET — linear in n, never n²/K of a
-    fixed codebook (VERDICT r7 'What's wrong' #1). The codebook memo is
-    keyed (sf_dir, steps, K, salt), so the adaptive K trains its own
-    Lloyd chain once per corpus; the DuckDB oracle derives the SAME K
-    from COUNT(*) inside the SQL (subquery LIMIT on the seed CTE).
-    Scoring stays in the exact int64-dot domain; the keep mask is one
-    |cell|-keyed aggregate + a left anti-style join."""
+    Scale (two-level codebook, VERDICT r8 'What's wrong' #2): K =
+    ceil(n/CELL_TARGET) total cells keep the pair stage Σ|cell|² ≈ n·50
+    linear, but a ONE-level K∝n codebook made Lloyd assignment n·K =
+    n²/50 flops with an O(K·d) driver codebook. Split K geometrically:
+    a COARSE codebook of K₀ = ceil(√K) centroids (the only driver-held
+    state — √(n/50)·d int64s, 2.3 MB at n=10⁹/d=64, broadcastable)
+    partitions the corpus in n·K₀ flops; the FINE codebook (ceil(|c|/50)
+    centroids per coarse cell) lives in a DataFrame keyed by coarse cell
+    and is trained DISTRIBUTED — assignment is a ccell cogroup + in-cell
+    Arrow matmul, Σ|c|·K_f ≈ n·√K flops. Total assignment work per Lloyd
+    step drops n·K → n·2√K (n=10⁹: 2·10⁷ → ~9·10³ dots/vector) and
+    driver/closure state drops O(K·d) → O(√K·d). Genuinely linear
+    assignment needs a log-depth k-means tree; depth 2 is chosen because
+    the DuckDB oracle must be a STATIC unrolled CTE chain (SCALE.md r9).
+    Output cell = the fine centroid's seed vec_id (globally unique)."""
     k = _semdedup_k(spark, sf_dir)
-    c_ids, c_mat = _train_codebook(spark, sf_dir, k=k)
+    c_ids, c_mat = _train_codebook(
+        spark, sf_dir, k=_semdedup_k0(k), salt=SEMDEDUP_COARSE_SALT
+    )
     if len(c_ids) == 0:
         return spark.createDataFrame(
             [],
@@ -920,15 +1032,21 @@ def semdedup_cells(spark: SparkSession, sf_dir: str, tau: float = SEMDEDUP_TAU) 
             "n_close_lower bigint, max_cos_lower double",
         )
     emb = _with_dec_and_norm(read_table(spark, sf_dir, "embeddings"))
-    asg = _assign_cells(emb, c_ids, c_mat).localCheckpoint()
-    a = asg.select(
-        "cell", F.col("vec_id").alias("va"), F.col("v").alias("av"), F.col("nrm").alias("an")
+    members = (
+        _assign_cells(emb, c_ids, c_mat)
+        .withColumnRenamed("cell", "ccell")
+        .localCheckpoint()  # feeds seeds + every Lloyd step + the pair stage
     )
-    b = asg.select(
-        "cell", F.col("vec_id").alias("vb"), F.col("v").alias("bv"), F.col("nrm").alias("bn")
+    code = _semdedup_fine_codebook(members)
+    av = _fine_assign(members, code).localCheckpoint()
+    a = av.select(
+        "fcell", F.col("vec_id").alias("va"), F.col("v").alias("av"), F.col("nrm").alias("an")
+    )
+    b = av.select(
+        "fcell", F.col("vec_id").alias("vb"), F.col("v").alias("bv"), F.col("nrm").alias("bn")
     )
     close = (
-        a.join(b, "cell")
+        a.join(b, "fcell")
         .where(F.col("va") < F.col("vb"))
         .withColumn(
             "cosine",
@@ -942,7 +1060,7 @@ def semdedup_cells(spark: SparkSession, sf_dir: str, tau: float = SEMDEDUP_TAU) 
         F.max("cosine").alias("max_cos_lower"),
     )
     return (
-        asg.select("vec_id", "cell")
+        av.select("vec_id", F.col("fcell").alias("cell"))
         .join(dominated, "vec_id", "left")
         .select(
             "vec_id",
@@ -954,22 +1072,84 @@ def semdedup_cells(spark: SparkSession, sf_dir: str, tau: float = SEMDEDUP_TAU) 
     )
 
 
-# the oracle derives the SAME SF-adaptive K from COUNT(*): DuckDB allows a
-# scalar-subquery LIMIT, so the seed CTE's `LIMIT k` is the count gate itself
+# the oracle derives the SAME SF-adaptive K and K₀ from COUNT(*): DuckDB
+# allows a scalar-subquery LIMIT, so the seed CTE's `LIMIT k` is the count
+# gate itself
 _SQL_SEMDEDUP_K = (
     f"(SELECT GREATEST({IVF_K}, (COUNT(*) + {SEMDEDUP_CELL_TARGET - 1}) "
     f"// {SEMDEDUP_CELL_TARGET}) FROM embeddings)"
 )
+_SQL_SEMDEDUP_K0 = (
+    f"(SELECT GREATEST(4, CAST(CEIL(SQRT(CAST(GREATEST({IVF_K}, "
+    f"(COUNT(*) + {SEMDEDUP_CELL_TARGET - 1}) // {SEMDEDUP_CELL_TARGET}) "
+    f"AS DOUBLE))) AS BIGINT)) FROM embeddings)"
+)
+
+
+def _sql_fine_assign(code_cte: str, out: str) -> str:
+    """Fine-level assignment CTE: (vec_id, ccell, fcell) = argmin over the
+    coarse cell's OWN fine centroids — the SQL twin of _fine_assign (join
+    on ccell, struct-min over (neg 6dp-rounded cosine, fcell))."""
+    dot_mc = _SQL_DOT.format(a="m.v", b="c.cv")
+    dot_cc = _SQL_DOT.format(a="c.cv", b="c.cv")
+    return f"""{out} AS MATERIALIZED (
+  SELECT m.vec_id, m.ccell,
+         (min(struct_pack(neg_cos := -(floor(({dot_mc} / (m.nrm * sqrt({dot_cc}))) * 1000000.0 + 0.5) / 1000000.0),
+                          fcell := c.fcell))).fcell AS fcell
+  FROM mem m JOIN {code_cte} c ON m.ccell = c.ccell
+  GROUP BY m.vec_id, m.ccell
+)"""
+
+
+def _sql_fine_chain(steps: int = SEMDEDUP_FINE_STEPS) -> str:
+    """Fine-level twin of _sql_train_chain: f0 per-coarse-cell seeds →
+    (in-cell assign, re-quantized means)* → f{steps}. MATERIALIZED per the
+    Lloyd-unroll rule (DETERMINISM.md: plain CTEs re-inline exponentially)."""
+    h_fine = H.sql_h32(f"'{SEMDEDUP_FINE_SALT}' || CAST(vec_id AS VARCHAR)")
+    parts = [
+        f"""f0 AS MATERIALIZED (
+  SELECT ccell, vec_id AS fcell, v AS cv FROM (
+    SELECT ccell, vec_id, v,
+           ROW_NUMBER() OVER (PARTITION BY ccell ORDER BY {h_fine}, vec_id) AS rnk,
+           COUNT(*) OVER (PARTITION BY ccell) AS n_c
+    FROM mem
+  ) WHERE rnk <= (n_c + {SEMDEDUP_CELL_TARGET - 1}) // {SEMDEDUP_CELL_TARGET}
+)"""
+    ]
+    for s in range(1, steps + 1):
+        parts.append(_sql_fine_assign(f"f{s - 1}", f"fa{s}"))
+        parts.append(
+            f"""fm{s} AS (
+  SELECT ccell, fcell, pos, CAST(round(CAST(SUM(x) AS DOUBLE) / COUNT(*), 0) AS BIGINT) AS q
+  FROM (
+    SELECT a.ccell, a.fcell, unnest(generate_series(0, len(e.v) - 1)) AS pos, unnest(e.v) AS x
+    FROM fa{s} a JOIN emb_n e ON a.vec_id = e.vec_id
+  ) GROUP BY ccell, fcell, pos
+)"""
+        )
+        parts.append(
+            f"""f{s} AS MATERIALIZED (
+  SELECT ccell, fcell, list(q ORDER BY pos) AS cv FROM fm{s} GROUP BY ccell, fcell
+)"""
+        )
+    return ",\n".join(parts)
 
 
 def _sql_semdedup_cells() -> str:
     dot_xy = _SQL_DOT.format(a="x.v", b="y.v")
     return f"""
 WITH {_SQL_EMB},
-{_sql_train_chain(k=_SQL_SEMDEDUP_K)},
-{_sql_assign(_FINAL_CENTS, 'assigned')},
-av AS (
-  SELECT a.vec_id, a.cell, e.v, e.nrm FROM assigned a JOIN emb_n e ON a.vec_id = e.vec_id
+{_sql_train_chain(k=_SQL_SEMDEDUP_K0, salt=SEMDEDUP_COARSE_SALT)},
+{_sql_assign(_FINAL_CENTS, 'casg')},
+mem AS MATERIALIZED (
+  SELECT a.vec_id, a.cell AS ccell, e.v, e.nrm
+  FROM casg a JOIN emb_n e ON a.vec_id = e.vec_id
+),
+{_sql_fine_chain()},
+{_sql_fine_assign(f'f{SEMDEDUP_FINE_STEPS}', 'ffin')},
+av AS MATERIALIZED (
+  SELECT m.vec_id, f.fcell AS cell, m.v, m.nrm
+  FROM ffin f JOIN mem m ON f.vec_id = m.vec_id
 ),
 close_p AS (
   SELECT y.vec_id,
@@ -984,7 +1164,6 @@ SELECT a.vec_id, a.cell,
        COALESCE(c.n_close_lower, 0) AS n_close_lower,
        COALESCE(c.max_cos_lower, 0.0) AS max_cos_lower
 FROM av a LEFT JOIN close_p c ON a.vec_id = c.vec_id
-ORDER BY a.vec_id
 """
 
 
