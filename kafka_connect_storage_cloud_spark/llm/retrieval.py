@@ -242,10 +242,12 @@ def hybrid_retrieval_agreement(
     top-k over the embedding corpus — the calibration table behind any
     hybrid-retrieval (RRF/weighted-fusion) decision: high overlap means
     one retriever is redundant; low overlap with a high ceiling means
-    fusion adds recall. `agreement_ceiling` = the fraction of lexical
-    hits that even HAVE embeddings (the upper bound overlap could reach
-    on a partially-embedded corpus — documents outnumber embeddings in
-    this testdata, as in most production stores).
+    fusion adds recall. `agreement_ceiling` = n_lex_emb / n_lex, the
+    fraction of this query's lexical hits that even HAVE embeddings (the
+    upper bound `overlap` could reach on a partially-embedded corpus —
+    documents outnumber embeddings in this testdata, as in most
+    production stores; normalizing by n_lex rather than k keeps the
+    fraction honest when BM25 returns fewer than k hits).
 
     Scale: the lexical side is bm25_topk (postings of a bounded query
     batch); the semantic side streams the embedding corpus once through
@@ -340,9 +342,9 @@ def hybrid_retrieval_agreement(
             H.round6(
                 F.coalesce("n_common", F.lit(0)).cast("double") / F.lit(float(k))
             ).alias("overlap"),
-            H.round6(F.col("n_lex_emb").cast("double") / F.lit(float(k))).alias(
-                "agreement_ceiling"
-            ),
+            H.round6(
+                F.col("n_lex_emb").cast("double") / F.col("n_lex").cast("double")
+            ).alias("agreement_ceiling"),
         )
         .orderBy("qid")
     )
@@ -392,7 +394,7 @@ SELECT p.qid, p.n_lex, p.n_lex_emb,
        COALESCE(c.n_common, 0) AS n_common,
        COALESCE(t.sem_rank_top_lex, 0) AS sem_rank_top_lex,
        {H.sql_round6(f"CAST(COALESCE(c.n_common, 0) AS DOUBLE) / {float(k)}")} AS overlap,
-       {H.sql_round6(f"CAST(p.n_lex_emb AS DOUBLE) / {float(k)}")} AS agreement_ceiling
+       {H.sql_round6("CAST(p.n_lex_emb AS DOUBLE) / CAST(p.n_lex AS DOUBLE)")} AS agreement_ceiling
 FROM per_lex p LEFT JOIN common c ON p.qid = c.qid
 LEFT JOIN top_rank t ON p.qid = t.qid
 ORDER BY p.qid

@@ -458,9 +458,13 @@ def minhash_dedup_stream(
     the accumulated band store for (new_doc, index_doc) candidate pairs —
     the streaming generalization of dedup_incremental: each micro-batch
     emits its cross-batch matches (new vs every prior batch) AND its
-    within-batch matches (new vs new, a < b), so the ACCUMULATED unordered
-    pair set equals the one-shot batch dedup's — independent of how the
-    ingest happened to split into batches.
+    within-batch matches (new vs new, a < b), each carrying its
+    generating (band, bval) as provenance; `minhash_stream_pairs`
+    re-filters the accumulated store against FINAL bucket sizes at
+    drain, so the finalized unordered pair set equals the one-shot batch
+    dedup's — independent of how the ingest happened to split into
+    batches, INCLUDING corpora where a band bucket crosses MAX_BUCKET
+    across batch boundaries (see minhash_stream_pairs' proof).
 
     Exactly-once: both the per-batch pair output and the band-store
     append land in batch-keyed directories written with overwrite, and
@@ -508,6 +512,76 @@ def _list_store_batches(spark, path: str) -> list[str]:
     ]
 
 
+# document/vector identifier columns across the streaming signature
+# stores: a row referencing an erased id through ANY of these columns is
+# removed (a pair is erased when either endpoint is). Event-log stores
+# (offsets, lag, runs, cells) carry no per-document identifiers and are
+# untouched by erasure.
+_ERASE_ID_COLS = frozenset(
+    {"doc_id", "new_doc", "index_doc", "vec_id", "vec_a", "vec_b"}
+)
+
+
+def erase_doc_ids(spark: SparkSession, store_dir: str, ids) -> dict[str, int]:
+    """Right-to-erasure over a streaming store (VERDICT r8 'Next round'
+    #6): rewrite every batch-keyed partition of every substore minus all
+    rows that reference an erased doc/vec id — bands, fingerprints,
+    chunks, prefix rows, verdicts, AND pairs touching the id from either
+    side. The batch `erasure_rewrite_plan` plans the analogous file
+    rewrites for landed connector output; this executes the store-side
+    delete so an erased document can never match future batches again.
+
+    Mechanics: per batch dir, read → anti-filter on the id columns the
+    substore actually has → localCheckpoint(eager=True) → overwrite (the
+    read-then-overwrite rule). Writes stay batch-keyed, so later drains
+    and probes see the store exactly as if the erased documents had never
+    been ingested — post-erasure drain == a fresh run on the corpus minus
+    the ids (pytest-pinned for the minhash and winnowing stores; for
+    minhash the equality is exact unless the erased docs had pushed a
+    band bucket beyond MAX_BUCKET, where the guard had already suppressed
+    that bucket's pairs — the degenerate-bucket trade, conservative in
+    the keep-less direction). The id list is a bounded legal request
+    (contract-bounded literal, the query-batch class). NOTE: erasure
+    edits STORE state; replaying already-committed batches from a source
+    that still contains the document re-derives its rows — production
+    erasure must also drop the doc at the source, exactly as with any
+    replayable log.
+
+    Returns {substore: rows_removed} for the erasure audit trail."""
+    import os
+
+    ids = [int(i) for i in ids]
+    if not ids:
+        return {}
+    jvm = spark._jvm
+    jroot = jvm.org.apache.hadoop.fs.Path(store_dir)
+    fs = jroot.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jroot):
+        return {}
+    removed: dict[str, int] = {}
+    for st in fs.listStatus(jroot):
+        if not st.isDirectory():
+            continue
+        sub = st.getPath().getName()
+        root = os.path.join(store_dir, sub)
+        for entry in _list_store_batches(spark, root):
+            path = os.path.join(root, entry)
+            df = spark.read.parquet(path)
+            hit_cols = [c for c in df.columns if c in _ERASE_ID_COLS]
+            if not hit_cols:
+                continue
+            cond = None
+            for c in hit_cols:
+                term = F.col(c).isin(ids)
+                cond = term if cond is None else (cond | term)
+            kept = df.where(~cond).localCheckpoint(eager=True)
+            n_removed = df.count() - kept.count()
+            if n_removed:
+                kept.write.mode("overwrite").parquet(path)
+                removed[sub] = removed.get(sub, 0) + n_removed
+    return removed
+
+
 def _minhash_band_sink(batch_df: DataFrame, batch_id: int, store_dir: str) -> None:
     """One micro-batch of the cross-batch minhash band store: probe prior
     bands for cross-batch pairs, emit within-batch pairs, append this
@@ -549,7 +623,11 @@ def _minhash_band_sink(batch_df: DataFrame, batch_id: int, store_dir: str) -> No
     )
     new_ok = bands_new.join(ok, ["band", "bval"])
     # within-batch pairs: same-batch near-dups must not hide behind
-    # the batch split
+    # the batch split. Pairs carry their generating (band, bval) —
+    # PROVENANCE — so the drain-time finalize (minhash_stream_pairs) can
+    # re-apply the degenerate guard against FINAL bucket sizes: a bucket
+    # that was still <= MAX_BUCKET when a pair was emitted may cross the
+    # cap in a later batch, and the one-shot op drops that whole bucket.
     within = (
         new_ok.select(F.col("doc_id").alias("new_doc"), "band", "bval")
         .join(
@@ -557,14 +635,14 @@ def _minhash_band_sink(batch_df: DataFrame, batch_id: int, store_dir: str) -> No
             ["band", "bval"],
         )
         .where(F.col("new_doc") < F.col("index_doc"))
-        .select("new_doc", "index_doc")
+        .select("new_doc", "index_doc", "band", "bval")
     )
     if store is not None:
         cross = (
             new_ok.select(F.col("doc_id").alias("new_doc"), "band", "bval")
             .join(store.join(ok, ["band", "bval"]), ["band", "bval"])
             .where(F.col("new_doc") != F.col("index_doc"))  # re-crawl self-match
-            .select("new_doc", "index_doc")
+            .select("new_doc", "index_doc", "band", "bval")
         )
         pairs = within.unionByName(cross).distinct()
     else:
@@ -572,6 +650,50 @@ def _minhash_band_sink(batch_df: DataFrame, batch_id: int, store_dir: str) -> No
     pairs.write.mode("overwrite").parquet(pairs_path)
     bands_new.write.mode("overwrite").parquet(
         os.path.join(bands_path, f"batch={batch_id}")
+    )
+
+
+def minhash_stream_pairs(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Drain-time finalize of the minhash pair store: the accumulated
+    unordered pair set, EXACTLY equal to the one-shot dedup_minhash_lsh's
+    regardless of batch split. Per-batch emission applies the MAX_BUCKET
+    guard against bucket sizes AS OF that batch; a bucket can cross the
+    cap in a later batch, and the one-shot drops the whole bucket. Since
+    bucket sizes only grow, every one-shot pair was emitted no later than
+    its later member's batch (its bucket was then <= its final size <=
+    MAX_BUCKET), carrying that bucket as provenance — so re-filtering
+    stored pairs against FINAL bucket sizes (an anti-join on the tiny
+    oversized-key set, the batch guard's own idiom) keeps exactly the
+    one-shot set: a pair survives iff at least one of its generating
+    buckets is globally non-degenerate. Bucket sizes come from the band
+    store (metadata; per-doc distinct first so a re-crawled doc_id never
+    double-counts), never from re-reading the corpus."""
+    import os
+
+    from ..llm.dedup import MAX_BUCKET
+
+    pair_batches = _list_store_batches(spark, os.path.join(store_dir, "pairs"))
+    if not pair_batches:
+        return spark.createDataFrame([], "new_doc long, index_doc long")
+    raw = spark.read.parquet(
+        *[os.path.join(store_dir, "pairs", e) for e in pair_batches]
+    )
+    band_batches = _list_store_batches(spark, os.path.join(store_dir, "bands"))
+    bands = spark.read.parquet(
+        *[os.path.join(store_dir, "bands", e) for e in band_batches]
+    )
+    over = (
+        bands.select("doc_id", "band", "bval")
+        .distinct()
+        .groupBy("band", "bval")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .where(F.col("bn") > MAX_BUCKET)
+        .select("band", "bval")
+    )
+    return (
+        raw.join(F.broadcast(over), ["band", "bval"], "left_anti")
+        .select("new_doc", "index_doc")
+        .distinct()
     )
 
 
@@ -587,10 +709,12 @@ def corpus_prep_stream(
          whitespace token count land in `docs/batch=N` (doc_id, lang,
          tokens, quality, q_keep);
       2. the cross-batch minhash band store ingests the batch and emits
-         its cross- and within-batch near-dup pairs (`_minhash_band_sink`
-         — byte-identical logic to minhash_dedup_stream, so the
-         accumulated pair set is split-independent and equals the
-         one-shot dedup_minhash_lsh's).
+         its cross- and within-batch near-dup pairs with bucket
+         provenance (`_minhash_band_sink` — byte-identical logic to
+         minhash_dedup_stream); the drain-time `minhash_stream_pairs`
+         re-filter makes the finalized pair set split-independent and
+         EXACTLY equal to the one-shot dedup_minhash_lsh's, even when a
+         band bucket crosses MAX_BUCKET across batch boundaries.
 
     Both stores are batch-keyed overwrite writes: a replayed micro-batch
     recomputes from the store state it originally saw and rewrites
@@ -664,17 +788,10 @@ def corpus_prep_stream_manifest(spark: SparkSession, store_dir: str) -> DataFram
         .distinct()
         .localCheckpoint()
     )
-    pair_batches = _list_store_batches(spark, os.path.join(store_dir, "pairs"))
-    if pair_batches:
-        raw = spark.read.parquet(
-            *[os.path.join(store_dir, "pairs", e) for e in pair_batches]
-        )
-        pairs = raw.select(
-            F.least("new_doc", "index_doc").alias("src"),
-            F.greatest("new_doc", "index_doc").alias("dst"),
-        ).distinct()
-    else:
-        pairs = spark.createDataFrame([], "src long, dst long")
+    pairs = minhash_stream_pairs(spark, store_dir).select(
+        F.least("new_doc", "index_doc").alias("src"),
+        F.greatest("new_doc", "index_doc").alias("dst"),
+    ).distinct()
     comp = min_label_components(docs.select("doc_id"), pairs, "doc_id")
     w = Window.partitionBy("cluster_id").orderBy(F.desc("quality"), F.asc("doc_id"))
     kb = (
@@ -1374,33 +1491,19 @@ def winnowing_dup_stream(
     Exactly-once: batch-keyed overwrite writes, the connector's
     replay-overwrite rule; a re-delivered document rewrites identical
     fingerprint rows that the drain-time distinct() collapses."""
-    from ..functions import hashing as H
     from ..functions import text as T
-    from ..llm.dedup import WINNOW_K, WINNOW_W
-
-    h = H.spark_sql_h32("s")
+    from ..llm.dedup import _winnow_fps_from_ws
 
     def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
         import os
 
         if batch_df.isEmpty():
             return
-        fps = (
-            batch_df.withColumn("ws", T.words())
-            .select("doc_id", T.shingles_from_ws(WINNOW_K).alias("sha"))
-            .where(F.size("sha") >= WINNOW_W)
-            .select("doc_id", F.expr(f"transform(sha, s -> {h})").alias("hs"))
-            .select(
-                "doc_id",
-                (F.size("hs") - F.lit(WINNOW_W - 1)).alias("n_windows"),
-                F.explode(
-                    F.expr(
-                        f"array_distinct(transform(sequence(1, size(hs) - {WINNOW_W - 1}), "
-                        f"i -> array_min(slice(hs, i, {WINNOW_W}))))"
-                    )
-                ).alias("fp"),
-            )
-        )
+        # batch and stream share ONE expression tree by construction —
+        # the 2-/4-way-split parity pins rely on the fingerprint
+        # expression being identical, so call the batch helper rather
+        # than restating it (the minhash twin's _signatures_of pattern)
+        fps = _winnow_fps_from_ws(batch_df.withColumn("ws", T.words()))
         fps.write.mode("overwrite").parquet(
             os.path.join(store_dir, "fps", f"batch={batch_id}")
         )

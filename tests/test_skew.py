@@ -132,3 +132,65 @@ def test_fuzzy_degenerate_block_guard_and_short_names(spark, tmp_path):
     assert 1 not in by_nation, "degenerate block leaked quadratic candidates"
     assert by_nation[2]["n_pairs"] == 1
     assert by_nation[3]["n_pairs"] == 1, "short-name pair missed by blocking"
+
+
+def test_winnowing_degenerate_fp_bucket_guard(spark, tmp_path):
+    """Mass-duplicate pathology for the FOURTH candidate generator
+    (VERDICT r8 'Next round' #8, the test_minhash_degenerate_bucket_guard
+    shape): thousands of IDENTICAL documents share every winnowed
+    fingerprint, so each fp bucket exceeds MAX_BUCKET and the quadratic
+    pair expansion must be dropped from candidate generation entirely —
+    while a genuine shared-run pair in a normal-sized bucket still
+    surfaces. Pinned on BOTH engines: the Spark generator and its DuckDB
+    CTE twin must agree on the exact surviving pair set."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kafka_connect_storage_cloud_spark.llm.dedup import (
+        MAX_BUCKET,
+        _docs_ws,
+        _sql_winnow_cands,
+        _winnow_fps_from_ws,
+        _winnow_pairs_of,
+    )
+
+    n_mass = MAX_BUCKET + 100
+    mass = ["the same boilerplate page text repeated verbatim many times over"] * n_mass
+    near = [
+        # shares a 9-word run >= K+W-1 = 6: a winnowed fingerprint is
+        # GUARANTEED shared (the pigeonhole argument the op documents)
+        "a distinct document about spark shuffles and partitions number one",
+        "a distinct document about spark shuffles and partitions number two",
+    ]
+    texts = mass + near
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["src0"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    d = tmp_path / "wmassdup"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in _winnow_pairs_of(
+            _winnow_fps_from_ws(_docs_ws(spark, str(d)))
+        ).collect()
+    }
+    mass_pairs = {(a, b) for a, b in got if a < n_mass and b < n_mass}
+    assert not mass_pairs, "degenerate fp bucket leaked quadratic candidates"
+    assert (n_mass, n_mass + 1) in got, "normal shared-run pair lost by the guard"
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'"
+    )
+    duck = {tuple(r) for r in con.sql(_sql_winnow_cands()).fetchall()}
+    con.close()
+    assert duck == got, "Spark and DuckDB winnowing guards diverge"

@@ -920,6 +920,7 @@ def test_minhash_dedup_stream_matches_batch_lsh(spark, sf_small, tmp_path):
     from kafka_connect_storage_cloud_spark.llm.dedup import dedup_minhash_lsh
     from kafka_connect_storage_cloud_spark.streaming.pipeline import (
         minhash_dedup_stream,
+        minhash_stream_pairs,
         stream_documents_source,
     )
 
@@ -934,7 +935,7 @@ def test_minhash_dedup_stream_matches_batch_lsh(spark, sf_small, tmp_path):
             stream_documents_source(spark, stage), store, str(tmp_path / ckpt)
         )
         assert q.awaitTermination(120), "stream did not drain in time"
-        got = spark.read.parquet(f"{store}/pairs")
+        got = minhash_stream_pairs(spark, store)
         # orientation depends on which batch a doc landed in: compare
         # unordered
         return {
@@ -962,6 +963,7 @@ def test_minhash_dedup_stream_four_way_split(spark, sf_small, tmp_path):
     from kafka_connect_storage_cloud_spark.llm.dedup import dedup_minhash_lsh
     from kafka_connect_storage_cloud_spark.streaming.pipeline import (
         minhash_dedup_stream,
+        minhash_stream_pairs,
         stream_documents_source,
     )
 
@@ -978,13 +980,102 @@ def test_minhash_dedup_stream_four_way_split(spark, sf_small, tmp_path):
     assert q.awaitTermination(180), "stream did not drain in time"
     got = {
         (min(r["new_doc"], r["index_doc"]), max(r["new_doc"], r["index_doc"]))
-        for r in spark.read.parquet(f"{store}/pairs").collect()
+        for r in minhash_stream_pairs(spark, store).collect()
     }
     exp = {
         (min(r["doc_a"], r["doc_b"]), max(r["doc_a"], r["doc_b"]))
         for r in dedup_minhash_lsh(spark, sf_small).collect()
     }
     assert got == exp
+
+
+def test_minhash_stream_bucket_crossing_max_bucket_matches_batch(
+    spark, tmp_path, monkeypatch
+):
+    """A band bucket that crosses MAX_BUCKET ACROSS batch boundaries: the
+    early batch legitimately emits its within-bucket pairs (the bucket is
+    still small), a later batch pushes the bucket over the cap, and the
+    one-shot op drops the whole bucket. The drain-time finalize must drop
+    those stored pairs too — while a normal near-dup pair in an
+    unaffected bucket survives. MAX_BUCKET is patched small so the
+    pathology stays unit-test sized; both engines read the patched value
+    at call time."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kafka_connect_storage_cloud_spark.llm import dedup as dedup_mod
+    from kafka_connect_storage_cloud_spark.streaming.pipeline import (
+        minhash_dedup_stream,
+        minhash_stream_pairs,
+        stream_documents_source,
+    )
+
+    monkeypatch.setattr(dedup_mod, "MAX_BUCKET", 10)
+    mass = ["the same boilerplate page text repeated verbatim many times over"] * 13
+    near = [
+        "a distinct document about spark shuffles and partitions number one",
+        "a distinct document about spark shuffles and partitions number two",
+    ]
+    texts = mass + near
+
+    def write_docs(path: str, lo: int, hi: int, mode: str) -> None:
+        ids = list(range(lo, hi))
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array([texts[i] for i in ids]),
+                "lang": pa.array(["en"] * len(ids)),
+                "source": pa.array(["src0"] * len(ids)),
+                "n_chars": pa.array([len(texts[i]) for i in ids], pa.int64()),
+            }
+        )
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        pq.write_table(tbl, f"{path}/part-{lo}.parquet")
+
+    stage = str(tmp_path / "xb_stage")
+    # batch 1: 8 of the 13 identical docs + the near-dup pair (bucket=8 <= 10)
+    write_docs(stage, 0, 8, "w")
+    write_docs(stage, 13, 15, "a")
+    # batch 2: 5 more identical docs -> bucket hits 13 > 10
+    write_docs(stage, 8, 13, "a")
+    store = str(tmp_path / "xb_store")
+    q = minhash_dedup_stream(
+        stream_documents_source(spark, stage), store, str(tmp_path / "xb_ckpt")
+    )
+    assert q.awaitTermination(120), "stream did not drain in time"
+    # the raw store DID emit mass-bucket pairs in the early batch —
+    # otherwise this test isn't exercising the crossing at all
+    raw = spark.read.parquet(f"{store}/pairs")
+    mass_raw = raw.where(
+        (F.col("new_doc") < 13) & (F.col("index_doc") < 13)
+    ).count()
+    assert mass_raw > 0, "scenario vacuous: early batch emitted no mass pairs"
+    got = {
+        (min(r["new_doc"], r["index_doc"]), max(r["new_doc"], r["index_doc"]))
+        for r in minhash_stream_pairs(spark, store).collect()
+    }
+    # one-shot with the same patched MAX_BUCKET on the same corpus
+    d = tmp_path / "xb_oneshot"
+    d.mkdir()
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["src0"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    exp = {
+        (min(r["doc_a"], r["doc_b"]), max(r["doc_a"], r["doc_b"]))
+        for r in dedup_mod.dedup_minhash_lsh(spark, str(d)).collect()
+    }
+    assert got == exp
+    assert all(a >= 13 or b >= 13 for a, b in got), "mass-bucket pairs survived"
+    assert (13, 14) in got, "the genuine near-dup pair must survive"
 
 
 def test_consumer_lag_stream_matches_batch_report(spark, sf_small, tmp_path):
@@ -1363,3 +1454,69 @@ def test_winnowing_dup_stream_matches_batch(spark, sf_small, tmp_path):
         ).parquet(stage4)
     got4 = run(stage4, str(tmp_path / "wn_store4"), str(tmp_path / "wn_ckpt4"))
     assert got4 == exp
+
+
+def test_erase_doc_ids_minhash_and_winnowing_stores(spark, sf_small, tmp_path):
+    """Right-to-erasure across the streaming stores (VERDICT r8 #6): after
+    erase_doc_ids, a drain over the surviving store state must equal a
+    FRESH run on the corpus minus the erased ids — for the minhash band/
+    pair store (finalized pair set) and the winnowing fingerprint store
+    (full stats rollup). Erased ids are chosen as real near-dup pair
+    endpoints so the store actually loses rows."""
+    from kafka_connect_storage_cloud_spark.llm.dedup import (
+        dedup_minhash_lsh,
+        winnowing_fingerprints,
+    )
+    from kafka_connect_storage_cloud_spark.streaming.pipeline import (
+        erase_doc_ids,
+        minhash_dedup_stream,
+        minhash_stream_pairs,
+        stream_documents_source,
+        winnowing_dup_stream,
+        winnowing_dup_stream_stats,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    all_pairs = dedup_minhash_lsh(spark, sf_small).collect()
+    assert all_pairs, "sf_small has no near-dup pairs; erasure test vacuous"
+    erase = sorted({r["doc_a"] for r in all_pairs})[:2]
+    minus = str(tmp_path / "er_minus")
+    docs.where(~F.col("doc_id").isin(erase)).coalesce(1).write.parquet(
+        f"{minus}/documents.parquet"
+    )
+
+    stage = str(tmp_path / "er_stage")
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(stage)
+    docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(stage)
+
+    # --- minhash band/pair store ---
+    store = str(tmp_path / "er_mh_store")
+    q = minhash_dedup_stream(
+        stream_documents_source(spark, stage), store, str(tmp_path / "er_mh_ckpt")
+    )
+    assert q.awaitTermination(120), "stream did not drain in time"
+    removed = erase_doc_ids(spark, store, erase)
+    assert removed.get("bands", 0) > 0, "erasure removed no band rows"
+    assert removed.get("pairs", 0) > 0, "erasure removed no pair rows"
+    got = {
+        (min(r["new_doc"], r["index_doc"]), max(r["new_doc"], r["index_doc"]))
+        for r in minhash_stream_pairs(spark, store).collect()
+    }
+    exp = {
+        (min(r["doc_a"], r["doc_b"]), max(r["doc_a"], r["doc_b"]))
+        for r in dedup_minhash_lsh(spark, minus).collect()
+    }
+    assert got == exp
+    assert all(a not in erase and b not in erase for a, b in got)
+
+    # --- winnowing fingerprint store ---
+    wstore = str(tmp_path / "er_wn_store")
+    q = winnowing_dup_stream(
+        stream_documents_source(spark, stage), wstore, str(tmp_path / "er_wn_ckpt")
+    )
+    assert q.awaitTermination(120), "winnowing stream did not drain"
+    wremoved = erase_doc_ids(spark, wstore, erase)
+    assert wremoved.get("fps", 0) > 0, "erasure removed no fingerprint rows"
+    wgot = {tuple(r) for r in winnowing_dup_stream_stats(spark, wstore).collect()}
+    wexp = {tuple(r) for r in winnowing_fingerprints(spark, minus).collect()}
+    assert wgot == wexp and wexp
