@@ -66,6 +66,30 @@ def _docs_ws(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# session-scoped memo of the CHECKPOINTED (doc_id, ws) frame and its
+# winnowed fingerprint table per corpus dir (VERDICT r8 next-round #5, the
+# _CODEBOOK_MEMO pattern): winnowing_fingerprints and dedup_method_matrix
+# otherwise each re-pay the tokenize + shingle-hash scan in the same
+# session. Both entries are deterministic projections of the corpus, so
+# caching cannot change values; the cost is executor MEMORY_AND_DISK for
+# the tokenized corpus — a train-once/audit-many session trade. Tests that
+# regenerate data under the SAME path in one process must clear it (the
+# codebook-memo rule).
+_WS_FPS_MEMO: dict[str, tuple] = {}
+
+
+def _docs_ws_shared(spark: SparkSession, sf_dir: str):
+    """(dws, fps): the checkpointed tokenized corpus and its checkpointed
+    winnowed fingerprint table, built at most once per (session, sf_dir)."""
+    hit = _WS_FPS_MEMO.get(sf_dir)
+    if hit is not None:
+        return hit
+    dws = _docs_ws(spark, sf_dir).localCheckpoint(eager=True)
+    fps = _winnow_fps_from_ws(dws).localCheckpoint(eager=True)
+    _WS_FPS_MEMO[sf_dir] = (dws, fps)
+    return dws, fps
+
+
 def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _signatures_of(
         read_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1130,7 +1154,7 @@ def dedup_method_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # projection. The corpus is also read + tokenized ONCE (r7: the three
     # generators each re-ran the scan/split/shingle pass; one checkpointed
     # (doc_id, ws) frame feeds all three — VERDICT r6 next-round #4).
-    dws = _docs_ws(spark, sf_dir).localCheckpoint(eager=True)
+    dws, wfps = _docs_ws_shared(spark, sf_dir)
     cont = (
         _containment_from_ws(dws)
         .select("doc_a", "doc_b", "jaccard")
@@ -1157,9 +1181,7 @@ def dedup_method_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             # remaining delta vs the 3-row matrix is the one extra shingle
             # hash pass the fourth generator inherently costs)
             "winnowing",
-            _winnow_pairs_of(
-                _winnow_fps_from_ws(dws).localCheckpoint(eager=True)
-            ).select("doc_a", "doc_b"),
+            _winnow_pairs_of(wfps).select("doc_a", "doc_b"),
         ),
     ]
     cands = None
@@ -1300,9 +1322,8 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     than the token stream). The df table is corpus-derived, so no
     broadcast hint (r8 audit rule). Hashes are the portable md5-prefix
     h32; every count is int64; the two divisions are round6-portable."""
-    fps = _winnow_fps_from_ws(_docs_ws(spark, sf_dir)).localCheckpoint(
-        eager=True
-    )  # feeds the df aggregate AND the per-doc rollup
+    _, fps = _docs_ws_shared(spark, sf_dir)  # checkpointed: feeds the df
+    # aggregate AND the per-doc rollup, shared with dedup_method_matrix
     df_tbl = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
     return (
         fps.join(df_tbl, "fp")
