@@ -60,108 +60,96 @@ def entry(spark: SparkSession) -> DataFrame:
     return T.q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-# --- diff-aware re-verification window (rebuilt END of round 8) ----------
-# Function-level (content-signature) staleness throughout this round
-# (tools/stale_keys.py + tools/key_signatures.py): start-of-round rebuild
-# found 169-under-mtime -> 47 true body-changes; this END-of-round rebuild
-# adds the round's own late work: 3 fresh keys (events_acf_profile,
-# events_theil_sen, winnowing_fingerprints — each already driver-sim green
-# at sf0.001/0.01/0.1 + hostile TZ) and corpus_prep_pipeline (the
-# _rebalance_pack refactor shared with the streaming twin), then the round's
-# later fresh keys (shard_checksum_manifest, t_closeness_audit,
-# hybrid_retrieval_agreement) and the body-changed dedup_method_matrix
-# (4th generator row). 55 ranked = 50 window + 5 _RECHECK (dedup_keep_best,
-# dedup_rate_by_slice, quality_dup_profile, dedup_transitivity_audit,
-# dup_cluster_size_profile — swept every suite run by test_oracle_parity;
-# r9 window head). All 50 window keys were locally driver-sim green on
-# this tree before shipping.
+# --- diff-aware re-verification window (rebuilt round 9) -----------------
+# tools/stale_keys.py --window 50 after the r9 rewrites (semdedup two-level
+# codebook, global-sort deletions, _docs_ws_shared memo, retrieval ceiling
+# fix) marks 20 keys stale: the 15 transitive consumers of the touched
+# modules + the 5 r8 _RECHECK clustering keys. All 20 head the window;
+# the remaining slots deliberately REFRESH the oldest-green (r2) keys —
+# signature-identical since round 2, re-verified externally here so no key
+# ages past 7 rounds without a fresh driver row. New r9 operators float
+# ahead of everything via _rotate.
 _PRIORITY: tuple[str, ...] = (
-    "hybrid_retrieval_agreement",
-    "t_closeness_audit",
-    "shard_checksum_manifest",
-    "dedup_method_matrix",
-    "events_acf_profile", "events_theil_sen", "winnowing_fingerprints", "part_affinity",
-    "rfm_segmentation", "dsir_importance", "corpus_prep_pipeline", "bigram_lm_rarity",
-    "l_diversity_audit", "events_retention", "events_haar_energy", "events_value_percentiles_exact",
-    "cdc_merge_apply", "landed_files_diff", "ann_topk_ivf", "ann_topk_ivf_multiprobe",
-    "cluster_profile_kmeans", "semdedup_cells", "knn_graph_lsh", "knn_graph_lsh_recall",
-    "knn_label_vote_lsh", "knn_pagerank_step_lsh", "knn_triangle_count_lsh",
-    "knn_graph_lsh_recall_sampled", "knn_label_vote_accuracy", "dedup_bloom",
-    "multimodal_payload_dedup", "duration_partitioner", "erasure_rewrite_plan",
-    "exactly_once_manifest", "path_format_partitioner", "rotation_flush_size",
-    "rotation_interval", "rotation_partition_change", "rotation_scheduled", "rotation_schema_change",
-    "rotation_stats", "schema_partitioner", "schema_partitioner_suffix", "rotation_max_open_files",
-    "rotation_policy_matrix", "ann_topk_ivf_pq", "embedding_pq", "pq_adc_topk",
-    "pq_recall_audit", "dedup_clusters",
+    "dedup_method_matrix", "winnowing_fingerprints", "hybrid_retrieval_agreement",
+    "semdedup_cells", "bigram_lm_rarity", "knn_pagerank_step", "knn_triangle_count",
+    "knn_pagerank_step_lsh", "knn_triangle_count_lsh", "dedup_substring", "dedup_bloom",
+    "gopher_rules_filter", "quality_ablation_matrix", "embedding_sq8", "ngram_novelty",
+    "dedup_keep_best", "dedup_rate_by_slice", "quality_dup_profile", "dedup_transitivity_audit",
+    "dup_cluster_size_profile", "q1_pricing_summary", "q3_shipping_priority",
+    "q5_local_supplier_volume", "q6_revenue_change", "q10_returned_items", "q14_promo_revenue",
+    "q15_top_supplier", "q16_supplier_part_counts", "q17_small_quantity_revenue",
+    "q18_large_volume_customers", "q19_discounted_revenue", "q22_global_sales_opportunity",
+    "top_customers", "order_priority_count", "part_type_margin", "default_partitioner",
+    "field_partitioner", "time_based_partitioner", "daily_partitioner", "hourly_partitioner",
+    "field_time_partitioner", "tz_partitioner", "timestamp_extractor_record_field",
+    "kv_header_views", "tombstone_routing", "schema_evolution", "smt_chain",
 )
 
-# Remaining stale keys (ranks 51-55) — suite-swept; r9 window head.
-_RECHECK: tuple[str, ...] = (
-    "dedup_keep_best", "dedup_rate_by_slice", "quality_dup_profile", "dedup_transitivity_audit",
-    "dup_cluster_size_profile",
-)
+# no remaining stale keys beyond the window (tool: stale=20, all in window)
+_RECHECK: tuple[str, ...] = ()
 
 # Externally-verified keys whose behavior-relevant code (impl + transitive
 # helpers + oracle SQL) is signature-identical to their last green round.
 _VERIFIED_CURRENT: tuple[str, ...] = (
     "ab_test_metrics", "ann_method_matrix", "ann_recall_audit", "ann_topk_bruteforce",
-    "ann_topk_ivf_sq8", "ann_topk_lsh", "benford_audit", "bigram_lift", "bm25_topk",
-    "bootstrap_mean_ci", "bpe_compression_curve", "bpe_pair_stats", "bpe_train_rounds",
-    "cms_heavy_hitters", "compact_small_files", "consumer_lag_report", "contamination_check",
-    "context_pack", "corpus_mixture", "corpus_stats", "cosine_dup_band_recall",
-    "cosine_dup_band_recall_sampled", "curriculum_stages", "curriculum_stages_edges",
-    "daily_partitioner", "dedup_chunks", "dedup_containment", "dedup_exact",
-    "dedup_incremental", "dedup_minhash_lsh", "dedup_modality_agreement",
-    "dedup_semantic", "dedup_simhash", "dedup_substring", "default_partitioner",
-    "doc_chunk_split", "doc_fingerprint", "doc_truncation_loss", "dsir_importance_edges",
-    "dup_source_matrix", "embedding_centroid_outliers", "embedding_cosine_dups",
-    "embedding_covariance", "embedding_dim_stats", "embedding_pca_power", "embedding_pca_project",
-    "embedding_sq8", "events_anomaly", "events_anomaly_mad", "events_asof_join",
-    "events_autocorr_lag1", "events_burst_runs", "events_changepoint", "events_cube",
-    "events_cusum_alarms", "events_dau_mau", "events_dod_growth", "events_dow_profile",
-    "events_ewma16", "events_funnel", "events_gapfill_locf", "events_holt_linear",
-    "events_hourly_rollup", "events_inter_arrival", "events_markov_transitions",
-    "events_props_extract", "events_props_variant", "events_range_join", "events_rolling_window",
+    "ann_topk_ivf", "ann_topk_ivf_multiprobe", "ann_topk_ivf_pq", "ann_topk_ivf_sq8",
+    "ann_topk_lsh", "benford_audit", "bigram_lift", "bm25_topk", "bootstrap_mean_ci",
+    "bpe_compression_curve", "bpe_pair_stats", "bpe_train_rounds", "cdc_merge_apply",
+    "cluster_profile_kmeans", "cms_heavy_hitters", "compact_small_files", "consumer_lag_report",
+    "contamination_check", "context_pack", "corpus_mixture", "corpus_prep_pipeline",
+    "corpus_stats", "cosine_dup_band_recall", "cosine_dup_band_recall_sampled",
+    "curriculum_stages", "curriculum_stages_edges", "dedup_chunks", "dedup_clusters",
+    "dedup_containment", "dedup_exact", "dedup_incremental", "dedup_minhash_lsh",
+    "dedup_modality_agreement", "dedup_semantic", "dedup_simhash", "doc_chunk_split",
+    "doc_fingerprint", "doc_truncation_loss", "dsir_importance", "dsir_importance_edges",
+    "dup_source_matrix", "duration_partitioner", "embedding_centroid_outliers",
+    "embedding_cosine_dups", "embedding_covariance", "embedding_dim_stats", "embedding_pca_power",
+    "embedding_pca_project", "embedding_pq", "erasure_rewrite_plan", "events_acf_profile",
+    "events_anomaly", "events_anomaly_mad", "events_asof_join", "events_autocorr_lag1",
+    "events_burst_runs", "events_changepoint", "events_cube", "events_cusum_alarms",
+    "events_dau_mau", "events_dod_growth", "events_dow_profile", "events_ewma16", "events_funnel",
+    "events_gapfill_locf", "events_haar_energy", "events_holt_linear", "events_hourly_rollup",
+    "events_inter_arrival", "events_markov_transitions", "events_props_extract",
+    "events_props_variant", "events_range_join", "events_retention", "events_rolling_window",
     "events_seasonality_anova", "events_session_window_native", "events_sessionize",
-    "events_sliding_window", "events_time_weighted_avg", "events_topk_users",
+    "events_sliding_window", "events_theil_sen", "events_time_weighted_avg", "events_topk_users",
     "events_trend_slope", "events_type_diversity", "events_type_pivot", "events_type_unpivot",
     "events_value_deciles", "events_value_deciles_edges", "events_value_histogram",
-    "field_partitioner", "field_time_partitioner", "fuzzy_name_matches", "gopher_rules_filter",
-    "hll_distinct", "hll_merge_invariant", "hourly_partitioner", "idf_topterms",
-    "ivf_balance_audit", "ivf_kmeans_refine", "ivf_nprobe_recall_curve", "k_anonymity_audit",
-    "kfold_assignment", "kmv_distinct", "kmv_set_ops", "knn_graph_components",
-    "knn_graph_mutual", "knn_pagerank_step", "knn_triangle_count", "kv_header_views",
+    "events_value_percentiles_exact", "exactly_once_manifest", "fuzzy_name_matches",
+    "hll_distinct", "hll_merge_invariant", "idf_topterms", "ivf_balance_audit",
+    "ivf_kmeans_refine", "ivf_nprobe_recall_curve", "k_anonymity_audit", "kfold_assignment",
+    "kmv_distinct", "kmv_set_ops", "knn_graph_components", "knn_graph_lsh",
+    "knn_graph_lsh_recall", "knn_graph_lsh_recall_sampled", "knn_graph_mutual",
+    "knn_label_vote_accuracy", "knn_label_vote_lsh", "l_diversity_audit", "landed_files_diff",
     "lang_id", "lang_id_confusion", "late_data_audit", "lm_rarity_score", "locale_partitioner",
     "log_compaction", "market_concentration_hhi", "matryoshka_recall_audit",
     "minhash_band_tuning", "minhash_jaccard_est", "minhash_precision_curve",
     "mixture_temperature_weights", "mlm_masking_plan", "modality_coverage_audit",
     "multi_touch_attribution", "multimodal_audio_resample", "multimodal_frame_sample",
-    "multimodal_pipeline", "multimodal_resize", "multipart_upload_plan", "negative_sampling_table",
-    "ngram_jaccard", "ngram_memorization_audit", "ngram_novelty", "offset_continuity_audit",
-    "order_lead_time", "order_priority_count", "orders_backlog_aging", "orders_cohort_ltv",
-    "pack_efficiency_curve", "part_type_margin", "pii_density_by_slice", "pii_scan",
-    "pq_code_balance", "q10_returned_items", "q11_important_stock", "q12_ship_priority_class",
-    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier", "q16_supplier_part_counts",
-    "q17_small_quantity_revenue", "q18_large_volume_customers", "q19_discounted_revenue",
-    "q1_pricing_summary", "q1_rollup", "q20_dominant_suppliers", "q21_waiting_suppliers",
-    "q22_global_sales_opportunity", "q2_min_cost_supplier", "q3_shipping_priority",
-    "q4_order_priority", "q5_local_supplier_volume", "q6_revenue_change", "q7_volume_shipping",
-    "q8_market_share", "q9_product_type_profit", "quality_ablation_matrix", "quality_filter",
-    "quality_score", "quality_threshold_yield", "quantile_sketch_audit", "rarity_buckets",
-    "rarity_buckets_edges", "repetition_score", "reservoir_sample", "revenue_pareto",
-    "revenue_pareto_edges", "rfm_segmentation_edges", "rollup_incremental_merge",
-    "rotation_custom_naming", "rotation_interval_partition_change", "scd2_history",
-    "scd2_snapshot_asof", "schema_compat_backward", "schema_compat_forward",
-    "schema_compat_full", "schema_compat_none", "schema_evolution", "semantic_contamination",
-    "shard_skew_audit", "simhash_bit_balance", "smt_chain", "source_overlap_jaccard",
-    "span_corruption_plan", "sq8_recall_audit", "stratified_sample", "supplier_scorecard",
-    "time_based_partitioner", "timestamp_extractor_record_field", "token_count",
+    "multimodal_payload_dedup", "multimodal_pipeline", "multimodal_resize",
+    "multipart_upload_plan", "negative_sampling_table", "ngram_jaccard",
+    "ngram_memorization_audit", "offset_continuity_audit", "order_lead_time",
+    "orders_backlog_aging", "orders_cohort_ltv", "pack_efficiency_curve", "part_affinity",
+    "path_format_partitioner", "pii_density_by_slice", "pii_scan", "pq_adc_topk",
+    "pq_code_balance", "pq_recall_audit", "q11_important_stock", "q12_ship_priority_class",
+    "q13_customer_distribution", "q1_rollup", "q20_dominant_suppliers", "q21_waiting_suppliers",
+    "q2_min_cost_supplier", "q4_order_priority", "q7_volume_shipping", "q8_market_share",
+    "q9_product_type_profit", "quality_filter", "quality_score", "quality_threshold_yield",
+    "quantile_sketch_audit", "rarity_buckets", "rarity_buckets_edges", "repetition_score",
+    "reservoir_sample", "revenue_pareto", "revenue_pareto_edges", "rfm_segmentation",
+    "rfm_segmentation_edges", "rollup_incremental_merge", "rotation_custom_naming",
+    "rotation_flush_size", "rotation_interval", "rotation_interval_partition_change",
+    "rotation_max_open_files", "rotation_partition_change", "rotation_policy_matrix",
+    "rotation_scheduled", "rotation_schema_change", "rotation_stats", "scd2_history",
+    "scd2_snapshot_asof", "schema_compat_backward", "schema_compat_forward", "schema_compat_full",
+    "schema_compat_none", "schema_partitioner", "schema_partitioner_suffix",
+    "semantic_contamination", "shard_checksum_manifest", "shard_skew_audit",
+    "simhash_bit_balance", "source_overlap_jaccard", "span_corruption_plan", "sq8_recall_audit",
+    "stratified_sample", "supplier_scorecard", "t_closeness_audit", "token_count",
     "token_diversity", "token_shard_pack", "tokenizer_fertility", "tokens_per_source_budget",
-    "tombstone_routing", "top_customers", "train_test_split", "tz_partitioner",
-    "unblocked_band_recall", "vocab_coverage", "vocab_drift_chi2", "vocab_drift_tvd",
-    "vocab_growth_curve", "zipf_profile", "zorder_file_skipping",
+    "train_test_split", "unblocked_band_recall", "vocab_coverage", "vocab_drift_chi2",
+    "vocab_drift_tvd", "vocab_growth_curve", "zipf_profile", "zorder_file_skipping",
 )
-
 
 def _rotate(q: dict[str, Callable[[SparkSession, str], DataFrame]]) -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     known = set(_PRIORITY) | set(_RECHECK) | set(_VERIFIED_CURRENT)
@@ -250,6 +238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap_jaccard": LD.source_overlap_jaccard,
         "minhash_precision_curve": LD.minhash_precision_curve,
         "dedup_minhash_lsh": LD.dedup_minhash_lsh,
+        "erasure_blast_radius": LD.erasure_blast_radius,
         "dedup_containment": LD.dedup_containment,
         "simhash_bit_balance": LD.simhash_bit_balance,
         "dedup_method_matrix": LD.dedup_method_matrix,

@@ -71,6 +71,12 @@ def main() -> None:
         "events_acf_profile",
         "events_theil_sen",
         "shard_checksum_manifest",
+        # r9: the two-level IVF serving path (the semdedup codebook's
+        # search face), the RRF fusion (heaviest new leg: full semantic
+        # ranking scan), and the robust outlier filter
+        "ann_topk_ivf_twolevel",
+        "hybrid_rrf_fusion",
+        "events_hampel_filter",
     ):
         if opt in qs:
             headline.append(opt)

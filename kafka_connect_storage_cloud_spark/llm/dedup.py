@@ -1403,3 +1403,85 @@ ORACLES["winnowing_fingerprints"] = _sql_winnowing()
 # registered here (not next to _sql_method_matrix): the matrix SQL composes
 # the winnowing candidate CTEs defined above it in source order
 ORACLES["dedup_method_matrix"] = _sql_method_matrix()
+
+
+# ---------------------------------------------------------------------------
+# erasure_blast_radius (round 9) — GDPR delete impact across derived state
+# ---------------------------------------------------------------------------
+
+ERASE_MOD = 97  # deterministic erase-request sample: id % 97 == 0 (~1%,
+# SF-proportional — a fixed rule so the oracle stays one static string)
+
+
+def erasure_blast_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What does a right-to-erasure batch actually touch? For the
+    deterministic request sample (id % ERASE_MOD == 0), count affected
+    rows in the raw tables AND in the derived near-dup pair state —
+    a pair is affected when EITHER endpoint is erased, the same
+    either-side rule streaming.erase_doc_ids executes on the signature
+    stores and erasure_rewrite_plan plans for landed files. This is the
+    sizing table an operator reads before scheduling the rewrite: pair
+    fan-out means derived state is touched at a multiple of the raw
+    request share.
+
+    Scale: three independent aggregates — two pure column scans (the
+    predicate pushes to parquet) and one over the already-band-bounded
+    pair table; output is ≤3 rows."""
+
+    def one(df, hit, name):
+        return df.select(hit.cast("long").alias("hit")).agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.coalesce(F.sum("hit"), F.lit(0)).alias("n_erased"),
+        ).select(F.lit(name).alias("tbl"), "n_total", "n_erased")
+
+    docs = one(
+        read_table(spark, sf_dir, "documents"),
+        F.col("doc_id") % ERASE_MOD == 0, "documents",
+    )
+    emb = one(
+        read_table(spark, sf_dir, "embeddings"),
+        F.col("vec_id") % ERASE_MOD == 0, "embeddings",
+    )
+    pairs = one(
+        dedup_minhash_lsh(spark, sf_dir),
+        (F.col("doc_a") % ERASE_MOD == 0) | (F.col("doc_b") % ERASE_MOD == 0),
+        "neardup_pairs",
+    )
+    return (
+        docs.unionByName(emb).unionByName(pairs)
+        .where(F.col("n_total") > 0)  # empty-corpus contract: zero rows
+        .select(
+            "tbl",
+            "n_total",
+            "n_erased",
+            H.round6(
+                F.col("n_erased").cast("double") / F.col("n_total").cast("double")
+            ).alias("erased_share"),
+        )
+        .orderBy("tbl")  # bounded (<= 3 rows): sort allowed
+    )
+
+
+SQL_ERASURE_BLAST_RADIUS = f"""
+WITH ebp AS MATERIALIZED (SELECT doc_a, doc_b FROM ({SQL_DEDUP_MINHASH_LSH})),
+ebr AS (
+  SELECT 'documents' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_total,
+         CAST(COALESCE(SUM(CASE WHEN doc_id % {ERASE_MOD} = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_erased
+  FROM documents
+  UNION ALL
+  SELECT 'embeddings', CAST(COUNT(*) AS BIGINT),
+         CAST(COALESCE(SUM(CASE WHEN vec_id % {ERASE_MOD} = 0 THEN 1 ELSE 0 END), 0) AS BIGINT)
+  FROM embeddings
+  UNION ALL
+  SELECT 'neardup_pairs', CAST(COUNT(*) AS BIGINT),
+         CAST(COALESCE(SUM(CASE WHEN doc_a % {ERASE_MOD} = 0 OR doc_b % {ERASE_MOD} = 0 THEN 1 ELSE 0 END), 0) AS BIGINT)
+  FROM ebp
+)
+SELECT tbl, n_total, n_erased,
+       {H.sql_round6("CAST(n_erased AS DOUBLE) / CAST(n_total AS DOUBLE)")} AS erased_share
+FROM ebr WHERE n_total > 0 ORDER BY tbl
+"""
+
+# query registration lives in __spark_entry__.py (this module keeps only
+# an ORACLES dict — the quality.py convention)
+ORACLES["erasure_blast_radius"] = SQL_ERASURE_BLAST_RADIUS

@@ -1169,3 +1169,205 @@ FROM av a LEFT JOIN close_p c ON a.vec_id = c.vec_id
 
 QUERIES["semdedup_cells"] = semdedup_cells
 ORACLES["semdedup_cells"] = _sql_semdedup_cells()
+
+
+def semdedup_cell_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-fine-cell audit of the two-level SemDeDup (round 9): for every
+    fine cell, its population, how many vectors the greedy keeper rule
+    kept vs dropped, and the strongest within-cell dup signal — the table
+    an operator reads to validate the clustering BEFORE trusting the
+    dedup verdicts (a cell with keep_rate ~0 is boilerplate; a corpus
+    whose max_cos never nears τ got no value from semantic dedup; wildly
+    uneven n_members means the fine fan-out needs retuning). Output is
+    K ≈ n/CELL_TARGET rows — codebook-sized, not corpus-sized.
+
+    Scale: one extra cell-keyed aggregation over semdedup_cells' per-
+    vector verdicts; everything upstream is the audited operator itself
+    (max_cos_lower is already 6-dp quantized, so MAX is portable)."""
+    verd = semdedup_cells(spark, sf_dir)
+    return (
+        verd.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.max("max_cos_lower").alias("max_cos"),
+        )
+        .select(
+            "cell",
+            "n_members",
+            "n_kept",
+            (F.col("n_members") - F.col("n_kept")).alias("n_dropped"),
+            H.round6(
+                F.col("n_kept").cast("double") / F.col("n_members").cast("double")
+            ).alias("keep_rate"),
+            "max_cos",
+        )
+    )
+
+
+_SQL_SEMDEDUP_CELL_PROFILE = f"""
+SELECT cell,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+       {H.sql_round6("CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)")} AS keep_rate,
+       MAX(max_cos_lower) AS max_cos
+FROM ({_sql_semdedup_cells()})
+GROUP BY cell
+ORDER BY cell
+"""
+
+QUERIES["semdedup_cell_profile"] = semdedup_cell_profile
+ORACLES["semdedup_cell_profile"] = _SQL_SEMDEDUP_CELL_PROFILE
+
+
+def ann_topk_ivf_twolevel(spark: SparkSession, sf_dir: str, k: int = IVF_TOP_K) -> DataFrame:
+    """ANN served through the TWO-LEVEL IVF structure (round 9): the query
+    descends coarse cell → fine cell, then reranks exactly within its
+    fine cell only — faiss's large-nlist serving shape, and the search
+    face of the semdedup codebook (one trained structure serves both
+    curation and retrieval, amortizing the Lloyd passes). Candidates per
+    query ≈ CELL_TARGET (the fine-cell population) instead of corpus/16 —
+    at n=10⁹ that is ~50 candidates vs ~6·10⁷ for the fixed-K₀ single
+    level, the difference between a rerank and a scan. Recall is audited
+    by the same harness as every approximate path (ann_method_matrix's
+    row discipline); the trade is the standard IVF one — a true neighbor
+    in an adjacent fine cell is missed, multi-probe widens it.
+
+    Scale: coarse codebook is the O(√K) broadcastable driver state; the
+    fine codebook stays a DataFrame keyed by coarse cell; the query set
+    is the fixed-count salted pick (bounded broadcast)."""
+    kk = _semdedup_k(spark, sf_dir)
+    c_ids, c_mat = _train_codebook(
+        spark, sf_dir, k=_semdedup_k0(kk), salt=SEMDEDUP_COARSE_SALT
+    )
+    if len(c_ids) == 0:
+        return spark.createDataFrame(
+            [], "query_id bigint, cell bigint, neighbor_id bigint, cosine double, rank int"
+        )
+    emb = _with_dec_and_norm(read_table(spark, sf_dir, "embeddings"))
+    members = (
+        _assign_cells(emb, c_ids, c_mat)
+        .withColumnRenamed("cell", "ccell")
+        .localCheckpoint()
+    )
+    av = _fine_assign(members, _semdedup_fine_codebook(members)).localCheckpoint()
+    queries = _query_pick(av).select(
+        F.col("vec_id").alias("query_id"), F.col("fcell"),
+        F.col("v").alias("qv"), F.col("nrm").alias("qn"),
+    )
+    cands = av.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("fcell"),
+        F.col("v").alias("cv"), F.col("nrm").alias("cn"),
+    )
+    scored = (
+        cands.join(F.broadcast(queries), "fcell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            F.floor((_dot("qv", "cv") / (F.col("qn") * F.col("cn"))) * 1000000.0 + F.lit(0.5))
+            / 1000000.0,
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("fcell").alias("cell"), "neighbor_id", "cosine", "rank")
+    )
+
+
+_SQL_ANN_TOPK_IVF_TWOLEVEL = f"""
+WITH {_SQL_EMB},
+{_sql_train_chain(k=_SQL_SEMDEDUP_K0, salt=SEMDEDUP_COARSE_SALT)},
+{_sql_assign(_FINAL_CENTS, 'casg')},
+mem AS MATERIALIZED (
+  SELECT a.vec_id, a.cell AS ccell, e.v, e.nrm
+  FROM casg a JOIN emb_n e ON a.vec_id = e.vec_id
+),
+{_sql_fine_chain()},
+{_sql_fine_assign(f'f{SEMDEDUP_FINE_STEPS}', 'ffin')},
+av AS MATERIALIZED (
+  SELECT m.vec_id, f.fcell, m.v, m.nrm
+  FROM ffin f JOIN mem m ON f.vec_id = m.vec_id
+),
+qsel AS (SELECT vec_id FROM emb_n {_sql_query_pick()}),
+scored AS (
+  SELECT q.vec_id AS query_id, q.fcell AS cell, c.vec_id AS neighbor_id,
+         (floor(({_SQL_DOT.format(a='q.v', b='c.v')} / (q.nrm * c.nrm)) * 1000000.0 + 0.5) / 1000000.0) AS cosine
+  FROM av q JOIN qsel s ON q.vec_id = s.vec_id
+  JOIN av c ON q.fcell = c.fcell AND q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+       AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, cell, neighbor_id, cosine, rank FROM ranked
+WHERE rank <= {IVF_TOP_K} ORDER BY query_id, rank
+"""
+
+QUERIES["ann_topk_ivf_twolevel"] = ann_topk_ivf_twolevel
+ORACLES["ann_topk_ivf_twolevel"] = _SQL_ANN_TOPK_IVF_TWOLEVEL
+
+
+def ivf_twolevel_recall_audit(spark: SparkSession, sf_dir: str, k: int = IVF_TOP_K) -> DataFrame:
+    """Recall@k of the two-level IVF serving path against the exact
+    brute-force top-k — every approximate path in this repo ships with
+    its recall audit (the family discipline ann_recall_audit set). The
+    expected trade is visible here: fine cells hold ~CELL_TARGET members,
+    so recall is lower than the K₀=16 single level's but the candidate
+    volume is ~corpus/K instead of corpus/16; read this table against
+    ann_recall_audit / pq_recall_audit before picking a serving path."""
+    from .similarity import ann_topk_bruteforce
+
+    exact = ann_topk_bruteforce(spark, sf_dir, k).select("query_id", "neighbor_id")
+    approx = ann_topk_ivf_twolevel(spark, sf_dir, k).select("query_id", "neighbor_id")
+    n_exact = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    n_approx = approx.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_approx"))
+    n_hits = (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        n_exact.join(n_approx, "query_id", "left")
+        .join(n_hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce(F.col("n_approx"), F.lit(0)).alias("n_approx"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            H.round6(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_exact").cast("double")
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _sql_ivf_twolevel_recall() -> str:
+    from .similarity import SQL_ANN_TOPK_BRUTEFORCE
+
+    return f"""
+WITH t2exact AS MATERIALIZED (SELECT query_id, neighbor_id FROM ({SQL_ANN_TOPK_BRUTEFORCE})),
+t2approx AS MATERIALIZED (SELECT query_id, neighbor_id FROM ({_SQL_ANN_TOPK_IVF_TWOLEVEL})),
+t2e AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact FROM t2exact GROUP BY query_id),
+t2a AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_approx FROM t2approx GROUP BY query_id),
+t2h AS (
+  SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM t2exact e JOIN t2approx a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY e.query_id
+)
+SELECT e.query_id, e.n_exact,
+       COALESCE(a.n_approx, 0) AS n_approx,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       {H.sql_round6("CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / e.n_exact")} AS recall
+FROM t2e e LEFT JOIN t2a a ON e.query_id = a.query_id
+LEFT JOIN t2h h ON e.query_id = h.query_id
+ORDER BY e.query_id
+"""
+
+
+QUERIES["ivf_twolevel_recall_audit"] = ivf_twolevel_recall_audit
+ORACLES["ivf_twolevel_recall_audit"] = _sql_ivf_twolevel_recall()

@@ -234,26 +234,15 @@ ORACLES["bm25_topk"] = _sql_bm25_topk()
 # hybrid_retrieval_agreement (round 8) — lexical vs semantic top-k overlap
 # ---------------------------------------------------------------------------
 
-def hybrid_retrieval_agreement(
-    spark: SparkSession, sf_dir: str, nq: int = BM25_NQ, k: int = BM25_TOPK
-) -> DataFrame:
-    """Do lexical and semantic retrieval agree? For every BM25 query doc
-    that has an embedding, intersect its BM25 top-k with its exact-cosine
-    top-k over the embedding corpus — the calibration table behind any
-    hybrid-retrieval (RRF/weighted-fusion) decision: high overlap means
-    one retriever is redundant; low overlap with a high ceiling means
-    fusion adds recall. `agreement_ceiling` = n_lex_emb / n_lex, the
-    fraction of this query's lexical hits that even HAVE embeddings (the
-    upper bound `overlap` could reach on a partially-embedded corpus —
-    documents outnumber embeddings in this testdata, as in most
-    production stores; normalizing by n_lex rather than k keeps the
-    fraction honest when BM25 returns fewer than k hits).
-
-    Scale: the lexical side is bm25_topk (postings of a bounded query
-    batch); the semantic side streams the embedding corpus once through
-    the Arrow-matmul scorer with the <= nq query vectors in the task
-    closure (ann_topk_bruteforce's pattern — exact int64 dots, 6-dp
-    floor, doc_id tiebreak); everything after is nq x k metadata."""
+def _semantic_ranked(spark: SparkSession, sf_dir: str, lex: DataFrame):
+    """(ranked_all, q_ids): the FULL exact-cosine ranking of the embedding
+    corpus for every lex query doc that has an embedding, plus the sorted
+    embedded-query id array. The semantic side shared by
+    hybrid_retrieval_agreement and hybrid_rrf_fusion: the corpus streams
+    once through an Arrow int64 matmul with the <= nq query vectors in
+    the task closure (ann_topk_bruteforce's pattern — exact dots, 6-dp
+    floor, doc_id tiebreak). Returns (None, []) when no query has an
+    embedding (empty-corpus contract)."""
     import numpy as np
     import pandas as pd
 
@@ -261,11 +250,6 @@ def hybrid_retrieval_agreement(
 
     from .similarity import _with_dec_and_norm
 
-    lex = (
-        bm25_topk(spark, sf_dir, nq=nq, k=k)
-        .select("qid", "rk", "doc_id")
-        .localCheckpoint(eager=True)  # qid pick + overlap joins read it
-    )
     emb = _with_dec_and_norm(read_table(spark, sf_dir, "embeddings"))
     qids = lex.select("qid").distinct()
     qrows = (
@@ -273,12 +257,8 @@ def hybrid_retrieval_agreement(
         .select("vec_id", "v")
         .collect()  # bounded: <= nq rows
     )
-    out_schema = (
-        "qid bigint, n_lex bigint, n_lex_emb bigint, n_common bigint, "
-        "sem_rank_top_lex bigint, overlap double, agreement_ceiling double"
-    )
     if not qrows:
-        return spark.createDataFrame([], out_schema)
+        return None, []
     qrows.sort(key=lambda r: r["vec_id"])
     q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     q_mat = np.array([r["v"] for r in qrows], dtype=np.int64)
@@ -307,6 +287,44 @@ def hybrid_retrieval_agreement(
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("doc_id"))
     ranked_all = scored.withColumn("rnk", F.row_number().over(w)).localCheckpoint()
+    return ranked_all, q_ids
+
+
+def hybrid_retrieval_agreement(
+    spark: SparkSession, sf_dir: str, nq: int = BM25_NQ, k: int = BM25_TOPK
+) -> DataFrame:
+    """Do lexical and semantic retrieval agree? For every BM25 query doc
+    that has an embedding, intersect its BM25 top-k with its exact-cosine
+    top-k over the embedding corpus — the calibration table behind any
+    hybrid-retrieval (RRF/weighted-fusion) decision: high overlap means
+    one retriever is redundant; low overlap with a high ceiling means
+    fusion adds recall. `agreement_ceiling` = n_lex_emb / n_lex, the
+    fraction of this query's lexical hits that even HAVE embeddings (the
+    upper bound `overlap` could reach on a partially-embedded corpus —
+    documents outnumber embeddings in this testdata, as in most
+    production stores; normalizing by n_lex rather than k keeps the
+    fraction honest when BM25 returns fewer than k hits).
+
+    Scale: the lexical side is bm25_topk (postings of a bounded query
+    batch); the semantic side streams the embedding corpus once through
+    the Arrow-matmul scorer with the <= nq query vectors in the task
+    closure (ann_topk_bruteforce's pattern — exact int64 dots, 6-dp
+    floor, doc_id tiebreak); everything after is nq x k metadata."""
+    from .similarity import _with_dec_and_norm
+
+    lex = (
+        bm25_topk(spark, sf_dir, nq=nq, k=k)
+        .select("qid", "rk", "doc_id")
+        .localCheckpoint(eager=True)  # qid pick + overlap joins read it
+    )
+    out_schema = (
+        "qid bigint, n_lex bigint, n_lex_emb bigint, n_common bigint, "
+        "sem_rank_top_lex bigint, overlap double, agreement_ceiling double"
+    )
+    ranked_all, q_ids = _semantic_ranked(spark, sf_dir, lex)
+    if ranked_all is None:
+        return spark.createDataFrame([], out_schema)
+    emb = _with_dec_and_norm(read_table(spark, sf_dir, "embeddings"))
     sem = ranked_all.where(F.col("rnk") <= k).select("qid", "doc_id")
     # where does BM25's #1 hit sit in the FULL semantic ranking? (stays
     # informative even at overlap 0 — this corpus's embeddings are not
@@ -316,7 +334,7 @@ def hybrid_retrieval_agreement(
         "qid", F.col("rnk").alias("sem_rank_top_lex")
     )
     emb_ids = emb.select(F.col("vec_id").alias("doc_id")).withColumn("has_emb", F.lit(1))
-    lex_q = lex.join(qids.where(F.col("qid").isin([int(i) for i in q_ids])), "qid")
+    lex_q = lex.where(F.col("qid").isin([int(i) for i in q_ids]))
     per_lex = (
         lex_q.join(emb_ids, "doc_id", "left")
         .groupBy("qid")
@@ -403,3 +421,122 @@ ORDER BY p.qid
 
 QUERIES["hybrid_retrieval_agreement"] = hybrid_retrieval_agreement
 ORACLES["hybrid_retrieval_agreement"] = _sql_hybrid_agreement()
+
+
+# ---------------------------------------------------------------------------
+# hybrid_rrf_fusion (round 9) — reciprocal-rank fusion of the two retrievers
+# ---------------------------------------------------------------------------
+
+RRF_K = 60  # the standard RRF damping constant (Cormack et al. SIGIR'09)
+
+
+def hybrid_rrf_fusion(
+    spark: SparkSession, sf_dir: str, nq: int = BM25_NQ, k: int = BM25_TOPK
+) -> DataFrame:
+    """Reciprocal-rank fusion of BM25 and exact-cosine retrieval — the
+    fusion hybrid_retrieval_agreement calibrates: for every embedded
+    query, union the lexical top-k with the semantic top-k and score each
+    candidate Σ 1e6 div (RRF_K + rank) over the sources that returned it,
+    keeping the fused top-k. RRF needs no score normalization across
+    retrievers (rank-only), which is why it is the default fusion in
+    production hybrid search; the 1e6-scaled INTEGER reciprocal keeps the
+    score portable (no float reciprocal sums — engines would disagree in
+    last ULPs when summing 1/(60+r) doubles).
+
+    Scale: both inputs are bounded query batches (nq × k rows); fusion is
+    nq × ≤2k metadata. The semantic side shares _semantic_ranked's single
+    corpus-streaming matmul scan with the agreement op."""
+    lex = (
+        bm25_topk(spark, sf_dir, nq=nq, k=k)
+        .select("qid", "rk", "doc_id")
+        .localCheckpoint(eager=True)
+    )
+    out_schema = (
+        "qid bigint, doc_id bigint, in_lex boolean, in_sem boolean, "
+        "rrf_micro bigint, fused_rank bigint"
+    )
+    ranked_all, q_ids = _semantic_ranked(spark, sf_dir, lex)
+    if ranked_all is None:
+        return spark.createDataFrame([], out_schema)
+    from pyspark.sql import Window
+
+    lexr = lex.where(F.col("qid").isin([int(i) for i in q_ids])).select(
+        "qid", "doc_id", F.col("rk").alias("lex_rank")
+    )
+    semr = ranked_all.where(F.col("rnk") <= k).select(
+        "qid", "doc_id", F.col("rnk").alias("sem_rank")
+    )
+    cand = (
+        lexr.join(semr, ["qid", "doc_id"], "full")
+        .select(
+            "qid",
+            "doc_id",
+            F.col("lex_rank").isNotNull().alias("in_lex"),
+            F.col("sem_rank").isNotNull().alias("in_sem"),
+            (
+                F.coalesce(
+                    F.expr(f"CAST(1000000 div ({RRF_K} + lex_rank) AS BIGINT)"),
+                    F.lit(0),
+                )
+                + F.coalesce(
+                    F.expr(f"CAST(1000000 div ({RRF_K} + sem_rank) AS BIGINT)"),
+                    F.lit(0),
+                )
+            ).alias("rrf_micro"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("rrf_micro"), F.asc("doc_id"))
+    return (
+        cand.withColumn("fused_rank", F.row_number().over(w))
+        .where(F.col("fused_rank") <= k)
+        .select("qid", "doc_id", "in_lex", "in_sem", "rrf_micro", "fused_rank")
+    )
+
+
+def _sql_hybrid_rrf(nq: int = BM25_NQ, k: int = BM25_TOPK) -> str:
+    from .similarity import _SQL_DOT, _sql_emb
+
+    cos = (
+        f"(floor(({_SQL_DOT.format(a='eq.qv', b='c.v')} / (eq.qn * c.nrm))"
+        f" * 1000000.0 + 0.5) / 1000000.0)"
+    )
+    return f"""
+WITH lex AS MATERIALIZED (SELECT qid, rk, doc_id FROM ({_sql_bm25_topk()})),
+{_sql_emb()},
+eq AS (
+  SELECT e.vec_id AS qid, e.v AS qv, e.nrm AS qn
+  FROM emb_n e JOIN (SELECT DISTINCT qid FROM lex) q ON e.vec_id = q.qid
+),
+hscored AS (
+  SELECT eq.qid, c.vec_id AS doc_id, {cos} AS cosine
+  FROM eq JOIN emb_n c ON eq.qid <> c.vec_id
+),
+ranked_all AS MATERIALIZED (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, doc_id) AS rnk
+  FROM hscored
+),
+lexr AS (
+  SELECT l.qid, l.doc_id, l.rk AS lex_rank
+  FROM lex l JOIN eq ON l.qid = eq.qid
+),
+semr AS (SELECT qid, doc_id, rnk AS sem_rank FROM ranked_all WHERE rnk <= {k}),
+cand AS (
+  SELECT COALESCE(l.qid, s.qid) AS qid, COALESCE(l.doc_id, s.doc_id) AS doc_id,
+         (l.lex_rank IS NOT NULL) AS in_lex,
+         (s.sem_rank IS NOT NULL) AS in_sem,
+         (COALESCE(1000000 // ({RRF_K} + l.lex_rank), 0)
+          + COALESCE(1000000 // ({RRF_K} + s.sem_rank), 0)) AS rrf_micro
+  FROM lexr l FULL OUTER JOIN semr s ON l.qid = s.qid AND l.doc_id = s.doc_id
+)
+SELECT qid, doc_id, in_lex, in_sem, CAST(rrf_micro AS BIGINT) AS rrf_micro,
+       fused_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf_micro DESC, doc_id) AS fused_rank
+  FROM cand
+) WHERE fused_rank <= {k}
+ORDER BY qid, fused_rank
+"""
+
+
+QUERIES["hybrid_rrf_fusion"] = hybrid_rrf_fusion
+ORACLES["hybrid_rrf_fusion"] = _sql_hybrid_rrf()

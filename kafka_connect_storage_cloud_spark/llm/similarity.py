@@ -448,6 +448,10 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> Dat
 
     emb = _with_dec_and_norm(read_table(spark, sf_dir, "embeddings"))
     qrows = _query_pick(emb).select("vec_id", "v").collect()  # bounded: N_QUERIES rows
+    if not qrows:  # empty corpus: no queries, no top-k (production case)
+        return spark.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, cosine double, rank int"
+        )
     q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     q_mat = np.array([r["v"] for r in qrows], dtype=np.int64)  # m x dim
     q_norm = np.sqrt(np.einsum("ij,ij->i", q_mat, q_mat).astype(np.float64) / 1e16)

@@ -1746,6 +1746,118 @@ ORACLES["events_acf_profile"] = SQL_EVENTS_ACF_PROFILE
 
 
 # ---------------------------------------------------------------------------
+# events_hampel_filter (round 9) — rolling-median/MAD outlier detection
+# ---------------------------------------------------------------------------
+
+HAMPEL_HALF = 3  # neighborhood half-width in PRESENT hours (rank-based)
+HAMPEL_NSIG = 3  # flag when |y - med| > NSIG * MAD (raw MAD — no 1.4826
+# gaussian-consistency factor: the constant would drag an irrational into
+# the integer decision rule; the raw-MAD variant is the documented choice)
+
+
+def events_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel outlier filter over each type's hourly volume: every hour is
+    judged against the MEDIAN of its ±HAMPEL_HALF neighborhood (by rank
+    over present hours) and the median absolute deviation FROM THAT
+    median — the robust alternative to events_anomaly's mean/σ z-score
+    (one genuine spike inflates a window's σ enough to mask a second
+    spike; the median/MAD pair has a 50% breakdown point, so bursts
+    cannot hide each other). Median-of-integers arithmetic stays exact:
+    med2 = 2·median and mad4 = 4·MAD are integers (interpolated medians
+    of ints land on .0/.5), so the decision 2·|2y−med2| > NSIG·mad4 is
+    pure int64 — no float comparison can diverge across engines.
+
+    Scale: events collapse once to the (type, hour) cell frame; the ±3
+    neighborhood fan-out (≤7×) and both grouped medians run on that
+    metadata-sized frame — the acf/theil_sen audit shape."""
+    from ..session import read_events
+
+    ev = read_events(spark, sf_dir).select(
+        "event_type", (F.unix_millis("ts") / F.lit(3600000)).cast("long").alias("hr")
+    )
+    w = Window.partitionBy("event_type").orderBy("hr")
+    idx = (
+        ev.groupBy("event_type", "hr")
+        .agg(F.count(F.lit(1)).alias("y"))
+        .withColumn("rn", F.row_number().over(w))
+        .localCheckpoint(eager=True)  # center + neighbor sides of the join
+    )
+    nb = idx.select(
+        "event_type", F.col("rn").alias("rn_b"), F.col("y").alias("yb")
+    )
+    joined = idx.join(nb, "event_type").where(
+        (F.col("rn_b") >= F.col("rn") - HAMPEL_HALF)
+        & (F.col("rn_b") <= F.col("rn") + HAMPEL_HALF)
+    )
+    med = joined.groupBy("event_type", "hr", "rn", "y").agg(
+        (F.expr("percentile(yb, 0.5)") * 2).cast("long").alias("med2"),
+        F.count(F.lit(1)).alias("n_win"),
+    )
+    dev = joined.join(
+        med.select("event_type", "rn", "med2", "n_win"), ["event_type", "rn"]
+    ).select(
+        "event_type", "hr", "rn", "y", "med2", "n_win",
+        F.abs(F.lit(2) * F.col("yb") - F.col("med2")).alias("dev2"),
+    )
+    mad = dev.groupBy("event_type", "hr", "y", "med2", "n_win").agg(
+        (F.expr("percentile(dev2, 0.5)") * 2).cast("long").alias("mad4")
+    )
+    return mad.select(
+        "event_type",
+        "hr",
+        "y",
+        "n_win",
+        (F.col("med2") / F.lit(2.0)).alias("med"),
+        (F.col("mad4") / F.lit(4.0)).alias("mad"),
+        (
+            F.lit(2) * F.abs(F.lit(2) * F.col("y") - F.col("med2"))
+            > F.lit(HAMPEL_NSIG) * F.col("mad4")
+        ).alias("is_outlier"),
+    )
+
+
+SQL_EVENTS_HAMPEL = f"""
+WITH hcells AS (
+  SELECT event_type, epoch_ms(ts) // 3600000 AS hr, CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+hidx AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hr) AS rn
+  FROM hcells
+),
+hnb AS (
+  SELECT a.event_type, a.hr, a.rn, a.y, b.y AS yb
+  FROM hidx a JOIN hidx b
+    ON a.event_type = b.event_type
+   AND b.rn BETWEEN a.rn - {HAMPEL_HALF} AND a.rn + {HAMPEL_HALF}
+),
+hmed AS (
+  SELECT event_type, hr, rn, y,
+         CAST(quantile_cont(yb, 0.5) * 2 AS BIGINT) AS med2,
+         CAST(COUNT(*) AS BIGINT) AS n_win
+  FROM hnb GROUP BY 1, 2, 3, 4
+),
+hdev AS (
+  SELECT n.event_type, n.hr, n.y, n.rn, m.med2, m.n_win,
+         ABS(2 * n.yb - m.med2) AS dev2
+  FROM hnb n JOIN hmed m ON n.event_type = m.event_type AND n.rn = m.rn
+),
+hmad AS (
+  SELECT event_type, hr, y, med2, n_win,
+         CAST(quantile_cont(dev2, 0.5) * 2 AS BIGINT) AS mad4
+  FROM hdev GROUP BY 1, 2, 3, 4, 5
+)
+SELECT event_type, hr, y, n_win,
+       med2 / 2.0 AS med, mad4 / 4.0 AS mad,
+       (2 * ABS(2 * y - med2) > {HAMPEL_NSIG} * mad4) AS is_outlier
+FROM hmad ORDER BY event_type, hr
+"""
+
+QUERIES["events_hampel_filter"] = events_hampel_filter
+ORACLES["events_hampel_filter"] = SQL_EVENTS_HAMPEL
+
+
+# ---------------------------------------------------------------------------
 # events_theil_sen (round 8) — robust median-of-slopes trend
 # ---------------------------------------------------------------------------
 

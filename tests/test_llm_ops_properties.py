@@ -206,6 +206,9 @@ def test_new_ops_survive_empty_corpus(spark, sf_small, tmp_path):
         # round-8 additions
         "winnowing_fingerprints", "shard_checksum_manifest", "t_closeness_audit",
         "hybrid_retrieval_agreement",
+        # round-9 additions
+        "semdedup_cell_profile", "hybrid_rrf_fusion", "ann_topk_ivf_twolevel",
+        "ivf_twolevel_recall_audit", "erasure_blast_radius",
     ):
         assert qs[op](spark, dst).count() == 0, op
 

