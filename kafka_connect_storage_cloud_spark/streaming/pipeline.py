@@ -903,7 +903,18 @@ def containment_dedup_stream(
     sets with the batch operator's exact expression order, so an emitted
     row is bit-identical to the one-shot row and the accumulated pair set
     equals dedup_containment's regardless of the batch split
-    (tests/test_streaming.py pins 2-way and 4-way splits)."""
+    (tests/test_streaming.py pins 2-way and 4-way splits).
+
+    SCOPE of the ==-one-shot claim (same caveat class as
+    cosine_dup_stream): the df guard is evaluated against shingle
+    frequencies AS OF each batch, so a shingle whose df crosses
+    MAX_BUCKET across batch boundaries leaves behind pairs it generated
+    while still rare, where the one-shot drops them (a conservative
+    more-dup-flagged superset). Exact for shingles that never cross the
+    cap — all test corpora by orders of magnitude. The minhash twin's
+    provenance + drain-refilter mechanism (minhash_stream_pairs) is the
+    port path, at the cost of one provenance shingle column per emitted
+    pair row."""
     import os
 
     from ..functions import hashing as H
@@ -1120,7 +1131,22 @@ def cosine_dup_stream(
     bucket guard is re-applied per batch over store ∪ batch occurrences of
     the PROBED buckets (the semi-join keeps the count shuffle bounded by
     the batch's fan-out, not history length — an identical-embedding flood
-    is capped exactly as in batch mode)."""
+    is capped exactly as in batch mode).
+
+    SCOPE of the ==-one-shot claim: the guard is applied against bucket
+    sizes AS OF each batch, so on a corpus where a band bucket crosses
+    CB_MAX_BUCKET across batch boundaries, pairs emitted while the bucket
+    was still small remain in the store although the one-shot drops the
+    whole bucket (the accumulated set is then a superset, biased in the
+    more-dup-flagged direction). Equality is exact for buckets that never
+    cross the cap — every test corpus by a wide margin (max observed
+    bucket 15 at sf0.1 vs cap 2000). The minhash twin carries the exact
+    fix (pair rows keep bucket provenance; minhash_stream_pairs
+    re-filters against final sizes at drain) and the same mechanism
+    ports here if a deployment needs it; the cosine candidate relation
+    is Hamming-1 ASYMMETRIC in the guard (a's own bucket and b's bucket
+    are both checked), so the provenance rows must carry the b-side
+    bucket plus a's ok-verdict — more state than this demo store keeps."""
     import os
 
     from ..llm.similarity import (
