@@ -60,68 +60,71 @@ def entry(spark: SparkSession) -> DataFrame:
     return T.q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-# --- diff-aware re-verification window (rebuilt round 9) -----------------
-# tools/stale_keys.py --window 50 after the r9 rewrites (semdedup two-level
-# codebook, global-sort deletions, _docs_ws_shared memo, retrieval ceiling
-# fix) marks 20 keys stale: the 15 transitive consumers of the touched
-# modules + the 5 r8 _RECHECK clustering keys. All 20 head the window;
-# the remaining slots deliberately REFRESH the oldest-green (r2) keys —
-# signature-identical since round 2, re-verified externally here so no key
-# ages past 7 rounds without a fresh driver row. New r9 operators float
-# ahead of everything via _rotate.
+# --- diff-aware re-verification window (rebuilt END of round 9) ----------
+# tools/stale_keys.py --window 50 on the final r9 tree: 6 fresh keys (the
+# round's new operators — every one driver-sim green at sf0.001/0.01/0.1 +
+# hostile TZ before shipping) + 23 stale (transitive consumers of the r9
+# rewrites: semdedup two-level codebook, global-sort deletions,
+# _docs_ws_shared memo, retrieval ceiling fix + _semantic_ranked refactor,
+# ann_topk_bruteforce empty-corpus guard — plus the 5 r8 _RECHECK
+# clustering keys). The remaining 21 slots deliberately REFRESH the
+# oldest-green (r2) keys so no key ages past 7 rounds without a fresh
+# driver row. Exactly 50 = the driver window; _RECHECK empty (stale set
+# fits the window whole).
 _PRIORITY: tuple[str, ...] = (
-    "dedup_method_matrix", "winnowing_fingerprints", "hybrid_retrieval_agreement",
-    "semdedup_cells", "bigram_lm_rarity", "knn_pagerank_step", "knn_triangle_count",
-    "knn_pagerank_step_lsh", "knn_triangle_count_lsh", "dedup_substring", "dedup_bloom",
+    "events_hampel_filter", "erasure_blast_radius", "hybrid_rrf_fusion", "semdedup_cell_profile",
+    "ann_topk_ivf_twolevel", "ivf_twolevel_recall_audit", "dedup_method_matrix",
+    "winnowing_fingerprints", "hybrid_retrieval_agreement", "semdedup_cells", "ann_recall_audit",
+    "ann_topk_bruteforce", "knn_pagerank_step", "knn_triangle_count", "knn_pagerank_step_lsh",
+    "knn_triangle_count_lsh", "bigram_lm_rarity", "dedup_substring", "dedup_bloom",
     "gopher_rules_filter", "quality_ablation_matrix", "embedding_sq8", "ngram_novelty",
-    "dedup_keep_best", "dedup_rate_by_slice", "quality_dup_profile", "dedup_transitivity_audit",
-    "dup_cluster_size_profile", "q1_pricing_summary", "q3_shipping_priority",
-    "q5_local_supplier_volume", "q6_revenue_change", "q10_returned_items", "q14_promo_revenue",
-    "q15_top_supplier", "q16_supplier_part_counts", "q17_small_quantity_revenue",
-    "q18_large_volume_customers", "q19_discounted_revenue", "q22_global_sales_opportunity",
-    "top_customers", "order_priority_count", "part_type_margin", "default_partitioner",
-    "field_partitioner", "time_based_partitioner", "daily_partitioner", "hourly_partitioner",
-    "field_time_partitioner", "tz_partitioner", "timestamp_extractor_record_field",
-    "kv_header_views", "tombstone_routing", "schema_evolution", "smt_chain",
+    "ann_method_matrix", "dedup_keep_best", "dedup_rate_by_slice", "quality_dup_profile",
+    "dedup_transitivity_audit", "dup_cluster_size_profile", "q1_pricing_summary",
+    "q3_shipping_priority", "q5_local_supplier_volume", "q6_revenue_change", "q10_returned_items",
+    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_part_counts",
+    "q17_small_quantity_revenue", "q18_large_volume_customers", "q19_discounted_revenue",
+    "q22_global_sales_opportunity", "top_customers", "order_priority_count", "part_type_margin",
+    "default_partitioner", "field_partitioner", "time_based_partitioner", "daily_partitioner",
+    "hourly_partitioner", "field_time_partitioner",
 )
 
-# no remaining stale keys beyond the window (tool: stale=20, all in window)
+# no remaining stale keys beyond the window (tool: fresh=6 stale=23, all in window)
 _RECHECK: tuple[str, ...] = ()
 
 # Externally-verified keys whose behavior-relevant code (impl + transitive
 # helpers + oracle SQL) is signature-identical to their last green round.
 _VERIFIED_CURRENT: tuple[str, ...] = (
-    "ab_test_metrics", "ann_method_matrix", "ann_recall_audit", "ann_topk_bruteforce",
-    "ann_topk_ivf", "ann_topk_ivf_multiprobe", "ann_topk_ivf_pq", "ann_topk_ivf_sq8",
-    "ann_topk_lsh", "benford_audit", "bigram_lift", "bm25_topk", "bootstrap_mean_ci",
-    "bpe_compression_curve", "bpe_pair_stats", "bpe_train_rounds", "cdc_merge_apply",
-    "cluster_profile_kmeans", "cms_heavy_hitters", "compact_small_files", "consumer_lag_report",
-    "contamination_check", "context_pack", "corpus_mixture", "corpus_prep_pipeline",
-    "corpus_stats", "cosine_dup_band_recall", "cosine_dup_band_recall_sampled",
-    "curriculum_stages", "curriculum_stages_edges", "dedup_chunks", "dedup_clusters",
-    "dedup_containment", "dedup_exact", "dedup_incremental", "dedup_minhash_lsh",
-    "dedup_modality_agreement", "dedup_semantic", "dedup_simhash", "doc_chunk_split",
-    "doc_fingerprint", "doc_truncation_loss", "dsir_importance", "dsir_importance_edges",
-    "dup_source_matrix", "duration_partitioner", "embedding_centroid_outliers",
-    "embedding_cosine_dups", "embedding_covariance", "embedding_dim_stats", "embedding_pca_power",
-    "embedding_pca_project", "embedding_pq", "erasure_rewrite_plan", "events_acf_profile",
-    "events_anomaly", "events_anomaly_mad", "events_asof_join", "events_autocorr_lag1",
-    "events_burst_runs", "events_changepoint", "events_cube", "events_cusum_alarms",
-    "events_dau_mau", "events_dod_growth", "events_dow_profile", "events_ewma16", "events_funnel",
-    "events_gapfill_locf", "events_haar_energy", "events_holt_linear", "events_hourly_rollup",
-    "events_inter_arrival", "events_markov_transitions", "events_props_extract",
-    "events_props_variant", "events_range_join", "events_retention", "events_rolling_window",
-    "events_seasonality_anova", "events_session_window_native", "events_sessionize",
-    "events_sliding_window", "events_theil_sen", "events_time_weighted_avg", "events_topk_users",
-    "events_trend_slope", "events_type_diversity", "events_type_pivot", "events_type_unpivot",
-    "events_value_deciles", "events_value_deciles_edges", "events_value_histogram",
-    "events_value_percentiles_exact", "exactly_once_manifest", "fuzzy_name_matches",
-    "hll_distinct", "hll_merge_invariant", "idf_topterms", "ivf_balance_audit",
-    "ivf_kmeans_refine", "ivf_nprobe_recall_curve", "k_anonymity_audit", "kfold_assignment",
-    "kmv_distinct", "kmv_set_ops", "knn_graph_components", "knn_graph_lsh",
-    "knn_graph_lsh_recall", "knn_graph_lsh_recall_sampled", "knn_graph_mutual",
-    "knn_label_vote_accuracy", "knn_label_vote_lsh", "l_diversity_audit", "landed_files_diff",
-    "lang_id", "lang_id_confusion", "late_data_audit", "lm_rarity_score", "locale_partitioner",
+    "ab_test_metrics", "ann_topk_ivf", "ann_topk_ivf_multiprobe", "ann_topk_ivf_pq",
+    "ann_topk_ivf_sq8", "ann_topk_lsh", "benford_audit", "bigram_lift", "bm25_topk",
+    "bootstrap_mean_ci", "bpe_compression_curve", "bpe_pair_stats", "bpe_train_rounds",
+    "cdc_merge_apply", "cluster_profile_kmeans", "cms_heavy_hitters", "compact_small_files",
+    "consumer_lag_report", "contamination_check", "context_pack", "corpus_mixture",
+    "corpus_prep_pipeline", "corpus_stats", "cosine_dup_band_recall",
+    "cosine_dup_band_recall_sampled", "curriculum_stages", "curriculum_stages_edges",
+    "dedup_chunks", "dedup_clusters", "dedup_containment", "dedup_exact", "dedup_incremental",
+    "dedup_minhash_lsh", "dedup_modality_agreement", "dedup_semantic", "dedup_simhash",
+    "doc_chunk_split", "doc_fingerprint", "doc_truncation_loss", "dsir_importance",
+    "dsir_importance_edges", "dup_source_matrix", "duration_partitioner",
+    "embedding_centroid_outliers", "embedding_cosine_dups", "embedding_covariance",
+    "embedding_dim_stats", "embedding_pca_power", "embedding_pca_project", "embedding_pq",
+    "erasure_rewrite_plan", "events_acf_profile", "events_anomaly", "events_anomaly_mad",
+    "events_asof_join", "events_autocorr_lag1", "events_burst_runs", "events_changepoint",
+    "events_cube", "events_cusum_alarms", "events_dau_mau", "events_dod_growth",
+    "events_dow_profile", "events_ewma16", "events_funnel", "events_gapfill_locf",
+    "events_haar_energy", "events_holt_linear", "events_hourly_rollup", "events_inter_arrival",
+    "events_markov_transitions", "events_props_extract", "events_props_variant",
+    "events_range_join", "events_retention", "events_rolling_window", "events_seasonality_anova",
+    "events_session_window_native", "events_sessionize", "events_sliding_window",
+    "events_theil_sen", "events_time_weighted_avg", "events_topk_users", "events_trend_slope",
+    "events_type_diversity", "events_type_pivot", "events_type_unpivot", "events_value_deciles",
+    "events_value_deciles_edges", "events_value_histogram", "events_value_percentiles_exact",
+    "exactly_once_manifest", "fuzzy_name_matches", "hll_distinct", "hll_merge_invariant",
+    "idf_topterms", "ivf_balance_audit", "ivf_kmeans_refine", "ivf_nprobe_recall_curve",
+    "k_anonymity_audit", "kfold_assignment", "kmv_distinct", "kmv_set_ops",
+    "knn_graph_components", "knn_graph_lsh", "knn_graph_lsh_recall",
+    "knn_graph_lsh_recall_sampled", "knn_graph_mutual", "knn_label_vote_accuracy",
+    "knn_label_vote_lsh", "kv_header_views", "l_diversity_audit", "landed_files_diff", "lang_id",
+    "lang_id_confusion", "late_data_audit", "lm_rarity_score", "locale_partitioner",
     "log_compaction", "market_concentration_hhi", "matryoshka_recall_audit",
     "minhash_band_tuning", "minhash_jaccard_est", "minhash_precision_curve",
     "mixture_temperature_weights", "mlm_masking_plan", "modality_coverage_audit",
@@ -142,12 +145,13 @@ _VERIFIED_CURRENT: tuple[str, ...] = (
     "rotation_max_open_files", "rotation_partition_change", "rotation_policy_matrix",
     "rotation_scheduled", "rotation_schema_change", "rotation_stats", "scd2_history",
     "scd2_snapshot_asof", "schema_compat_backward", "schema_compat_forward", "schema_compat_full",
-    "schema_compat_none", "schema_partitioner", "schema_partitioner_suffix",
+    "schema_compat_none", "schema_evolution", "schema_partitioner", "schema_partitioner_suffix",
     "semantic_contamination", "shard_checksum_manifest", "shard_skew_audit",
-    "simhash_bit_balance", "source_overlap_jaccard", "span_corruption_plan", "sq8_recall_audit",
-    "stratified_sample", "supplier_scorecard", "t_closeness_audit", "token_count",
-    "token_diversity", "token_shard_pack", "tokenizer_fertility", "tokens_per_source_budget",
-    "train_test_split", "unblocked_band_recall", "vocab_coverage", "vocab_drift_chi2",
+    "simhash_bit_balance", "smt_chain", "source_overlap_jaccard", "span_corruption_plan",
+    "sq8_recall_audit", "stratified_sample", "supplier_scorecard", "t_closeness_audit",
+    "timestamp_extractor_record_field", "token_count", "token_diversity", "token_shard_pack",
+    "tokenizer_fertility", "tokens_per_source_budget", "tombstone_routing", "train_test_split",
+    "tz_partitioner", "unblocked_band_recall", "vocab_coverage", "vocab_drift_chi2",
     "vocab_drift_tvd", "vocab_growth_curve", "zipf_profile", "zorder_file_skipping",
 )
 
