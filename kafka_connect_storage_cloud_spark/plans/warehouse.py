@@ -1858,6 +1858,107 @@ ORACLES["events_hampel_filter"] = SQL_EVENTS_HAMPEL
 
 
 # ---------------------------------------------------------------------------
+# events_seasonal_median_decompose (round 9) — robust STL-lite
+# ---------------------------------------------------------------------------
+
+STL_TREND_HALF = 12  # trend window: ±12 present hours (~one day)
+
+
+def events_seasonal_median_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust seasonal decomposition of each type's hourly volume —
+    y = seasonal + trend + resid with MEDIANS instead of STL's loess:
+    seasonal(type, hour-of-day) = median of that clock hour's counts
+    (immune to single-day bursts, unlike the mean profile
+    events_dow_profile uses), trend = ±STL_TREND_HALF-hour rolling median
+    of the deseasonalized series, resid = what's left — the spike input
+    events_hampel_filter and events_anomaly score, now with the diurnal
+    cycle removed first. Every median is over integers, so the scaled
+    encodings seasonal2 = 2·median(y), d2 = 2y − seasonal2 (integer),
+    trend4 = 2·median(d2), resid4 = 2·d2 − trend4 are EXACT int64 on
+    both engines; the /2.0 and /4.0 output divisions are dyadic and
+    lossless in doubles.
+
+    Scale: one corpus rollup to (type, hour) cells, one grouped median
+    per (type, hour-of-day) cell (≤ |types|·24 groups), and the hampel
+    rank-neighborhood join for the rolling median — all on the
+    metadata-sized frame."""
+    from ..session import read_events
+
+    ev = read_events(spark, sf_dir).select(
+        "event_type", (F.unix_millis("ts") / F.lit(3600000)).cast("long").alias("hr")
+    )
+    w = Window.partitionBy("event_type").orderBy("hr")
+    cells = (
+        ev.groupBy("event_type", "hr")
+        .agg(F.count(F.lit(1)).alias("y"))
+        .withColumn("hod", F.col("hr") % 24)
+        .withColumn("rn", F.row_number().over(w))
+        .localCheckpoint(eager=True)  # seasonal agg + both rolling sides
+    )
+    seasonal = cells.groupBy("event_type", "hod").agg(
+        (F.expr("percentile(y, 0.5)") * 2).cast("long").alias("seasonal2")
+    )
+    d = cells.join(seasonal, ["event_type", "hod"]).withColumn(
+        "d2", F.lit(2) * F.col("y") - F.col("seasonal2")
+    )
+    nb = d.select("event_type", F.col("rn").alias("rn_b"), F.col("d2").alias("d2_b"))
+    trend = (
+        d.join(nb, "event_type")
+        .where(
+            (F.col("rn_b") >= F.col("rn") - STL_TREND_HALF)
+            & (F.col("rn_b") <= F.col("rn") + STL_TREND_HALF)
+        )
+        .groupBy("event_type", "hr", "y", "seasonal2", "d2")
+        .agg((F.expr("percentile(d2_b, 0.5)") * 2).cast("long").alias("trend4"))
+    )
+    return trend.select(
+        "event_type",
+        "hr",
+        "y",
+        (F.col("seasonal2") / F.lit(2.0)).alias("seasonal"),
+        (F.col("trend4") / F.lit(4.0)).alias("trend"),
+        ((F.lit(2) * F.col("d2") - F.col("trend4")) / F.lit(4.0)).alias("resid"),
+    )
+
+
+SQL_EVENTS_STL = f"""
+WITH scells AS (
+  SELECT event_type, epoch_ms(ts) // 3600000 AS hr, CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+sidx AS (
+  SELECT *, hr % 24 AS hod,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hr) AS rn
+  FROM scells
+),
+sseas AS (
+  SELECT event_type, hod, CAST(quantile_cont(y, 0.5) * 2 AS BIGINT) AS seasonal2
+  FROM sidx GROUP BY 1, 2
+),
+sd AS (
+  SELECT i.*, s.seasonal2, 2 * i.y - s.seasonal2 AS d2
+  FROM sidx i JOIN sseas s ON i.event_type = s.event_type AND i.hod = s.hod
+),
+strend AS (
+  SELECT a.event_type, a.hr, a.y, a.seasonal2, a.d2,
+         CAST(quantile_cont(b.d2, 0.5) * 2 AS BIGINT) AS trend4
+  FROM sd a JOIN sd b
+    ON a.event_type = b.event_type
+   AND b.rn BETWEEN a.rn - {STL_TREND_HALF} AND a.rn + {STL_TREND_HALF}
+  GROUP BY 1, 2, 3, 4, 5
+)
+SELECT event_type, hr, y,
+       seasonal2 / 2.0 AS seasonal,
+       trend4 / 4.0 AS trend,
+       (2 * d2 - trend4) / 4.0 AS resid
+FROM strend ORDER BY event_type, hr
+"""
+
+QUERIES["events_seasonal_median_decompose"] = events_seasonal_median_decompose
+ORACLES["events_seasonal_median_decompose"] = SQL_EVENTS_STL
+
+
+# ---------------------------------------------------------------------------
 # events_theil_sen (round 8) — robust median-of-slopes trend
 # ---------------------------------------------------------------------------
 

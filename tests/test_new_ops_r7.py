@@ -536,3 +536,39 @@ def test_ivf_twolevel_invariants(spark, sf_dir):
         assert a["n_hits"] <= min(a["n_exact"], a["n_approx"])
         hits_total += a["n_hits"]
     assert hits_total > 0, "two-level path found zero exact neighbors"
+
+
+def test_seasonal_decompose_matches_python_recompute(spark, sf_dir):
+    """Independent recompute of the STL-lite decomposition: seasonal is
+    the exact interpolated median of each (type, hour-of-day)'s counts,
+    trend is the rank-based ±STL_TREND_HALF rolling median of the
+    deseasonalized series, and y == seasonal + trend + resid EXACTLY
+    (every term is dyadic: k/2 or k/4 for integer k)."""
+    import statistics
+    from collections import defaultdict
+
+    from kafka_connect_storage_cloud_spark.plans.warehouse import (
+        STL_TREND_HALF,
+        events_seasonal_median_decompose,
+    )
+
+    rows = events_seasonal_median_decompose(spark, sf_dir).collect()
+    assert rows
+    by_t = defaultdict(list)
+    for r in rows:
+        by_t[r["event_type"]].append(r)
+    for _t, rs in by_t.items():
+        rs.sort(key=lambda r: r["hr"])
+        seas = defaultdict(list)
+        for r in rs:
+            seas[r["hr"] % 24].append(r["y"])
+        for r in rs:
+            assert r["seasonal"] == statistics.median(seas[r["hr"] % 24])
+        d2s = [2 * r["y"] - int(2 * r["seasonal"]) for r in rs]
+        for i, r in enumerate(rs):
+            win = d2s[max(0, i - STL_TREND_HALF): i + STL_TREND_HALF + 1]
+            assert r["trend"] == statistics.median(win) / 2.0, (r, win)
+            # the identity is exact, not approximate: all terms dyadic
+            assert r["seasonal"] + r["trend"] + r["resid"] == r["y"]
+    # the decomposition must not be vacuous: some diurnal signal exists
+    assert any(r["seasonal"] != rows[0]["seasonal"] for r in rows)
