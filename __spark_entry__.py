@@ -246,6 +246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": LD.dedup_containment,
         "simhash_bit_balance": LD.simhash_bit_balance,
         "dedup_method_matrix": LD.dedup_method_matrix,
+        "dedup_cascade_yield": LD.dedup_cascade_yield,
         "dedup_incremental": LD.dedup_incremental,
         "minhash_jaccard_est": LD.minhash_jaccard_est,
         "minhash_band_tuning": LD.minhash_band_tuning,

@@ -1485,3 +1485,173 @@ FROM ebr WHERE n_total > 0 ORDER BY tbl
 # query registration lives in __spark_entry__.py (this module keeps only
 # an ORACLES dict — the quality.py convention)
 ORACLES["erasure_blast_radius"] = SQL_ERASURE_BLAST_RADIUS
+
+
+# ---------------------------------------------------------------------------
+# dedup_cascade_yield (round 9) — ordered incremental yield of the cascade
+# ---------------------------------------------------------------------------
+
+CASCADE_STAGES = ("exact", "minhash_lsh", "simhash", "containment", "winnowing")
+
+
+def dedup_cascade_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What each dedup stage ADDS when run in production order: exact →
+    minhash_lsh → simhash → containment → winnowing. Per stage, a doc is
+    flagged under the greedy keep-earliest rule (it is the larger side of
+    a candidate pair — for exact, a non-minimum member of an identical-
+    normalized-text group); n_flagged is the stage's standalone count,
+    n_new counts docs whose FIRST flagging stage this is (pure set
+    algebra over per-method flag sets, no induced-subgraph recursion),
+    and n_survivors/n_removed_cum track the running corpus. The
+    cheapest-first cascade audit: once exact has removed a doc, a later
+    stage re-flagging it is redundant work, so a stage with high
+    n_flagged but near-zero n_new can be dropped from the pipeline.
+
+    Scale: every generator is the family band/prefix-bucketed pipeline
+    (shared single tokenize via _docs_ws_shared); the union of flag sets
+    is ≤ 5n rows of (int, str, id) and is localCheckpointed once because
+    the standalone counts and the first-stage aggregate both read it.
+    The 1-row corpus total rides a broadcast crossJoin (the
+    dedup_method_matrix n_gold pattern)."""
+    from ..session import read_table as _rt
+
+    dws, wfps = _docs_ws_shared(spark, sf_dir)
+    docs = _rt(spark, sf_dir, "documents").select("doc_id", "text")
+    exact_rem = (
+        docs.select("doc_id", F.md5(_normalized()).alias("h"))
+        .withColumn("m", F.min("doc_id").over(Window.partitionBy("h")))
+        .where(F.col("doc_id") > F.col("m"))
+        .select("doc_id")
+    )
+    stage_sets = [
+        ("exact", exact_rem),
+        (
+            "minhash_lsh",
+            _candidate_pairs(_signatures_from_ws(dws)).select(
+                F.col("doc_b").alias("doc_id")
+            ),
+        ),
+        (
+            "simhash",
+            _simhash_pairs_of(_simhash_signatures_from_ws(dws)).select(
+                F.col("doc_b").alias("doc_id")
+            ),
+        ),
+        (
+            "containment",
+            _containment_from_ws(dws).select(F.col("doc_b").alias("doc_id")),
+        ),
+        ("winnowing", _winnow_pairs_of(wfps).select(F.col("doc_b").alias("doc_id"))),
+    ]
+    tagged = None
+    for i, (name, df) in enumerate(stage_sets, start=1):
+        t = df.distinct().select(
+            F.lit(i).alias("stage"), F.lit(name).alias("method"), "doc_id"
+        )
+        tagged = t if tagged is None else tagged.unionAll(t)
+    tagged = tagged.localCheckpoint(eager=True)  # standalone + first-stage reads
+    flagged = tagged.groupBy("stage", "method").agg(
+        F.count(F.lit(1)).alias("n_flagged")
+    )
+    firsts = (
+        tagged.groupBy("doc_id")
+        .agg(F.min("stage").alias("stage"))
+        .groupBy("stage")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    spine = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(i).alias("stage"), F.lit(nm).alias("method"))
+                        for i, nm in enumerate(CASCADE_STAGES, start=1)
+                    ]
+                )
+            ).alias("s")
+        )
+        .select("s.stage", "s.method")
+    )
+    n_docs_row = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    wcum = Window.orderBy("stage").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        spine.join(flagged, ["stage", "method"], "left")
+        .join(firsts.withColumnRenamed("n_new", "nn"), ["stage"], "left")
+        .crossJoin(F.broadcast(n_docs_row))
+        .where(F.col("n_docs") > 0)  # empty-corpus contract: zero rows
+        .withColumn("n_new", F.coalesce(F.col("nn"), F.lit(0)))
+        .withColumn("n_removed_cum", F.sum("n_new").over(wcum))
+        .select(
+            "stage",
+            "method",
+            F.coalesce(F.col("n_flagged"), F.lit(0)).alias("n_flagged"),
+            "n_new",
+            "n_removed_cum",
+            (F.col("n_docs") - F.col("n_removed_cum")).alias("n_survivors"),
+            H.round6(
+                F.col("n_new").cast("double") / F.col("n_docs").cast("double")
+            ).alias("yield_rate"),
+        )
+        .orderBy("stage")
+    )
+
+
+def _sql_cascade_yield() -> str:
+    vals = ", ".join(f"({i}, '{nm}')" for i, nm in enumerate(CASCADE_STAGES, start=1))
+    yr = H.sql_round6("CAST(n_new AS DOUBLE) / CAST(n_docs AS DOUBLE)")
+    return f"""
+WITH dcr AS MATERIALIZED (
+  SELECT DISTINCT 1 AS stage, 'exact' AS method, doc_id FROM (
+    SELECT doc_id,
+           MIN(doc_id) OVER (
+             PARTITION BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+           ) AS m
+    FROM documents) WHERE doc_id > m
+  UNION ALL
+  SELECT DISTINCT 2, 'minhash_lsh', doc_b FROM ({SQL_DEDUP_MINHASH_LSH})
+  UNION ALL
+  SELECT DISTINCT 3, 'simhash', doc_b FROM ({SQL_DEDUP_SIMHASH})
+  UNION ALL
+  SELECT DISTINCT 4, 'containment', doc_b FROM ({SQL_DEDUP_CONTAINMENT})
+  UNION ALL
+  SELECT DISTINCT 5, 'winnowing', doc_b FROM ({_sql_winnow_cands()})
+),
+dcspine AS (SELECT * FROM (VALUES {vals}) AS t(stage, method)),
+dcflg AS (
+  SELECT stage, method, CAST(COUNT(*) AS BIGINT) AS n_flagged
+  FROM dcr GROUP BY 1, 2
+),
+dcfst AS (
+  SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_new
+  FROM (SELECT doc_id, MIN(stage) AS stage FROM dcr GROUP BY 1) GROUP BY 1
+),
+dcnd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+dcjoined AS (
+  SELECT s.stage, s.method,
+         COALESCE(f.n_flagged, 0) AS n_flagged,
+         COALESCE(x.n_new, 0) AS n_new,
+         nd.n_docs
+  FROM dcspine s
+  LEFT JOIN dcflg f ON s.stage = f.stage AND s.method = f.method
+  LEFT JOIN dcfst x ON s.stage = x.stage
+  CROSS JOIN dcnd nd
+  WHERE nd.n_docs > 0
+),
+dccum AS (
+  SELECT *,
+         CAST(SUM(n_new) OVER (
+           ORDER BY stage ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS n_removed_cum
+  FROM dcjoined
+)
+SELECT stage, method, n_flagged, n_new, n_removed_cum,
+       n_docs - n_removed_cum AS n_survivors,
+       {yr} AS yield_rate
+FROM dccum ORDER BY stage
+"""
+
+
+ORACLES["dedup_cascade_yield"] = _sql_cascade_yield()

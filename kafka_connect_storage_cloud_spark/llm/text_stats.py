@@ -803,3 +803,114 @@ ORDER BY r.rk
 
 QUERIES["vocab_drift_chi2"] = vocab_drift_chi2
 ORACLES["vocab_drift_chi2"] = SQL_VOCAB_DRIFT_CHI2
+
+# ---------------------------------------------------------------------------
+# token_lorenz_gini (round 9) — token-mass inequality per source
+# ---------------------------------------------------------------------------
+
+LORENZ_TILES = 10
+
+
+def token_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve + Gini coefficient of token mass per source: docs are
+    ranked ascending by token count (doc_id tie-break), cut into
+    LORENZ_TILES exact NTILE deciles (functions/ranking.ntile_of_rank —
+    the same arithmetic NTILE uses, no second window), and each decile
+    reports its doc count, token sum, and cumulative token share. The
+    Gini uses the exact rank identity G = (2·Σ rn·x − (n+1)·Σx)/(n·Σx):
+    numerator and denominator are int64 (Σ rn·x overflows past ~3·10⁹
+    docs·avg-tokens per source — pre-quantize beyond that, the chi2
+    square-in-double rule), divided once into a double identically on
+    both engines. The data-mixing audit that answers 'is 90% of this
+    source's token budget coming from 10% of its documents?'.
+
+    Scale: the token count is a per-row expression (no explode, no
+    shuffle); ranking windows are partitioned by source, so sources
+    parallelize; a single-source corpus degenerates to one partition —
+    the with_global_rank histogram-cumulative decomposition
+    (rarity_buckets_edges pattern) applies if that source is corpus-sized.
+    Sources with zero total tokens drop (division guard, both engines)."""
+    from ..functions.ranking import ntile_of_rank
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(
+            F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+        ).cast("long").alias("n_tok"),
+    )
+    wsrc = Window.partitionBy("source")
+    wrank = Window.partitionBy("source").orderBy("n_tok", "doc_id")
+    ranked = (
+        docs.withColumn("rn", F.row_number().over(wrank))
+        .withColumn("n", F.count(F.lit(1)).over(wsrc))
+        .withColumn("tot", F.sum("n_tok").over(wsrc))
+        .where(F.col("tot") > 0)
+        .withColumn("decile", ntile_of_rank(F.col("rn"), F.col("n"), LORENZ_TILES))
+        .withColumn("rx", F.col("rn") * F.col("n_tok"))
+    )
+    tiles = ranked.groupBy("source", "decile", "n", "tot").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("tok_decile"),
+        F.sum("rx").alias("srx_part"),
+    )
+    wcum = Window.partitionBy("source").orderBy("decile")
+    return (
+        tiles.withColumn("cum_tok", F.sum("tok_decile").over(wcum))
+        .withColumn("srx", F.sum("srx_part").over(Window.partitionBy("source")))
+        .select(
+            "source",
+            "decile",
+            "n_docs",
+            "tok_decile",
+            (F.col("cum_tok").cast("double") / F.col("tot").cast("double")).alias(
+                "cum_tok_share"
+            ),
+            (
+                (
+                    F.lit(2) * F.col("srx")
+                    - (F.col("n") + F.lit(1)) * F.col("tot")
+                ).cast("double")
+                / (F.col("n") * F.col("tot")).cast("double")
+            ).alias("gini"),
+        )
+    )
+
+
+SQL_TOKEN_LORENZ_GINI = f"""
+WITH ldocs AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tok
+  FROM documents
+),
+lrank AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_tok, doc_id) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n,
+         CAST(SUM(n_tok) OVER (PARTITION BY source) AS BIGINT) AS tot,
+         NTILE({LORENZ_TILES}) OVER (PARTITION BY source ORDER BY n_tok, doc_id) AS decile
+  FROM ldocs
+),
+ltile AS (
+  SELECT source, decile, n, tot,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS tok_decile,
+         CAST(SUM(rn * n_tok) AS BIGINT) AS srx_part
+  FROM lrank WHERE tot > 0 GROUP BY 1, 2, 3, 4
+),
+lcum AS (
+  SELECT *,
+         CAST(SUM(tok_decile) OVER (PARTITION BY source ORDER BY decile) AS BIGINT) AS cum_tok,
+         CAST(SUM(srx_part) OVER (PARTITION BY source) AS BIGINT) AS srx
+  FROM ltile
+)
+SELECT source, decile, n_docs, tok_decile,
+       CAST(cum_tok AS DOUBLE) / CAST(tot AS DOUBLE) AS cum_tok_share,
+       CAST(2 * srx - (n + 1) * tot AS DOUBLE)
+         / CAST(n * tot AS DOUBLE) AS gini
+FROM lcum
+"""
+
+QUERIES["token_lorenz_gini"] = token_lorenz_gini
+ORACLES["token_lorenz_gini"] = SQL_TOKEN_LORENZ_GINI

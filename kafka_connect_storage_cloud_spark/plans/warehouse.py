@@ -1864,24 +1864,13 @@ ORACLES["events_hampel_filter"] = SQL_EVENTS_HAMPEL
 STL_TREND_HALF = 12  # trend window: ±12 present hours (~one day)
 
 
-def events_seasonal_median_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Robust seasonal decomposition of each type's hourly volume —
-    y = seasonal + trend + resid with MEDIANS instead of STL's loess:
-    seasonal(type, hour-of-day) = median of that clock hour's counts
-    (immune to single-day bursts, unlike the mean profile
-    events_dow_profile uses), trend = ±STL_TREND_HALF-hour rolling median
-    of the deseasonalized series, resid = what's left — the spike input
-    events_hampel_filter and events_anomaly score, now with the diurnal
-    cycle removed first. Every median is over integers, so the scaled
-    encodings seasonal2 = 2·median(y), d2 = 2y − seasonal2 (integer),
-    trend4 = 2·median(d2), resid4 = 2·d2 − trend4 are EXACT int64 on
-    both engines; the /2.0 and /4.0 output divisions are dyadic and
-    lossless in doubles.
-
-    Scale: one corpus rollup to (type, hour) cells, one grouped median
-    per (type, hour-of-day) cell (≤ |types|·24 groups), and the hampel
-    rank-neighborhood join for the rolling median — all on the
-    metadata-sized frame."""
+def _stl_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared STL-lite integer frame: (event_type, hr, y, seasonal2, d2,
+    trend4) with seasonal2 = 2·median-by-clock-hour, d2 = 2y − seasonal2,
+    trend4 = 2·rolling-median(d2) — every column EXACT int64 on both
+    engines (interpolated medians of ints land on .0/.5; ×2 clears the
+    half). Feeds events_seasonal_median_decompose (the dyadic-division
+    view) and events_stl_anomaly (the residual-scoring view)."""
     from ..session import read_events
 
     ev = read_events(spark, sf_dir).select(
@@ -1911,7 +1900,26 @@ def events_seasonal_median_decompose(spark: SparkSession, sf_dir: str) -> DataFr
         .groupBy("event_type", "hr", "y", "seasonal2", "d2")
         .agg((F.expr("percentile(d2_b, 0.5)") * 2).cast("long").alias("trend4"))
     )
-    return trend.select(
+    return trend
+
+
+def events_seasonal_median_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust seasonal decomposition of each type's hourly volume —
+    y = seasonal + trend + resid with MEDIANS instead of STL's loess:
+    seasonal(type, hour-of-day) = median of that clock hour's counts
+    (immune to single-day bursts, unlike the mean profile
+    events_dow_profile uses), trend = ±STL_TREND_HALF-hour rolling median
+    of the deseasonalized series, resid = what's left — the spike input
+    events_hampel_filter and events_anomaly score, now with the diurnal
+    cycle removed first. All arithmetic rides _stl_frame's exact int64
+    encodings; the /2.0 and /4.0 output divisions are dyadic and
+    lossless in doubles, so y == seasonal + trend + resid EXACTLY.
+
+    Scale: one corpus rollup to (type, hour) cells, one grouped median
+    per (type, hour-of-day) cell (≤ |types|·24 groups), and the hampel
+    rank-neighborhood join for the rolling median — all on the
+    metadata-sized frame."""
+    return _stl_frame(spark, sf_dir).select(
         "event_type",
         "hr",
         "y",
@@ -1921,8 +1929,7 @@ def events_seasonal_median_decompose(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
-SQL_EVENTS_STL = f"""
-WITH scells AS (
+_SQL_STL_CTES = f"""scells AS (
   SELECT event_type, epoch_ms(ts) // 3600000 AS hr, CAST(COUNT(*) AS BIGINT) AS y
   FROM events GROUP BY 1, 2
 ),
@@ -1946,16 +1953,98 @@ strend AS (
     ON a.event_type = b.event_type
    AND b.rn BETWEEN a.rn - {STL_TREND_HALF} AND a.rn + {STL_TREND_HALF}
   GROUP BY 1, 2, 3, 4, 5
-)
+)"""
+
+SQL_EVENTS_STL = f"""
+WITH {_SQL_STL_CTES}
 SELECT event_type, hr, y,
        seasonal2 / 2.0 AS seasonal,
        trend4 / 4.0 AS trend,
        (2 * d2 - trend4) / 4.0 AS resid
-FROM strend ORDER BY event_type, hr
+FROM strend
 """
 
 QUERIES["events_seasonal_median_decompose"] = events_seasonal_median_decompose
 ORACLES["events_seasonal_median_decompose"] = SQL_EVENTS_STL
+
+
+# ---------------------------------------------------------------------------
+# events_stl_anomaly (round 9) — anomaly flags on the STL residual
+# ---------------------------------------------------------------------------
+
+STL_ANOM_NSIG = 3  # flag when |resid - med(resid)| > NSIG * MAD(resid)
+
+
+def events_stl_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly detection on the DESEASONALIZED-DETRENDED residual: hourly
+    cells are scored after _stl_frame removes the diurnal profile and the
+    local trend, so a perfectly ordinary rush-hour peak no longer looks
+    like a spike (events_anomaly's failure mode) and a modest count at
+    4am that is wildly abnormal FOR 4AM is finally flagged. The rule is
+    the hampel median/MAD form applied per type to resid4 = 2·d2 − trend4:
+    with medr8 = 2·median(resid4) and madr16 = 2·median(|2·resid4 −
+    medr8|), flag when 2·|2·resid4 − medr8| > NSIG·madr16 — pure int64
+    end to end (the scaled encodings stay integers because every median
+    of integers lands on .0/.5); the output med/mad divisions are dyadic.
+
+    Scale: everything after the corpus rollup runs on the (type, hour)
+    metadata frame, localCheckpointed once here because the two grouped
+    medians + two joins would otherwise re-derive the ±12-hour trend
+    fan-out three times."""
+    t = (
+        _stl_frame(spark, sf_dir)
+        .withColumn("resid4", F.lit(2) * F.col("d2") - F.col("trend4"))
+        .localCheckpoint(eager=True)  # med agg + dev side + mad agg
+    )
+    medr = t.groupBy("event_type").agg(
+        (F.expr("percentile(resid4, 0.5)") * 2).cast("long").alias("medr8")
+    )
+    d = t.join(medr, "event_type").withColumn(
+        "dev8", F.abs(F.lit(2) * F.col("resid4") - F.col("medr8"))
+    )
+    madr = d.groupBy("event_type").agg(
+        (F.expr("percentile(dev8, 0.5)") * 2).cast("long").alias("madr16")
+    )
+    return d.join(madr, "event_type").select(
+        "event_type",
+        "hr",
+        "y",
+        (F.col("resid4") / F.lit(4.0)).alias("resid"),
+        (F.col("medr8") / F.lit(8.0)).alias("med_resid"),
+        (F.col("madr16") / F.lit(16.0)).alias("mad_resid"),
+        (F.lit(2) * F.col("dev8") > F.lit(STL_ANOM_NSIG) * F.col("madr16")).alias(
+            "is_anomaly"
+        ),
+    )
+
+
+SQL_EVENTS_STL_ANOMALY = f"""
+WITH {_SQL_STL_CTES},
+ares AS (
+  SELECT event_type, hr, y, 2 * d2 - trend4 AS resid4 FROM strend
+),
+amed AS (
+  SELECT event_type, CAST(quantile_cont(resid4, 0.5) * 2 AS BIGINT) AS medr8
+  FROM ares GROUP BY 1
+),
+adev AS (
+  SELECT a.*, m.medr8, ABS(2 * a.resid4 - m.medr8) AS dev8
+  FROM ares a JOIN amed m USING (event_type)
+),
+amad AS (
+  SELECT event_type, CAST(quantile_cont(dev8, 0.5) * 2 AS BIGINT) AS madr16
+  FROM adev GROUP BY 1
+)
+SELECT d.event_type, d.hr, d.y,
+       d.resid4 / 4.0 AS resid,
+       d.medr8 / 8.0 AS med_resid,
+       t.madr16 / 16.0 AS mad_resid,
+       (2 * d.dev8 > {STL_ANOM_NSIG} * t.madr16) AS is_anomaly
+FROM adev d JOIN amad t USING (event_type)
+"""
+
+QUERIES["events_stl_anomaly"] = events_stl_anomaly
+ORACLES["events_stl_anomaly"] = SQL_EVENTS_STL_ANOMALY
 
 
 # ---------------------------------------------------------------------------
@@ -2056,3 +2145,298 @@ GROUP BY event_type, m ORDER BY event_type
 
 QUERIES["events_theil_sen"] = events_theil_sen
 ORACLES["events_theil_sen"] = SQL_EVENTS_THEIL_SEN
+
+# ---------------------------------------------------------------------------
+# events_ks_drift (round 9) — exact two-sample Kolmogorov–Smirnov drift test
+# ---------------------------------------------------------------------------
+
+
+def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift audit: for each event type, the exact two-sample
+    Kolmogorov–Smirnov statistic between the EARLY half and the LATE half
+    of its `value` stream (split at the midpoint of the type's observed
+    time range — 2·ms < mn+mx keeps the split integer-exact). The ECDF
+    comparison never touches floats: with cum_a/cum_b the running counts
+    and na/nb the half sizes, D's numerator is max|cum_a·nb − cum_b·na|
+    (int64), and ks_d = d_num/(na·nb) is ONE final division of exact
+    integers. ks_at is the smallest value where the supremum is attained
+    (deterministic tie-break). The same drift test a training pipeline
+    runs to detect covariate shift between ingestion windows.
+
+    Scale: raw events collapse to per-(type, value) count cells before
+    any window; the ordered ECDF pass per type is the same exact-rank
+    class as events_value_percentiles_exact — at extreme per-type
+    cardinality the histogram-cumulative decomposition
+    (functions/ranking.with_global_rank) applies unchanged. The int64
+    cross-product bound na·nb caps the exact path at ~3·10⁹ rows per
+    half; beyond that, pre-quantize values (documented, like the chi2
+    square-in-double rule)."""
+    from ..session import read_events
+
+    ev = read_events(spark, sf_dir).select(
+        "event_type", F.unix_millis("ts").alias("ms"), "value"
+    ).where(F.col("value").isNotNull())
+    bounds = ev.groupBy("event_type").agg(
+        F.min("ms").alias("mn"), F.max("ms").alias("mx")
+    )
+    sided = ev.join(bounds, "event_type").select(
+        "event_type",
+        "value",
+        F.when(F.lit(2) * F.col("ms") < F.col("mn") + F.col("mx"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("early"),
+    )
+    kc = sided.groupBy("event_type", "value").agg(
+        F.sum("early").alias("ca"),
+        F.sum(F.lit(1) - F.col("early")).alias("cb"),
+    )
+    wcum = Window.partitionBy("event_type").orderBy("value")
+    wall = Window.partitionBy("event_type")
+    kcum = (
+        kc.withColumn("cuma", F.sum("ca").over(wcum))
+        .withColumn("cumb", F.sum("cb").over(wcum))
+        .withColumn("na", F.sum("ca").over(wall))
+        .withColumn("nb", F.sum("cb").over(wall))
+        .where((F.col("na") > 0) & (F.col("nb") > 0))
+        .withColumn(
+            "diff", F.abs(F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na"))
+        )
+        .withColumn("dmax", F.max("diff").over(wall))
+    )
+    return (
+        kcum.where(F.col("diff") == F.col("dmax"))
+        .groupBy("event_type", "na", "nb", "dmax")
+        .agg(F.min("value").alias("ks_at"))
+        .select(
+            "event_type",
+            F.col("na").alias("n_early"),
+            F.col("nb").alias("n_late"),
+            F.col("dmax").alias("d_num"),
+            (
+                F.col("dmax").cast("double")
+                / (F.col("na") * F.col("nb")).cast("double")
+            ).alias("ks_d"),
+            "ks_at",
+        )
+    )
+
+
+SQL_EVENTS_KS_DRIFT = """
+WITH kev AS (
+  SELECT event_type, epoch_ms(ts) AS ms, value
+  FROM events WHERE value IS NOT NULL
+),
+kb AS (
+  SELECT event_type, MIN(ms) AS mn, MAX(ms) AS mx FROM kev GROUP BY 1
+),
+ksided AS (
+  SELECT e.event_type, e.value,
+         CASE WHEN 2 * e.ms < kb.mn + kb.mx THEN 1 ELSE 0 END AS early
+  FROM kev e JOIN kb USING (event_type)
+),
+kc AS (
+  SELECT event_type, value,
+         CAST(SUM(early) AS BIGINT) AS ca,
+         CAST(SUM(1 - early) AS BIGINT) AS cb
+  FROM ksided GROUP BY 1, 2
+),
+kcum AS (
+  SELECT event_type, value, ca, cb,
+         CAST(SUM(ca) OVER (PARTITION BY event_type ORDER BY value) AS BIGINT) AS cuma,
+         CAST(SUM(cb) OVER (PARTITION BY event_type ORDER BY value) AS BIGINT) AS cumb,
+         CAST(SUM(ca) OVER (PARTITION BY event_type) AS BIGINT) AS na,
+         CAST(SUM(cb) OVER (PARTITION BY event_type) AS BIGINT) AS nb
+  FROM kc
+),
+kd AS (
+  SELECT event_type, value, na, nb,
+         ABS(cuma * nb - cumb * na) AS diff,
+         MAX(ABS(cuma * nb - cumb * na)) OVER (PARTITION BY event_type) AS dmax
+  FROM kcum WHERE na > 0 AND nb > 0
+)
+SELECT event_type, na AS n_early, nb AS n_late,
+       CAST(dmax AS BIGINT) AS d_num,
+       CAST(dmax AS DOUBLE) / CAST(na * nb AS DOUBLE) AS ks_d,
+       MIN(value) AS ks_at
+FROM kd WHERE diff = dmax
+GROUP BY 1, 2, 3, 4, 5
+"""
+
+QUERIES["events_ks_drift"] = events_ks_drift
+ORACLES["events_ks_drift"] = SQL_EVENTS_KS_DRIFT
+
+# ---------------------------------------------------------------------------
+# events_max_burst_window (round 9) — Kadane max-sum window, declaratively
+# ---------------------------------------------------------------------------
+
+
+def events_max_burst_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The single heaviest sustained burst per event type: the contiguous
+    run of present hours whose total volume most exceeds the type's
+    median hourly rate. Kadane's classically-sequential max-subarray
+    reduction is re-expressed declaratively: with dev2 = 2y − med2 the
+    centered deviations and p their running prefix sum, the best window
+    ENDING at row j scores p_j − min(0, min_{i<j} p_i) — two window
+    functions, no iteration. The winning end is the earliest row
+    attaining the per-type max; the start is the earliest prefix row
+    attaining that end's running min (the LONGEST optimal window — both
+    tie-breaks deterministic). All arithmetic is int64 on both engines
+    (med2 = 2·median of integer counts is exact); the only doubles are
+    the dyadic /2.0 output divisions.
+
+    Scale: one corpus rollup to (type, hour) cells, then windows + four
+    self-joins on that metadata-sized, localCheckpointed frame — the
+    hampel/acf audit shape. burst_excess can be legitimately ≤ 0 when a
+    type never runs above its median rate."""
+    from ..session import read_events
+
+    ev = read_events(spark, sf_dir).select(
+        "event_type", (F.unix_millis("ts") / F.lit(3600000)).cast("long").alias("hr")
+    )
+    w = Window.partitionBy("event_type").orderBy("hr")
+    cells = (
+        ev.groupBy("event_type", "hr")
+        .agg(F.count(F.lit(1)).alias("y"))
+        .withColumn("rn", F.row_number().over(w))
+        .localCheckpoint(eager=True)  # median + prefix + three lookup sides
+    )
+    med = cells.groupBy("event_type").agg(
+        (F.expr("percentile(y, 0.5)") * 2).cast("long").alias("med2")
+    )
+    wr = Window.partitionBy("event_type").orderBy("rn")
+    scored = (
+        cells.join(med, "event_type")
+        .withColumn("dev2", F.lit(2) * F.col("y") - F.col("med2"))
+        .withColumn(
+            "p",
+            F.sum("dev2").over(
+                wr.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn(
+            "m",
+            F.least(
+                F.lit(0),
+                F.coalesce(
+                    F.min("p").over(wr.rowsBetween(Window.unboundedPreceding, -1)),
+                    F.lit(0),
+                ),
+            ),
+        )
+        .withColumn("score", F.col("p") - F.col("m"))
+        .withColumn("best", F.max("score").over(Window.partitionBy("event_type")))
+        .localCheckpoint(eager=True)  # ends / starts / hr-lookup consumers
+    )
+    ends = (
+        scored.where(F.col("score") == F.col("best"))
+        .groupBy("event_type", "best", "med2")
+        .agg(F.min("rn").alias("end_rn"))
+        .join(
+            scored.select(
+                "event_type",
+                F.col("rn").alias("end_rn"),
+                F.col("m").alias("m_end"),
+                F.col("hr").alias("end_hr"),
+            ),
+            ["event_type", "end_rn"],
+        )
+    )
+    starts = (
+        ends.join(
+            scored.select(
+                "event_type", F.col("rn").alias("srn"), F.col("p").alias("sp")
+            ),
+            "event_type",
+        )
+        .where((F.col("srn") < F.col("end_rn")) & (F.col("sp") == F.col("m_end")))
+        .groupBy("event_type", "end_rn")
+        .agg(F.min("srn").alias("min_srn"))
+    )
+    return (
+        ends.join(starts, ["event_type", "end_rn"], "left")
+        .withColumn(
+            "start_rn",
+            F.when(F.col("m_end") == 0, F.lit(1)).otherwise(F.col("min_srn") + 1),
+        )
+        .join(
+            scored.select(
+                "event_type",
+                F.col("rn").alias("start_rn"),
+                F.col("hr").alias("start_hr"),
+            ),
+            ["event_type", "start_rn"],
+        )
+        .select(
+            "event_type",
+            "start_hr",
+            "end_hr",
+            (F.col("end_rn") - F.col("start_rn") + 1).cast("long").alias("n_hours"),
+            (F.col("med2") / F.lit(2.0)).alias("baseline_med"),
+            (F.col("best") / F.lit(2.0)).alias("burst_excess"),
+        )
+    )
+
+
+SQL_EVENTS_MAX_BURST = """
+WITH bcells AS (
+  SELECT event_type, epoch_ms(ts) // 3600000 AS hr, CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+bidx AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hr) AS rn
+  FROM bcells
+),
+bmed AS (
+  SELECT event_type, CAST(quantile_cont(y, 0.5) * 2 AS BIGINT) AS med2
+  FROM bcells GROUP BY 1
+),
+bpre AS (
+  SELECT i.event_type, i.hr, i.rn, i.y, m.med2,
+         CAST(SUM(2 * i.y - m.med2) OVER (
+           PARTITION BY i.event_type ORDER BY i.rn
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p
+  FROM bidx i JOIN bmed m USING (event_type)
+),
+bscore AS (
+  SELECT *,
+         p - LEAST(0, COALESCE(CAST(MIN(p) OVER (
+           PARTITION BY event_type ORDER BY rn
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)) AS score,
+         LEAST(0, COALESCE(CAST(MIN(p) OVER (
+           PARTITION BY event_type ORDER BY rn
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)) AS m
+  FROM bpre
+),
+bbest AS (
+  SELECT *, MAX(score) OVER (PARTITION BY event_type) AS best FROM bscore
+),
+bends AS (
+  SELECT event_type, best, med2, MIN(rn) AS end_rn
+  FROM bbest WHERE score = best GROUP BY 1, 2, 3
+),
+bends2 AS (
+  SELECT e.*, s.m AS m_end, s.hr AS end_hr
+  FROM bends e JOIN bbest s
+    ON e.event_type = s.event_type AND e.end_rn = s.rn
+),
+bstarts AS (
+  SELECT e.event_type, e.end_rn, MIN(s.rn) AS min_srn
+  FROM bends2 e JOIN bbest s
+    ON e.event_type = s.event_type AND s.rn < e.end_rn AND s.p = e.m_end
+  GROUP BY 1, 2
+),
+bres AS (
+  SELECT e.*, CASE WHEN e.m_end = 0 THEN 1 ELSE st.min_srn + 1 END AS start_rn
+  FROM bends2 e LEFT JOIN bstarts st
+    ON e.event_type = st.event_type AND e.end_rn = st.end_rn
+)
+SELECT r.event_type, s.hr AS start_hr, r.end_hr,
+       CAST(r.end_rn - r.start_rn + 1 AS BIGINT) AS n_hours,
+       r.med2 / 2.0 AS baseline_med,
+       r.best / 2.0 AS burst_excess
+FROM bres r JOIN bbest s
+  ON r.event_type = s.event_type AND r.start_rn = s.rn
+"""
+
+QUERIES["events_max_burst_window"] = events_max_burst_window
+ORACLES["events_max_burst_window"] = SQL_EVENTS_MAX_BURST

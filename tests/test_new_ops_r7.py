@@ -572,3 +572,231 @@ def test_seasonal_decompose_matches_python_recompute(spark, sf_dir):
             assert r["seasonal"] + r["trend"] + r["resid"] == r["y"]
     # the decomposition must not be vacuous: some diurnal signal exists
     assert any(r["seasonal"] != rows[0]["seasonal"] for r in rows)
+
+
+def test_ks_drift_matches_python_recompute(spark, sf_dir):
+    """Independent recompute: per type, split values at the midpoint of
+    the observed time range and take the exact ECDF sup-difference with
+    cross-multiplied integer counts — numerator, halves, argmax value,
+    and the single final division must all reproduce."""
+    from collections import defaultdict
+
+    from kafka_connect_storage_cloud_spark.plans.warehouse import events_ks_drift
+    from kafka_connect_storage_cloud_spark.session import read_events
+
+    rows = {r["event_type"]: r for r in events_ks_drift(spark, sf_dir).collect()}
+    assert rows
+    ev = defaultdict(list)
+    from pyspark.sql import functions as F
+
+    raw = (
+        read_events(spark, sf_dir)
+        .select("event_type", F.unix_millis("ts").alias("ms"), "value")
+        .collect()
+    )
+    for r in raw:
+        ev[r["event_type"]].append((r["ms"], r["value"]))
+    for t, pts in ev.items():
+        mss = [m for m, _ in pts]
+        mid2 = min(mss) + max(mss)
+        a = sorted(v for m, v in pts if 2 * m < mid2)
+        b = sorted(v for m, v in pts if 2 * m >= mid2)
+        if not a or not b:
+            assert t not in rows
+            continue
+        na, nb = len(a), len(b)
+        values = sorted(set(a) | set(b))
+        import bisect
+
+        best, best_at = -1, None
+        for v in values:
+            ca = bisect.bisect_right(a, v)
+            cb = bisect.bisect_right(b, v)
+            d = abs(ca * nb - cb * na)
+            if d > best:
+                best, best_at = d, v
+        r = rows[t]
+        assert (r["n_early"], r["n_late"]) == (na, nb)
+        assert r["d_num"] == best
+        assert r["ks_at"] == best_at
+        assert r["ks_d"] == best / float(na * nb)
+
+
+def test_max_burst_window_matches_bruteforce(spark, sf_dir):
+    """Brute force over ALL O(n²) contiguous windows of the median-
+    centered hourly deviations: the reported burst_excess must be the
+    true maximum, the reported [start_hr, end_hr] window must attain it,
+    and the tie-breaks (earliest end, then longest window) must hold."""
+    import statistics
+    from collections import defaultdict
+
+    from kafka_connect_storage_cloud_spark.plans.warehouse import (
+        events_max_burst_window,
+    )
+    from kafka_connect_storage_cloud_spark.session import read_events
+    from pyspark.sql import functions as F
+
+    out = {r["event_type"]: r for r in events_max_burst_window(spark, sf_dir).collect()}
+    assert out
+    raw = (
+        read_events(spark, sf_dir)
+        .select(
+            "event_type",
+            (F.unix_millis("ts") / F.lit(3600000)).cast("long").alias("hr"),
+        )
+        .groupBy("event_type", "hr")
+        .count()
+        .collect()
+    )
+    cells = defaultdict(list)
+    for r in raw:
+        cells[r["event_type"]].append((r["hr"], r["count"]))
+    for t, cs in cells.items():
+        cs.sort()
+        ys = [y for _, y in cs]
+        hrs = [h for h, _ in cs]
+        med2 = int(2 * statistics.median(ys))
+        dev2 = [2 * y - med2 for y in ys]
+        n = len(dev2)
+        best = None  # (sum2, end_idx, -length) lexicographic preference
+        for j in range(n):
+            s = 0
+            for i in range(j, -1, -1):
+                s += dev2[i]
+                # prefer: larger sum, then earlier end, then longer window
+                key = (s, -j, j - i)
+                if best is None or key > best[0]:
+                    best = (key, i, j)
+        (s2, _nj, _ln), bi, bj = best
+        r = out[t]
+        assert r["burst_excess"] == s2 / 2.0, (t, r, s2)
+        assert r["start_hr"] == hrs[bi] and r["end_hr"] == hrs[bj], (t, r, bi, bj)
+        assert r["n_hours"] == bj - bi + 1
+
+
+def test_token_lorenz_gini_matches_python_recompute(spark, sf_dir):
+    """Recompute per source from raw token counts: NTILE decile cuts,
+    cumulative shares (monotone, ending exactly at 1.0), and the exact
+    rank-identity Gini."""
+    from collections import defaultdict
+
+    from kafka_connect_storage_cloud_spark.llm.text_stats import (
+        LORENZ_TILES,
+        token_lorenz_gini,
+    )
+    from kafka_connect_storage_cloud_spark.session import read_table
+    from pyspark.sql import functions as F
+
+    rows = token_lorenz_gini(spark, sf_dir).collect()
+    assert rows
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            F.size(
+                F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+            ).alias("n_tok"),
+        )
+        .collect()
+    )
+    per_src = defaultdict(list)
+    for d in docs:
+        per_src[d["source"]].append((d["n_tok"], d["doc_id"]))
+    by_key = {(r["source"], r["decile"]): r for r in rows}
+    for src, ds in per_src.items():
+        ds.sort()
+        n = len(ds)
+        tot = sum(x for x, _ in ds)
+        if tot == 0:
+            assert not any(s == src for s, _ in by_key)
+            continue
+        srx = sum(rn * x for rn, (x, _) in enumerate(ds, start=1))
+        gini = (2 * srx - (n + 1) * tot) / float(n * tot)
+        q, rm = divmod(n, LORENZ_TILES)
+        cum_docs = cum_tok = 0
+        prev_share = 0.0
+        for tile in range(1, LORENZ_TILES + 1):
+            sz = q + 1 if tile <= rm else q
+            if sz == 0:
+                assert (src, tile) not in by_key
+                continue
+            chunk = ds[cum_docs: cum_docs + sz]
+            cum_docs += sz
+            cum_tok += sum(x for x, _ in chunk)
+            r = by_key[(src, tile)]
+            assert r["n_docs"] == sz
+            assert r["tok_decile"] == sum(x for x, _ in chunk)
+            assert r["cum_tok_share"] == cum_tok / float(tot)
+            assert r["cum_tok_share"] >= prev_share
+            prev_share = r["cum_tok_share"]
+            assert abs(r["gini"] - gini) < 1e-12
+        assert prev_share == 1.0
+        assert 0.0 <= gini < 1.0
+
+
+def test_stl_anomaly_consistent_with_decompose(spark, sf_dir):
+    """The anomaly view must score exactly the decomposition's residuals:
+    med/mad are the interpolated medians of each type's resid, the flag
+    is the integer hampel rule on them, and the flag must SPLIT on this
+    corpus (non-vacuity)."""
+    import statistics
+    from collections import defaultdict
+
+    from kafka_connect_storage_cloud_spark.plans.warehouse import (
+        STL_ANOM_NSIG,
+        events_seasonal_median_decompose,
+        events_stl_anomaly,
+    )
+
+    dec = events_seasonal_median_decompose(spark, sf_dir).collect()
+    anom = events_stl_anomaly(spark, sf_dir).collect()
+    resid = defaultdict(list)
+    for r in dec:
+        resid[r["event_type"]].append(r["resid"])
+    dec_key = {(r["event_type"], r["hr"]): r for r in dec}
+    n_true = 0
+    for r in anom:
+        rs = resid[r["event_type"]]
+        med = statistics.median(rs)
+        mad = statistics.median([abs(x - med) for x in rs])
+        assert r["resid"] == dec_key[(r["event_type"], r["hr"])]["resid"]
+        assert r["med_resid"] == med
+        assert r["mad_resid"] == mad
+        assert r["is_anomaly"] == (abs(r["resid"] - med) > STL_ANOM_NSIG * mad)
+        n_true += r["is_anomaly"]
+    assert 0 < n_true < len(anom), "anomaly flag vacuous on this corpus"
+
+
+def test_dedup_cascade_yield_invariants(spark, sf_dir):
+    """Cascade bookkeeping must reconcile: five ordered stages, n_new ≤
+    n_flagged, cumulative removals monotone and equal to Σ n_new,
+    survivors complementary to the corpus count, stage-1 (exact) n_new ==
+    n_flagged (nothing precedes it), and n_flagged for exact equals the
+    independent non-minimum count over identical-normalized-text groups."""
+    from kafka_connect_storage_cloud_spark.llm.dedup import (
+        CASCADE_STAGES,
+        _normalized,
+        dedup_cascade_yield,
+    )
+    from kafka_connect_storage_cloud_spark.session import read_table, table_count
+    from pyspark.sql import functions as F
+
+    rows = sorted(dedup_cascade_yield(spark, sf_dir).collect(), key=lambda r: r["stage"])
+    assert [r["method"] for r in rows] == list(CASCADE_STAGES)
+    n_docs = table_count(spark, sf_dir, "documents")
+    cum = 0
+    for r in rows:
+        assert 0 <= r["n_new"] <= r["n_flagged"]
+        cum += r["n_new"]
+        assert r["n_removed_cum"] == cum
+        assert r["n_survivors"] == n_docs - cum
+        assert abs(r["yield_rate"] - round(r["n_new"] / n_docs, 6)) <= 1e-9
+    assert rows[0]["n_new"] == rows[0]["n_flagged"]
+    exact_groups = (
+        read_table(spark, sf_dir, "documents")
+        .groupBy(F.md5(_normalized()).alias("h"))
+        .count()
+        .collect()
+    )
+    assert rows[0]["n_flagged"] == sum(c["count"] - 1 for c in exact_groups)

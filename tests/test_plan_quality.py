@@ -326,6 +326,7 @@ _NESTED_LOOP_OK = {
     "ann_topk_ivf_multiprobe",    # q nearest-cells probe (|queries| x |cells|)
     "ivf_nprobe_recall_curve",    # q nearest-cells probe + 1-row totals combine
     "dedup_method_matrix",        # 1-row gold-total combine (bounded by construction)
+    "dedup_cascade_yield",        # 1-row corpus-total combine (bounded by construction)
     "ann_method_matrix",          # q nearest-cells probes + 1-row totals combine
     "corpus_prep_pipeline",       # language-mix weight table (|langs| rows)
     "ab_test_metrics",            # 1-row x 1-row variant combine
