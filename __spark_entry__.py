@@ -61,17 +61,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # --- diff-aware re-verification window (rebuilt END of round 9) ----------
-# tools/stale_keys.py --window 50 on the final r9 tree: 6 fresh keys (the
+# tools/stale_keys.py --window 50 on the final r9 tree: 12 fresh keys (the
 # round's new operators — every one driver-sim green at sf0.001/0.01/0.1 +
-# hostile TZ before shipping) + 23 stale (transitive consumers of the r9
-# rewrites: semdedup two-level codebook, global-sort deletions,
-# _docs_ws_shared memo, retrieval ceiling fix + _semantic_ranked refactor,
-# ann_topk_bruteforce empty-corpus guard — plus the 5 r8 _RECHECK
-# clustering keys). The remaining 21 slots deliberately REFRESH the
-# oldest-green (r2) keys so no key ages past 7 rounds without a fresh
-# driver row. Exactly 50 = the driver window; _RECHECK empty (stale set
-# fits the window whole).
+# hostile TZ before shipping; the late batch of six displaced the six
+# oldest-green r2 partitioner pads, which return to _VERIFIED_CURRENT) +
+# 23 stale (transitive consumers of the r9 rewrites: semdedup two-level
+# codebook, global-sort deletions, _docs_ws_shared memo, retrieval
+# ceiling fix + _semantic_ranked refactor, ann_topk_bruteforce
+# empty-corpus guard — plus the 5 r8 _RECHECK clustering keys). The
+# remaining 15 slots deliberately REFRESH the oldest-green (r2) keys so
+# no key ages past 7 rounds without a fresh driver row. Exactly 50 = the
+# driver window; _RECHECK empty (stale set fits the window whole).
 _PRIORITY: tuple[str, ...] = (
+    "events_seasonal_median_decompose", "events_ks_drift", "events_max_burst_window",
+    "token_lorenz_gini", "events_stl_anomaly", "dedup_cascade_yield",
     "events_hampel_filter", "erasure_blast_radius", "hybrid_rrf_fusion", "semdedup_cell_profile",
     "ann_topk_ivf_twolevel", "ivf_twolevel_recall_audit", "dedup_method_matrix",
     "winnowing_fingerprints", "hybrid_retrieval_agreement", "semdedup_cells", "ann_recall_audit",
@@ -84,8 +87,6 @@ _PRIORITY: tuple[str, ...] = (
     "q14_promo_revenue", "q15_top_supplier", "q16_supplier_part_counts",
     "q17_small_quantity_revenue", "q18_large_volume_customers", "q19_discounted_revenue",
     "q22_global_sales_opportunity", "top_customers", "order_priority_count", "part_type_margin",
-    "default_partitioner", "field_partitioner", "time_based_partitioner", "daily_partitioner",
-    "hourly_partitioner", "field_time_partitioner",
 )
 
 # no remaining stale keys beyond the window (tool: fresh=6 stale=23, all in window)
@@ -101,10 +102,11 @@ _VERIFIED_CURRENT: tuple[str, ...] = (
     "consumer_lag_report", "contamination_check", "context_pack", "corpus_mixture",
     "corpus_prep_pipeline", "corpus_stats", "cosine_dup_band_recall",
     "cosine_dup_band_recall_sampled", "curriculum_stages", "curriculum_stages_edges",
-    "dedup_chunks", "dedup_clusters", "dedup_containment", "dedup_exact", "dedup_incremental",
+    "daily_partitioner", "dedup_chunks", "dedup_clusters", "dedup_containment",
+    "dedup_exact", "dedup_incremental",
     "dedup_minhash_lsh", "dedup_modality_agreement", "dedup_semantic", "dedup_simhash",
     "doc_chunk_split", "doc_fingerprint", "doc_truncation_loss", "dsir_importance",
-    "dsir_importance_edges", "dup_source_matrix", "duration_partitioner",
+    "default_partitioner", "dsir_importance_edges", "dup_source_matrix", "duration_partitioner",
     "embedding_centroid_outliers", "embedding_cosine_dups", "embedding_covariance",
     "embedding_dim_stats", "embedding_pca_power", "embedding_pca_project", "embedding_pq",
     "erasure_rewrite_plan", "events_acf_profile", "events_anomaly", "events_anomaly_mad",
@@ -118,7 +120,8 @@ _VERIFIED_CURRENT: tuple[str, ...] = (
     "events_theil_sen", "events_time_weighted_avg", "events_topk_users", "events_trend_slope",
     "events_type_diversity", "events_type_pivot", "events_type_unpivot", "events_value_deciles",
     "events_value_deciles_edges", "events_value_histogram", "events_value_percentiles_exact",
-    "exactly_once_manifest", "fuzzy_name_matches", "hll_distinct", "hll_merge_invariant",
+    "exactly_once_manifest", "field_partitioner", "field_time_partitioner",
+    "fuzzy_name_matches", "hll_distinct", "hll_merge_invariant", "hourly_partitioner",
     "idf_topterms", "ivf_balance_audit", "ivf_kmeans_refine", "ivf_nprobe_recall_curve",
     "k_anonymity_audit", "kfold_assignment", "kmv_distinct", "kmv_set_ops",
     "knn_graph_components", "knn_graph_lsh", "knn_graph_lsh_recall",
@@ -149,7 +152,8 @@ _VERIFIED_CURRENT: tuple[str, ...] = (
     "semantic_contamination", "shard_checksum_manifest", "shard_skew_audit",
     "simhash_bit_balance", "smt_chain", "source_overlap_jaccard", "span_corruption_plan",
     "sq8_recall_audit", "stratified_sample", "supplier_scorecard", "t_closeness_audit",
-    "timestamp_extractor_record_field", "token_count", "token_diversity", "token_shard_pack",
+    "time_based_partitioner", "timestamp_extractor_record_field", "token_count",
+    "token_diversity", "token_shard_pack",
     "tokenizer_fertility", "tokens_per_source_budget", "tombstone_routing", "train_test_split",
     "tz_partitioner", "unblocked_band_recall", "vocab_coverage", "vocab_drift_chi2",
     "vocab_drift_tvd", "vocab_growth_curve", "zipf_profile", "zorder_file_skipping",

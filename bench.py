@@ -77,6 +77,15 @@ def main() -> None:
         "ann_topk_ivf_twolevel",
         "hybrid_rrf_fusion",
         "events_hampel_filter",
+        # r9 late batch: the two-sample drift test, the Kadane burst
+        # window, the STL-lite residual scorer, and the token-inequality
+        # audit (dedup_cascade_yield is deliberately NOT a leg — its
+        # generators are already timed via dedup_method_matrix and the
+        # memoized tokenize would hide its true cold cost)
+        "events_ks_drift",
+        "events_max_burst_window",
+        "events_stl_anomaly",
+        "token_lorenz_gini",
     ):
         if opt in qs:
             headline.append(opt)
