@@ -61,20 +61,24 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # --- diff-aware re-verification window (rebuilt END of round 9) ----------
-# tools/stale_keys.py --window 50 on the final r9 tree: 12 fresh keys (the
+# tools/stale_keys.py --window 50 on the final r9 tree: 15 fresh keys (the
 # round's new operators — every one driver-sim green at sf0.001/0.01/0.1 +
-# hostile TZ before shipping; the late batch of six displaced the six
-# oldest-green r2 partitioner pads, which return to _VERIFIED_CURRENT) +
-# 23 stale (transitive consumers of the r9 rewrites: semdedup two-level
-# codebook, global-sort deletions, _docs_ws_shared memo, retrieval
-# ceiling fix + _semantic_ranked refactor, ann_topk_bruteforce
-# empty-corpus guard — plus the 5 r8 _RECHECK clustering keys). The
-# remaining 15 slots deliberately REFRESH the oldest-green (r2) keys so
-# no key ages past 7 rounds without a fresh driver row. Exactly 50 = the
-# driver window; _RECHECK empty (stale set fits the window whole).
+# hostile TZ before shipping; the two late batches displaced ten
+# oldest-green r2 partitioner/TPC-H pads, which return to
+# _VERIFIED_CURRENT) + 24 stale (transitive consumers of the r9 rewrites:
+# semdedup two-level codebook, global-sort deletions, _docs_ws_shared
+# memo, retrieval ceiling fix + _semantic_ranked refactor,
+# ann_topk_bruteforce empty-corpus guard, the batch-3 _acf_quantized
+# refactor re-staling events_acf_profile — plus the 5 r8 _RECHECK
+# clustering keys). The remaining 11 slots deliberately REFRESH the
+# oldest-green (r2) keys so no key ages past 7 rounds without a fresh
+# driver row. Exactly 50 = the driver window; _RECHECK empty (stale set
+# fits the window whole).
 _PRIORITY: tuple[str, ...] = (
     "events_seasonal_median_decompose", "events_ks_drift", "events_max_burst_window",
     "token_lorenz_gini", "events_stl_anomaly", "dedup_cascade_yield",
+    "events_mann_kendall", "events_ljung_box", "token_lorenz_gini_edges",
+    "events_acf_profile",
     "events_hampel_filter", "erasure_blast_radius", "hybrid_rrf_fusion", "semdedup_cell_profile",
     "ann_topk_ivf_twolevel", "ivf_twolevel_recall_audit", "dedup_method_matrix",
     "winnowing_fingerprints", "hybrid_retrieval_agreement", "semdedup_cells", "ann_recall_audit",
@@ -86,10 +90,9 @@ _PRIORITY: tuple[str, ...] = (
     "q3_shipping_priority", "q5_local_supplier_volume", "q6_revenue_change", "q10_returned_items",
     "q14_promo_revenue", "q15_top_supplier", "q16_supplier_part_counts",
     "q17_small_quantity_revenue", "q18_large_volume_customers", "q19_discounted_revenue",
-    "q22_global_sales_opportunity", "top_customers", "order_priority_count", "part_type_margin",
 )
 
-# no remaining stale keys beyond the window (tool: fresh=6 stale=23, all in window)
+# no remaining stale keys beyond the window (fresh=15 stale=24, all in window)
 _RECHECK: tuple[str, ...] = ()
 
 # Externally-verified keys whose behavior-relevant code (impl + transitive
@@ -109,7 +112,7 @@ _VERIFIED_CURRENT: tuple[str, ...] = (
     "default_partitioner", "dsir_importance_edges", "dup_source_matrix", "duration_partitioner",
     "embedding_centroid_outliers", "embedding_cosine_dups", "embedding_covariance",
     "embedding_dim_stats", "embedding_pca_power", "embedding_pca_project", "embedding_pq",
-    "erasure_rewrite_plan", "events_acf_profile", "events_anomaly", "events_anomaly_mad",
+    "erasure_rewrite_plan", "events_anomaly", "events_anomaly_mad",
     "events_asof_join", "events_autocorr_lag1", "events_burst_runs", "events_changepoint",
     "events_cube", "events_cusum_alarms", "events_dau_mau", "events_dod_growth",
     "events_dow_profile", "events_ewma16", "events_funnel", "events_gapfill_locf",
@@ -149,7 +152,9 @@ _VERIFIED_CURRENT: tuple[str, ...] = (
     "rotation_scheduled", "rotation_schema_change", "rotation_stats", "scd2_history",
     "scd2_snapshot_asof", "schema_compat_backward", "schema_compat_forward", "schema_compat_full",
     "schema_compat_none", "schema_evolution", "schema_partitioner", "schema_partitioner_suffix",
+    "order_priority_count", "part_type_margin", "q22_global_sales_opportunity",
     "semantic_contamination", "shard_checksum_manifest", "shard_skew_audit",
+    "top_customers",
     "simhash_bit_balance", "smt_chain", "source_overlap_jaccard", "span_corruption_plan",
     "sq8_recall_audit", "stratified_sample", "supplier_scorecard", "t_closeness_audit",
     "time_based_partitioner", "timestamp_extractor_record_field", "token_count",

@@ -86,6 +86,8 @@ def main() -> None:
         "events_max_burst_window",
         "events_stl_anomaly",
         "token_lorenz_gini",
+        "events_mann_kendall",
+        "events_ljung_box",
     ):
         if opt in qs:
             headline.append(opt)

@@ -829,9 +829,9 @@ def token_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallelize; a single-source corpus degenerates to one partition —
     the with_global_rank histogram-cumulative decomposition
     (rarity_buckets_edges pattern) applies if that source is corpus-sized.
-    Sources with zero total tokens drop (division guard, both engines)."""
-    from ..functions.ranking import ntile_of_rank
-
+    Sources with zero total tokens drop (division guard, both engines);
+    token_lorenz_gini_edges IS that shipped decomposition, bit-identical
+    under the same oracle string."""
     docs = read_table(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
@@ -845,7 +845,18 @@ def token_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.withColumn("rn", F.row_number().over(wrank))
         .withColumn("n", F.count(F.lit(1)).over(wsrc))
         .withColumn("tot", F.sum("n_tok").over(wsrc))
-        .where(F.col("tot") > 0)
+    )
+    return _lorenz_tail(ranked)
+
+
+def _lorenz_tail(ranked: DataFrame) -> DataFrame:
+    """Decile aggregation + Gini from a (source, n_tok, rn, n, tot) frame
+    — shared by the window form and the two-pass-rank edges twin so both
+    provably run one expression tree past the ranking step."""
+    from ..functions.ranking import ntile_of_rank
+
+    ranked = (
+        ranked.where(F.col("tot") > 0)
         .withColumn("decile", ntile_of_rank(F.col("rn"), F.col("n"), LORENZ_TILES))
         .withColumn("rx", F.col("rn") * F.col("n_tok"))
     )
@@ -875,6 +886,37 @@ def token_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gini"),
         )
     )
+
+
+def token_lorenz_gini_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe twin of token_lorenz_gini: the per-source ranking window
+    decomposed via the two-pass histogram form
+    (functions/ranking.with_global_rank, part_cols=["source"]) — a source
+    holding half a 100 TB corpus sorts only its DISTINCT token-count
+    values in one task, never its rows; per-source totals come from a
+    metadata-sized aggregate join instead of a partition-wide window.
+    Bit-identical to the window form (same total order, same doc_id
+    tie-break), so it reuses the SAME oracle string — the
+    rarity_buckets_edges / rfm_segmentation_edges discipline."""
+    from ..functions.ranking import with_global_rank
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(
+            F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+        ).cast("long").alias("n_tok"),
+    )
+    totals = docs.groupBy("source").agg(F.sum("n_tok").alias("tot"))
+    ranked = with_global_rank(
+        docs,
+        "n_tok",
+        "doc_id",
+        part_cols=["source"],
+        rank_name="rn",
+        total_name="n",
+    ).join(totals, "source")
+    return _lorenz_tail(ranked)
 
 
 SQL_TOKEN_LORENZ_GINI = f"""
@@ -914,3 +956,6 @@ FROM lcum
 
 QUERIES["token_lorenz_gini"] = token_lorenz_gini
 ORACLES["token_lorenz_gini"] = SQL_TOKEN_LORENZ_GINI
+
+QUERIES["token_lorenz_gini_edges"] = token_lorenz_gini_edges
+ORACLES["token_lorenz_gini_edges"] = SQL_TOKEN_LORENZ_GINI  # bit-identical twin

@@ -1657,21 +1657,14 @@ ORACLES["events_holt_linear"] = _sql_holt_linear()
 ACF_LAGS = 24  # hourly lags 1..24: one diurnal cycle
 
 
-def events_acf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Autocorrelation PROFILE of each type's hourly volume at lags 1..24 —
-    events_autocorr_lag1 generalized from one lag-1 daily point to the
-    full diurnal correlogram (a peak at lag 24 = daily seasonality, fast
-    decay = bursty noise; the hypothesis-free companion to
-    events_seasonality_anova, in the time domain where events_haar_energy
-    is the scale domain). Pearson r per (type, lag) over the (y_t, y_{t+ℓ})
-    pairs of hours PRESENT in the series, same estimator as the lag-1 op.
-
-    Scale: events aggregate once to the (type, hour) cell frame
-    (localCheckpointed — it feeds both join sides); the lag fan-out
-    (cells x 24) and the self-equi-join on (type, hr+lag) stay on that
-    metadata frame. All sums are exact int64; per (type, lag) the only
-    floating steps are two sqrt's and one division in fixed order,
-    round6-quantized (the events_autocorr_lag1 discipline)."""
+def _acf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared correlogram frame (event_type, lag, n, acf, n0): Pearson r
+    per (type, lag 1..ACF_LAGS) over the hours PRESENT in the series,
+    round6-quantized so downstream consumers (the profile view and the
+    Ljung–Box portmanteau) read IDENTICAL doubles on both engines; n0 is
+    the type's present-hour count (the series length the Q statistic
+    normalizes by). sqrt is IEEE-correctly-rounded — portable, unlike
+    pow/log (the libm rule)."""
     from ..session import read_events
 
     ev = read_events(spark, sf_dir).select(
@@ -1704,20 +1697,43 @@ def events_acf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     da = (F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")).cast("double")
     db = (F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")).cast("double")
     r = num / (F.sqrt(da) * F.sqrt(db))
+    n0 = cells.groupBy("event_type").agg(F.count(F.lit(1)).alias("n0"))
     return (
         s.where((F.col("n") >= 2))
+        .join(n0, "event_type")
         .select(
             "event_type",
             "lag",
             "n",
             (F.floor(r * 1000000.0 + F.lit(0.5)) / 1000000.0).alias("acf"),
+            "n0",
         )
+    )
+
+
+def events_acf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation PROFILE of each type's hourly volume at lags 1..24 —
+    events_autocorr_lag1 generalized from one lag-1 daily point to the
+    full diurnal correlogram (a peak at lag 24 = daily seasonality, fast
+    decay = bursty noise; the hypothesis-free companion to
+    events_seasonality_anova, in the time domain where events_haar_energy
+    is the scale domain). Pearson r per (type, lag) over the (y_t, y_{t+ℓ})
+    pairs of hours PRESENT in the series, same estimator as the lag-1 op.
+
+    Scale: events aggregate once to the (type, hour) cell frame
+    (localCheckpointed — it feeds both join sides); the lag fan-out
+    (cells x 24) and the self-equi-join on (type, hr+lag) stay on that
+    metadata frame. All sums are exact int64; per (type, lag) the only
+    floating steps are two sqrt's and one division in fixed order,
+    round6-quantized (the events_autocorr_lag1 discipline)."""
+    return (
+        _acf_quantized(spark, sf_dir)
+        .select("event_type", "lag", "n", "acf")
         .orderBy("event_type", "lag")
     )
 
 
-SQL_EVENTS_ACF_PROFILE = f"""
-WITH cells AS (
+_SQL_ACF_CTES = f"""cells AS (
   SELECT event_type, epoch_ms(ts) // 3600000 AS hr, CAST(COUNT(*) AS BIGINT) AS y
   FROM events GROUP BY 1, 2
 ),
@@ -1732,17 +1748,107 @@ s AS (
          SUM(ya) AS sa, SUM(yb) AS sb, SUM(ya * yb) AS sab,
          SUM(ya * ya) AS saa, SUM(yb * yb) AS sbb
   FROM pairs GROUP BY 1, 2
-)
-SELECT event_type, CAST(lag AS INT) AS lag, n,
-       (floor((CAST(n * sab - sa * sb AS DOUBLE) /
-               (sqrt(CAST(n * saa - sa * sa AS DOUBLE)) * sqrt(CAST(n * sbb - sb * sb AS DOUBLE))))
-              * 1000000.0 + 0.5) / 1000000.0) AS acf
-FROM s WHERE n >= 2 ORDER BY event_type, lag
+),
+acfn0 AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n0 FROM cells GROUP BY 1
+),
+acfq AS (
+  SELECT s.event_type, CAST(s.lag AS INT) AS lag, s.n,
+         (floor((CAST(n * sab - sa * sb AS DOUBLE) /
+                 (sqrt(CAST(n * saa - sa * sa AS DOUBLE)) * sqrt(CAST(n * sbb - sb * sb AS DOUBLE))))
+                * 1000000.0 + 0.5) / 1000000.0) AS acf,
+         z.n0
+  FROM s JOIN acfn0 z ON s.event_type = z.event_type
+  WHERE s.n >= 2
+)"""
+
+SQL_EVENTS_ACF_PROFILE = f"""
+WITH {_SQL_ACF_CTES}
+SELECT event_type, lag, n, acf FROM acfq ORDER BY event_type, lag
 """
 
 
 QUERIES["events_acf_profile"] = events_acf_profile
 ORACLES["events_acf_profile"] = SQL_EVENTS_ACF_PROFILE
+
+
+# ---------------------------------------------------------------------------
+# events_ljung_box (round 9) — portmanteau whiteness test on the ACF
+# ---------------------------------------------------------------------------
+
+LB_CHI2_CRIT = 36.415  # χ²(0.95, df=24): reject white noise at α=0.05
+# when ALL 24 lags are present (k_lags < 24 → flag false, honest
+
+
+def events_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung–Box portmanteau Q on the shared quantized correlogram:
+    Q = n0(n0+2)·Σ_k acf_k²/(n0−k) per type — the single-number "is this
+    series white noise at all?" companion to events_acf_profile's 24-row
+    spectrum (Ljung & Box 1978). Determinism: acf_k is the 6dp-quantized
+    double both engines already agree on (_acf_quantized); each term is
+    quantized to a 1e-12 int64 in a FIXED expression order
+    (floor(acf²/(n0−lag)·1e12 + 0.5)) before the order-free integer SUM,
+    and Q is two final double multiplications. Lags with n0 ≤ lag drop on
+    both engines (the term is undefined for them; sparse-series guard).
+    white_noise_rejected fires only at the full k=24 spectrum against
+    χ²(0.95,24) — a partial spectrum never claims significance.
+
+    Scale: everything past the shared (type, hour) rollup runs on the
+    ≤ |types|·24 correlogram frame."""
+    t = _acf_quantized(spark, sf_dir).where(F.col("n0") > F.col("lag"))
+    per = t.select(
+        "event_type",
+        "n0",
+        F.floor(
+            (F.col("acf") * F.col("acf"))
+            / (F.col("n0") - F.col("lag")).cast("double")
+            * F.lit(1000000000000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("tq"),
+    )
+    agg = per.groupBy("event_type", "n0").agg(
+        F.sum("tq").alias("sumq"), F.count(F.lit(1)).alias("k_lags")
+    )
+    q = (F.col("n0") * (F.col("n0") + F.lit(2))).cast("double") * (
+        F.col("sumq").cast("double") / F.lit(1000000000000.0)
+    )
+    return agg.select(
+        "event_type",
+        F.col("n0").alias("n_hours"),
+        "k_lags",
+        q.alias("q_stat"),
+        ((F.col("k_lags") == F.lit(ACF_LAGS)) & (q > F.lit(LB_CHI2_CRIT))).alias(
+            "white_noise_rejected"
+        ),
+    )
+
+
+SQL_EVENTS_LJUNG_BOX = f"""
+WITH {_SQL_ACF_CTES},
+lbper AS (
+  SELECT event_type, n0,
+         CAST(floor((acf * acf) / CAST(n0 - lag AS DOUBLE) * 1000000000000.0 + 0.5)
+              AS BIGINT) AS tq
+  FROM acfq WHERE n0 > lag
+),
+lbagg AS (
+  SELECT event_type, n0, CAST(SUM(tq) AS BIGINT) AS sumq,
+         CAST(COUNT(*) AS BIGINT) AS k_lags
+  FROM lbper GROUP BY 1, 2
+)
+SELECT event_type, n0 AS n_hours, k_lags,
+       CAST(n0 * (n0 + 2) AS DOUBLE) * (CAST(sumq AS DOUBLE) / 1000000000000.0)
+         AS q_stat,
+       (k_lags = {ACF_LAGS} AND
+        CAST(n0 * (n0 + 2) AS DOUBLE) * (CAST(sumq AS DOUBLE) / 1000000000000.0)
+          > {LB_CHI2_CRIT}) AS white_noise_rejected
+FROM lbagg
+"""
+
+QUERIES["events_ljung_box"] = events_ljung_box
+ORACLES["events_ljung_box"] = SQL_EVENTS_LJUNG_BOX
 
 
 # ---------------------------------------------------------------------------
@@ -2440,3 +2546,142 @@ FROM bres r JOIN bbest s
 
 QUERIES["events_max_burst_window"] = events_max_burst_window
 ORACLES["events_max_burst_window"] = SQL_EVENTS_MAX_BURST
+
+# ---------------------------------------------------------------------------
+# events_mann_kendall (round 9) — nonparametric trend significance
+# ---------------------------------------------------------------------------
+
+MK_Z2_NUM = 38416  # z²·10⁴ at two-sided α=0.05 (z=1.96): the decision
+# rule z² > 3.8416 becomes the pure-int64 comparison
+# 18·10⁴·S² > 38416·varnum18 (varnum18 = 18·Var(S) is integral by the
+# tie-corrected Mann–Kendall variance formula)
+
+
+def events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall trend TEST on daily volume per type — the
+    significance companion to events_theil_sen's slope (same daily cell
+    frame, same pair fan-out; Kendall 1975): S = Σ_{i<j} sign(y_j − y_i),
+    tie-corrected 18·Var(S) = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5), and the
+    α=0.05 verdict via the all-int64 cross-multiplied rule
+    18·10⁴·S² > 38416·varnum18 (no sqrt, no continuity correction —
+    documented estimator choice; z²_stat = 18·S²/varnum18 is emitted as
+    ONE exact division for inspection). Read together: theil_sen says how
+    steep, mann_kendall says whether to believe it.
+
+    Scale: pairs are |days|²/2 per type on the checkpointed daily cell
+    frame (metadata-sized; the theil_sen bound — S² overflows int64 past
+    ~10⁵ daily cells, far beyond any per-type daily series). The corpus
+    cost is the one daily rollup."""
+    from ..session import read_events
+
+    ev = read_events(spark, sf_dir).select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias("x"),
+    )
+    daily = (
+        ev.groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).alias("y"))
+        .localCheckpoint(eager=True)  # pair sides + the tie aggregate
+    )
+    a = daily.select("event_type", F.col("x").alias("x1"), F.col("y").alias("y1"))
+    b = daily.select("event_type", F.col("x").alias("x2"), F.col("y").alias("y2"))
+    s_tbl = (
+        a.join(b, "event_type")
+        .where(F.col("x2") > F.col("x1"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("y2") > F.col("y1"), F.lit(1))
+                .when(F.col("y2") < F.col("y1"), F.lit(-1))
+                .otherwise(F.lit(0))
+            ).alias("s_stat")
+        )
+    )
+    tn = (
+        daily.groupBy("event_type", "y")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("t").alias("n_days"),
+            F.sum(
+                F.col("t") * (F.col("t") - F.lit(1)) * (F.lit(2) * F.col("t") + F.lit(5))
+            ).alias("tie_sum"),
+        )
+    )
+    joined = (
+        tn.join(s_tbl, "event_type", "left")
+        .withColumn("s_stat", F.coalesce(F.col("s_stat"), F.lit(0)))
+        .withColumn(
+            "varnum18",
+            F.col("n_days")
+            * (F.col("n_days") - F.lit(1))
+            * (F.lit(2) * F.col("n_days") + F.lit(5))
+            - F.col("tie_sum"),
+        )
+        .withColumn(
+            "sig",
+            F.lit(180000) * F.col("s_stat") * F.col("s_stat")
+            > F.lit(MK_Z2_NUM) * F.col("varnum18"),
+        )
+    )
+    return joined.select(
+        "event_type",
+        "n_days",
+        "s_stat",
+        "varnum18",
+        F.when(
+            F.col("varnum18") > 0,
+            (F.lit(18) * F.col("s_stat") * F.col("s_stat")).cast("double")
+            / F.col("varnum18").cast("double"),
+        ).alias("z2_stat"),
+        F.when(F.col("sig") & (F.col("s_stat") > 0), F.lit("increasing"))
+        .when(F.col("sig") & (F.col("s_stat") < 0), F.lit("decreasing"))
+        .otherwise(F.lit("none"))
+        .alias("trend"),
+    )
+
+
+SQL_EVENTS_MANN_KENDALL = f"""
+WITH mkdaily AS (
+  SELECT event_type,
+         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+mks AS (
+  SELECT a.event_type,
+         CAST(SUM(CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END)
+              AS BIGINT) AS s_stat
+  FROM mkdaily a JOIN mkdaily b
+    ON a.event_type = b.event_type AND b.x > a.x
+  GROUP BY 1
+),
+mktn AS (
+  SELECT event_type,
+         CAST(SUM(t) AS BIGINT) AS n_days,
+         CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_sum
+  FROM (
+    SELECT event_type, y, CAST(COUNT(*) AS BIGINT) AS t
+    FROM mkdaily GROUP BY 1, 2
+  ) GROUP BY 1
+),
+mkj AS (
+  SELECT tn.event_type, tn.n_days,
+         COALESCE(s.s_stat, 0) AS s_stat,
+         tn.n_days * (tn.n_days - 1) * (2 * tn.n_days + 5) - tn.tie_sum AS varnum18
+  FROM mktn tn LEFT JOIN mks s ON tn.event_type = s.event_type
+)
+SELECT event_type, n_days, s_stat, CAST(varnum18 AS BIGINT) AS varnum18,
+       CASE WHEN varnum18 > 0
+            THEN CAST(18 * s_stat * s_stat AS DOUBLE) / CAST(varnum18 AS DOUBLE)
+       END AS z2_stat,
+       CASE WHEN 180000 * s_stat * s_stat > {MK_Z2_NUM} * varnum18 AND s_stat > 0
+            THEN 'increasing'
+            WHEN 180000 * s_stat * s_stat > {MK_Z2_NUM} * varnum18 AND s_stat < 0
+            THEN 'decreasing'
+            ELSE 'none' END AS trend
+FROM mkj
+"""
+
+QUERIES["events_mann_kendall"] = events_mann_kendall
+ORACLES["events_mann_kendall"] = SQL_EVENTS_MANN_KENDALL

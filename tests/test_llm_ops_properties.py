@@ -209,7 +209,7 @@ def test_new_ops_survive_empty_corpus(spark, sf_small, tmp_path):
         # round-9 additions
         "semdedup_cell_profile", "hybrid_rrf_fusion", "ann_topk_ivf_twolevel",
         "ivf_twolevel_recall_audit", "erasure_blast_radius",
-        "token_lorenz_gini", "dedup_cascade_yield",
+        "token_lorenz_gini", "dedup_cascade_yield", "token_lorenz_gini_edges",
     ):
         assert qs[op](spark, dst).count() == 0, op
 

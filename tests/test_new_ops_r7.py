@@ -800,3 +800,132 @@ def test_dedup_cascade_yield_invariants(spark, sf_dir):
         .collect()
     )
     assert rows[0]["n_flagged"] == sum(c["count"] - 1 for c in exact_groups)
+
+
+def test_mann_kendall_matches_python_recompute(spark, sf_dir):
+    """Brute-force S over all daily pairs, the tie-corrected variance
+    formula, the all-int64 α=0.05 rule, and the single exact z² division
+    must all reproduce; the verdict must agree with theil_sen's sign
+    whenever significant."""
+    from collections import defaultdict
+
+    from kafka_connect_storage_cloud_spark.plans.warehouse import (
+        MK_Z2_NUM,
+        events_mann_kendall,
+    )
+    from kafka_connect_storage_cloud_spark.session import read_events
+    from pyspark.sql import functions as F
+
+    out = {r["event_type"]: r for r in events_mann_kendall(spark, sf_dir).collect()}
+    assert out
+    raw = (
+        read_events(spark, sf_dir)
+        .select(
+            "event_type",
+            F.datediff(
+                F.to_date("ts"), F.lit("2024-01-01").cast("date")
+            ).alias("x"),
+        )
+        .groupBy("event_type", "x")
+        .count()
+        .collect()
+    )
+    daily = defaultdict(list)
+    for r in raw:
+        daily[r["event_type"]].append((r["x"], r["count"]))
+    for t, cs in daily.items():
+        cs.sort()
+        ys = [y for _, y in cs]
+        n = len(ys)
+        s = sum(
+            (1 if ys[j] > ys[i] else -1 if ys[j] < ys[i] else 0)
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        tie_counts = defaultdict(int)
+        for y in ys:
+            tie_counts[y] += 1
+        varnum18 = n * (n - 1) * (2 * n + 5) - sum(
+            c * (c - 1) * (2 * c + 5) for c in tie_counts.values()
+        )
+        r = out[t]
+        assert (r["n_days"], r["s_stat"], r["varnum18"]) == (n, s, varnum18)
+        if varnum18 > 0:
+            assert r["z2_stat"] == float(18 * s * s) / float(varnum18)
+        else:
+            assert r["z2_stat"] is None
+        sig = 180000 * s * s > MK_Z2_NUM * varnum18
+        want = "increasing" if sig and s > 0 else "decreasing" if sig and s < 0 else "none"
+        assert r["trend"] == want
+
+
+def test_ljung_box_matches_recompute_from_acf(spark, sf_dir):
+    """Q must reproduce from the profile view's own quantized ACF values
+    plus the per-type present-hour count, term-for-term with the same
+    1e-12 int quantization; the rejection flag requires a full 24-lag
+    spectrum."""
+    import math
+    from collections import defaultdict
+
+    from kafka_connect_storage_cloud_spark.plans.warehouse import (
+        ACF_LAGS,
+        LB_CHI2_CRIT,
+        events_acf_profile,
+        events_ljung_box,
+    )
+    from kafka_connect_storage_cloud_spark.session import read_events
+    from pyspark.sql import functions as F
+
+    acf = events_acf_profile(spark, sf_dir).collect()
+    out = {r["event_type"]: r for r in events_ljung_box(spark, sf_dir).collect()}
+    assert out
+    n0s = {
+        r["event_type"]: r["cnt"]
+        for r in (
+            read_events(spark, sf_dir)
+            .select(
+                "event_type",
+                (F.unix_millis("ts") / F.lit(3600000)).cast("long").alias("hr"),
+            )
+            .distinct()
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+    }
+    terms = defaultdict(list)
+    for r in acf:
+        n0 = n0s[r["event_type"]]
+        if n0 > r["lag"]:
+            terms[r["event_type"]].append(
+                int(math.floor((r["acf"] * r["acf"]) / float(n0 - r["lag"]) * 1e12 + 0.5))
+            )
+    for t, tq in terms.items():
+        n0 = n0s[t]
+        q = float(n0 * (n0 + 2)) * (float(sum(tq)) / 1e12)
+        r = out[t]
+        assert r["n_hours"] == n0
+        assert r["k_lags"] == len(tq)
+        assert r["q_stat"] == q
+        assert r["white_noise_rejected"] == (len(tq) == ACF_LAGS and q > LB_CHI2_CRIT)
+
+
+def test_lorenz_edges_twin_bit_identical(spark, sf_dir):
+    """The two-pass-rank edges twin must equal the window form row-for-row
+    and BIT-for-bit (same total order, same tie-break, one shared tail)."""
+    from kafka_connect_storage_cloud_spark.llm.text_stats import (
+        token_lorenz_gini,
+        token_lorenz_gini_edges,
+    )
+
+    a = sorted(
+        token_lorenz_gini(spark, sf_dir).collect(),
+        key=lambda r: (r["source"], r["decile"]),
+    )
+    b = sorted(
+        token_lorenz_gini_edges(spark, sf_dir).collect(),
+        key=lambda r: (r["source"], r["decile"]),
+    )
+    assert len(a) == len(b) > 0
+    for ra, rb in zip(a, b):
+        assert ra.asDict() == rb.asDict()
