@@ -76,20 +76,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # fits the window whole).
 _PRIORITY: tuple[str, ...] = (
     "events_seasonal_median_decompose", "events_ks_drift", "events_max_burst_window",
-    "token_lorenz_gini", "events_stl_anomaly", "dedup_cascade_yield",
-    "events_mann_kendall", "events_ljung_box", "token_lorenz_gini_edges",
-    "events_acf_profile",
-    "events_hampel_filter", "erasure_blast_radius", "hybrid_rrf_fusion", "semdedup_cell_profile",
-    "ann_topk_ivf_twolevel", "ivf_twolevel_recall_audit", "dedup_method_matrix",
-    "winnowing_fingerprints", "hybrid_retrieval_agreement", "semdedup_cells", "ann_recall_audit",
-    "ann_topk_bruteforce", "knn_pagerank_step", "knn_triangle_count", "knn_pagerank_step_lsh",
-    "knn_triangle_count_lsh", "bigram_lm_rarity", "dedup_substring", "dedup_bloom",
-    "gopher_rules_filter", "quality_ablation_matrix", "embedding_sq8", "ngram_novelty",
-    "ann_method_matrix", "dedup_keep_best", "dedup_rate_by_slice", "quality_dup_profile",
-    "dedup_transitivity_audit", "dup_cluster_size_profile", "q1_pricing_summary",
-    "q3_shipping_priority", "q5_local_supplier_volume", "q6_revenue_change", "q10_returned_items",
-    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_part_counts",
-    "q17_small_quantity_revenue", "q18_large_volume_customers", "q19_discounted_revenue",
+    "token_lorenz_gini", "events_stl_anomaly", "dedup_cascade_yield", "events_mann_kendall",
+    "events_ljung_box", "token_lorenz_gini_edges", "events_hampel_filter",
+    "erasure_blast_radius", "hybrid_rrf_fusion", "semdedup_cell_profile",
+    "ann_topk_ivf_twolevel", "ivf_twolevel_recall_audit", "events_acf_profile", "ngram_novelty",
+    "dedup_method_matrix", "winnowing_fingerprints", "hybrid_retrieval_agreement",
+    "semdedup_cells", "ann_recall_audit", "ann_topk_bruteforce", "knn_pagerank_step",
+    "knn_triangle_count", "knn_pagerank_step_lsh", "knn_triangle_count_lsh", "bigram_lm_rarity",
+    "dedup_substring", "dedup_bloom", "gopher_rules_filter", "quality_ablation_matrix",
+    "embedding_sq8", "ann_method_matrix", "dedup_keep_best", "dedup_rate_by_slice",
+    "quality_dup_profile", "dedup_transitivity_audit", "dup_cluster_size_profile",
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+    "q6_revenue_change", "q10_returned_items", "q14_promo_revenue", "q15_top_supplier",
+    "q16_supplier_part_counts", "q17_small_quantity_revenue", "q18_large_volume_customers",
+    "q19_discounted_revenue",
 )
 
 # no remaining stale keys beyond the window (fresh=15 stale=24, all in window)

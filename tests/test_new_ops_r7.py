@@ -929,3 +929,32 @@ def test_lorenz_edges_twin_bit_identical(spark, sf_dir):
     assert len(a) == len(b) > 0
     for ra, rb in zip(a, b):
         assert ra.asDict() == rb.asDict()
+
+
+def test_r9_late_ops_plan_shape(spark, sf_dir):
+    """Frozen plan-shape bounds for the round-9 late operators (the
+    formatted plan prints each scan node twice, so the pin is
+    2·physical): the checkpoint-fed time-series ops must re-read ZERO
+    parquet (their corpus rollup happened at checkpoint build), ks_drift
+    is allowed exactly its documented bounds+main pair, the lorenz window
+    form exactly one scan, and nothing here may nest-loop except
+    dedup_cascade_yield's allowlisted 1-row total combine."""
+    from kafka_connect_storage_cloud_spark.llm import text_stats as TS
+    from kafka_connect_storage_cloud_spark.plans import warehouse as WH
+
+    bounds = {
+        WH.events_seasonal_median_decompose: 0,
+        WH.events_stl_anomaly: 0,
+        WH.events_max_burst_window: 0,
+        WH.events_mann_kendall: 0,
+        WH.events_ljung_box: 0,
+        WH.events_acf_profile: 0,
+        WH.events_ks_drift: 4,   # bounds agg + main join, column-pruned
+        TS.token_lorenz_gini: 2,  # one scan feeds the chained windows
+        TS.token_lorenz_gini_edges: 6,  # histogram + pass-2 + totals reads
+    }
+    for fn, max_scans in bounds.items():
+        plan = _plan(spark, fn(spark, sf_dir))
+        assert plan.count("Scan parquet") <= max_scans, (fn.__name__, max_scans)
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+        assert "CartesianProduct" not in plan, fn.__name__
