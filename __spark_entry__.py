@@ -53,6 +53,7 @@ from kafka_connect_storage_cloud_spark.plans import tpch_ext as TX
 from kafka_connect_storage_cloud_spark.plans import temporal as TP
 from kafka_connect_storage_cloud_spark.plans import tpch_ext2 as TX2
 from kafka_connect_storage_cloud_spark.plans import warehouse as WH
+from kafka_connect_storage_cloud_spark.plans import inference as INF
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -236,6 +237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **TP.QUERIES,
         **CD.QUERIES,
         **WH.QUERIES,
+        **INF.QUERIES,
         # --- LLM data pipeline (SURVEY §2C) ---
         "dedup_clusters": LC.dedup_clusters,
         "dup_cluster_size_profile": LC.dup_cluster_size_profile,
@@ -961,6 +963,7 @@ FROM (
         **TP.ORACLES,
         **CD.ORACLES,
         **WH.ORACLES,
+        **INF.ORACLES,
         **LC.ORACLES,
         **LD.ORACLES,
         **LSU.ORACLES,
