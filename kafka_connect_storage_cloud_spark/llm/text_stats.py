@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import hashing as H
+from ..functions import text as T
 from ..session import read_table
 
 VOCAB_V = 256
@@ -959,3 +960,431 @@ ORACLES["token_lorenz_gini"] = SQL_TOKEN_LORENZ_GINI
 
 QUERIES["token_lorenz_gini_edges"] = token_lorenz_gini_edges
 ORACLES["token_lorenz_gini_edges"] = SQL_TOKEN_LORENZ_GINI  # bit-identical twin
+
+
+# ---------------------------------------------------------------------------
+# doc_readability (round 9) — Flesch reading-ease, exact rational form
+# ---------------------------------------------------------------------------
+
+# Flesch milli-point thresholds: FRE >= 90 easy, >= 60 standard, >= 30
+# difficult, else very_difficult. Compared cross-multiplied in int64.
+FRE_BANDS = ((90000, "easy"), (60000, "standard"), (30000, "difficult"))
+
+
+def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document with the syllable count replaced
+    by its standard cheap proxy (vowel-group runs [aeiouy]+ — the
+    approximation every large-corpus readability pass uses; true
+    syllabification needs a dictionary). The score
+    206.835 - 1.015 w/s - 84.6 v/w is brought over ONE common
+    denominator: fre = (206835 s w - 1015 w^2 - 84600 v s)/(1000 s w) in
+    exact int64 with a single final double division, and the band labels
+    compare the numerator cross-multiplied against the 90/60/30
+    thresholds -- no float ever decides a label. Sentences are [.!?]+
+    runs; all three counters floor at 1 so short fragments score rather
+    than divide by zero.
+
+    Scale: stateless per-row projection -- no shuffle at all; the three
+    regexp counters run in one whole-stage-codegen pass over the text."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.select(
+        "doc_id",
+        F.greatest(F.size(T.words()), F.lit(1)).alias("wc"),
+        F.greatest(
+            F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
+        ).alias("sc"),
+        F.greatest(
+            F.size(F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")),
+            F.lit(1),
+        ).alias("vg"),
+    )
+    num = (
+        F.lit(206835) * F.col("sc") * F.col("wc")
+        - F.lit(1015) * F.col("wc") * F.col("wc")
+        - F.lit(84600) * F.col("vg") * F.col("sc")
+    )
+    den = F.col("sc") * F.col("wc")
+    band = F.lit("very_difficult")
+    for milli, label in reversed(FRE_BANDS):
+        band = F.when(num >= F.lit(milli) * den, F.lit(label)).otherwise(band)
+    return base.select(
+        "doc_id",
+        F.col("wc").alias("words"),
+        F.col("sc").alias("sentences"),
+        F.col("vg").alias("vowel_groups"),
+        (num.cast("double") / (den * F.lit(1000)).cast("double")).alias("fre"),
+        band.alias("band"),
+    )
+
+
+SQL_DOC_READABILITY = """
+WITH frb AS (
+  SELECT doc_id,
+         GREATEST(len(string_split_regex(lower(text), '\\s+')), 1) AS wc,
+         GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS sc,
+         GREATEST(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS vg
+  FROM documents
+),
+frn AS (
+  SELECT doc_id, wc, sc, vg,
+         206835 * sc * wc - 1015 * wc * wc - 84600 * vg * sc AS num,
+         sc * wc AS den
+  FROM frb
+)
+SELECT doc_id, wc AS words, sc AS sentences, vg AS vowel_groups,
+       CAST(num AS DOUBLE) / CAST(den * 1000 AS DOUBLE) AS fre,
+       CASE WHEN num >= 90000 * den THEN 'easy'
+            WHEN num >= 60000 * den THEN 'standard'
+            WHEN num >= 30000 * den THEN 'difficult'
+            ELSE 'very_difficult' END AS band
+FROM frn
+"""
+
+QUERIES["doc_readability"] = doc_readability
+ORACLES["doc_readability"] = SQL_DOC_READABILITY
+
+
+# ---------------------------------------------------------------------------
+# boilerplate_shingles (round 9) — within-source repeated-shingle audit
+# ---------------------------------------------------------------------------
+
+BOILER_MIN_DOCS = 5  # a shingle present in >= 5 distinct docs of one source
+
+
+def boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate profile: a word-3-gram shingle is
+    boilerplate when it appears in >= BOILER_MIN_DOCS distinct documents
+    of the SAME source (headers, footers, navigation chrome -- the
+    template text near-dup passes miss because each page differs
+    elsewhere). Emits, per source: distinct-shingle and boilerplate
+    counts, and two exact shares -- boiler_share (what fraction of the
+    source's shingle VOCABULARY is template) and mass_share (what
+    fraction of doc-shingle OCCURRENCES that template covers, weighting
+    by how often it repeats). No join: the (source, shingle)->doc-count
+    cells already carry everything, so the op is two cascaded
+    map-side-combinable groupBys over the distinct pairs.
+
+    Scale: the distinct (source, doc, shingle-hash) stream is the
+    dedup_containment class; both groupBys partial-aggregate. h32
+    collisions can merge two shingles within a source (the documented
+    minhash trade; at 2^32 space and per-source vocab << 2^16 the
+    expected merge count is << 1)."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", T.words().alias("ws")
+    )
+    pairs = (
+        docs.withColumn("sharr", T.shingles_from_ws(3))
+        .select("doc_id", "source", F.explode("sharr").alias("shingle"))
+        .select("doc_id", "source", H.h32(F.col("shingle")).alias("h"))
+        .distinct()
+    )
+    cells = pairs.groupBy("source", "h").agg(F.count(F.lit(1)).alias("nd"))
+    per_src = cells.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.when(F.col("nd") >= BOILER_MIN_DOCS, F.lit(1)).otherwise(F.lit(0))).alias(
+            "n_boiler"
+        ),
+        F.sum("nd").alias("total_pairs"),
+        F.sum(F.when(F.col("nd") >= BOILER_MIN_DOCS, F.col("nd")).otherwise(F.lit(0))).alias(
+            "boiler_pairs"
+        ),
+    )
+    ndocs = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return per_src.join(ndocs, "source").select(
+        "source",
+        "n_docs",
+        "n_shingles",
+        "n_boiler",
+        "boiler_pairs",
+        (F.col("n_boiler").cast("double") / F.col("n_shingles").cast("double")).alias(
+            "boiler_share"
+        ),
+        (F.col("boiler_pairs").cast("double") / F.col("total_pairs").cast("double")).alias(
+            "mass_share"
+        ),
+    )
+
+
+_SQL_H32_SH = "CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT)"
+
+SQL_BOILERPLATE_SHINGLES = f"""
+WITH bpws AS (
+  SELECT doc_id, source, {T.SQL_WORDS} AS ws FROM documents
+),
+bpsh AS (
+  SELECT DISTINCT doc_id, source, {_SQL_H32_SH} AS h
+  FROM (
+    SELECT doc_id, source, unnest(
+      CASE WHEN len(ws) >= 3
+           THEN [array_to_string(ws[i : i + 2], ' ')
+                 for i in generate_series(1, len(ws) - 2)]
+           ELSE [array_to_string(ws, ' ')] END
+    ) AS sh
+    FROM bpws
+  )
+),
+bpc AS (
+  SELECT source, h, CAST(COUNT(*) AS BIGINT) AS nd
+  FROM bpsh GROUP BY 1, 2
+),
+bps AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         CAST(SUM(CASE WHEN nd >= {BOILER_MIN_DOCS} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_boiler,
+         CAST(SUM(nd) AS BIGINT) AS total_pairs,
+         CAST(SUM(CASE WHEN nd >= {BOILER_MIN_DOCS} THEN nd ELSE 0 END) AS BIGINT)
+           AS boiler_pairs
+  FROM bpc GROUP BY 1
+),
+bpn AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1
+)
+SELECT s.source, n.n_docs, s.n_shingles, s.n_boiler, s.boiler_pairs,
+       CAST(s.n_boiler AS DOUBLE) / CAST(s.n_shingles AS DOUBLE) AS boiler_share,
+       CAST(s.boiler_pairs AS DOUBLE) / CAST(s.total_pairs AS DOUBLE) AS mass_share
+FROM bps s JOIN bpn n USING (source)
+"""
+
+QUERIES["boilerplate_shingles"] = boilerplate_shingles
+ORACLES["boilerplate_shingles"] = SQL_BOILERPLATE_SHINGLES
+
+
+# ---------------------------------------------------------------------------
+# token_ge2_inequality (round 9) — decomposable inequality of doc lengths
+# ---------------------------------------------------------------------------
+
+
+def token_ge2_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized-entropy GE(2) inequality of per-document token counts,
+    decomposed BETWEEN and WITHIN sources -- the additively decomposable
+    companion to token_lorenz_gini (Gini does not split; GE(2) = half the
+    squared coefficient of variation does, with no logs -- rule 4).
+    Exact forms: GE2_total = (N*Q - S^2)/(2S^2) with Q = Sigma n_i^2;
+    GE2_between = (N*B - S^2)/(2S^2) with B = Sigma_g floor(S_g^2/N_g)
+    computed WITHOUT overflow via the euclidean split
+    q*S_g + (r*S_g) div N_g (q, r = divmod(S_g, N_g) -- no 10^6 scaling,
+    so S_g^2 never materializes); GE2_within = N*(Q - B)/(2S^2). The
+    floor on B biases between/within by < n_sources/(2S^2) -- quantized
+    identically on both engines. Each source row carries its OWN GE2 plus
+    the global decomposition (window-replicated constants).
+
+    Scale: one map-side-combined per-doc count, one per-source aggregate,
+    windows over |sources| rows. Q caps int64 at ~10^9 docs of 10^3
+    tokens; past that, n_i^2 must pre-quantize (chi2 square-in-double
+    rule)."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(T.words()).alias("n")
+    )
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum("n").alias("sg"),
+        F.sum(F.col("n") * F.col("n")).alias("qg"),
+    )
+    w = Window.partitionBy()
+    dec = (
+        per_src.withColumn("bg", F.expr("(sg div ng) * sg + ((sg % ng) * sg) div ng"))
+        .withColumn("nn", F.sum("ng").over(w))
+        .withColumn("ss", F.sum("sg").over(w))
+        .withColumn("qq", F.sum("qg").over(w))
+        .withColumn("bb", F.sum("bg").over(w))
+    )
+    two_s2 = (F.lit(2) * F.col("ss") * F.col("ss")).cast("double")
+    two_sg2 = (F.lit(2) * F.col("sg") * F.col("sg")).cast("double")
+    return dec.select(
+        "source",
+        F.col("ng").alias("n_docs"),
+        F.col("sg").alias("tokens"),
+        (
+            (F.col("ng") * F.col("qg") - F.col("sg") * F.col("sg")).cast("double")
+            / two_sg2
+        ).alias("ge2_source"),
+        (
+            (F.col("nn") * F.col("qq") - F.col("ss") * F.col("ss")).cast("double")
+            / two_s2
+        ).alias("ge2_total"),
+        (
+            (F.col("nn") * F.col("bb") - F.col("ss") * F.col("ss")).cast("double")
+            / two_s2
+        ).alias("ge2_between"),
+        ((F.col("nn") * (F.col("qq") - F.col("bb"))).cast("double") / two_s2).alias(
+            "ge2_within"
+        ),
+    )
+
+
+SQL_TOKEN_GE2 = """
+WITH gedoc AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n
+  FROM documents
+),
+gesrc AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS ng,
+         CAST(SUM(n) AS BIGINT) AS sg,
+         CAST(SUM(n * n) AS BIGINT) AS qg
+  FROM gedoc GROUP BY 1
+),
+gedec AS (
+  SELECT source, ng, sg, qg,
+         (sg // ng) * sg + ((sg % ng) * sg) // ng AS bg,
+         CAST(SUM(ng) OVER () AS BIGINT) AS nn,
+         CAST(SUM(sg) OVER () AS BIGINT) AS ss,
+         CAST(SUM(qg) OVER () AS BIGINT) AS qq,
+         CAST(SUM((sg // ng) * sg + ((sg % ng) * sg) // ng) OVER () AS BIGINT)
+           AS bb
+  FROM gesrc
+)
+SELECT source, ng AS n_docs, sg AS tokens,
+       CAST(ng * qg - sg * sg AS DOUBLE) / CAST(2 * sg * sg AS DOUBLE)
+         AS ge2_source,
+       CAST(nn * qq - ss * ss AS DOUBLE) / CAST(2 * ss * ss AS DOUBLE)
+         AS ge2_total,
+       CAST(nn * bb - ss * ss AS DOUBLE) / CAST(2 * ss * ss AS DOUBLE)
+         AS ge2_between,
+       CAST(nn * (qq - bb) AS DOUBLE) / CAST(2 * ss * ss AS DOUBLE)
+         AS ge2_within
+FROM gedec
+"""
+
+QUERIES["token_ge2_inequality"] = token_ge2_inequality
+ORACLES["token_ge2_inequality"] = SQL_TOKEN_GE2
+
+
+# ---------------------------------------------------------------------------
+# conformal_quality_coverage (round 9) — split-conformal outlier threshold
+# ---------------------------------------------------------------------------
+
+CONF_ALPHA_DEN = 10  # alpha = 1/10
+
+
+def conformal_quality_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-conditional split-conformal low-quality detector, audited.
+    Per source: docs split by the portable content hash
+    h32('conf' || doc_id) % 2 (0 calibrates, 1 is the audit holdout --
+    id PARITY is correlated with source in block-assigned id layouts, so
+    the split must hash), the alpha = 0.1 conformal threshold is the k-th
+    SMALLEST calibration quality score with the finite-sample rank
+    k = (n_cal + 1) div 10 (integer ceil-free conformal rank, so
+    P(score < thr) <= k/(n_cal+1) <= alpha under exchangeability), and
+    the holdout measures the realized flag rate against that bound.
+    Scores ride quality_score's round6 output recovered to exact micro
+    ints (floor(q*10^6 + 0.5) of a 6-dp value is lossless); the
+    threshold rank uses the deterministic tie order (score, doc_id).
+    exceeds_2x flags sources whose realized rate is more than twice the
+    conformal bound -- the exchangeability-violation alarm a training
+    pipeline acts on (scores drifting between the two halves).
+
+    Scale: per-doc scoring is the quality_score projection; ranking is
+    per-source over calibration rows only (window on the score column,
+    same class as the exact-percentile family). The doc_id join back to
+    sources is the one corpus-sized equijoin (AQE-planned)."""
+    from .quality import quality_score
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    scored = (
+        quality_score(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.floor(F.col("quality") * F.lit(1000000.0) + F.lit(0.5))
+            .cast("long")
+            .alias("sm"),
+        )
+        .join(docs, "doc_id")
+        .withColumn(
+            "is_cal",
+            H.h32(F.concat(F.lit("conf"), F.col("doc_id").cast("string"))) % 2 == 0,
+        )
+        .localCheckpoint(eager=True)  # cal stats + rank + holdout sides
+    )
+    cal = scored.where(F.col("is_cal"))
+    cal_n = cal.groupBy("source").agg(F.count(F.lit(1)).alias("n_cal")).withColumn(
+        "k_rank", F.expr(f"(n_cal + 1) div {CONF_ALPHA_DEN}")
+    )
+    wsrc = Window.partitionBy("source").orderBy("sm", "doc_id")
+    thr = (
+        cal.withColumn("rn", F.row_number().over(wsrc))
+        .join(cal_n, "source")
+        .where(F.col("rn") == F.col("k_rank"))
+        .select("source", "n_cal", "k_rank", F.col("sm").alias("thr_micro"))
+    )
+    test = scored.where(~F.col("is_cal"))
+    audit = (
+        test.join(thr, "source")
+        .groupBy("source", "n_cal", "k_rank", "thr_micro")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(
+                F.when(F.col("sm") < F.col("thr_micro"), F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_flagged"),
+        )
+    )
+    return audit.select(
+        "source",
+        "n_cal",
+        "n_test",
+        "k_rank",
+        "thr_micro",
+        "n_flagged",
+        (F.col("n_flagged").cast("double") / F.col("n_test").cast("double")).alias(
+            "flag_rate"
+        ),
+        (F.col("k_rank").cast("double") / (F.col("n_cal") + 1).cast("double")).alias(
+            "alpha_hat"
+        ),
+        (
+            F.col("n_flagged") * (F.col("n_cal") + 1)
+            > F.lit(2) * F.col("k_rank") * F.col("n_test")
+        ).alias("exceeds_2x"),
+    )
+
+
+def _sql_conformal() -> str:
+    from .quality import _SQL_QUALITY_EXPR
+
+    return f"""
+WITH cqs AS (
+  SELECT doc_id, source,
+         CAST(FLOOR(({_SQL_QUALITY_EXPR}) * 1000000.0 + 0.5) AS BIGINT) AS sm
+  FROM documents
+),
+cqcal AS (
+  SELECT * FROM cqs
+  WHERE CAST(('0x' || substr(md5('conf' || CAST(doc_id AS VARCHAR)), 1, 8))
+             AS BIGINT) % 2 = 0
+),
+cqn AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_cal,
+         (CAST(COUNT(*) AS BIGINT) + 1) // {CONF_ALPHA_DEN} AS k_rank
+  FROM cqcal GROUP BY 1
+),
+cqrn AS (
+  SELECT source, sm,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY sm, doc_id) AS rn
+  FROM cqcal
+),
+cqthr AS (
+  SELECT n.source, n.n_cal, n.k_rank, r.sm AS thr_micro
+  FROM cqn n JOIN cqrn r ON n.source = r.source AND r.rn = n.k_rank
+),
+cqaud AS (
+  SELECT t.source, t.n_cal, t.k_rank, t.thr_micro,
+         CAST(COUNT(*) AS BIGINT) AS n_test,
+         CAST(SUM(CASE WHEN s.sm < t.thr_micro THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_flagged
+  FROM cqs s JOIN cqthr t ON s.source = t.source
+  WHERE CAST(('0x' || substr(md5('conf' || CAST(s.doc_id AS VARCHAR)), 1, 8))
+             AS BIGINT) % 2 = 1
+  GROUP BY 1, 2, 3, 4
+)
+SELECT source, n_cal, n_test, k_rank, thr_micro, n_flagged,
+       CAST(n_flagged AS DOUBLE) / CAST(n_test AS DOUBLE) AS flag_rate,
+       CAST(k_rank AS DOUBLE) / CAST(n_cal + 1 AS DOUBLE) AS alpha_hat,
+       n_flagged * (n_cal + 1) > 2 * k_rank * n_test AS exceeds_2x
+FROM cqaud
+"""
+
+
+QUERIES["conformal_quality_coverage"] = conformal_quality_coverage
+ORACLES["conformal_quality_coverage"] = _sql_conformal()

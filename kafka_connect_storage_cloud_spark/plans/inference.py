@@ -768,3 +768,104 @@ FROM hrwide
 
 QUERIES["events_hurst_rs"] = events_hurst_rs
 ORACLES["events_hurst_rs"] = SQL_EVENTS_HURST_RS
+
+
+# ---------------------------------------------------------------------------
+# events_ordinal_patterns — permutation-style complexity, libm-free
+# ---------------------------------------------------------------------------
+
+
+def events_ordinal_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinal-pattern complexity of each type's hourly series: every
+    window of three consecutive present hours is classified by the sign
+    pair (sign(y2-y1), sign(y3-y2)) into one of 9 patterns (ties get
+    their own class -- no arbitrary tie-break), and the pattern
+    distribution is summarized by its Gini-Simpson diversity
+    (T^2 - Sigma c^2)/T^2 -- the libm-free stand-in for permutation
+    entropy (rule 4: entropy -> Gini-Simpson, the events_type_diversity
+    treatment). White noise spreads mass across patterns (diversity near
+    the 9-class maximum 8/9); trends/cycles concentrate it. Also emitted:
+    the modal pattern and its exact share (mode tie-break: smaller code).
+
+    Scale: two leads + one count over the hourly cell frame -- no pair
+    fan-out at all, the cheapest member of the complexity family."""
+    cells = _hourly(spark, sf_dir)
+    wt = Window.partitionBy("event_type").orderBy("hr")
+    pat = (
+        cells.withColumn("y2", F.lead("y", 1).over(wt))
+        .withColumn("y3", F.lead("y", 2).over(wt))
+        .where(F.col("y3").isNotNull())
+        .withColumn(
+            "code",
+            (F.signum(F.col("y2") - F.col("y")).cast("long") + 1) * 3
+            + (F.signum(F.col("y3") - F.col("y2")).cast("long") + 1),
+        )
+    )
+    counts = pat.groupBy("event_type", "code").agg(F.count(F.lit(1)).alias("c"))
+    wall = Window.partitionBy("event_type")
+    scored = (
+        counts.withColumn("t", F.sum("c").over(wall))
+        .withColumn("sq", F.sum(F.col("c") * F.col("c")).over(wall))
+        .withColumn("np", F.count(F.lit(1)).over(wall))
+        .withColumn(
+            "best",
+            F.max(F.struct(F.col("c"), -F.col("code"))).over(wall),
+        )
+    )
+    return (
+        scored.where(
+            (F.col("c") == F.col("best.c")) & (F.col("code") == -F.col("best.col2"))
+        )
+        .select(
+            "event_type",
+            F.col("t").alias("n_windows"),
+            F.col("np").alias("n_patterns"),
+            (
+                (F.col("t") * F.col("t") - F.col("sq")).cast("double")
+                / (F.col("t") * F.col("t")).cast("double")
+            ).alias("gini_simpson"),
+            F.col("code").alias("modal_pattern"),
+            (F.col("c").cast("double") / F.col("t").cast("double")).alias("modal_share"),
+        )
+    )
+
+
+SQL_EVENTS_ORDINAL = f"""
+WITH opcells AS ({SQL_HOURLY}),
+oplead AS (
+  SELECT event_type, y,
+         LEAD(y, 1) OVER (PARTITION BY event_type ORDER BY hr) AS y2,
+         LEAD(y, 2) OVER (PARTITION BY event_type ORDER BY hr) AS y3
+  FROM opcells
+),
+opcode AS (
+  SELECT event_type,
+         (CAST(SIGN(y2 - y) AS BIGINT) + 1) * 3
+           + (CAST(SIGN(y3 - y2) AS BIGINT) + 1) AS code
+  FROM oplead WHERE y3 IS NOT NULL
+),
+opcnt AS (
+  SELECT event_type, code, CAST(COUNT(*) AS BIGINT) AS c
+  FROM opcode GROUP BY 1, 2
+),
+opsc AS (
+  SELECT event_type, code, c,
+         CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS t,
+         CAST(SUM(c * c) OVER (PARTITION BY event_type) AS BIGINT) AS sq,
+         COUNT(*) OVER (PARTITION BY event_type) AS np,
+         MAX({{'c': c, 'negcode': -code}}) OVER (PARTITION BY event_type)
+           AS best
+  FROM opcnt
+)
+SELECT event_type,
+       t AS n_windows,
+       CAST(np AS BIGINT) AS n_patterns,
+       CAST(t * t - sq AS DOUBLE) / CAST(t * t AS DOUBLE) AS gini_simpson,
+       code AS modal_pattern,
+       CAST(c AS DOUBLE) / CAST(t AS DOUBLE) AS modal_share
+FROM opsc
+WHERE c = best.c AND code = -best.negcode
+"""
+
+QUERIES["events_ordinal_patterns"] = events_ordinal_patterns
+ORACLES["events_ordinal_patterns"] = SQL_EVENTS_ORDINAL

