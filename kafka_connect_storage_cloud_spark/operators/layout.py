@@ -139,3 +139,78 @@ SQL_ZORDER_FILE_SKIPPING = (
 
 QUERIES = {"zorder_file_skipping": zorder_file_skipping}
 ORACLES = {"zorder_file_skipping": SQL_ZORDER_FILE_SKIPPING}
+
+
+# ---------------------------------------------------------------------------
+# skew_salt_plan (round 9) — shuffle-key salting plan for hot keys
+# ---------------------------------------------------------------------------
+
+
+def skew_salt_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salting plan for the events shuffle key (user_id): every key whose
+    row count exceeds the SF-adaptive cap = ceil(1.25 * mean rows/key)
+    gets a salt fan-out ceil(cnt/cap), bounding any single salted
+    reduce task at <= cap rows. This is the plan a 100 TB job applies
+    before a user-keyed groupBy/join: hot keys explode into
+    (key, salt_i) subkeys, partial-aggregate per subkey, re-combine.
+    All thresholds are exact integer ceils ((a + b - 1) div b, rule 18);
+    cap derives from the corpus via the rule-19 scalar-subquery pattern
+    so ONE static oracle string holds at every SF. Emitted: the hot keys
+    (bounded output -- only salt >= 2 rows), their fan-out, the resulting
+    per-task bound, and the key's traffic share.
+
+    Scale: one map-side-combined count per key + one scalar aggregate;
+    the plan is |hot keys| rows (<= total/cap by construction)."""
+    ev = read_events(spark, sf_dir).select("user_id")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql import Window as _W
+
+    wall = _W.partitionBy()
+    planned = (
+        counts.withColumn("total", F.sum("cnt").over(wall))
+        .withColumn("n_keys", F.count(F.lit(1)).over(wall))
+        .withColumn("cap", F.expr("(5 * total + 4 * n_keys - 1) div (4 * n_keys)"))
+        .withColumn("salt_factor", F.expr("(cnt + cap - 1) div cap"))
+        .where(F.col("salt_factor") >= 2)
+        .withColumn("est_task_rows", F.expr("(cnt + salt_factor - 1) div salt_factor"))
+    )
+    return planned.select(
+        "user_id",
+        "cnt",
+        "n_keys",
+        "cap",
+        "salt_factor",
+        "est_task_rows",
+        (F.col("cnt").cast("double") / F.col("total").cast("double")).alias("share"),
+    )
+
+
+SQL_SKEW_SALT_PLAN = """
+WITH sscnt AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1
+),
+ssw AS (
+  SELECT user_id, cnt,
+         CAST(SUM(cnt) OVER () AS BIGINT) AS total,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n_keys
+  FROM sscnt
+),
+ssp AS (
+  SELECT user_id, cnt, total, n_keys,
+         (5 * total + 4 * n_keys - 1) // (4 * n_keys) AS cap
+  FROM ssw
+),
+sss AS (
+  SELECT user_id, cnt, total, n_keys, cap,
+         (cnt + cap - 1) // cap AS salt_factor
+  FROM ssp
+)
+SELECT user_id, cnt, n_keys, cap, salt_factor,
+       (cnt + salt_factor - 1) // salt_factor AS est_task_rows,
+       CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS share
+FROM sss
+WHERE salt_factor >= 2
+"""
+
+QUERIES["skew_salt_plan"] = skew_salt_plan
+ORACLES["skew_salt_plan"] = SQL_SKEW_SALT_PLAN

@@ -869,3 +869,237 @@ WHERE c = best.c AND code = -best.negcode
 
 QUERIES["events_ordinal_patterns"] = events_ordinal_patterns
 ORACLES["events_ordinal_patterns"] = SQL_EVENTS_ORDINAL
+
+
+# ---------------------------------------------------------------------------
+# events_xcorr_lags — pairwise cross-correlation at hourly lags
+# ---------------------------------------------------------------------------
+
+XCORR_MAX_LAG = 3
+
+
+def events_xcorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag structure between event streams: Pearson correlation of
+    hourly volumes for every unordered type pair at lags -3..+3 (positive
+    lag = the second type trails the first by that many hours). Each
+    (pair, lag) correlates the hours where BOTH series are present
+    (r_l = corr(x_t, y_{t+l})). Sums are exact int64; r is the single
+    expression num / (sqrt(denx)*sqrt(deny)) evaluated in the same
+    operation order on both engines (two IEEE sqrts, one multiply, one
+    divide). is_best marks each pair's max |r| via the micro-quantized
+    argmax (floor(r*10^6 + 0.5), tie -> smaller lag) so the label never
+    rests on a raw-double comparison.
+
+    Scale: the lag fan-out is 7 rows per hourly cell (rule 17); the join
+    is an equi-join on the shifted hour over metadata-sized cell frames
+    (|types|*|hours|), and the aggregate is one map-side-combinable
+    groupBy per (pair, lag)."""
+    cells = _hourly(spark, sf_dir)
+    lags = F.array(*[F.lit(v) for v in range(-XCORR_MAX_LAG, XCORR_MAX_LAG + 1)])
+    a = (
+        cells.select(F.col("event_type").alias("ta"), "hr", F.col("y").alias("x"))
+        .withColumn("lag", F.explode(lags))
+        .withColumn("hr2", F.col("hr") + F.col("lag"))
+    )
+    b = cells.select(
+        F.col("event_type").alias("tb"), F.col("hr").alias("hr2"), F.col("y").alias("yv")
+    )
+    joined = a.join(b, "hr2").where(F.col("ta") < F.col("tb"))
+    agg = joined.groupBy("ta", "tb", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("yv").alias("sy"),
+        F.sum(F.col("x") * F.col("yv")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("yv") * F.col("yv")).alias("syy"),
+    )
+    scored = (
+        agg.withColumn("num", F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .withColumn("denx", F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .withColumn("deny", F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        .where((F.col("denx") > 0) & (F.col("deny") > 0))
+        .withColumn(
+            "r",
+            F.col("num").cast("double")
+            / (F.sqrt(F.col("denx").cast("double")) * F.sqrt(F.col("deny").cast("double"))),
+        )
+        .withColumn("r_micro", F.floor(F.col("r") * F.lit(1000000.0) + F.lit(0.5)))
+    )
+    wpair = Window.partitionBy("ta", "tb")
+    return (
+        scored.withColumn(
+            "best", F.max(F.struct(F.abs(F.col("r_micro")).alias("a"), (-F.col("lag")).alias("nl"))).over(wpair)
+        )
+        .select(
+            "ta",
+            "tb",
+            "lag",
+            F.col("n").alias("n_hours"),
+            "r",
+            (
+                (F.abs(F.col("r_micro")) == F.col("best.a"))
+                & (F.col("lag") == -F.col("best.nl"))
+            ).alias("is_best"),
+        )
+    )
+
+
+SQL_EVENTS_XCORR = f"""
+WITH xccells AS ({SQL_HOURLY}),
+xca AS (
+  SELECT event_type AS ta, hr, y AS x, l.lag, hr + l.lag AS hr2
+  FROM xccells CROSS JOIN (
+    SELECT unnest(generate_series(-{XCORR_MAX_LAG}, {XCORR_MAX_LAG})) AS lag
+  ) l
+),
+xcj AS (
+  SELECT a.ta, b.event_type AS tb, a.lag, a.x, b.y AS yv
+  FROM xca a JOIN xccells b ON a.hr2 = b.hr AND a.ta < b.event_type
+),
+xcagg AS (
+  SELECT ta, tb, lag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(yv) AS BIGINT) AS sy,
+         CAST(SUM(x * yv) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(yv * yv) AS BIGINT) AS syy
+  FROM xcj GROUP BY 1, 2, 3
+),
+xcsc AS (
+  SELECT ta, tb, lag, n,
+         CAST(n * sxy - sx * sy AS DOUBLE)
+           / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+              * SQRT(CAST(n * syy - sy * sy AS DOUBLE))) AS r
+  FROM xcagg
+  WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+),
+xcm AS (
+  SELECT ta, tb, lag, n, r,
+         CAST(FLOOR(r * 1000000.0 + 0.5) AS BIGINT) AS r_micro
+  FROM xcsc
+),
+xcb AS (
+  SELECT ta, tb, lag, n, r, r_micro,
+         MAX({{'a': ABS(r_micro), 'nl': -lag}}) OVER (PARTITION BY ta, tb)
+           AS best
+  FROM xcm
+)
+SELECT ta, tb, lag, n AS n_hours, r,
+       ABS(r_micro) = best.a AND lag = -best.nl AS is_best
+FROM xcb
+"""
+
+QUERIES["events_xcorr_lags"] = events_xcorr_lags
+ORACLES["events_xcorr_lags"] = SQL_EVENTS_XCORR
+
+
+# ---------------------------------------------------------------------------
+# events_levene_bf — Brown-Forsythe variance-homogeneity across weekdays
+# ---------------------------------------------------------------------------
+
+
+def events_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe (median-centered Levene) test of variance
+    homogeneity across day-of-week groups, per type -- the VARIANCE
+    companion to events_seasonality_anova's mean test: does volatility
+    (not just level) depend on the weekday? z = |2y - med2_dow| keeps
+    the absolute deviations integral in half-units; with Z/Q the z-sum
+    and z-square-sum and B = Sigma_j floor(Zj^2/nj) (euclidean split --
+    the GE2 overflow-free form), the F statistic is the single division
+    (N-k)(N*B - Z^2) / ((k-1)*N*(Q-B)). heteroscedastic flags F >= 2 via
+    int64 cross-multiplication -- a documented heuristic cut (exact
+    F-quantiles need incomplete-beta, which is libm; 2.0 sits near the
+    alpha=0.05 critical value for the (6, ~350) dof this frame yields).
+
+    Scale: one daily rollup + one per-(type, dow) exact median + two
+    metadata aggregates. The floor on B biases F down by < k/(Q-B) --
+    negligible and identical on both engines."""
+    daily = _daily(spark, sf_dir).withColumn("dow", F.col("x") % 7)
+    med = daily.groupBy("event_type", "dow").agg(
+        (F.expr("percentile(y, 0.5)") * 2).cast("long").alias("med2")
+    )
+    z = daily.join(med, ["event_type", "dow"]).withColumn(
+        "z", F.abs(F.lit(2) * F.col("y") - F.col("med2"))
+    )
+    grp = z.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("nj"), F.sum("z").alias("zj")
+    ).withColumn("bj", F.expr("(zj div nj) * zj + ((zj % nj) * zj) div nj"))
+    tot = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nn"),
+        F.sum("z").alias("zz"),
+        F.sum(F.col("z") * F.col("z")).alias("qq"),
+    )
+    byg = grp.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("k"), F.sum("bj").alias("bb")
+    )
+    out = (
+        tot.join(byg, "event_type")
+        .where((F.col("k") > 1) & (F.col("qq") > F.col("bb")))
+        .withColumn("fnum", (F.col("nn") - F.col("k")) * (F.col("nn") * F.col("bb") - F.col("zz") * F.col("zz")))
+        .withColumn("fden", (F.col("k") - 1) * F.col("nn") * (F.col("qq") - F.col("bb")))
+    )
+    return out.select(
+        "event_type",
+        F.col("nn").alias("n_days"),
+        F.col("k").alias("k_groups"),
+        (F.col("nn") * F.col("bb") - F.col("zz") * F.col("zz")).alias("ssb_scaled"),
+        (F.col("nn") * (F.col("qq") - F.col("bb"))).alias("ssw_scaled"),
+        (F.col("fnum").cast("double") / F.col("fden").cast("double")).alias("f_stat"),
+        (F.col("fnum") >= F.lit(2) * F.col("fden")).alias("heteroscedastic"),
+    )
+
+
+SQL_EVENTS_LEVENE_BF = f"""
+WITH lvdaily AS (
+  SELECT event_type, x, y, x % 7 AS dow FROM ({SQL_DAILY})
+),
+lvmed AS (
+  SELECT event_type, dow, CAST(quantile_cont(y, 0.5) * 2 AS BIGINT) AS med2
+  FROM lvdaily GROUP BY 1, 2
+),
+lvz AS (
+  SELECT d.event_type, d.dow, ABS(2 * d.y - m.med2) AS z
+  FROM lvdaily d JOIN lvmed m
+    ON d.event_type = m.event_type AND d.dow = m.dow
+),
+lvg AS (
+  SELECT event_type, dow,
+         CAST(COUNT(*) AS BIGINT) AS nj,
+         CAST(SUM(z) AS BIGINT) AS zj
+  FROM lvz GROUP BY 1, 2
+),
+lvgb AS (
+  SELECT event_type, dow, nj, zj,
+         (zj // nj) * zj + ((zj % nj) * zj) // nj AS bj
+  FROM lvg
+),
+lvtot AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS nn,
+         CAST(SUM(z) AS BIGINT) AS zz,
+         CAST(SUM(z * z) AS BIGINT) AS qq
+  FROM lvz GROUP BY 1
+),
+lvk AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(bj) AS BIGINT) AS bb
+  FROM lvgb GROUP BY 1
+),
+lvf AS (
+  SELECT t.event_type, t.nn, k.k, t.zz, t.qq, k.bb,
+         (t.nn - k.k) * (t.nn * k.bb - t.zz * t.zz) AS fnum,
+         (k.k - 1) * t.nn * (t.qq - k.bb) AS fden
+  FROM lvtot t JOIN lvk k USING (event_type)
+  WHERE k.k > 1 AND t.qq > k.bb
+)
+SELECT event_type,
+       nn AS n_days, k AS k_groups,
+       nn * bb - zz * zz AS ssb_scaled,
+       nn * (qq - bb) AS ssw_scaled,
+       CAST(fnum AS DOUBLE) / CAST(fden AS DOUBLE) AS f_stat,
+       fnum >= 2 * fden AS heteroscedastic
+FROM lvf
+"""
+
+QUERIES["events_levene_bf"] = events_levene_bf
+ORACLES["events_levene_bf"] = SQL_EVENTS_LEVENE_BF

@@ -107,11 +107,9 @@ def test_text_batch_plan_shape(spark, sf_small):
 def test_readability_bands_split(spark, sf_small):
     """The band label must actually split the corpus (vacuous-flag rule)
     and agree with the emitted fre value at the 90/60/30 cuts."""
-    rows = (
-        INF and None
-    ) or __import__(
-        "kafka_connect_storage_cloud_spark.llm.text_stats", fromlist=["x"]
-    ).doc_readability(spark, sf_small).collect()
+    from kafka_connect_storage_cloud_spark.llm import text_stats as TS
+
+    rows = TS.doc_readability(spark, sf_small).collect()
     assert len({r.band for r in rows}) >= 2
     for r in rows:
         expect = (
@@ -155,3 +153,58 @@ def test_ordinal_patterns_bounds(spark, sf_small):
         assert 0 <= r.gini_simpson <= 8.0 / 9.0 + 1e-12
         assert r.modal_share * r.n_patterns >= 1.0 - 1e-9
         assert 0 <= r.modal_pattern <= 8
+
+
+def test_batch3_plan_shape(spark, sf_small):
+    """xcorr/levene consume the checkpointed cell frames (0 scans);
+    skew_salt_plan is one scan + a global metadata window (2x printed).
+    No nested loops anywhere."""
+    from kafka_connect_storage_cloud_spark.operators import layout as L
+
+    bounds = {
+        INF.events_xcorr_lags: 0,
+        INF.events_levene_bf: 0,
+        L.skew_salt_plan: 2,
+    }
+    for fn, max_scans in bounds.items():
+        plan = _plan(spark, fn(spark, sf_small))
+        assert plan.count("Scan parquet") <= max_scans, (fn.__name__, max_scans)
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+        assert "CartesianProduct" not in plan, fn.__name__
+
+
+def test_xcorr_symmetry_and_best(spark, sf_small):
+    """|r| <= 1 (+ rounding headroom); exactly one is_best row per pair;
+    lag-0 rows exist for every pair (both series share the hour grid)."""
+    rows = INF.events_xcorr_lags(spark, sf_small).collect()
+    assert rows
+    pairs = {}
+    for r in rows:
+        assert abs(r.r) <= 1.0 + 1e-9
+        pairs.setdefault((r.ta, r.tb), []).append(r)
+    for (ta, tb), rs in pairs.items():
+        assert sum(1 for r in rs if r.is_best) == 1, (ta, tb)
+        assert any(r.lag == 0 for r in rs)
+
+
+def test_levene_components_nonnegative(spark, sf_small):
+    rows = INF.events_levene_bf(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert r.ssw_scaled > 0
+        assert r.k_groups >= 2
+        assert r.heteroscedastic == (r.f_stat >= 2.0) or abs(r.f_stat - 2.0) < 1e-9
+
+
+def test_skew_salt_plan_caps_tasks(spark, sf_small):
+    """Every emitted key is genuinely hot (cnt > cap), the salted task
+    bound holds (est_task_rows <= cap), and the plan is non-vacuous on
+    this corpus."""
+    from kafka_connect_storage_cloud_spark.operators import layout as L
+
+    rows = L.skew_salt_plan(spark, sf_small).collect()
+    assert rows  # non-vacuous at sf0.001
+    for r in rows:
+        assert r.cnt > r.cap
+        assert r.salt_factor >= 2
+        assert r.est_task_rows <= r.cap
