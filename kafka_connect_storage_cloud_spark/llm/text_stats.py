@@ -1388,3 +1388,182 @@ FROM cqaud
 
 QUERIES["conformal_quality_coverage"] = conformal_quality_coverage
 ORACLES["conformal_quality_coverage"] = _sql_conformal()
+
+
+# ---------------------------------------------------------------------------
+# quality_quantile_normalize (round 9) — per-source score renormalization
+# ---------------------------------------------------------------------------
+
+
+def quality_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-normalize quality scores ACROSS sources: each doc's score
+    is replaced by the global score at its within-source quantile, so a
+    harsh-scored source and a lenient one become comparable before a
+    single corpus-wide threshold is applied (the cross-source calibration
+    step quality_threshold_yield assumes away). Exact integer mapping:
+    within-source rank r of n (ties -> doc_id), target global position
+    k = ceil(r*N/n) computed overflow-free via the euclidean split
+    r*(N div n) + (r*(N mod n) + n - 1) div n, and the normalized score
+    is the global k-th smallest (same tie order). Scores are
+    quality_score's round6 output recovered to micro ints (the conformal
+    treatment).
+
+    Scale: BOTH rank passes use functions/ranking.with_global_rank --
+    histogram-cumulative decomposition, never an unpartitioned
+    row_number (the zorder r6 rule); the k lookup is an equi-join on the
+    global rank. The euclidean k keeps int64 to n^2 < 2^63 (~3*10^9 docs
+    per source)."""
+    from .quality import quality_score
+    from ..functions.ranking import with_global_rank
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    scored = (
+        quality_score(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.floor(F.col("quality") * F.lit(1000000.0) + F.lit(0.5))
+            .cast("long")
+            .alias("sm"),
+        )
+        .join(docs, "doc_id")
+        .localCheckpoint(eager=True)  # source-rank + global-rank sides
+    )
+    src_ranked = with_global_rank(
+        scored, "sm", "doc_id", part_cols=("source",), rank_name="r", total_name="n"
+    )
+    glob_ranked = with_global_rank(
+        scored.select("doc_id", "sm"), "sm", "doc_id", rank_name="gr", total_name="nn"
+    )
+    lookup = glob_ranked.select(
+        F.col("gr").alias("k"), F.col("sm").alias("norm_micro")
+    )
+    # corpus total WITHOUT a 1-row cross join (BNLJ lint class): the
+    # per-source totals are a |sources|-row metadata frame; a global
+    # window sum there gives N, joined back by source (plain equi-join)
+    totals = (
+        src_ranked.groupBy("source")
+        .agg(F.max("n").alias("_n"))
+        .withColumn("nn", F.sum("_n").over(Window.partitionBy()))
+        .select("source", "nn")
+    )
+    out = (
+        src_ranked.join(totals, "source")
+        .withColumn("k", F.expr("r * (nn div n) + (r * (nn % n) + n - 1) div n"))
+        .join(lookup, "k")
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        F.col("sm").alias("score_micro"),
+        F.col("r").alias("src_rank"),
+        F.col("n").alias("n_src"),
+        "k",
+        "norm_micro",
+        (F.col("norm_micro") - F.col("sm")).alias("shift_micro"),
+    )
+
+
+def _sql_qqnorm() -> str:
+    from .quality import _SQL_QUALITY_EXPR
+
+    return f"""
+WITH qqs AS (
+  SELECT doc_id, source,
+         CAST(FLOOR(({_SQL_QUALITY_EXPR}) * 1000000.0 + 0.5) AS BIGINT) AS sm
+  FROM documents
+),
+qqsrc AS (
+  SELECT doc_id, source, sm,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY sm, doc_id) AS r,
+         CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n,
+         CAST(COUNT(*) OVER () AS BIGINT) AS nn
+  FROM qqs
+),
+qqglob AS (
+  SELECT sm AS norm_micro,
+         ROW_NUMBER() OVER (ORDER BY sm, doc_id) AS k
+  FROM qqs
+)
+SELECT s.doc_id, s.source, s.sm AS score_micro,
+       s.r AS src_rank, s.n AS n_src, s.k, g.norm_micro,
+       g.norm_micro - s.sm AS shift_micro
+FROM (
+  SELECT doc_id, source, sm, r, n,
+         r * (nn // n) + (r * (nn % n) + n - 1) // n AS k
+  FROM qqsrc
+) s JOIN qqglob g USING (k)
+"""
+
+
+QUERIES["quality_quantile_normalize"] = quality_quantile_normalize
+ORACLES["quality_quantile_normalize"] = _sql_qqnorm()
+
+
+# ---------------------------------------------------------------------------
+# token_hapax_profile (round 9) — lexical-richness tail per source
+# ---------------------------------------------------------------------------
+
+
+def token_hapax_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax/dis-legomena profile per source: how much of each source's
+    vocabulary (and token mass) sits in words seen exactly once or
+    twice. High hapax share = productive/heterogeneous text (or OCR
+    noise); collapsing hapax share across snapshots is the classic
+    symptom of template flooding. Pure integer counts with two final
+    divisions; the vocabulary is per-source (the drift ops' convention).
+
+    Scale: token stream -> per-(source, token) counts (map-side
+    combine) -> per-source rollup; no join, no window."""
+    toks = read_table(spark, sf_dir, "documents").select(
+        "source", F.explode(T.words()).alias("tok")
+    ).where(F.col("tok") != "")
+    cells = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        cells.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("vocab"),
+            F.sum("c").alias("tokens"),
+            F.sum(F.when(F.col("c") == 1, F.lit(1)).otherwise(F.lit(0))).alias("hapax"),
+            F.sum(F.when(F.col("c") == 2, F.lit(1)).otherwise(F.lit(0))).alias("dis"),
+        )
+        .select(
+            "source",
+            "vocab",
+            "tokens",
+            "hapax",
+            "dis",
+            (F.col("hapax").cast("double") / F.col("vocab").cast("double")).alias(
+                "hapax_vocab_share"
+            ),
+            (F.col("hapax").cast("double") / F.col("tokens").cast("double")).alias(
+                "hapax_mass_share"
+            ),
+        )
+    )
+
+
+SQL_TOKEN_HAPAX = f"""
+WITH hxt AS (
+  SELECT source, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+  FROM documents
+),
+hxc AS (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM hxt WHERE tok <> '' GROUP BY 1, 2
+),
+hxs AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS vocab,
+         CAST(SUM(c) AS BIGINT) AS tokens,
+         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+         CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dis
+  FROM hxc GROUP BY 1
+)
+SELECT source, vocab, tokens, hapax, dis,
+       CAST(hapax AS DOUBLE) / CAST(vocab AS DOUBLE) AS hapax_vocab_share,
+       CAST(hapax AS DOUBLE) / CAST(tokens AS DOUBLE) AS hapax_mass_share
+FROM hxs
+"""
+
+QUERIES["token_hapax_profile"] = token_hapax_profile
+ORACLES["token_hapax_profile"] = SQL_TOKEN_HAPAX

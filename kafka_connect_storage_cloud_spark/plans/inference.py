@@ -1103,3 +1103,67 @@ FROM lvf
 
 QUERIES["events_levene_bf"] = events_levene_bf
 ORACLES["events_levene_bf"] = SQL_EVENTS_LEVENE_BF
+
+
+# ---------------------------------------------------------------------------
+# events_fano_dispersion — over/under-dispersion of daily volumes
+# ---------------------------------------------------------------------------
+
+
+def events_fano_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (variance-to-mean ratio) of each type's daily volumes:
+    the Poisson-ness check for arrival counts. With S/Q the daily sum and
+    square-sum over N present days, population var/mean collapses to the
+    single exact division (N*Q - S^2)/(N*S); the three-way verdict
+    compares the same integers cross-multiplied (overdispersed when
+    N*Q - S^2 > N*S -- bursty/clustered arrivals; underdispersed when
+    strictly below -- rate-limited or quota-shaped traffic). Read with
+    events_inter_arrival: that tests WITHIN-day spacing, this tests the
+    day-level count process.
+
+    Scale: one rollup over the checkpointed daily frame; Q caps int64 at
+    ~10^9 events/day per type."""
+    daily = _daily(spark, sf_dir)
+    agg = (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").alias("s"),
+            F.sum(F.col("y") * F.col("y")).alias("q"),
+        )
+        .where(F.col("n") > 1)
+        .withColumn("varnum", F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.col("s").alias("total"),
+        (
+            F.col("varnum").cast("double") / (F.col("n") * F.col("s")).cast("double")
+        ).alias("fano"),
+        F.when(F.col("varnum") > F.col("n") * F.col("s"), F.lit("overdispersed"))
+        .when(F.col("varnum") < F.col("n") * F.col("s"), F.lit("underdispersed"))
+        .otherwise(F.lit("poisson"))
+        .alias("verdict"),
+    )
+
+
+SQL_EVENTS_FANO = f"""
+WITH fddaily AS ({SQL_DAILY}),
+fdagg AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS s,
+         CAST(SUM(y * y) AS BIGINT) AS q
+  FROM fddaily GROUP BY 1
+)
+SELECT event_type, n AS n_days, s AS total,
+       CAST(n * q - s * s AS DOUBLE) / CAST(n * s AS DOUBLE) AS fano,
+       CASE WHEN n * q - s * s > n * s THEN 'overdispersed'
+            WHEN n * q - s * s < n * s THEN 'underdispersed'
+            ELSE 'poisson' END AS verdict
+FROM fdagg WHERE n > 1
+"""
+
+QUERIES["events_fano_dispersion"] = events_fano_dispersion
+ORACLES["events_fano_dispersion"] = SQL_EVENTS_FANO

@@ -208,3 +208,49 @@ def test_skew_salt_plan_caps_tasks(spark, sf_small):
         assert r.cnt > r.cap
         assert r.salt_factor >= 2
         assert r.est_task_rows <= r.cap
+
+
+def test_batch4_plan_shape(spark, sf_small):
+    """Quantile-normalize consumes its checkpointed scored frame (0
+    scans); hapax/fano bound one scan (2x printed); no nested loops."""
+    from kafka_connect_storage_cloud_spark.llm import text_stats as TS
+
+    bounds = {
+        TS.quality_quantile_normalize: 0,
+        TS.token_hapax_profile: 2,
+        INF.events_fano_dispersion: 0,
+    }
+    for fn, max_scans in bounds.items():
+        plan = _plan(spark, fn(spark, sf_small))
+        assert plan.count("Scan parquet") <= max_scans, (fn.__name__, max_scans)
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+        assert "CartesianProduct" not in plan, fn.__name__
+
+
+def test_qqnorm_is_monotone_within_source(spark, sf_small):
+    """Quantile mapping must be monotone in the source rank, cover every
+    doc exactly once, and the top-ranked doc of each source maps to the
+    global maximum (r = n -> k = N)."""
+    from kafka_connect_storage_cloud_spark.llm import text_stats as TS
+
+    rows = TS.quality_quantile_normalize(spark, sf_small).collect()
+    n_docs = sum(1 for _ in rows)
+    assert n_docs == len({r.doc_id for r in rows})
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    gmax = max(r.norm_micro for r in rows)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r.src_rank)
+        for a, b in zip(rs, rs[1:]):
+            assert a.norm_micro <= b.norm_micro, src
+        assert rs[-1].norm_micro == gmax, src
+
+
+def test_hapax_and_fano_sanity(spark, sf_small):
+    from kafka_connect_storage_cloud_spark.llm import text_stats as TS
+
+    for r in TS.token_hapax_profile(spark, sf_small).collect():
+        assert 0 <= r.hapax <= r.vocab and r.vocab <= r.tokens
+    verds = {r.verdict for r in INF.events_fano_dispersion(spark, sf_small).collect()}
+    assert verds <= {"overdispersed", "underdispersed", "poisson"} and verds
