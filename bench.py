@@ -88,6 +88,14 @@ def main() -> None:
         "token_lorenz_gini",
         "events_mann_kendall",
         "events_ljung_box",
+        # r9 inference/text batches: the shingle-vocabulary audit (heaviest
+        # new leg: distinct (source, doc, shingle) stream), the double
+        # rank-pass quantile normalizer, the 4-scale R/S window stack, and
+        # the all-pairs Pettitt change-point
+        "boilerplate_shingles",
+        "quality_quantile_normalize",
+        "events_hurst_rs",
+        "events_pettitt_change",
     ):
         if opt in qs:
             headline.append(opt)

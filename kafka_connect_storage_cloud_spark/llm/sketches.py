@@ -722,3 +722,121 @@ ORDER BY source_a, source_b
 
 QUERIES["kmv_set_ops"] = kmv_set_ops
 ORACLES["kmv_set_ops"] = _sql_kmv_set_ops()
+
+
+# ---------------------------------------------------------------------------
+# cms_error_curve (round 9) — width-tuning curve for the count-min sketch
+# ---------------------------------------------------------------------------
+
+CMS_CURVE_WIDTHS = (64, 128, 256, 512)
+
+
+def cms_error_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The count-min analogue of minhash_band_tuning: the SAME token
+    stream sketched at widths 64/128/256/512 (d = CMS_ROWS everywhere),
+    probed with the same top-K exact-count audit set, summarized as
+    per-width inflation (est - true, always >= 0). The curve is the
+    measurement that SIZES a production sketch: inflation should halve
+    per width doubling (collision mass ~ N/w); the emitted
+    mean_inflation makes that check one subtraction across rows.
+
+    Scale: the fan-out is |widths| x d cells per token occurrence in ONE
+    explode (no per-width rescan); every downstream frame is bounded by
+    |widths| x d x max(width) sketch cells + |widths| x K probe rows."""
+    toks = _tokens(spark, sf_dir)
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(w).alias("w"),
+                F.lit(i).alias("row"),
+                (H.h32(F.concat(F.lit(f"cms{i}:"), F.col("token"))) % w).alias("bucket"),
+            )
+            for w in CMS_CURVE_WIDTHS
+            for i in range(CMS_ROWS)
+        ]
+    )
+    sketch = (
+        toks.select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.w").alias("w"), F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cell_count"))
+    )
+    true_counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("true_count"))
+    wnd = Window.orderBy(F.col("true_count").desc(), F.col("token"))
+    top = true_counts.withColumn("rk", F.row_number().over(wnd)).filter(
+        F.col("rk") <= CMS_TOP
+    )
+    probes = top.select("token", "true_count", F.explode(cells).alias("c")).select(
+        "token", "true_count", F.col("c.w").alias("w"), F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket")
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["w", "row", "bucket"])
+        .groupBy("w", "token", "true_count")
+        .agg(F.min("cell_count").alias("cms_est"))
+    )
+    return (
+        est.withColumn("inflation", F.col("cms_est") - F.col("true_count"))
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("n_probes"),
+            F.sum("inflation").alias("total_inflation"),
+            F.max("inflation").alias("max_inflation"),
+        )
+        .select(
+            F.col("w").alias("width"),
+            "n_probes",
+            "total_inflation",
+            "max_inflation",
+            (
+                F.col("total_inflation").cast("double") / F.col("n_probes").cast("double")
+            ).alias("mean_inflation"),
+        )
+    )
+
+
+def _sql_cms_curve_cells(src: str) -> str:
+    parts = []
+    for w in CMS_CURVE_WIDTHS:
+        for i in range(CMS_ROWS):
+            h = H.sql_h32(f"'cms{i}:' || token")
+            parts.append(
+                f"SELECT token, {w} AS w, {i} AS row, {h} % {w} AS bucket FROM {src}"
+            )
+    return " UNION ALL ".join(parts)
+
+
+SQL_CMS_ERROR_CURVE = f"""
+WITH ectoks AS (
+  SELECT token FROM ({_SQL_TOKENS}) WHERE token <> ''
+),
+eccells AS ({_sql_cms_curve_cells('ectoks')}),
+ecsketch AS (
+  SELECT w, row, bucket, CAST(COUNT(*) AS BIGINT) AS cell_count
+  FROM eccells GROUP BY 1, 2, 3
+),
+ectrue AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS true_count FROM ectoks GROUP BY 1
+),
+ectop AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY true_count DESC, token) AS rk
+  FROM ectrue QUALIFY rk <= {CMS_TOP}
+),
+ecprobes AS ({_sql_cms_curve_cells('ectop')}),
+ecest AS (
+  SELECT p.w, p.token, t.true_count, MIN(s.cell_count) AS cms_est
+  FROM ecprobes p
+  JOIN ectop t USING (token)
+  JOIN ecsketch s ON p.w = s.w AND p.row = s.row AND p.bucket = s.bucket
+  GROUP BY 1, 2, 3
+)
+SELECT w AS width,
+       CAST(COUNT(*) AS BIGINT) AS n_probes,
+       CAST(SUM(cms_est - true_count) AS BIGINT) AS total_inflation,
+       CAST(MAX(cms_est - true_count) AS BIGINT) AS max_inflation,
+       CAST(SUM(cms_est - true_count) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS mean_inflation
+FROM ecest
+GROUP BY 1
+"""
+
+QUERIES["cms_error_curve"] = cms_error_curve
+ORACLES["cms_error_curve"] = SQL_CMS_ERROR_CURVE

@@ -1167,3 +1167,121 @@ FROM fdagg WHERE n > 1
 
 QUERIES["events_fano_dispersion"] = events_fano_dispersion
 ORACLES["events_fano_dispersion"] = SQL_EVENTS_FANO
+
+
+# ---------------------------------------------------------------------------
+# events_spectral_power — daily/weekly harmonic projection, libm-free
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+SPECTRAL_PERIODS = (24, 168)
+
+# cos/sin tables quantized to 1e6 ints at module import: libm cos enters
+# only through these CONSTANTS (the Benford-literal treatment, rule 4) --
+# last-ulp platform drift vanishes under the 6-dp rounding, and the same
+# integers are embedded verbatim in the oracle string.
+_COS_T = {
+    p: [int(_math.floor(_math.cos(2 * _math.pi * k / p) * 1e6 + 0.5)) for k in range(p)]
+    for p in SPECTRAL_PERIODS
+}
+_SIN_T = {
+    p: [int(_math.floor(_math.sin(2 * _math.pi * k / p) * 1e6 + 0.5)) for k in range(p)]
+    for p in SPECTRAL_PERIODS
+}
+
+
+def events_spectral_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection of each type's hourly series onto the daily (24 h) and
+    weekly (168 h) harmonics: Sc = Sigma y_t*cos(2*pi*(t mod P)/P),
+    Ss likewise with sin, power = Sc^2 + Ss^2 and the amplitude estimate
+    2*sqrt(P)/(n*10^6) in count units. The trig tables are 1e6-quantized
+    integer LITERALS (module constants embedded in both engines -- libm
+    never runs at query time), Sc/Ss are exact int64 sums, and the
+    squares go through double (the chi2 square-in-double rule: Sc^2
+    overflows int64 at corpus scale). daily_dominant compares the two
+    powers after 1e6-floor quantization, never raw doubles. This is the
+    seasonality-ENERGY companion to events_dow_profile (shape) and
+    events_seasonality_anova (significance): absent hours just drop out
+    of the projection (documented estimator choice -- no gap fill).
+
+    Scale: two literal-array lookups + one aggregate over the
+    checkpointed hourly frame; tables are 24 + 168 ints in the plan."""
+    cells = _hourly(spark, sf_dir)
+    aggs = []
+    for p in SPECTRAL_PERIODS:
+        cos_arr = F.array(*[F.lit(v) for v in _COS_T[p]])
+        sin_arr = F.array(*[F.lit(v) for v in _SIN_T[p]])
+        ph = (F.col("hr") % p + 1).cast("int")
+        aggs.append(
+            F.sum(F.col("y") * F.element_at(cos_arr, ph)).alias(f"sc{p}")
+        )
+        aggs.append(
+            F.sum(F.col("y") * F.element_at(sin_arr, ph)).alias(f"ss{p}")
+        )
+    agg = cells.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"), *aggs)
+    pw = {
+        p: (
+            F.col(f"sc{p}").cast("double") * F.col(f"sc{p}").cast("double")
+            + F.col(f"ss{p}").cast("double") * F.col(f"ss{p}").cast("double")
+        )
+        for p in SPECTRAL_PERIODS
+    }
+    out = agg
+    for p in SPECTRAL_PERIODS:
+        out = out.withColumn(f"p{p}", pw[p])
+    return out.select(
+        "event_type",
+        F.col("n").alias("n_hours"),
+        F.col("p24").alias("power24"),
+        F.col("p168").alias("power168"),
+        (
+            F.lit(2.0) * F.sqrt(F.col("p24")) / (F.col("n").cast("double") * F.lit(1000000.0))
+        ).alias("amp24"),
+        (
+            F.lit(2.0) * F.sqrt(F.col("p168")) / (F.col("n").cast("double") * F.lit(1000000.0))
+        ).alias("amp168"),
+        (
+            F.floor(F.col("p24") / F.lit(1000000.0) + F.lit(0.5))
+            > F.floor(F.col("p168") / F.lit(1000000.0) + F.lit(0.5))
+        ).alias("daily_dominant"),
+    )
+
+
+def _sql_spectral() -> str:
+    def arr(t):
+        return "[" + ", ".join(str(v) for v in t) + "]"
+
+    sel = []
+    for p in SPECTRAL_PERIODS:
+        sel.append(
+            f"CAST(SUM(y * ({arr(_COS_T[p])})[CAST(hr % {p} AS INT) + 1]) AS BIGINT) AS sc{p}"
+        )
+        sel.append(
+            f"CAST(SUM(y * ({arr(_SIN_T[p])})[CAST(hr % {p} AS INT) + 1]) AS BIGINT) AS ss{p}"
+        )
+    return f"""
+WITH spcells AS ({SQL_HOURLY}),
+spagg AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, {', '.join(sel)}
+  FROM spcells GROUP BY 1
+),
+sppw AS (
+  SELECT event_type, n,
+         CAST(sc24 AS DOUBLE) * CAST(sc24 AS DOUBLE)
+           + CAST(ss24 AS DOUBLE) * CAST(ss24 AS DOUBLE) AS p24,
+         CAST(sc168 AS DOUBLE) * CAST(sc168 AS DOUBLE)
+           + CAST(ss168 AS DOUBLE) * CAST(ss168 AS DOUBLE) AS p168
+  FROM spagg
+)
+SELECT event_type, n AS n_hours, p24 AS power24, p168 AS power168,
+       2.0 * SQRT(p24) / (CAST(n AS DOUBLE) * 1000000.0) AS amp24,
+       2.0 * SQRT(p168) / (CAST(n AS DOUBLE) * 1000000.0) AS amp168,
+       FLOOR(p24 / 1000000.0 + 0.5) > FLOOR(p168 / 1000000.0 + 0.5)
+         AS daily_dominant
+FROM sppw
+"""
+
+
+QUERIES["events_spectral_power"] = events_spectral_power
+ORACLES["events_spectral_power"] = _sql_spectral()

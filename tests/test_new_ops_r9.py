@@ -254,3 +254,47 @@ def test_hapax_and_fano_sanity(spark, sf_small):
         assert 0 <= r.hapax <= r.vocab and r.vocab <= r.tokens
     verds = {r.verdict for r in INF.events_fano_dispersion(spark, sf_small).collect()}
     assert verds <= {"overdispersed", "underdispersed", "poisson"} and verds
+
+
+def test_batch5_plan_shape(spark, sf_small):
+    """Spectral projection consumes the checkpointed hourly frame (0
+    scans); the CMS curve bounds its scans (token stream feeds sketch +
+    true counts + probes: the fan-out frames re-read the split, pinned)."""
+    from kafka_connect_storage_cloud_spark.llm import sketches as SK
+
+    plan = _plan(spark, INF.events_spectral_power(spark, sf_small))
+    assert plan.count("Scan parquet") == 0
+    assert "BroadcastNestedLoopJoin" not in plan
+    plan = _plan(spark, SK.cms_error_curve(spark, sf_small))
+    assert plan.count("Scan parquet") <= 6
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cms_curve_monotone_in_width(spark, sf_small):
+    """Collision inflation must not increase when the width doubles
+    (same rows, strictly coarser buckets merged): total_inflation is
+    non-increasing in width, and inflation is never negative."""
+    from kafka_connect_storage_cloud_spark.llm import sketches as SK
+
+    rows = {r.width: r for r in SK.cms_error_curve(spark, sf_small).collect()}
+    assert set(rows) == set(SK.CMS_CURVE_WIDTHS)
+    widths = sorted(rows)
+    for w in widths:
+        assert rows[w].total_inflation >= 0
+        assert rows[w].max_inflation >= 0
+    for a, b in zip(widths, widths[1:]):
+        assert rows[b].total_inflation <= rows[a].total_inflation, (a, b)
+
+
+def test_spectral_power_tables_and_bounds(spark, sf_small):
+    """Trig tables: cos^2+sin^2 == 1e12 within quantization; amplitude
+    is non-negative and bounded by twice the max hourly count."""
+    for p in INF.SPECTRAL_PERIODS:
+        for c, s in zip(INF._COS_T[p], INF._SIN_T[p]):
+            assert abs(c * c + s * s - 10**12) < 3e6, p
+    rows = INF.events_spectral_power(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert r.power24 >= 0 and r.power168 >= 0
+        assert r.amp24 >= 0 and r.amp168 >= 0
