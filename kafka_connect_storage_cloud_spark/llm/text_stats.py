@@ -1064,19 +1064,27 @@ def boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells already carry everything, so the op is two cascaded
     map-side-combinable groupBys over the distinct pairs.
 
-    Scale: the distinct (source, doc, shingle-hash) stream is the
-    dedup_containment class; both groupBys partial-aggregate. h32
+    Scale: shingle hashes dedup PER DOC inside the array (transform +
+    array_distinct -- no corpus-wide DISTINCT shuffle); both groupBys
+    partial-aggregate map-side. h32
     collisions can merge two shingles within a source (the documented
     minhash trade; at 2^32 space and per-source vocab << 2^16 the
     expected merge count is << 1)."""
     docs = read_table(spark, sf_dir, "documents").select(
         "doc_id", "source", T.words().alias("ws")
     )
+    h_sh = H.spark_sql_h32("x")
     pairs = (
         docs.withColumn("sharr", T.shingles_from_ws(3))
-        .select("doc_id", "source", F.explode("sharr").alias("shingle"))
-        .select("doc_id", "source", H.h32(F.col("shingle")).alias("h"))
-        .distinct()
+        # per-doc dedup INSIDE the array (JVM transform + array_distinct):
+        # the corpus-wide DISTINCT shuffle disappears; each (source, h)
+        # then counts docs directly with map-side combine (measured 4.5 s
+        # -> the containment class drops to one aggregation)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.expr(f"array_distinct(transform(sharr, x -> {h_sh}))")).alias("h"),
+        )
     )
     cells = pairs.groupBy("source", "h").agg(F.count(F.lit(1)).alias("nd"))
     per_src = cells.groupBy("source").agg(
