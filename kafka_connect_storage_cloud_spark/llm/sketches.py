@@ -246,7 +246,20 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells and equi-joined against the sketch — no cross join.
     """
     toks = _tokens(spark, sf_dir)
-    cells = F.array(
+    sketch = (
+        toks.select(F.explode(_cms_cells_expr()).alias("c"))
+        .groupBy(F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cell_count"))
+    )
+    true_counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("true_count"))
+    return _cms_estimate(sketch, true_counts)
+
+
+def _cms_cells_expr():
+    """The d-cell fan-out of a `token` column — ONE expression shared by
+    the batch op, the curve op's w=256 member, and the streaming twin
+    (the winnowing identical-expression rule)."""
+    return F.array(
         *[
             F.struct(
                 F.lit(i).alias("row"),
@@ -257,18 +270,19 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(CMS_ROWS)
         ]
     )
-    sketch = (
-        toks.select(F.explode(cells).alias("c"))
-        .groupBy(F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("cell_count"))
-    )
-    true_counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("true_count"))
+
+
+def _cms_estimate(sketch: DataFrame, true_counts: DataFrame) -> DataFrame:
+    """Shared estimation tail: top-K probe set from exact counts, d-cell
+    probe explode, MIN-over-cells estimate. Both the one-shot operator
+    and the streaming drain call this on their (sketch, true_counts)
+    frames — counts are ADDITIVE, so merged partials feed it unchanged."""
     w = Window.orderBy(F.col("true_count").desc(), F.col("token"))
     top = true_counts.withColumn("rk", F.row_number().over(w)).filter(
         F.col("rk") <= CMS_TOP
     )
     probes = top.select(
-        "token", "true_count", "rk", F.explode(cells).alias("c")
+        "token", "true_count", "rk", F.explode(_cms_cells_expr()).alias("c")
     ).select("token", "true_count", "rk", "c.row", "c.bucket")
     est = (
         probes.join(F.broadcast(sketch), ["row", "bucket"])

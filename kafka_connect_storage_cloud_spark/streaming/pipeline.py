@@ -1586,3 +1586,86 @@ def winnowing_dup_stream_stats(spark: SparkSession, store_dir: str) -> DataFrame
             ),
         )
     )
+
+
+def cms_sketch_stream(
+    docs: DataFrame, store_dir: str, checkpoint: str
+) -> StreamingQuery:
+    """Streaming twin of cms_heavy_hitters — the SKETCH state class gets
+    its incremental form (near-dup signatures have five twins; count-min
+    is the canonical mergeable sketch, so its stream is the additive
+    template): each micro-batch tokenizes its documents with the batch
+    op's expression, writes its PARTIAL d x w cell counts and PARTIAL
+    exact token counts to batch-keyed stores, and the drain
+    (cms_sketch_stream_stats) merges both by SUM and runs the shared
+    estimation tail (sketches._cms_estimate) — equal to the one-shot
+    operator by additivity of counts, for ANY batch split.
+
+    Exactly-once: batch-keyed overwrite (replay rewrites identical
+    partials). Per-batch cost is the batch's own token scan; both stores
+    are bounded (d*w cells; vocab rows) regardless of history."""
+    from ..llm.sketches import _cms_cells_expr
+
+    def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        if batch_df.isEmpty():
+            return
+        toks = (
+            batch_df.select(
+                F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token")
+            )
+            .filter(F.col("token") != "")
+            .localCheckpoint(eager=True)  # cells + counts consumers
+        )
+        cells = (
+            toks.select(F.explode(_cms_cells_expr()).alias("c"))
+            .groupBy(F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("cell_count"))
+        )
+        counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("true_count"))
+        cells.write.mode("overwrite").parquet(
+            os.path.join(store_dir, "cells", f"batch={batch_id}")
+        )
+        counts.write.mode("overwrite").parquet(
+            os.path.join(store_dir, "counts", f"batch={batch_id}")
+        )
+
+    return (
+        docs.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def cms_sketch_stream_stats(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Drain-time finalize for cms_sketch_stream: SUM-merge the partial
+    sketch cells and token counts, then the shared estimation tail.
+    == one-shot cms_heavy_hitters (additive state; pinned at 2-/4-way
+    splits + replay)."""
+    import os
+
+    from ..llm.sketches import _cms_estimate
+
+    cell_batches = _list_store_batches(spark, os.path.join(store_dir, "cells"))
+    if not cell_batches:
+        return spark.createDataFrame(
+            [], "token string, true_count bigint, cms_est bigint, inflation bigint"
+        )
+    sketch = (
+        spark.read.parquet(
+            *[os.path.join(store_dir, "cells", e) for e in cell_batches]
+        )
+        .groupBy("row", "bucket")
+        .agg(F.sum("cell_count").alias("cell_count"))
+    )
+    count_batches = _list_store_batches(spark, os.path.join(store_dir, "counts"))
+    true_counts = (
+        spark.read.parquet(
+            *[os.path.join(store_dir, "counts", e) for e in count_batches]
+        )
+        .groupBy("token")
+        .agg(F.sum("true_count").alias("true_count"))
+    )
+    return _cms_estimate(sketch, true_counts)

@@ -1520,3 +1520,46 @@ def test_erase_doc_ids_minhash_and_winnowing_stores(spark, sf_small, tmp_path):
     wgot = {tuple(r) for r in winnowing_dup_stream_stats(spark, wstore).collect()}
     wexp = {tuple(r) for r in winnowing_fingerprints(spark, minus).collect()}
     assert wgot == wexp and wexp
+
+
+def test_cms_sketch_stream_matches_batch(spark, sf_small, tmp_path):
+    """Streaming count-min == one-shot cms_heavy_hitters after drain:
+    sketch cells and exact counts are ADDITIVE, so a 2-way and a 4-way
+    document split must both land the identical estimate table, and a
+    replay into a fresh checkpoint rewrites the same stores."""
+    import shutil
+
+    from kafka_connect_storage_cloud_spark.llm.sketches import cms_heavy_hitters
+    from kafka_connect_storage_cloud_spark.streaming.pipeline import (
+        cms_sketch_stream,
+        cms_sketch_stream_stats,
+        stream_documents_source,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    exp = {tuple(r) for r in cms_heavy_hitters(spark, sf_small).collect()}
+    assert exp
+
+    def run(n_split: int, tag: str) -> set:
+        stage = str(tmp_path / f"cms_stage_{tag}")
+        for i in range(n_split):
+            docs.where(F.col("doc_id") % n_split == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(stage)
+        store = str(tmp_path / f"cms_store_{tag}")
+        q = cms_sketch_stream(
+            stream_documents_source(spark, stage), store, str(tmp_path / f"cms_ck_{tag}")
+        )
+        assert q.awaitTermination(180), "cms stream did not drain"
+        got = {tuple(r) for r in cms_sketch_stream_stats(spark, store).collect()}
+        # replay: fresh checkpoint over the same stage + store
+        q2 = cms_sketch_stream(
+            stream_documents_source(spark, stage), store, str(tmp_path / f"cms_ck2_{tag}")
+        )
+        assert q2.awaitTermination(180)
+        got_replay = {tuple(r) for r in cms_sketch_stream_stats(spark, store).collect()}
+        assert got_replay == got, "replay changed the drained estimates"
+        return got
+
+    assert run(2, "s2") == exp
+    assert run(4, "s4") == exp
