@@ -2026,3 +2026,84 @@ ORDER BY lang, len_decile
 
 QUERIES["t_closeness_audit"] = t_closeness_audit
 ORACLES["t_closeness_audit"] = SQL_T_CLOSENESS
+
+
+# ---------------------------------------------------------------------------
+# shard_balance_audit (round 9) — straggler profile of the packed shards
+# ---------------------------------------------------------------------------
+
+
+def shard_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Straggler audit of token_shard_pack's manifest: per writer
+    partition, the shard-size spread that decides training-loader
+    balance -- max/mean imbalance (the straggler ratio: wall-clock is
+    the max shard while throughput is the mean) and the squared
+    coefficient of variation cv2 = (n*Q - S^2)/S^2, both single exact
+    divisions over int64 manifest sums. The last OPEN shard per worker
+    is legitimately short (flush.size semantics), so underfill of
+    exactly one shard per worker is expected; imbalance materially
+    above (budget / mean) signals doc-length skew the packer should
+    pre-split.
+
+    Scale: the manifest is metadata (|workers| x |shards|); the audit
+    never touches text."""
+    man = token_shard_pack(spark, sf_dir)
+    return (
+        man.groupBy("worker")
+        .agg(
+            F.count(F.lit(1)).alias("n_shards"),
+            F.sum("n_docs").alias("docs"),
+            F.sum("shard_tokens").alias("tokens"),
+            F.max("shard_tokens").alias("max_shard_tokens"),
+            F.min("shard_tokens").alias("min_shard_tokens"),
+            F.sum(F.col("shard_tokens") * F.col("shard_tokens")).alias("q"),
+        )
+        .select(
+            "worker",
+            "n_shards",
+            "docs",
+            "tokens",
+            "max_shard_tokens",
+            "min_shard_tokens",
+            (F.col("tokens").cast("double") / F.col("n_shards").cast("double")).alias(
+                "mean_shard_tokens"
+            ),
+            (
+                (F.col("max_shard_tokens") * F.col("n_shards")).cast("double")
+                / F.col("tokens").cast("double")
+            ).alias("imbalance"),
+            (
+                (F.col("n_shards") * F.col("q") - F.col("tokens") * F.col("tokens")).cast(
+                    "double"
+                )
+                / (F.col("tokens") * F.col("tokens")).cast("double")
+            ).alias("cv2"),
+        )
+    )
+
+
+SQL_SHARD_BALANCE_AUDIT = f"""
+WITH sbman AS (
+  SELECT worker, shard, n_docs, shard_tokens FROM ({SQL_TOKEN_SHARD_PACK})
+),
+sbagg AS (
+  SELECT worker,
+         CAST(COUNT(*) AS BIGINT) AS n_shards,
+         CAST(SUM(n_docs) AS BIGINT) AS docs,
+         CAST(SUM(shard_tokens) AS BIGINT) AS tokens,
+         CAST(MAX(shard_tokens) AS BIGINT) AS max_shard_tokens,
+         CAST(MIN(shard_tokens) AS BIGINT) AS min_shard_tokens,
+         CAST(SUM(shard_tokens * shard_tokens) AS BIGINT) AS q
+  FROM sbman GROUP BY 1
+)
+SELECT worker, n_shards, docs, tokens, max_shard_tokens, min_shard_tokens,
+       CAST(tokens AS DOUBLE) / CAST(n_shards AS DOUBLE) AS mean_shard_tokens,
+       CAST(max_shard_tokens * n_shards AS DOUBLE) / CAST(tokens AS DOUBLE)
+         AS imbalance,
+       CAST(n_shards * q - tokens * tokens AS DOUBLE)
+         / CAST(tokens * tokens AS DOUBLE) AS cv2
+FROM sbagg
+"""
+
+QUERIES["shard_balance_audit"] = shard_balance_audit
+ORACLES["shard_balance_audit"] = SQL_SHARD_BALANCE_AUDIT

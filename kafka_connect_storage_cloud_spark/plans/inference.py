@@ -1285,3 +1285,253 @@ FROM sppw
 
 QUERIES["events_spectral_power"] = events_spectral_power
 ORACLES["events_spectral_power"] = _sql_spectral()
+
+
+# ---------------------------------------------------------------------------
+# anomaly_ensemble_agreement — do the three hourly detectors agree?
+# ---------------------------------------------------------------------------
+
+
+def anomaly_ensemble_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agreement matrix over three hourly anomaly detectors per type --
+    the dedup_method_matrix treatment applied to the time-series family:
+    (1) GLOBAL median/MAD (dev2*2 > 3*mad4, all scaled-integer), (2) the
+    ROLLING Hampel filter (events_hampel_filter.is_outlier), (3) the
+    SEASONAL STL-residual scorer (events_stl_anomaly.is_anomaly). Each
+    views "anomalous" through a different null model (stationary /
+    locally-stationary / seasonal), so their pairwise Jaccards and the
+    consensus share quantify how much of the alert stream is
+    model-artifact vs robust signal -- the triage number an on-call
+    pipeline actually needs. Flags join on the shared (type, hour) cell
+    grain; counts are exact ints, Jaccards one division each.
+
+    Scale: reuses both member operators' plans verbatim (each already
+    checkpoint-bounded) plus one global-MAD pass; the join and rollup
+    run on metadata-sized cell frames."""
+    from .warehouse import events_hampel_filter, events_stl_anomaly
+
+    cells = _hourly(spark, sf_dir)
+    gmed = cells.groupBy("event_type").agg(
+        (F.expr("percentile(y, 0.5)") * 2).cast("long").alias("med2")
+    )
+    gdev = cells.join(gmed, "event_type").withColumn(
+        "dev2", F.abs(F.lit(2) * F.col("y") - F.col("med2"))
+    )
+    gmad = gdev.groupBy("event_type").agg(
+        (F.expr("percentile(dev2, 0.5)") * 2).cast("long").alias("mad4")
+    )
+    g = (
+        gdev.join(gmad, "event_type")
+        .select(
+            "event_type",
+            "hr",
+            (F.col("dev2") * 2 > 3 * F.col("mad4")).alias("f_gmad"),
+        )
+    )
+    h = events_hampel_filter(spark, sf_dir).select(
+        "event_type", "hr", F.col("is_outlier").alias("f_hampel")
+    )
+    s = events_stl_anomaly(spark, sf_dir).select(
+        "event_type", "hr", F.col("is_anomaly").alias("f_stl")
+    )
+    joined = g.join(h, ["event_type", "hr"]).join(s, ["event_type", "hr"])
+    agg = joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum(F.col("f_gmad").cast("long")).alias("n_gmad"),
+        F.sum(F.col("f_hampel").cast("long")).alias("n_hampel"),
+        F.sum(F.col("f_stl").cast("long")).alias("n_stl"),
+        F.sum((F.col("f_gmad") & F.col("f_hampel")).cast("long")).alias("n_gh"),
+        F.sum((F.col("f_gmad") & F.col("f_stl")).cast("long")).alias("n_gs"),
+        F.sum((F.col("f_hampel") & F.col("f_stl")).cast("long")).alias("n_hs"),
+        F.sum((F.col("f_gmad") & F.col("f_hampel") & F.col("f_stl")).cast("long")).alias(
+            "n_all3"
+        ),
+        F.sum((F.col("f_gmad") | F.col("f_hampel") | F.col("f_stl")).cast("long")).alias(
+            "n_any"
+        ),
+    )
+
+    def _jac(a: str, b: str, inter: str):
+        den = F.col(a) + F.col(b) - F.col(inter)
+        return F.when(den > 0, F.col(inter).cast("double") / den.cast("double"))
+
+    return agg.select(
+        "event_type",
+        "n_hours",
+        "n_gmad",
+        "n_hampel",
+        "n_stl",
+        "n_all3",
+        "n_any",
+        _jac("n_gmad", "n_hampel", "n_gh").alias("j_gmad_hampel"),
+        _jac("n_gmad", "n_stl", "n_gs").alias("j_gmad_stl"),
+        _jac("n_hampel", "n_stl", "n_hs").alias("j_hampel_stl"),
+        F.when(
+            F.col("n_any") > 0,
+            F.col("n_all3").cast("double") / F.col("n_any").cast("double"),
+        ).alias("consensus_share"),
+    )
+
+
+def _sql_ensemble() -> str:
+    from .warehouse import SQL_EVENTS_HAMPEL, SQL_EVENTS_STL_ANOMALY
+
+    return f"""
+WITH aecells AS ({SQL_HOURLY}),
+aemed AS (
+  SELECT event_type, CAST(quantile_cont(y, 0.5) * 2 AS BIGINT) AS med2
+  FROM aecells GROUP BY 1
+),
+aedev AS (
+  SELECT c.event_type, c.hr, ABS(2 * c.y - m.med2) AS dev2
+  FROM aecells c JOIN aemed m USING (event_type)
+),
+aemad AS (
+  SELECT event_type, CAST(quantile_cont(dev2, 0.5) * 2 AS BIGINT) AS mad4
+  FROM aedev GROUP BY 1
+),
+aeg AS (
+  SELECT d.event_type, d.hr, d.dev2 * 2 > 3 * m.mad4 AS f_gmad
+  FROM aedev d JOIN aemad m USING (event_type)
+),
+aeh AS (
+  SELECT event_type, hr, is_outlier AS f_hampel FROM ({SQL_EVENTS_HAMPEL})
+),
+aes AS (
+  SELECT event_type, hr, is_anomaly AS f_stl FROM ({SQL_EVENTS_STL_ANOMALY})
+),
+aej AS (
+  SELECT g.event_type, g.hr, g.f_gmad, h.f_hampel, s.f_stl
+  FROM aeg g
+  JOIN aeh h ON g.event_type = h.event_type AND g.hr = h.hr
+  JOIN aes s ON g.event_type = s.event_type AND g.hr = s.hr
+),
+aeagg AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_hours,
+         CAST(SUM(CASE WHEN f_gmad THEN 1 ELSE 0 END) AS BIGINT) AS n_gmad,
+         CAST(SUM(CASE WHEN f_hampel THEN 1 ELSE 0 END) AS BIGINT) AS n_hampel,
+         CAST(SUM(CASE WHEN f_stl THEN 1 ELSE 0 END) AS BIGINT) AS n_stl,
+         CAST(SUM(CASE WHEN f_gmad AND f_hampel THEN 1 ELSE 0 END) AS BIGINT) AS n_gh,
+         CAST(SUM(CASE WHEN f_gmad AND f_stl THEN 1 ELSE 0 END) AS BIGINT) AS n_gs,
+         CAST(SUM(CASE WHEN f_hampel AND f_stl THEN 1 ELSE 0 END) AS BIGINT) AS n_hs,
+         CAST(SUM(CASE WHEN f_gmad AND f_hampel AND f_stl THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_all3,
+         CAST(SUM(CASE WHEN f_gmad OR f_hampel OR f_stl THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_any
+  FROM aej GROUP BY 1
+)
+SELECT event_type, n_hours, n_gmad, n_hampel, n_stl, n_all3, n_any,
+       CASE WHEN n_gmad + n_hampel - n_gh > 0
+            THEN CAST(n_gh AS DOUBLE) / CAST(n_gmad + n_hampel - n_gh AS DOUBLE)
+       END AS j_gmad_hampel,
+       CASE WHEN n_gmad + n_stl - n_gs > 0
+            THEN CAST(n_gs AS DOUBLE) / CAST(n_gmad + n_stl - n_gs AS DOUBLE)
+       END AS j_gmad_stl,
+       CASE WHEN n_hampel + n_stl - n_hs > 0
+            THEN CAST(n_hs AS DOUBLE) / CAST(n_hampel + n_stl - n_hs AS DOUBLE)
+       END AS j_hampel_stl,
+       CASE WHEN n_any > 0 THEN CAST(n_all3 AS DOUBLE) / CAST(n_any AS DOUBLE)
+       END AS consensus_share
+FROM aeagg
+"""
+
+
+QUERIES["anomaly_ensemble_agreement"] = anomaly_ensemble_agreement
+ORACLES["anomaly_ensemble_agreement"] = _sql_ensemble()
+
+
+# ---------------------------------------------------------------------------
+# events_markov_diversity — next-state concentration per source state
+# ---------------------------------------------------------------------------
+
+
+def events_markov_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-state concentration of the user-sequence Markov chain: per
+    from-state, the Gini-Simpson diversity of the to-state distribution
+    (the libm-free entropy-rate stand-in, rule 4), the modal next state
+    with its exact share, and the self-loop probability -- the summary
+    events_markov_transitions' full matrix is usually read FOR. Pairs
+    are built with the transition op's exact construction (lag over
+    (user, ts, event_id)); all shares are single divisions of int64
+    counts.
+
+    Scale: one user-keyed lag shuffle (the transition op's cost), then
+    |types|^2 metadata."""
+    from ..session import read_events
+
+    ev = read_events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("from_type", F.lag("event_type").over(w))
+        .where(F.col("from_type").isNotNull())
+        .select("from_type", F.col("event_type").alias("to_type"))
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("c"))
+    wall = Window.partitionBy("from_type")
+    scored = (
+        counts.withColumn("t", F.sum("c").over(wall))
+        .withColumn("sq", F.sum(F.col("c") * F.col("c")).over(wall))
+        .withColumn("n_out", F.count(F.lit(1)).over(wall))
+        .withColumn("selfc", F.max(F.when(F.col("to_type") == F.col("from_type"), F.col("c"))).over(wall))
+        .withColumn("best", F.max(F.struct(F.col("c").alias("c"), F.col("to_type").alias("tt"))).over(wall))
+    )
+    return (
+        scored.where((F.col("c") == F.col("best.c")) & (F.col("to_type") == F.col("best.tt")))
+        .select(
+            "from_type",
+            F.col("t").alias("n_transitions"),
+            F.col("n_out").alias("n_next_states"),
+            (
+                (F.col("t") * F.col("t") - F.col("sq")).cast("double")
+                / (F.col("t") * F.col("t")).cast("double")
+            ).alias("gini_simpson"),
+            F.col("to_type").alias("modal_next"),
+            (F.col("c").cast("double") / F.col("t").cast("double")).alias("modal_share"),
+            (
+                F.coalesce(F.col("selfc"), F.lit(0)).cast("double")
+                / F.col("t").cast("double")
+            ).alias("self_loop_p"),
+        )
+    )
+
+
+SQL_EVENTS_MARKOV_DIVERSITY = """
+WITH mdev AS (
+  SELECT user_id, ts, event_id, event_type FROM events
+),
+mdpairs AS (
+  SELECT from_type, event_type AS to_type FROM (
+    SELECT event_type,
+           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS from_type
+    FROM mdev
+  ) WHERE from_type IS NOT NULL
+),
+mdc AS (
+  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM mdpairs GROUP BY 1, 2
+),
+mds AS (
+  SELECT from_type, to_type, c,
+         CAST(SUM(c) OVER (PARTITION BY from_type) AS BIGINT) AS t,
+         CAST(SUM(c * c) OVER (PARTITION BY from_type) AS BIGINT) AS sq,
+         COUNT(*) OVER (PARTITION BY from_type) AS n_out,
+         CAST(MAX(CASE WHEN to_type = from_type THEN c END)
+              OVER (PARTITION BY from_type) AS BIGINT) AS selfc,
+         MAX({'c': c, 'tt': to_type}) OVER (PARTITION BY from_type) AS best
+  FROM mdc
+)
+SELECT from_type,
+       t AS n_transitions,
+       CAST(n_out AS BIGINT) AS n_next_states,
+       CAST(t * t - sq AS DOUBLE) / CAST(t * t AS DOUBLE) AS gini_simpson,
+       to_type AS modal_next,
+       CAST(c AS DOUBLE) / CAST(t AS DOUBLE) AS modal_share,
+       CAST(COALESCE(selfc, 0) AS DOUBLE) / CAST(t AS DOUBLE) AS self_loop_p
+FROM mds
+WHERE c = best.c AND to_type = best.tt
+"""
+
+QUERIES["events_markov_diversity"] = events_markov_diversity
+ORACLES["events_markov_diversity"] = SQL_EVENTS_MARKOV_DIVERSITY

@@ -14,10 +14,13 @@ def _plan(spark, df) -> str:
 
 
 def test_inference_ops_plan_shape(spark, sf_dir):
-    """All five inference ops consume the localCheckpointed daily/hourly
-    cell frame: ZERO parquet re-reads downstream, and none may
-    nest-loop (the pair fan-outs are equi-joins on event_type)."""
-    for fn in INF.QUERIES.values():
+    """The inference ops consume the localCheckpointed daily/hourly cell
+    frame: ZERO parquet re-reads downstream, and none may nest-loop (the
+    pair fan-outs are equi-joins on event_type). markov_diversity is the
+    one member with its own raw lag scan (pinned in batch6's test)."""
+    for name, fn in INF.QUERIES.items():
+        if name == "events_markov_diversity":
+            continue
         plan = _plan(spark, fn(spark, sf_dir))
         assert plan.count("Scan parquet") == 0, fn
         assert "BroadcastNestedLoopJoin" not in plan, fn
@@ -298,3 +301,48 @@ def test_spectral_power_tables_and_bounds(spark, sf_small):
     for r in rows:
         assert r.power24 >= 0 and r.power168 >= 0
         assert r.amp24 >= 0 and r.amp168 >= 0
+
+
+def test_batch6_plan_shape(spark, sf_small):
+    """Ensemble reuses member plans (checkpoint-fed: 0 scans); markov
+    diversity pays its one lag scan; shard balance reads the manifest
+    pack's one scan. No nested loops."""
+    from kafka_connect_storage_cloud_spark.llm import corpus as CO
+
+    bounds = {
+        INF.anomaly_ensemble_agreement: 0,
+        INF.events_markov_diversity: 2,
+        CO.shard_balance_audit: 2,
+    }
+    for fn, max_scans in bounds.items():
+        plan = _plan(spark, fn(spark, sf_small))
+        assert plan.count("Scan parquet") <= max_scans, (fn.__name__, max_scans)
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+        assert "CartesianProduct" not in plan, fn.__name__
+
+
+def test_ensemble_agreement_invariants(spark, sf_small):
+    """Set algebra must hold: all3 <= each pairwise <= each single <=
+    any <= n_hours; every Jaccard in [0, 1]."""
+    rows = INF.anomaly_ensemble_agreement(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        singles = (r.n_gmad, r.n_hampel, r.n_stl)
+        assert r.n_all3 <= min(singles) if min(singles) >= 0 else True
+        assert max(singles) <= r.n_any <= r.n_hours
+        for j in (r.j_gmad_hampel, r.j_gmad_stl, r.j_hampel_stl, r.consensus_share):
+            if j is not None:
+                assert 0 <= j <= 1
+
+
+def test_markov_diversity_and_shard_balance(spark, sf_small):
+    from kafka_connect_storage_cloud_spark.llm import corpus as CO
+
+    for r in INF.events_markov_diversity(spark, sf_small).collect():
+        assert 0 <= r.gini_simpson < 1
+        assert 0 <= r.self_loop_p <= 1
+        assert r.modal_share * r.n_next_states >= 1.0 - 1e-9
+    for r in CO.shard_balance_audit(spark, sf_small).collect():
+        assert r.min_shard_tokens <= r.mean_shard_tokens <= r.max_shard_tokens
+        assert r.imbalance >= 1.0 - 1e-9
+        assert r.cv2 >= 0
