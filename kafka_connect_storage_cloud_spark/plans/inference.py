@@ -1535,3 +1535,113 @@ WHERE c = best.c AND to_type = best.tt
 
 QUERIES["events_markov_diversity"] = events_markov_diversity
 ORACLES["events_markov_diversity"] = SQL_EVENTS_MARKOV_DIVERSITY
+
+
+# ---------------------------------------------------------------------------
+# drift_ensemble_matrix — the drift family's verdict matrix (capstone)
+# ---------------------------------------------------------------------------
+
+
+def drift_ensemble_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per type, five drift detectors' verdicts side by side --
+    the dedup_method_matrix treatment for the DRIFT family: KS (value
+    distribution, voted via the int64 rule 10*d_num >= na*nb i.e.
+    D >= 0.1), Mann-Whitney (volume level shift), Pettitt (single
+    change-point), Page-Hinkley (sequential alarm), Mann-Kendall
+    (monotone trend). n_votes counts how many of the five fire; a
+    1-of-5 fire is a model artifact to triage, 4-of-5 is a real regime
+    change. Every vote is the member operator's own integer verdict --
+    this matrix adds NO new thresholds beyond the documented KS 0.1 cut.
+
+    Scale: all five members are metadata-frame summaries (each
+    checkpoint-bounds its own corpus pass); the matrix is a 5-way
+    equi-join on event_type over |types| rows."""
+    from .warehouse import events_ks_drift, events_mann_kendall
+
+    ks = events_ks_drift(spark, sf_dir).select(
+        "event_type",
+        "ks_d",
+        (F.lit(10) * F.col("d_num") >= F.col("n_early") * F.col("n_late")).alias(
+            "v_ks"
+        ),
+    )
+    mw = events_mann_whitney(spark, sf_dir).select(
+        "event_type", F.col("shift").alias("mw_shift"), (F.col("shift") != "none").alias("v_mw")
+    )
+    pt = events_pettitt_change(spark, sf_dir).select(
+        "event_type",
+        F.col("change_x").alias("pettitt_change_x"),
+        F.col("significant").alias("v_pettitt"),
+    )
+    ph = events_page_hinkley(spark, sf_dir).select(
+        "event_type", F.col("n_alarms").alias("ph_alarms"), (F.col("n_alarms") > 0).alias("v_ph")
+    )
+    mk = events_mann_kendall(spark, sf_dir).select(
+        "event_type", F.col("trend").alias("mk_trend"), (F.col("trend") != "none").alias("v_mk")
+    )
+    joined = (
+        ks.join(mw, "event_type")
+        .join(pt, "event_type")
+        .join(ph, "event_type")
+        .join(mk, "event_type")
+    )
+    votes = sum(
+        F.col(c).cast("long") for c in ("v_ks", "v_mw", "v_pettitt", "v_ph", "v_mk")
+    )
+    return joined.select(
+        "event_type",
+        "ks_d",
+        "mw_shift",
+        "pettitt_change_x",
+        "ph_alarms",
+        "mk_trend",
+        "v_ks",
+        "v_mw",
+        "v_pettitt",
+        "v_ph",
+        "v_mk",
+        votes.alias("n_votes"),
+    )
+
+
+def _sql_drift_matrix() -> str:
+    from .warehouse import SQL_EVENTS_KS_DRIFT, SQL_EVENTS_MANN_KENDALL
+
+    return f"""
+WITH dmks AS (
+  SELECT event_type, ks_d, 10 * d_num >= n_early * n_late AS v_ks
+  FROM ({SQL_EVENTS_KS_DRIFT})
+),
+dmmw AS (
+  SELECT event_type, shift AS mw_shift, shift <> 'none' AS v_mw
+  FROM ({SQL_EVENTS_MANN_WHITNEY})
+),
+dmpt AS (
+  SELECT event_type, change_x AS pettitt_change_x, significant AS v_pettitt
+  FROM ({SQL_EVENTS_PETTITT})
+),
+dmph AS (
+  SELECT event_type, n_alarms AS ph_alarms, n_alarms > 0 AS v_ph
+  FROM ({SQL_EVENTS_PAGE_HINKLEY})
+),
+dmmk AS (
+  SELECT event_type, trend AS mk_trend, trend <> 'none' AS v_mk
+  FROM ({SQL_EVENTS_MANN_KENDALL})
+)
+SELECT k.event_type, k.ks_d, w.mw_shift, p.pettitt_change_x, h.ph_alarms,
+       m.mk_trend, k.v_ks, w.v_mw, p.v_pettitt, h.v_ph, m.v_mk,
+       CAST((CASE WHEN k.v_ks THEN 1 ELSE 0 END)
+          + (CASE WHEN w.v_mw THEN 1 ELSE 0 END)
+          + (CASE WHEN p.v_pettitt THEN 1 ELSE 0 END)
+          + (CASE WHEN h.v_ph THEN 1 ELSE 0 END)
+          + (CASE WHEN m.v_mk THEN 1 ELSE 0 END) AS BIGINT) AS n_votes
+FROM dmks k
+JOIN dmmw w USING (event_type)
+JOIN dmpt p USING (event_type)
+JOIN dmph h USING (event_type)
+JOIN dmmk m USING (event_type)
+"""
+
+
+QUERIES["drift_ensemble_matrix"] = drift_ensemble_matrix
+ORACLES["drift_ensemble_matrix"] = _sql_drift_matrix()

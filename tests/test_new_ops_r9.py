@@ -19,8 +19,8 @@ def test_inference_ops_plan_shape(spark, sf_dir):
     pair fan-outs are equi-joins on event_type). markov_diversity is the
     one member with its own raw lag scan (pinned in batch6's test)."""
     for name, fn in INF.QUERIES.items():
-        if name == "events_markov_diversity":
-            continue
+        if name in ("events_markov_diversity", "drift_ensemble_matrix"):
+            continue  # own pinned budgets (lag scan / ks_drift pair)
         plan = _plan(spark, fn(spark, sf_dir))
         assert plan.count("Scan parquet") == 0, fn
         assert "BroadcastNestedLoopJoin" not in plan, fn
@@ -346,3 +346,20 @@ def test_markov_diversity_and_shard_balance(spark, sf_small):
         assert r.min_shard_tokens <= r.mean_shard_tokens <= r.max_shard_tokens
         assert r.imbalance >= 1.0 - 1e-9
         assert r.cv2 >= 0
+
+
+def test_drift_matrix_votes_consistent(spark, sf_small):
+    """n_votes recomputes from the five verdict booleans; the matrix
+    inherits only ks_drift's documented bounds+main pair (4 printed),
+    everything else checkpoint-fed; no nested loops; one row per type."""
+    df = INF.drift_ensemble_matrix(spark, sf_small)
+    plan = _plan(spark, df)
+    assert plan.count("Scan parquet") <= 4
+    assert "BroadcastNestedLoopJoin" not in plan
+    rows = df.collect()
+    assert rows and len(rows) == len({r.event_type for r in rows})
+    for r in rows:
+        assert r.n_votes == sum(
+            int(v) for v in (r.v_ks, r.v_mw, r.v_pettitt, r.v_ph, r.v_mk)
+        )
+        assert 0 <= r.n_votes <= 5
