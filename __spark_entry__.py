@@ -62,8 +62,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # --- diff-aware re-verification window (rebuilt END of round 9, final) --
-# tools/stale_keys.py --window 50 on the final r9 tree: 37 fresh keys
-# (the 22 batches-4-9 operators added this session -- each driver-sim
+# tools/stale_keys.py --window 50 on the final r9 tree: 39 fresh keys
+# (the 24 batches-4-9 operators added this session -- each driver-sim
 # green at sf0.001+sf0.01 and hostile-TZ before shipping -- plus the 15
 # earlier-r9 operators still awaiting their first external row) + the 13
 # highest-priority stale keys (transitive consumers of the r9 rewrites:
@@ -74,30 +74,29 @@ def entry(spark: SparkSession) -> DataFrame:
 # _RECHECK for the next window; everything else is signature-identical
 # to its last green round (_VERIFIED_CURRENT).
 _PRIORITY: tuple[str, ...] = (
-    "skew_salt_plan", "events_mann_whitney", "events_pettitt_change",
-    "events_runs_test", "events_page_hinkley", "events_hurst_rs",
-    "events_ordinal_patterns", "events_xcorr_lags", "events_levene_bf",
-    "events_fano_dispersion", "events_spectral_power", "anomaly_ensemble_agreement",
-    "events_markov_diversity", "drift_ensemble_matrix", "shard_balance_audit",
-    "cms_error_curve", "doc_readability", "boilerplate_shingles",
-    "token_ge2_inequality", "conformal_quality_coverage", "quality_quantile_normalize",
-    "token_hapax_profile", "events_seasonal_median_decompose", "events_ks_drift",
-    "events_max_burst_window", "token_lorenz_gini", "events_stl_anomaly",
-    "dedup_cascade_yield", "events_mann_kendall", "events_ljung_box",
-    "token_lorenz_gini_edges", "events_hampel_filter", "erasure_blast_radius",
-    "hybrid_rrf_fusion", "semdedup_cell_profile", "ann_topk_ivf_twolevel",
-    "ivf_twolevel_recall_audit", "bigram_lm_rarity", "cms_heavy_hitters",
-    "ngram_novelty", "events_acf_profile", "dedup_method_matrix",
-    "winnowing_fingerprints", "hybrid_retrieval_agreement", "semdedup_cells",
-    "ann_recall_audit", "ann_topk_bruteforce", "knn_pagerank_step",
-    "knn_triangle_count", "knn_pagerank_step_lsh",
+    "events_ph_episodes", "events_qq_drift", "skew_salt_plan", "events_mann_whitney",
+    "events_pettitt_change", "events_runs_test", "events_page_hinkley",
+    "events_hurst_rs", "events_ordinal_patterns", "events_xcorr_lags",
+    "events_levene_bf", "events_fano_dispersion", "events_spectral_power",
+    "anomaly_ensemble_agreement", "events_markov_diversity", "drift_ensemble_matrix",
+    "shard_balance_audit", "cms_error_curve", "doc_readability",
+    "boilerplate_shingles", "token_ge2_inequality", "conformal_quality_coverage",
+    "quality_quantile_normalize", "token_hapax_profile",
+    "events_seasonal_median_decompose", "events_ks_drift", "events_max_burst_window",
+    "token_lorenz_gini", "events_stl_anomaly", "dedup_cascade_yield",
+    "events_mann_kendall", "events_ljung_box", "token_lorenz_gini_edges",
+    "events_hampel_filter", "erasure_blast_radius", "hybrid_rrf_fusion",
+    "semdedup_cell_profile", "ann_topk_ivf_twolevel", "ivf_twolevel_recall_audit",
+    "bigram_lm_rarity", "cms_heavy_hitters", "ngram_novelty", "events_acf_profile",
+    "dedup_method_matrix", "winnowing_fingerprints", "hybrid_retrieval_agreement",
+    "semdedup_cells", "ann_recall_audit", "ann_topk_bruteforce", "knn_pagerank_step",
 )
 
 _RECHECK: tuple[str, ...] = (
-    "knn_triangle_count_lsh", "dedup_substring", "dedup_bloom", "gopher_rules_filter",
-    "quality_ablation_matrix", "embedding_sq8", "ann_method_matrix", "dedup_keep_best",
-    "dedup_rate_by_slice", "quality_dup_profile", "dedup_transitivity_audit",
-    "dup_cluster_size_profile",
+    "knn_triangle_count", "knn_pagerank_step_lsh", "knn_triangle_count_lsh",
+    "dedup_substring", "dedup_bloom", "gopher_rules_filter", "quality_ablation_matrix",
+    "embedding_sq8", "ann_method_matrix", "dedup_keep_best", "dedup_rate_by_slice",
+    "quality_dup_profile", "dedup_transitivity_audit", "dup_cluster_size_profile",
 )
 
 # Externally-verified keys whose behavior-relevant code (impl + transitive

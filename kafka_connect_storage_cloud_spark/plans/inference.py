@@ -1645,3 +1645,243 @@ JOIN dmmk m USING (event_type)
 
 QUERIES["drift_ensemble_matrix"] = drift_ensemble_matrix
 ORACLES["drift_ensemble_matrix"] = _sql_drift_matrix()
+
+
+# ---------------------------------------------------------------------------
+# events_ph_episodes — alarm-fatigue profile of the Page-Hinkley stream
+# ---------------------------------------------------------------------------
+
+
+def events_ph_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alarm-fatigue triage for events_page_hinkley: consecutive
+    over-threshold PRESENT hours merge into episodes (gaps-and-islands
+    on the cell row number), per type: episode count, longest episode,
+    total alarm hours, mean episode length -- the difference between
+    "one long regime shift" (1 episode) and "a flapping detector"
+    (many short ones), which n_alarms alone cannot distinguish. Shares
+    the PH statistic columns with the parent op expression-for-
+    expression (same running-mean quantization, same lambda).
+
+    Scale: the PH windows plus one more row_number and a bounded
+    rollup; types with zero alarms emit no row (drift_ensemble_matrix
+    carries the zero case)."""
+    cells = _hourly(spark, sf_dir)
+    wt = Window.partitionBy("event_type").orderBy("hr")
+    wrun = wt.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ph = (
+        cells.withColumn("i", F.row_number().over(wt))
+        .withColumn("s", F.sum("y").over(wrun))
+        .withColumn(
+            "term",
+            F.col("y") * F.lit(1000000) - F.expr("(s * 1000000) div i"),
+        )
+        .withColumn("m", F.sum("term").over(wrun))
+        .withColumn("runmin", F.min("m").over(wrun))
+        .withColumn("ph", F.col("m") - F.col("runmin"))
+    )
+    tot = cells.groupBy("event_type").agg(
+        F.sum("y").alias("sn"), F.count(F.lit(1)).alias("n_hours")
+    ).withColumn("lam", F.expr("(sn * 1000000) div (2 * n_hours)"))
+    alarms = (
+        ph.join(tot, "event_type")
+        .where(F.col("ph") > F.col("lam"))
+        .withColumn("arn", F.row_number().over(wt))
+        .withColumn("grp", F.col("i") - F.col("arn"))
+    )
+    epi = alarms.groupBy("event_type", "grp").agg(
+        F.count(F.lit(1)).alias("ep_len"),
+        F.min("hr").alias("ep_start"),
+    )
+    return (
+        epi.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_episodes"),
+            F.sum("ep_len").alias("alarm_hours"),
+            F.max("ep_len").alias("longest_episode"),
+            F.min("ep_start").alias("first_episode_hr"),
+        )
+        .select(
+            "event_type",
+            "n_episodes",
+            "alarm_hours",
+            "longest_episode",
+            "first_episode_hr",
+            (
+                F.col("alarm_hours").cast("double") / F.col("n_episodes").cast("double")
+            ).alias("mean_episode_len"),
+        )
+    )
+
+
+SQL_EVENTS_PH_EPISODES = f"""
+WITH pecells AS ({SQL_HOURLY}),
+perun AS (
+  SELECT event_type, hr, y,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hr) AS i,
+         CAST(SUM(y) OVER (PARTITION BY event_type ORDER BY hr) AS BIGINT) AS s
+  FROM pecells
+),
+pem AS (
+  SELECT event_type, hr, i,
+         CAST(SUM(y * 1000000 - (s * 1000000) // i)
+              OVER (PARTITION BY event_type ORDER BY hr) AS BIGINT) AS m
+  FROM perun
+),
+pex AS (
+  SELECT event_type, hr, i, m,
+         CAST(MIN(m) OVER (PARTITION BY event_type ORDER BY hr) AS BIGINT)
+           AS runmin
+  FROM pem
+),
+pel AS (
+  SELECT event_type,
+         (CAST(SUM(y) AS BIGINT) * 1000000)
+           // (2 * CAST(COUNT(*) AS BIGINT)) AS lam
+  FROM pecells GROUP BY 1
+),
+pea AS (
+  SELECT x.event_type, x.hr, x.i,
+         ROW_NUMBER() OVER (PARTITION BY x.event_type ORDER BY x.hr) AS arn
+  FROM pex x JOIN pel l USING (event_type)
+  WHERE x.m - x.runmin > l.lam
+),
+pee AS (
+  SELECT event_type, i - arn AS grp,
+         CAST(COUNT(*) AS BIGINT) AS ep_len,
+         MIN(hr) AS ep_start
+  FROM pea GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_episodes,
+       CAST(SUM(ep_len) AS BIGINT) AS alarm_hours,
+       CAST(MAX(ep_len) AS BIGINT) AS longest_episode,
+       MIN(ep_start) AS first_episode_hr,
+       CAST(SUM(ep_len) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS mean_episode_len
+FROM pee GROUP BY 1
+"""
+
+QUERIES["events_ph_episodes"] = events_ph_episodes
+ORACLES["events_ph_episodes"] = SQL_EVENTS_PH_EPISODES
+
+
+# ---------------------------------------------------------------------------
+# events_qq_drift — decile-by-decile quantile drift (the KS companion)
+# ---------------------------------------------------------------------------
+
+
+def events_qq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QQ-table drift view: per type, the exact decile values of the
+    `value` distribution in the EARLY vs LATE half (ks_drift's split)
+    side by side with their gaps -- KS reports WHERE the CDFs diverge
+    most; this reports HOW MUCH each quantile moved, the view that
+    distinguishes a location shift (all gaps similar) from a tail
+    change (gaps grow with the decile). Deciles are exact lower
+    quantiles (rank ceil(d*n/10), tie order (value, event_id)) via
+    with_global_rank partitioned by (type, half) -- histogram
+    decomposition, no unpartitioned sort. is_max_gap marks the largest
+    1e6-quantized absolute gap (tie -> smaller decile).
+
+    Scale: the rank pass is the events_value_percentiles_exact class;
+    the decile join is an equi-join on the rank value."""
+    from ..functions.ranking import with_global_rank
+    from ..session import read_events
+
+    ev = read_events(spark, sf_dir).select(
+        "event_type", F.unix_millis("ts").alias("ms"), "value", "event_id"
+    ).where(F.col("value").isNotNull())
+    bounds = ev.groupBy("event_type").agg(
+        F.min("ms").alias("mn"), F.max("ms").alias("mx")
+    )
+    sided = ev.join(bounds, "event_type").select(
+        "event_type",
+        "value",
+        "event_id",
+        F.when(F.lit(2) * F.col("ms") < F.col("mn") + F.col("mx"), F.lit("early"))
+        .otherwise(F.lit("late"))
+        .alias("half"),
+    ).localCheckpoint(eager=True)  # histogram + pass-2 sides of the rank
+    ranked = with_global_rank(
+        sided, "value", "event_id", part_cols=("event_type", "half"),
+        rank_name="r", total_name="n",
+    )
+    deciles = F.array(*[F.lit(d) for d in range(1, 10)])
+    picked = (
+        ranked.withColumn("d", F.explode(deciles))
+        .where(F.col("r") == F.expr("(d * n + 9) div 10"))
+        .groupBy("event_type", "d")
+        .agg(
+            F.max(F.when(F.col("half") == "early", F.col("value"))).alias("v_early"),
+            F.max(F.when(F.col("half") == "late", F.col("value"))).alias("v_late"),
+        )
+        .where(F.col("v_early").isNotNull() & F.col("v_late").isNotNull())
+        .withColumn("gap", F.col("v_late") - F.col("v_early"))
+        .withColumn(
+            "gap_micro", F.floor(F.abs(F.col("gap")) * F.lit(1000000.0) + F.lit(0.5))
+        )
+    )
+    wt = Window.partitionBy("event_type")
+    return (
+        picked.withColumn(
+            "best", F.max(F.struct(F.col("gap_micro").alias("g"), (-F.col("d")).alias("nd"))).over(wt)
+        )
+        .select(
+            "event_type",
+            F.col("d").alias("decile"),
+            "v_early",
+            "v_late",
+            "gap",
+            (
+                (F.col("gap_micro") == F.col("best.g")) & (F.col("d") == -F.col("best.nd"))
+            ).alias("is_max_gap"),
+        )
+    )
+
+
+SQL_EVENTS_QQ_DRIFT = """
+WITH qqev AS (
+  SELECT event_type, epoch_ms(ts) AS ms, value, event_id
+  FROM events WHERE value IS NOT NULL
+),
+qqb AS (
+  SELECT event_type, MIN(ms) AS mn, MAX(ms) AS mx FROM qqev GROUP BY 1
+),
+qqsided AS (
+  SELECT e.event_type, e.value, e.event_id,
+         CASE WHEN 2 * e.ms < b.mn + b.mx THEN 'early' ELSE 'late' END AS half
+  FROM qqev e JOIN qqb b USING (event_type)
+),
+qqr AS (
+  SELECT event_type, half, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type, half
+                            ORDER BY value, event_id) AS r,
+         CAST(COUNT(*) OVER (PARTITION BY event_type, half) AS BIGINT) AS n
+  FROM qqsided
+),
+qqpick AS (
+  SELECT event_type, d.d,
+         MAX(CASE WHEN half = 'early' THEN value END) AS v_early,
+         MAX(CASE WHEN half = 'late' THEN value END) AS v_late
+  FROM qqr CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS d) d
+  WHERE r = (d.d * n + 9) // 10
+  GROUP BY 1, 2
+),
+qqg AS (
+  SELECT event_type, d, v_early, v_late, v_late - v_early AS gap,
+         CAST(FLOOR(ABS(v_late - v_early) * 1000000.0 + 0.5) AS BIGINT)
+           AS gap_micro
+  FROM qqpick
+  WHERE v_early IS NOT NULL AND v_late IS NOT NULL
+),
+qqbest AS (
+  SELECT event_type, d, v_early, v_late, gap, gap_micro,
+         MAX({'g': gap_micro, 'nd': -d}) OVER (PARTITION BY event_type) AS best
+  FROM qqg
+)
+SELECT event_type, CAST(d AS BIGINT) AS decile, v_early, v_late, gap,
+       gap_micro = best.g AND d = -best.nd AS is_max_gap
+FROM qqbest
+"""
+
+QUERIES["events_qq_drift"] = events_qq_drift
+ORACLES["events_qq_drift"] = SQL_EVENTS_QQ_DRIFT

