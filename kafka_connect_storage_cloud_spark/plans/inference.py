@@ -13,6 +13,9 @@ float division (and IEEE-exact sqrt) per emitted double.
 - events_runs_test      — Wald-Wolfowitz randomness of above/below-median runs
 - events_page_hinkley   — non-resetting Page-Hinkley drift alarm profile
 - events_hurst_rs       — rescaled-range persistence across dyadic scales
+- events_von_neumann    — successive-difference ratio (magnitude-aware serial corr.)
+- events_turning_points — local-extrema count randomness test
+- events_cox_stuart     — paired-half sign test for monotone trend
 
 Reference scope note: the Kafka Connect S3 sink (reference repo) has no
 statistics surface; these are §2B training-pipeline diagnostics (drift /
@@ -1885,3 +1888,338 @@ FROM qqbest
 
 QUERIES["events_qq_drift"] = events_qq_drift
 ORACLES["events_qq_drift"] = SQL_EVENTS_QQ_DRIFT
+
+
+# ---------------------------------------------------------------------------
+# events_von_neumann — successive-difference randomness ratio (r9 session 3)
+# ---------------------------------------------------------------------------
+
+
+def events_von_neumann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Von Neumann ratio VN = n²·Σd² / ((n−1)·(nQ − S²)) on each type's
+    daily volumes (d = successive difference over present-day order, the
+    runs-test convention; S = Σy, Q = Σy²). VN ≈ 2 for a random series;
+    VN < 2 means neighboring days are positively correlated (trending /
+    regime persistence), VN > 2 rapid alternation. Both numerator
+    A = n²·Σd² and denominator B = (n−1)(nQ − S²) are exact int64
+    (A ≤ n³·max|d|², safe past 100× the sf0.1 daily volumes); VN is ONE
+    final division. The α=0.05 verdict uses the asymptotic
+    Var(VN) = 4(n−2)/((n−1)(n+1)): z² = (A−2B)²·(n²−1) / (4(n−2)·B²).
+    (A−2B)² and B² overflow int64 at this scale, so BOTH engines square
+    in DOUBLE with the identical multiplication order (the chi-square
+    rule, DETERMINISM.md rule 16) — products of already-exact int64 casts,
+    deterministic on both engines.
+
+    Complements events_runs_test (dichotomized about the median — throws
+    away magnitude) with a magnitude-aware serial-correlation test on the
+    SAME frame; read beside events_autocorr_lag1 (VN ≈ 2(1 − r₁)).
+
+    Scale: everything after the daily rollup is |types|·|days| metadata
+    on the shared localCheckpointed cell frame."""
+    daily = _daily(spark, sf_dir)
+    wd = Window.partitionBy("event_type").orderBy("x")
+    agg = (
+        daily.withColumn("d", F.col("y") - F.lag("y").over(wd))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").alias("s"),
+            F.sum(F.col("y") * F.col("y")).alias("q"),
+            F.sum(F.col("d") * F.col("d")).alias("sd2"),
+        )
+        .where(
+            (F.col("n") >= 3) & (F.col("n") * F.col("q") > F.col("s") * F.col("s"))
+        )
+        .withColumn("a", F.col("n") * F.col("n") * F.col("sd2"))
+        .withColumn(
+            "b", (F.col("n") - 1) * (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+        )
+        .withColumn("dev_d", (F.col("a") - F.lit(2) * F.col("b")).cast("double"))
+        .withColumn("b_d", F.col("b").cast("double"))
+        .withColumn(
+            "num_d",
+            F.col("dev_d")
+            * F.col("dev_d")
+            * (F.col("n") * F.col("n") - 1).cast("double"),
+        )
+        .withColumn(
+            "den_d",
+            (F.lit(4) * (F.col("n") - 2)).cast("double") * F.col("b_d") * F.col("b_d"),
+        )
+        .withColumn(
+            "sig", F.lit(10000) * F.col("num_d") > F.lit(Z2_04) * F.col("den_d")
+        )
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.col("sd2").alias("sum_d2"),
+        (F.col("a").cast("double") / F.col("b").cast("double")).alias("vn_ratio"),
+        (F.col("num_d") / F.col("den_d")).alias("z2_stat"),
+        F.when(F.col("sig") & (F.col("a") < F.lit(2) * F.col("b")), F.lit("trending"))
+        .when(F.col("sig") & (F.col("a") > F.lit(2) * F.col("b")), F.lit("oscillating"))
+        .otherwise(F.lit("random"))
+        .alias("verdict"),
+    )
+
+
+SQL_EVENTS_VON_NEUMANN = f"""
+WITH vndaily AS ({SQL_DAILY}),
+vnd AS (
+  SELECT event_type, y,
+         y - LAG(y) OVER (PARTITION BY event_type ORDER BY x) AS d
+  FROM vndaily
+),
+vnagg AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS s,
+         CAST(SUM(y * y) AS BIGINT) AS q,
+         CAST(SUM(d * d) AS BIGINT) AS sd2
+  FROM vnd GROUP BY 1
+),
+vnstat AS (
+  SELECT event_type, n, sd2,
+         n * n * sd2 AS a,
+         (n - 1) * (n * q - s * s) AS b
+  FROM vnagg WHERE n >= 3 AND n * q > s * s
+),
+vnd2 AS (
+  SELECT event_type, n, sd2, a, b,
+         CAST(a - 2 * b AS DOUBLE) AS dev_d,
+         CAST(b AS DOUBLE) AS b_d
+  FROM vnstat
+),
+vnz AS (
+  SELECT event_type, n, sd2, a, b,
+         dev_d * dev_d * CAST(n * n - 1 AS DOUBLE) AS num_d,
+         CAST(4 * (n - 2) AS DOUBLE) * b_d * b_d AS den_d
+  FROM vnd2
+)
+SELECT event_type, n AS n_days, sd2 AS sum_d2,
+       CAST(a AS DOUBLE) / CAST(b AS DOUBLE) AS vn_ratio,
+       num_d / den_d AS z2_stat,
+       CASE WHEN 10000 * num_d > {Z2_04} * den_d AND a < 2 * b THEN 'trending'
+            WHEN 10000 * num_d > {Z2_04} * den_d AND a > 2 * b THEN 'oscillating'
+            ELSE 'random' END AS verdict
+FROM vnz
+"""
+
+QUERIES["events_von_neumann"] = events_von_neumann
+ORACLES["events_von_neumann"] = SQL_EVENTS_VON_NEUMANN
+
+
+# ---------------------------------------------------------------------------
+# events_turning_points — local-extrema randomness test (r9 session 3)
+# ---------------------------------------------------------------------------
+
+
+def events_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turning-point test on each type's daily volumes: an interior day
+    is a turning point iff it is a STRICT local max or strict local min
+    against both neighbors (over present-day order). Ties yield no
+    turning point — the conservative discrete-data treatment, documented
+    deviation from the continuous-distribution theory. Under randomness
+    E[T] = 2(n−2)/3 and Var(T) = (16n−29)/90, so with dev3 = 3T − 2(n−2)
+    (three times the deviation, integral), z² = 10·dev3² / (16n − 29) —
+    exact int64 numerator, ONE final division — and the α=0.05 verdict is
+    the cross-multiplied rule 10⁵·dev3² > 38416·(16n−29). Too FEW
+    turning points = smooth/trending, too MANY = rapid oscillation.
+
+    The third member of the randomness triptych: runs_test (signs about
+    the median), von_neumann (successive-difference magnitude), and this
+    (local shape) — each catches departures the others are blind to.
+
+    Scale: one lag + one lead over the shared metadata-sized daily cell
+    frame; dev3² ≤ 9n² keeps int64 to any horizon."""
+    daily = _daily(spark, sf_dir)
+    wd = Window.partitionBy("event_type").orderBy("x")
+    marked = (
+        daily.withColumn("prev", F.lag("y").over(wd))
+        .withColumn("nxt", F.lead("y").over(wd))
+        .withColumn(
+            "tp",
+            F.when(
+                F.col("prev").isNotNull()
+                & F.col("nxt").isNotNull()
+                & (
+                    ((F.col("y") > F.col("prev")) & (F.col("y") > F.col("nxt")))
+                    | ((F.col("y") < F.col("prev")) & (F.col("y") < F.col("nxt")))
+                ),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0)),
+        )
+    )
+    agg = (
+        marked.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("tp").alias("t"))
+        .where(F.col("n") >= 3)
+        .withColumn(
+            "dev3", F.lit(3) * F.col("t") - F.lit(2) * (F.col("n") - 2)
+        )
+        .withColumn("num", F.lit(10) * F.col("dev3") * F.col("dev3"))
+        .withColumn("den", F.lit(16) * F.col("n") - 29)
+        .withColumn("sig", F.lit(10000) * F.col("num") > F.lit(Z2_04) * F.col("den"))
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.col("t").alias("n_turning"),
+        (F.col("num").cast("double") / F.col("den").cast("double")).alias("z2_stat"),
+        F.when(F.col("sig") & (F.col("dev3") < 0), F.lit("trending"))
+        .when(F.col("sig") & (F.col("dev3") > 0), F.lit("oscillating"))
+        .otherwise(F.lit("random"))
+        .alias("verdict"),
+    )
+
+
+SQL_EVENTS_TURNING_POINTS = f"""
+WITH tpdaily AS ({SQL_DAILY}),
+tpmark AS (
+  SELECT event_type,
+         CASE WHEN prev IS NOT NULL AND nxt IS NOT NULL
+                   AND ((y > prev AND y > nxt) OR (y < prev AND y < nxt))
+              THEN 1 ELSE 0 END AS tp
+  FROM (
+    SELECT event_type, y,
+           LAG(y)  OVER (PARTITION BY event_type ORDER BY x) AS prev,
+           LEAD(y) OVER (PARTITION BY event_type ORDER BY x) AS nxt
+    FROM tpdaily
+  )
+),
+tpagg AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(tp) AS BIGINT) AS t
+  FROM tpmark GROUP BY 1
+),
+tpstat AS (
+  SELECT event_type, n, t,
+         3 * t - 2 * (n - 2) AS dev3,
+         10 * (3 * t - 2 * (n - 2)) * (3 * t - 2 * (n - 2)) AS num,
+         16 * n - 29 AS den
+  FROM tpagg WHERE n >= 3
+)
+SELECT event_type, n AS n_days, t AS n_turning,
+       CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS z2_stat,
+       CASE WHEN 10000 * num > {Z2_04} * den AND dev3 < 0 THEN 'trending'
+            WHEN 10000 * num > {Z2_04} * den AND dev3 > 0 THEN 'oscillating'
+            ELSE 'random' END AS verdict
+FROM tpstat
+"""
+
+QUERIES["events_turning_points"] = events_turning_points
+ORACLES["events_turning_points"] = SQL_EVENTS_TURNING_POINTS
+
+
+# ---------------------------------------------------------------------------
+# events_cox_stuart — paired-half sign test for monotone trend (r9 session 3)
+# ---------------------------------------------------------------------------
+
+
+def events_cox_stuart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cox–Stuart trend test on each type's daily volumes: the i-th
+    present day is paired with the (i + h)-th, h = (n+1) div 2 (the odd
+    middle day is unpaired — the standard treatment), for i = 1..n div 2.
+    S⁺ = pairs where the later value is strictly higher, S⁻ strictly
+    lower, ties dropped. Under no-trend, S⁺ ~ Binomial(m, ½) with
+    m = S⁺ + S⁻, so z² (with the normal approximation, no continuity
+    correction) is the exact rational (S⁺ − S⁻)² / m — ONE final
+    division — and α=0.05 significance is the all-int64 cross-multiplied
+    rule 10⁴·(S⁺ − S⁻)² > 38416·m.
+
+    The sign-test companion to events_mann_kendall (all-pairs S) at 1/n
+    of the pair budget: Cox–Stuart reads only n/2 long-range pairs, which
+    is exactly why it is the textbook quick trend screen — emitted beside
+    MK so the two verdicts can be cross-checked per type.
+
+    Scale: the pairing is ONE equi-join keyed on (event_type,
+    rn + h) — rank offsets, no range scan — over the shared
+    localCheckpointed metadata frame."""
+    daily = _daily(spark, sf_dir)
+    wd = Window.partitionBy("event_type").orderBy("x")
+    wn = Window.partitionBy("event_type")
+    rn = (
+        daily.withColumn("rn", F.row_number().over(wd))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .localCheckpoint(eager=True)
+    )
+    left = rn.where(F.col("rn") <= F.expr("n div 2")).select(
+        "event_type",
+        F.col("y").alias("y0"),
+        (F.col("rn") + F.expr("(n + 1) div 2")).alias("rj"),
+        F.col("n").alias("n_days"),
+    )
+    right = rn.select("event_type", F.col("rn").alias("rj"), F.col("y").alias("y1"))
+    agg = (
+        left.join(right, ["event_type", "rj"])
+        .groupBy("event_type")
+        .agg(
+            F.max("n_days").alias("n_days"),
+            F.sum(F.when(F.col("y1") > F.col("y0"), 1).otherwise(0)).alias("s_plus"),
+            F.sum(F.when(F.col("y1") < F.col("y0"), 1).otherwise(0)).alias("s_minus"),
+        )
+        .withColumn("m", F.col("s_plus") + F.col("s_minus"))
+        .withColumn("dv", F.col("s_plus") - F.col("s_minus"))
+        .withColumn(
+            "sig",
+            (F.col("m") > 0)
+            & (F.lit(10000) * F.col("dv") * F.col("dv") > F.lit(Z2_04) * F.col("m")),
+        )
+    )
+    return agg.select(
+        "event_type",
+        "n_days",
+        "s_plus",
+        "s_minus",
+        F.when(
+            F.col("m") > 0,
+            (F.col("dv") * F.col("dv")).cast("double") / F.col("m").cast("double"),
+        ).alias("z2_stat"),
+        F.when(F.col("sig") & (F.col("dv") > 0), F.lit("upward"))
+        .when(F.col("sig") & (F.col("dv") < 0), F.lit("downward"))
+        .otherwise(F.lit("none"))
+        .alias("trend"),
+    )
+
+
+SQL_EVENTS_COX_STUART = f"""
+WITH csdaily AS ({SQL_DAILY}),
+csrn AS (
+  SELECT event_type, y,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM csdaily
+),
+cspair AS (
+  SELECT a.event_type, a.n, a.y AS y0, b.y AS y1
+  FROM csrn a JOIN csrn b
+    ON a.event_type = b.event_type AND b.rn = a.rn + (a.n + 1) // 2
+  WHERE a.rn <= a.n // 2
+),
+csagg AS (
+  SELECT event_type,
+         CAST(MAX(n) AS BIGINT) AS n_days,
+         CAST(SUM(CASE WHEN y1 > y0 THEN 1 ELSE 0 END) AS BIGINT) AS s_plus,
+         CAST(SUM(CASE WHEN y1 < y0 THEN 1 ELSE 0 END) AS BIGINT) AS s_minus
+  FROM cspair GROUP BY 1
+),
+csstat AS (
+  SELECT event_type, n_days, s_plus, s_minus,
+         s_plus + s_minus AS m, s_plus - s_minus AS dv
+  FROM csagg
+)
+SELECT event_type, n_days, s_plus, s_minus,
+       CASE WHEN m > 0
+            THEN CAST(dv * dv AS DOUBLE) / CAST(m AS DOUBLE) END AS z2_stat,
+       CASE WHEN m > 0 AND 10000 * dv * dv > {Z2_04} * m AND dv > 0
+            THEN 'upward'
+            WHEN m > 0 AND 10000 * dv * dv > {Z2_04} * m AND dv < 0
+            THEN 'downward'
+            ELSE 'none' END AS trend
+FROM csstat
+"""
+
+QUERIES["events_cox_stuart"] = events_cox_stuart
+ORACLES["events_cox_stuart"] = SQL_EVENTS_COX_STUART

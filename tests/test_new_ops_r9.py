@@ -393,3 +393,65 @@ def test_ph_episodes_and_qq_drift(spark, sf_small):
     plan = _plan(spark, INF.events_qq_drift(spark, sf_small))
     assert plan.count("Scan parquet") <= 4
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --- session-3 batch A: randomness triptych completions -------------------
+
+
+def _daily_series(spark, sf_dir):
+    rows = INF._daily(spark, sf_dir).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append((r.x, r.y))
+    return {t: [y for _, y in sorted(v)] for t, v in by_type.items()}
+
+
+def test_von_neumann_recompute(spark, sf_dir):
+    """Exact integer recompute of VN per type from the collected daily
+    series — the ratio is ONE division of two int64s, so the Python
+    float(num)/float(den) must match bit-for-bit."""
+    series = _daily_series(spark, sf_dir)
+    rows = {r.event_type: r for r in INF.events_von_neumann(spark, sf_dir).collect()}
+    assert rows
+    for t, ys in series.items():
+        n, s, q = len(ys), sum(ys), sum(y * y for y in ys)
+        sd2 = sum((b - a) ** 2 for a, b in zip(ys, ys[1:]))
+        if n < 3 or n * q <= s * s:
+            assert t not in rows
+            continue
+        a, b = n * n * sd2, (n - 1) * (n * q - s * s)
+        assert rows[t].sum_d2 == sd2
+        assert rows[t].vn_ratio == float(a) / float(b)
+        assert rows[t].z2_stat >= 0
+
+
+def test_turning_points_recompute(spark, sf_dir):
+    """Brute-force strict local-extrema count matches, and T <= n-2."""
+    series = _daily_series(spark, sf_dir)
+    rows = {r.event_type: r for r in INF.events_turning_points(spark, sf_dir).collect()}
+    assert rows
+    for t, ys in series.items():
+        if len(ys) < 3:
+            continue
+        tp = sum(
+            1
+            for i in range(1, len(ys) - 1)
+            if (ys[i] > ys[i - 1] and ys[i] > ys[i + 1])
+            or (ys[i] < ys[i - 1] and ys[i] < ys[i + 1])
+        )
+        assert rows[t].n_turning == tp
+        assert tp <= len(ys) - 2
+
+
+def test_cox_stuart_recompute(spark, sf_dir):
+    """Brute-force paired-half sign counts match; m <= n div 2."""
+    series = _daily_series(spark, sf_dir)
+    rows = {r.event_type: r for r in INF.events_cox_stuart(spark, sf_dir).collect()}
+    assert rows
+    for t, ys in series.items():
+        n = len(ys)
+        h = (n + 1) // 2
+        sp = sum(1 for i in range(n // 2) if ys[i + h] > ys[i])
+        sm = sum(1 for i in range(n // 2) if ys[i + h] < ys[i])
+        assert (rows[t].s_plus, rows[t].s_minus) == (sp, sm)
+        assert sp + sm <= n // 2
