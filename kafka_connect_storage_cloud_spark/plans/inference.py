@@ -2223,3 +2223,348 @@ FROM csstat
 
 QUERIES["events_cox_stuart"] = events_cox_stuart
 ORACLES["events_cox_stuart"] = SQL_EVENTS_COX_STUART
+
+
+# ---------------------------------------------------------------------------
+# events_variance_ratio — Lo–MacKinlay VR(q) random-walk test (r9 session 3)
+# ---------------------------------------------------------------------------
+
+VR_QS = (2, 4, 8)  # aggregation horizons (days); q=1 is identically 1
+
+
+def events_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo–MacKinlay variance-ratio test on each type's daily-volume
+    series at horizons q ∈ {2,4,8}: VR(q) = Var(y_t − y_{t−q}) /
+    (q·Var(y_t − y_{t−1})) over OVERLAPPING q-step differences. A random
+    walk gives VR ≈ 1; a level-stationary (mean-reverting) daily volume
+    gives VR < 1 shrinking with q; a drifting series VR > 1. With
+    m = n−1 base differences, T = y_last − y_first, Sd2 = Σd²,
+    and per-q SD = ΣDq, SD2 = ΣDq², mq = m−q+1:
+      v1 = m·Sd2 − T²                            (m²·Σ(d−d̄)²)
+      vq = m²·SD2 − 2·q·T·m·SD + mq·q²·T²        (m²·Σ(Dq−q·d̄)²)
+      VR = vq / (mq·q·v1)  — exact int64 num/den, ONE division.
+    The α=0.05 verdict uses the asymptotic Var(VR) = 2(2q−1)(q−1)/(3q·m):
+    z² = (vq − den)²·3qm / (den²·2(2q−1)(q−1)), den = mq·q·v1 — squares
+    in DOUBLE on both engines (the chi-square overflow rule), identical
+    multiplication order.
+
+    The multi-horizon companion to events_von_neumann (which is ~VR(1)'s
+    reciprocal view): VN asks "are NEIGHBORS correlated", VR(q) asks
+    "does the correlation COMPOUND into drift or cancel into reversion".
+
+    Scale: the q fan-out is a 3-element literal explode (rule 17) joined
+    back on (type, rn−q) — equi keys, metadata-sized, zero extra scans."""
+    daily = _daily(spark, sf_dir)
+    wd = Window.partitionBy("event_type").orderBy("x")
+    idx = daily.withColumn("rn", F.row_number().over(wd)).localCheckpoint(eager=True)
+    scal = (
+        idx.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.struct("rn", "y"))["y"].alias("y_last"),
+            F.min(F.struct("rn", "y"))["y"].alias("y_first"),
+        )
+        .withColumn("m", F.col("n") - 1)
+        .withColumn("t", F.col("y_last") - F.col("y_first"))
+    )
+    d1 = (
+        idx.alias("a")
+        .join(
+            idx.select(
+                "event_type", F.col("rn").alias("rnp"), F.col("y").alias("yp")
+            ).alias("b"),
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.rn") == F.col("rnp") + 1),
+        )
+        .select(F.col("a.event_type").alias("event_type"), (F.col("a.y") - F.col("yp")).alias("d"))
+        .groupBy("event_type")
+        .agg(F.sum(F.col("d") * F.col("d")).alias("sd2"))
+    )
+    fan = idx.withColumn("q", F.explode(F.array(*[F.lit(q) for q in VR_QS])))
+    dq = (
+        fan.alias("a")
+        .join(
+            idx.select(
+                "event_type", F.col("rn").alias("rnb"), F.col("y").alias("yb")
+            ).alias("b"),
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("rnb") == F.col("a.rn") - F.col("q")),
+        )
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            "q",
+            (F.col("a.y") - F.col("yb")).alias("dq"),
+        )
+        .groupBy("event_type", "q")
+        .agg(
+            F.count(F.lit(1)).alias("mq"),
+            F.sum("dq").alias("sd"),
+            F.sum(F.col("dq") * F.col("dq")).alias("sdq2"),
+        )
+    )
+    st = (
+        dq.join(scal, "event_type")
+        .join(d1, "event_type")
+        .where(F.col("m") >= F.col("q") + 1)
+        .withColumn("v1", F.col("m") * F.col("sd2") - F.col("t") * F.col("t"))
+        .where(F.col("v1") > 0)
+        .withColumn(
+            "vq",
+            F.col("m") * F.col("m") * F.col("sdq2")
+            - F.lit(2) * F.col("q") * F.col("t") * F.col("m") * F.col("sd")
+            + F.col("mq") * F.col("q") * F.col("q") * F.col("t") * F.col("t"),
+        )
+        .withColumn("den", F.col("mq") * F.col("q") * F.col("v1"))
+        .withColumn("dev_d", (F.col("vq") - F.col("den")).cast("double"))
+        .withColumn("den_d", F.col("den").cast("double"))
+        .withColumn(
+            "num_d",
+            F.col("dev_d") * F.col("dev_d") * (F.lit(3) * F.col("q") * F.col("m")).cast("double"),
+        )
+        .withColumn(
+            "dden_d",
+            (F.lit(2) * (F.lit(2) * F.col("q") - 1) * (F.col("q") - 1)).cast("double")
+            * F.col("den_d")
+            * F.col("den_d"),
+        )
+        .withColumn(
+            "sig", F.lit(10000) * F.col("num_d") > F.lit(Z2_04) * F.col("dden_d")
+        )
+    )
+    return st.select(
+        "event_type",
+        F.col("q").cast("long").alias("q"),
+        F.col("mq").alias("n_diffs"),
+        (F.col("vq").cast("double") / F.col("den").cast("double")).alias("vr"),
+        (F.col("num_d") / F.col("dden_d")).alias("z2_stat"),
+        F.when(F.col("sig") & (F.col("vq") < F.col("den")), F.lit("mean_reverting"))
+        .when(F.col("sig") & (F.col("vq") > F.col("den")), F.lit("drifting"))
+        .otherwise(F.lit("random_walk"))
+        .alias("verdict"),
+    )
+
+
+_VR_QS_SQL = ", ".join(str(q) for q in VR_QS)
+
+SQL_EVENTS_VARIANCE_RATIO = f"""
+WITH vrdaily AS ({SQL_DAILY}),
+vridx AS (
+  SELECT event_type, y,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x) AS rn
+  FROM vrdaily
+),
+vrscal AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         MAX({{'r': rn, 'y': y}}).y - MIN({{'r': rn, 'y': y}}).y AS t
+  FROM vridx GROUP BY 1
+),
+vrd1 AS (
+  SELECT a.event_type, CAST(SUM((a.y - b.y) * (a.y - b.y)) AS BIGINT) AS sd2
+  FROM vridx a JOIN vridx b
+    ON a.event_type = b.event_type AND a.rn = b.rn + 1
+  GROUP BY 1
+),
+vrdq AS (
+  SELECT a.event_type, qq.q,
+         CAST(COUNT(*) AS BIGINT) AS mq,
+         CAST(SUM(a.y - b.y) AS BIGINT) AS sd,
+         CAST(SUM((a.y - b.y) * (a.y - b.y)) AS BIGINT) AS sdq2
+  FROM vridx a
+  CROSS JOIN (SELECT UNNEST([{_VR_QS_SQL}]) AS q) qq
+  JOIN vridx b
+    ON a.event_type = b.event_type AND b.rn = a.rn - qq.q
+  GROUP BY 1, 2
+),
+vrst AS (
+  SELECT d.event_type, d.q, d.mq, d.sd, d.sdq2,
+         s.n - 1 AS m, s.t, e.sd2,
+         (s.n - 1) * e.sd2 - s.t * s.t AS v1
+  FROM vrdq d
+  JOIN vrscal s ON d.event_type = s.event_type
+  JOIN vrd1 e ON d.event_type = e.event_type
+  WHERE s.n - 1 >= d.q + 1 AND (s.n - 1) * e.sd2 - s.t * s.t > 0
+),
+vrv AS (
+  SELECT event_type, q, mq, m,
+         m * m * sdq2 - 2 * q * t * m * sd + mq * q * q * t * t AS vq,
+         mq * q * v1 AS den
+  FROM vrst
+),
+vrz AS (
+  SELECT event_type, q, mq, vq, den,
+         CAST(vq - den AS DOUBLE) * CAST(vq - den AS DOUBLE)
+           * CAST(3 * q * m AS DOUBLE) AS num_d,
+         CAST(2 * (2 * q - 1) * (q - 1) AS DOUBLE)
+           * CAST(den AS DOUBLE) * CAST(den AS DOUBLE) AS dden_d
+  FROM vrv
+)
+SELECT event_type, CAST(q AS BIGINT) AS q, mq AS n_diffs,
+       CAST(vq AS DOUBLE) / CAST(den AS DOUBLE) AS vr,
+       num_d / dden_d AS z2_stat,
+       CASE WHEN 10000 * num_d > {Z2_04} * dden_d AND vq < den
+            THEN 'mean_reverting'
+            WHEN 10000 * num_d > {Z2_04} * dden_d AND vq > den
+            THEN 'drifting'
+            ELSE 'random_walk' END AS verdict
+FROM vrz
+"""
+
+QUERIES["events_variance_ratio"] = events_variance_ratio
+ORACLES["events_variance_ratio"] = SQL_EVENTS_VARIANCE_RATIO
+
+
+# ---------------------------------------------------------------------------
+# events_recurrence_quant — windowed recurrence quantification (r9 session 3)
+# ---------------------------------------------------------------------------
+
+RQA_WINDOW = 90  # max |i−j| in present-day rank — keeps the pair set linear
+RQA_LMIN = 2  # minimum diagonal run length that counts as determinism
+
+
+def events_recurrence_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed recurrence-quantification analysis of each type's daily
+    volumes: days i < j ≤ i+90 (present-day rank) RECUR when
+    4·|y_i − y_j| ≤ mad4 (within one MAD of each other — mad4 = 4×the
+    median absolute deviation about the series median, the hampel
+    encoding, exact int64). Emitted per type:
+      rr   — recurrence rate: recurrent share of the windowed pair set
+      det  — determinism: share of recurrent pairs lying on a DIAGONAL
+             run of length ≥ 2 (pair (i+1, j+1) also recurrent — the
+             gaps-and-islands grouping per lag), the RQA signature that
+             separates deterministic regimes from scattered coincidence
+      lmax — longest diagonal run (in pairs)
+    High rr + high det = sustained volume regimes (plateaus revisited);
+    high rr + low det = isotropic noise around a level. Complements the
+    distribution-level drift family: RQA sees TEMPORAL STRUCTURE of the
+    recurrences, not just their counts.
+
+    Scale: the pair set is built by a 90-lag literal explode joined on
+    (type, rn+lag) — rank equi-keys (rule 17, NOT an n² range join), so
+    the pair count is ≤ 90·n per type at any horizon; islands are one
+    window pass over the recurrent subset."""
+    daily = _daily(spark, sf_dir)
+    wd = Window.partitionBy("event_type").orderBy("x")
+    med = daily.groupBy("event_type").agg(
+        (F.expr("percentile(y, 0.5)") * 2).cast("long").alias("med2")
+    )
+    dev = daily.join(med, "event_type").withColumn(
+        "dev2", F.abs(F.lit(2) * F.col("y") - F.col("med2"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        (F.expr("percentile(dev2, 0.5)") * 2).cast("long").alias("mad4")
+    )
+    idx = (
+        daily.withColumn("rn", F.row_number().over(wd))
+        .join(mad, "event_type")
+        .localCheckpoint(eager=True)
+    )
+    fan = idx.withColumn(
+        "lag", F.explode(F.sequence(F.lit(1), F.lit(RQA_WINDOW)))
+    ).withColumn("rnb", F.col("rn") + F.col("lag"))
+    pairs = fan.alias("a").join(
+        idx.select(
+            "event_type", F.col("rn").alias("rnb"), F.col("y").alias("yb")
+        ).alias("b"),
+        ["event_type", "rnb"],
+    )
+    rec = pairs.select(
+        "event_type",
+        F.col("a.rn").alias("rn"),
+        "lag",
+        "mad4",
+        (F.lit(4) * F.abs(F.col("a.y") - F.col("yb")) <= F.col("mad4")).alias("r"),
+    ).localCheckpoint(eager=True)
+    wl = Window.partitionBy("event_type", "lag").orderBy("rn")
+    isl = (
+        rec.where("r")
+        .withColumn("grp", F.col("rn") - F.row_number().over(wl))
+        .groupBy("event_type", "lag", "grp")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    diag = isl.groupBy("event_type").agg(
+        F.sum(F.when(F.col("c") >= RQA_LMIN, F.col("c")).otherwise(0)).alias("n_diag"),
+        F.max("c").alias("lmax"),
+    )
+    tot = rec.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(F.col("r"), 1).otherwise(0)).alias("n_rec"),
+        F.max(F.col("mad4")).alias("mad4"),
+    )
+    out = (
+        tot.join(diag, "event_type", "left")
+        .withColumn("n_diag", F.coalesce("n_diag", F.lit(0)))
+        .withColumn("lmax", F.coalesce("lmax", F.lit(0)))
+    )
+    return out.select(
+        "event_type",
+        "n_pairs",
+        "n_rec",
+        (F.col("mad4").cast("double") / F.lit(4.0)).alias("eps"),
+        (F.col("n_rec").cast("double") / F.col("n_pairs").cast("double")).alias("rr"),
+        F.when(
+            F.col("n_rec") > 0,
+            F.col("n_diag").cast("double") / F.col("n_rec").cast("double"),
+        ).alias("det"),
+        "lmax",
+    )
+
+
+SQL_EVENTS_RECURRENCE = f"""
+WITH rqdaily AS ({SQL_DAILY}),
+rqmed AS (
+  SELECT event_type, CAST(quantile_cont(y, 0.5) * 2 AS BIGINT) AS med2
+  FROM rqdaily GROUP BY 1
+),
+rqmad AS (
+  SELECT d.event_type,
+         CAST(quantile_cont(ABS(2 * d.y - m.med2), 0.5) * 2 AS BIGINT) AS mad4
+  FROM rqdaily d JOIN rqmed m USING (event_type) GROUP BY 1
+),
+rqidx AS (
+  SELECT d.event_type, d.y, m.mad4,
+         ROW_NUMBER() OVER (PARTITION BY d.event_type ORDER BY d.x) AS rn
+  FROM rqdaily d JOIN rqmad m USING (event_type)
+),
+rqpairs AS (
+  SELECT a.event_type, a.rn, ll.lag, a.mad4,
+         (4 * ABS(a.y - b.y) <= a.mad4) AS r
+  FROM rqidx a
+  CROSS JOIN (SELECT UNNEST(range(1, {RQA_WINDOW} + 1)) AS lag) ll
+  JOIN rqidx b
+    ON a.event_type = b.event_type AND b.rn = a.rn + ll.lag
+),
+rqisl AS (
+  SELECT event_type, lag,
+         rn - ROW_NUMBER() OVER (PARTITION BY event_type, lag ORDER BY rn) AS grp
+  FROM rqpairs WHERE r
+),
+rqruns AS (
+  SELECT event_type, lag, grp, CAST(COUNT(*) AS BIGINT) AS c
+  FROM rqisl GROUP BY 1, 2, 3
+),
+rqdiag AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN c >= {RQA_LMIN} THEN c ELSE 0 END) AS BIGINT) AS n_diag,
+         CAST(MAX(c) AS BIGINT) AS lmax
+  FROM rqruns GROUP BY 1
+),
+rqtot AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(CASE WHEN r THEN 1 ELSE 0 END) AS BIGINT) AS n_rec,
+         CAST(MAX(mad4) AS BIGINT) AS mad4
+  FROM rqpairs GROUP BY 1
+)
+SELECT t.event_type, t.n_pairs, t.n_rec,
+       CAST(t.mad4 AS DOUBLE) / 4.0 AS eps,
+       CAST(t.n_rec AS DOUBLE) / CAST(t.n_pairs AS DOUBLE) AS rr,
+       CASE WHEN t.n_rec > 0
+            THEN CAST(COALESCE(d.n_diag, 0) AS DOUBLE) / CAST(t.n_rec AS DOUBLE)
+       END AS det,
+       COALESCE(d.lmax, 0) AS lmax
+FROM rqtot t LEFT JOIN rqdiag d USING (event_type)
+"""
+
+QUERIES["events_recurrence_quant"] = events_recurrence_quant
+ORACLES["events_recurrence_quant"] = SQL_EVENTS_RECURRENCE

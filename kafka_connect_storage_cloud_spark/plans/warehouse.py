@@ -2685,3 +2685,135 @@ FROM mkj
 
 QUERIES["events_mann_kendall"] = events_mann_kendall
 ORACLES["events_mann_kendall"] = SQL_EVENTS_MANN_KENDALL
+
+
+# ---------------------------------------------------------------------------
+# events_seasonality_strength (round 9, session 3) — Hyndman F_s / F_t
+# ---------------------------------------------------------------------------
+
+SEAS_STRONG_PCT = 64  # "strong" cut: strength > 0.64 (the feasts convention)
+
+
+def events_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyndman seasonal/trend STRENGTH of each type's hourly series, on
+    the shared robust STL-lite decomposition (_stl_frame):
+      F_s = max(0, 1 − Var(R) / Var(S + R))   (seasonal strength)
+      F_t = max(0, 1 − Var(R) / Var(T + R))   (trend strength)
+    with R, S+R = y − trend, T+R = y − seasonal all carried in the
+    frame's exact quarter-unit int64 encodings (resid4 = 2·d2 − trend4,
+    det4 = 4y − trend4, des4 = 2·d2 — the common ×4 scale cancels in the
+    ratios). Each Var enters as the exact int64 moment n·ΣX² − (ΣX)², so
+    every strength is ONE final division and the 'strong' labels are the
+    all-int64 cross-multiplied rule 100·(VarSR − VarR) > 64·VarSR (the
+    feasts ≥0.64 convention). The one-line summary the full
+    events_seasonal_median_decompose table is usually read FOR — how much
+    of each type's hourly variance the diurnal cycle vs the local trend
+    actually explains.
+
+    Scale: one grouped pass over the metadata-sized STL frame; the int64
+    moments are safe past 100× the sf0.1 hourly volumes (X ≤ 4·y_max,
+    n·ΣX² ≲ n²·16·y_max²)."""
+    t = (
+        _stl_frame(spark, sf_dir)
+        .withColumn("r4", F.lit(2) * F.col("d2") - F.col("trend4"))
+        .withColumn("sr4", F.lit(4) * F.col("y") - F.col("trend4"))
+        .withColumn("tr4", F.lit(2) * F.col("d2"))
+    )
+    agg = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r4").alias("s_r"),
+        F.sum(F.col("r4") * F.col("r4")).alias("q_r"),
+        F.sum("sr4").alias("s_sr"),
+        F.sum(F.col("sr4") * F.col("sr4")).alias("q_sr"),
+        F.sum("tr4").alias("s_tr"),
+        F.sum(F.col("tr4") * F.col("tr4")).alias("q_tr"),
+    )
+    v = (
+        agg.withColumn("var_r", F.col("n") * F.col("q_r") - F.col("s_r") * F.col("s_r"))
+        .withColumn(
+            "var_sr", F.col("n") * F.col("q_sr") - F.col("s_sr") * F.col("s_sr")
+        )
+        .withColumn(
+            "var_tr", F.col("n") * F.col("q_tr") - F.col("s_tr") * F.col("s_tr")
+        )
+        .where((F.col("var_sr") > 0) & (F.col("var_tr") > 0))
+        .withColumn(
+            "strong_s",
+            F.lit(100) * (F.col("var_sr") - F.col("var_r"))
+            > F.lit(SEAS_STRONG_PCT) * F.col("var_sr"),
+        )
+        .withColumn(
+            "strong_t",
+            F.lit(100) * (F.col("var_tr") - F.col("var_r"))
+            > F.lit(SEAS_STRONG_PCT) * F.col("var_tr"),
+        )
+    )
+    return v.select(
+        "event_type",
+        F.col("n").alias("n_hours"),
+        F.greatest(
+            F.lit(0.0),
+            (F.col("var_sr") - F.col("var_r")).cast("double")
+            / F.col("var_sr").cast("double"),
+        ).alias("seasonal_strength"),
+        F.greatest(
+            F.lit(0.0),
+            (F.col("var_tr") - F.col("var_r")).cast("double")
+            / F.col("var_tr").cast("double"),
+        ).alias("trend_strength"),
+        F.when(F.col("strong_s") & F.col("strong_t"), F.lit("seasonal+trend"))
+        .when(F.col("strong_s"), F.lit("seasonal"))
+        .when(F.col("strong_t"), F.lit("trend"))
+        .otherwise(F.lit("neither"))
+        .alias("character"),
+    )
+
+
+SQL_EVENTS_SEASONALITY_STRENGTH = f"""
+WITH {_SQL_STL_CTES},
+ssx AS (
+  SELECT event_type,
+         2 * d2 - trend4 AS r4,
+         4 * y - trend4 AS sr4,
+         2 * d2 AS tr4
+  FROM strend
+),
+ssagg AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(r4) AS BIGINT) AS s_r,
+         CAST(SUM(r4 * r4) AS BIGINT) AS q_r,
+         CAST(SUM(sr4) AS BIGINT) AS s_sr,
+         CAST(SUM(sr4 * sr4) AS BIGINT) AS q_sr,
+         CAST(SUM(tr4) AS BIGINT) AS s_tr,
+         CAST(SUM(tr4 * tr4) AS BIGINT) AS q_tr
+  FROM ssx GROUP BY 1
+),
+ssv AS (
+  SELECT event_type, n,
+         n * q_r - s_r * s_r AS var_r,
+         n * q_sr - s_sr * s_sr AS var_sr,
+         n * q_tr - s_tr * s_tr AS var_tr
+  FROM ssagg
+  WHERE n * q_sr - s_sr * s_sr > 0 AND n * q_tr - s_tr * s_tr > 0
+)
+SELECT event_type, n AS n_hours,
+       GREATEST(CAST(0 AS DOUBLE),
+                CAST(var_sr - var_r AS DOUBLE) / CAST(var_sr AS DOUBLE))
+         AS seasonal_strength,
+       GREATEST(CAST(0 AS DOUBLE),
+                CAST(var_tr - var_r AS DOUBLE) / CAST(var_tr AS DOUBLE))
+         AS trend_strength,
+       CASE WHEN 100 * (var_sr - var_r) > {SEAS_STRONG_PCT} * var_sr
+                 AND 100 * (var_tr - var_r) > {SEAS_STRONG_PCT} * var_tr
+            THEN 'seasonal+trend'
+            WHEN 100 * (var_sr - var_r) > {SEAS_STRONG_PCT} * var_sr
+            THEN 'seasonal'
+            WHEN 100 * (var_tr - var_r) > {SEAS_STRONG_PCT} * var_tr
+            THEN 'trend'
+            ELSE 'neither' END AS character
+FROM ssv
+"""
+
+QUERIES["events_seasonality_strength"] = events_seasonality_strength
+ORACLES["events_seasonality_strength"] = SQL_EVENTS_SEASONALITY_STRENGTH

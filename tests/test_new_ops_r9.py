@@ -455,3 +455,86 @@ def test_cox_stuart_recompute(spark, sf_dir):
         sm = sum(1 for i in range(n // 2) if ys[i + h] < ys[i])
         assert (rows[t].s_plus, rows[t].s_minus) == (sp, sm)
         assert sp + sm <= n // 2
+
+
+# --- session-3 batch B: VR(q), windowed RQA, seasonality strength ---------
+
+
+def test_variance_ratio_recompute(spark, sf_dir):
+    """Brute-force float recompute of VR(q) from the collected series via
+    the SAME integer forms (one division), plus domain bounds."""
+    series = _daily_series(spark, sf_dir)
+    rows = INF.events_variance_ratio(spark, sf_dir).collect()
+    assert rows
+    got = {(r.event_type, r.q): r for r in rows}
+    for t, ys in series.items():
+        n = len(ys)
+        m = n - 1
+        tt = ys[-1] - ys[0]
+        sd2 = sum((b - a) ** 2 for a, b in zip(ys, ys[1:]))
+        v1 = m * sd2 - tt * tt
+        for q in INF.VR_QS:
+            if m < q + 1 or v1 <= 0:
+                assert (t, q) not in got
+                continue
+            dqs = [ys[i] - ys[i - q] for i in range(q, n)]
+            mq = len(dqs)
+            vq = (
+                m * m * sum(d * d for d in dqs)
+                - 2 * q * tt * m * sum(dqs)
+                + mq * q * q * tt * tt
+            )
+            r = got[(t, q)]
+            assert r.n_diffs == mq
+            assert r.vr == float(vq) / float(mq * q * v1)
+            assert r.z2_stat >= 0
+
+
+def test_recurrence_quant_invariants(spark, sf_dir):
+    """Pair-set size is the exact windowed count, det <= 1, lmax
+    consistent with n_rec, and a brute-force recount of the recurrent
+    pairs from the collected series."""
+    series = _daily_series(spark, sf_dir)
+    rows = {r.event_type: r for r in INF.events_recurrence_quant(spark, sf_dir).collect()}
+    assert rows
+    import statistics
+
+    for t, ys in series.items():
+        n = len(ys)
+        w = INF.RQA_WINDOW
+        expect_pairs = sum(min(w, n - 1 - i) for i in range(n))
+        r = rows[t]
+        assert r.n_pairs == expect_pairs
+        med2 = int(statistics.median(ys) * 2)
+        mad4 = int(statistics.median([abs(2 * y - med2) for y in ys]) * 2)
+        nrec = sum(
+            1
+            for i in range(n)
+            for j in range(i + 1, min(n, i + w + 1))
+            if 4 * abs(ys[i] - ys[j]) <= mad4
+        )
+        assert r.n_rec == nrec
+        if r.det is not None:
+            assert 0.0 <= r.det <= 1.0
+        assert (r.lmax == 0) == (r.n_rec == 0)
+
+
+def test_seasonality_strength_bounds(spark, sf_dir):
+    """Strengths live in [0, 1]; the character label is consistent with
+    the 0.64 cut on the emitted doubles (cross-check of the int64 rule)."""
+    from kafka_connect_storage_cloud_spark.plans import warehouse as WH
+
+    rows = WH.events_seasonality_strength(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.seasonal_strength <= 1.0
+        assert 0.0 <= r.trend_strength <= 1.0
+        want_s = r.seasonal_strength > 0.64
+        want_t = r.trend_strength > 0.64
+        label = {
+            (True, True): "seasonal+trend",
+            (True, False): "seasonal",
+            (False, True): "trend",
+            (False, False): "neither",
+        }[(want_s, want_t)]
+        assert r.character == label
