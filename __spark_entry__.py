@@ -309,6 +309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_threshold_yield": LQ.quality_threshold_yield,
         "gopher_rules_filter": LQ.gopher_rules_filter,
         "quality_ablation_matrix": LQ.quality_ablation_matrix,
+        "quality_reliability_bins": LQ.quality_reliability_bins,
         "repetition_score": LQ.repetition_score,
         "tokenizer_fertility": LQ.tokenizer_fertility,
         "token_diversity": LQ.token_diversity,

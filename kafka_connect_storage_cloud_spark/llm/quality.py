@@ -929,3 +929,109 @@ FROM fan GROUP BY 1 ORDER BY 1
 
 
 ORACLES["quality_ablation_matrix"] = _sql_quality_ablation()
+
+
+# ---------------------------------------------------------------------------
+# quality_reliability_bins — score-vs-rules calibration (r9 session 3)
+# ---------------------------------------------------------------------------
+
+RELIABILITY_BIN_MIC = 100000  # 0.1-wide score bins in 1e6-micro units
+
+
+def quality_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of the heuristic quality score against the
+    INDEPENDENT Gopher rule verdict: docs are binned by score value
+    (0.1-wide bins on the 1e6-micro integer recovered from the round6
+    score — integer div, no float floor ambiguity), and each bin reports
+    mean score ("confidence") vs Gopher pass rate ("accuracy") plus their
+    gap. The repeated `ece` column is the expected calibration error
+    Σ n_b·|gap_b| / N computed on the 1e6-quantized per-bin gaps (the
+    rule-12 discipline: no double sums — integer numerators, ONE
+    division at the end). A well-calibrated score tracks the rule filter
+    monotonically; a large positive gap in high bins means the score
+    overrates documents the rules reject — exactly the audit run before
+    swapping quality_filter's bar for a learned-score threshold.
+
+    Scale: composes the two single-scan projections (quality_score,
+    gopher_rules_filter) with one doc_id equi-join and a ≤10-row rollup;
+    the global ECE window runs over those ≤10 rows."""
+    q = quality_score(spark, sf_dir).select("doc_id", "quality")
+    g = gopher_rules_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep").cast("long").alias("passed")
+    )
+    j = q.join(g, "doc_id").select(
+        F.floor(F.col("quality") * 1000000 + F.lit(0.5)).cast("long").alias("q_mic"),
+        "passed",
+    )
+    per = (
+        j.withColumn(
+            "bin", F.least(F.expr(f"q_mic div {RELIABILITY_BIN_MIC}"), F.lit(9))
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("passed").alias("n_pass"),
+            F.sum("q_mic").alias("sum_q_mic"),
+        )
+        .withColumn("conf_mic", F.expr("sum_q_mic div n_docs"))
+        .withColumn("pass_mic", F.expr("(n_pass * 1000000) div n_docs"))
+        .withColumn("gap_mic", F.col("pass_mic") - F.col("conf_mic"))
+    )
+    wall = Window.partitionBy()
+    per = per.withColumn(
+        "ece_num", F.sum(F.col("n_docs") * F.abs(F.col("gap_mic"))).over(wall)
+    ).withColumn("n_total", F.sum("n_docs").over(wall))
+    return per.select(
+        F.col("bin").cast("long").alias("bin"),
+        "n_docs",
+        "n_pass",
+        (
+            F.col("sum_q_mic").cast("double")
+            / (F.col("n_docs") * F.lit(1000000)).cast("double")
+        ).alias("mean_quality"),
+        (F.col("n_pass").cast("double") / F.col("n_docs").cast("double")).alias(
+            "pass_rate"
+        ),
+        (F.col("gap_mic").cast("double") / F.lit(1000000).cast("double")).alias("gap"),
+        (
+            F.col("ece_num").cast("double")
+            / (F.col("n_total") * F.lit(1000000)).cast("double")
+        ).alias("ece"),
+    )
+
+
+def _sql_reliability_bins() -> str:
+    return f"""
+WITH rbq AS (SELECT doc_id, quality FROM ({SQL_QUALITY_SCORE})),
+rbg AS (SELECT doc_id, keep FROM ({_sql_gopher()})),
+rbj AS (
+  SELECT CAST(FLOOR(q.quality * 1000000 + 0.5) AS BIGINT) AS q_mic,
+         CASE WHEN g.keep THEN 1 ELSE 0 END AS passed
+  FROM rbq q JOIN rbg g USING (doc_id)
+),
+rbb AS (
+  SELECT LEAST(q_mic // {RELIABILITY_BIN_MIC}, 9) AS bin, q_mic, passed FROM rbj
+),
+rbper AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(passed) AS BIGINT) AS n_pass,
+         CAST(SUM(q_mic) AS BIGINT) AS sum_q_mic
+  FROM rbb GROUP BY 1
+),
+rbst AS (
+  SELECT *, sum_q_mic // n_docs AS conf_mic,
+         (n_pass * 1000000) // n_docs AS pass_mic
+  FROM rbper
+),
+rbg2 AS (SELECT *, pass_mic - conf_mic AS gap_mic FROM rbst)
+SELECT CAST(bin AS BIGINT) AS bin, n_docs, n_pass,
+       CAST(sum_q_mic AS DOUBLE) / CAST(n_docs * 1000000 AS DOUBLE) AS mean_quality,
+       CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE) AS pass_rate,
+       CAST(gap_mic AS DOUBLE) / CAST(1000000 AS DOUBLE) AS gap,
+       CAST(SUM(n_docs * ABS(gap_mic)) OVER () AS DOUBLE)
+         / CAST(SUM(n_docs) OVER () * 1000000 AS DOUBLE) AS ece
+FROM rbg2
+"""
+
+
+ORACLES["quality_reliability_bins"] = _sql_reliability_bins()

@@ -1575,3 +1575,107 @@ FROM hxs
 
 QUERIES["token_hapax_profile"] = token_hapax_profile
 ORACLES["token_hapax_profile"] = SQL_TOKEN_HAPAX
+
+
+# ---------------------------------------------------------------------------
+# term_burstiness — Church–Gale within-doc concentration (r9 session 3)
+# ---------------------------------------------------------------------------
+
+BURSTY_DF_MIN = 5  # the top-term pick ignores terms seen in < 5 docs
+
+
+def term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church–Gale burstiness profile per source: for every (source, term),
+    burstiness b = tf / df_s — mean occurrences per CONTAINING document
+    (tf = occurrences within the source, df_s = distinct docs of the
+    source containing the term). Content words arrive in bursts (b ≫ 1 —
+    one topical doc repeats them), function words spread thin (b ≈ 1) —
+    so a source whose vocabulary mass is dominated by bursty terms is
+    template/spam-like (the TERM-level cousin of boilerplate_shingles'
+    shingle-level audit). Emitted per source: vocabulary and occurrence-
+    mass shares of bursty terms (b > 2, i.e. the all-int64 rule
+    tf > 2·df_s), and the burstiest established term (df_s ≥ 5) via the
+    deterministic struct-min argmax on the 1e6-micro integer ratio
+    (tf·10⁶ div df_s — integer division, no float compare), term-asc ties.
+
+    Scale: one token explode shuffling once on (source, term) with
+    map-side combine (the df/tf pass carries |per-source vocabulary|
+    rows, not |tokens|), then a per-source rollup — the idf_topterms
+    shuffle shape with the distinct-doc count folded into the same
+    aggregate."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    terms = docs.select(
+        "doc_id", "source", F.explode(T.words()).alias("term")
+    ).where(F.col("term") != "")
+    per = terms.groupBy("source", "term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("doc_id").alias("dfs"),
+    )
+    sc = per.withColumn("b_mic", F.expr("tf * 1000000 div dfs")).withColumn(
+        "bursty", F.col("tf") > F.lit(2) * F.col("dfs")
+    )
+    agg = sc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum(F.when(F.col("bursty"), 1).otherwise(0)).alias("n_bursty"),
+        F.sum("tf").alias("mass"),
+        F.sum(F.when(F.col("bursty"), F.col("tf")).otherwise(0)).alias("mass_bursty"),
+        F.min(
+            F.when(
+                F.col("dfs") >= BURSTY_DF_MIN,
+                F.struct(
+                    (-F.col("b_mic")).alias("nb"), F.col("term").alias("t")
+                ),
+            )
+        ).alias("top"),
+    )
+    return agg.select(
+        "source",
+        "n_terms",
+        "n_bursty",
+        (F.col("n_bursty").cast("double") / F.col("n_terms").cast("double")).alias(
+            "vocab_share_bursty"
+        ),
+        (F.col("mass_bursty").cast("double") / F.col("mass").cast("double")).alias(
+            "mass_share_bursty"
+        ),
+        F.col("top.t").alias("top_term"),
+        ((-F.col("top.nb")).cast("double") / F.lit(1000000).cast("double")).alias(
+            "top_burstiness"
+        ),
+    )
+
+
+SQL_TERM_BURSTINESS = f"""
+WITH tbterms AS (
+  SELECT doc_id, source, unnest({T.SQL_WORDS}) AS term FROM documents
+),
+tbne AS (SELECT * FROM tbterms WHERE term <> ''),
+tbper AS (
+  SELECT source, term,
+         CAST(COUNT(*) AS BIGINT) AS tf,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS dfs
+  FROM tbne GROUP BY 1, 2
+),
+tbsc AS (
+  SELECT *, (tf * 1000000) // dfs AS b_mic, tf > 2 * dfs AS bursty FROM tbper
+),
+tbagg AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_terms,
+         CAST(SUM(CASE WHEN bursty THEN 1 ELSE 0 END) AS BIGINT) AS n_bursty,
+         CAST(SUM(tf) AS BIGINT) AS mass,
+         CAST(SUM(CASE WHEN bursty THEN tf ELSE 0 END) AS BIGINT) AS mass_bursty,
+         MIN(CASE WHEN dfs >= {BURSTY_DF_MIN}
+                  THEN {{'nb': -b_mic, 't': term}} END) AS top
+  FROM tbsc GROUP BY 1
+)
+SELECT source, n_terms, n_bursty,
+       CAST(n_bursty AS DOUBLE) / CAST(n_terms AS DOUBLE) AS vocab_share_bursty,
+       CAST(mass_bursty AS DOUBLE) / CAST(mass AS DOUBLE) AS mass_share_bursty,
+       top.t AS top_term,
+       CAST(-top.nb AS DOUBLE) / CAST(1000000 AS DOUBLE) AS top_burstiness
+FROM tbagg
+"""
+
+QUERIES["term_burstiness"] = term_burstiness
+ORACLES["term_burstiness"] = SQL_TERM_BURSTINESS

@@ -538,3 +538,99 @@ def test_seasonality_strength_bounds(spark, sf_dir):
             (False, False): "neither",
         }[(want_s, want_t)]
         assert r.character == label
+
+
+# --- session-3 batch C: term burstiness + reliability bins ----------------
+
+
+def test_term_burstiness_invariants(spark, sf_dir):
+    """b >= 1 for every term (tf >= dfs), shares in [0,1], mass share >=
+    vocab share only when bursty terms are heavier than average — checked
+    against a direct recompute of one source."""
+    from kafka_connect_storage_cloud_spark.llm import text_stats as TSX
+
+    rows = TSX.term_burstiness(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.vocab_share_bursty <= 1.0
+        assert 0.0 <= r.mass_share_bursty <= 1.0
+        assert r.n_bursty <= r.n_terms
+        if r.top_burstiness is not None:
+            assert r.top_burstiness >= 1.0
+
+
+def test_term_burstiness_single_source_recount(spark, sf_dir):
+    """Exact recount of tf/dfs/bursty for the lexicographically first
+    source via a driver-side pass over its docs."""
+    from collections import Counter, defaultdict
+
+    from pyspark.sql import functions as F
+
+    from kafka_connect_storage_cloud_spark.llm import text_stats as TSX
+    from kafka_connect_storage_cloud_spark.session import read_table
+
+    src = (
+        read_table(spark, sf_dir, "documents")
+        .selectExpr("min(source) AS s")
+        .collect()[0]
+        .s
+    )
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .where(F.col("source") == src)
+        .select("doc_id", "text")
+        .collect()
+    )
+    tf, docsets = Counter(), defaultdict(set)
+    import re
+
+    for d in docs:
+        for w in re.split(r"\s+", d.text.lower()):
+            if w:
+                tf[w] += 1
+                docsets[w].add(d.doc_id)
+    n_bursty = sum(1 for w in tf if tf[w] > 2 * len(docsets[w]))
+    mass_bursty = sum(tf[w] for w in tf if tf[w] > 2 * len(docsets[w]))
+    row = [
+        r for r in TSX.term_burstiness(spark, sf_dir).collect() if r.source == src
+    ][0]
+    assert row.n_terms == len(tf)
+    assert row.n_bursty == n_bursty
+    assert row.mass_share_bursty == float(mass_bursty) / float(sum(tf.values()))
+
+
+def test_reliability_bins_identities(spark, sf_dir):
+    """Bin totals add to the corpus, pass counts bound by bin size, ece
+    equals the hand-rolled weighted micro-gap mean, and mean_quality sits
+    inside its bin's value range."""
+    from kafka_connect_storage_cloud_spark.llm import quality as LQ
+    from kafka_connect_storage_cloud_spark.session import read_table
+
+    rows = LQ.quality_reliability_bins(spark, sf_dir).collect()
+    assert rows
+    n_total = read_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_total
+    ece_num = 0
+    for r in rows:
+        assert 0 <= r.n_pass <= r.n_docs
+        lo, hi = r.bin / 10.0, (r.bin + 1) / 10.0 + (0.1 if r.bin == 9 else 0)
+        assert lo <= r.mean_quality <= hi + 1e-9
+        conf_mic = None  # recompute gap from emitted doubles is lossy; use bounds
+        assert abs(r.gap - (r.pass_rate - r.mean_quality)) < 2e-6
+        ece_num += r.n_docs * abs(r.gap)
+    # micro-quantized ECE within one micro-unit per bin of the float form
+    assert abs(rows[0].ece - ece_num / n_total) < len(rows) * 1e-6
+    assert len({r.ece for r in rows}) == 1
+
+
+def test_batch_c_plan_scan_budget(spark, sf_dir):
+    """term_burstiness is ONE physical corpus scan; reliability bins is
+    TWO (the quality_score and gopher projections it composes) — each
+    'Scan parquet' appears twice in formatted plans (tree + detail)."""
+    from kafka_connect_storage_cloud_spark.llm import quality as LQ
+    from kafka_connect_storage_cloud_spark.llm import text_stats as TSX
+
+    p1 = _plan(spark, TSX.term_burstiness(spark, sf_dir))
+    assert p1.count("Scan parquet") == 2 and "BroadcastNestedLoopJoin" not in p1
+    p2 = _plan(spark, LQ.quality_reliability_bins(spark, sf_dir))
+    assert p2.count("Scan parquet") == 4 and "BroadcastNestedLoopJoin" not in p2
