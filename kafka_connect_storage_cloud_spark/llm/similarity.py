@@ -2501,3 +2501,101 @@ FROM mper ORDER BY prefix_dim
 
 
 ORACLES["matryoshka_recall_audit"] = _sql_matryoshka()
+
+
+# ---------------------------------------------------------------------------
+# knn_degree_assortativity — degree mixing of the mutual graph (r9 session 3)
+# ---------------------------------------------------------------------------
+
+
+def knn_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the mutual-kNN graph (Newman r): the
+    Pearson correlation of endpoint degrees over all edge incidences
+    (each undirected edge counted in both orientations). Because both
+    marginals are then IDENTICAL, the usual sqrt denominator collapses —
+    with N = 2m incidences, S = Σ deg_v over incidences (= Σ_v deg_v²),
+    Sq = Σ deg_v² (= Σ_v deg_v³), Sxy = Σ deg_v·deg_u:
+        r = (N·Sxy − S²) / (N·Sq − S²)
+    — exact int64 numerator/denominator (deg ≤ k, so terms are bounded by
+    n·k³), ONE final division, NULL when the degree sequence is constant.
+    Assortative (r > 0) near-dup graphs mean dense duplicate cliques
+    attach to each other (cascading semantic collapse under dedup);
+    disassortative (r < 0) means hub templates linked to singletons — the
+    structural summary read before trusting component-level dedup stats.
+
+    Rides knn_graph_mutual_gold (the SF-adaptive exact/sampled switch),
+    so the audit stays O(S·n) past KNN_GOLD_FULL_MAX vectors and the
+    oracle string is fixed across SFs.
+
+    Scale: degrees and moments are one groupBy + two equi-joins on the
+    EDGE LIST (n·k rows, never the corpus); the mutual edge list itself
+    is the shared upstream plan."""
+    edges = (
+        knn_graph_mutual_gold(spark, sf_dir)
+        .select("vec_a", "vec_b")
+        .localCheckpoint(eager=True)  # deg agg + both incidence join sides
+    )
+    inc = edges.select(
+        F.col("vec_a").alias("v"), F.col("vec_b").alias("u")
+    ).unionByName(edges.select(F.col("vec_b").alias("v"), F.col("vec_a").alias("u")))
+    deg = inc.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
+    ej = inc.join(
+        deg.select(F.col("v"), F.col("deg").alias("deg_v")), "v"
+    ).join(deg.select(F.col("v").alias("u"), F.col("deg").alias("deg_u")), "u")
+    agg = (
+        ej.agg(
+            F.count(F.lit(1)).alias("n_inc"),
+            F.countDistinct("v").alias("n_nodes"),
+            F.sum("deg_v").alias("s"),
+            F.sum(F.col("deg_v") * F.col("deg_v")).alias("sq"),
+            F.sum(F.col("deg_v") * F.col("deg_u")).alias("sxy"),
+        )
+        .where(F.col("n_inc") > 0)
+        .withColumn("den", F.col("n_inc") * F.col("sq") - F.col("s") * F.col("s"))
+    )
+    return agg.select(
+        "n_nodes",
+        F.expr("n_inc div 2").alias("n_edges"),
+        (F.col("n_inc").cast("double") / F.col("n_nodes").cast("double")).alias(
+            "mean_degree"
+        ),
+        F.when(
+            F.col("den") > 0,
+            (F.col("n_inc") * F.col("sxy") - F.col("s") * F.col("s")).cast("double")
+            / F.col("den").cast("double"),
+        ).alias("assortativity"),
+    )
+
+
+SQL_KNN_DEGREE_ASSORTATIVITY = f"""
+WITH kae AS (SELECT vec_a, vec_b FROM ({SQL_KNN_GRAPH_MUTUAL_GOLD})),
+kainc AS (
+  SELECT vec_a AS v, vec_b AS u FROM kae
+  UNION ALL
+  SELECT vec_b AS v, vec_a AS u FROM kae
+),
+kadeg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM kainc GROUP BY 1),
+kaej AS (
+  SELECT i.v, i.u, dv.deg AS deg_v, du.deg AS deg_u
+  FROM kainc i
+  JOIN kadeg dv ON i.v = dv.v
+  JOIN kadeg du ON i.u = du.v
+),
+kaagg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_inc,
+         CAST(COUNT(DISTINCT v) AS BIGINT) AS n_nodes,
+         CAST(SUM(deg_v) AS BIGINT) AS s,
+         CAST(SUM(deg_v * deg_v) AS BIGINT) AS sq,
+         CAST(SUM(deg_v * deg_u) AS BIGINT) AS sxy
+  FROM kaej
+)
+SELECT n_nodes, n_inc // 2 AS n_edges,
+       CAST(n_inc AS DOUBLE) / CAST(n_nodes AS DOUBLE) AS mean_degree,
+       CASE WHEN n_inc * sq - s * s > 0
+            THEN CAST(n_inc * sxy - s * s AS DOUBLE)
+                 / CAST(n_inc * sq - s * s AS DOUBLE)
+       END AS assortativity
+FROM kaagg WHERE n_inc > 0
+"""
+
+ORACLES["knn_degree_assortativity"] = SQL_KNN_DEGREE_ASSORTATIVITY

@@ -1413,3 +1413,95 @@ ORDER BY a.event_type, a.level
 
 QUERIES["events_haar_energy"] = events_haar_energy
 ORACLES["events_haar_energy"] = _sql_haar_energy()
+
+
+# ---------------------------------------------------------------------------
+# dp_sensitivity_audit (r9 session 3) — user-contribution bounds per release
+# ---------------------------------------------------------------------------
+
+
+def dp_sensitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-level sensitivity audit for the per-type DAILY COUNT release
+    (the rollup events_hourly_rollup/daily dashboards publish): before
+    adding differential-privacy noise to such a release, the calibrator
+    needs the ACTUAL contribution bounds — per event_type:
+      max_user_day_rows — L∞ bound: the most rows any one user puts in a
+                          single (type, day) cell (per-cell sensitivity
+                          without clipping)
+      max_user_days     — breadth: the most cells one user can touch
+      max_user_rows     — L1 bound: Σ over cells (total-count sensitivity)
+      top_user_share    — max_user_rows / total rows (how far the release
+                          is from the 1/n ideal; >> 1/n means clipping
+                          is mandatory before noise calibration)
+      p95_user_rows     — exact interpolated 95th percentile of per-user
+                          totals — the clipping bound that keeps 95% of
+                          users intact
+    The privacy-quartet companion (k-anonymity r5, l-diversity r7,
+    t-closeness r8 audit the released ROWS; this audits the released
+    AGGREGATE's noise calibration inputs).
+
+    Scale: one rollup to (type, user, day) cells with map-side combine,
+    one to (type, user), one per-type aggregate — all key-bounded; no
+    joins, no windows over the raw stream."""
+    ev = read_events(spark, sf_dir).select(
+        "event_type",
+        "user_id",
+        F.to_date("ts").alias("day"),
+    )
+    cells = ev.groupBy("event_type", "user_id", "day").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    users = cells.groupBy("event_type", "user_id").agg(
+        F.sum("c").alias("rows"),
+        F.count(F.lit(1)).alias("days"),
+        F.max("c").alias("max_cell"),
+    )
+    agg = users.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("rows").alias("n_rows"),
+        F.max("max_cell").alias("max_user_day_rows"),
+        F.max("days").alias("max_user_days"),
+        F.max("rows").alias("max_user_rows"),
+        F.expr("percentile(rows, 0.95)").alias("p95_user_rows"),
+    )
+    return agg.select(
+        "event_type",
+        "n_users",
+        "n_rows",
+        "max_user_day_rows",
+        "max_user_days",
+        "max_user_rows",
+        (
+            F.col("max_user_rows").cast("double") / F.col("n_rows").cast("double")
+        ).alias("top_user_share"),
+        "p95_user_rows",
+    )
+
+
+SQL_DP_SENSITIVITY = """
+WITH dpcells AS (
+  SELECT event_type, user_id, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2, 3
+),
+dpusers AS (
+  SELECT event_type, user_id,
+         CAST(SUM(c) AS BIGINT) AS rows_n,
+         CAST(COUNT(*) AS BIGINT) AS days_n,
+         CAST(MAX(c) AS BIGINT) AS max_cell
+  FROM dpcells GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(rows_n) AS BIGINT) AS n_rows,
+       CAST(MAX(max_cell) AS BIGINT) AS max_user_day_rows,
+       CAST(MAX(days_n) AS BIGINT) AS max_user_days,
+       CAST(MAX(rows_n) AS BIGINT) AS max_user_rows,
+       CAST(MAX(rows_n) AS DOUBLE) / CAST(CAST(SUM(rows_n) AS BIGINT) AS DOUBLE)
+         AS top_user_share,
+       quantile_cont(rows_n, 0.95) AS p95_user_rows
+FROM dpusers GROUP BY 1
+"""
+
+QUERIES["dp_sensitivity_audit"] = dp_sensitivity_audit
+ORACLES["dp_sensitivity_audit"] = SQL_DP_SENSITIVITY

@@ -744,3 +744,195 @@ def events_asof_join_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# partition_pruning_matrix (r9 session 3) — layout advisor for a workload
+# ---------------------------------------------------------------------------
+
+PRUNE_D0, PRUNE_D1 = 10, 16  # the 7-day range predicate (days since epoch0)
+PRUNE_TYPE = "purchase"
+PRUNE_LAYOUTS = ("daily", "weekly", "type", "type_daily")
+PRUNE_PREDS = ("day_range", "one_type", "type_and_range")
+
+
+def partition_pruning_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-layout advisor: for each candidate layout (daily /
+    weekly / by-type / type+daily — the partitioner family's real
+    decision space) × each workload predicate (a 7-day range, one event
+    type, both), how much of the table would a partition-pruned scan
+    actually read? A partition is SCANNED iff the predicate restricted
+    to the layout's PARTITION COLUMNS cannot exclude it (the engine's
+    pruning model — a layout without the predicate column scans
+    everything); `rows_matching` is the true row-level selectivity, so
+      scan_fraction = rows_scanned / rows_total   (cost)
+      efficiency   = rows_matching / rows_scanned (useful share of I/O)
+    together rank the layouts for the workload — the quantified version
+    of the advice time_based_partitioner's docstring gives in prose.
+    rows_matching ≤ rows_scanned by construction (row predicates imply
+    their partition-column projections) — pytest-pinned.
+
+    Scale: ONE corpus rollup to the (layout, partition) grain via a
+    4-literal explode (rule 17) with map-side combine; the 3-predicate
+    fan-out then runs over partition METADATA rows (|partitions|·3),
+    never the raw stream — the matrix costs one shuffle of
+    |layouts|·|partitions| keys at any SF."""
+    w0, w1 = PRUNE_D0 // 7, PRUNE_D1 // 7
+    ev = read_events(spark, sf_dir).select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias("day"),
+    )
+    base = ev.select(
+        "event_type",
+        "day",
+        (F.col("day") - (F.col("day") % 7)).alias("wk7"),
+        (F.col("day").between(PRUNE_D0, PRUNE_D1)).alias("m_range"),
+        (F.col("event_type") == PRUNE_TYPE).alias("m_type"),
+    )
+    fan = base.withColumn(
+        "layout", F.explode(F.array(*[F.lit(x) for x in PRUNE_LAYOUTS]))
+    )
+    keyed = fan.select(
+        "layout",
+        F.when(F.col("layout").isin("daily", "type_daily"), F.col("day")).alias("pday"),
+        F.when(F.col("layout") == "weekly", F.col("wk7")).alias("pweek"),
+        F.when(
+            F.col("layout").isin("type", "type_daily"), F.col("event_type")
+        ).alias("ptype"),
+        "m_range",
+        "m_type",
+    )
+    parts = keyed.groupBy("layout", "pday", "pweek", "ptype").agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.when(F.col("m_range"), 1).otherwise(0)).alias("mr"),
+        F.sum(F.when(F.col("m_type"), 1).otherwise(0)).alias("mt"),
+        F.sum(F.when(F.col("m_range") & F.col("m_type"), 1).otherwise(0)).alias("mb"),
+    )
+    pf = parts.withColumn(
+        "predicate", F.explode(F.array(*[F.lit(x) for x in PRUNE_PREDS]))
+    )
+    day_ok = (
+        (F.col("pday").isNull() & F.col("pweek").isNull())
+        | F.col("pday").between(PRUNE_D0, PRUNE_D1)
+        | F.col("pweek").between(w0 * 7, w1 * 7)
+    )
+    type_ok = F.col("ptype").isNull() | (F.col("ptype") == PRUNE_TYPE)
+    scanned = (
+        F.when(F.col("predicate") == "day_range", day_ok)
+        .when(F.col("predicate") == "one_type", type_ok)
+        .otherwise(day_ok & type_ok)
+    )
+    matching = (
+        F.when(F.col("predicate") == "day_range", F.col("mr"))
+        .when(F.col("predicate") == "one_type", F.col("mt"))
+        .otherwise(F.col("mb"))
+    )
+    agg = (
+        pf.withColumn("scanned", scanned)
+        .withColumn("matching", matching)
+        .groupBy("layout", "predicate")
+        .agg(
+            F.count(F.lit(1)).alias("n_partitions"),
+            F.sum(F.when(F.col("scanned"), 1).otherwise(0)).alias("n_scanned"),
+            F.sum("rows").alias("rows_total"),
+            F.sum(F.when(F.col("scanned"), F.col("rows")).otherwise(0)).alias(
+                "rows_scanned"
+            ),
+            F.sum("matching").alias("rows_matching"),
+        )
+    )
+    return agg.select(
+        "layout",
+        "predicate",
+        "n_partitions",
+        "n_scanned",
+        "rows_total",
+        "rows_scanned",
+        "rows_matching",
+        (
+            F.col("rows_scanned").cast("double") / F.col("rows_total").cast("double")
+        ).alias("scan_fraction"),
+        F.when(
+            F.col("rows_scanned") > 0,
+            F.col("rows_matching").cast("double")
+            / F.col("rows_scanned").cast("double"),
+        ).alias("efficiency"),
+    )
+
+
+_PRUNE_LAYOUTS_SQL = ", ".join(f"'{x}'" for x in PRUNE_LAYOUTS)
+_PRUNE_PREDS_SQL = ", ".join(f"'{x}'" for x in PRUNE_PREDS)
+
+SQL_PARTITION_PRUNING_MATRIX = f"""
+WITH ppev AS (
+  SELECT event_type,
+         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day
+  FROM events
+),
+ppbase AS (
+  SELECT event_type, day, day - (day % 7) AS wk7,
+         day BETWEEN {PRUNE_D0} AND {PRUNE_D1} AS m_range,
+         event_type = '{PRUNE_TYPE}' AS m_type
+  FROM ppev
+),
+ppfan AS (
+  SELECT b.*, ll.layout
+  FROM ppbase b CROSS JOIN (SELECT UNNEST([{_PRUNE_LAYOUTS_SQL}]) AS layout) ll
+),
+ppkey AS (
+  SELECT layout,
+         CASE WHEN layout IN ('daily', 'type_daily') THEN day END AS pday,
+         CASE WHEN layout = 'weekly' THEN wk7 END AS pweek,
+         CASE WHEN layout IN ('type', 'type_daily') THEN event_type END AS ptype,
+         m_range, m_type
+  FROM ppfan
+),
+ppparts AS (
+  SELECT layout, pday, pweek, ptype,
+         CAST(COUNT(*) AS BIGINT) AS rows_n,
+         CAST(SUM(CASE WHEN m_range THEN 1 ELSE 0 END) AS BIGINT) AS mr,
+         CAST(SUM(CASE WHEN m_type THEN 1 ELSE 0 END) AS BIGINT) AS mt,
+         CAST(SUM(CASE WHEN m_range AND m_type THEN 1 ELSE 0 END) AS BIGINT) AS mb
+  FROM ppkey GROUP BY 1, 2, 3, 4
+),
+pppf AS (
+  SELECT p.*, pp.predicate,
+         ((p.pday IS NULL AND p.pweek IS NULL)
+          OR p.pday BETWEEN {PRUNE_D0} AND {PRUNE_D1}
+          OR p.pweek BETWEEN {PRUNE_D0 // 7 * 7} AND {PRUNE_D1 // 7 * 7}) AS day_ok,
+         (p.ptype IS NULL OR p.ptype = '{PRUNE_TYPE}') AS type_ok
+  FROM ppparts p
+  CROSS JOIN (SELECT UNNEST([{_PRUNE_PREDS_SQL}]) AS predicate) pp
+),
+ppsc AS (
+  SELECT layout, predicate, rows_n,
+         CASE WHEN predicate = 'day_range' THEN day_ok
+              WHEN predicate = 'one_type' THEN type_ok
+              ELSE day_ok AND type_ok END AS scanned,
+         CASE WHEN predicate = 'day_range' THEN mr
+              WHEN predicate = 'one_type' THEN mt
+              ELSE mb END AS matching
+  FROM pppf
+),
+ppagg AS (
+  SELECT layout, predicate,
+         CAST(COUNT(*) AS BIGINT) AS n_partitions,
+         CAST(SUM(CASE WHEN scanned THEN 1 ELSE 0 END) AS BIGINT) AS n_scanned,
+         CAST(SUM(rows_n) AS BIGINT) AS rows_total,
+         CAST(SUM(CASE WHEN scanned THEN rows_n ELSE 0 END) AS BIGINT)
+           AS rows_scanned,
+         CAST(SUM(matching) AS BIGINT) AS rows_matching
+  FROM ppsc GROUP BY 1, 2
+)
+SELECT layout, predicate, n_partitions, n_scanned, rows_total, rows_scanned,
+       rows_matching,
+       CAST(rows_scanned AS DOUBLE) / CAST(rows_total AS DOUBLE)
+         AS scan_fraction,
+       CASE WHEN rows_scanned > 0
+            THEN CAST(rows_matching AS DOUBLE) / CAST(rows_scanned AS DOUBLE)
+       END AS efficiency
+FROM ppagg
+"""
+
+QUERIES["partition_pruning_matrix"] = partition_pruning_matrix
+ORACLES["partition_pruning_matrix"] = SQL_PARTITION_PRUNING_MATRIX

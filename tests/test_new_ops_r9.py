@@ -634,3 +634,72 @@ def test_batch_c_plan_scan_budget(spark, sf_dir):
     assert p1.count("Scan parquet") == 2 and "BroadcastNestedLoopJoin" not in p1
     p2 = _plan(spark, LQ.quality_reliability_bins(spark, sf_dir))
     assert p2.count("Scan parquet") == 4 and "BroadcastNestedLoopJoin" not in p2
+
+
+# --- session-3 batch D: assortativity, DP sensitivity, pruning matrix -----
+
+
+def test_assortativity_recompute(spark, sf_dir):
+    """Recompute Newman r from the collected mutual edge list via the
+    same incidence-sum identity; degrees bounded by k."""
+    from collections import Counter
+
+    from kafka_connect_storage_cloud_spark.llm import similarity as LS
+
+    edges = [
+        (r.vec_a, r.vec_b)
+        for r in LS.knn_graph_mutual_gold(spark, sf_dir).collect()
+    ]
+    row = LS.knn_degree_assortativity(spark, sf_dir).collect()
+    if not edges:
+        assert row == []
+        return
+    row = row[0]
+    deg = Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    assert max(deg.values()) <= LS.KNN_K
+    n_inc = 2 * len(edges)
+    s = sum(d * d for d in deg.values())
+    sq = sum(d * d * d for d in deg.values())
+    sxy = 2 * sum(deg[a] * deg[b] for a, b in edges)
+    assert row.n_nodes == len(deg)
+    assert row.n_edges == len(edges)
+    den = n_inc * sq - s * s
+    if den > 0:
+        assert row.assortativity == float(n_inc * sxy - s * s) / float(den)
+        assert -1.0 - 1e-12 <= row.assortativity <= 1.0 + 1e-12
+
+
+def test_dp_sensitivity_bounds(spark, sf_dir):
+    """L-infinity <= L1, breadth x cell-cap >= L1, share in (0, 1],
+    p95 <= max."""
+    from kafka_connect_storage_cloud_spark.plans import events_ext as EXX
+
+    rows = EXX.dp_sensitivity_audit(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.max_user_day_rows <= r.max_user_rows
+        assert r.max_user_rows <= r.max_user_days * r.max_user_day_rows
+        assert 0 < r.top_user_share <= 1.0
+        assert r.p95_user_rows <= r.max_user_rows
+
+
+def test_partition_pruning_matrix_laws(spark, sf_dir):
+    """Every layout/predicate cell obeys the pruning laws: matching <=
+    scanned <= total rows, scanned partitions <= partitions, a layout
+    without the predicate column scans EVERYTHING, and the combined
+    predicate's type_daily cell is the minimum scan fraction."""
+    from kafka_connect_storage_cloud_spark.plans import temporal as TPX
+
+    rows = TPX.partition_pruning_matrix(spark, sf_dir).collect()
+    assert len(rows) == len(TPX.PRUNE_LAYOUTS) * len(TPX.PRUNE_PREDS)
+    cell = {(r.layout, r.predicate): r for r in rows}
+    for r in rows:
+        assert r.rows_matching <= r.rows_scanned <= r.rows_total
+        assert r.n_scanned <= r.n_partitions
+    assert cell[("type", "day_range")].rows_scanned == cell[("type", "day_range")].rows_total
+    assert cell[("daily", "one_type")].rows_scanned == cell[("daily", "one_type")].rows_total
+    best = min(r.scan_fraction for r in rows if r.predicate == "type_and_range")
+    assert cell[("type_daily", "type_and_range")].scan_fraction == best
