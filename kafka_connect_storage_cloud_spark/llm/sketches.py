@@ -71,20 +71,14 @@ _SQL_EXACT = "SELECT event_type, COUNT(DISTINCT user_id) AS n_exact FROM events 
 # kmv_distinct
 # ---------------------------------------------------------------------------
 
-def kmv_distinct(spark: SparkSession, sf_dir: str, k: int = KMV_K) -> DataFrame:
-    """K-minimum-values estimate of distinct users per event_type.
-
-    est = (k-1) * 2^60 / h_(k) where h_(k) is the k-th smallest distinct
-    hash; if a group has fewer than k distinct hashes the estimate is the
-    exact kept count. One distinct-shuffle on (event_type, h), then the
-    row_number window reuses that partitioning; only k rows per group
-    survive to the final agg.
-    """
-    hashes = (
-        read_table(spark, sf_dir, "events")
-        .select("event_type", _user_hash("kmv:").alias("h"))
-        .distinct()
-    )
+def _kmv_estimate(hashes: DataFrame, exact: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Shared KMV estimation tail: bottom-k of a distinct (event_type, h)
+    frame -> estimate columns, joined against an (event_type, n_exact)
+    audit frame. The batch op and the streaming drain
+    (streaming.pipeline.kmv_sketch_stream_stats) both end here, so their
+    outputs agree by construction — min-k sets are MERGEABLE (a union's
+    k smallest distinct hashes all sit inside their member's k smallest),
+    which is what makes the stream's per-batch bottom-k store lossless."""
     w = Window.partitionBy("event_type").orderBy("h")
     kept = hashes.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
     agg = kept.groupBy("event_type").agg(
@@ -94,7 +88,7 @@ def kmv_distinct(spark: SparkSession, sf_dir: str, k: int = KMV_K) -> DataFrame:
     est = F.when(F.col("n_kept") < k, F.col("n_kept").cast("double")).otherwise(
         (F.lit(float(k - 1)) * F.lit(POW2_60)) / F.col("kth_hash").cast("double")
     )
-    out = agg.join(_exact_distinct(spark, sf_dir), "event_type").select(
+    return agg.join(exact, "event_type").select(
         "event_type",
         "n_exact",
         F.floor(est + F.lit(0.5)).cast("bigint").alias("kmv_est"),
@@ -102,7 +96,23 @@ def kmv_distinct(spark: SparkSession, sf_dir: str, k: int = KMV_K) -> DataFrame:
             F.abs(F.floor(est + F.lit(0.5)) - F.col("n_exact")) / F.col("n_exact")
         ).alias("rel_err"),
     )
-    return out
+
+
+def kmv_distinct(spark: SparkSession, sf_dir: str, k: int = KMV_K) -> DataFrame:
+    """K-minimum-values estimate of distinct users per event_type.
+
+    est = (k-1) * 2^60 / h_(k) where h_(k) is the k-th smallest distinct
+    hash; if a group has fewer than k distinct hashes the estimate is the
+    exact kept count. One distinct-shuffle on (event_type, h), then the
+    row_number window reuses that partitioning; only k rows per group
+    survive to the final agg (_kmv_estimate, shared with the streaming
+    drain)."""
+    hashes = (
+        read_table(spark, sf_dir, "events")
+        .select("event_type", _user_hash("kmv:").alias("h"))
+        .distinct()
+    )
+    return _kmv_estimate(hashes, _exact_distinct(spark, sf_dir), k)
 
 
 SQL_KMV_DISTINCT = f"""

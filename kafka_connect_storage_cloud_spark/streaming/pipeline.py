@@ -1669,3 +1669,92 @@ def cms_sketch_stream_stats(spark: SparkSession, store_dir: str) -> DataFrame:
         .agg(F.sum("true_count").alias("true_count"))
     )
     return _cms_estimate(sketch, true_counts)
+
+
+def kmv_sketch_stream(
+    events: DataFrame, store_dir: str, checkpoint: str
+) -> StreamingQuery:
+    """Streaming twin of sketches.kmv_distinct — the SECOND mergeable
+    sketch class (count-min merges by ADDITION of cells; KMV merges by
+    UNION-then-bottom-k of min-hash sets): each micro-batch writes, per
+    event_type, the bottom-KMV_K distinct user hashes it saw
+    (`mins/batch=N`, ≤ |types|·K rows — the production sketch state) plus
+    its distinct (event_type, user_id) pairs (`users/batch=N`, the
+    audit-only store that reproduces the batch op's n_exact/rel_err
+    columns; a production deployment drops it and keeps only the sketch).
+    Correctness of the merge: any of the GLOBAL k smallest distinct
+    hashes that appears in batch b is necessarily among batch b's k
+    smallest distinct hashes, so the union of per-batch bottom-k sets
+    contains the global bottom-k — the drain's bottom-k over the union
+    (kmv_sketch_stream_stats -> sketches._kmv_estimate) is exactly the
+    one-shot's, for ANY batch split.
+
+    Exactly-once: batch-keyed overwrite (a replayed batch rewrites
+    identical rows)."""
+    from ..llm.sketches import KMV_K, _user_hash
+
+    def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        from pyspark.sql import Window as W
+
+        if batch_df.isEmpty():
+            return
+        pairs = (
+            batch_df.select("event_type", "user_id")
+            .distinct()
+            .localCheckpoint(eager=True)  # mins + users consumers
+        )
+        hashes = pairs.select("event_type", _user_hash("kmv:").alias("h")).distinct()
+        wk = W.partitionBy("event_type").orderBy("h")
+        mins = (
+            hashes.withColumn("rn", F.row_number().over(wk))
+            .where(F.col("rn") <= KMV_K)
+            .drop("rn")
+        )
+        mins.write.mode("overwrite").parquet(
+            os.path.join(store_dir, "mins", f"batch={batch_id}")
+        )
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(store_dir, "users", f"batch={batch_id}")
+        )
+
+    return (
+        events.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def kmv_sketch_stream_stats(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Drain-time finalize for kmv_sketch_stream: union the per-batch
+    bottom-k stores, dedup, re-take the bottom-k, and run the SHARED
+    estimation tail (sketches._kmv_estimate) against the exact distinct
+    count from the audit store. == one-shot sketches.kmv_distinct
+    (pinned at 2-/4-way splits + replay)."""
+    import os
+
+    from ..llm.sketches import KMV_K, _kmv_estimate
+
+    min_batches = _list_store_batches(spark, os.path.join(store_dir, "mins"))
+    if not min_batches:
+        return spark.createDataFrame(
+            [], "event_type string, n_exact bigint, kmv_est bigint, rel_err double"
+        )
+    mins = (
+        spark.read.parquet(*[os.path.join(store_dir, "mins", e) for e in min_batches])
+        .select("event_type", "h")
+        .distinct()
+    )
+    user_batches = _list_store_batches(spark, os.path.join(store_dir, "users"))
+    exact = (
+        spark.read.parquet(
+            *[os.path.join(store_dir, "users", e) for e in user_batches]
+        )
+        .select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    return _kmv_estimate(mins, exact, KMV_K)

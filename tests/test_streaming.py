@@ -1563,3 +1563,71 @@ def test_cms_sketch_stream_matches_batch(spark, sf_small, tmp_path):
 
     assert run(2, "s2") == exp
     assert run(4, "s4") == exp
+
+
+def test_kmv_sketch_stream_matches_batch(spark, sf_small, tmp_path):
+    """Streaming KMV == one-shot kmv_distinct after drain: min-k sets are
+    mergeable by union-then-bottom-k, so a 2-way and a 4-way event split
+    land the identical estimate table, and a replay into a fresh
+    checkpoint rewrites the same stores."""
+    from kafka_connect_storage_cloud_spark.llm.sketches import kmv_distinct
+    from kafka_connect_storage_cloud_spark.session import read_events
+    from kafka_connect_storage_cloud_spark.streaming.pipeline import (
+        kmv_sketch_stream,
+        kmv_sketch_stream_stats,
+    )
+
+    ev = read_events(spark, sf_small).select("event_id", "event_type", "user_id")
+    exp = {tuple(r) for r in kmv_distinct(spark, sf_small).collect()}
+    assert exp
+
+    def run(n_split: int, tag: str) -> set:
+        stage = str(tmp_path / f"kmv_stage_{tag}")
+        for i in range(n_split):
+            ev.where(F.col("event_id") % n_split == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(stage)
+        store = str(tmp_path / f"kmv_store_{tag}")
+        src = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        q = kmv_sketch_stream(src, store, str(tmp_path / f"kmv_ck_{tag}"))
+        assert q.awaitTermination(180), "kmv stream did not drain"
+        got = {tuple(r) for r in kmv_sketch_stream_stats(spark, store).collect()}
+        q2 = kmv_sketch_stream(src, store, str(tmp_path / f"kmv_ck2_{tag}"))
+        assert q2.awaitTermination(180)
+        got_replay = {tuple(r) for r in kmv_sketch_stream_stats(spark, store).collect()}
+        assert got_replay == got, "replay changed the drained estimates"
+        return got
+
+    assert run(2, "s2") == exp
+    assert run(4, "s4") == exp
+
+
+def test_kmv_stream_min_store_is_bounded(spark, sf_small, tmp_path):
+    """The production state (mins store) holds <= |types| * K rows per
+    batch regardless of batch size."""
+    from kafka_connect_storage_cloud_spark.llm.sketches import KMV_K
+    from kafka_connect_storage_cloud_spark.session import read_events
+    from kafka_connect_storage_cloud_spark.streaming.pipeline import (
+        kmv_sketch_stream,
+    )
+
+    ev = read_events(spark, sf_small).select("event_id", "event_type", "user_id")
+    stage = str(tmp_path / "kmvb_stage")
+    ev.coalesce(1).write.parquet(stage)
+    store = str(tmp_path / "kmvb_store")
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = kmv_sketch_stream(src, store, str(tmp_path / "kmvb_ck"))
+    assert q.awaitTermination(180)
+    mins = spark.read.parquet(f"{store}/mins/batch=0")
+    n_types = ev.select("event_type").distinct().count()
+    assert mins.count() <= n_types * KMV_K
+    per = mins.groupBy("event_type").count().collect()
+    assert all(r["count"] <= KMV_K for r in per)
