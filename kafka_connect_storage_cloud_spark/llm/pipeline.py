@@ -1371,3 +1371,199 @@ ORDER BY e.query_id
 
 QUERIES["ivf_twolevel_recall_audit"] = ivf_twolevel_recall_audit
 ORACLES["ivf_twolevel_recall_audit"] = _sql_ivf_twolevel_recall()
+
+
+# ---------------------------------------------------------------------------
+# cluster_silhouette (r9 session 3) — simplified silhouette per fine cell
+# ---------------------------------------------------------------------------
+
+
+def _fine_scores(members: DataFrame, codebook: DataFrame) -> DataFrame:
+    """Per-vector best AND second-best fine-centroid cosines within the
+    coarse cell — _fine_assign's matmul with the argsort kept to depth 2
+    (same rounding chain, same lexicographic (-r6, fcell) order, so the
+    best column reproduces the assignment exactly). b6 is NaN when the
+    coarse cell holds a single fine centroid (converted to NULL by the
+    caller)."""
+    import numpy as np
+    import pandas as pd
+
+    out_cols = ["vec_id", "fcell", "a6", "b6"]
+
+    def score(_key, mdf, cdf):
+        if mdf.empty or cdf.empty:
+            return pd.DataFrame(columns=out_cols)
+        cdf = cdf.sort_values("fcell")
+        c_mat = np.stack(cdf["cv"].to_numpy()).astype(np.int64)
+        c_ids = cdf["fcell"].to_numpy()
+        c_norm = np.sqrt(np.einsum("ij,ij->i", c_mat, c_mat).astype(np.float64) / 1e16)
+        v_mat = np.stack(mdf["v"].to_numpy()).astype(np.int64)
+        nrm = np.sqrt(np.einsum("ij,ij->i", v_mat, v_mat).astype(np.float64) / 1e16)
+        cos = ((v_mat @ c_mat.T).astype(np.float64) / 1e16) / (
+            nrm[:, None] * c_norm[None, :]
+        )
+        r6 = np.floor(cos * 1e6 + 0.5) / 1e6
+        rows = np.arange(len(r6))
+        best = np.argmin(-r6, axis=1)  # first hit = smallest fcell on ties
+        a6 = r6[rows, best]
+        if r6.shape[1] >= 2:
+            neg = (-r6).copy()
+            neg[rows, best] = np.inf
+            second = np.argmin(neg, axis=1)
+            b6 = r6[rows, second]
+        else:
+            b6 = np.full(len(r6), np.nan)
+        return pd.DataFrame(
+            {"vec_id": mdf["vec_id"], "fcell": c_ids[best], "a6": a6, "b6": b6}
+        )
+
+    return (
+        members.select("vec_id", "ccell", "v")
+        .groupBy("ccell")
+        .cogroup(codebook.groupBy("ccell"))
+        .applyInPandas(score, "vec_id long, fcell long, a6 double, b6 double")
+    )
+
+
+def cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette of the two-level SemDeDup codebook, per fine
+    cell: for every vector, a = 1 − cos₆(own fine centroid) and
+    b = 1 − cos₆(second-nearest fine centroid WITHIN the coarse cell —
+    the centroids the assignment actually chose between), s = (b − a) /
+    max(a, b) quantized to 1e6 micro-ints per vector before the cell
+    rollup (no double sums). mean_sil near 1 = compact well-separated
+    cells (trust semdedup_cells' within-cell exhaustiveness); mean_sil
+    near 0 with share_negative > 0 = vectors sitting between fine cells —
+    exactly the split-pair leak SemDeDup's paper documents, localized to
+    the cells that have it. Vectors in single-fine-centroid coarse cells
+    have no b and are counted in n_members but not n_scored.
+
+    Scale: the score pass is the SAME cogrouped Arrow matmul as the
+    assignment (Σ|c|·K_f ≈ n·√K dots); nothing new is collected — the
+    coarse codebook remains the only driver-held state.
+
+    Reference scope note: beyond-reference §2C — the clustering-quality
+    audit a training-data pipeline runs before trusting semantic dedup."""
+    k = _semdedup_k(spark, sf_dir)
+    c_ids, c_mat = _train_codebook(
+        spark, sf_dir, k=_semdedup_k0(k), salt=SEMDEDUP_COARSE_SALT
+    )
+    if len(c_ids) == 0:
+        return spark.createDataFrame(
+            [],
+            "cell bigint, n_members bigint, n_scored bigint, "
+            "mean_sil double, min_sil double, share_negative double",
+        )
+    emb = _with_dec_and_norm(read_table(spark, sf_dir, "embeddings"))
+    members = (
+        _assign_cells(emb, c_ids, c_mat)
+        .withColumnRenamed("cell", "ccell")
+        .localCheckpoint()  # seeds + every Lloyd step + the score pass
+    )
+    code = _semdedup_fine_codebook(members)
+    sc = _fine_scores(members, code)
+    per = sc.select(
+        "vec_id",
+        "fcell",
+        (F.lit(1.0) - F.col("a6")).alias("da"),
+        F.when(~F.isnan("b6"), F.lit(1.0) - F.col("b6")).alias("db"),
+    ).withColumn(
+        "s_mic",
+        F.when(F.col("db").isNull(), F.lit(None).cast("long"))
+        .when(
+            F.greatest("da", "db") > 0,
+            F.floor(
+                ((F.col("db") - F.col("da")) / F.greatest("da", "db")) * 1000000.0
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+        .otherwise(F.lit(0)),
+    )
+    agg = per.groupBy(F.col("fcell").alias("cell")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.count("s_mic").alias("n_scored"),
+        F.sum("s_mic").alias("sum_s"),
+        F.min("s_mic").alias("min_s"),
+        F.sum(F.when(F.col("s_mic") < 0, 1).otherwise(0)).alias("n_neg"),
+    )
+    return agg.select(
+        "cell",
+        "n_members",
+        "n_scored",
+        F.when(
+            F.col("n_scored") > 0,
+            F.col("sum_s").cast("double")
+            / (F.col("n_scored") * F.lit(1000000)).cast("double"),
+        ).alias("mean_sil"),
+        F.when(
+            F.col("n_scored") > 0,
+            F.col("min_s").cast("double") / F.lit(1000000).cast("double"),
+        ).alias("min_sil"),
+        F.when(
+            F.col("n_scored") > 0,
+            F.col("n_neg").cast("double") / F.col("n_scored").cast("double"),
+        ).alias("share_negative"),
+    )
+
+
+def _sql_cluster_silhouette() -> str:
+    dot_mc = _SQL_DOT.format(a="m.v", b="c.cv")
+    dot_cc = _SQL_DOT.format(a="c.cv", b="c.cv")
+    return f"""
+WITH {_SQL_EMB},
+{_sql_train_chain(k=_SQL_SEMDEDUP_K0, salt=SEMDEDUP_COARSE_SALT)},
+{_sql_assign(_FINAL_CENTS, 'casg')},
+mem AS MATERIALIZED (
+  SELECT a.vec_id, a.cell AS ccell, e.v, e.nrm
+  FROM casg a JOIN emb_n e ON a.vec_id = e.vec_id
+),
+{_sql_fine_chain()},
+svcc AS MATERIALIZED (
+  SELECT m.vec_id, c.fcell,
+         floor(({dot_mc} / (m.nrm * sqrt({dot_cc}))) * 1000000.0 + 0.5) / 1000000.0
+           AS c6
+  FROM mem m JOIN f{SEMDEDUP_FINE_STEPS} c ON m.ccell = c.ccell
+),
+sbest AS MATERIALIZED (
+  SELECT vec_id, MIN(struct_pack(nc := -c6, f := fcell)) AS b1
+  FROM svcc GROUP BY 1
+),
+ssec AS (
+  SELECT v.vec_id, MIN(struct_pack(nc := -v.c6, f := v.fcell)) AS b2
+  FROM svcc v JOIN sbest b ON v.vec_id = b.vec_id
+  WHERE struct_pack(nc := -v.c6, f := v.fcell) > b.b1
+  GROUP BY 1
+),
+sda AS (
+  SELECT b.vec_id, b.b1.f AS fcell,
+         1 - (-b.b1.nc) AS da,
+         CASE WHEN s.vec_id IS NOT NULL THEN 1 - (-s.b2.nc) END AS db
+  FROM sbest b LEFT JOIN ssec s ON b.vec_id = s.vec_id
+),
+smic AS (
+  SELECT vec_id, fcell,
+         CASE WHEN db IS NULL THEN NULL
+              WHEN GREATEST(da, db) > 0
+              THEN CAST(FLOOR(((db - da) / GREATEST(da, db)) * 1000000.0 + 0.5)
+                        AS BIGINT)
+              ELSE 0 END AS s_mic
+  FROM sda
+)
+SELECT fcell AS cell,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(COUNT(s_mic) AS BIGINT) AS n_scored,
+       CASE WHEN COUNT(s_mic) > 0
+            THEN CAST(SUM(s_mic) AS DOUBLE)
+                 / CAST(COUNT(s_mic) * 1000000 AS DOUBLE) END AS mean_sil,
+       CASE WHEN COUNT(s_mic) > 0
+            THEN CAST(MIN(s_mic) AS DOUBLE) / CAST(1000000 AS DOUBLE)
+       END AS min_sil,
+       CASE WHEN COUNT(s_mic) > 0
+            THEN CAST(SUM(CASE WHEN s_mic < 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(s_mic) AS DOUBLE) END AS share_negative
+FROM smic GROUP BY 1
+"""
+
+
+QUERIES["cluster_silhouette"] = cluster_silhouette
+ORACLES["cluster_silhouette"] = _sql_cluster_silhouette()

@@ -703,3 +703,26 @@ def test_partition_pruning_matrix_laws(spark, sf_dir):
     assert cell[("daily", "one_type")].rows_scanned == cell[("daily", "one_type")].rows_total
     best = min(r.scan_fraction for r in rows if r.predicate == "type_and_range")
     assert cell[("type_daily", "type_and_range")].scan_fraction == best
+
+
+# --- session-3 batch F: cluster silhouette ---------------------------------
+
+
+def test_cluster_silhouette_reconciles_with_cell_profile(spark, sf_dir):
+    """The silhouette score pass must reproduce the assignment exactly:
+    (cell, n_members) == semdedup_cell_profile row-for-row, members add
+    to the corpus, and every silhouette lives in [-1, 1]."""
+    from kafka_connect_storage_cloud_spark.llm import pipeline as LP
+    from kafka_connect_storage_cloud_spark.session import read_table
+
+    sil = {r.cell: r for r in LP.cluster_silhouette(spark, sf_dir).collect()}
+    prof = {r.cell: r for r in LP.semdedup_cell_profile(spark, sf_dir).collect()}
+    assert set(sil) == set(prof)
+    for c, r in sil.items():
+        assert r.n_members == prof[c].n_members
+        assert r.n_scored <= r.n_members
+        if r.mean_sil is not None:
+            assert -1.0 - 1e-9 <= r.min_sil <= r.mean_sil <= 1.0 + 1e-9
+            assert 0.0 <= r.share_negative <= 1.0
+    n = read_table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_members for r in sil.values()) == n
