@@ -451,26 +451,26 @@ QSK_MAX = 256  # bin width QSK_MAX/QSK_BINS tokens; tail clamps into the last bi
 QSK_QS = (50, 90, 99)
 
 
-def quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per language: P50/P90/P99 of the per-doc token count — the sketch
-    estimate (upper edge of the first histogram bin whose cumulative count
-    reaches the rank) next to the exact percentile (ordered pick at
-    ceil(q/100 * n), the classic nearest-rank definition) and the relative
-    error. The histogram is 64 integer cells per language regardless of
-    corpus size; the exact side exists to audit the read-out."""
+def _qsk_tokens_expr():
+    return F.size(F.split(F.lower("text"), r"\s+")).cast("long").alias("tokens")
+
+
+def _qsk_audit(hist: DataFrame, freq: DataFrame) -> DataFrame:
+    """Shared quantile-sketch read-out: hist = (lang, bin, c) histogram
+    cells, freq = (lang, tokens, cnt) exact value counts. Both inputs are
+    ADDITIVE, which is what lets the streaming twin
+    (streaming.pipeline.histogram_sketch_stream) SUM-merge per-batch
+    partials and end in this exact tail. The exact pick is the smallest
+    value whose cumulative count reaches ceil(q/100·n) — identical to the
+    classic row_number-at-rank pick over the expanded multiset."""
     width = QSK_MAX // QSK_BINS
-    docs = read_table(spark, sf_dir, "documents").select(
-        "lang",
-        F.size(F.split(F.lower("text"), r"\s+")).cast("long").alias("tokens"),
-    )
-    binned = docs.withColumn(
-        "bin",
-        F.least(F.floor(F.col("tokens") / width), F.lit(QSK_BINS - 1)).cast("int"),
-    )
-    hist = binned.groupBy("lang", "bin").agg(F.count(F.lit(1)).alias("c"))
     wl = Window.partitionBy("lang").orderBy("bin")
     cum = hist.withColumn("cum", F.sum("c").over(wl)).withColumn(
         "n", F.sum("c").over(Window.partitionBy("lang"))
+    )
+    wt = Window.partitionBy("lang").orderBy("tokens")
+    fcum = freq.withColumn("cumt", F.sum("cnt").over(wt)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy("lang"))
     )
     rows = []
     for q in QSK_QS:
@@ -486,12 +486,10 @@ def quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n",
             )
         )
-        wq = Window.partitionBy("lang").orderBy("tokens", "lang")
         exact = (
-            docs.withColumn("rn", F.row_number().over(wq.orderBy("tokens")))
-            .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("lang")))
-            .where(F.col("rn") == F.ceil(F.col("n") * q / 100.0))
-            .select("lang", F.col("tokens").alias("exact_value"))
+            fcum.where(F.col("cumt") >= F.ceil(F.col("n") * q / 100.0))
+            .groupBy("lang")
+            .agg(F.min("tokens").alias("exact_value"))
         )
         rows.append(
             est.join(exact, "lang").select(
@@ -509,6 +507,26 @@ def quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out.orderBy("lang", "q")
+
+
+def quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per language: P50/P90/P99 of the per-doc token count — the sketch
+    estimate (upper edge of the first histogram bin whose cumulative count
+    reaches the rank) next to the exact percentile (ordered pick at
+    ceil(q/100 * n), the classic nearest-rank definition) and the relative
+    error. The histogram is 64 integer cells per language regardless of
+    corpus size; the exact side exists to audit the read-out. Binning,
+    value counts, and the read-out are shared with the streaming twin
+    (_qsk_audit)."""
+    width = QSK_MAX // QSK_BINS
+    docs = read_table(spark, sf_dir, "documents").select("lang", _qsk_tokens_expr())
+    binned = docs.withColumn(
+        "bin",
+        F.least(F.floor(F.col("tokens") / width), F.lit(QSK_BINS - 1)).cast("int"),
+    )
+    hist = binned.groupBy("lang", "bin").agg(F.count(F.lit(1)).alias("c"))
+    freq = docs.groupBy("lang", "tokens").agg(F.count(F.lit(1)).alias("cnt"))
+    return _qsk_audit(hist, freq)
 
 
 def _sql_quantile_sketch() -> str:

@@ -2817,3 +2817,133 @@ FROM ssv
 
 QUERIES["events_seasonality_strength"] = events_seasonality_strength
 ORACLES["events_seasonality_strength"] = SQL_EVENTS_SEASONALITY_STRENGTH
+
+
+# ---------------------------------------------------------------------------
+# broadcast_size_audit (r9 session 3) — join-strategy sizing table
+# ---------------------------------------------------------------------------
+
+BCAST_THRESHOLD = 10 * 1024 * 1024  # spark.sql.autoBroadcastJoinThreshold default
+SCAN_PART_BYTES = 128 * 1024 * 1024  # spark.sql.files.maxPartitionBytes default
+
+# (column, kind) per table — kinds: i4 (4 bytes), f8 (8: bigint/double/ts),
+# str (length + 4-byte offset). Pinned to TESTDATA.md's schemas; the schema
+# canary flags drift.
+_BCAST_TABLES: dict = {
+    "region": (("r_regionkey", "i4"), ("r_name", "str")),
+    "nation": (("n_nationkey", "i4"), ("n_name", "str"), ("n_regionkey", "i4")),
+    "customer": (
+        ("c_custkey", "f8"), ("c_name", "str"), ("c_nationkey", "i4"),
+        ("c_acctbal", "f8"), ("c_mktsegment", "str"),
+    ),
+    "supplier": (
+        ("s_suppkey", "f8"), ("s_name", "str"), ("s_nationkey", "i4"),
+        ("s_acctbal", "f8"),
+    ),
+    "part": (
+        ("p_partkey", "f8"), ("p_name", "str"), ("p_brand", "str"),
+        ("p_type", "str"), ("p_size", "i4"), ("p_retailprice", "f8"),
+    ),
+    "orders": (
+        ("o_orderkey", "f8"), ("o_custkey", "f8"), ("o_orderstatus", "str"),
+        ("o_totalprice", "f8"), ("o_orderdate", "f8"), ("o_orderpriority", "str"),
+    ),
+    "lineitem": (
+        ("l_orderkey", "f8"), ("l_partkey", "f8"), ("l_suppkey", "f8"),
+        ("l_linenumber", "i4"), ("l_quantity", "f8"), ("l_extendedprice", "f8"),
+        ("l_discount", "f8"), ("l_tax", "f8"), ("l_returnflag", "str"),
+        ("l_linestatus", "str"), ("l_shipdate", "f8"),
+    ),
+}
+
+
+def broadcast_size_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy sizing table for the warehouse: per table, the exact
+    in-memory data volume under a fixed byte model (4 B ints, 8 B
+    bigint/double/timestamp, length+4 B strings — the flat-row estimate a
+    planner's sizeInBytes stands in for), the broadcast verdict against
+    Spark's default 10 MiB autoBroadcastJoinThreshold, and the scan
+    parallelism ceil(bytes / 128 MiB maxPartitionBytes). This is the
+    quantified form of every `F.broadcast` decision in this repo (the r8
+    site audit's rule: hint only CONSTANT-bounded operands): region/
+    nation/part stay broadcastable at any SF because their row counts are
+    dimension-like; orders/lineitem cross the threshold as the SF grows —
+    the audit shows exactly where, so the strategy flip is data-driven
+    rather than folklore.
+
+    Scale: one column-pruned scan + one 1-row aggregate per table; the
+    exact SUM of string lengths is the only corpus-dependent term and is
+    map-side combined."""
+    frames = []
+    for tname, cols in _BCAST_TABLES.items():
+        per_row = None
+        for c, kind in cols:
+            term = (
+                F.lit(4)
+                if kind == "i4"
+                else F.lit(8)
+                if kind == "f8"
+                else F.coalesce(F.length(F.col(c)), F.lit(0)) + F.lit(4)
+            )
+            per_row = term if per_row is None else per_row + term
+        t = read_table(spark, sf_dir, tname)
+        frames.append(
+            t.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(per_row.cast("long")).alias("data_bytes"),
+            ).select(F.lit(tname).alias("table_name"), "n_rows", "data_bytes")
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.select(
+        "table_name",
+        "n_rows",
+        "data_bytes",
+        (F.col("data_bytes").cast("double") / F.col("n_rows").cast("double")).alias(
+            "avg_row_bytes"
+        ),
+        (F.col("data_bytes") <= F.lit(BCAST_THRESHOLD)).alias("broadcastable"),
+        F.greatest(
+            F.lit(1),
+            F.expr(f"(data_bytes + {SCAN_PART_BYTES - 1}) div {SCAN_PART_BYTES}"),
+        ).alias("scan_partitions"),
+        F.when(
+            F.col("data_bytes") <= F.lit(BCAST_THRESHOLD), F.lit("broadcast")
+        )
+        .otherwise(F.lit("shuffle"))
+        .alias("join_strategy"),
+    )
+
+
+def _sql_broadcast_size_audit() -> str:
+    blocks = []
+    for tname, cols in _BCAST_TABLES.items():
+        terms = []
+        for c, kind in cols:
+            if kind == "i4":
+                terms.append("4")
+            elif kind == "f8":
+                terms.append("8")
+            else:
+                terms.append(f"(COALESCE(length({c}), 0) + 4)")
+        blocks.append(
+            f"SELECT '{tname}' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,"
+            f" CAST(SUM({' + '.join(terms)}) AS BIGINT) AS data_bytes FROM {tname}"
+        )
+    un = " UNION ALL ".join(blocks)
+    return f"""
+WITH bsz AS ({un})
+SELECT table_name, n_rows, data_bytes,
+       CAST(data_bytes AS DOUBLE) / CAST(n_rows AS DOUBLE) AS avg_row_bytes,
+       data_bytes <= {BCAST_THRESHOLD} AS broadcastable,
+       GREATEST(1, (data_bytes + {SCAN_PART_BYTES - 1}) // {SCAN_PART_BYTES})
+         AS scan_partitions,
+       CASE WHEN data_bytes <= {BCAST_THRESHOLD} THEN 'broadcast'
+            ELSE 'shuffle' END AS join_strategy
+FROM bsz
+"""
+
+
+QUERIES["broadcast_size_audit"] = broadcast_size_audit
+ORACLES["broadcast_size_audit"] = _sql_broadcast_size_audit()

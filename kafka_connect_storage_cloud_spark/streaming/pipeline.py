@@ -1758,3 +1758,88 @@ def kmv_sketch_stream_stats(spark: SparkSession, store_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_exact"))
     )
     return _kmv_estimate(mins, exact, KMV_K)
+
+
+def histogram_sketch_stream(
+    docs: DataFrame, store_dir: str, checkpoint: str
+) -> StreamingQuery:
+    """Streaming twin of sketches.quantile_sketch_audit — the THIRD
+    mergeable sketch class (count-min merges by cell ADDITION, KMV by
+    min-set UNION; the binned quantile histogram merges by BIN ADDITION):
+    each micro-batch writes its partial (lang, bin) histogram cells and
+    its partial (lang, tokens) exact value counts to batch-keyed stores;
+    the drain (histogram_sketch_stream_stats) SUM-merges both and runs
+    the shared read-out tail (sketches._qsk_audit) — equal to the
+    one-shot audit by additivity, for ANY batch split. The histogram
+    store is the production state (|langs|·64 cells per batch); the
+    value-count store is the audit side that reproduces exact_value /
+    rel_err.
+
+    Exactly-once: batch-keyed overwrite (replay rewrites identical
+    partials)."""
+    from ..llm.sketches import QSK_BINS, QSK_MAX, _qsk_tokens_expr
+
+    width = QSK_MAX // QSK_BINS
+
+    def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        if batch_df.isEmpty():
+            return
+        toks = batch_df.select("lang", _qsk_tokens_expr()).localCheckpoint(
+            eager=True
+        )  # hist + freq consumers
+        hist = (
+            toks.withColumn(
+                "bin",
+                F.least(F.floor(F.col("tokens") / width), F.lit(QSK_BINS - 1)).cast(
+                    "int"
+                ),
+            )
+            .groupBy("lang", "bin")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        freq = toks.groupBy("lang", "tokens").agg(F.count(F.lit(1)).alias("cnt"))
+        hist.write.mode("overwrite").parquet(
+            os.path.join(store_dir, "hist", f"batch={batch_id}")
+        )
+        freq.write.mode("overwrite").parquet(
+            os.path.join(store_dir, "freq", f"batch={batch_id}")
+        )
+
+    return (
+        docs.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def histogram_sketch_stream_stats(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Drain-time finalize for histogram_sketch_stream: SUM-merge the
+    partial histogram cells and value counts, then the shared read-out
+    (sketches._qsk_audit). == one-shot quantile_sketch_audit (additive
+    state; pinned at 2-/4-way splits + replay)."""
+    import os
+
+    from ..llm.sketches import _qsk_audit
+
+    hist_batches = _list_store_batches(spark, os.path.join(store_dir, "hist"))
+    if not hist_batches:
+        return spark.createDataFrame(
+            [],
+            "lang string, q int, sketch_value bigint, exact_value bigint, "
+            "rel_err double",
+        )
+    hist = (
+        spark.read.parquet(*[os.path.join(store_dir, "hist", e) for e in hist_batches])
+        .groupBy("lang", "bin")
+        .agg(F.sum("c").alias("c"))
+    )
+    freq_batches = _list_store_batches(spark, os.path.join(store_dir, "freq"))
+    freq = (
+        spark.read.parquet(*[os.path.join(store_dir, "freq", e) for e in freq_batches])
+        .groupBy("lang", "tokens")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    return _qsk_audit(hist, freq)

@@ -726,3 +726,21 @@ def test_cluster_silhouette_reconciles_with_cell_profile(spark, sf_dir):
             assert 0.0 <= r.share_negative <= 1.0
     n = read_table(spark, sf_dir, "embeddings").count()
     assert sum(r.n_members for r in sil.values()) == n
+
+
+def test_broadcast_size_audit_model(spark, sf_dir):
+    """Byte model recomputed for region (tiny) driver-side; dimension
+    tables are broadcastable; flags consistent with the emitted bytes."""
+    from kafka_connect_storage_cloud_spark.plans import warehouse as WH
+    from kafka_connect_storage_cloud_spark.session import read_table
+
+    rows = {r.table_name: r for r in WH.broadcast_size_audit(spark, sf_dir).collect()}
+    assert set(rows) == set(WH._BCAST_TABLES)
+    reg = read_table(spark, sf_dir, "region").collect()
+    exp = sum(4 + (len(r.r_name) if r.r_name else 0) + 4 for r in reg)
+    assert rows["region"].data_bytes == exp
+    for r in rows.values():
+        assert r.broadcastable == (r.data_bytes <= WH.BCAST_THRESHOLD)
+        assert r.join_strategy == ("broadcast" if r.broadcastable else "shuffle")
+        assert r.scan_partitions >= 1
+    assert rows["region"].broadcastable and rows["nation"].broadcastable

@@ -1631,3 +1631,45 @@ def test_kmv_stream_min_store_is_bounded(spark, sf_small, tmp_path):
     assert mins.count() <= n_types * KMV_K
     per = mins.groupBy("event_type").count().collect()
     assert all(r["count"] <= KMV_K for r in per)
+
+
+def test_histogram_sketch_stream_matches_batch(spark, sf_small, tmp_path):
+    """Streaming binned-quantile histogram == one-shot
+    quantile_sketch_audit after drain: bins and value counts are
+    additive, so 2-way and 4-way splits land the identical table and a
+    replay rewrites the same stores."""
+    from kafka_connect_storage_cloud_spark.llm.sketches import quantile_sketch_audit
+    from kafka_connect_storage_cloud_spark.streaming.pipeline import (
+        histogram_sketch_stream,
+        histogram_sketch_stream_stats,
+        stream_documents_source,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    exp = {tuple(r) for r in quantile_sketch_audit(spark, sf_small).collect()}
+    assert exp
+
+    def run(n_split: int, tag: str) -> set:
+        stage = str(tmp_path / f"qsk_stage_{tag}")
+        for i in range(n_split):
+            docs.where(F.col("doc_id") % n_split == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(stage)
+        store = str(tmp_path / f"qsk_store_{tag}")
+        q = histogram_sketch_stream(
+            stream_documents_source(spark, stage), store, str(tmp_path / f"qsk_ck_{tag}")
+        )
+        assert q.awaitTermination(180), "histogram stream did not drain"
+        got = {tuple(r) for r in histogram_sketch_stream_stats(spark, store).collect()}
+        q2 = histogram_sketch_stream(
+            stream_documents_source(spark, stage), store, str(tmp_path / f"qsk_ck2_{tag}")
+        )
+        assert q2.awaitTermination(180)
+        got_replay = {
+            tuple(r) for r in histogram_sketch_stream_stats(spark, store).collect()
+        }
+        assert got_replay == got, "replay changed the drained audit"
+        return got
+
+    assert run(2, "s2") == exp
+    assert run(4, "s4") == exp
