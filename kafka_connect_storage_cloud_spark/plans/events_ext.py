@@ -1505,3 +1505,256 @@ FROM dpusers GROUP BY 1
 
 QUERIES["dp_sensitivity_audit"] = dp_sensitivity_audit
 ORACLES["dp_sensitivity_audit"] = SQL_DP_SENSITIVITY
+
+
+# ---------------------------------------------------------------------------
+# events_peak_hour_stability (r9 session 3) — circular peak-hour profile
+# ---------------------------------------------------------------------------
+
+
+def events_peak_hour_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How stable is each type's DAILY PEAK HOUR? Per (type, day) the
+    modal clock hour (max count, smallest hour on ties — the
+    deterministic struct-max argmax), then per type: the modal peak hour
+    across days (same argmax over day counts), the share of days whose
+    peak lands exactly there, and the mean CIRCULAR distance
+    min(|a−b|, 24−|a−b|) from the modal peak — hour-of-day is a circle,
+    so 23:00 is one hour from midnight, not twenty-three (the wrap naive
+    |a−b| scoring gets wrong). A type with high stability + low circular
+    drift has a hard diurnal anchor (cron-like traffic); low stability
+    with uniform drift is demand-driven — the distinction that decides
+    whether hour-of-day is worth a partition column (read beside
+    partition_pruning_matrix and events_dow_profile's mean profile).
+
+    Scale: one rollup to (type, day, hour) cells, two metadata argmaxes,
+    one join back on (type) for the circular distances — all bounded by
+    |types|·|days|·24."""
+    ev = read_events(spark, sf_dir).select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.hour("ts").alias("hod"),
+    )
+    cells = ev.groupBy("event_type", "day", "hod").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    daypeak = (
+        cells.groupBy("event_type", "day")
+        .agg(F.max(F.struct("c", (-F.col("hod")).alias("nh"))).alias("b"))
+        .select("event_type", "day", (-F.col("b.nh")).alias("peak"))
+        .localCheckpoint(eager=True)  # modal agg + distance join
+    )
+    modal = (
+        daypeak.groupBy("event_type", "peak")
+        .agg(F.count(F.lit(1)).alias("days"))
+        .groupBy("event_type")
+        .agg(F.max(F.struct("days", (-F.col("peak")).alias("np"))).alias("b"))
+        .select("event_type", (-F.col("b.np")).alias("modal_peak"))
+    )
+    j = daypeak.join(modal, "event_type").withColumn(
+        "ad", F.abs(F.col("peak") - F.col("modal_peak"))
+    )
+    agg = j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.max("modal_peak").alias("modal_peak_hour"),
+        F.sum(F.when(F.col("peak") == F.col("modal_peak"), 1).otherwise(0)).alias(
+            "n_at_modal"
+        ),
+        F.sum(F.least(F.col("ad"), F.lit(24) - F.col("ad"))).alias("circ_sum"),
+    )
+    return agg.select(
+        "event_type",
+        "n_days",
+        F.col("modal_peak_hour").cast("long").alias("modal_peak_hour"),
+        (F.col("n_at_modal").cast("double") / F.col("n_days").cast("double")).alias(
+            "stability"
+        ),
+        (F.col("circ_sum").cast("double") / F.col("n_days").cast("double")).alias(
+            "mean_circ_dist"
+        ),
+    )
+
+
+SQL_EVENTS_PEAK_HOUR = """
+WITH phcells AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(EXTRACT(hour FROM ts) AS INT) AS hod,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2, 3
+),
+phday AS (
+  SELECT event_type, day,
+         -(MAX({'c': c, 'nh': -hod}).nh) AS peak
+  FROM phcells GROUP BY 1, 2
+),
+phmodal AS (
+  SELECT event_type,
+         -(MAX({'d': days, 'np': -peak}).np) AS modal_peak
+  FROM (
+    SELECT event_type, peak, CAST(COUNT(*) AS BIGINT) AS days
+    FROM phday GROUP BY 1, 2
+  ) GROUP BY 1
+),
+phj AS (
+  SELECT d.event_type, d.peak, m.modal_peak,
+         ABS(d.peak - m.modal_peak) AS ad
+  FROM phday d JOIN phmodal m USING (event_type)
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(MAX(modal_peak) AS BIGINT) AS modal_peak_hour,
+       CAST(SUM(CASE WHEN peak = modal_peak THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS stability,
+       CAST(SUM(LEAST(ad, 24 - ad)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS mean_circ_dist
+FROM phj GROUP BY 1
+"""
+
+QUERIES["events_peak_hour_stability"] = events_peak_hour_stability
+ORACLES["events_peak_hour_stability"] = SQL_EVENTS_PEAK_HOUR
+
+
+# ---------------------------------------------------------------------------
+# events_burstiness_index (r9 session 3) — Goh–Barabási (B, M) plane
+# ---------------------------------------------------------------------------
+
+
+def events_burstiness_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh–Barabási burstiness of each type's per-user inter-arrival
+    process: over the MINUTE-quantized gaps of every user's stream
+    (events_inter_arrival's frame, gap_min = gap_ms div 60000),
+      B = (σ − μ) / (σ + μ)   — +1 extreme bursts, 0 Poisson, −1 metronome
+      M = Pearson r of consecutive gap pairs — the memory coefficient
+    (B, M) is the phase plane that separates heavy-tailed-but-memoryless
+    traffic (B↑, M≈0: retries, batch jobs) from correlated cascades
+    (B↑, M>0: user sessions, incident storms) — the classification that
+    decides retry budgets and watermark slack. σ is ONE IEEE sqrt over
+    the exact int64 moment N·Q − S²; M's denominator multiplies the two
+    int64 variance moments in DOUBLE (the chi-square overflow rule)
+    before its single sqrt. Minute quantization keeps every moment int64
+    to ~30× the sf0.1 volume (documented bound; past that, coarsen to
+    gap div 300).
+
+    Scale: gaps come from the per-(user, type) lag over the event
+    stream (one shuffle, the sessionize partitioning); everything after
+    is a |types|-row aggregate."""
+    ev = read_events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = (
+        ev.withColumn("prev_ms", F.unix_millis(F.lag("ts").over(w)))
+        .where(F.col("prev_ms").isNotNull())
+        .select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            F.expr("(unix_millis(ts) - prev_ms) div 60000").alias("g"),
+        )
+        .localCheckpoint(eager=True)  # moment agg + the lag-pair pass
+    )
+    mom = (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("g").alias("s"),
+            F.sum(F.col("g") * F.col("g")).alias("q"),
+        )
+        .withColumn("varnum", F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+        .where((F.col("s") > 0) & (F.col("varnum") >= 0))
+        .withColumn("sq", F.sqrt(F.col("varnum").cast("double")))
+    )
+    wp = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    pairs = (
+        gaps.withColumn("y", F.lead("g").over(wp))
+        .where(F.col("y").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("np"),
+            F.sum("g").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("g") * F.col("y")).alias("sxy"),
+            F.sum(F.col("g") * F.col("g")).alias("qx"),
+            F.sum(F.col("y") * F.col("y")).alias("qy"),
+        )
+        .withColumn("vx", F.col("np") * F.col("qx") - F.col("sx") * F.col("sx"))
+        .withColumn("vy", F.col("np") * F.col("qy") - F.col("sy") * F.col("sy"))
+        .withColumn(
+            "mden", F.sqrt(F.col("vx").cast("double") * F.col("vy").cast("double"))
+        )
+        .withColumn(
+            "mnum", F.col("np") * F.col("sxy") - F.col("sx") * F.col("sy")
+        )
+    )
+    out = mom.join(pairs, "event_type").withColumn(
+        "b", (F.col("sq") - F.col("s").cast("double")) / (F.col("sq") + F.col("s").cast("double"))
+    )
+    return out.select(
+        "event_type",
+        F.col("n").alias("n_gaps"),
+        (F.col("s").cast("double") / F.col("n").cast("double")).alias("mean_gap_min"),
+        F.col("b").alias("burstiness"),
+        F.when(F.col("mden") > 0, F.col("mnum").cast("double") / F.col("mden")).alias(
+            "memory_coef"
+        ),
+        F.when(F.col("b") > 0.1, F.lit("bursty"))
+        .when(F.col("b") < -0.1, F.lit("regular"))
+        .otherwise(F.lit("poissonian"))
+        .alias("regime"),
+    )
+
+
+SQL_EVENTS_BURSTINESS = """
+WITH bigaps AS (
+  SELECT user_id, event_type, ts, event_id,
+         (epoch_ms(ts) - LAG(epoch_ms(ts)) OVER
+            (PARTITION BY user_id, event_type ORDER BY ts, event_id)) // 60000 AS g
+  FROM events
+),
+bine AS (SELECT * FROM bigaps WHERE g IS NOT NULL),
+bimom AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(g) AS BIGINT) AS s,
+         CAST(SUM(g * g) AS BIGINT) AS q
+  FROM bine GROUP BY 1
+),
+bist AS (
+  SELECT event_type, n, s, n * q - s * s AS varnum,
+         SQRT(CAST(n * q - s * s AS DOUBLE)) AS sq
+  FROM bimom WHERE s > 0 AND n * q - s * s >= 0
+),
+bipairs AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS np,
+         CAST(SUM(g) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(g * y) AS BIGINT) AS sxy,
+         CAST(SUM(g * g) AS BIGINT) AS qx,
+         CAST(SUM(y * y) AS BIGINT) AS qy
+  FROM (
+    SELECT event_type, g,
+           LEAD(g) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS y
+    FROM bine
+  ) WHERE y IS NOT NULL GROUP BY 1
+),
+bim AS (
+  SELECT event_type, np, sxy, sx, sy,
+         np * qx - sx * sx AS vx, np * qy - sy * sy AS vy,
+         SQRT(CAST(np * qx - sx * sx AS DOUBLE) * CAST(np * qy - sy * sy AS DOUBLE))
+           AS mden,
+         np * sxy - sx * sy AS mnum
+  FROM bipairs
+)
+SELECT m.event_type, m.n AS n_gaps,
+       CAST(m.s AS DOUBLE) / CAST(m.n AS DOUBLE) AS mean_gap_min,
+       (m.sq - CAST(m.s AS DOUBLE)) / (m.sq + CAST(m.s AS DOUBLE)) AS burstiness,
+       CASE WHEN p.mden > 0 THEN CAST(p.mnum AS DOUBLE) / p.mden END AS memory_coef,
+       CASE WHEN (m.sq - CAST(m.s AS DOUBLE)) / (m.sq + CAST(m.s AS DOUBLE)) > 0.1
+            THEN 'bursty'
+            WHEN (m.sq - CAST(m.s AS DOUBLE)) / (m.sq + CAST(m.s AS DOUBLE)) < -0.1
+            THEN 'regular'
+            ELSE 'poissonian' END AS regime
+FROM bist m JOIN bim p USING (event_type)
+"""
+
+QUERIES["events_burstiness_index"] = events_burstiness_index
+ORACLES["events_burstiness_index"] = SQL_EVENTS_BURSTINESS

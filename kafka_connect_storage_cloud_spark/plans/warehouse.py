@@ -2947,3 +2947,78 @@ FROM bsz
 
 QUERIES["broadcast_size_audit"] = broadcast_size_audit
 ORACLES["broadcast_size_audit"] = _sql_broadcast_size_audit()
+
+
+# ---------------------------------------------------------------------------
+# customer_interpurchase (r9 session 3) — reorder-cadence profile
+# ---------------------------------------------------------------------------
+
+
+def customer_interpurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase cadence per market segment: the day gaps between a
+    customer's CONSECUTIVE orders (ordered by o_orderdate, o_orderkey —
+    the deterministic tiebreak), rolled up per c_mktsegment as
+    count / mean / exact interpolated P50/P90 / max. The reorder-cycle
+    table a replenishment or churn model is calibrated against —
+    complements rfm_segmentation (which scores recency/frequency
+    LEVELS, not the spacing between purchases) and events_inter_arrival
+    (the same statistic on the telemetry stream rather than the order
+    book). Day gaps are exact integers; the mean is ONE division and the
+    percentile interpolation factors are binary-exact, so both engines
+    agree bit-for-bit.
+
+    Scale: one lag over the (custkey, date, key)-sorted orders —
+    the same shuffle the cohort ops already pay — then a |segments|-row
+    rollup; the customer dimension joins on the grouped per-customer
+    frame, never row-per-order."""
+    from ..session import read_table as _rt
+
+    orders = _rt(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("d"), "o_orderkey"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    gaps = (
+        orders.withColumn("prev", F.lag("d").over(w))
+        .where(F.col("prev").isNotNull())
+        .select("o_custkey", F.datediff(F.col("d"), F.col("prev")).alias("gap"))
+    )
+    cust = _rt(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    return (
+        gaps.join(cust, "o_custkey")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            (F.sum("gap").cast("double") / F.count(F.lit(1))).alias("mean_gap_days"),
+            F.expr("percentile(gap, 0.5)").alias("p50_gap_days"),
+            F.expr("percentile(gap, 0.9)").alias("p90_gap_days"),
+            F.max("gap").alias("max_gap_days"),
+        )
+    )
+
+
+SQL_CUSTOMER_INTERPURCHASE = """
+WITH ipo AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_orderkey FROM orders
+),
+ipg AS (
+  SELECT o_custkey,
+         datediff('day',
+                  LAG(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey),
+                  d) AS gap
+  FROM ipo
+),
+ipne AS (SELECT * FROM ipg WHERE gap IS NOT NULL)
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(SUM(g.gap) AS DOUBLE) / COUNT(*) AS mean_gap_days,
+       quantile_cont(g.gap, 0.5) AS p50_gap_days,
+       quantile_cont(g.gap, 0.9) AS p90_gap_days,
+       CAST(MAX(g.gap) AS BIGINT) AS max_gap_days
+FROM ipne g JOIN customer c ON g.o_custkey = c.c_custkey
+GROUP BY 1
+"""
+
+QUERIES["customer_interpurchase"] = customer_interpurchase
+ORACLES["customer_interpurchase"] = SQL_CUSTOMER_INTERPURCHASE

@@ -744,3 +744,75 @@ def test_broadcast_size_audit_model(spark, sf_dir):
         assert r.join_strategy == ("broadcast" if r.broadcastable else "shuffle")
         assert r.scan_partitions >= 1
     assert rows["region"].broadcastable and rows["nation"].broadcastable
+
+
+# --- session-3 batch I: peak-hour stability, burstiness plane, cadence ----
+
+
+def test_peak_hour_stability_bounds(spark, sf_dir):
+    """Stability in (0,1], circular distance in [0,12], modal hour in
+    [0,23]; stability 1.0 forces zero mean distance."""
+    from kafka_connect_storage_cloud_spark.plans import events_ext as EXX
+
+    rows = EXX.events_peak_hour_stability(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.modal_peak_hour <= 23
+        assert 0 < r.stability <= 1.0
+        assert 0.0 <= r.mean_circ_dist <= 12.0
+        if r.stability == 1.0:
+            assert r.mean_circ_dist == 0.0
+
+
+def test_burstiness_index_recompute(spark, sf_dir):
+    """B and M recomputed from the collected minute gaps via the same
+    moment forms; B in (-1, 1), M in [-1, 1]."""
+    import math
+    from collections import defaultdict
+
+    from kafka_connect_storage_cloud_spark.plans import events_ext as EXX
+    from kafka_connect_storage_cloud_spark.session import read_events
+
+    ev = (
+        read_events(spark, sf_dir)
+        .selectExpr("user_id", "event_type", "unix_millis(ts) AS ms", "event_id")
+        .collect()
+    )
+    streams = defaultdict(list)
+    for r in ev:
+        streams[(r.user_id, r.event_type)].append((r.ms, r.event_id))
+    gaps = defaultdict(list)
+    for (u, t), evs in streams.items():
+        evs.sort()
+        for a, b in zip(evs, evs[1:]):
+            gaps[t].append((b[0] - a[0]) // 60000)
+    rows = {r.event_type: r for r in EXX.events_burstiness_index(spark, sf_dir).collect()}
+    for t, gs in gaps.items():
+        n, s, q = len(gs), sum(gs), sum(g * g for g in gs)
+        if s <= 0:
+            continue
+        r = rows[t]
+        assert r.n_gaps == n
+        sq = math.sqrt(float(n * q - s * s))
+        assert r.burstiness == (sq - float(s)) / (sq + float(s))
+        assert -1.0 < r.burstiness < 1.0
+        if r.memory_coef is not None:
+            assert -1.0 - 1e-9 <= r.memory_coef <= 1.0 + 1e-9
+
+
+def test_customer_interpurchase_sane(spark, sf_dir):
+    """Gap stats are ordered (p50 <= p90 <= max), positive counts, and
+    total gaps = orders - customers-with-orders."""
+    from kafka_connect_storage_cloud_spark.plans import warehouse as WH
+    from kafka_connect_storage_cloud_spark.session import read_table
+
+    rows = WH.customer_interpurchase(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_gaps > 0
+        assert r.p50_gap_days <= r.p90_gap_days <= r.max_gap_days
+        assert 0 <= r.mean_gap_days
+    orders = read_table(spark, sf_dir, "orders")
+    n_orders = orders.count()
+    n_cust = orders.select("o_custkey").distinct().count()
+    assert sum(r.n_gaps for r in rows) == n_orders - n_cust
