@@ -269,6 +269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_bit_balance": LD.simhash_bit_balance,
         "dedup_method_matrix": LD.dedup_method_matrix,
         "dedup_cascade_yield": LD.dedup_cascade_yield,
+        "winnowing_window_tuning": LD.winnowing_window_tuning,
         "dedup_incremental": LD.dedup_incremental,
         "minhash_jaccard_est": LD.minhash_jaccard_est,
         "minhash_band_tuning": LD.minhash_band_tuning,

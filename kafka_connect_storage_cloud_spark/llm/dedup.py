@@ -1655,3 +1655,128 @@ FROM dccum ORDER BY stage
 
 
 ORACLES["dedup_cascade_yield"] = _sql_cascade_yield()
+
+
+# ---------------------------------------------------------------------------
+# winnowing_window_tuning (r9 session 3) — window-size selection curve
+# ---------------------------------------------------------------------------
+
+WINNOW_TUNE_WS = (2, 4, 8, 16)
+
+
+def winnowing_window_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing window-size tuning curve: for each candidate window W,
+    the measured fingerprint density (per-doc-distinct window minima per
+    window) against the SIGMOD'03 expected density 2/(W+1) for random
+    hashes. density_ratio < 1 means repeated shingles collapse minima
+    (template-heavy corpus — a LARGER window still guarantees detection
+    of matches ≥ W+K−1 tokens at less storage); ratio ≈ 1 means the
+    corpus behaves randomly and the theory curve can size the store
+    directly. The minhash analog is minhash_band_tuning — that tunes
+    RECALL per band count; this tunes STORAGE per window, the other axis
+    of the signature-size budget.
+
+    Scale: ALL per-W work happens in-array inside one per-doc projection
+    (shingle hash computed once, window minima + distinct per W as
+    scalar counts, no per-W explode of fingerprints) — one corpus scan,
+    then a 4-row rollup via a literal struct explode (rule 17)."""
+    h = H.spark_sql_h32("s")
+    base = _docs_ws(spark, sf_dir).select(
+        "doc_id", T.shingles_from_ws(WINNOW_K).alias("sha")
+    ).select("doc_id", F.expr(f"transform(sha, s -> {h})").alias("hs"))
+    per_w = []
+    for w in WINNOW_TUNE_WS:
+        w1 = w - 1
+        ok = F.size("hs") >= w
+        nw = F.when(ok, F.size("hs") - F.lit(w1)).otherwise(F.lit(0))
+        nf = F.when(
+            ok,
+            F.size(
+                F.expr(
+                    f"array_distinct(transform(sequence(1, size(hs) - {w1}), "
+                    f"i -> array_min(slice(hs, i, {w}))))"
+                )
+            ),
+        ).otherwise(F.lit(0))
+        per_w.append(
+            F.struct(
+                F.lit(w).alias("w"),
+                ok.cast("long").alias("eligible"),
+                nw.cast("long").alias("nw"),
+                nf.cast("long").alias("nf"),
+            )
+        )
+    fan = base.select(F.explode(F.array(*per_w)).alias("u")).select(
+        F.col("u.w").alias("w"),
+        F.col("u.eligible").alias("eligible"),
+        F.col("u.nw").alias("nw"),
+        F.col("u.nf").alias("nf"),
+    )
+    agg = (
+        fan.groupBy("w")
+        .agg(
+            F.sum("eligible").alias("n_docs"),
+            F.sum("nw").alias("n_windows"),
+            F.sum("nf").alias("n_fps"),
+        )
+        .where(F.col("n_windows") > 0)
+    )
+    theory = F.lit(2.0) / (F.col("w") + F.lit(1)).cast("double")
+    density = F.col("n_fps").cast("double") / F.col("n_windows").cast("double")
+    return agg.select(
+        F.col("w").cast("long").alias("w"),
+        "n_docs",
+        "n_windows",
+        "n_fps",
+        density.alias("density"),
+        theory.alias("theory_density"),
+        (density / theory).alias("density_ratio"),
+    )
+
+
+def _sql_winnow_tuning() -> str:
+    h = H.sql_h32("s")
+    k1 = WINNOW_K - 1
+    structs = []
+    for w in WINNOW_TUNE_WS:
+        w1 = w - 1
+        nf = (
+            f"len(list_distinct([list_min(hsd[i : i + {w1}]) "
+            f"for i in generate_series(1, len(hsd) - {w1})]))"
+        )
+        structs.append(
+            f"{{'w': {w}, 'eligible': CASE WHEN len(hsd) >= {w} THEN 1 ELSE 0 END, "
+            f"'nw': CASE WHEN len(hsd) >= {w} THEN len(hsd) - {w1} ELSE 0 END, "
+            f"'nf': CASE WHEN len(hsd) >= {w} THEN {nf} ELSE 0 END}}"
+        )
+    return f"""
+WITH wtbase AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= {WINNOW_K}
+              THEN [array_to_string(ws[i : i + {k1}], ' ') for i in generate_series(1, len(ws) - {k1})]
+              ELSE [array_to_string(ws, ' ')] END AS sha
+  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws FROM documents)
+),
+wth AS (
+  SELECT doc_id, list_transform(sha, s -> {h}) AS hsd FROM wtbase
+),
+wtfan AS (
+  SELECT unnest([{', '.join(structs)}]) AS u FROM wth
+),
+wtagg AS (
+  SELECT (u).w AS w,
+         CAST(SUM((u).eligible) AS BIGINT) AS n_docs,
+         CAST(SUM((u).nw) AS BIGINT) AS n_windows,
+         CAST(SUM((u).nf) AS BIGINT) AS n_fps
+  FROM wtfan GROUP BY 1
+)
+SELECT CAST(w AS BIGINT) AS w, n_docs, n_windows, n_fps,
+       CAST(n_fps AS DOUBLE) / CAST(n_windows AS DOUBLE) AS density,
+       CAST(2 AS DOUBLE) / CAST(w + 1 AS DOUBLE) AS theory_density,
+       (CAST(n_fps AS DOUBLE) / CAST(n_windows AS DOUBLE))
+         / (CAST(2 AS DOUBLE) / CAST(w + 1 AS DOUBLE)) AS density_ratio
+FROM wtagg WHERE n_windows > 0
+"""
+
+
+ORACLES["winnowing_window_tuning"] = _sql_winnow_tuning()

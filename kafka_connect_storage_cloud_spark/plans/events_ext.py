@@ -1758,3 +1758,85 @@ FROM bist m JOIN bim p USING (event_type)
 
 QUERIES["events_burstiness_index"] = events_burstiness_index
 ORACLES["events_burstiness_index"] = SQL_EVENTS_BURSTINESS
+
+
+# ---------------------------------------------------------------------------
+# events_completeness_audit (r9 session 3) — hourly-coverage gap profile
+# ---------------------------------------------------------------------------
+
+
+def events_completeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly-coverage audit per event type: over the type's own
+    [first hour, last hour] span, how many hour cells actually contain
+    data, the missing share, and the LONGEST consecutive missing run
+    (max over present-hour successors of hr − prev_hr − 1 — one lag, no
+    gaps-and-islands pass needed for the maximum). The data-completeness
+    check run before trusting any of the hourly family (rollups, Hampel,
+    STL, spectral): a type with a multi-hour hole needs
+    events_gapfill_locf or a watermark fix BEFORE its anomaly scores
+    mean anything.
+
+    Scale: one rollup to (type, hour) cells, one lag over the metadata
+    frame, a |types|-row aggregate."""
+    ev = read_events(spark, sf_dir).select(
+        "event_type",
+        (F.unix_millis("ts") / F.lit(3600000)).cast("long").alias("hr"),
+    )
+    cells = ev.groupBy("event_type", "hr").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("event_type").orderBy("hr")
+    lagged = cells.withColumn(
+        "gap", F.col("hr") - F.lag("hr").over(w) - F.lit(1)
+    )
+    agg = (
+        lagged.groupBy("event_type")
+        .agg(
+            F.min("hr").alias("first_hr"),
+            F.max("hr").alias("last_hr"),
+            F.count(F.lit(1)).alias("n_present"),
+            F.coalesce(F.max("gap"), F.lit(0)).alias("longest_gap_hours"),
+        )
+        .withColumn("span", F.col("last_hr") - F.col("first_hr") + 1)
+    )
+    return agg.select(
+        "event_type",
+        "first_hr",
+        F.col("span").alias("n_hours_span"),
+        "n_present",
+        (F.col("span") - F.col("n_present")).alias("n_missing"),
+        (F.col("n_present").cast("double") / F.col("span").cast("double")).alias(
+            "completeness"
+        ),
+        "longest_gap_hours",
+    )
+
+
+SQL_EVENTS_COMPLETENESS = """
+WITH cacells AS (
+  SELECT event_type, epoch_ms(ts) // 3600000 AS hr, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+calag AS (
+  SELECT event_type, hr,
+         hr - LAG(hr) OVER (PARTITION BY event_type ORDER BY hr) - 1 AS gap
+  FROM cacells
+),
+caagg AS (
+  SELECT event_type,
+         CAST(MIN(hr) AS BIGINT) AS first_hr,
+         CAST(MAX(hr) AS BIGINT) AS last_hr,
+         CAST(COUNT(*) AS BIGINT) AS n_present,
+         CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS longest_gap_hours
+  FROM calag GROUP BY 1
+)
+SELECT event_type, first_hr,
+       last_hr - first_hr + 1 AS n_hours_span,
+       n_present,
+       last_hr - first_hr + 1 - n_present AS n_missing,
+       CAST(n_present AS DOUBLE) / CAST(last_hr - first_hr + 1 AS DOUBLE)
+         AS completeness,
+       longest_gap_hours
+FROM caagg
+"""
+
+QUERIES["events_completeness_audit"] = events_completeness_audit
+ORACLES["events_completeness_audit"] = SQL_EVENTS_COMPLETENESS

@@ -816,3 +816,54 @@ def test_customer_interpurchase_sane(spark, sf_dir):
     n_orders = orders.count()
     n_cust = orders.select("o_custkey").distinct().count()
     assert sum(r.n_gaps for r in rows) == n_orders - n_cust
+
+
+# --- session-3 batch J: winnowing tuning + completeness audit -------------
+
+
+def test_winnow_tuning_laws(spark, sf_dir):
+    """Density falls with W, ratio >= 1 on a repeat-free random corpus is
+    NOT guaranteed — but fps <= windows always, the W=WINNOW_W row's
+    totals must reconcile with the production fingerprint table, and
+    theory = 2/(W+1) exactly."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_storage_cloud_spark.llm import dedup as LDX
+
+    rows = {r.w: r for r in LDX.winnowing_window_tuning(spark, sf_dir).collect()}
+    assert set(rows) == set(LDX.WINNOW_TUNE_WS)
+    ws = sorted(rows)
+    for a, b in zip(ws, ws[1:]):
+        assert rows[a].density > rows[b].density
+    for r in rows.values():
+        assert r.n_fps <= r.n_windows
+        assert r.theory_density == 2.0 / (r.w + 1)
+    prod = (
+        LDX._winnow_fps_from_ws(
+            LDX._docs_ws(spark, sf_dir)
+        )
+        .groupBy("doc_id")
+        .count()
+        .agg(F.sum("count").alias("fps"), F.count(F.lit(1)).alias("docs"))
+        .collect()[0]
+    )
+    w = LDX.WINNOW_W
+    assert rows[w].n_fps == prod.fps
+    assert rows[w].n_docs == prod.docs
+
+
+def test_completeness_audit_identities(spark, sf_dir):
+    """present + missing == span, completeness in (0,1], longest gap <=
+    missing, and a type with zero missing has zero longest gap."""
+    from kafka_connect_storage_cloud_spark.plans import events_ext as EXX
+
+    rows = EXX.events_completeness_audit(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_present + r.n_missing == r.n_hours_span
+        assert 0 < r.completeness <= 1.0
+        assert r.longest_gap_hours <= max(r.n_missing, 0) or r.n_missing == 0
+        if r.n_missing == 0:
+            assert r.longest_gap_hours == 0
+        else:
+            assert r.longest_gap_hours >= 1
