@@ -1840,3 +1840,90 @@ FROM caagg
 
 QUERIES["events_completeness_audit"] = events_completeness_audit
 ORACLES["events_completeness_audit"] = SQL_EVENTS_COMPLETENESS
+
+
+# ---------------------------------------------------------------------------
+# events_type_affinity (r9 session 3) — type co-occurrence in (user, hour)
+# ---------------------------------------------------------------------------
+
+
+def events_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which event types travel together? Over distinct (user, hour)
+    activity cells, every unordered type pair gets its co-occurrence
+    count, Jaccard overlap n_ab/(n_a + n_b − n_ab), and both directed
+    confidences n_ab/n_a, n_ab/n_b — the market-basket view of the
+    telemetry stream (part_affinity's analog on events, with the same
+    deliberately scalar-free form: Jaccard and confidence need no
+    corpus total, so the op is pure key-bounded aggregation). A pair
+    with conf(a→b) ≈ 1 but conf(b→a) ≪ 1 is a funnel edge (a implies
+    b's presence in-hour, not conversely) — read beside events_funnel,
+    which tests ORDERED conversion while this sees co-presence.
+
+    Scale: one distinct on (user, hr, type) — the sessionize-grain
+    shuffle — then a self-equi-join on the (user, hr) cell key whose
+    fan-out is bounded by |types|² per cell; the rollup is ≤ C(|types|,2)
+    rows."""
+    ev = read_events(spark, sf_dir).select(
+        "user_id",
+        (F.unix_millis("ts") / F.lit(3600000)).cast("long").alias("hr"),
+        "event_type",
+    )
+    pres = ev.distinct().localCheckpoint(eager=True)  # type counts + both join sides
+    tcnt = pres.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = pres.select("user_id", "hr", F.col("event_type").alias("type_a"))
+    b = pres.select("user_id", "hr", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, ["user_id", "hr"])
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    j = (
+        pairs.join(tcnt.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a")), "type_a")
+        .join(tcnt.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b")), "type_b")
+    )
+    return j.select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        "n_ab",
+        (
+            F.col("n_ab").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_ab")).cast("double")
+        ).alias("jaccard"),
+        (F.col("n_ab").cast("double") / F.col("n_a").cast("double")).alias(
+            "conf_a_to_b"
+        ),
+        (F.col("n_ab").cast("double") / F.col("n_b").cast("double")).alias(
+            "conf_b_to_a"
+        ),
+    )
+
+
+SQL_EVENTS_TYPE_AFFINITY = """
+WITH tapres AS (
+  SELECT DISTINCT user_id, epoch_ms(ts) // 3600000 AS hr, event_type
+  FROM events
+),
+tacnt AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM tapres GROUP BY 1
+),
+tapairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM tapres a JOIN tapres b
+    ON a.user_id = b.user_id AND a.hr = b.hr AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, ca.n AS n_a, cb.n AS n_b, p.n_ab,
+       CAST(p.n_ab AS DOUBLE) / CAST(ca.n + cb.n - p.n_ab AS DOUBLE) AS jaccard,
+       CAST(p.n_ab AS DOUBLE) / CAST(ca.n AS DOUBLE) AS conf_a_to_b,
+       CAST(p.n_ab AS DOUBLE) / CAST(cb.n AS DOUBLE) AS conf_b_to_a
+FROM tapairs p
+JOIN tacnt ca ON p.type_a = ca.event_type
+JOIN tacnt cb ON p.type_b = cb.event_type
+"""
+
+QUERIES["events_type_affinity"] = events_type_affinity
+ORACLES["events_type_affinity"] = SQL_EVENTS_TYPE_AFFINITY

@@ -867,3 +867,33 @@ def test_completeness_audit_identities(spark, sf_dir):
             assert r.longest_gap_hours == 0
         else:
             assert r.longest_gap_hours >= 1
+
+
+def test_type_affinity_identities(spark, sf_dir):
+    """All C(|types|,2) pairs present on this corpus, jaccard <= both
+    confidences, n_ab <= min(n_a, n_b), and a brute-force recount of one
+    pair from the distinct cell sets."""
+    from collections import defaultdict
+
+    from kafka_connect_storage_cloud_spark.plans import events_ext as EXX
+    from kafka_connect_storage_cloud_spark.session import read_events
+
+    rows = EXX.events_type_affinity(spark, sf_dir).collect()
+    types = set()
+    for r in rows:
+        types.add(r.type_a)
+        types.add(r.type_b)
+        assert r.n_ab <= min(r.n_a, r.n_b)
+        assert r.jaccard <= min(r.conf_a_to_b, r.conf_b_to_a) + 1e-12
+    assert len(rows) == len(types) * (len(types) - 1) // 2
+    ev = (
+        read_events(spark, sf_dir)
+        .selectExpr("user_id", "unix_millis(ts) div 3600000 AS hr", "event_type")
+        .collect()
+    )
+    cells = defaultdict(set)
+    for r in ev:
+        cells[(r.user_id, r.hr)].add(r.event_type)
+    a, b = rows[0].type_a, rows[0].type_b
+    n_ab = sum(1 for s in cells.values() if a in s and b in s)
+    assert rows[0].n_ab == n_ab
