@@ -96,6 +96,15 @@ def main() -> None:
         "quality_quantile_normalize",
         "events_hurst_rs",
         "events_pettitt_change",
+        # r9 session 3: the codebook-quality audit (heaviest new leg — the
+        # full two-level Lloyd chain + depth-2 score pass), the term-level
+        # burstiness shuffle, the in-array winnowing tuning sweep, the
+        # 90-lag RQA pair stage, and the layout advisor's double fan-out
+        "cluster_silhouette",
+        "term_burstiness",
+        "winnowing_window_tuning",
+        "events_recurrence_quant",
+        "partition_pruning_matrix",
     ):
         if opt in qs:
             headline.append(opt)
