@@ -61,66 +61,73 @@ def entry(spark: SparkSession) -> DataFrame:
     return T.q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-# --- diff-aware re-verification window (rebuilt END of round 9, final) --
-# tools/stale_keys.py --window 50 on the final r9 tree: 39 fresh keys
-# (the 24 batches-4-9 operators added this session -- each driver-sim
-# green at sf0.001+sf0.01 and hostile-TZ before shipping -- plus the 15
-# earlier-r9 operators still awaiting their first external row) + the 13
-# highest-priority stale keys (transitive consumers of the r9 rewrites:
-# the CMS shared-helper refactor re-staling cms_heavy_hitters, the
-# memoized-tokenize / _semantic_ranked / _acf_quantized refactors, and
-# the semdedup two-level codebook chain). The remaining 12 stale keys
-# (r8 clustering _RECHECK carry-overs + the dedup audit cluster) are in
-# _RECHECK for the next window; everything else is signature-identical
-# to its last green round (_VERIFIED_CURRENT).
+# --- diff-aware re-verification window (rebuilt END of round 9, session 3) --
+# tools/stale_keys.py --window 50 on the final tree: fresh=58 (EVERY r9
+# operator awaits its first external row -- the 39 from earlier sessions
+# plus the 19 session-3 additions, each driver-sim green at
+# sf0.001+sf0.01 and hostile-TZ before shipping) + stale=27 (transitive
+# consumers of the session-3 refactors: _kmv_estimate / _qsk_audit
+# shared-tail extractions re-staling the sketch family, dedup.py and
+# pipeline.py appends re-staling their module cohorts, plus the r8
+# clustering carry-overs). _PRIORITY = the 19 session-3 keys first, then
+# earlier-r9 fresh keys; the 8 fresh keys that do not fit plus all 27
+# stale keys are in _RECHECK; everything else is signature-identical to
+# its last green round (_VERIFIED_CURRENT).
 _PRIORITY: tuple[str, ...] = (
-    "events_ph_episodes", "events_qq_drift", "skew_salt_plan", "events_mann_whitney",
-    "events_pettitt_change", "events_runs_test", "events_page_hinkley",
-    "events_hurst_rs", "events_ordinal_patterns", "events_xcorr_lags",
-    "events_levene_bf", "events_fano_dispersion", "events_spectral_power",
-    "anomaly_ensemble_agreement", "events_markov_diversity", "drift_ensemble_matrix",
-    "shard_balance_audit", "cms_error_curve", "doc_readability",
-    "boilerplate_shingles", "token_ge2_inequality", "conformal_quality_coverage",
-    "quality_quantile_normalize", "token_hapax_profile",
-    "events_seasonal_median_decompose", "events_ks_drift", "events_max_burst_window",
-    "token_lorenz_gini", "events_stl_anomaly", "dedup_cascade_yield",
-    "events_mann_kendall", "events_ljung_box", "token_lorenz_gini_edges",
-    "events_hampel_filter", "erasure_blast_radius", "hybrid_rrf_fusion",
-    "semdedup_cell_profile", "ann_topk_ivf_twolevel", "ivf_twolevel_recall_audit",
-    "bigram_lm_rarity", "cms_heavy_hitters", "ngram_novelty", "events_acf_profile",
-    "dedup_method_matrix", "winnowing_fingerprints", "hybrid_retrieval_agreement",
-    "semdedup_cells", "ann_recall_audit", "ann_topk_bruteforce", "knn_pagerank_step",
+    "dp_sensitivity_audit", "events_peak_hour_stability", "events_burstiness_index",
+    "events_completeness_audit", "events_type_affinity", "partition_pruning_matrix",
+    "events_seasonality_strength", "broadcast_size_audit", "customer_interpurchase",
+    "events_von_neumann", "events_turning_points", "events_cox_stuart",
+    "events_variance_ratio", "events_recurrence_quant", "winnowing_window_tuning",
+    "knn_degree_assortativity", "quality_reliability_bins", "cluster_silhouette",
+    "term_burstiness", "events_ph_episodes", "events_qq_drift", "skew_salt_plan",
+    "events_mann_whitney", "events_pettitt_change", "events_runs_test",
+    "events_page_hinkley", "events_hurst_rs", "events_ordinal_patterns",
+    "events_xcorr_lags", "events_levene_bf", "events_fano_dispersion",
+    "events_spectral_power", "anomaly_ensemble_agreement", "events_markov_diversity",
+    "drift_ensemble_matrix", "shard_balance_audit", "cms_error_curve",
+    "doc_readability", "boilerplate_shingles", "token_ge2_inequality",
+    "conformal_quality_coverage", "quality_quantile_normalize",
+    "token_hapax_profile", "events_seasonal_median_decompose", "events_ks_drift",
+    "events_max_burst_window", "token_lorenz_gini", "events_stl_anomaly",
+    "dedup_cascade_yield", "events_mann_kendall",
 )
 
 _RECHECK: tuple[str, ...] = (
-    "knn_triangle_count", "knn_pagerank_step_lsh", "knn_triangle_count_lsh",
-    "dedup_substring", "dedup_bloom", "gopher_rules_filter", "quality_ablation_matrix",
-    "embedding_sq8", "ann_method_matrix", "dedup_keep_best", "dedup_rate_by_slice",
+    "events_ljung_box", "token_lorenz_gini_edges", "events_hampel_filter",
+    "erasure_blast_radius", "hybrid_rrf_fusion", "semdedup_cell_profile",
+    "ann_topk_ivf_twolevel", "ivf_twolevel_recall_audit", "dedup_method_matrix",
+    "winnowing_fingerprints", "events_acf_profile", "cms_heavy_hitters",
+    "kmv_distinct", "quantile_sketch_audit", "semdedup_cells", "ann_recall_audit",
+    "ann_topk_bruteforce", "knn_pagerank_step", "knn_triangle_count",
+    "knn_pagerank_step_lsh", "knn_triangle_count_lsh", "ngram_novelty",
+    "gopher_rules_filter", "quality_ablation_matrix", "bigram_lm_rarity",
+    "hybrid_retrieval_agreement", "dedup_substring", "dedup_bloom", "embedding_sq8",
+    "ann_method_matrix", "dedup_keep_best", "dedup_rate_by_slice",
     "quality_dup_profile", "dedup_transitivity_audit", "dup_cluster_size_profile",
 )
 
-# Externally-verified keys whose behavior-relevant code (impl + transitive
-# helpers + oracle SQL) is signature-identical to their last green round.
 _VERIFIED_CURRENT: tuple[str, ...] = (
     "ab_test_metrics", "ann_topk_ivf", "ann_topk_ivf_multiprobe", "ann_topk_ivf_pq",
     "ann_topk_ivf_sq8", "ann_topk_lsh", "benford_audit", "bigram_lift", "bm25_topk",
-    "bootstrap_mean_ci", "bpe_compression_curve", "bpe_pair_stats", "bpe_train_rounds",
-    "cdc_merge_apply", "cluster_profile_kmeans", "compact_small_files",
-    "consumer_lag_report", "contamination_check", "context_pack", "corpus_mixture",
-    "corpus_prep_pipeline", "corpus_stats", "cosine_dup_band_recall",
-    "cosine_dup_band_recall_sampled", "curriculum_stages", "curriculum_stages_edges",
-    "daily_partitioner", "dedup_chunks", "dedup_clusters", "dedup_containment",
-    "dedup_exact", "dedup_incremental", "dedup_minhash_lsh",
+    "bootstrap_mean_ci", "bpe_compression_curve", "bpe_pair_stats",
+    "bpe_train_rounds", "cdc_merge_apply", "cluster_profile_kmeans",
+    "compact_small_files", "consumer_lag_report", "contamination_check",
+    "context_pack", "corpus_mixture", "corpus_prep_pipeline", "corpus_stats",
+    "cosine_dup_band_recall", "cosine_dup_band_recall_sampled", "curriculum_stages",
+    "curriculum_stages_edges", "daily_partitioner", "dedup_chunks", "dedup_clusters",
+    "dedup_containment", "dedup_exact", "dedup_incremental", "dedup_minhash_lsh",
     "dedup_modality_agreement", "dedup_semantic", "dedup_simhash",
-    "default_partitioner", "doc_chunk_split", "doc_fingerprint", "doc_truncation_loss",
-    "dsir_importance", "dsir_importance_edges", "dup_source_matrix",
-    "duration_partitioner", "embedding_centroid_outliers", "embedding_cosine_dups",
-    "embedding_covariance", "embedding_dim_stats", "embedding_pca_power",
-    "embedding_pca_project", "embedding_pq", "erasure_rewrite_plan", "events_anomaly",
-    "events_anomaly_mad", "events_asof_join", "events_autocorr_lag1",
-    "events_burst_runs", "events_changepoint", "events_cube", "events_cusum_alarms",
-    "events_dau_mau", "events_dod_growth", "events_dow_profile", "events_ewma16",
-    "events_funnel", "events_gapfill_locf", "events_haar_energy", "events_holt_linear",
+    "default_partitioner", "doc_chunk_split", "doc_fingerprint",
+    "doc_truncation_loss", "dsir_importance", "dsir_importance_edges",
+    "dup_source_matrix", "duration_partitioner", "embedding_centroid_outliers",
+    "embedding_cosine_dups", "embedding_covariance", "embedding_dim_stats",
+    "embedding_pca_power", "embedding_pca_project", "embedding_pq",
+    "erasure_rewrite_plan", "events_anomaly", "events_anomaly_mad",
+    "events_asof_join", "events_autocorr_lag1", "events_burst_runs",
+    "events_changepoint", "events_cube", "events_cusum_alarms", "events_dau_mau",
+    "events_dod_growth", "events_dow_profile", "events_ewma16", "events_funnel",
+    "events_gapfill_locf", "events_haar_energy", "events_holt_linear",
     "events_hourly_rollup", "events_inter_arrival", "events_markov_transitions",
     "events_props_extract", "events_props_variant", "events_range_join",
     "events_retention", "events_rolling_window", "events_seasonality_anova",
@@ -130,45 +137,47 @@ _VERIFIED_CURRENT: tuple[str, ...] = (
     "events_type_unpivot", "events_value_deciles", "events_value_deciles_edges",
     "events_value_histogram", "events_value_percentiles_exact",
     "exactly_once_manifest", "field_partitioner", "field_time_partitioner",
-    "fuzzy_name_matches", "hll_distinct", "hll_merge_invariant", "hourly_partitioner",
-    "idf_topterms", "ivf_balance_audit", "ivf_kmeans_refine",
-    "ivf_nprobe_recall_curve", "k_anonymity_audit", "kfold_assignment", "kmv_distinct",
+    "fuzzy_name_matches", "hll_distinct", "hll_merge_invariant",
+    "hourly_partitioner", "idf_topterms", "ivf_balance_audit", "ivf_kmeans_refine",
+    "ivf_nprobe_recall_curve", "k_anonymity_audit", "kfold_assignment",
     "kmv_set_ops", "knn_graph_components", "knn_graph_lsh", "knn_graph_lsh_recall",
     "knn_graph_lsh_recall_sampled", "knn_graph_mutual", "knn_label_vote_accuracy",
-    "knn_label_vote_lsh", "kv_header_views", "l_diversity_audit", "landed_files_diff",
-    "lang_id", "lang_id_confusion", "late_data_audit", "lm_rarity_score",
-    "locale_partitioner", "log_compaction", "market_concentration_hhi",
-    "matryoshka_recall_audit", "minhash_band_tuning", "minhash_jaccard_est",
-    "minhash_precision_curve", "mixture_temperature_weights", "mlm_masking_plan",
-    "modality_coverage_audit", "multi_touch_attribution", "multimodal_audio_resample",
-    "multimodal_frame_sample", "multimodal_payload_dedup", "multimodal_pipeline",
-    "multimodal_resize", "multipart_upload_plan", "negative_sampling_table",
-    "ngram_jaccard", "ngram_memorization_audit", "offset_continuity_audit",
-    "order_lead_time", "order_priority_count", "orders_backlog_aging",
-    "orders_cohort_ltv", "pack_efficiency_curve", "part_affinity", "part_type_margin",
+    "knn_label_vote_lsh", "kv_header_views", "l_diversity_audit",
+    "landed_files_diff", "lang_id", "lang_id_confusion", "late_data_audit",
+    "lm_rarity_score", "locale_partitioner", "log_compaction",
+    "market_concentration_hhi", "matryoshka_recall_audit", "minhash_band_tuning",
+    "minhash_jaccard_est", "minhash_precision_curve", "mixture_temperature_weights",
+    "mlm_masking_plan", "modality_coverage_audit", "multi_touch_attribution",
+    "multimodal_audio_resample", "multimodal_frame_sample",
+    "multimodal_payload_dedup", "multimodal_pipeline", "multimodal_resize",
+    "multipart_upload_plan", "negative_sampling_table", "ngram_jaccard",
+    "ngram_memorization_audit", "offset_continuity_audit", "order_lead_time",
+    "order_priority_count", "orders_backlog_aging", "orders_cohort_ltv",
+    "pack_efficiency_curve", "part_affinity", "part_type_margin",
     "path_format_partitioner", "pii_density_by_slice", "pii_scan", "pq_adc_topk",
-    "pq_code_balance", "pq_recall_audit", "q10_returned_items", "q11_important_stock",
-    "q12_ship_priority_class", "q13_customer_distribution", "q14_promo_revenue",
-    "q15_top_supplier", "q16_supplier_part_counts", "q17_small_quantity_revenue",
-    "q18_large_volume_customers", "q19_discounted_revenue", "q1_pricing_summary",
-    "q1_rollup", "q20_dominant_suppliers", "q21_waiting_suppliers",
+    "pq_code_balance", "pq_recall_audit", "q10_returned_items",
+    "q11_important_stock", "q12_ship_priority_class", "q13_customer_distribution",
+    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_part_counts",
+    "q17_small_quantity_revenue", "q18_large_volume_customers",
+    "q19_discounted_revenue", "q1_pricing_summary", "q1_rollup",
+    "q20_dominant_suppliers", "q21_waiting_suppliers",
     "q22_global_sales_opportunity", "q2_min_cost_supplier", "q3_shipping_priority",
     "q4_order_priority", "q5_local_supplier_volume", "q6_revenue_change",
     "q7_volume_shipping", "q8_market_share", "q9_product_type_profit",
-    "quality_filter", "quality_score", "quality_threshold_yield",
-    "quantile_sketch_audit", "rarity_buckets", "rarity_buckets_edges",
-    "repetition_score", "reservoir_sample", "revenue_pareto", "revenue_pareto_edges",
-    "rfm_segmentation", "rfm_segmentation_edges", "rollup_incremental_merge",
-    "rotation_custom_naming", "rotation_flush_size", "rotation_interval",
-    "rotation_interval_partition_change", "rotation_max_open_files",
-    "rotation_partition_change", "rotation_policy_matrix", "rotation_scheduled",
-    "rotation_schema_change", "rotation_stats", "scd2_history", "scd2_snapshot_asof",
-    "schema_compat_backward", "schema_compat_forward", "schema_compat_full",
-    "schema_compat_none", "schema_evolution", "schema_partitioner",
-    "schema_partitioner_suffix", "semantic_contamination", "shard_checksum_manifest",
-    "shard_skew_audit", "simhash_bit_balance", "smt_chain", "source_overlap_jaccard",
-    "span_corruption_plan", "sq8_recall_audit", "stratified_sample",
-    "supplier_scorecard", "t_closeness_audit", "time_based_partitioner",
+    "quality_filter", "quality_score", "quality_threshold_yield", "rarity_buckets",
+    "rarity_buckets_edges", "repetition_score", "reservoir_sample", "revenue_pareto",
+    "revenue_pareto_edges", "rfm_segmentation", "rfm_segmentation_edges",
+    "rollup_incremental_merge", "rotation_custom_naming", "rotation_flush_size",
+    "rotation_interval", "rotation_interval_partition_change",
+    "rotation_max_open_files", "rotation_partition_change", "rotation_policy_matrix",
+    "rotation_scheduled", "rotation_schema_change", "rotation_stats", "scd2_history",
+    "scd2_snapshot_asof", "schema_compat_backward", "schema_compat_forward",
+    "schema_compat_full", "schema_compat_none", "schema_evolution",
+    "schema_partitioner", "schema_partitioner_suffix", "semantic_contamination",
+    "shard_checksum_manifest", "shard_skew_audit", "simhash_bit_balance",
+    "smt_chain", "source_overlap_jaccard", "span_corruption_plan",
+    "sq8_recall_audit", "stratified_sample", "supplier_scorecard",
+    "t_closeness_audit", "time_based_partitioner",
     "timestamp_extractor_record_field", "token_count", "token_diversity",
     "token_shard_pack", "tokenizer_fertility", "tokens_per_source_budget",
     "tombstone_routing", "top_customers", "train_test_split", "tz_partitioner",
