@@ -299,6 +299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_audit": LS.ann_recall_audit,
         "knn_graph_mutual": LS.knn_graph_mutual_gold,  # SF-adaptive exact gold
         "knn_degree_assortativity": LS.knn_degree_assortativity,
+        "intrinsic_dim_twonn": LS.intrinsic_dim_twonn,
         "knn_graph_lsh": LS.knn_graph_lsh,
         "knn_graph_lsh_recall": LS.knn_graph_lsh_recall,
         "knn_triangle_count": LS.knn_triangle_count,

@@ -2599,3 +2599,135 @@ FROM kaagg WHERE n_inc > 0
 """
 
 ORACLES["knn_degree_assortativity"] = SQL_KNN_DEGREE_ASSORTATIVITY
+
+
+# ---------------------------------------------------------------------------
+# intrinsic_dim_twonn (r9 session 3) — TwoNN neighbor-ratio profile
+# ---------------------------------------------------------------------------
+
+TWONN_RATIO_HI_MIC = 1_500_000  # mu > 1.5 marks a locally sparse query
+
+
+def intrinsic_dim_twonn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TwoNN intrinsic-dimension ratio profile (Facco et al. 2017): for
+    each query vector, μ = r₂/r₁ — the ratio of its second- to
+    first-nearest-neighbor distance. On the unit sphere r² = 2(1 − cos),
+    so μ = sqrt((1 − c₂)/(1 − c₁)) from the SAME 6-dp top-k cosines the
+    graph family ranks by (one IEEE sqrt per query, then 1e6
+    micro-quantization before any percentile). Low-dimensional data
+    packs neighbors at similar radii (μ → 1 slowly, heavy μ tail);
+    high-dimensional data concentrates distances (μ ≈ 1 for almost all
+    queries) — the μ quartiles + the μ > 1.5 tail share are the
+    estimator's sufficient statistics (the full MLE is 1/E[ln μ]; ln is
+    libm, so the profile emits the exact quantized ratios and pytest
+    carries the recompute). Exact-duplicate neighbors (c₁ = 1, r₁ = 0)
+    are excluded and counted — on a near-dup-free corpus n_dup_excluded
+    = 0.
+
+    Rides the SF-adaptive gold switch (full top-2 below
+    KNN_GOLD_FULL_MAX vectors, hash-sampled sources scored against the
+    full corpus above), so the oracle string is fixed across SFs and the
+    tile compute is O(S·n) at scale.
+
+    Scale: top-2 edges from the shared tile builder; everything after is
+    a per-query 2-row pivot + a single global aggregate over micro-ints."""
+    n = table_count(spark, sf_dir, "embeddings")
+    mod = None if n <= KNN_GOLD_FULL_MAX else AUDIT_SAMPLE_MOD
+    edges = _knn_topk_edges(spark, sf_dir, 2, src_sample_mod=mod)
+    per = edges.groupBy("src").agg(
+        F.max(F.when(F.col("rank") == 1, F.col("cosine"))).alias("c1"),
+        F.max(F.when(F.col("rank") == 2, F.col("cosine"))).alias("c2"),
+    )
+    scored = per.where(F.col("c2").isNotNull())
+    ok = scored.where(F.col("c1") < 1).withColumn(
+        "mu_mic",
+        F.floor(
+            F.sqrt((F.lit(1.0) - F.col("c2")) / (F.lit(1.0) - F.col("c1")))
+            * 1000000.0
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    dup = scored.where(F.col("c1") >= 1)
+    agg = (
+        ok.agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.expr("percentile(mu_mic, 0.25)").alias("p25m"),
+            F.expr("percentile(mu_mic, 0.5)").alias("p50m"),
+            F.expr("percentile(mu_mic, 0.75)").alias("p75m"),
+            F.sum(
+                F.when(F.col("mu_mic") > TWONN_RATIO_HI_MIC, 1).otherwise(0)
+            ).alias("n_hi"),
+        )
+        .where(F.col("n_queries") > 0)
+        .crossJoin(
+            dup.agg(F.count(F.lit(1)).alias("n_dup_excluded"))
+        )
+    )
+    return agg.select(
+        "n_queries",
+        "n_dup_excluded",
+        (F.col("p25m") / F.lit(1000000).cast("double")).alias("p25_ratio"),
+        (F.col("p50m") / F.lit(1000000).cast("double")).alias("p50_ratio"),
+        (F.col("p75m") / F.lit(1000000).cast("double")).alias("p75_ratio"),
+        (F.col("n_hi").cast("double") / F.col("n_queries").cast("double")).alias(
+            "share_ratio_gt_1_5"
+        ),
+    )
+
+
+_TWONN_DOT = _SQL_DOT.format(a="a.v", b="b.v")
+
+SQL_INTRINSIC_DIM_TWONN = f"""
+WITH {_sql_emb()},
+idmode AS (SELECT COUNT(*) <= {KNN_GOLD_FULL_MAX} AS full_mode FROM embeddings),
+idsrc AS (
+  SELECT e.* FROM emb_n e, idmode m
+  WHERE m.full_mode OR {_sql_audit_sample_pred('e.vec_id')}
+),
+idsc AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         (floor(({_TWONN_DOT} / (a.nrm * b.nrm)) * 1000000.0 + 0.5) / 1000000.0)
+           AS cosine
+  FROM idsrc a JOIN emb_n b ON a.vec_id <> b.vec_id
+),
+idtk AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rn
+    FROM idsc
+  ) WHERE rn <= 2
+),
+idp AS (
+  SELECT src,
+         MAX(CASE WHEN rn = 1 THEN cosine END) AS c1,
+         MAX(CASE WHEN rn = 2 THEN cosine END) AS c2
+  FROM idtk GROUP BY 1
+),
+idscored AS (SELECT * FROM idp WHERE c2 IS NOT NULL),
+idr AS (
+  SELECT src,
+         CAST(FLOOR(SQRT((1 - c2) / (1 - c1)) * 1000000.0 + 0.5) AS BIGINT)
+           AS mu_mic
+  FROM idscored WHERE c1 < 1
+),
+iddup AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_dup_excluded FROM idscored WHERE c1 >= 1
+),
+idagg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+         quantile_cont(mu_mic, 0.25) AS p25m,
+         quantile_cont(mu_mic, 0.5) AS p50m,
+         quantile_cont(mu_mic, 0.75) AS p75m,
+         CAST(SUM(CASE WHEN mu_mic > {TWONN_RATIO_HI_MIC} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hi
+  FROM idr HAVING COUNT(*) > 0
+)
+SELECT a.n_queries, d.n_dup_excluded,
+       a.p25m / CAST(1000000 AS DOUBLE) AS p25_ratio,
+       a.p50m / CAST(1000000 AS DOUBLE) AS p50_ratio,
+       a.p75m / CAST(1000000 AS DOUBLE) AS p75_ratio,
+       CAST(a.n_hi AS DOUBLE) / CAST(a.n_queries AS DOUBLE)
+         AS share_ratio_gt_1_5
+FROM idagg a, iddup d
+"""
+
+ORACLES["intrinsic_dim_twonn"] = SQL_INTRINSIC_DIM_TWONN

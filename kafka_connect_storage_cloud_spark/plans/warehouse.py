@@ -3022,3 +3022,144 @@ GROUP BY 1
 
 QUERIES["customer_interpurchase"] = customer_interpurchase
 ORACLES["customer_interpurchase"] = SQL_CUSTOMER_INTERPURCHASE
+
+
+# ---------------------------------------------------------------------------
+# orders_priority_mix_drift (r9 session 3) — chi-square mix-shift monitor
+# ---------------------------------------------------------------------------
+
+CHI2_95_DF4_Q4 = 94877  # chi2(0.95, df=4) = 9.4877 in 1e4 units (5 priorities)
+
+
+def orders_priority_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Has the ORDER-PRIORITY mix shifted between the early and late half
+    of the order book? The vocab_drift_chi2 transform applied to the
+    orders dimension: split at the midpoint of the date range (the
+    ks_drift convention, 2·day < mn + mx integer-exact), per priority
+      term_p = (c₁·N₂ − c₂·N₁)² / (N₁·N₂·(c₁ + c₂))
+    with the delta cast to DOUBLE before squaring on both engines (the
+    chi-square rule; the int64 denominator bounds the exact form to
+    ~30× the sf0.1 order volume, documented as in vocab_drift_chi2) and
+    each term 1e-9-quantized before the int64 sum, so chi2_total is ONE
+    final division. The α=0.05 verdict against χ²(0.95, 4) is the
+    all-int64 rule 10⁴·Σq₉ > 94877·10⁹. The mix-stability gate a
+    priority-SLA dashboard needs before alerting on share wiggles.
+
+    Scale: one rollup to (priority, day) cells, the global date bounds
+    as a window over that metadata frame (no driver collect — improves
+    on vocab_drift_chi2's totals collect, which its vocab-sized frame
+    justified), then ≤|priorities| rows end-to-end."""
+    from ..session import read_table as _rt
+
+    orders = _rt(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date")).alias(
+            "day"
+        ),
+    )
+    daily = orders.groupBy("o_orderpriority", "day").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wall = Window.partitionBy()
+    sided = (
+        daily.withColumn("mn", F.min("day").over(wall))
+        .withColumn("mx", F.max("day").over(wall))
+        .withColumn("early", F.lit(2) * F.col("day") < F.col("mn") + F.col("mx"))
+    )
+    per = sided.groupBy("o_orderpriority").agg(
+        F.sum(F.when(F.col("early"), F.col("c")).otherwise(0)).alias("c1"),
+        F.sum(F.when(~F.col("early"), F.col("c")).otherwise(0)).alias("c2"),
+    )
+    per = (
+        per.withColumn("n1", F.sum("c1").over(wall))
+        .withColumn("n2", F.sum("c2").over(wall))
+        .where((F.col("n1") > 0) & (F.col("n2") > 0))
+        .withColumn(
+            "dlt_d",
+            (F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")).cast("double"),
+        )
+        .withColumn(
+            "den", F.col("n1") * F.col("n2") * (F.col("c1") + F.col("c2"))
+        )
+        .withColumn(
+            "term",
+            F.when(
+                F.col("den") > 0,
+                F.col("dlt_d") * F.col("dlt_d") / F.col("den").cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "termq", F.floor(F.col("term") * 1000000000.0 + F.lit(0.5)).cast("long")
+        )
+        .withColumn("chi2q", F.sum("termq").over(wall))
+    )
+    return per.select(
+        "o_orderpriority",
+        F.col("c1").alias("n_early"),
+        F.col("c2").alias("n_late"),
+        (F.col("c1").cast("double") / F.col("n1").cast("double")).alias("share_early"),
+        (F.col("c2").cast("double") / F.col("n2").cast("double")).alias("share_late"),
+        F.col("term").alias("chi2_term"),
+        (F.col("chi2q").cast("double") / F.lit(1000000000).cast("double")).alias(
+            "chi2_total"
+        ),
+        (
+            F.lit(10000) * F.col("chi2q") > F.lit(CHI2_95_DF4_Q4 * 1000000000)
+        ).alias("drifted"),
+    )
+
+
+SQL_ORDERS_PRIORITY_DRIFT = f"""
+WITH opdaily AS (
+  SELECT o_orderpriority,
+         datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS day,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1, 2
+),
+opsided AS (
+  SELECT *,
+         MIN(day) OVER () AS mn, MAX(day) OVER () AS mx
+  FROM opdaily
+),
+opper AS (
+  SELECT o_orderpriority,
+         CAST(SUM(CASE WHEN 2 * day < mn + mx THEN c ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN 2 * day < mn + mx THEN 0 ELSE c END) AS BIGINT) AS c2
+  FROM opsided GROUP BY 1
+),
+optot AS (
+  SELECT *,
+         CAST(SUM(c1) OVER () AS BIGINT) AS n1,
+         CAST(SUM(c2) OVER () AS BIGINT) AS n2
+  FROM opper
+),
+opterm AS (
+  SELECT *,
+         CAST(c1 * n2 - c2 * n1 AS DOUBLE) AS dlt_d,
+         n1 * n2 * (c1 + c2) AS den
+  FROM optot WHERE n1 > 0 AND n2 > 0
+),
+opq AS (
+  SELECT *,
+         CASE WHEN den > 0 THEN dlt_d * dlt_d / CAST(den AS DOUBLE)
+              ELSE CAST(0 AS DOUBLE) END AS term
+  FROM opterm
+),
+opqq AS (
+  SELECT *, CAST(FLOOR(term * 1000000000.0 + 0.5) AS BIGINT) AS termq FROM opq
+),
+opchi AS (
+  SELECT *, CAST(SUM(termq) OVER () AS BIGINT) AS chi2q FROM opqq
+)
+SELECT o_orderpriority,
+       c1 AS n_early, c2 AS n_late,
+       CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS share_early,
+       CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS share_late,
+       term AS chi2_term,
+       CAST(chi2q AS DOUBLE) / CAST(1000000000 AS DOUBLE) AS chi2_total,
+       10000 * chi2q > {CHI2_95_DF4_Q4 * 1000000000} AS drifted
+FROM opchi
+"""
+
+QUERIES["orders_priority_mix_drift"] = orders_priority_mix_drift
+ORACLES["orders_priority_mix_drift"] = SQL_ORDERS_PRIORITY_DRIFT

@@ -897,3 +897,54 @@ def test_type_affinity_identities(spark, sf_dir):
     a, b = rows[0].type_a, rows[0].type_b
     n_ab = sum(1 for s in cells.values() if a in s and b in s)
     assert rows[0].n_ab == n_ab
+
+
+# --- session-3 batch L: TwoNN ratio profile + priority mix drift ----------
+
+
+def test_twonn_ratio_profile(spark, sf_dir):
+    """mu >= 1 by construction (c2 <= c1 in the top-2), quartiles
+    ordered, share in [0,1], and a brute-force recompute of the median
+    from the collected top-2 cosines."""
+    import math
+
+    from kafka_connect_storage_cloud_spark.llm import similarity as LS
+
+    rows = LS.intrinsic_dim_twonn(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert 1.0 <= r.p25_ratio <= r.p50_ratio <= r.p75_ratio
+    assert 0.0 <= r.share_ratio_gt_1_5 <= 1.0
+    n = LS.table_count(spark, sf_dir, "embeddings")
+    mod = None if n <= LS.KNN_GOLD_FULL_MAX else LS.AUDIT_SAMPLE_MOD
+    edges = LS._knn_topk_edges(spark, sf_dir, 2, src_sample_mod=mod).collect()
+    per = {}
+    for e in edges:
+        per.setdefault(e.src, {})[e.rank] = e.cosine
+    mus = sorted(
+        int(math.floor(math.sqrt((1 - d[2]) / (1 - d[1])) * 1e6 + 0.5))
+        for d in per.values()
+        if 2 in d and d[1] < 1
+    )
+    assert r.n_queries == len(mus)
+    import statistics
+
+    assert r.p50_ratio == statistics.median(mus) / 1e6
+
+
+def test_priority_mix_drift_identities(spark, sf_dir):
+    """Shares sum to 1 on each side, chi2_total equals the quantized term
+    sum, the verdict matches the emitted total against 9.4877, and the
+    synthetic order book (uniform priority mix) must NOT drift."""
+    from kafka_connect_storage_cloud_spark.plans import warehouse as WH
+
+    rows = WH.orders_priority_mix_drift(spark, sf_dir).collect()
+    assert rows
+    assert abs(sum(r.share_early for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r.share_late for r in rows) - 1.0) < 1e-9
+    total = rows[0].chi2_total
+    assert all(r.chi2_total == total for r in rows)
+    q = sum(int(r.chi2_term * 1e9 + 0.5) for r in rows)
+    assert abs(total - q / 1e9) < len(rows) * 1e-9
+    for r in rows:
+        assert r.drifted == (10000 * round(total * 1e9) > 94877 * 10**9)

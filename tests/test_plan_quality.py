@@ -334,6 +334,7 @@ _NESTED_LOOP_OK = {
     "cdc_merge_apply",            # 1-row offset-split scalar-anchor combine
     "landed_files_diff",          # 1-row offset-split scalar-anchor combine
     "t_closeness_audit",          # |classes| x |sources| metadata grid
+    "intrinsic_dim_twonn",        # 1-row x 1-row dup-count combine
 }
 
 
