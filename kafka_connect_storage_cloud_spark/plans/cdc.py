@@ -148,21 +148,29 @@ ORDER BY user_id
 LATE_SHUFFLE = 1000  # synthetic disorder: hash-shuffled arrival order stand-in
 
 
-def late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Event-time lateness per kafka partition: a record is late by
-    (running max event time in arrival order) - (its own event time).
-    Arrival order is the topic offset order. Reports the distribution a
-    streaming job reads to size its watermark (and the batch connector to
-    size rotate.interval.ms grace)."""
+def _lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(kafka_partition, lateness_ms) per record — lateness = (running max
+    event time in arrival order) − (own event time), arrival order = the
+    topic offset order. Shared by late_data_audit (the distribution) and
+    watermark_advisor (the delay decision table)."""
     rec = events_as_topic(spark, sf_dir).select("kafka_partition", "offset", "ts")
     w = (
         Window.partitionBy("kafka_partition")
         .orderBy("offset")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    late = rec.withColumn(
+    return rec.withColumn(
         "lateness_ms", F.max(F.unix_millis("ts")).over(w) - F.unix_millis("ts")
     )
+
+
+def late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time lateness per kafka partition: a record is late by
+    (running max event time in arrival order) - (its own event time).
+    Arrival order is the topic offset order. Reports the distribution a
+    streaming job reads to size its watermark (and the batch connector to
+    size rotate.interval.ms grace)."""
+    late = _lateness(spark, sf_dir)
     return (
         late.groupBy("kafka_partition")
         .agg(
@@ -181,8 +189,7 @@ def late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_LATE_DATA_AUDIT = f"""
-WITH rec AS (
+_SQL_LATENESS_CTES = """rec AS (
   SELECT CAST(user_id % 8 AS INT) AS kafka_partition, event_id AS "offset", ts
   FROM events
 ),
@@ -191,7 +198,10 @@ late AS (
          MAX(epoch_ms(ts)) OVER (PARTITION BY kafka_partition ORDER BY "offset"
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - epoch_ms(ts) AS lateness_ms
   FROM rec
-)
+)"""
+
+SQL_LATE_DATA_AUDIT = f"""
+WITH {_SQL_LATENESS_CTES}
 SELECT kafka_partition,
        COUNT(*) AS n_records,
        CAST(SUM(CASE WHEN lateness_ms > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
@@ -213,3 +223,97 @@ ORACLES = {
     "scd2_snapshot_asof": SQL_SCD2_SNAPSHOT,
     "late_data_audit": SQL_LATE_DATA_AUDIT,
 }
+
+
+# ---------------------------------------------------------------------------
+# watermark_advisor (r9 session 3) — delay vs drop-rate decision table
+# ---------------------------------------------------------------------------
+
+WATERMARK_DELAYS_MS = (1_000, 10_000, 60_000, 600_000)
+
+
+def watermark_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermark DECISION TABLE late_data_audit's distribution is read
+    for: for each candidate delay D, exactly how many records a
+    `withWatermark(D)` pipeline would DROP (lateness > D under
+    offset-arrival order), globally and in the worst partition — drop
+    share buys state size, and this table prices the trade at the
+    candidate delays a config review actually debates (1 s / 10 s /
+    1 min / 10 min). The worst-partition column matters because
+    watermarks are global but lateness is per-partition: a delay that
+    drops 0.1% overall can still gut one skewed partition.
+
+    Scale: the lateness frame is ONE running-max window over the topic
+    order (shared with late_data_audit); the delay fan-out is a 4-row
+    rule-17 literal explode BEFORE the rollup, so the stream is scanned
+    once and every aggregate is (delay[, partition])-keyed.
+
+    Corpus note: the synthetic topic assigns offsets in event-time order,
+    so lateness is identically zero here and every drop count is
+    legitimately 0 (late_data_audit reports the same) — the pytest pins
+    the reconciliation identities; on a real out-of-order topic the same
+    plan prices the delays."""
+    late = _lateness(spark, sf_dir)
+    fan = late.withColumn(
+        "delay_ms",
+        F.explode(F.array(*[F.lit(d).cast("long") for d in WATERMARK_DELAYS_MS])),
+    )
+    per_part = fan.groupBy("delay_ms", "kafka_partition").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("lateness_ms") > F.col("delay_ms")).cast("long")).alias("d"),
+    )
+    agg = per_part.groupBy("delay_ms").agg(
+        F.sum("n").alias("n_records"),
+        F.sum("d").alias("n_dropped"),
+        F.max(
+            F.floor(
+                (F.col("d") * F.lit(1000000)).cast("double") / F.col("n").cast("double")
+            ).cast("long")
+        ).alias("worst_mic"),
+    )
+    return agg.select(
+        "delay_ms",
+        "n_records",
+        "n_dropped",
+        (F.col("n_dropped").cast("double") / F.col("n_records").cast("double")).alias(
+            "drop_share"
+        ),
+        (F.col("worst_mic").cast("double") / F.lit(1000000).cast("double")).alias(
+            "worst_partition_drop_share"
+        ),
+    )
+
+
+_WM_DELAYS_SQL = ", ".join(str(d) for d in WATERMARK_DELAYS_MS)
+
+SQL_WATERMARK_ADVISOR = f"""
+WITH {_SQL_LATENESS_CTES},
+wmfan AS (
+  SELECT l.kafka_partition, l.lateness_ms, dd.delay_ms
+  FROM late l
+  CROSS JOIN (SELECT UNNEST([{_WM_DELAYS_SQL}]) AS delay_ms) dd
+),
+wmpart AS (
+  SELECT delay_ms, kafka_partition,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN lateness_ms > delay_ms THEN 1 ELSE 0 END) AS BIGINT)
+           AS d
+  FROM wmfan GROUP BY 1, 2
+),
+wmagg AS (
+  SELECT delay_ms,
+         CAST(SUM(n) AS BIGINT) AS n_records,
+         CAST(SUM(d) AS BIGINT) AS n_dropped,
+         CAST(MAX(CAST(FLOOR(CAST(d * 1000000 AS DOUBLE) / CAST(n AS DOUBLE))
+                       AS BIGINT)) AS BIGINT) AS worst_mic
+  FROM wmpart GROUP BY 1
+)
+SELECT CAST(delay_ms AS BIGINT) AS delay_ms, n_records, n_dropped,
+       CAST(n_dropped AS DOUBLE) / CAST(n_records AS DOUBLE) AS drop_share,
+       CAST(worst_mic AS DOUBLE) / CAST(1000000 AS DOUBLE)
+         AS worst_partition_drop_share
+FROM wmagg
+"""
+
+QUERIES["watermark_advisor"] = watermark_advisor
+ORACLES["watermark_advisor"] = SQL_WATERMARK_ADVISOR

@@ -948,3 +948,24 @@ def test_priority_mix_drift_identities(spark, sf_dir):
     assert abs(total - q / 1e9) < len(rows) * 1e-9
     for r in rows:
         assert r.drifted == (10000 * round(total * 1e9) > 94877 * 10**9)
+
+
+def test_watermark_advisor_identities(spark, sf_dir):
+    """Monotone: a longer delay never drops more; totals constant across
+    delays; drop counts reconcile with a direct lateness recount at the
+    smallest delay; shares consistent with counts."""
+    from kafka_connect_storage_cloud_spark.plans import cdc as CDX
+
+    rows = sorted(
+        CDX.watermark_advisor(spark, sf_dir).collect(), key=lambda r: r.delay_ms
+    )
+    assert [r.delay_ms for r in rows] == sorted(CDX.WATERMARK_DELAYS_MS)
+    assert len({r.n_records for r in rows}) == 1
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_dropped >= b.n_dropped
+    lat = CDX._lateness(spark, sf_dir).collect()
+    d0 = CDX.WATERMARK_DELAYS_MS[0]
+    assert rows[0].n_dropped == sum(1 for r in lat if r.lateness_ms > d0)
+    for r in rows:
+        assert r.drop_share == r.n_dropped / r.n_records
+        assert 0.0 <= r.worst_partition_drop_share <= 1.0
