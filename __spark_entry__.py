@@ -61,19 +61,19 @@ def entry(spark: SparkSession) -> DataFrame:
     return T.q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-# --- diff-aware re-verification window (rebuilt END of round 9, session 3) --
-# tools/stale_keys.py --window 50 on the final tree: fresh=58 (EVERY r9
-# operator awaits its first external row -- the 39 from earlier sessions
-# plus the 19 session-3 additions, each driver-sim green at
-# sf0.001+sf0.01 and hostile-TZ before shipping) + stale=27 (transitive
-# consumers of the session-3 refactors: _kmv_estimate / _qsk_audit
-# shared-tail extractions re-staling the sketch family, dedup.py and
-# pipeline.py appends re-staling their module cohorts, plus the r8
-# clustering carry-overs). _PRIORITY = the 19 session-3 keys first, then
-# earlier-r9 fresh keys; the 8 fresh keys that do not fit plus all 27
-# stale keys are in _RECHECK; everything else is signature-identical to
-# its last green round (_VERIFIED_CURRENT).
+# --- diff-aware re-verification window (rebuilt END of round 9, session 3,
+# FINAL after batches L/M) -- tools/stale_keys.py --window 50 on the final
+# tree: fresh=61 (EVERY r9 operator awaits its first external row -- 39
+# earlier-session + 22 session-3, each driver-sim green at sf0.001+sf0.01
+# and hostile-TZ before shipping) + stale=28 (transitive consumers of the
+# session-3 refactors: _kmv_estimate / _qsk_audit / _lateness shared-tail
+# extractions, dedup.py / pipeline.py / similarity.py appends re-staling
+# their module cohorts, plus the r8 clustering carry-overs). _PRIORITY =
+# the 22 session-3 keys first, then earlier-r9 fresh keys; the 11 fresh
+# keys that do not fit plus all 28 stale keys are in _RECHECK; everything
+# else is signature-identical to its last green round.
 _PRIORITY: tuple[str, ...] = (
+    "watermark_advisor", "orders_priority_mix_drift", "intrinsic_dim_twonn",
     "dp_sensitivity_audit", "events_peak_hour_stability", "events_burstiness_index",
     "events_completeness_audit", "events_type_affinity", "partition_pruning_matrix",
     "events_seasonality_strength", "broadcast_size_audit", "customer_interpurchase",
@@ -89,22 +89,23 @@ _PRIORITY: tuple[str, ...] = (
     "doc_readability", "boilerplate_shingles", "token_ge2_inequality",
     "conformal_quality_coverage", "quality_quantile_normalize",
     "token_hapax_profile", "events_seasonal_median_decompose", "events_ks_drift",
-    "events_max_burst_window", "token_lorenz_gini", "events_stl_anomaly",
-    "dedup_cascade_yield", "events_mann_kendall",
+    "events_max_burst_window", "token_lorenz_gini",
 )
 
 _RECHECK: tuple[str, ...] = (
+    "events_stl_anomaly", "dedup_cascade_yield", "events_mann_kendall",
     "events_ljung_box", "token_lorenz_gini_edges", "events_hampel_filter",
     "erasure_blast_radius", "hybrid_rrf_fusion", "semdedup_cell_profile",
-    "ann_topk_ivf_twolevel", "ivf_twolevel_recall_audit", "dedup_method_matrix",
-    "winnowing_fingerprints", "events_acf_profile", "cms_heavy_hitters",
-    "kmv_distinct", "quantile_sketch_audit", "semdedup_cells", "ann_recall_audit",
-    "ann_topk_bruteforce", "knn_pagerank_step", "knn_triangle_count",
-    "knn_pagerank_step_lsh", "knn_triangle_count_lsh", "ngram_novelty",
-    "gopher_rules_filter", "quality_ablation_matrix", "bigram_lm_rarity",
-    "hybrid_retrieval_agreement", "dedup_substring", "dedup_bloom", "embedding_sq8",
-    "ann_method_matrix", "dedup_keep_best", "dedup_rate_by_slice",
-    "quality_dup_profile", "dedup_transitivity_audit", "dup_cluster_size_profile",
+    "ann_topk_ivf_twolevel", "ivf_twolevel_recall_audit", "late_data_audit",
+    "events_acf_profile", "ann_recall_audit", "ann_topk_bruteforce",
+    "knn_pagerank_step", "knn_triangle_count", "knn_pagerank_step_lsh",
+    "knn_triangle_count_lsh", "dedup_method_matrix", "winnowing_fingerprints",
+    "cms_heavy_hitters", "kmv_distinct", "quantile_sketch_audit", "semdedup_cells",
+    "ngram_novelty", "gopher_rules_filter", "quality_ablation_matrix",
+    "bigram_lm_rarity", "hybrid_retrieval_agreement", "dedup_substring",
+    "dedup_bloom", "embedding_sq8", "ann_method_matrix", "dedup_keep_best",
+    "dedup_rate_by_slice", "quality_dup_profile", "dedup_transitivity_audit",
+    "dup_cluster_size_profile",
 )
 
 _VERIFIED_CURRENT: tuple[str, ...] = (
@@ -143,11 +144,11 @@ _VERIFIED_CURRENT: tuple[str, ...] = (
     "kmv_set_ops", "knn_graph_components", "knn_graph_lsh", "knn_graph_lsh_recall",
     "knn_graph_lsh_recall_sampled", "knn_graph_mutual", "knn_label_vote_accuracy",
     "knn_label_vote_lsh", "kv_header_views", "l_diversity_audit",
-    "landed_files_diff", "lang_id", "lang_id_confusion", "late_data_audit",
-    "lm_rarity_score", "locale_partitioner", "log_compaction",
-    "market_concentration_hhi", "matryoshka_recall_audit", "minhash_band_tuning",
-    "minhash_jaccard_est", "minhash_precision_curve", "mixture_temperature_weights",
-    "mlm_masking_plan", "modality_coverage_audit", "multi_touch_attribution",
+    "landed_files_diff", "lang_id", "lang_id_confusion", "lm_rarity_score",
+    "locale_partitioner", "log_compaction", "market_concentration_hhi",
+    "matryoshka_recall_audit", "minhash_band_tuning", "minhash_jaccard_est",
+    "minhash_precision_curve", "mixture_temperature_weights", "mlm_masking_plan",
+    "modality_coverage_audit", "multi_touch_attribution",
     "multimodal_audio_resample", "multimodal_frame_sample",
     "multimodal_payload_dedup", "multimodal_pipeline", "multimodal_resize",
     "multipart_upload_plan", "negative_sampling_table", "ngram_jaccard",
