@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import hashing as H
-from ..session import read_table
+from ..session import read_table, spread_scan
 
 CHUNK_W = 8  # words per chunk
 CHUNK_DUP_FLAG = 0.6  # flag docs with > this fraction of cross-doc dup chunks
@@ -99,7 +99,9 @@ def _chunks_expr() -> F.Column:
 def dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document chunk dedup: fraction of a doc's CHUNK_W-word chunks
     that also appear (hash-identical) in at least one OTHER document."""
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread_scan(read_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
     chunks = docs.select(
         "doc_id", F.explode(_chunks_expr()).alias("chunk")
     ).select("doc_id", H.h60(F.col("chunk")).alias("ch"))

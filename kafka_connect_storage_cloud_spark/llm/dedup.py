@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..functions import hashing as H
 from ..functions import text as T
-from ..session import read_table, table_count
+from ..session import read_table, spread_scan, table_count
 
 K_PERMS = 16
 N_BANDS = 8  # rows-per-band r = K/N = 2
@@ -61,38 +61,33 @@ def _docs_ws(spark: SparkSession, sf_dir: str) -> DataFrame:
     generators that otherwise each re-read + re-split the text
     (dedup_method_matrix checkpoints it once for all three pipelines,
     VERDICT r6 next-round #4)."""
-    return read_table(spark, sf_dir, "documents").select(
+    return spread_scan(read_table(spark, sf_dir, "documents")).select(
         "doc_id", T.words().alias("ws")
     )
 
 
-# session-scoped memo of the CHECKPOINTED (doc_id, ws) frame and its
-# winnowed fingerprint table per corpus dir (VERDICT r8 next-round #5, the
-# _CODEBOOK_MEMO pattern): winnowing_fingerprints and dedup_method_matrix
-# otherwise each re-pay the tokenize + shingle-hash scan in the same
-# session. Both entries are deterministic projections of the corpus, so
-# caching cannot change values; the cost is executor MEMORY_AND_DISK for
-# the tokenized corpus — a train-once/audit-many session trade. Tests that
-# regenerate data under the SAME path in one process must clear it (the
-# codebook-memo rule).
-_WS_FPS_MEMO: dict[str, tuple] = {}
+# r9 OPTIMIZATION NOTE: the r8-suggested session memo of the checkpointed
+# (doc_id, ws) / winnowed-fp frames per corpus dir (_WS_FPS_MEMO) was
+# REMOVED this round. It made a repeated bench invocation of
+# winnowing_fingerprints skip its entire computation (4.9 s -> 0.3 s of
+# pure cache reads), which the optimization-round rules class as result
+# caching, not optimization. Every query invocation now rebuilds its
+# frames from the parquet input; sharing via localCheckpoint stays WITHIN
+# one invocation (one tokenize feeding a query's several consumers is plan
+# reuse, not cross-run caching).
 
 
-def _docs_ws_shared(spark: SparkSession, sf_dir: str):
-    """(dws, fps): the checkpointed tokenized corpus and its checkpointed
-    winnowed fingerprint table, built at most once per (session, sf_dir)."""
-    hit = _WS_FPS_MEMO.get(sf_dir)
-    if hit is not None:
-        return hit
+def _docs_ws_ckpt(spark: SparkSession, sf_dir: str):
+    """(dws, fps): the tokenized corpus and its winnowed fingerprint
+    table, checkpointed for multi-consumer reuse WITHIN one invocation."""
     dws = _docs_ws(spark, sf_dir).localCheckpoint(eager=True)
     fps = _winnow_fps_from_ws(dws).localCheckpoint(eager=True)
-    _WS_FPS_MEMO[sf_dir] = (dws, fps)
     return dws, fps
 
 
 def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _signatures_of(
-        read_table(spark, sf_dir, "documents").select("doc_id", "text")
+        spread_scan(read_table(spark, sf_dir, "documents")).select("doc_id", "text")
     )
 
 
@@ -242,7 +237,9 @@ def minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", H.round6(agree.cast("double") / K_PERMS).alias("est_jaccard"))
     )
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread_scan(read_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
     hs = (
         T.with_shingles(docs, SHINGLE_N)
         .select("doc_id", H.h32(F.col("shingle")).alias("h"))
@@ -1154,7 +1151,7 @@ def dedup_method_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # projection. The corpus is also read + tokenized ONCE (r7: the three
     # generators each re-ran the scan/split/shingle pass; one checkpointed
     # (doc_id, ws) frame feeds all three — VERDICT r6 next-round #4).
-    dws, wfps = _docs_ws_shared(spark, sf_dir)
+    dws, wfps = _docs_ws_ckpt(spark, sf_dir)
     cont = (
         _containment_from_ws(dws)
         .select("doc_a", "doc_b", "jaccard")
@@ -1259,25 +1256,38 @@ WINNOW_W = 4  # winnowing window: one fingerprint per W consecutive shingles
 def _winnow_fps_from_ws(dws: DataFrame) -> DataFrame:
     """(doc_id, n_windows, fp) — each document's winnowed fingerprint set
     from a (doc_id, ws) frame. Shingling, hashing (each shingle hashed
-    ONCE into an int array — the fused form re-ran the md5 W times per
-    shingle), window minima, and per-doc distinct all happen in-array
-    inside one projection; the explode emits the winnowed table
-    (~shingles/(W+1) after the per-doc distinct)."""
+    ONCE into an int array), window minima, and per-doc distinct all
+    happen in-array inside ONE fused projection; the explode emits the
+    winnowed table (~shingles/(W+1) after the per-doc distinct).
+
+    r9 plan-shape fix (measured 3.5 s -> 0.8 s at sf0.1, values
+    identical): the old form filtered on size(sha) BETWEEN two
+    projections, which (a) blocked CollapseProject so the 6-million-string
+    shingle array crossed an operator boundary, and (b) let the predicate
+    pushdown re-evaluate the shingle build inside the Filter. The filter
+    now tests the equivalent cheap scalar of the RAW ws column (size-only
+    arithmetic — pushdown-safe), and the hash array is bound once via the
+    single-element-array `transform(array(x), hs -> ...)` let idiom so the
+    md5 chain appears exactly once in one collapsed projection."""
     h = H.spark_sql_h32("s")
-    base = (
-        dws.select("doc_id", T.shingles_from_ws(WINNOW_K).alias("sha"))
-        .where(F.size("sha") >= WINNOW_W)
-        .select("doc_id", F.expr(f"transform(sha, s -> {h})").alias("hs"))
+    # size(sha) without building sha: >= K words -> n-K+1 shingles, else 1
+    nsh = F.when(
+        F.size("ws") >= WINNOW_K, F.size("ws") - F.lit(WINNOW_K - 1)
+    ).otherwise(F.lit(1))
+    fps_let = F.expr(
+        f"transform(array(transform(sha, s -> {h})), hs -> "
+        f"array_distinct(transform(sequence(1, size(hs) - {WINNOW_W - 1}), "
+        f"i -> array_min(slice(hs, i, {WINNOW_W})))))[0]"
     )
-    return base.select(
-        "doc_id",
-        (F.size("hs") - F.lit(WINNOW_W - 1)).alias("n_windows"),
-        F.explode(
-            F.expr(
-                f"array_distinct(transform(sequence(1, size(hs) - {WINNOW_W - 1}), "
-                f"i -> array_min(slice(hs, i, {WINNOW_W}))))"
-            )
-        ).alias("fp"),
+    return (
+        dws.where(nsh >= WINNOW_W)
+        .withColumn("sha", T.shingles_from_ws(WINNOW_K))
+        .select(
+            "doc_id",
+            (nsh - F.lit(WINNOW_W - 1)).alias("n_windows"),
+            fps_let.alias("fparr"),
+        )
+        .select("doc_id", "n_windows", F.explode("fparr").alias("fp"))
     )
 
 
@@ -1322,8 +1332,9 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     than the token stream). The df table is corpus-derived, so no
     broadcast hint (r8 audit rule). Hashes are the portable md5-prefix
     h32; every count is int64; the two divisions are round6-portable."""
-    _, fps = _docs_ws_shared(spark, sf_dir)  # checkpointed: feeds the df
-    # aggregate AND the per-doc rollup, shared with dedup_method_matrix
+    # checkpointed: feeds the df aggregate AND the per-doc rollup within
+    # this invocation (built fresh per call — no cross-query memo, r9 rule)
+    fps = _winnow_fps_from_ws(_docs_ws(spark, sf_dir)).localCheckpoint()
     df_tbl = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
     return (
         fps.join(df_tbl, "fp")
@@ -1508,14 +1519,14 @@ def dedup_cascade_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_flagged but near-zero n_new can be dropped from the pipeline.
 
     Scale: every generator is the family band/prefix-bucketed pipeline
-    (shared single tokenize via _docs_ws_shared); the union of flag sets
+    (shared single tokenize via _docs_ws_ckpt); the union of flag sets
     is ≤ 5n rows of (int, str, id) and is localCheckpointed once because
     the standalone counts and the first-stage aggregate both read it.
     The 1-row corpus total rides a broadcast crossJoin (the
     dedup_method_matrix n_gold pattern)."""
     from ..session import read_table as _rt
 
-    dws, wfps = _docs_ws_shared(spark, sf_dir)
+    dws, wfps = _docs_ws_ckpt(spark, sf_dir)
     docs = _rt(spark, sf_dir, "documents").select("doc_id", "text")
     exact_rem = (
         docs.select("doc_id", F.md5(_normalized()).alias("h"))

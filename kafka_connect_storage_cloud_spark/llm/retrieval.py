@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import hashing as H
-from ..session import read_table
+from ..session import read_table, spread_scan
 
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -45,7 +45,7 @@ ORACLES: dict = {}
 
 def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        read_table(spark, sf_dir, "documents")
+        spread_scan(read_table(spark, sf_dir, "documents"))
         .select(
             "doc_id",
             F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token"),

@@ -1076,7 +1076,10 @@ def _mutualize_topk(topk: DataFrame) -> DataFrame:
         F.col("dst").alias("vec_a"), F.col("src").alias("vec_b"),
         F.col("rank").alias("rank_ba"),
     )
-    return fwd.join(rev, ["vec_a", "vec_b"]).orderBy("vec_a", "vec_b")
+    # no final global sort: the edge list is corpus-sized (n*k rows), the
+    # compare is order-insensitive, and the range shuffle is pure waste at
+    # scale (r1 rule; r8 VERDICT "what's wrong" #3)
+    return fwd.join(rev, ["vec_a", "vec_b"])
 
 
 # SF-adaptive exact-gold guard (VERDICT r5 next-round #9): the full O(n²)
@@ -2032,8 +2035,9 @@ def knn_graph_lsh(spark: SparkSession, sf_dir: str, k: int = KNN_K) -> DataFrame
             F.max("r_ba").alias("rank_ba"),
         )
         .where(F.col("rank_ab").isNotNull() & F.col("rank_ba").isNotNull())
+        # no final global sort: corpus-sized edge output, order-insensitive
+        # compare (same r9 change as knn_graph_mutual)
         .select("vec_a", "vec_b", "cosine", "rank_ab", "rank_ba")
-        .orderBy("vec_a", "vec_b")
     )
 
 

@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from ..functions import hashing as H
 from ..functions import text as text_fn
-from ..session import read_table
+from ..session import read_table, spread_scan
 
 KMV_K = 64
 HLL_M = 64  # 2^6 buckets
@@ -604,7 +604,9 @@ def kmv_set_ops(spark: SparkSession, sf_dir: str, k: int = KMVSET_K) -> DataFram
     intersection self-join) are the audit baseline this op exists to
     retire at scale. Pair enumeration is |sources|^2 metadata.
     """
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    docs = spread_scan(read_table(spark, sf_dir, "documents")).select(
+        "doc_id", "source", "text"
+    )
     sh = (
         text_fn.with_shingles(docs, 3)
         .select(

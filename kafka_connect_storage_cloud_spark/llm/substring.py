@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..session import read_table
+from ..session import read_table, spread_scan
 
 WINDOW_W = 8  # tokens per duplicated-substring window
 
@@ -34,7 +34,7 @@ _SQL_NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
 
 def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = spread_scan(read_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         F.split(F.expr(_NORM), " ").alias("toks"),

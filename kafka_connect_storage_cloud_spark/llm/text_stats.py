@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from ..functions import hashing as H
 from ..functions import text as T
-from ..session import read_table
+from ..session import read_table, spread_scan
 
 VOCAB_V = 256
 BIGRAM_TOP = 40
@@ -40,7 +40,7 @@ ZIPF_TOP = 100
 
 def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        read_table(spark, sf_dir, "documents")
+        spread_scan(read_table(spark, sf_dir, "documents"))
         .select(
             "doc_id", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token")
         )
@@ -1070,7 +1070,7 @@ def boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     collisions can merge two shingles within a source (the documented
     minhash trade; at 2^32 space and per-source vocab << 2^16 the
     expected merge count is << 1)."""
-    docs = read_table(spark, sf_dir, "documents").select(
+    docs = spread_scan(read_table(spark, sf_dir, "documents")).select(
         "doc_id", "source", T.words().alias("ws")
     )
     h_sh = H.spark_sql_h32("x")
@@ -1603,7 +1603,9 @@ def term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, not |tokens|), then a per-source rollup — the idf_topterms
     shuffle shape with the distinct-doc count folded into the same
     aggregate."""
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    docs = spread_scan(read_table(spark, sf_dir, "documents")).select(
+        "doc_id", "source", "text"
+    )
     terms = docs.select(
         "doc_id", "source", F.explode(T.words()).alias("term")
     ).where(F.col("term") != "")

@@ -24,6 +24,20 @@ def get_spark(app_name: str = "kcsc-spark", shuffle_partitions: int | None = Non
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # r9: InferFiltersFromGenerate injects `size(arr)>0 AND isnotnull(arr)`
+        # above every explode and the pushdown then INLINES the generator's
+        # full expression into a Filter at the scan — for our explodes of
+        # COMPUTED arrays (shingle-hash chains, winnow minima) the expensive
+        # expression is evaluated 2 extra times, single-task, before any
+        # exchange (measured: winnowing fp table 3.6 s -> 0.8 s at sf0.1 with
+        # the rule excluded; values identical — explode drops empty/null
+        # arrays natively). Same duplication class as guide §4.4's pushed
+        # UDF filters. The rule only helps when generator inputs are cheap
+        # columns and many rows generate nothing — never our shape.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
@@ -107,7 +121,42 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     ensure_utc(spark)
     if name == "events":
         return read_events(spark, sf_dir)
-    return normalize_ntz(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+    df = normalize_ntz(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+    if name in _SPREAD_TABLES:
+        df = spread_scan(df)
+    return df
+
+
+def spread_scan(df):
+    """Fan an under-parallel scan out to the session's core count before
+    expensive downstream work (optimization guide §2.5 "input skew": one
+    huge unsplittable file → repartition immediately after the read). The
+    testdata tables are single-row-group parquet files, so every scan is
+    exactly ONE task no matter what maxPartitionBytes/minPartitionNum say;
+    a round-robin repartition moves the (tiny) scan output once and lets
+    the expensive projections (tokenize, per-shingle md5, Arrow matmuls)
+    run on every core. Scale-adaptive by construction: a production input
+    that already splits into >= defaultParallelism tasks passes through
+    untouched, so the exchange exists only where the input is the
+    parallelism bottleneck. Value-neutral: round-robin repartition changes
+    row placement only; no operator in this package is partition-sensitive
+    (hash-deterministic sampling everywhere, no rand()/partition-id)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
+# Spread is applied at CALL SITES whose downstream per-row work is heavy
+# (per-shingle md5 chains, multi-kilofop Arrow stages), not blanket in
+# read_table: measured at sf0.1, a blanket spread of documents/embeddings
+# wins big on the shingle-hash paths (dedup_minhash_lsh -34%,
+# winnowing_window_tuning -50%) but taxes every cheap metadata leg with
+# exchange + 32-task overhead (dedup_exact +0.3 s, embedding_pq +0.4 s
+# before training, emb.count() loses its metadata-only fast path). See
+# OPTIMIZATION_r09.md "scan spread".
+_SPREAD_TABLES: frozenset[str] = frozenset()
 
 
 _TABLE_COUNT_MEMO: dict[tuple[str, str], int] = {}
@@ -119,9 +168,11 @@ def table_count(spark: SparkSession, sf_dir: str, name: str) -> int:
     size. The memo keeps plan BUILDERS side-effect-free after the first
     gate evaluation per (sf_dir, table): one parquet-metadata count per
     session instead of an eager action on every plan construction
-    (VERDICT r6 'What's wrong' #3 hygiene note). Static test fixtures never
-    mutate a table in place under the same path, matching the Lloyd
-    codebook memo's assumption (llm/pipeline.py)."""
+    (VERDICT r6 'What's wrong' #3 hygiene note). This is a planning
+    STATISTIC (the row count Spark itself reads from parquet footers), not
+    a cached result — kept when the r9 optimization round removed the
+    result memos. Static test fixtures never mutate a table in place under
+    the same path."""
     key = (sf_dir, name)
     if key not in _TABLE_COUNT_MEMO:
         _TABLE_COUNT_MEMO[key] = read_table(spark, sf_dir, name).count()
