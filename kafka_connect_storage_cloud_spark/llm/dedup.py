@@ -383,18 +383,42 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_signatures_from_ws(dws: DataFrame) -> DataFrame:
+    """Per-doc 60-bit simhash from a (doc_id, ws) frame.
+
+    r9 packed-vote form (values identical, measured 2.5 s -> 1.6 s at
+    sf0.1): the old aggregate kept 60 separate SUM(CASE ...) vote columns
+    — a 60-slot aggregation buffer updated per token. Since each vote
+    only needs the per-bit ONES count c_j (the +/-1 vote sum is
+    2*c_j - n), the 60 counters pack into 15 int64 words of 4 x 16-bit
+    fields: each token contributes its 4 bits per word with one shifted
+    add, and the aggregate is 15 integer SUMs + COUNT. Fields cannot
+    overflow below 65,536 tokens per document (observed max here: 100;
+    a corpus with longer documents must split the packing to 8-bit-wider
+    fields — the bound is structural, not data-dependent tuning). The
+    majority test c_j * 2 > n is exactly the old v_j > 0."""
     toks = dws.select("doc_id", F.explode("ws").alias("w")).where(F.col("w") != "")
     toks = toks.select("doc_id", H.h60(F.col("w")).alias("h"))
-    votes = [
-        F.sum(
-            F.when(F.expr(f"(shiftright(h, {j}) & 1) = 1"), F.lit(1)).otherwise(F.lit(-1))
-        ).alias(f"v{j}")
-        for j in range(SIM_BITS)
-    ]
-    agg = toks.groupBy("doc_id").agg(*votes)
+    fpw, fb = 4, 16  # fields per word, bits per field
+    n_words = (SIM_BITS + fpw - 1) // fpw
+    words = []
+    for wdx in range(n_words):
+        nf = min(fpw, SIM_BITS - wdx * fpw)
+        terms = " + ".join(
+            f"(shiftleft(shiftright(h, {wdx * fpw + p}) & 1, {fb * p}))"
+            for p in range(nf)
+        )
+        words.append(F.expr(terms).alias(f"pw{wdx}"))
+    agg = toks.select("doc_id", *words).groupBy("doc_id").agg(
+        *[F.sum(f"pw{w}").alias(f"sw{w}") for w in range(n_words)],
+        F.count(F.lit(1)).alias("n"),
+    )
     sim = None
     for j in range(SIM_BITS):
-        bit = F.when(F.col(f"v{j}") > 0, F.lit(2**j).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        w, p = j // fpw, j % fpw
+        ones = F.expr(f"(shiftright(sw{w}, {fb * p}) & {(1 << fb) - 1})")
+        bit = F.when(ones * 2 > F.col("n"), F.lit(2**j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
         sim = bit if sim is None else sim + bit
     return agg.select("doc_id", sim.alias("simhash"))
 
@@ -964,45 +988,21 @@ def _containment_from_ws(dws: DataFrame) -> DataFrame:
         )
         .distinct()
     )
-    # intersection counts, decomposed by the df partition of the shingle
-    # space (values identical to joining each candidate against the full
-    # (doc, h) sets — the oracle keeps that form):
-    # - ok shingles (df <= MAX_BUCKET): co-occurring pairs enumerate
-    #   directly off the inverted index — sum(df²) rows (2.8M at sf0.1)
-    #   instead of |cand| x avg-doc-shingles (49M) for the old
-    #   candidate-expansion join; the same MAX_BUCKET guard that bounds
-    #   candidates bounds this enumeration.
-    # - boilerplate shingles (df > MAX_BUCKET, excluded from candidates
-    #   but still part of every true intersection): contribute only
-    #   through already-bounded candidate pairs, via the old join shape
-    #   restricted to the (rare) boilerplate rows.
-    pairs_ok = (
-        ok.select(F.col("doc_id").alias("doc_a"), "h")
-        .join(ok.select(F.col("doc_id").alias("doc_b"), "h"), "h")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_ok"))
-    )
-    boiler = sh.join(dfreq.where(F.col("df") > MAX_BUCKET), "h")
-    n_boiler = (
-        cand.join(boiler.select(F.col("doc_id").alias("doc_a"), "h"), "doc_a")
-        .join(boiler.select(F.col("doc_id").alias("doc_b"), "h"), ["doc_b", "h"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_b"))
-    )
-    inter = (
-        cand.join(pairs_ok, ["doc_a", "doc_b"], "left")
-        .join(n_boiler, ["doc_a", "doc_b"], "left")
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                F.coalesce(F.col("n_ok"), F.lit(0))
-                + F.coalesce(F.col("n_b"), F.lit(0))
-            ).alias("n_inter"),
-        )
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # intersection + size counts off per-doc shingle-SET arrays (r9): the
+    # old decomposition enumerated sum(df²) co-occurrence rows off the
+    # inverted index (2.8M at sf0.1), aggregated them pair-keyed, and then
+    # joined candidates against that table, a boiler-shingle patch table,
+    # and a per-doc size table — five joins plus a corpus-pair shuffle.
+    # Since sh is DISTINCT per (doc, h), |a ∩ b| is exactly
+    # size(array_intersect(hs_a, hs_b)) over the per-doc hash arrays and
+    # n_sh is size(hs), so ONE metadata-sized frame (|docs| rows × avg
+    # ~52 ints) serves intersections AND sizes through two equi-joins on
+    # the (bounded) candidate list. Boiler shingles are back in the
+    # arrays, which is precisely the old n_ok + n_boiler sum. Measured
+    # same-session at sf0.1: 2.66 s -> 1.27 s for the intersection stage;
+    # per-doc arrays are bounded by doc length, so the frame scales like
+    # the tokenized corpus itself (no new scale risk).
+    sets = sh.groupBy("doc_id").agg(F.collect_list("h").alias("hs"))
     cont = H.round6(
         F.col("n_inter").cast("double") / F.least("na", "nb").cast("double")
     )
@@ -1011,8 +1011,21 @@ def _containment_from_ws(dws: DataFrame) -> DataFrame:
         / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double")
     )
     scored = (
-        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        cand.join(
+            sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha")),
+            "doc_a",
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size("ha").cast("bigint").alias("na"),
+            F.size("hb").cast("bigint").alias("nb"),
+            F.size(F.array_intersect("ha", "hb")).cast("bigint").alias("n_inter"),
+        )
         .select(
             "doc_a", "doc_b", "na", "nb", "n_inter",
             cont.alias("containment"), jac.alias("jaccard"),
@@ -1185,15 +1198,22 @@ def dedup_method_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name, df in methods:
         tagged = df.select(F.lit(name).alias("method"), "doc_a", "doc_b")
         cands = tagged if cands is None else cands.unionAll(tagged)
-    per = cands.groupBy("method").agg(F.count(F.lit(1)).alias("n_candidates"))
-    hits = (
-        cands.join(gold, ["doc_a", "doc_b"])
-        .groupBy("method")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+    # ONE pass over the union (r9): the old per/hits split consumed
+    # `cands` twice and Spark reuses no exchange across the consumers, so
+    # every non-checkpointed generator pipeline (minhash bands, simhash
+    # chunks, winnow self-join) EVALUATED twice. A left join against the
+    # gold set (both sides distinct on the pair key, so the join cannot
+    # duplicate) marks hits, and a single aggregate emits candidate and
+    # hit counts together — each generator now runs once.
+    flagged = cands.join(
+        gold.withColumn("_g", F.lit(1)), ["doc_a", "doc_b"], "left"
+    )
+    per = flagged.groupBy("method").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(F.coalesce(F.col("_g"), F.lit(0))).alias("n_hits"),
     )
     return (
-        per.join(hits, "method", "left")
-        .crossJoin(F.broadcast(n_gold_row))
+        per.crossJoin(F.broadcast(n_gold_row))
         .select(
             "method",
             "n_candidates",

@@ -1944,8 +1944,36 @@ def _lsh_topk_edges(spark: SparkSession, sf_dir: str, k: int = KNN_K) -> DataFra
     bits = _graph_band_bits(n)
     # hyperplanes j < bits of the 16-bit family == sig16 % 2^bits (the form
     # the oracle computes) — Spark only ever evaluates the bits it keeps
-    banded = _banded_pandas(emb, "g{b}:", GB_BANDS, bits).localCheckpoint()
-    # (feeds the size guard + both self-join sides)
+    # r9 per-bucket scoring (guide §2.2 "shuffle fewer bytes"): the old
+    # chain enumerated candidate pairs via the bucket self-join, dedup'd
+    # them, then JOINED BOTH 64-int64 VECTORS onto every pair row for the
+    # Arrow rescore — at sf0.1 that is ~1.65M pairs x 2 x 64 int64 ≈
+    # 1.7 GB through one Arrow stage, the leg's dominant cost. Now each
+    # vector ships once per bucket membership (probe side (1+bits) x
+    # bands rows, exact side bands rows — ~60 MB at sf0.1) into a
+    # (band, bucket) cogroup; the in-bucket bipartite probe x exact
+    # matmul scores every candidate with the IDENTICAL operation order
+    # (int64 dot -> /SCALE² -> /(norm product) -> 6-dp floor-round, the
+    # _score_pairs_pandas kernel), and a pair-keyed MAX dedups the
+    # (identical) per-bucket scores. Work is Σ|probe||exact| flops either
+    # way; bytes moved drop ~25x.
+    import numpy as np
+    import pandas as pd
+
+    banded = (
+        _banded_pandas(
+            # carried copies renamed: "v" itself feeds the signature matmul
+            emb.withColumn("vv", F.col("v")).withColumn("vn", F.col("nrm")),
+            "g{b}:",
+            GB_BANDS,
+            bits,
+            extra=(("vv", "array<bigint>"), ("vn", "double")),
+        )
+        .withColumnRenamed("vv", "v")
+        .withColumnRenamed("vn", "nrm")
+        .localCheckpoint()
+    )
+    # (feeds the size guard + both cogroup sides)
     sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("bn"))
     # guard as a broadcast ANTI-join on the OVERSIZED keys: that list is
     # bounded by n*bands/GB_MAX_BUCKET (pigeonhole) and in practice near
@@ -1964,36 +1992,59 @@ def _lsh_topk_edges(spark: SparkSession, sf_dir: str, k: int = KNN_K) -> DataFra
         *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(bits)],
     )
     left = b_ok.select(
-        "band", F.explode(probes).alias("bucket"), F.col("vec_id").alias("src")
+        F.col("band").alias("lband"),
+        F.explode(probes).alias("lbucket"),
+        F.col("vec_id").alias("lid"),
+        F.col("v").alias("lv"),
+        F.col("nrm").alias("ln"),
     )
-    right = b_ok.select("band", "bucket", F.col("vec_id").alias("dst"))
-    # XOR multiprobe is symmetric (a.bucket^bit == b.bucket iff
-    # b.bucket^bit == a.bucket), so the candidate relation is symmetric by
-    # construction: dedupe only the src<dst half (half the distinct's
-    # shuffle volume — the dominant cost once signatures are vectorized)
-    # and mirror it back for the per-src top-k.
-    half = (
-        left.join(right, ["band", "bucket"])
-        .where(F.col("src") < F.col("dst"))
-        .select("src", "dst")
-        .distinct()  # a pair may collide in several bands/probes
+    # fully distinct column names per cogroup side (both derive from b_ok;
+    # shared names trip the ambiguous-self-join analyzer) — cogroup keys
+    # match positionally, not by name
+    right = b_ok.select(
+        F.col("band").alias("rband"),
+        F.col("bucket").alias("rbucket"),
+        F.col("vec_id").alias("rid"),
+        F.col("v").alias("rv"),
+        F.col("nrm").alias("rn"),
     )
-    sv = emb.select(
-        F.col("vec_id").alias("src"), F.col("v").alias("sv"), F.col("nrm").alias("sn")
-    )
-    dv = emb.select(
-        F.col("vec_id").alias("dst"), F.col("v").alias("dv"), F.col("nrm").alias("dn")
-    )
-    # score each unordered pair ONCE (the cosine is direction-symmetric:
-    # same int dot, same norm product, same 6-dp round) and mirror the
-    # SCORED rows — half the vector joins and half the numpy rescoring vs
-    # mirroring the pair list before scoring (the two dominant costs here)
+    scale2 = float(SCALE * SCALE)
+
+    def bucket_scores(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        # XOR multiprobe is symmetric (a.bucket^bit == b.bucket iff
+        # b.bucket^bit == a.bucket), so every unordered candidate pair
+        # appears in some bucket's probe x exact product in BOTH roles;
+        # emitting only id_l < id_r keeps every unordered pair exactly as
+        # the old src<dst half did, scored once per colliding bucket
+        # (identical values — the MAX below dedups).
+        if not len(lpdf) or not len(rpdf):
+            return pd.DataFrame({"src": [], "dst": [], "cosine": []})
+        lv = np.stack(lpdf["lv"].to_numpy()).astype(np.int64)
+        rv = np.stack(rpdf["rv"].to_numpy()).astype(np.int64)
+        dots = (lv @ rv.T).astype(np.float64) / scale2
+        cos = dots / (
+            lpdf["ln"].to_numpy()[:, None] * rpdf["rn"].to_numpy()[None, :]
+        )
+        r6 = np.floor(cos * 1000000.0 + 0.5) / 1000000.0
+        lid = lpdf["lid"].to_numpy()
+        rid = rpdf["rid"].to_numpy()
+        li, ri = np.nonzero(lid[:, None] < rid[None, :])
+        return pd.DataFrame({"src": lid[li], "dst": rid[ri], "cosine": r6[li, ri]})
+
+    # score each unordered pair ONCE per colliding bucket (the cosine is
+    # direction-symmetric: same int dot, same norm product, same 6-dp
+    # round) and mirror the SCORED rows for the per-src top-k.
     # checkpoint: the union reads scored_half twice and there is no
-    # exchange boundary Spark could reuse — without it the score pipeline
-    # runs per union branch and the halving evaporates
-    scored_half = _score_pairs_pandas(
-        half.join(sv, "src").join(dv, "dst")
-    ).localCheckpoint()
+    # exchange boundary Spark could reuse — without it the whole
+    # band+score pipeline runs per union branch
+    scored_half = (
+        left.groupby("lband", "lbucket")
+        .cogroup(right.groupby("rband", "rbucket"))
+        .applyInPandas(bucket_scores, "src long, dst long, cosine double")
+        .groupBy("src", "dst")
+        .agg(F.max("cosine").alias("cosine"))
+        .localCheckpoint()
+    )
     scored = scored_half.unionAll(
         scored_half.select(
             F.col("dst").alias("src"), F.col("src").alias("dst"), "cosine"
