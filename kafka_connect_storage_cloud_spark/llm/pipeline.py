@@ -947,6 +947,94 @@ def _semdedup_k0(k: int) -> int:
     return max(4, math.isqrt(max(k - 1, 0)) + 1)
 
 
+def _fine_best(mdf, cdf):
+    """Shared in-cell argmin: the fine-cell decision for every member row
+    of ONE coarse cell — the single definition both the per-vector
+    assignment (_fine_assign) and the fused training step
+    (_fine_lloyd_step) evaluate, so serving and training can never drift
+    (the _best_cells convention, per coarse cell). Returns (fcell per
+    member, member norms, member int64 matrix). Rounding chain identical
+    to _assign_cells: int64 dot → /1e16 → /(norms) → 6dp floor-round;
+    argmin first-hit over the fcell-sorted block = struct-min of
+    (-cosine, fcell)."""
+    import numpy as np
+
+    cdf = cdf.sort_values("fcell")
+    c_mat = np.stack(cdf["cv"].to_numpy()).astype(np.int64)
+    c_ids = cdf["fcell"].to_numpy()
+    c_norm = np.sqrt(np.einsum("ij,ij->i", c_mat, c_mat).astype(np.float64) / 1e16)
+    v_mat = np.stack(mdf["v"].to_numpy()).astype(np.int64)
+    nrm = np.sqrt(np.einsum("ij,ij->i", v_mat, v_mat).astype(np.float64) / 1e16)
+    cos = ((v_mat @ c_mat.T).astype(np.float64) / 1e16) / (
+        nrm[:, None] * c_norm[None, :]
+    )
+    r6 = np.floor(cos * 1e6 + 0.5) / 1e6
+    best = np.argmin(-r6, axis=1)  # first hit = smallest fcell
+    return c_ids[best], nrm, v_mat
+
+
+def _fine_lloyd_step(members: DataFrame, codebook: DataFrame) -> DataFrame:
+    """One fine Lloyd refinement, fused (guide §2.3 'aggregate before you
+    shuffle'): the SAME ccell cogroup that decides assignments also sums
+    the member vectors per fine cell — complete int64 sums, since a
+    cogroup key holds ALL members of the coarse cell — and emits only
+    (ccell, fcell, pos, sx, n) codebook-sized rows. The old loop body ran
+    _fine_assign (n per-vector rows with 64-int64 arrays back through
+    Arrow) then posexplode(v) → an n·d-row hash shuffle → two groupBys.
+    The re-quantized mean stays a Spark expression — round(SUM::double /
+    n) over exact int64 sums — so q is bit-identical to the old chain and
+    to the DuckDB oracle's unrolled CTE."""
+    import pandas as pd
+
+    out_cols = ["ccell", "fcell", "pos", "sx", "n"]
+
+    def sums(_key, mdf, cdf):
+        import numpy as np
+
+        if mdf.empty or cdf.empty:
+            return pd.DataFrame(columns=out_cols)
+        fcells, _nrm, v_mat = _fine_best(mdf, cdf)
+        d = v_mat.shape[1]
+        ccell = int(mdf["ccell"].iloc[0])
+        col_f, col_p, col_s, col_n = [], [], [], []
+        for fi in np.unique(fcells):
+            grp = v_mat[fcells == fi]
+            ssum = grp.sum(axis=0)
+            cnt = int(grp.shape[0])
+            col_f.extend(int(fi) for _ in range(d))
+            col_p.extend(range(d))
+            col_s.extend(int(x) for x in ssum)
+            col_n.extend(cnt for _ in range(d))
+        return pd.DataFrame(
+            {
+                "ccell": [ccell] * len(col_f),
+                "fcell": col_f,
+                "pos": col_p,
+                "sx": col_s,
+                "n": col_n,
+            }
+        )
+
+    partial = (
+        members.select("vec_id", "ccell", "v")
+        .groupBy("ccell")
+        .cogroup(codebook.groupBy("ccell"))
+        .applyInPandas(sums, "ccell long, fcell long, pos int, sx long, n long")
+    )
+    return (
+        partial.withColumn(
+            "q",
+            F.round(F.col("sx").cast("double") / F.col("n"), 0).cast("bigint"),
+        )
+        .groupBy("ccell", "fcell")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, q))), s -> s.q)"
+            ).alias("cv")
+        )
+    )
+
+
 def _fine_assign(members: DataFrame, codebook: DataFrame) -> DataFrame:
     """Distributed in-cell assignment: members cogrouped with the FINE
     codebook on the coarse cell — the codebook never leaves the cluster
@@ -956,7 +1044,6 @@ def _fine_assign(members: DataFrame, codebook: DataFrame) -> DataFrame:
     fcell), replicating the oracle's struct-min exactly (same rounding
     chain as _assign_cells: int64 dot → /1e16 → /(norms) → 6dp
     floor-round)."""
-    import numpy as np
     import pandas as pd
 
     out_cols = ["vec_id", "ccell", "fcell", "v", "nrm"]
@@ -964,22 +1051,12 @@ def _fine_assign(members: DataFrame, codebook: DataFrame) -> DataFrame:
     def assign(_key, mdf, cdf):
         if mdf.empty or cdf.empty:
             return pd.DataFrame(columns=out_cols)
-        cdf = cdf.sort_values("fcell")
-        c_mat = np.stack(cdf["cv"].to_numpy()).astype(np.int64)
-        c_ids = cdf["fcell"].to_numpy()
-        c_norm = np.sqrt(np.einsum("ij,ij->i", c_mat, c_mat).astype(np.float64) / 1e16)
-        v_mat = np.stack(mdf["v"].to_numpy()).astype(np.int64)
-        nrm = np.sqrt(np.einsum("ij,ij->i", v_mat, v_mat).astype(np.float64) / 1e16)
-        cos = ((v_mat @ c_mat.T).astype(np.float64) / 1e16) / (
-            nrm[:, None] * c_norm[None, :]
-        )
-        r6 = np.floor(cos * 1e6 + 0.5) / 1e6
-        best = np.argmin(-r6, axis=1)  # first hit = smallest fcell
+        fcells, nrm, _v_mat = _fine_best(mdf, cdf)
         return pd.DataFrame(
             {
                 "vec_id": mdf["vec_id"],
                 "ccell": mdf["ccell"],
-                "fcell": c_ids[best],
+                "fcell": fcells,
                 "v": mdf["v"],
                 "nrm": nrm,
             }
@@ -1017,22 +1094,11 @@ def _semdedup_fine_codebook(members: DataFrame) -> DataFrame:
         .select("ccell", F.col("vec_id").alias("fcell"), F.col("v").alias("cv"))
     )
     for _ in range(SEMDEDUP_FINE_STEPS):
-        asg = _fine_assign(members, code)
-        code = (
-            asg.select("ccell", "fcell", F.posexplode("v").alias("pos", "x"))
-            .groupBy("ccell", "fcell", "pos")
-            .agg(
-                F.round(F.sum("x").cast("double") / F.count(F.lit(1)), 0)
-                .cast("bigint")
-                .alias("q")
-            )
-            .groupBy("ccell", "fcell")
-            .agg(
-                F.expr(
-                    "transform(array_sort(collect_list(struct(pos, q))), s -> s.q)"
-                ).alias("cv")
-            )
-        )
+        # fused step (see _fine_lloyd_step): assignment + per-fine-cell
+        # int64 sums in ONE cogroup kernel, codebook-sized rows out —
+        # replaces the old _fine_assign → posexplode(v) → n·d-row shuffle
+        # → two-groupBy chain with identical q values
+        code = _fine_lloyd_step(members, code)
     # each intermediate codebook has exactly ONE consumer (the next step's
     # cogroup), so the unrolled chain runs as one job — no checkpoint needed
     return code
