@@ -612,7 +612,9 @@ def doc_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c.chunk_tokens").alias("chunk_tokens"),
             F.col("c.chunk_md5").alias("chunk_md5"),
         )
-        .orderBy("doc_id", "chunk_ord")
+        # no final global sort: per-chunk corpus-sized output, compare is
+        # order-insensitive (r1 rule; r8 VERDICT 'what's wrong' #3 class —
+        # the orderBy was a full range shuffle of the chunk table)
     )
 
 
