@@ -1177,7 +1177,12 @@ def knn_pagerank_step(spark: SparkSession, sf_dir: str, k: int = KNN_K) -> DataF
 
 def _pagerank_from_edges(spark: SparkSession, sf_dir: str, edges: DataFrame) -> DataFrame:
     """One fixed-point PageRank step over a directed (src, dst) edge list —
-    shared by the exact and LSH graph paths."""
+    shared by the exact and LSH graph paths. NOT checkpointed (unlike
+    _triangle_stats): both edge reads are src-keyed — the outdeg
+    aggregate and the contrib join share one exchange, and an r9 A/B
+    measured the forced materialization slightly SLOWER (2.96 → 3.46 s
+    exact path at sf0.1) — the r5 'localCheckpoint is not automatically
+    a win' rule."""
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
     contrib = edges.join(outdeg, "src").select(
         "dst", F.expr(f"{PR_SCALE} div out_degree").alias("c")
@@ -1246,7 +1251,16 @@ def knn_triangle_count(spark: SparkSession, sf_dir: str, k: int = KNN_K) -> Data
 
 def _triangle_stats(edges: DataFrame) -> DataFrame:
     """Per-node triangle count + clustering coefficient over a canonical
-    (a < b) mutual edge list — shared by the exact and LSH graph paths."""
+    (a < b) mutual edge list — shared by the exact and LSH graph paths.
+
+    The edge list is read FOUR times (three wedge/closing sides + the
+    degree explode) and Spark reuses no exchange across join sides — the
+    whole upstream edge builder (n² gram tiles on the exact path, the
+    banded scorer on the LSH path) re-evaluated per consumer: 16 raw
+    scans in knn_triangle_count's r9 census plan. One materialization of
+    the ≤ n·k/2-row bounded edge list serves all four reads (the r7
+    shared-frame checkpoint rule)."""
+    edges = edges.localCheckpoint()
     e1 = edges.select(F.col("a").alias("ta"), F.col("b").alias("tb"))
     e2 = edges.select(F.col("a").alias("tb"), F.col("b").alias("tc"))
     e3 = edges.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
