@@ -219,6 +219,14 @@ def run_connector(
             "tags", F.create_map(*[c for kv in tag_items for c in kv])
         )
     if output_path is not None:
+        # The manifest is consumed twice on this path (the JSON commit record
+        # below + the frame returned to the caller), and each evaluation
+        # re-runs the full assignment chain over the record batch (measured
+        # r9: ~0.65 s per pass at sf0.1 vs 0.07 s from the checkpoint).
+        # localCheckpoint holds only the manifest itself — one row per
+        # committed file, never the batch — so memory stays bounded by the
+        # file count at any scale.
+        manifest = manifest.localCheckpoint()
         # persist the commit record next to the data — the queryable analog
         # of the reference's committed-file-name state (what
         # TopicPartitionWriter.findNextAvailableFile scans on restart)
