@@ -986,6 +986,9 @@ def _fine_lloyd_step(members: DataFrame, codebook: DataFrame) -> DataFrame:
     to the DuckDB oracle's unrolled CTE."""
     import pandas as pd
 
+    from ..session import ship_package
+
+    ship_package(members.sparkSession)  # sums references _fine_best by module
     out_cols = ["ccell", "fcell", "pos", "sx", "n"]
 
     def sums(_key, mdf, cdf):
@@ -1046,6 +1049,9 @@ def _fine_assign(members: DataFrame, codebook: DataFrame) -> DataFrame:
     floor-round)."""
     import pandas as pd
 
+    from ..session import ship_package
+
+    ship_package(members.sparkSession)  # assign references _fine_best by module
     out_cols = ["vec_id", "ccell", "fcell", "v", "nrm"]
 
     def assign(_key, mdf, cdf):
