@@ -190,6 +190,45 @@ def main() -> None:
         shutil.rmtree(stage, ignore_errors=True)
     timings["minhash_dedup_stream"] = stream_sec
 
+    # --- opt-in scale probe (r10, VERDICT r9 next-round #7) -------------
+    # sf0.1 is overhead-bound (the r9 8-core bench beat the 32-core bench),
+    # so §2-class wins are invisible in the default legs' wall-clock. When
+    # $SPARK_GRAFT_SCALE_PROBE_DIR points at a tiled corpus (see
+    # tools/make_scale_probe.py), the heaviest legs are additionally timed
+    # there, single-pass (min-of-1), and reported in an EXTRA JSON field.
+    # The env var is never set by the driver: the default output and the
+    # timed legs above are byte-identical with the probe off.
+    scale_probe: dict[str, float] | None = None
+    probe_dir = os.environ.get("SPARK_GRAFT_SCALE_PROBE_DIR")
+    if probe_dir:
+        scale_probe = {}
+        for name in (
+            "dedup_method_matrix",
+            "knn_graph_lsh",
+            "dedup_containment",
+            "cluster_silhouette",
+        ):
+            t0 = time.perf_counter()
+            qs[name](spark, probe_dir).collect()
+            scale_probe[name] = round(time.perf_counter() - t0, 3)
+        pdocs = read_table(spark, probe_dir, "documents")
+        pstage = tempfile.mkdtemp(prefix="probe_dd_stage_")
+        pdocs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("overwrite").parquet(pstage)
+        pdocs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(pstage)
+        pscratch = tempfile.mkdtemp(prefix="probe_dd_run_")
+        try:
+            t0 = time.perf_counter()
+            q = minhash_dedup_stream(
+                stream_documents_source(spark, pstage),
+                os.path.join(pscratch, "store"),
+                os.path.join(pscratch, "ckpt"),
+            )
+            assert q.awaitTermination(1800), "probe dedup stream did not drain"
+            scale_probe["minhash_dedup_stream"] = round(time.perf_counter() - t0, 3)
+        finally:
+            shutil.rmtree(pstage, ignore_errors=True)
+            shutil.rmtree(pscratch, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     # the 21 legs pinned in BASELINE.md (round 2) — the cross-round
     # comparison basis; later-round legs are tracked against their own
@@ -211,25 +250,24 @@ def main() -> None:
         "dedup_containment", "dedup_method_matrix", "knn_graph_lsh",
         "minhash_dedup_stream",
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "pinned_leg_subtotal": round(
-                    sum(timings[k] for k in pinned if k in timings), 3
-                ),
-                "audit_leg_subtotal": round(
-                    sum(timings[k] for k in audit if k in timings), 3
-                ),
-                "sf": float(sf),
-                "sink_records": n_records,
-                "sink_records_per_sec": round(n_records / sink_sec),
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "pinned_leg_subtotal": round(
+            sum(timings[k] for k in pinned if k in timings), 3
+        ),
+        "audit_leg_subtotal": round(
+            sum(timings[k] for k in audit if k in timings), 3
+        ),
+        "sf": float(sf),
+        "sink_records": n_records,
+        "sink_records_per_sec": round(n_records / sink_sec),
+    }
+    if scale_probe is not None:  # extra field, opt-in only (never the driver)
+        out["scale_probe"] = {"dir": probe_dir, "queries": scale_probe}
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

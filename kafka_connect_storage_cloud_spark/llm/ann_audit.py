@@ -35,15 +35,27 @@ from .similarity import (
 def ann_method_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(method, n_queries, sum_exact, sum_hits, recall) for every
     approximate ANN path vs the exact brute-force top-k."""
-    from .pipeline import _train_codebook
+    from .pipeline import _assign_cells, _train_codebook
+    from .similarity import _with_dec_and_norm
+    from ..session import read_table
 
-    c_ids, _ = _train_codebook(spark, sf_dir)
+    # r10 (VERDICT r9 next-round #6): the four IVF-family members each
+    # trained the IDENTICAL deterministic coarse codebook and re-assigned
+    # the corpus (4 Lloyd chains + 4 assignment scans per invocation).
+    # Train ONCE, assign ONCE, localCheckpoint the per-invocation frame,
+    # and share it — values are identical by construction (deterministic
+    # seeds + the shared _best_cells kernel); this is an intra-query
+    # shared intermediate, not a cross-query memo.
+    cb = _train_codebook(spark, sf_dir)
+    c_ids, c_mat = cb
     if len(c_ids) == 0:  # empty corpus: no methods to grade
         return spark.createDataFrame(
             [],
             "method string, n_queries bigint, n_returned bigint, "
             "sum_exact bigint, sum_hits bigint, recall double",
         )
+    emb = _with_dec_and_norm(read_table(spark, sf_dir, "embeddings"))
+    assigned = _assign_cells(emb, c_ids, c_mat).localCheckpoint()
     exact = (
         ann_topk_bruteforce(spark, sf_dir)
         .select("query_id", "neighbor_id")
@@ -51,10 +63,10 @@ def ann_method_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     methods = [
         ("lsh", ann_topk_lsh(spark, sf_dir)),
-        ("ivf", ann_topk_ivf(spark, sf_dir)),
-        ("ivf_multiprobe", ann_topk_ivf_multiprobe(spark, sf_dir)),
-        ("ivf_pq", ann_topk_ivf_pq(spark, sf_dir)),
-        ("ivf_sq8", ann_topk_ivf_sq8(spark, sf_dir)),
+        ("ivf", ann_topk_ivf(spark, sf_dir, assigned=assigned)),
+        ("ivf_multiprobe", ann_topk_ivf_multiprobe(spark, sf_dir, codebook=cb, assigned=assigned)),
+        ("ivf_pq", ann_topk_ivf_pq(spark, sf_dir, codebook=cb, assigned=assigned)),
+        ("ivf_sq8", ann_topk_ivf_sq8(spark, sf_dir, codebook=cb, assigned=assigned)),
     ]
     tagged = None
     for name, df in methods:

@@ -103,19 +103,33 @@ def _signatures_of(docs: DataFrame) -> DataFrame:
     return _signatures_from_ws(docs.withColumn("ws", T.words()))
 
 
-def _signatures_from_ws(dws: DataFrame) -> DataFrame:
-    """Minhash signatures from an already-tokenized (doc_id, ws[, ...])
-    frame — the shared-scan entry point. Expressions identical to
-    _signatures_of."""
-    hs = (
-        dws.withColumn("sharr", T.shingles_from_ws(SHINGLE_N))
-        .select("doc_id", F.expr(f"transform(sharr, s -> {H.spark_sql_h32('s')})").alias("hs"))
+def _hs_from_ws(dws: DataFrame) -> DataFrame:
+    """(doc_id, hs) — each document's shingle-hash ARRAY (duplicates kept).
+    The shared intermediate of the minhash signatures (array_min over the
+    permutations; min over duplicates == min over the distinct set) and
+    the containment generator's distinct (doc, h) table (explode +
+    distinct). r10: dedup_method_matrix / dedup_cascade_yield checkpoint
+    this frame once so the per-shingle md5 chain — their single most
+    expensive projection — runs ONE pass instead of once per generator."""
+    return dws.withColumn("sharr", T.shingles_from_ws(SHINGLE_N)).select(
+        "doc_id", F.expr(f"transform(sharr, s -> {H.spark_sql_h32('s')})").alias("hs")
     )
+
+
+def _signatures_from_hs(hs: DataFrame) -> DataFrame:
+    """Minhash signatures from a (doc_id, hs) shingle-hash-array frame."""
     mins = [
         F.expr(f"array_min(transform(hs, h -> ({a} * h + {b}) % {H.P31}))").alias(f"mh{i}")
         for i, (a, b) in ((i, H.minhash_perm(i)) for i in range(K_PERMS))
     ]
     return hs.select("doc_id", *mins)
+
+
+def _signatures_from_ws(dws: DataFrame) -> DataFrame:
+    """Minhash signatures from an already-tokenized (doc_id, ws[, ...])
+    frame — the shared-scan entry point. Expressions identical to
+    _signatures_of."""
+    return _signatures_from_hs(_hs_from_ws(dws))
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -981,10 +995,21 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _containment_from_ws(_docs_ws(spark, sf_dir))
 
 
-def _containment_from_ws(dws: DataFrame) -> DataFrame:
+def _containment_from_ws(dws: DataFrame, hs_arr: DataFrame | None = None) -> DataFrame:
+    # r10: when the caller already materialized the per-doc shingle-hash
+    # arrays (_hs_from_ws), derive the distinct (doc, h) set from them —
+    # hashing per array element before the explode is the identical value
+    # chain as hashing per exploded row, and it spares the matrix/cascade
+    # composites one full shingle-md5 pass
+    base = (
+        hs_arr.select("doc_id", F.explode("hs").alias("h"))
+        if hs_arr is not None
+        else dws.withColumn("shingle", F.explode(T.shingles_from_ws(SHINGLE_N))).select(
+            "doc_id", H.h32(F.col("shingle")).alias("h")
+        )
+    )
     sh = (
-        dws.withColumn("shingle", F.explode(T.shingles_from_ws(SHINGLE_N)))
-        .select("doc_id", H.h32(F.col("shingle")).alias("h"))
+        base
         .distinct()
         # the (doc, h) set feeds SIX consumers (dfreq/ok/prefix/index/both
         # intersection sides/sizes); without materialization Catalyst
@@ -1193,8 +1218,13 @@ def dedup_method_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # generators each re-ran the scan/split/shingle pass; one checkpointed
     # (doc_id, ws) frame feeds all three — VERDICT r6 next-round #4).
     dws, wfps = _docs_ws_ckpt(spark, sf_dir)
+    # r10 (VERDICT r9 next-round #8): minhash and containment both consume
+    # the per-doc shingle-hash arrays; one checkpointed _hs_from_ws frame
+    # replaces their two independent shingle-md5 passes over dws (values
+    # identical — same expression chain; see _hs_from_ws)
+    hs_arr = _hs_from_ws(dws).localCheckpoint(eager=True)
     cont = (
-        _containment_from_ws(dws)
+        _containment_from_ws(dws, hs_arr=hs_arr)
         .select("doc_a", "doc_b", "jaccard")
         .localCheckpoint()  # three method joins + the count read it
     )
@@ -1203,7 +1233,7 @@ def dedup_method_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     methods = [
         (
             "minhash_lsh",
-            _candidate_pairs(_signatures_from_ws(dws)).select("doc_a", "doc_b"),
+            _candidate_pairs(_signatures_from_hs(hs_arr)).select("doc_a", "doc_b"),
         ),
         (
             "simhash",
@@ -1575,6 +1605,9 @@ def dedup_cascade_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..session import read_table as _rt
 
     dws, wfps = _docs_ws_ckpt(spark, sf_dir)
+    # r10: one checkpointed shingle-hash-array frame for minhash +
+    # containment (the dedup_method_matrix sharing; values identical)
+    hs_arr = _hs_from_ws(dws).localCheckpoint(eager=True)
     docs = _rt(spark, sf_dir, "documents").select("doc_id", "text")
     exact_rem = (
         docs.select("doc_id", F.md5(_normalized()).alias("h"))
@@ -1586,7 +1619,7 @@ def dedup_cascade_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("exact", exact_rem),
         (
             "minhash_lsh",
-            _candidate_pairs(_signatures_from_ws(dws)).select(
+            _candidate_pairs(_signatures_from_hs(hs_arr)).select(
                 F.col("doc_b").alias("doc_id")
             ),
         ),
@@ -1598,7 +1631,7 @@ def dedup_cascade_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (
             "containment",
-            _containment_from_ws(dws).select(F.col("doc_b").alias("doc_id")),
+            _containment_from_ws(dws, hs_arr=hs_arr).select(F.col("doc_b").alias("doc_id")),
         ),
         ("winnowing", _winnow_pairs_of(wfps).select(F.col("doc_b").alias("doc_id"))),
     ]

@@ -303,21 +303,31 @@ def _codebook_df(spark: SparkSession, c_ids, c_mat) -> DataFrame:
     return df.withColumn("cn", _norm("cv"))
 
 
-def _assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _assigned(spark: SparkSession, sf_dir: str, codebook=None) -> DataFrame:
     """Every vector with its trained-codebook IVF cell (see _train_codebook
-    / _assign_cells)."""
+    / _assign_cells). `codebook` lets a caller that already trained the
+    deterministic (c_ids, c_mat) pass it in instead of re-running the Lloyd
+    chain inside the same invocation (r10: ann_method_matrix / ivf_sq8
+    were training the identical codebook 2-4x per query)."""
     emb = _with_dec_and_norm(read_table(spark, sf_dir, "embeddings"))
-    c_ids, c_mat = _train_codebook(spark, sf_dir)
+    c_ids, c_mat = codebook if codebook is not None else _train_codebook(spark, sf_dir)
     return _assign_cells(emb, c_ids, c_mat)
 
 
-def ann_topk_ivf(spark: SparkSession, sf_dir: str, k: int = IVF_TOP_K) -> DataFrame:
+def ann_topk_ivf(
+    spark: SparkSession, sf_dir: str, k: int = IVF_TOP_K, assigned: DataFrame | None = None
+) -> DataFrame:
     """IVF-style approximate top-k: assign all vectors to their nearest
-    centroid's cell, then rerank exactly within the query's cell only."""
+    centroid's cell, then rerank exactly within the query's cell only.
+    `assigned` lets a composite caller (ann_method_matrix) share ONE
+    checkpointed assignment across every IVF-family member — the values
+    are identical by construction (deterministic training + the shared
+    _best_cells kernel)."""
     # materialize the assignment once: it feeds both the query and candidate
     # sides of the cell join, and Spark would otherwise recompute the whole
     # centroid-scoring pipeline per side (no exchange reuse across sides)
-    assigned = _assigned(spark, sf_dir).localCheckpoint()
+    if assigned is None:
+        assigned = _assigned(spark, sf_dir).localCheckpoint()
     queries = _query_pick(assigned).select(
         F.col("vec_id").alias("query_id"), F.col("cell"),
         F.col("v").alias("qv"), F.col("nrm").alias("qn"),
@@ -343,17 +353,21 @@ IVF_PROBES = 2
 
 
 def ann_topk_ivf_multiprobe(
-    spark: SparkSession, sf_dir: str, k: int = IVF_TOP_K, probes: int = IVF_PROBES
+    spark: SparkSession, sf_dir: str, k: int = IVF_TOP_K, probes: int = IVF_PROBES,
+    codebook=None, assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF with multi-probe: each query searches its `probes` nearest cells
     instead of one — the standard recall/latency knob. Same plan shape as
     single-probe (centroids broadcast, join keyed on cell); candidates are
     probes x |corpus|/C per query. A candidate belongs to exactly one cell,
-    so probing never duplicates pairs."""
+    so probing never duplicates pairs. `codebook`/`assigned` share the
+    deterministic training/assignment with a composite caller (see
+    ann_topk_ivf)."""
     emb = _with_dec_and_norm(read_table(spark, sf_dir, "embeddings"))
-    c_ids, c_mat = _train_codebook(spark, sf_dir)
+    c_ids, c_mat = codebook if codebook is not None else _train_codebook(spark, sf_dir)
     cents = _codebook_df(spark, c_ids, c_mat)
-    assigned = _assign_cells(emb, c_ids, c_mat).localCheckpoint()
+    if assigned is None:
+        assigned = _assign_cells(emb, c_ids, c_mat).localCheckpoint()
     cands = assigned.select(
         F.col("vec_id").alias("neighbor_id"), F.col("cell"),
         F.col("v").alias("cv2"), F.col("nrm").alias("cn2"),

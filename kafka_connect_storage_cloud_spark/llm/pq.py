@@ -201,15 +201,20 @@ def _train_pq_codebooks(spark: SparkSession, sf_dir: str):
     return books
 
 
-def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embedding_pq(spark: SparkSession, sf_dir: str, books=None) -> DataFrame:
     """PQ-encode every vector: per subspace the id of its nearest
     per-subspace centroid (exact int64 L2², ties to smallest id) plus the
-    exact total squared reconstruction error in scaled units."""
+    exact total squared reconstruction error in scaled units. `books`
+    lets a caller that already trained the deterministic per-subspace
+    codebooks pass them in — pq_adc_topk and ann_topk_ivf_pq were running
+    the identical PQ Lloyd chain TWICE per invocation (once for their
+    LUTs, once inside this encoder)."""
     import numpy as np
     import pandas as pd
 
     ship_package(spark)
-    books = _train_pq_codebooks(spark, sf_dir)
+    if books is None:
+        books = _train_pq_codebooks(spark, sf_dir)
     schema = (
         "vec_id long, "
         + ", ".join(f"code_{m} long" for m in range(PQ_M))
@@ -412,7 +417,7 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str, k: int = PQ_TOP_K) -> DataFram
                 {"query_id": [], "neighbor_id": [], "adc_d2": []}
             )
 
-    codes = embedding_pq(spark, sf_dir).drop("recon_err_sq")
+    codes = embedding_pq(spark, sf_dir, books=books).drop("recon_err_sq")
     scored = codes.mapInPandas(score, "query_id long, neighbor_id long, adc_d2 long")
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc("neighbor_id"))
     return (
@@ -558,7 +563,8 @@ IVFPQ_PROBES = 2
 
 
 def ann_topk_ivf_pq(
-    spark: SparkSession, sf_dir: str, k: int = PQ_TOP_K, probes: int = IVFPQ_PROBES
+    spark: SparkSession, sf_dir: str, k: int = PQ_TOP_K, probes: int = IVFPQ_PROBES,
+    codebook=None, assigned=None,
 ) -> DataFrame:
     """The production IVF-PQ serving shape (FAISS IndexIVFPQ): the IVF
     codebook (pipeline._train_codebook, K=16 coarse cells) bounds the
@@ -578,7 +584,9 @@ def ann_topk_ivf_pq(
     from .pipeline import _assign_cells
 
     ship_package(spark)
-    iv_ids, iv_mat = _train_codebook(spark, sf_dir)  # coarse IVF cells
+    # coarse IVF cells: shareable with a composite caller (ann_method_matrix)
+    # because training is deterministic
+    iv_ids, iv_mat = codebook if codebook is not None else _train_codebook(spark, sf_dir)
     books = _train_pq_codebooks(spark, sf_dir)
 
     emb = read_table(spark, sf_dir, "embeddings").select(
@@ -610,8 +618,12 @@ def ann_topk_ivf_pq(
         "query_id long, cell long",
     )
 
-    assigned = _assign_cells(emb, iv_ids, iv_mat).select("vec_id", "cell")
-    codes = embedding_pq(spark, sf_dir).drop("recon_err_sq")
+    assigned = (
+        assigned.select("vec_id", "cell")
+        if assigned is not None
+        else _assign_cells(emb, iv_ids, iv_mat).select("vec_id", "cell")
+    )
+    codes = embedding_pq(spark, sf_dir, books=books).drop("recon_err_sq")
     cand = (
         codes.join(assigned, "vec_id")
         .join(F.broadcast(q_cells), "cell")

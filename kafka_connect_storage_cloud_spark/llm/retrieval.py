@@ -234,7 +234,8 @@ ORACLES["bm25_topk"] = _sql_bm25_topk()
 # hybrid_retrieval_agreement (round 8) — lexical vs semantic top-k overlap
 # ---------------------------------------------------------------------------
 
-def _semantic_ranked(spark: SparkSession, sf_dir: str, lex: DataFrame):
+def _semantic_ranked(spark: SparkSession, sf_dir: str, lex: DataFrame,
+                     checkpoint: bool = True):
     """(ranked_all, q_ids): the FULL exact-cosine ranking of the embedding
     corpus for every lex query doc that has an embedding, plus the sorted
     embedded-query id array. The semantic side shared by
@@ -242,7 +243,15 @@ def _semantic_ranked(spark: SparkSession, sf_dir: str, lex: DataFrame):
     once through an Arrow int64 matmul with the <= nq query vectors in
     the task closure (ann_topk_bruteforce's pattern — exact dots, 6-dp
     floor, doc_id tiebreak). Returns (None, []) when no query has an
-    embedding (empty-corpus contract)."""
+    embedding (empty-corpus contract).
+
+    `checkpoint=True` materializes the nq x n_emb ranking for callers that
+    consume it TWICE (hybrid_retrieval_agreement: top-k set + the
+    full-ranking rank-of-top-lex probe). A single-consumer caller
+    (hybrid_rrf_fusion, which only keeps rnk <= k) passes False so the
+    rank filter stays fused over the window — Spark's WindowGroupLimit
+    then prunes each partition to k rows before the final exchange
+    instead of materializing the full corpus ranking (r10, guide §2.4)."""
     import numpy as np
     import pandas as pd
 
@@ -286,7 +295,9 @@ def _semantic_ranked(spark: SparkSession, sf_dir: str, lex: DataFrame):
         .withColumn("cosine", F.floor(F.col("cosine_raw") * 1000000.0 + F.lit(0.5)) / 1000000.0)
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("doc_id"))
-    ranked_all = scored.withColumn("rnk", F.row_number().over(w)).localCheckpoint()
+    ranked_all = scored.withColumn("rnk", F.row_number().over(w))
+    if checkpoint:
+        ranked_all = ranked_all.localCheckpoint()
     return ranked_all, q_ids
 
 
@@ -455,7 +466,10 @@ def hybrid_rrf_fusion(
         "qid bigint, doc_id bigint, in_lex boolean, in_sem boolean, "
         "rrf_micro bigint, fused_rank bigint"
     )
-    ranked_all, q_ids = _semantic_ranked(spark, sf_dir, lex)
+    # single consumer of the ranking (rnk <= k): no checkpoint, so the
+    # window-limit prunes to k rows per query instead of materializing
+    # the full nq x n_emb ranking (r10)
+    ranked_all, q_ids = _semantic_ranked(spark, sf_dir, lex, checkpoint=False)
     if ranked_all is None:
         return spark.createDataFrame([], out_schema)
     from pyspark.sql import Window

@@ -250,7 +250,10 @@ ORACLES = {
 # ann_topk_ivf_sq8 (round 7)
 # ---------------------------------------------------------------------------
 
-def ann_topk_ivf_sq8(spark: SparkSession, sf_dir: str, k: int | None = None) -> DataFrame:
+def ann_topk_ivf_sq8(
+    spark: SparkSession, sf_dir: str, k: int | None = None,
+    codebook=None, assigned=None,
+) -> DataFrame:
     """IVF cells + SQ8 asymmetric scoring: the memory-bounded serving path
     that combines the two compression levers this family already audits
     separately — candidate pruning by inverted-file cell (pipeline.py IVF)
@@ -268,14 +271,22 @@ def ann_topk_ivf_sq8(spark: SparkSession, sf_dir: str, k: int | None = None) -> 
     from .pipeline import IVF_TOP_K, _assigned, _train_codebook
 
     k = IVF_TOP_K if k is None else k
-    c_ids, _ = _train_codebook(spark, sf_dir)
+    # r10: train ONCE per invocation — the old body ran the identical Lloyd
+    # chain twice (the empty-corpus gate here and again inside _assigned);
+    # a composite caller (ann_method_matrix) can share both via the params.
+    cb = codebook if codebook is not None else _train_codebook(spark, sf_dir)
+    c_ids, _ = cb
     if len(c_ids) == 0:  # empty corpus: no cells, no candidates
         return spark.createDataFrame(
             [],
             "query_id bigint, cell bigint, neighbor_id bigint, "
             "cosine_sq8 double, rank int",
         )
-    asg = _assigned(spark, sf_dir).localCheckpoint()
+    asg = (
+        assigned
+        if assigned is not None
+        else _assigned(spark, sf_dir, codebook=cb).localCheckpoint()
+    )
     enc = _encoded(spark, sf_dir).select("vec_id", "rv")
     cands = (
         asg.select("vec_id", "cell")

@@ -121,10 +121,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     ensure_utc(spark)
     if name == "events":
         return read_events(spark, sf_dir)
-    df = normalize_ntz(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
-    if name in _SPREAD_TABLES:
-        df = spread_scan(df)
-    return df
+    return normalize_ntz(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
 def spread_scan(df):
@@ -143,6 +140,12 @@ def spread_scan(df):
     (hash-deterministic sampling everywhere, no rand()/partition-id)."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
+    # df.rdd forces physical planning of a throwaway plan; measured r10 at
+    # 7-14 ms per call on the raw testdata scans (1-2 calls per query on
+    # the paths that use spread) — cheap enough to keep the exact check.
+    # A per-(path, parallelism) memo of the count was considered and
+    # DECLINED: the r9 verdict classes _TABLE_COUNT_MEMO as the boundary
+    # of acceptable session state and says not to extend the pattern.
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
@@ -155,8 +158,9 @@ def spread_scan(df):
 # winnowing_window_tuning -50%) but taxes every cheap metadata leg with
 # exchange + 32-task overhead (dedup_exact +0.3 s, embedding_pq +0.4 s
 # before training, emb.count() loses its metadata-only fast path). See
-# OPTIMIZATION_r09.md "scan spread".
-_SPREAD_TABLES: frozenset[str] = frozenset()
+# OPTIMIZATION_r09.md "scan spread". (The r9 `_SPREAD_TABLES` read_table
+# hook was dead code — an empty frozenset — and was removed in r10 per
+# ADVICE.md.)
 
 
 _TABLE_COUNT_MEMO: dict[tuple[str, str], int] = {}

@@ -35,11 +35,33 @@ with open(os.path.join(os.path.dirname(__file__), "oracle_schema_snapshot.json")
 QUERIES = entry_mod.queries()
 
 
-@pytest.mark.parametrize("name", sorted(_SNAPSHOT))
-def test_spark_schema_matches_snapshot(spark, sf_small, name):
-    df = QUERIES[name](spark, sf_small)
-    got = [[f.name, _spark_class(f.dataType.simpleString())] for f in df.schema.fields]
-    assert got == _SNAPSHOT[name], (
-        f"{name}: Spark schema drifted from the frozen contract; if the "
-        "change is intentional, update BOTH engines and regenerate the snapshot"
+# r10: sharded + intra-shard thread pool (the test_oracle_parity pattern).
+# Plan building is driver-side, but the heavy builders (codebook training
+# collects, bounded query picks) run real jobs, and py4j calls release the
+# GIL — concurrency overlaps them. Coverage unchanged: every snapshot key
+# checked on every run. KCSC_PARITY_THREADS=1 restores serial debugging.
+_N_SHARDS = 8
+_THREADS = int(os.environ.get("KCSC_PARITY_THREADS", "6"))
+_KEYS = sorted(_SNAPSHOT)
+
+
+@pytest.mark.parametrize("shard", range(_N_SHARDS))
+def test_spark_schema_matches_snapshot(spark, sf_small, shard):
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(name):
+        try:
+            df = QUERIES[name](spark, sf_small)
+            got = [[f.name, _spark_class(f.dataType.simpleString())] for f in df.schema.fields]
+        except Exception as e:
+            return name, f"EXCEPTION: {e!r}"
+        return name, None if got == _SNAPSHOT[name] else f"schema drifted: {got}"
+
+    with ThreadPoolExecutor(max_workers=_THREADS) as pool:
+        results = list(pool.map(one, _KEYS[shard::_N_SHARDS]))
+    bad = [(n, p) for n, p in results if p]
+    assert not bad, (
+        "Spark schema drifted from the frozen contract (update BOTH engines "
+        "and regenerate the snapshot if intentional): "
+        + "; ".join(f"{n}: {p}" for n, p in bad)
     )

@@ -1,9 +1,11 @@
-"""Dump .explain("formatted") for named queries() keys to plans/r09/.
+"""Dump .explain("formatted") for named queries() keys to plans/<round>/.
+
+Round dir comes from $SPARK_GRAFT_PLANS_ROUND (default r10).
 
 Usage:
     SPARK_GRAFT_SF_DIR=... python tools/explain_dump.py <suffix> [key ...]
 
-With no keys, dumps every bench leg. Writes plans/r09/<key>_<suffix>.txt.
+With no keys, dumps every bench leg. Writes plans/$SPARK_GRAFT_PLANS_ROUND/<key>_<suffix>.txt.
 Driver-side only (no action is executed except any bounded collects a
 plan builder performs itself).
 """
@@ -44,7 +46,7 @@ def main() -> None:
     suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
     keys = sys.argv[2:] or BENCH_LEGS
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    out_dir = os.path.join(_REPO, "plans", "r09")
+    out_dir = os.path.join(_REPO, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r10"))
     os.makedirs(out_dir, exist_ok=True)
 
     spark = get_spark("kcsc-explain")
