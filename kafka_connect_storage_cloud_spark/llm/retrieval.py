@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import hashing as H
-from ..session import read_table, spread_scan
+from ..session import read_table
 
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -44,8 +44,18 @@ ORACLES: dict = {}
 
 
 def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r10: spread_scan REVERTED here (VERDICT r9 next-round #4). The r9
+    # round spread this scan like the other tokenize chokepoints, but the
+    # driver measured bm25_topk 1.17 -> 1.63 s and an interleaved same-
+    # session A/B this round reproduced the regression (spread-off won
+    # all 8 warm rep-pairs: bm25 min 1.755 vs 2.018, hybrid_rrf 2.82 vs
+    # 2.90). Unlike the shingle-md5 paths, bm25's downstream is a plain
+    # split+explode feeding a groupBy whose aggregation shuffles anyway —
+    # the round-robin exchange adds a pass without relieving any heavy
+    # per-row work, so the tf build is faster single-task at bench SF and
+    # partitions naturally at production row-group counts.
     return (
-        spread_scan(read_table(spark, sf_dir, "documents"))
+        read_table(spark, sf_dir, "documents")
         .select(
             "doc_id",
             F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token"),

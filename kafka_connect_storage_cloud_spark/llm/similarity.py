@@ -2122,8 +2122,20 @@ def knn_triangle_count_lsh(spark: SparkSession, sf_dir: str, k: int = KNN_K) -> 
 def knn_pagerank_step_lsh(spark: SparkSession, sf_dir: str, k: int = KNN_K) -> DataFrame:
     """knn_pagerank_step on the PRODUCTION edge list: one fixed-point
     PageRank step over the directed LSH top-k edges (see
-    knn_triangle_count_lsh for the scale rationale)."""
-    edges = _lsh_topk_edges(spark, sf_dir, k).select("src", "dst")
+    knn_triangle_count_lsh for the scale rationale).
+
+    r10 (VERDICT r9 next-round #9): the pagerank tail reads `edges` three
+    times (outdeg is consumed by the contrib join AND the final nodes
+    join) and Spark reuses no exchange across the consumers, so the
+    post-checkpoint union + src-window of _lsh_topk_edges evaluated 3x
+    (6 reads of the scored_half checkpoint in the r10 before plan). One
+    materialization of the bounded n*k-row directed edge list serves all
+    three (the r7 shared-frame checkpoint rule; the exact-path
+    _pagerank_from_edges stays uncheckpointed — its r9 A/B measured the
+    materialization slower there). Interleaved A/B at sf0.1: flat wall
+    (4.854 vs 4.980 min-of-4) — the win is the plan shape, not this
+    overhead-bound SF."""
+    edges = _lsh_topk_edges(spark, sf_dir, k).select("src", "dst").localCheckpoint()
     return _pagerank_from_edges(spark, sf_dir, edges)
 
 
