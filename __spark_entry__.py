@@ -61,140 +61,134 @@ def entry(spark: SparkSession) -> DataFrame:
     return T.q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-# --- diff-aware re-verification window (rebuilt END of round 9 optimization
-# phase) -- tools/stale_keys.py --window 50 on the frozen optimized tree:
-# fresh=61 (every r9 operator still awaiting its first external row) +
-# stale=178 (this optimization round rewrote shared helper modules --
-# llm/dedup.py, llm/similarity.py, llm/pipeline.py, llm/corpus.py,
-# session.py spread_scan/get_spark -- and the content-signature tool marks
-# every transitive consumer stale by construction; each rewritten path was
-# driver-sim verified at sf0.001+sf0.01 in-round). _PRIORITY = the 50
-# never-verified fresh keys first; the 11 fresh keys that do not fit plus
-# all 178 stale keys are in _RECHECK; everything else is
-# signature-identical to its last green round.
+# --- diff-aware re-verification window (rebuilt round 10, optimization
+# phase 2) -- tools/stale_keys.py --window 50 on the final tree:
+# fresh=11 (the keys VERDICT r9 next-round #2 lists -- every operator
+# still awaiting its FIRST external oracle row heads the window) +
+# stale=80 (this round rewrote shared helpers in llm/dedup.py,
+# llm/similarity.py, llm/pipeline.py, llm/pq.py, llm/sq.py,
+# llm/ann_audit.py, llm/retrieval.py, session.py; the content-signature
+# tool marks every transitive consumer stale by construction; each
+# rewritten path was driver-sim verified at sf0.01 in-round). _PRIORITY =
+# the 11 fresh keys + the first 39 stale; the remaining 41 stale keys are
+# in _RECHECK; everything else is signature-identical to its last green
+# round.
 _PRIORITY: tuple[str, ...] = (
-    "watermark_advisor", "orders_priority_mix_drift", "intrinsic_dim_twonn",
-    "dp_sensitivity_audit", "events_peak_hour_stability",
-    "events_burstiness_index", "events_completeness_audit",
-    "events_type_affinity", "partition_pruning_matrix",
-    "events_seasonality_strength", "broadcast_size_audit",
-    "customer_interpurchase", "events_von_neumann", "events_turning_points",
-    "events_cox_stuart", "events_variance_ratio", "events_recurrence_quant",
-    "winnowing_window_tuning", "knn_degree_assortativity",
-    "quality_reliability_bins", "cluster_silhouette", "term_burstiness",
-    "events_ph_episodes", "events_qq_drift", "skew_salt_plan",
-    "events_mann_whitney", "events_pettitt_change", "events_runs_test",
-    "events_page_hinkley", "events_hurst_rs", "events_ordinal_patterns",
-    "events_xcorr_lags", "events_levene_bf", "events_fano_dispersion",
-    "events_spectral_power", "anomaly_ensemble_agreement",
-    "events_markov_diversity", "drift_ensemble_matrix", "shard_balance_audit",
-    "cms_error_curve", "doc_readability", "boilerplate_shingles",
-    "token_ge2_inequality", "conformal_quality_coverage",
-    "quality_quantile_normalize", "token_hapax_profile",
-    "events_seasonal_median_decompose", "events_ks_drift",
-    "events_max_burst_window", "token_lorenz_gini",
-)
-
-_RECHECK: tuple[str, ...] = (
     "events_stl_anomaly", "dedup_cascade_yield", "events_mann_kendall",
     "events_ljung_box", "token_lorenz_gini_edges", "events_hampel_filter",
     "erasure_blast_radius", "hybrid_rrf_fusion", "semdedup_cell_profile",
     "ann_topk_ivf_twolevel", "ivf_twolevel_recall_audit", "ann_recall_audit",
-    "ann_topk_bruteforce", "ann_topk_lsh", "cosine_dup_band_recall",
-    "cosine_dup_band_recall_sampled", "embedding_centroid_outliers",
-    "embedding_cosine_dups", "embedding_covariance", "embedding_dim_stats",
-    "embedding_pca_power", "embedding_pca_project", "knn_graph_mutual",
-    "knn_pagerank_step", "knn_triangle_count", "matryoshka_recall_audit",
-    "unblocked_band_recall", "knn_graph_lsh", "knn_graph_lsh_recall",
-    "knn_graph_lsh_recall_sampled", "knn_label_vote_accuracy",
-    "knn_label_vote_lsh", "knn_pagerank_step_lsh", "knn_triangle_count_lsh",
-    "context_pack", "dedup_chunks", "rarity_buckets",
-    "tokens_per_source_budget", "lm_rarity_score", "bpe_compression_curve",
-    "bpe_pair_stats", "bpe_train_rounds", "corpus_mixture", "doc_chunk_split",
-    "doc_truncation_loss", "idf_topterms", "k_anonymity_audit",
-    "modality_coverage_audit", "token_shard_pack", "corpus_stats",
-    "dsir_importance_edges", "pack_efficiency_curve", "shard_skew_audit",
-    "rarity_buckets_edges", "bigram_lm_rarity", "corpus_prep_pipeline",
-    "dsir_importance", "l_diversity_audit", "shard_checksum_manifest",
-    "t_closeness_audit", "ivf_kmeans_refine", "semantic_contamination",
-    "contamination_check", "ivf_balance_audit", "stratified_sample",
-    "ivf_nprobe_recall_curve", "ann_topk_ivf", "ann_topk_ivf_multiprobe",
-    "cluster_profile_kmeans", "semdedup_cells", "dedup_containment",
-    "dedup_exact", "dedup_incremental", "dedup_minhash_lsh",
-    "dedup_modality_agreement", "dedup_simhash", "dup_source_matrix",
+    "ann_topk_bruteforce", "knn_graph_mutual", "knn_pagerank_step",
+    "knn_triangle_count", "knn_graph_lsh", "knn_graph_lsh_recall",
+    "knn_graph_lsh_recall_sampled", "knn_label_vote_lsh", "knn_pagerank_step_lsh",
+    "knn_triangle_count_lsh", "intrinsic_dim_twonn", "knn_degree_assortativity",
+    "bm25_topk", "hybrid_retrieval_agreement", "dedup_containment",
+    "dedup_incremental", "dedup_minhash_lsh", "dedup_simhash",
     "minhash_band_tuning", "minhash_jaccard_est", "minhash_precision_curve",
-    "ngram_jaccard", "simhash_bit_balance", "source_overlap_jaccard",
-    "dedup_method_matrix", "winnowing_fingerprints", "cms_heavy_hitters",
-    "hll_distinct", "hll_merge_invariant", "kmv_distinct",
-    "quantile_sketch_audit", "kmv_set_ops", "bigram_lift", "ngram_novelty",
-    "vocab_coverage", "vocab_drift_tvd", "zipf_profile",
-    "negative_sampling_table", "ngram_memorization_audit", "vocab_growth_curve",
-    "vocab_drift_chi2", "bm25_topk", "hybrid_retrieval_agreement",
-    "dedup_substring", "dedup_bloom", "pq_code_balance", "ann_topk_ivf_pq",
-    "embedding_pq", "pq_adc_topk", "pq_recall_audit", "late_data_audit",
-    "benford_audit", "bootstrap_mean_ci", "fuzzy_name_matches",
-    "market_concentration_hhi", "orders_cohort_ltv", "revenue_pareto",
-    "supplier_scorecard", "orders_backlog_aging", "revenue_pareto_edges",
-    "rfm_segmentation_edges", "events_acf_profile", "part_affinity",
-    "rfm_segmentation", "quality_filter", "token_diversity",
-    "tokenizer_fertility", "gopher_rules_filter", "lang_id",
-    "lang_id_confusion", "quality_score", "repetition_score",
-    "quality_threshold_yield", "doc_fingerprint", "token_count",
-    "quality_ablation_matrix", "embedding_sq8", "sq8_recall_audit",
-    "ann_topk_ivf_sq8", "multimodal_pipeline", "multimodal_resize",
-    "multimodal_audio_resample", "multimodal_frame_sample",
-    "multimodal_payload_dedup", "reservoir_sample", "train_test_split",
-    "kfold_assignment", "ann_method_matrix", "curriculum_stages",
-    "curriculum_stages_edges", "mixture_temperature_weights",
-    "mlm_masking_plan", "span_corruption_plan", "dedup_keep_best",
-    "dedup_rate_by_slice", "dedup_semantic", "quality_dup_profile",
-    "dedup_transitivity_audit", "dup_cluster_size_profile",
-    "knn_graph_components", "dedup_clusters", "pii_density_by_slice",
-    "pii_scan", "q11_important_stock", "q12_ship_priority_class",
-    "q13_customer_distribution", "q1_rollup", "q20_dominant_suppliers",
-    "q2_min_cost_supplier", "q4_order_priority", "q9_product_type_profit",
-    "order_lead_time", "q21_waiting_suppliers", "q14_promo_revenue",
-    "q15_top_supplier", "q16_supplier_part_counts",
-    "q17_small_quantity_revenue", "q18_large_volume_customers",
-    "q19_discounted_revenue", "q22_global_sales_opportunity",
-    "q7_volume_shipping", "q8_market_share", "order_priority_count",
-    "part_type_margin", "q10_returned_items", "q1_pricing_summary",
-    "q3_shipping_priority", "q5_local_supplier_volume", "q6_revenue_change",
-    "top_customers",
+    "ngram_jaccard", "simhash_bit_balance", "dedup_method_matrix",
+    "winnowing_fingerprints", "winnowing_window_tuning", "ivf_kmeans_refine",
+    "ivf_balance_audit", "ivf_nprobe_recall_curve", "ann_topk_ivf",
+    "ann_topk_ivf_multiprobe", "cluster_profile_kmeans", "semdedup_cells",
+    "cluster_silhouette", "pq_code_balance", "ann_topk_ivf_pq",
+    "embedding_pq", "pq_adc_topk",
+)
+
+_RECHECK: tuple[str, ...] = (
+    "pq_recall_audit", "embedding_sq8", "ann_topk_ivf_sq8",
+    "ann_method_matrix", "dedup_chunks", "doc_chunk_split",
+    "bigram_lm_rarity", "shard_balance_audit", "bigram_lift",
+    "ngram_novelty", "vocab_coverage", "zipf_profile",
+    "boilerplate_shingles", "conformal_quality_coverage", "doc_readability",
+    "quality_quantile_normalize", "term_burstiness", "token_ge2_inequality",
+    "token_hapax_profile", "token_lorenz_gini", "cms_heavy_hitters",
+    "kmv_distinct", "quantile_sketch_audit", "kmv_set_ops",
+    "cms_error_curve", "dedup_substring", "dedup_bloom",
+    "late_data_audit", "events_acf_profile", "broadcast_size_audit",
+    "customer_interpurchase", "orders_priority_mix_drift", "gopher_rules_filter",
+    "quality_ablation_matrix", "quality_reliability_bins", "dedup_keep_best",
+    "dedup_rate_by_slice", "quality_dup_profile", "dedup_transitivity_audit",
+    "dup_cluster_size_profile", "dedup_clusters",
 )
 
 _VERIFIED_CURRENT: tuple[str, ...] = (
-    "ab_test_metrics", "cdc_merge_apply", "compact_small_files",
-    "consumer_lag_report", "daily_partitioner", "default_partitioner",
-    "duration_partitioner", "erasure_rewrite_plan", "events_anomaly",
-    "events_anomaly_mad", "events_asof_join", "events_autocorr_lag1",
-    "events_burst_runs", "events_changepoint", "events_cube",
-    "events_cusum_alarms", "events_dau_mau", "events_dod_growth",
-    "events_dow_profile", "events_ewma16", "events_funnel",
+    "ab_test_metrics", "ann_topk_lsh", "anomaly_ensemble_agreement",
+    "benford_audit", "bootstrap_mean_ci", "bpe_compression_curve",
+    "bpe_pair_stats", "bpe_train_rounds", "cdc_merge_apply",
+    "compact_small_files", "consumer_lag_report", "contamination_check",
+    "context_pack", "corpus_mixture", "corpus_prep_pipeline",
+    "corpus_stats", "cosine_dup_band_recall", "cosine_dup_band_recall_sampled",
+    "curriculum_stages", "curriculum_stages_edges", "daily_partitioner",
+    "dedup_exact", "dedup_modality_agreement", "dedup_semantic",
+    "default_partitioner", "doc_fingerprint", "doc_truncation_loss",
+    "dp_sensitivity_audit", "drift_ensemble_matrix", "dsir_importance",
+    "dsir_importance_edges", "dup_source_matrix", "duration_partitioner",
+    "embedding_centroid_outliers", "embedding_cosine_dups", "embedding_covariance",
+    "embedding_dim_stats", "embedding_pca_power", "embedding_pca_project",
+    "erasure_rewrite_plan", "events_anomaly", "events_anomaly_mad",
+    "events_asof_join", "events_autocorr_lag1", "events_burst_runs",
+    "events_burstiness_index", "events_changepoint", "events_completeness_audit",
+    "events_cox_stuart", "events_cube", "events_cusum_alarms",
+    "events_dau_mau", "events_dod_growth", "events_dow_profile",
+    "events_ewma16", "events_fano_dispersion", "events_funnel",
     "events_gapfill_locf", "events_haar_energy", "events_holt_linear",
-    "events_hourly_rollup", "events_inter_arrival", "events_markov_transitions",
-    "events_props_extract", "events_props_variant", "events_range_join",
-    "events_retention", "events_rolling_window", "events_seasonality_anova",
-    "events_session_window_native", "events_sessionize",
-    "events_sliding_window", "events_theil_sen", "events_time_weighted_avg",
-    "events_topk_users", "events_trend_slope", "events_type_diversity",
+    "events_hourly_rollup", "events_hurst_rs", "events_inter_arrival",
+    "events_ks_drift", "events_levene_bf", "events_mann_whitney",
+    "events_markov_diversity", "events_markov_transitions", "events_max_burst_window",
+    "events_ordinal_patterns", "events_page_hinkley", "events_peak_hour_stability",
+    "events_pettitt_change", "events_ph_episodes", "events_props_extract",
+    "events_props_variant", "events_qq_drift", "events_range_join",
+    "events_recurrence_quant", "events_retention", "events_rolling_window",
+    "events_runs_test", "events_seasonal_median_decompose", "events_seasonality_anova",
+    "events_seasonality_strength", "events_session_window_native", "events_sessionize",
+    "events_sliding_window", "events_spectral_power", "events_theil_sen",
+    "events_time_weighted_avg", "events_topk_users", "events_trend_slope",
+    "events_turning_points", "events_type_affinity", "events_type_diversity",
     "events_type_pivot", "events_type_unpivot", "events_value_deciles",
-    "events_value_deciles_edges", "events_value_histogram",
-    "events_value_percentiles_exact", "exactly_once_manifest",
-    "field_partitioner", "field_time_partitioner", "hourly_partitioner",
-    "kv_header_views", "landed_files_diff", "locale_partitioner",
-    "log_compaction", "multi_touch_attribution", "multipart_upload_plan",
-    "offset_continuity_audit", "path_format_partitioner",
-    "rollup_incremental_merge", "rotation_custom_naming", "rotation_flush_size",
-    "rotation_interval", "rotation_interval_partition_change",
-    "rotation_max_open_files", "rotation_partition_change",
+    "events_value_deciles_edges", "events_value_histogram", "events_value_percentiles_exact",
+    "events_variance_ratio", "events_von_neumann", "events_xcorr_lags",
+    "exactly_once_manifest", "field_partitioner", "field_time_partitioner",
+    "fuzzy_name_matches", "hll_distinct", "hll_merge_invariant",
+    "hourly_partitioner", "idf_topterms", "k_anonymity_audit",
+    "kfold_assignment", "knn_graph_components", "knn_label_vote_accuracy",
+    "kv_header_views", "l_diversity_audit", "landed_files_diff",
+    "lang_id", "lang_id_confusion", "lm_rarity_score",
+    "locale_partitioner", "log_compaction", "market_concentration_hhi",
+    "matryoshka_recall_audit", "mixture_temperature_weights", "mlm_masking_plan",
+    "modality_coverage_audit", "multi_touch_attribution", "multimodal_audio_resample",
+    "multimodal_frame_sample", "multimodal_payload_dedup", "multimodal_pipeline",
+    "multimodal_resize", "multipart_upload_plan", "negative_sampling_table",
+    "ngram_memorization_audit", "offset_continuity_audit", "order_lead_time",
+    "order_priority_count", "orders_backlog_aging", "orders_cohort_ltv",
+    "pack_efficiency_curve", "part_affinity", "part_type_margin",
+    "partition_pruning_matrix", "path_format_partitioner", "pii_density_by_slice",
+    "pii_scan", "q10_returned_items", "q11_important_stock",
+    "q12_ship_priority_class", "q13_customer_distribution", "q14_promo_revenue",
+    "q15_top_supplier", "q16_supplier_part_counts", "q17_small_quantity_revenue",
+    "q18_large_volume_customers", "q19_discounted_revenue", "q1_pricing_summary",
+    "q1_rollup", "q20_dominant_suppliers", "q21_waiting_suppliers",
+    "q22_global_sales_opportunity", "q2_min_cost_supplier", "q3_shipping_priority",
+    "q4_order_priority", "q5_local_supplier_volume", "q6_revenue_change",
+    "q7_volume_shipping", "q8_market_share", "q9_product_type_profit",
+    "quality_filter", "quality_score", "quality_threshold_yield",
+    "rarity_buckets", "rarity_buckets_edges", "repetition_score",
+    "reservoir_sample", "revenue_pareto", "revenue_pareto_edges",
+    "rfm_segmentation", "rfm_segmentation_edges", "rollup_incremental_merge",
+    "rotation_custom_naming", "rotation_flush_size", "rotation_interval",
+    "rotation_interval_partition_change", "rotation_max_open_files", "rotation_partition_change",
     "rotation_policy_matrix", "rotation_scheduled", "rotation_schema_change",
     "rotation_stats", "scd2_history", "scd2_snapshot_asof",
     "schema_compat_backward", "schema_compat_forward", "schema_compat_full",
     "schema_compat_none", "schema_evolution", "schema_partitioner",
-    "schema_partitioner_suffix", "smt_chain", "time_based_partitioner",
-    "timestamp_extractor_record_field", "tombstone_routing", "tz_partitioner",
-    "zorder_file_skipping",
+    "schema_partitioner_suffix", "semantic_contamination", "shard_checksum_manifest",
+    "shard_skew_audit", "skew_salt_plan", "smt_chain",
+    "source_overlap_jaccard", "span_corruption_plan", "sq8_recall_audit",
+    "stratified_sample", "supplier_scorecard", "t_closeness_audit",
+    "time_based_partitioner", "timestamp_extractor_record_field", "token_count",
+    "token_diversity", "token_shard_pack", "tokenizer_fertility",
+    "tokens_per_source_budget", "tombstone_routing", "top_customers",
+    "train_test_split", "tz_partitioner", "unblocked_band_recall",
+    "vocab_drift_chi2", "vocab_drift_tvd", "vocab_growth_curve",
+    "watermark_advisor", "zorder_file_skipping",
 )
 
 
